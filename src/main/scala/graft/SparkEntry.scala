@@ -1,13 +1,282 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each entry maps to.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Hybrid vector+TF-IDF "more-like-this" — the reference's richest
+    * code path (app.py:190-219) end-to-end.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TextRetrieval.hybridTopK(spark, "/root/testdata/sf0.001", queryDoc = 0, alpha = 0.7, k = 10)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- vector search (reference core) ---
+    "vs_topk" -> ((s, d) => VectorSearch.topK(s, d, queryId = 0, k = 10)),
+    "vs_item_similar" -> ((s, d) => VectorSearch.topK(s, d, queryId = 7, k = 10)),
+    "vs_filtered_topk" -> ((s, d) => VectorSearch.filteredTopK(s, d, queryId = 0, k = 10, labels = Seq(1, 2, 3))),
+    "vs_sim_matrix" -> ((s, d) => VectorSearch.simMatrix(s, d, ids = Seq(0L, 1L, 2L, 3L))),
+    "ann_knn_join" -> ((s, d) => VectorSearch.knnJoin(s, d, queryMod = 100, k = 5)),
+    "ann_ivf_topk" -> ((s, d) => Ivf.ivfTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
+    "ann_recall_eval" -> ((s, d) => Ivf.recallEval(s, d, nCells = 16, queryMod = 100, k = 10, nprobes = Seq(1, 2, 4))),
+    // --- text retrieval (reference core) ---
+    "tfidf_topk" -> ((s, d) => TextRetrieval.tfidfTopK(s, d, Seq("spark", "join", "vector"), k = 10)),
+    "hybrid_topk" -> ((s, d) => TextRetrieval.hybridTopK(s, d, queryDoc = 0, alpha = 0.7, k = 10)),
+    // --- analytics / metadata ---
+    "q1_pricing" -> ((s, d) => Analytics.q1Pricing(s, d)),
+    "q3_shipping" -> ((s, d) => Analytics.q3Shipping(s, d)),
+    "q5_region_volume" -> ((s, d) => Analytics.q5RegionVolume(s, d)),
+    "topn_per_group" -> ((s, d) => Analytics.topNPerGroup(s, d, n = 3)),
+    "product_rollup" -> ((s, d) => Analytics.productRollup(s, d)),
+    "brand_facets" -> ((s, d) => Analytics.brandFacets(s, d)),
+    "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
+    "events_funnel" -> ((s, d) => Analytics.funnel(s, d)),
+    // --- LLM-data-pipeline operators ---
+    "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
+    "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+  )
+
+  /** DuckDB cosine identical to VectorFunctions.cosine5: double-promoted
+    * dot products, rounded to 5 decimals.
+    */
+  private def cos5(a: String, b: String): String =
+    s"round(${cosRaw(a, b)}, 5)"
+  private def cosRaw(a: String, b: String): String =
+    s"list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
+
+  /** Shared CTE fragments for the TF-IDF oracle (sklearn smooth-idf). */
+  private val tfidfCtes: String =
+    """terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |w AS (SELECT tf.doc_id, tf.term, tf.tf * (ln((nn.n + 1) / (dfv.df + 1)) + 1) AS w FROM tf JOIN dfv USING (term), nn),
+      |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1)""".stripMargin
+
+  private val shingleCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |shd AS (SELECT DISTINCT doc_id, shingle FROM
+      |  (SELECT doc_id, unnest([array_to_string(toks[i+1:i+5], ' ') for i in range(len(toks) - 4)]) AS shingle FROM t))""".stripMargin
+
+  private def langCase(prefix: String): String = {
+    val langs = TextAnalysis.markers.map(_._1)
+    val whens = langs.map { l =>
+      val ge = langs.filter(_ != l).map(o => s"${prefix}s_$l >= ${prefix}s_$o").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'zh' END"
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for ann_ivf_topk /
+    * ann_recall_eval / dedup_simhash (k-means and binary simhash are
+    * not SQL-expressible) → driver records rows-only checks.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "vs_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score
+         |FROM embeddings e, q WHERE e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "vs_item_similar" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+         |SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score
+         |FROM embeddings e, q WHERE e.vec_id <> 7
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "vs_filtered_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score
+         |FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label IN (1, 2, 3)
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "vs_sim_matrix" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cos5("a.embedding", "b.embedding")} AS score
+         |FROM embeddings a, embeddings b
+         |WHERE a.vec_id IN (0, 1, 2, 3) AND b.vec_id IN (0, 1, 2, 3)
+         |ORDER BY a_id, b_id""".stripMargin,
+    "ann_knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |s AS (SELECT q.q_id, e.vec_id AS n_id, ${cos5("e.embedding", "q.qv")} AS score
+         |      FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+         |SELECT q_id, n_id, score,
+         |       row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+         |FROM s QUALIFY rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "tfidf_topk" ->
+      s"""WITH $tfidfCtes,
+         |q AS (SELECT term FROM (VALUES ('spark'), ('join'), ('vector')) t(term)),
+         |qw AS (SELECT q.term, ln((nn.n + 1) / (dfv.df + 1)) + 1 AS qw FROM q JOIN dfv USING (term), nn),
+         |qn AS (SELECT sqrt(sum(qw * qw)) AS qn FROM qw)
+         |SELECT w.doc_id, round(sum(w.w / nrm.nrm * qw.qw / qn.qn), 5) AS score
+         |FROM w JOIN qw USING (term) JOIN nrm USING (doc_id), qn
+         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "hybrid_topk" ->
+      s"""WITH $tfidfCtes,
+         |wn AS (SELECT w.doc_id, w.term, w.w / nrm.nrm AS wn FROM w JOIN nrm USING (doc_id)),
+         |qv AS (SELECT term, wn AS qwn FROM wn WHERE doc_id = 0),
+         |ts AS (SELECT wn.doc_id, sum(wn.wn * qv.qwn) AS ts FROM wn JOIN qv USING (term)
+         |       WHERE wn.doc_id <> 0 GROUP BY 1),
+         |qe AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |cand AS (SELECT e.vec_id AS doc_id, ${cosRaw("e.embedding", "qe.qemb")} AS vs,
+         |                coalesce(ts.ts, 0.0) AS ts
+         |         FROM embeddings e CROSS JOIN qe LEFT JOIN ts ON ts.doc_id = e.vec_id
+         |         WHERE e.vec_id <> 0),
+         |st AS (SELECT min(ts) AS mn, max(ts) AS mx FROM cand),
+         |f AS (SELECT doc_id, vs,
+         |             CASE WHEN st.mx > st.mn THEN (ts - st.mn) / (st.mx - st.mn + 1e-12) ELSE ts END AS tn
+         |      FROM cand, st)
+         |SELECT doc_id, round(vs * 0.7 + tn * (1 - 0.7), 5) AS hybrid_score,
+         |       round(vs, 5) AS vector_score, round(tn, 5) AS tfidf_score
+         |FROM f ORDER BY hybrid_score DESC, doc_id LIMIT 10""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_volume" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "topn_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS totalprice,
+        |       row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |FROM orders QUALIFY rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "product_rollup" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        |       round(avg(value), 4) AS avg_value,
+        |       min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "brand_facets" ->
+      """SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_retail
+        |FROM part GROUP BY 1 ORDER BY n_parts DESC, p_brand""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |x AS (SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+        |                       OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |y AS (SELECT user_id, event_id, ts_ms, value,
+        |             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS sess_id
+        |      FROM x)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        |       min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+        |       round(sum(value), 2) AS sess_value,
+        |       max(ts_ms) - min(ts_ms) AS duration_ms
+        |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_funnel" ->
+      """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |       round(avg(value), 4) AS avg_value, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS hash,
+        |       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCtes,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |          FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a_id, b_id, round(inter / (sa.sz + sb.sz - inter), 5) AS jaccard
+         |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |WHERE round(inter / (sa.sz + sb.sz - inter), 5) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH $shingleCtes,
+         |hs AS (SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
+         |       FROM shd CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, i // 2 AS band, string_agg(mh, '' ORDER BY i) AS bv
+         |          FROM hs GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |est AS (SELECT c.a_id, c.b_id,
+         |               round(avg(CASE WHEN x.mh = y.mh THEN 1.0 ELSE 0.0 END), 5) AS est_jaccard
+         |        FROM cand c JOIN hs x ON x.doc_id = c.a_id
+         |        JOIN hs y ON y.doc_id = c.b_id AND y.i = x.i GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |          FROM shd a JOIN shd b ON a.shingle = b.shingle
+         |          JOIN cand c ON c.a_id = a.doc_id AND c.b_id = b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT e.a_id, e.b_id, e.est_jaccard,
+         |       round(coalesce(i.inter, 0) / (sa.sz + sb.sz - coalesce(i.inter, 0)), 5) AS jaccard
+         |FROM est e LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+         |JOIN sz sa ON sa.doc_id = e.a_id JOIN sz sb ON sb.doc_id = e.b_id
+         |WHERE round(coalesce(i.inter, 0) / (sa.sz + sb.sz - coalesce(i.inter, 0)), 5) >= 0.8
+         |ORDER BY e.a_id, e.b_id""".stripMargin,
+    "dedup_embedding" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label::BIGINT AS label,
+         |       ${cos5("a.embedding", "b.embedding")} AS score
+         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cos5("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
+    "lang_id" -> {
+      val scores = TextAnalysis.markers.map { case (l, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), x -> list_contains([$lst], x))) AS s_$l"
+      }.mkString(",\n       ")
+      s"""WITH s AS (SELECT doc_id, lang,
+         |       $scores
+         |FROM documents),
+         |p AS (SELECT doc_id, lang, ${langCase("")} AS pred_lang FROM s)
+         |SELECT doc_id, pred_lang, lang, pred_lang = lang AS correct
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    "text_quality" ->
+      """SELECT doc_id, length(text) AS len_chars,
+        |       len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |       len(list_distinct(string_split(text, ' ')))::BIGINT AS n_types,
+        |       len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS ttr,
+        |       len(list_filter(string_split(text, ' '), x -> list_contains(['the', 'a'], x)))
+        |             / len(string_split(text, ' ')) AS stop_ratio,
+        |       (2 * least(len(string_split(text, ' ')), 100) * len(string_split(text, ' '))
+        |        + 150 * len(list_distinct(string_split(text, ' ')))
+        |        + 150 * (len(string_split(text, ' '))
+        |                 - len(list_filter(string_split(text, ' '), x -> list_contains(['the', 'a'], x)))))
+        |       / (500 * len(string_split(text, ' '))) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |       (len(string_split(text, ' ')) - 1)::BIGINT AS n_bigrams,
+        |       length(text) AS n_chars,
+        |       ceil(length(text) / 4.0)::BIGINT AS est_subtokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      s"""WITH $shingleCtes,
+         |c AS (SELECT doc_id, count(*) AS n_shingles FROM shd GROUP BY 1)
+         |SELECT d.doc_id, md5(d.text) AS fp, substr(md5(d.text), 1, 16) AS fp64,
+         |       coalesce(c.n_shingles, 0) AS n_shingles
+         |FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin,
+  )
 }

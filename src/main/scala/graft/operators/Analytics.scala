@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational/metadata operators: the reference's artifact-build
+  * pipeline (review→product rollups, facet counts for the sidebar
+  * filters, reference app.py:138-147) plus the OLAP core any engine
+  * at 100 TB needs (multi-way joins, windowed top-n, sessionization).
+  *
+  * All aggregations are plain groupBy (map-side partial agg for free);
+  * dimension tables (region/nation/supplier/part) are broadcast; date
+  * outputs are formatted as strings for cross-engine stability.
+  */
+object Analytics {
+
+  /** TPC-H Q1-style pricing summary over lineitem. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-style: unshipped-revenue top-10 for one segment. */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).where(col("o_orderdate") < lit("1998-01-01"))
+    val l = Tables.lineitem(spark, dir).where(col("l_shipdate") > lit("1998-01-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style snowflake join: revenue by nation within a region
+    * and date window, with co-located customer/supplier nations.
+    */
+  def q5RegionVolume(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).where(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-N per group via ranking window (the reference's per-facet
+    * top-k lists generalized).
+    */
+  def topNPerGroup(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= n)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"), col("rk"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  /** Review→product rollup analog (how the reference built products.csv
+    * out of reviews.csv: n_reviews count, avg_rating mean, …) over the
+    * events stream keyed by user.
+    */
+  def productRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        round(avg(col("value")), 4).as("avg_value"),
+        min(col("ts_ms")).as("first_ms"),
+        max(col("ts_ms")).as("last_ms"))
+      .orderBy(col("user_id"))
+
+  /** Facet value counts (reference app.py:138 sidebar brand facet). */
+  def brandFacets(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"), round(avg(col("p_retailprice")), 4).as("avg_retail"))
+      .orderBy(col("n_parts").desc, col("p_brand"))
+
+  /** Gap-based sessionization (30-min inactivity closes a session).
+    * Batch analog of the streaming sessionizer; all arithmetic on
+    * epoch-millis for oracle parity.
+    */
+  def sessionize(spark: SparkSession, dir: String, gapMs: Long = 1800000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+      .withColumn("new_sess",
+        when(lag(col("ts_ms"), 1).over(w).isNull ||
+          col("ts_ms") - lag(col("ts_ms"), 1).over(w) > gapMs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(cum))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"),
+        round(sum(col("value")), 2).as("sess_value"))
+      .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  /** Behavioral rollup per event type (funnel stage counts). */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(avg(col("value")), 4).as("avg_value"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for corpus curation at scale: language ID,
+  * quality scoring, token statistics, content fingerprinting. All are
+  * narrow per-row transforms (no shuffle) built from codegen'd
+  * `functions._` — they stream through a 100 TB scan at IO speed.
+  */
+object TextAnalysis {
+
+  /** Marker tokens per language, chosen as the most over-represented
+    * tokens per class in the synthetic corpus. Deterministic heuristic
+    * classifier (the real-world analog is a char-n-gram profile à la
+    * CLD; the operator shape — score per class, argmax with a fixed
+    * tie-break order — is identical).
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("order", "window", "table", "hash"),
+    "de" -> Seq("customer", "big", "row", "part"),
+    "fr" -> Seq("query", "scan", "data", "batch"),
+    "es" -> Seq("agg", "slow", "merge", "value"),
+    "zh" -> Seq("join", "the", "fast", "dup"))
+
+  private def markerCount(toks: Column, ms: Seq[String]): Column =
+    size(filter(toks, t => t.isin(ms.map(lit): _*)))
+
+  /** Language ID: per-language marker-token occurrence counts, argmax
+    * with fixed precedence (en > de > fr > es > zh on ties).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id") +: col("lang") +:
+        markers.map { case (l, ms) => markerCount(toks, ms).as(s"s_$l") }: _*)
+    val langs = markers.map(_._1)
+    val pred = langs.foldRight(lit(langs.last)) { case (l, els) =>
+      val ge = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(ge, lit(l)).otherwise(els)
+    }
+    scored.select(col("doc_id"), pred.as("pred_lang"), col("lang"),
+        (pred === col("lang")).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length, lexical diversity (type-token ratio),
+    * stopword ratio, blended into a 0-1 quality score.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stop = Seq("the", "a")
+    Tables.documents(spark, dir)
+      .withColumn("n_tok", size(toks))
+      .withColumn("n_types", size(array_distinct(toks)))
+      .withColumn("n_stop", size(filter(toks, t => t.isin(stop.map(lit): _*))))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        col("n_tok").cast("long").as("n_tokens"),
+        col("n_types").cast("long").as("n_types"),
+        // exact integer ratios (no rounding): both engines produce the
+        // bit-identical nearest double of the same rational number,
+        // where round()-of-a-computed-double can differ on decimal ties
+        (col("n_types") / col("n_tok")).as("ttr"),
+        (col("n_stop") / col("n_tok")).as("stop_ratio"),
+        // 0.4·min(tok,100)/100 + 0.3·types/tok + 0.3·(1 − stop/tok)
+        // as one integer ratio over denominator 500·tok
+        ((lit(2) * least(col("n_tok"), lit(100)) * col("n_tok")
+          + lit(150) * col("n_types")
+          + lit(150) * (col("n_tok") - col("n_stop")))
+          / (lit(500) * col("n_tok"))).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens, bigrams, chars, plus a BPE-ish
+    * sub-token estimate (ceil(chars/4) — the common 4-chars-per-token
+    * heuristic) per document.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(toks) - 1).cast("long").as("n_bigrams"),
+        length(col("text")).cast("long").as("n_chars"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("est_subtokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprinting: md5 content hash, a 64-bit prefix
+    * fingerprint, and the distinct-shingle count (winnowing-style
+    * signature size).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(Tables.documents(spark, dir), 5)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        substring(md5(col("text")), 1, 16).as("fp64"))
+      .join(sh, Seq("doc_id"), "left")
+      .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** TF-IDF retrieval and hybrid (vector + keyword) search.
+  *
+  * Reimplements the reference's sklearn TfidfVectorizer semantics
+  * (reference tfidf_vectorizer.joblib; idf = ln((1+N)/(1+df)) + 1 with
+  * L2-normalized rows — sklearn's smooth_idf default) as pure
+  * DataFrame aggregations, and the hybrid blend
+  * `alpha·vec + (1-alpha)·minmax(tfidf)` of reference app.py:190-219.
+  *
+  * Scale: documents are kept as sparse (doc_id, term, weight) triples —
+  * never a dense vocab-width vector — so memory is O(tokens), the
+  * df/idf pass is one shuffle keyed by term, and query scoring joins
+  * only the query's terms (a broadcast of |q| rows) against the
+  * triples.
+  */
+object TextRetrieval {
+
+  /** Sparse sklearn-style TF-IDF weights: (doc_id, term, w) plus
+    * per-document L2 norms (doc_id, nrm).
+    */
+  def tfidfWeights(docs: DataFrame): (DataFrame, DataFrame) = {
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = tf.join(dfT, "term").crossJoin(broadcast(n))
+      .withColumn("w", col("tf") * (log((col("n") + 1) / (col("df") + 1)) + 1))
+      .select("doc_id", "term", "w")
+    val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    (w, norms)
+  }
+
+  /** Keyword search: score = cosine(tfidf(query), tfidf(doc)), top-k.
+    * Reference app.py:202-204 (tfidf_vec.transform + cosine_similarity).
+    */
+  def tfidfTopK(spark: SparkSession, dir: String, queryTerms: Seq[String], k: Int): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (w, norms) = tfidfWeights(docs)
+    import spark.implicits._
+    val q = queryTerms.distinct.toDF("term")
+    // query weights: tf=1 per distinct term → weight = idf(term)
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dfT = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val qw = q.join(dfT, Seq("term"), "inner").crossJoin(broadcast(n))
+      .withColumn("qw", log((col("n") + 1) / (col("df") + 1)) + 1)
+      .select("term", "qw")
+    val qn = qw.agg(sqrt(sum(col("qw") * col("qw"))).as("qn"))
+    w.join(broadcast(qw), "term")
+      .join(norms, "doc_id")
+      .crossJoin(broadcast(qn))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("w") / col("nrm") * col("qw") / col("qn")), 5).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Hybrid "more-like-this": query = one document (its embedding for
+    * the vector leg, its TF-IDF vector for the keyword leg).
+    * final = alpha·cos(e_d, e_q) + (1-alpha)·minmax(tfidfcos(d, q)),
+    * exactly reference app.py:190-219 (including the max>min guard and
+    * the 1e-12 denominator epsilon).
+    */
+  def hybridTopK(spark: SparkSession, dir: String, queryDoc: Long, alpha: Double, k: Int): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+    val (w, norms) = tfidfWeights(docs)
+    val wn = w.join(norms, "doc_id").select(col("doc_id"), col("term"), (col("w") / col("nrm")).as("wn"))
+    val qv = wn.where(col("doc_id") === queryDoc).select(col("term"), col("wn").as("qwn"))
+    val tscore = wn.where(col("doc_id") =!= queryDoc)
+      .join(broadcast(qv), "term")
+      .groupBy("doc_id").agg(sum(col("wn") * col("qwn")).as("ts"))
+    val qe = e.where(col("vec_id") === queryDoc).select(col("embedding").as("qemb"))
+    val cand = e.where(col("vec_id") =!= queryDoc).crossJoin(broadcast(qe))
+      .select(col("vec_id").as("doc_id"), cosine(col("embedding"), col("qemb")).as("vs"))
+      .join(tscore, Seq("doc_id"), "left")
+      .withColumn("ts", coalesce(col("ts"), lit(0.0)))
+    val stats = cand.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    cand.crossJoin(broadcast(stats))
+      .withColumn("tn", when(col("mx") > col("mn"),
+        (col("ts") - col("mn")) / (col("mx") - col("mn") + lit(1e-12))).otherwise(col("ts")))
+      .select(
+        col("doc_id"),
+        round(col("vs") * alpha + col("tn") * (1 - alpha), 5).as("hybrid_score"),
+        round(col("vs"), 5).as("vector_score"),
+        round(col("tn"), 5).as("tfidf_score"))
+      .orderBy(col("hybrid_score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

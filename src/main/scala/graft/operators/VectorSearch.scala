@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Exact (flat) vector search operators — the reference's core surface.
+  *
+  * Design for scale: the query side is always tiny (one vector or a
+  * sampled batch) and is `broadcast()`; the corpus is scanned once with
+  * no shuffle. Global top-k goes through `ORDER BY ... LIMIT k`, which
+  * Spark plans as TakeOrderedAndProject (per-partition bounded heaps
+  * merged at the driver — no full sort, no shuffle of the corpus).
+  */
+object VectorSearch {
+
+  /** Free-text semantic search analog (reference app.py:173-188):
+    * score every corpus vector against one query vector, return top-k.
+    * The reference embeds the query with SBERT; here the query vector
+    * is looked up by id (the embedding-model stub — see SURVEY.md §3).
+    */
+  def topK(spark: SparkSession, dir: String, queryId: Long, k: Int,
+           filter: Column = lit(true)): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    e.where(col("vec_id") =!= queryId)
+      .where(filter)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine5(col("embedding"), col("qv")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Two-stage retrieval (reference app.py:156-188): metadata filter
+    * builds the candidate set, vector search runs inside it. The filter
+    * is pushed into the parquet scan by Catalyst.
+    */
+  def filteredTopK(spark: SparkSession, dir: String, queryId: Long, k: Int,
+                   labels: Seq[Int]): DataFrame =
+    topK(spark, dir, queryId, k, col("label").isin(labels: _*))
+
+  /** Pairwise cosine similarity matrix for a small id set
+    * (reference app.py:348-356, product comparison tab).
+    */
+  def simMatrix(spark: SparkSession, dir: String, ids: Seq[Long]): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .where(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+    a.crossJoin(broadcast(b))
+      .select(col("a_id"), col("b_id"), cosine5(col("av"), col("bv")).as("score"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Distributed kNN join: for each query vector (a sampled/broadcast
+    * batch) find its top-k nearest corpus vectors. Generalizes the
+    * reference's one-query-at-a-time flat search to a batch operator.
+    *
+    * Scale: queries broadcast (corpus never shuffled for the join);
+    * ranking shuffles only (q_id, n_id, score) triples — 16 bytes a
+    * row, not embeddings.
+    */
+  def knnJoin(spark: SparkSession, dir: String, queryMod: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine5(col("embedding"), col("qv")).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .orderBy(col("q_id"), col("rk"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("exact dedup: dup count matches n - distinct(text)") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val expectedDups = docs.count() - docs.select("text").distinct().count()
+    val got = Dedup.exact(spark, TestSpark.sf).where(col("is_dup")).count()
+    assert(got == expectedDups)
+  }
+
+  test("ngram jaccard pairs are ordered, thresholded, and symmetric-free") {
+    val rows = Dedup.ngramJaccard(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty, "synthetic corpus contains near-dups")
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0.8 && r.getDouble(2) <= 1.0))
+  }
+
+  test("minhash LSH finds the same high-jaccard pairs as exact ngram") {
+    val exact = Dedup.ngramJaccard(spark, TestSpark.sf, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, TestSpark.sf, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates pass the same exact-jaccard filter, so lsh ⊆ exact;
+    // at jaccard ≥ 0.9 with 8 bands × 2 rows, P(miss) = (1-j²)⁸ < 2e-6
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact, s"LSH missed pairs: ${exact -- lsh}")
+  }
+
+  test("simhash matches a brute-force recount of its contract") {
+    // contract: all pairs with hamming ≤ 6 that share ≥1 of the four
+    // 16-bit chunks (pigeonhole ⇒ complete for hamming ≤ 3)
+    val sigs = Dedup.simhashSignatures(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def chunksOf(s: Long) = (0 to 3).map(c => (c, (s >> (c * 16)) & 0xffffL))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb)
+      if h <= 6 && chunksOf(sa).intersect(chunksOf(sb)).nonEmpty
+    } yield ((a, b), h.toLong)).toMap
+    val got = Dedup.simhash(spark, TestSpark.sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("embedding near-dup pairs stay within label blocks") {
+    val rows = Dedup.embeddingNearDup(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(3) >= 0.3))
+  }
+}

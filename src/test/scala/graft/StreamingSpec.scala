@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+case class TestEvent(event_id: Long, ts: Timestamp, user_id: Long,
+                     event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def t(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  test("streaming windowed counts match the batch plan on the same data") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = Seq(
+      TestEvent(1, t(5), 1, "view", 1.0), TestEvent(2, t(10), 1, "view", 2.0),
+      TestEvent(3, t(65), 2, "click", 3.0), TestEvent(4, t(70), 2, "view", 4.0),
+      TestEvent(5, t(200), 1, "view", 5.0))
+    val stream = MemoryStream[TestEvent]
+    val q = EventStreams.windowedCounts(stream.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.table("wc")
+        .select("w_start", "event_type", "n", "total_value").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = EventStreams.windowedCounts(events.toDF(), "1 hour", "2 hours")
+        .select("w_start", "event_type", "n", "total_value").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == batch)
+      assert(got.contains((0L, "view", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming session windows close on gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[TestEvent]
+    val q = EventStreams.sessionWindows(stream.toDF(), "30 minutes", "1 minute")
+      .writeStream.format("memory").queryName("sw").outputMode("append").start()
+    try {
+      stream.addData(
+        TestEvent(1, t(0), 1, "view", 1.0), TestEvent(2, t(10), 1, "click", 2.0),
+        TestEvent(3, t(100), 1, "view", 3.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to finalize all sessions
+      stream.addData(TestEvent(99, t(100000), 9, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sw")
+        .where(col("user_id") === 1)
+        .select("n_events", "sess_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((2L, 3.0), (1L, 3.0)))
+    } finally q.stop()
+  }
+}

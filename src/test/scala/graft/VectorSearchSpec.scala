@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Ivf, VectorSearch}
+
+class VectorSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("topK excludes the query vector and returns k descending scores") {
+    val rows = VectorSearch.topK(spark, TestSpark.sf, queryId = 0, k = 10).collect()
+    assert(rows.length == 10)
+    assert(!rows.map(_.getLong(0)).contains(0L))
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("filteredTopK respects the label candidate set") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("label"))
+    val res = VectorSearch.filteredTopK(spark, TestSpark.sf, 0, 10, Seq(1, 2, 3))
+      .join(e, "vec_id")
+    assert(res.where(!col("label").isin(1, 2, 3)).count() == 0)
+  }
+
+  test("simMatrix has unit diagonal and is symmetric") {
+    val m = VectorSearch.simMatrix(spark, TestSpark.sf, Seq(0L, 1L, 2L, 3L)).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(m.size == 16)
+    Seq(0L, 1L, 2L, 3L).foreach(i => assert(math.abs(m((i, i)) - 1.0) < 1e-4))
+    for (a <- 0L to 3L; b <- 0L to 3L) assert(m((a, b)) == m((b, a)))
+  }
+
+  test("knnJoin returns exactly k neighbors per query") {
+    val res = VectorSearch.knnJoin(spark, TestSpark.sf, queryMod = 100, k = 5)
+    val perQ = res.groupBy("q_id").count().collect()
+    assert(perQ.nonEmpty)
+    assert(perQ.forall(_.getLong(1) == 5))
+  }
+
+  test("IVF search recall grows with nprobe and hits exact at full probe") {
+    val ev = Ivf.recallEval(spark, TestSpark.sf, nCells = 8, queryMod = 100,
+      k = 10, nprobes = Seq(1, 8)).collect()
+    val byNp = ev.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(byNp(8) == 1.0, "probing all cells must equal exact search")
+    assert(byNp(1) <= byNp(8))
+  }
+}
