@@ -17,12 +17,14 @@ import org.apache.spark.sql.types.DoubleType
   * so top-k order is reproducible.
   */
 object VectorFunctions {
-  /** Σ aᵢ·bᵢ accumulated in double, left-to-right. */
+  /** Σ aᵢ·bᵢ accumulated in double, left-to-right — fused codegen
+    * expression (see org.apache.spark.sql.graft.VecDot); bit-identical
+    * to the HOF formulation
+    * `aggregate(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double)), 0.0, _+_)`
+    * but ~orders faster (whole-stage codegen, no temp array).
+    */
   def dotd(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0),
-      (acc, v) => acc + v)
+    org.apache.spark.sql.graft.VecExpressions.vec_dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dotd(a, a))
 

@@ -32,7 +32,11 @@ object Dedup {
     */
   def shingles(docs: DataFrame, n: Int = 5): DataFrame = {
     val toks = split(col("text"), " ")
-    docs.select(col("doc_id"),
+    // documents arrive as one small parquet split; spread rows so the
+    // shingle explode + downstream hashing use every core (results are
+    // set-semantic — partitioning cannot change them)
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
       explode(when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - lit(n)),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
@@ -61,46 +65,53 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** MinHash signatures: k independent hash functions realized as the
-    * lexicographic min of md5(seed || '|' || shingle) — deterministic
-    * and reproducible in any engine with md5.
-    * Returns (doc_id, i, mh) with i in [0, k).
+  /** MinHash signatures, wide format (doc_id, mh0..mh{k-1}): k
+    * independent hash functions realized as the lexicographic min of
+    * md5(seed || '|' || shingle) — deterministic and reproducible in
+    * any engine with md5. One groupBy carrying k min-aggregates: the
+    * shingle rows are shuffled once, not k times.
     */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.types.IntegerType
-    sh.crossJoin(broadcast(
-        sh.sparkSession.range(k).select(col("id").cast(IntegerType).as("i"))))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("shingle")))).as("mh"))
-  }
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
+    sh.groupBy(col("doc_id")).agg(
+      min(md5(concat(lit("0"), lit("|"), col("shingle")))).as("mh0"),
+      (1 until k).map(i =>
+        min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"mh$i")): _*)
 
   /** MinHash + LSH near-dup: signatures → band buckets (rows-per-band
     * concatenated) → candidates share a (band, bucket) key → verified
     * with exact Jaccard; reports both the minhash estimate and the
-    * exact value.
+    * exact value. The exact-jaccard pass only touches candidate pairs'
+    * shingles (candidate-first join), never the full shingle self-join.
     */
   def minhashLsh(spark: SparkSession, dir: String, n: Int = 5, k: Int = 16,
                  rowsPerBand: Int = 2, threshold: Double = 0.8): DataFrame = {
     val sh = shingles(Tables.documents(spark, dir), n).cache()
-    val hs = minhashSignatures(sh, k).cache()
-    // collect_list order is nondeterministic — sort (i, mh) pairs first.
-    val bandsSorted = hs
-      .withColumn("band", floor(col("i") / rowsPerBand))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws("", array_sort(collect_list(struct(col("i"), col("mh")))).getField("mh")).as("bv"))
-    val cand = bandsSorted.as("a").join(bandsSorted.as("b"),
+    val sigs = minhashSignatures(sh, k).cache()
+    val nBands = k / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("bv"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val est = cand.join(hs.select(col("doc_id").as("a_id"), col("i"), col("mh").as("amh")), Seq("a_id"))
-      .join(hs.select(col("doc_id").as("b_id"), col("i"), col("mh").as("bmh")), Seq("b_id", "i"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(round(avg(when(col("amh") === col("bmh"), 1.0).otherwise(0.0)), 5).as("est_jaccard"))
+    val aSig = sigs.columns.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val bSig = sigs.columns.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val matches = (0 until k)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cand
+      .join(aSig, col("a_id") === col("a_doc_id"))
+      .join(bSig, col("b_id") === col("b_doc_id"))
+      .select(col("a_id"), col("b_id"), round(matches / lit(k.toDouble), 5).as("est_jaccard"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .join(cand, Seq("a_id", "b_id"), "left_semi")
+    val shA = sh.toDF("a_id", "shingle")
+    val shB = sh.toDF("b_id", "shingle")
+    val inter = cand.join(shA, "a_id").join(shB, Seq("b_id", "shingle"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
     est.join(inter, Seq("a_id", "b_id"), "left")
       .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
@@ -123,6 +134,7 @@ object Dedup {
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val votes = new Array[Long](64)
@@ -163,12 +175,15 @@ object Dedup {
     * stands in). Only same-block pairs are scored.
     */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"), col("embedding"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         col("a.label").cast("long").as("label"),
-        cosine5(col("a.embedding"), col("b.embedding")).as("score"))
+        round(dotd(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 5).as("score"))
       .where(col("score") >= threshold)
       .orderBy(col("a_id"), col("b_id"))
   }

@@ -30,10 +30,16 @@ object Ivf {
     */
   def buildIndex(spark: SparkSession, dir: String, nCells: Int): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir)
-    val fe = e.withColumn("features", array_to_vector(col("embedding")))
+    val fe = e.withColumn("features", array_to_vector(col("embedding"))).cache()
+    // random init + bounded iterations: the coarse quantizer only needs
+    // rough cells, and k-means|| init costs several extra Spark jobs
     val model = new KMeans().setK(nCells).setSeed(42)
+      .setInitMode("random").setMaxIter(10).setTol(1e-4)
       .setFeaturesCol("features").setPredictionCol("cell").fit(fe)
-    val assigned = model.transform(fe).select(col("vec_id"), col("label"), col("embedding"), col("cell"))
+    val assigned = model.transform(fe)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"), col("cell"))
+      .cache()
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq
@@ -48,16 +54,18 @@ object Ivf {
   def search(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
              nprobe: Int, k: Int): DataFrame = {
     val wc = Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cell"))
-    val probed = queries.crossJoin(broadcast(centroids))
+    val probed = queries
+      .withColumn("qn", l2norm(col("qv")))
+      .crossJoin(broadcast(centroids))
       .withColumn("cdist", cosine(col("qv"), col("centroid")))
       .withColumn("crk", row_number().over(wc))
       .where(col("crk") <= nprobe)
-      .select(col("q_id"), col("qv"), col("cell"))
+      .select(col("q_id"), col("qv"), col("qn"), col("cell"))
     val wk = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
     assigned.join(probed, Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), col("cell").cast("long").as("cell"),
-        cosine5(col("embedding"), col("qv")).as("score"))
+        round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
       .withColumn("rk", row_number().over(wk).cast("long"))
       .where(col("rk") <= k)
   }

@@ -21,19 +21,24 @@ import graft.functions.VectorFunctions._
   */
 object TextRetrieval {
 
-  /** Sparse sklearn-style TF-IDF weights: (doc_id, term, w) plus
-    * per-document L2 norms (doc_id, nrm).
+  /** Sparse TF-IDF model: weights (doc_id, term, w), per-doc L2 norms
+    * (doc_id, nrm), document frequencies (term, df), corpus size (n).
     */
-  def tfidfWeights(docs: DataFrame): (DataFrame, DataFrame) = {
-    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+  case class TfidfModel(w: DataFrame, norms: DataFrame, dfT: DataFrame, n: DataFrame)
+
+  /** Sklearn-style TF-IDF weights (smooth idf, raw tf, L2 norm). */
+  def tfidfWeights(docs: DataFrame): TfidfModel = {
+    val terms = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfT = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val dfT = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df")).cache()
     val n = docs.agg(count(lit(1)).as("n"))
     val w = tf.join(dfT, "term").crossJoin(broadcast(n))
       .withColumn("w", col("tf") * (log((col("n") + 1) / (col("df") + 1)) + 1))
       .select("doc_id", "term", "w")
     val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    (w, norms)
+    TfidfModel(w, norms, dfT, n)
   }
 
   /** Keyword search: score = cosine(tfidf(query), tfidf(doc)), top-k.
@@ -41,13 +46,10 @@ object TextRetrieval {
     */
   def tfidfTopK(spark: SparkSession, dir: String, queryTerms: Seq[String], k: Int): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val (w, norms) = tfidfWeights(docs)
+    val TfidfModel(w, norms, dfT, n) = tfidfWeights(docs)
     import spark.implicits._
     val q = queryTerms.distinct.toDF("term")
     // query weights: tf=1 per distinct term → weight = idf(term)
-    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val dfT = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-    val n = docs.agg(count(lit(1)).as("n"))
     val qw = q.join(dfT, Seq("term"), "inner").crossJoin(broadcast(n))
       .withColumn("qw", log((col("n") + 1) / (col("df") + 1)) + 1)
       .select("term", "qw")
@@ -70,8 +72,10 @@ object TextRetrieval {
   def hybridTopK(spark: SparkSession, dir: String, queryDoc: Long, alpha: Double, k: Int): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val e = Tables.embeddings(spark, dir)
-    val (w, norms) = tfidfWeights(docs)
-    val wn = w.join(norms, "doc_id").select(col("doc_id"), col("term"), (col("w") / col("nrm")).as("wn"))
+    val TfidfModel(w, norms, _, _) = tfidfWeights(docs)
+    val wn = w.join(norms, "doc_id")
+      .select(col("doc_id"), col("term"), (col("w") / col("nrm")).as("wn"))
+      .cache()
     val qv = wn.where(col("doc_id") === queryDoc).select(col("term"), col("wn").as("qwn"))
     val tscore = wn.where(col("doc_id") =!= queryDoc)
       .join(broadcast(qv), "term")

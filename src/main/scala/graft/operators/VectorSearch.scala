@@ -23,12 +23,16 @@ object VectorSearch {
     */
   def topK(spark: SparkSession, dir: String, queryId: Long, k: Int,
            filter: Column = lit(true)): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val q = e.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    // query norm computed once on the broadcast side, corpus norm once
+    // per row — never per pair
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
+    val q = e.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
     e.where(col("vec_id") =!= queryId)
       .where(filter)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), cosine5(col("embedding"), col("qv")).as("score"))
+      .select(col("vec_id"),
+        round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
@@ -47,11 +51,12 @@ object VectorSearch {
   def simMatrix(spark: SparkSession, dir: String, ids: Seq[Long]): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .where(col("vec_id").isin(ids: _*))
-      .select(col("vec_id"), col("embedding"))
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"), col("nrm").as("an"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"), col("nrm").as("bn"))
     a.crossJoin(broadcast(b))
-      .select(col("a_id"), col("b_id"), cosine5(col("av"), col("bv")).as("score"))
+      .select(col("a_id"), col("b_id"),
+        round(dotd(col("av"), col("bv")) / (col("an") * col("bn")), 5).as("score"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -64,12 +69,12 @@ object VectorSearch {
     * row, not embeddings.
     */
   def knnJoin(spark: SparkSession, dir: String, queryMod: Int, k: Int): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
     val q = e.where(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cosine5(col("embedding"), col("qv")).as("score"))
+        round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= k)
