@@ -37,6 +37,7 @@ object SparkEntry {
     "brand_facets" -> ((s, d) => Analytics.brandFacets(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "events_funnel" -> ((s, d) => Analytics.funnel(s, d)),
+    "events_props_parse" -> ((s, d) => Analytics.propsParse(s, d)),
     // --- LLM-data-pipeline operators ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -197,6 +198,12 @@ object SparkEntry {
     "events_funnel" ->
       """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         |       round(avg(value), 4) AS avg_value, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_props_parse" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |       max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
+        |       count(*) FILTER (WHERE json_extract_string(props, '$.k')::BIGINT > 50) AS n_high
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS hash,

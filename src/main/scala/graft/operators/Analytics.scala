@@ -122,6 +122,21 @@ object Analytics {
       .orderBy(col("user_id"), col("sess_id"))
   }
 
+  /** Semi-structured extraction: events.props carries a JSON payload;
+    * pull typed fields out with the codegen'd JSON path expression and
+    * aggregate — no UDF, pushdown-friendly.
+    */
+  def propsParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        count(when(col("k") > 50, 1)).as("n_high"))
+      .orderBy(col("event_type"))
+
   /** Behavioral rollup per event type (funnel stage counts). */
   def funnel(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

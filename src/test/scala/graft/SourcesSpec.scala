@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sources
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("csv round-trip preserves documents exactly (quotes, commas)") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    val docs = Tables.documents(spark, TestSpark.sf)
+    Sources.writeCsv(docs, s"$dir/docs")
+    val back = Sources.readCsv(spark, s"$dir/docs", docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
+  test("jsonl round-trip preserves events columns") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_ms")
+    Sources.writeJsonl(ev, s"$dir/ev")
+    val back = Sources.readJsonl(spark, s"$dir/ev", ev.schema)
+    assert(back.count() == ev.count())
+    assert(back.exceptAll(ev).isEmpty)
+  }
+
+  test("partitioned parquet sink prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    Sources.writePartitioned(Tables.documents(spark, TestSpark.sf), s"$dir/docs", Seq("lang"))
+    val en = Sources.readParquet(spark, s"$dir/docs").where(col("lang") === "en")
+    val plan = en.queryExecution.executedPlan.toString
+    assert(en.count() > 0)
+    // partition filter must reach the scan, not a post-filter
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"))
+  }
+
+  test("vec_dot is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, TestSpark.sf).createOrReplaceTempView("emb")
+    val r = spark.sql(
+      "SELECT vec_dot(embedding, embedding) AS d FROM emb WHERE vec_id = 0").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-4)
+  }
+}
