@@ -23,6 +23,9 @@ object SparkEntry {
     "vs_filtered_topk" -> ((s, d) => VectorSearch.filteredTopK(s, d, queryId = 0, k = 10, labels = Seq(1, 2, 3))),
     "vs_sim_matrix" -> ((s, d) => VectorSearch.simMatrix(s, d, ids = Seq(0L, 1L, 2L, 3L))),
     "ann_knn_join" -> ((s, d) => VectorSearch.knnJoin(s, d, queryMod = 100, k = 5)),
+    "vs_topk_l2" -> ((s, d) => VectorSearch.topKL2(s, d, queryId = 0, k = 10)),
+    "vs_meta_filtered" -> ((s, d) => VectorSearch.metaFilteredTopK(s, d, queryId = 0, k = 10, lang = "en", minChars = 200L)),
+    "knn_label_precision" -> ((s, d) => VectorSearch.knnLabelPrecision(s, d, queryMod = 100, k = 10)),
     "ann_ivf_topk" -> ((s, d) => Ivf.ivfTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
     "ann_recall_eval" -> ((s, d) => Ivf.recallEval(s, d, nCells = 16, queryMod = 100, k = 10, nprobes = Seq(1, 2, 4))),
     // --- text retrieval (reference core) ---
@@ -114,6 +117,33 @@ object SparkEntry {
          |SELECT q_id, n_id, score,
          |       row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
          |FROM s QUALIFY rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "vs_topk_l2" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       round(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+        |                  + list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
+        |                  - 2 * list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])), 5) AS dist
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "vs_meta_filtered" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score
+         |FROM embeddings e
+         |JOIN documents d ON d.doc_id = e.vec_id AND d.lang = 'en' AND d.n_chars >= 200, q
+         |WHERE e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "knn_label_precision" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |s AS (SELECT q.q_id, q.q_label, e.vec_id AS n_id, e.label AS n_label,
+         |             ${cos5("e.embedding", "q.qv")} AS score
+         |      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+         |      FROM s QUALIFY rk <= 10)
+         |SELECT q_id, q_label::BIGINT AS q_label,
+         |       count(*) FILTER (WHERE n_label = q_label) AS n_match,
+         |       count(*) FILTER (WHERE n_label = q_label) / 10.0 AS precision
+         |FROM r GROUP BY 1, 2 ORDER BY q_id""".stripMargin,
     "tfidf_topk" ->
       s"""WITH $tfidfCtes,
          |q AS (SELECT term FROM (VALUES ('spark'), ('join'), ('vector')) t(term)),

@@ -45,6 +45,67 @@ object VectorSearch {
                    labels: Seq[Int]): DataFrame =
     topK(spark, dir, queryId, k, col("label").isin(labels: _*))
 
+  /** Exact L2 (euclidean) top-k — FAISS IndexFlatL2's metric — via the
+    * dot-product identity ‖a−b‖ = √(a·a + b·b − 2 a·b), so the same
+    * codegen kernel serves both metrics and no per-pair subtraction
+    * array is materialized. Ascending distance, ties on id.
+    */
+  def topKL2(spark: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    e.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(sqrt(dotd(col("embedding"), col("embedding")) + dotd(col("qv"), col("qv"))
+          - lit(2) * dotd(col("embedding"), col("qv"))), 5).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Retrieval-quality eval the reference tabulates as Precision@K
+    * (ann_tradeoff_table.csv): fraction of each query's top-k whose
+    * class label matches the query's — fully oracle-checkable since
+    * exact search is deterministic.
+    */
+  def knnLabelPrecision(spark: SparkSession, dir: String, queryMod: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
+    val q = e.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("label").as("n_label"), col("vec_id").as("n_id"),
+        round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .withColumn("m", when(col("n_label") === col("q_label"), 1))
+      .groupBy(col("q_id"), col("q_label").cast("long").as("q_label"))
+      .agg(count(col("m")).as("n_match"))
+      .withColumn("precision", col("n_match") / lit(k.toDouble))
+      .orderBy(col("q_id"))
+  }
+
+  /** Two-stage retrieval where the metadata lives in ANOTHER table
+    * (reference app.py:156-164 filters product metadata before
+    * searching embeddings): candidate set = documents join on id.
+    */
+  def metaFilteredTopK(spark: SparkSession, dir: String, queryId: Long, k: Int,
+                       lang: String, minChars: Long): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .where(col("lang") === lang && col("n_chars") >= minChars)
+      .select(col("doc_id"))
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
+    val q = e.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    e.join(d, col("vec_id") === col("doc_id"))
+      .where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Pairwise cosine similarity matrix for a small id set
     * (reference app.py:348-356, product comparison tab).
     */
