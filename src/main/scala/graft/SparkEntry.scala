@@ -30,6 +30,8 @@ object SparkEntry {
     "ann_recall_eval" -> ((s, d) => Ivf.recallEval(s, d, nCells = 16, queryMod = 100, k = 10, nprobes = Seq(1, 2, 4))),
     // --- text retrieval (reference core) ---
     "tfidf_topk" -> ((s, d) => TextRetrieval.tfidfTopK(s, d, Seq("spark", "join", "vector"), k = 10)),
+    "vocab_stats" -> ((s, d) => TextRetrieval.vocabStats(s, d)),
+    "events_hourly" -> ((s, d) => Analytics.hourly(s, d)),
     "hybrid_topk" -> ((s, d) => TextRetrieval.hybridTopK(s, d, queryDoc = 0, alpha = 0.7, k = 10)),
     // --- analytics / metadata ---
     "q1_pricing" -> ((s, d) => Analytics.q1Pricing(s, d)),
@@ -229,6 +231,16 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         |       round(avg(value), 4) AS avg_value, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "vocab_stats" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |d AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf_total FROM terms GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents)
+        |SELECT term, df, tf_total, round(ln((nn.n + 1) / (df + 1)) + 1, 5) AS idf
+        |FROM d, nn ORDER BY df DESC, term""".stripMargin,
+    "events_hourly" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms, event_type,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_props_parse" ->
       """SELECT event_type, count(*) AS n_events,
         |       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,

@@ -122,6 +122,19 @@ object Analytics {
       .orderBy(col("user_id"), col("sess_id"))
   }
 
+  /** Tumbling-hour rollup via the window() operator (the batch twin of
+    * EventStreams.windowedCounts; epoch-aligned so the oracle's integer
+    * bucket arithmetic produces identical boundaries).
+    */
+  def hourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("tsx", timestamp_millis(col("ts_ms")))
+      .groupBy(window(col("tsx"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(unix_millis(col("window.start")).as("hour_ms"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("hour_ms"), col("event_type"))
+
   /** Semi-structured extraction: events.props carries a JSON payload;
     * pull typed fields out with the codegen'd JSON path expression and
     * aggregate — no UDF, pushdown-friendly.

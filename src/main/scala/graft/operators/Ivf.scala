@@ -70,6 +70,19 @@ object Ivf {
       .where(col("rk") <= k)
   }
 
+  /** Persist an IVF index as two parquet tables — the engine's analog
+    * of the reference's faiss_*.index artifacts, but splittable and
+    * cell-partitioned so a probe at 100 TB touches only the probed
+    * cells' files (partition pruning on `cell`).
+    */
+  def saveIndex(assigned: DataFrame, centroids: DataFrame, path: String): Unit = {
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/cells"), spark.read.parquet(s"$path/centroids"))
+
   /** Single-query IVF top-k (the reference's interactive ANN demo). */
   def ivfTopK(spark: SparkSession, dir: String, queryId: Long, nCells: Int,
               nprobe: Int, k: Int): DataFrame = {

@@ -41,6 +41,27 @@ object TextRetrieval {
     TfidfModel(w, norms, dfT, n)
   }
 
+  /** Vocabulary statistics — the reference's fitted-vectorizer artifact
+    * (tfidf_vectorizer.joblib: vocabulary_, document frequencies, idf_)
+    * as a queryable table. Distinct-count per term is the standard
+    * skew-safe two-phase rewrite: distinct (term, doc) pairs first,
+    * then count — no giant per-key state on hot terms.
+    */
+  def vocabStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tfTotal = terms.groupBy("term").agg(count(lit(1)).as("tf_total"))
+    val dfT = terms.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    dfT.join(tfTotal, "term").crossJoin(broadcast(n))
+      .select(col("term"), col("df"), col("tf_total"),
+        round(log((col("n") + 1) / (col("df") + 1)) + 1, 5).as("idf"))
+      .orderBy(col("df").desc, col("term"))
+  }
+
   /** Keyword search: score = cosine(tfidf(query), tfidf(doc)), top-k.
     * Reference app.py:202-204 (tfidf_vec.transform + cosine_similarity).
     */

@@ -1,7 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event row for the stateful sessionizer. */
+case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Open-session accumulator carried in GroupState between batches. */
+case class SessionState(start_ms: Long, last_ms: Long, n: Long, value: Double)
+
+/** Closed session emitted downstream. */
+case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+                      n_events: Long, sess_value: Double)
 
 /** Structured Streaming operators over the events stream — the
   * always-on counterpart of Analytics.sessionize/funnel. At 100 TB/day
@@ -35,4 +46,50 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sess_value"))
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n_events"), col("sess_value"))
+
+  /** Custom stateful sessionizer via flatMapGroupsWithState — the
+    * fully-controlled variant of sessionWindows for semantics
+    * session_window can't express (per-session running payloads,
+    * mid-session emissions, custom close rules). State per user is one
+    * small SessionState; the event-time timeout (watermark-driven)
+    * closes idle sessions, so state size is bounded by active users,
+    * not history.
+    */
+  def statefulSessions(events: Dataset[UserEvent], gapMs: Long = 1800000L,
+                       watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.start_ms, s.last_ms, s.n, s.value))
+          } else {
+            val evs = rows.toSeq.sortBy(_.ts.getTime)
+            val closed = List.newBuilder[SessionOut]
+            var open = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.last_ms <= gapMs =>
+                  open = Some(s.copy(last_ms = t, n = s.n + 1, value = s.value + e.value))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.start_ms, s.last_ms, s.n, s.value)
+                  open = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  open = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_ms + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Analytics, VectorSearch}
+
+/** Physical-plan assertions: the scale claims in SURVEY.md §5 must be
+  * visible in the executed plan, not just intended.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan(VectorSearch.topK(spark, TestSpark.sf, 0, 10))
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("vector scans prune to the needed columns only") {
+    val p = plan(VectorSearch.topK(spark, TestSpark.sf, 0, 10))
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding"))
+    assert(!p.contains("label"), "label must not be read for unfiltered search")
+  }
+
+  test("q3 filters are pushed into the parquet scans") {
+    val p = plan(Analytics.q3Shipping(spark, TestSpark.sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
+  }
+
+  test("dimension joins broadcast the small side") {
+    val p = plan(Analytics.q5RegionVolume(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("knn ranking uses WindowGroupLimit (partial per-partition top-k)") {
+    val p = plan(VectorSearch.knnJoin(spark, TestSpark.sf, 100, 5))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("similarity scoring runs the codegen vec_dot kernel") {
+    val p = plan(VectorSearch.topK(spark, TestSpark.sf, 0, 10))
+    assert(p.contains("vecdot"))
+  }
+}

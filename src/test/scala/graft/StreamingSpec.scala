@@ -61,4 +61,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Set((2L, 3.0), (1L, 3.0)))
     } finally q.stop()
   }
+
+  test("stateful flatMapGroupsWithState sessionizer closes on gap and timeout") {
+    import spark.implicits._
+    import graft.streaming.{SessionOut, UserEvent}
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[UserEvent]
+    val q = EventStreams.statefulSessions(stream.toDS(), gapMs = 1800000L, watermark = "1 minute")
+      .writeStream.format("memory").queryName("ss").outputMode("append").start()
+    try {
+      // user 1: two sessions (gap at t=101min); second closes via timeout.
+      // events start at t=1min — a row at epoch 0 ties the initial
+      // watermark and is dropped as late.
+      stream.addData(
+        UserEvent(1, t(1), 1.0), UserEvent(1, t(11), 2.0), UserEvent(1, t(101), 3.0))
+      q.processAllAvailable()
+      stream.addData(UserEvent(9, t(100000), 0.0)) // advance watermark
+      q.processAllAvailable()
+      stream.addData(UserEvent(9, t(200000), 0.0)) // trigger timeout pass
+      q.processAllAvailable()
+      val got = spark.table("ss").where(col("user_id") === 1)
+        .select("n_events", "sess_value", "start_ms", "end_ms").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2) / 60000, r.getLong(3) / 60000)).toSet
+      assert(got == Set((2L, 3.0, 1L, 11L), (1L, 3.0, 101L, 101L)))
+    } finally q.stop()
+  }
 }

@@ -38,6 +38,21 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(perQ.forall(_.getLong(1) == 5))
   }
 
+  test("IVF index round-trips through the cell-partitioned parquet layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val (assigned, centroids) = Ivf.buildIndex(spark, TestSpark.sf, nCells = 8)
+    val q = assigned.where(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val before = Ivf.search(assigned, centroids, q, nprobe = 2, k = 10)
+      .select("n_id", "rk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Ivf.saveIndex(assigned, centroids, dir)
+    val (a2, c2) = Ivf.loadIndex(spark, dir)
+    val after = Ivf.search(a2, c2, q, nprobe = 2, k = 10)
+      .select("n_id", "rk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before == after)
+    assert(before.size == 10)
+  }
+
   test("IVF search recall grows with nprobe and hits exact at full probe") {
     val ev = Ivf.recallEval(spark, TestSpark.sf, nCells = 8, queryMod = 100,
       k = 10, nprobes = Seq(1, 8)).collect()
