@@ -40,6 +40,8 @@ object SparkEntry {
     "topn_per_group" -> ((s, d) => Analytics.topNPerGroup(s, d, n = 3)),
     "product_rollup" -> ((s, d) => Analytics.productRollup(s, d)),
     "brand_facets" -> ((s, d) => Analytics.brandFacets(s, d)),
+    "doc_preview" -> ((s, d) => Analytics.docPreview(s, d)),
+    "product_details" -> ((s, d) => Analytics.productDetails(s, d, Seq(0L, 1L, 2L, 3L))),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "events_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "events_props_parse" -> ((s, d) => Analytics.propsParse(s, d)),
@@ -213,6 +215,13 @@ object SparkEntry {
     "brand_facets" ->
       """SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_retail
         |FROM part GROUP BY 1 ORDER BY n_parts DESC, p_brand""".stripMargin,
+    "doc_preview" ->
+      """SELECT doc_id, substr(text, 1, 180) || '...' AS preview, length(text) AS full_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "product_details" ->
+      """SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label::BIGINT AS label
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |WHERE d.doc_id IN (0, 1, 2, 3) ORDER BY d.doc_id""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
         |x AS (SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL

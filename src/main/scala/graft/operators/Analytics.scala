@@ -92,6 +92,28 @@ object Analytics {
         max(col("ts_ms")).as("last_ms"))
       .orderBy(col("user_id"))
 
+  /** Result preview formatting (reference app.py:255 truncates
+    * example_text to the preview length + ellipsis).
+    */
+  def docPreview(spark: SparkSession, dir: String, previewLen: Int = 180): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, previewLen), lit("...")).as("preview"),
+        length(col("text")).cast("long").as("full_len"))
+      .orderBy(col("doc_id"))
+
+  /** Comparison-tab details panel (reference app.py:334-347): metadata
+    * projection for a small id set, embeddings joined to documents.
+    */
+  def productDetails(spark: SparkSession, dir: String, ids: Seq[Long]): DataFrame =
+    Tables.documents(spark, dir)
+      .join(Tables.embeddings(spark, dir),
+        col("doc_id") === col("vec_id"))
+      .where(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("label").cast("long").as("label"))
+      .orderBy(col("doc_id"))
+
   /** Facet value counts (reference app.py:138 sidebar brand facet). */
   def brandFacets(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
