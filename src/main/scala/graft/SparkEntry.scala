@@ -272,7 +272,8 @@ object SparkEntry {
          |ORDER BY a_id, b_id""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $shingleCtes,
-         |hs AS (SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
+         |hs AS (SELECT doc_id, i,
+         |              min(substr(md5((i // 4)::VARCHAR || '|' || shingle), (i % 4) * 8 + 1, 8)) AS mh
          |       FROM shd CROSS JOIN range(16) r(i) GROUP BY 1, 2),
          |bands AS (SELECT doc_id, i // 2 AS band, string_agg(mh, '' ORDER BY i) AS bv
          |          FROM hs GROUP BY 1, 2),

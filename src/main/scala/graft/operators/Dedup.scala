@@ -66,16 +66,22 @@ object Dedup {
   }
 
   /** MinHash signatures, wide format (doc_id, mh0..mh{k-1}): k
-    * independent hash functions realized as the lexicographic min of
-    * md5(seed || '|' || shingle) — deterministic and reproducible in
-    * any engine with md5. One groupBy carrying k min-aggregates: the
-    * shingle rows are shuffled once, not k times.
+    * independent hash functions realized as 8-hex-char (32-bit) chunks
+    * of md5(seed || '|' || shingle) — one md5 evaluation yields four
+    * hash functions, so k=16 costs 4 digests per shingle, not 16.
+    * Lexicographic min on fixed-width hex equals numeric min, and the
+    * scheme is reproducible in any engine with md5/substr. One groupBy
+    * carrying k min-aggregates: shingle rows are shuffled once.
     */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
-    sh.groupBy(col("doc_id")).agg(
-      min(md5(concat(lit("0"), lit("|"), col("shingle")))).as("mh0"),
-      (1 until k).map(i =>
-        min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"mh$i")): _*)
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val nSeeds = (k + 3) / 4
+    val hashed = sh.select(col("doc_id") +:
+      (0 until nSeeds).map(s =>
+        md5(concat_ws("|", lit(s.toString), col("shingle"))).as(s"h$s")): _*)
+    val mins = (0 until k).map(i =>
+      min(substring(col(s"h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"mh$i"))
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
 
   /** MinHash + LSH near-dup: signatures → band buckets (rows-per-band
     * concatenated) → candidates share a (band, bucket) key → verified

@@ -26,17 +26,28 @@ object TextRetrieval {
     */
   case class TfidfModel(w: DataFrame, norms: DataFrame, dfT: DataFrame, n: DataFrame)
 
-  /** Sklearn-style TF-IDF weights (smooth idf, raw tf, L2 norm). */
+  /** Sklearn-style TF-IDF weights (smooth idf, raw tf, L2 norm).
+    *
+    * One explode pass total: `df` is derived from the (doc, term)
+    * aggregate — the count of docs a term appears in is just its row
+    * count in `tf` — so the raw term stream is shuffled once (with
+    * map-side combine) and never re-read. `tf` and `w` are cached
+    * because both the norm pass and query scoring reuse them (at
+    * cluster scale this is the checkpoint you'd persist as the fitted
+    * model artifact, like the reference's tfidf_matrix.joblib).
+    */
   def tfidfWeights(docs: DataFrame): TfidfModel = {
     val terms = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfT = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df")).cache()
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).cache()
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df")).cache()
     val n = docs.agg(count(lit(1)).as("n"))
+    // AQE sees dfT's runtime size (vocab << corpus) and broadcasts it
     val w = tf.join(dfT, "term").crossJoin(broadcast(n))
       .withColumn("w", col("tf") * (log((col("n") + 1) / (col("df") + 1)) + 1))
       .select("doc_id", "term", "w")
+      .cache()
     val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     TfidfModel(w, norms, dfT, n)
   }
@@ -52,11 +63,15 @@ object TextRetrieval {
     val terms = docs
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tfTotal = terms.groupBy("term").agg(count(lit(1)).as("tf_total"))
-    val dfT = terms.select("term", "doc_id").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // one explode pass: per-(term, doc) counts first (map-side combine
+    // shrinks the exploded stream before it shuffles), then df = row
+    // count and tf_total = count sum per term — no second scan, no
+    // countDistinct expansion
+    val perDoc = terms.groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+    val stats = perDoc.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("tf_total"))
     val n = docs.agg(count(lit(1)).as("n"))
-    dfT.join(tfTotal, "term").crossJoin(broadcast(n))
+    stats.crossJoin(broadcast(n))
       .select(col("term"), col("df"), col("tf_total"),
         round(log((col("n") + 1) / (col("df") + 1)) + 1, 5).as("idf"))
       .orderBy(col("df").desc, col("term"))
