@@ -26,6 +26,8 @@ object SparkEntry {
     "vs_topk_l2" -> ((s, d) => VectorSearch.topKL2(s, d, queryId = 0, k = 10)),
     "vs_meta_filtered" -> ((s, d) => VectorSearch.metaFilteredTopK(s, d, queryId = 0, k = 10, lang = "en", minChars = 200L)),
     "knn_label_precision" -> ((s, d) => VectorSearch.knnLabelPrecision(s, d, queryMod = 100, k = 10)),
+    "ann_knn_join_heap" -> ((s, d) => TopK.knnJoinHeap(s, d, queryMod = 100, k = 5)),
+    "ann_sq8_topk" -> ((s, d) => Quantized.sq8TopK(s, d, queryId = 0, k = 10)),
     "ann_ivf_topk" -> ((s, d) => Ivf.ivfTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
     "ann_recall_eval" -> ((s, d) => Ivf.recallEval(s, d, nCells = 16, queryMod = 100, k = 10, nprobes = Seq(1, 2, 4))),
     // --- text retrieval (reference core) ---
@@ -55,6 +57,9 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "sample_hash" -> ((s, d) => Curation.hashSample(s, d)),
+    "bigram_freq" -> ((s, d) => Curation.bigramFreq(s, d)),
+    "key_skew" -> ((s, d) => Curation.keySkew(s, d)),
   )
 
   /** DuckDB cosine identical to VectorFunctions.cosine5: double-promoted
@@ -121,6 +126,40 @@ object SparkEntry {
          |SELECT q_id, n_id, score,
          |       row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
          |FROM s QUALIFY rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "ann_knn_join_heap" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |s AS (SELECT q.q_id, e.vec_id AS n_id, ${cos5("e.embedding", "q.qv")} AS score
+         |      FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+         |SELECT q_id, n_id, score,
+         |       row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+         |FROM s QUALIFY rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "ann_sq8_topk" ->
+      """WITH ed AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |st AS (SELECT min(list_min(emb)) AS mn, max(list_max(emb)) AS mx FROM ed),
+        |coded AS (SELECT vec_id,
+        |                 list_transform(emb, x -> least(floor((x - st.mn) / (st.mx - st.mn) * 256), 255)) AS codes
+        |          FROM ed, st),
+        |q AS (SELECT codes AS qcodes FROM coded WHERE vec_id = 0)
+        |SELECT c.vec_id, list_dot_product(c.codes, q.qcodes)::BIGINT AS score_q
+        |FROM coded c, q WHERE c.vec_id <> 0
+        |ORDER BY score_q DESC, c.vec_id LIMIT 10""".stripMargin,
+    "sample_hash" ->
+      """SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 4) AS bucket, lang, n_chars
+        |FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '0ccc'
+        |ORDER BY doc_id""".stripMargin,
+    "bigram_freq" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT unnest([array_to_string(toks[i+1:i+2], ' ') for i in range(len(toks) - 1)]) AS bigram FROM t)
+        |SELECT bigram, count(*) AS n FROM bg GROUP BY 1
+        |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+    "key_skew" ->
+      """WITH sz AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+        |tot AS (SELECT sum(n_events)::BIGINT AS total, count(*) AS n_keys FROM sz)
+        |SELECT user_id, n_events, tot.n_keys,
+        |       n_events / tot.total AS share,
+        |       n_events / (tot.total / tot.n_keys) AS skew_x
+        |FROM sz, tot ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
     "vs_topk_l2" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Analytics, VectorSearch}
+import graft.operators.{Analytics, Curation, TopK, VectorSearch}
 
 /** Physical-plan assertions: the scale claims in SURVEY.md §5 must be
   * visible in the executed plan, not just intended.
@@ -37,6 +37,24 @@ class PlanSpec extends AnyFunSuite {
   test("knn ranking uses WindowGroupLimit (partial per-partition top-k)") {
     val p = plan(VectorSearch.knnJoin(spark, TestSpark.sf, 100, 5))
     assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("heap kNN aggregates without a window or per-partition sort") {
+    val df = TopK.knnJoinHeap(spark, TestSpark.sf, 100, 5)
+    val p = plan(df)
+    assert(!p.contains("Window"), "heap path must not plan a window")
+    assert(p.contains("ObjectHashAggregate"), p.take(500))
+  }
+
+  test("heap kNN returns exactly the window kNN's rows") {
+    val a = TopK.knnJoinHeap(spark, TestSpark.sf, 100, 5).collect().toSeq
+    val b = VectorSearch.knnJoin(spark, TestSpark.sf, 100, 5).collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
+
+  test("hash sampling is a pushdown-friendly narrow scan (no shuffle before filter)") {
+    val p = plan(Curation.hashSample(spark, TestSpark.sf))
+    assert(!p.contains("Exchange hashpartitioning"), "sampling must not shuffle")
   }
 
   test("similarity scoring runs the codegen vec_dot kernel") {
