@@ -35,6 +35,17 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup on event id: at-least-once sources (Kafka
+    * replays, retried micro-batches) become effectively-once
+    * downstream. dropDuplicatesWithinWatermark keeps only ids younger
+    * than the watermark in state, so state is bounded by the late-data
+    * horizon — the streaming counterpart of Dedup.exact.
+    */
+  def dedupedStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based session windows (native session_window — state handled
     * by Spark's streaming session aggregation).
     */

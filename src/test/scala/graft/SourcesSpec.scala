@@ -37,6 +37,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("lang"))
   }
 
+  test("bucketed tables join without a shuffle") {
+    Sources.writeBucketed(Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "lang", "n_chars"), "docs_b", "doc_id", 4)
+    Sources.writeBucketed(Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "label"), "emb_b", "vec_id", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so the exchange (or its absence) is visible
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("docs_b")
+        .join(spark.table("emb_b"), col("doc_id") === col("vec_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${plan.take(800)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS docs_b")
+      spark.sql("DROP TABLE IF EXISTS emb_b")
+    }
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    import graft.operators.Skew
+    val ev = Tables.events(spark, TestSpark.sf).select("event_id", "user_id", "value")
+    val users = Tables.events(spark, TestSpark.sf)
+      .groupBy("user_id").count().withColumnRenamed("user_id", "uid")
+    val salted = Skew.saltedJoin(ev, users, "user_id", "uid", 8)
+      .select("event_id", "uid", "count")
+    val plain = ev.join(users, col("user_id") === col("uid"))
+      .select("event_id", "uid", "count")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("vec_dot is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     Tables.embeddings(spark, TestSpark.sf).createOrReplaceTempView("emb")

@@ -40,6 +40,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed event ids within the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[TestEvent]
+    val q = EventStreams.dedupedStream(stream.toDF(), "2 hours")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      stream.addData(
+        TestEvent(1, t(5), 1, "view", 1.0), TestEvent(2, t(6), 1, "view", 2.0),
+        TestEvent(1, t(5), 1, "view", 1.0)) // replayed duplicate
+      q.processAllAvailable()
+      stream.addData(TestEvent(2, t(7), 1, "view", 2.0)) // replay in a later batch
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming session windows close on gap") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
