@@ -51,6 +51,25 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling: treat the payload as a sequence of fixed-size
+    * frames and emit every `stride`-th frame as its own row (video →
+    * sampled stills before feature extraction). Pure narrow transform:
+    * sequence + explode + binary substring, all codegen'd — at 100 TB
+    * the frames explode in place, no shuffle, and downstream per-frame
+    * decode parallelizes over `frames × partitions`.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 256, stride: Int = 4): DataFrame =
+    media
+      .select(col("media_id"), col("payload"),
+        greatest(ceil(length(col("payload")) / lit(frameBytes.toDouble)).cast("long"), lit(1L))
+          .as("n_frames"))
+      .select(col("media_id"), col("payload"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .where(col("frame_idx") % stride === 0)
+      .select(col("media_id"), col("n_frames"), col("frame_idx"),
+        expr(s"substring(payload, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)")
+          .as("frame"))
+
   /** Deterministic synthetic media table for tests/demos: payload bytes
     * derived from the documents table (no external files needed).
     */

@@ -19,6 +19,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(sums.getDouble(1) - 1.0) < 1e-3)
   }
 
+  test("frame sampling with stride 1 reassembles the original payload") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, TestSpark.sf).toDF().limit(20).cache()
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 1)
+    // collect_list order is not shuffle-stable; sort by frame_idx inside the array
+    val rebuilt = frames
+      .groupBy("media_id")
+      .agg(sort_array(collect_list(struct(col("frame_idx"), col("frame")))).as("parts"))
+      .as[(Long, Seq[(Long, Array[Byte])])].collect()
+      .map { case (id, parts) => id -> parts.flatMap(_._2).toSeq }.toMap
+    val orig = media.as[Multimodal.Media].collect()
+      .map(m => m.media_id -> m.payload.toSeq).toMap
+    assert(rebuilt == orig)
+  }
+
+  test("frame sampling stride keeps every Nth frame only") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, TestSpark.sf).toDF().limit(20)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
+    val bad = frames.where(col("frame_idx") % 4 =!= 0).count()
+    assert(bad == 0 && frames.count() > 0)
+  }
+
   test("decode stub is deterministic") {
     val a = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
     val b = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
