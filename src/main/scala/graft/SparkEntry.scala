@@ -60,6 +60,8 @@ object SparkEntry {
     "sample_hash" -> ((s, d) => Curation.hashSample(s, d)),
     "bigram_freq" -> ((s, d) => Curation.bigramFreq(s, d)),
     "key_skew" -> ((s, d) => Curation.keySkew(s, d)),
+    "sample_stratified" -> ((s, d) => Curation.stratifiedSample(s, d)),
+    "len_deciles" -> ((s, d) => Curation.lengthDeciles(s, d)),
   )
 
   /** DuckDB cosine identical to VectorFunctions.cosine5: double-promoted
@@ -153,6 +155,19 @@ object SparkEntry {
         |bg AS (SELECT unnest([array_to_string(toks[i+1:i+2], ' ') for i in range(len(toks) - 1)]) AS bigram FROM t)
         |SELECT bigram, count(*) AS n FROM bg GROUP BY 1
         |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+    "sample_stratified" ->
+      """WITH b AS (SELECT doc_id, lang, md5(doc_id::VARCHAR) AS bucket FROM documents),
+        |r AS (SELECT doc_id, lang, bucket,
+        |             row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rk
+        |      FROM b QUALIFY rk <= 50)
+        |SELECT doc_id, lang, bucket, rk FROM r ORDER BY lang, rk""".stripMargin,
+    "len_deciles" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |                  ntile(10) OVER (ORDER BY n_chars, doc_id) AS tile
+        |           FROM documents)
+        |SELECT tile::BIGINT AS tile, count(*) AS n_docs,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "key_skew" ->
       """WITH sz AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
         |tot AS (SELECT sum(n_events)::BIGINT AS total, count(*) AS n_keys FROM sz)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -42,6 +43,44 @@ object Curation {
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(topN)
+  }
+
+  /** Stratified sampling: the first `perStratum` documents per language
+    * in md5-of-id order — a deterministic "random" draw per stratum, so
+    * every language is equally represented regardless of corpus skew
+    * (the balanced-eval-set draw). The rank is per-stratum
+    * (Window.partitionBy(lang)), so the sort is within strata — never a
+    * global order — and Spark 4's WindowGroupLimit caps what each
+    * partition feeds it.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String, perStratum: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("bucket"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("bucket", md5(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= perStratum)
+      .select(col("doc_id"), col("lang"), col("bucket"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** Document-length decile profile: ntile(10) over (n_chars, doc_id)
+    * with per-tile count/min/max — the distribution report that sizes
+    * length filters before a curation run. Exact ranking needs a total
+    * order (fine for a one-off profile; at 100 TB the continuous
+    * monitor would use approx_percentile instead — this operator is the
+    * oracle-checkable exact variant).
+    */
+  def lengthDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("tile", ntile(10).over(w).cast("long"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("tile"))
   }
 
   /** Key-skew diagnostic: per-key row counts for the heaviest keys,
