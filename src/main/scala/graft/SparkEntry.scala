@@ -57,6 +57,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "text_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
     "sample_hash" -> ((s, d) => Curation.hashSample(s, d)),
     "bigram_freq" -> ((s, d) => Curation.bigramFreq(s, d)),
     "key_skew" -> ((s, d) => Curation.keySkew(s, d)),
@@ -145,6 +146,12 @@ object SparkEntry {
         |SELECT c.vec_id, list_dot_product(c.codes, q.qcodes)::BIGINT AS score_q
         |FROM coded c, q WHERE c.vec_id <> 0
         |ORDER BY score_q DESC, c.vec_id LIMIT 10""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm_text,
+        |       length(text) AS raw_len,
+        |       length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "sample_hash" ->
       """SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 4) AS bucket, lang, n_chars
         |FROM documents

@@ -47,6 +47,20 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Text normalization — the reference's preprocessing step before
+    * TF-IDF fitting (lowercase + whitespace collapse, reference
+    * app.py's lowercased combined_text). Narrow codegen'd transform;
+    * `\s+` means the same under Java regex and RE2, so the result is
+    * engine-portable.
+    */
+  def normalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("norm_text"),
+        length(col("text")).cast("long").as("raw_len"))
+      .withColumn("norm_len", length(col("norm_text")).cast("long"))
+      .orderBy(col("doc_id"))
+
   /** Quality scoring: length, lexical diversity (type-token ratio),
     * stopword ratio, blended into a 0-1 quality score.
     */
