@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Ivf, VectorSearch}
+import graft.operators.{Ivf, Lsh, VectorSearch}
 
 class VectorSearchSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -36,6 +36,20 @@ class VectorSearchSpec extends AnyFunSuite {
     val perQ = res.groupBy("q_id").count().collect()
     assert(perQ.nonEmpty)
     assert(perQ.forall(_.getLong(1) == 5))
+  }
+
+  test("LSH multi-probe search is deterministic and candidates come from probed buckets") {
+    val a = Lsh.lshTopK(spark, TestSpark.sf, queryId = 0, nBits = 8, k = 10).collect()
+    val b = Lsh.lshTopK(spark, TestSpark.sf, queryId = 0, nBits = 8, k = 10).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.nonEmpty && !a.map(_.getLong(0)).contains(0L))
+    // every candidate's bucket is within hamming 1 of the query's
+    val qb = Lsh.assignBuckets(spark, TestSpark.sf, 8)
+      .where(col("vec_id") === 0).head().getLong(1)
+    assert(a.forall(r => java.lang.Long.bitCount(r.getLong(1) ^ qb) <= 1))
+    // LSH scores can never beat the exact top-1
+    val exactTop = VectorSearch.topK(spark, TestSpark.sf, 0, 1).head().getDouble(1)
+    assert(a.forall(_.getDouble(2) <= exactTop))
   }
 
   test("IVF index round-trips through the cell-partitioned parquet layout") {
