@@ -5,8 +5,11 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.VecDot
 
-/** Session extension exposing the engine's custom expressions to SQL:
-  * `SELECT vec_dot(a.embedding, b.embedding) FROM ...`.
+/** Session extension exposing the engine's vector kernels to SQL:
+  * `SELECT vec_dot(a.embedding, b.embedding) FROM ...`, plus
+  * `vec_norm(v)` and `vec_cosine(a, b)` composed from the same codegen
+  * expression (one kernel, three SQL names — everything stays inside
+  * whole-stage codegen).
   *
   * Register at session build time
   * (`SparkSession.builder().withExtensions(new GraftExtensions)`) or
@@ -14,17 +17,26 @@ import org.apache.spark.sql.graft.VecDot
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val vecDotDescriptor = (
-    new FunctionIdentifier("vec_dot"),
-    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-    (children: Seq[Expression]) => VecDot(children(0), children(1)))
+  import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+
+  private def norm(v: Expression): Expression = Sqrt(VecDot(v, v))
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (es => VecDot(es(0), es(1))),
+    "vec_norm" -> (es => norm(es(0))),
+    "vec_cosine" -> (es => Divide(VecDot(es(0), es(1)), Multiply(norm(es(0)), norm(es(1))))))
+
+  private val descriptors = builders.map { case (name, build) =>
+    (new FunctionIdentifier(name), new ExpressionInfo(classOf[VecDot].getName, name), build)
+  }
 
   /** Idempotent registration on an existing session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    builders.foreach { case (name, build) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, build, "scala_udf")
+    }
 }

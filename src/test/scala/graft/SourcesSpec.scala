@@ -79,4 +79,15 @@ class SourcesSpec extends AnyFunSuite {
       "SELECT vec_dot(embedding, embedding) AS d FROM emb WHERE vec_id = 0").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-4)
   }
+
+  test("vec_norm and vec_cosine compose the same kernel in SQL") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, TestSpark.sf).createOrReplaceTempView("emb")
+    val r = spark.sql(
+      """SELECT vec_norm(a.embedding) AS n, vec_cosine(a.embedding, b.embedding) AS c
+        |FROM emb a JOIN emb b ON b.vec_id = a.vec_id
+        |WHERE a.vec_id = 0""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-4) // unit-norm corpus
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-6) // self-cosine = 1
+  }
 }
