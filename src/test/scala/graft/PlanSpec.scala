@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Analytics, Curation, TopK, VectorSearch}
+import graft.operators.{Analytics, Curation, Quantized, TopK, VectorSearch}
 
 /** Physical-plan assertions: the scale claims in SURVEY.md §5 must be
   * visible in the executed plan, not just intended.
@@ -55,6 +55,18 @@ class PlanSpec extends AnyFunSuite {
   test("hash sampling is a pushdown-friendly narrow scan (no shuffle before filter)") {
     val p = plan(Curation.hashSample(spark, TestSpark.sf))
     assert(!p.contains("Exchange hashpartitioning"), "sampling must not shuffle")
+  }
+
+  test("sq8 search pushes the query-id filters into the scans") {
+    val p = plan(Quantized.sq8TopK(spark, TestSpark.sf, 0, 10))
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), Not(EqualTo(vec_id,0))]"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("heap kNN partial-aggregates map-side (k rows per key per partition)") {
+    val p = plan(TopK.knnJoinHeap(spark, TestSpark.sf, 100, 5))
+    // ObjectHashAggregate appears twice: partial (map side) + final
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, p.take(800))
   }
 
   test("similarity scoring runs the codegen vec_dot kernel") {
