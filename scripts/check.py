@@ -57,12 +57,16 @@ for name in sorted(oracle):
         print(f"ok   {name} ({exp.shape[0]} rows)")
         ok += 1
 print(f"\n{ok} ok, {fail} fail, {len([q for q in json.load(open(f'{outdir}/oracle_sql.json'))])} oracles")
-# rows-only queries (no oracle): check non-empty
+# rows-only queries (no oracle): empty or unreadable counts as failure
 for d in sorted(glob.glob(f"{outdir}/*/")):
     qn = os.path.basename(d.rstrip("/"))
     if qn not in oracle:
         try:
             n = duckdb.connect().execute(f"select count(*) from '{d}*.parquet'").fetchone()[0]
             print(f"rows-only {qn}: {n} rows {'ok' if n > 0 else 'EMPTY!'}")
+            if n == 0:
+                fail += 1
         except Exception as e:
             print(f"rows-only {qn}: ERROR {e}")
+            fail += 1
+sys.exit(1 if fail else 0)

@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- vector search (reference core) ---
     "vs_topk" -> ((s, d) => VectorSearch.topK(s, d, queryId = 0, k = 10)),
+    "vs_topk_qvec" -> ((s, d) => VectorSearch.topKVec(s, d, demoQueryVec, k = 10)),
     "vs_item_similar" -> ((s, d) => VectorSearch.topK(s, d, queryId = 7, k = 10)),
     "vs_filtered_topk" -> ((s, d) => VectorSearch.filteredTopK(s, d, queryId = 0, k = 10, labels = Seq(1, 2, 3))),
     "vs_sim_matrix" -> ((s, d) => VectorSearch.simMatrix(s, d, ids = Seq(0L, 1L, 2L, 3L))),
@@ -36,6 +37,8 @@ object SparkEntry {
     "vocab_stats" -> ((s, d) => TextRetrieval.vocabStats(s, d)),
     "events_hourly" -> ((s, d) => Analytics.hourly(s, d)),
     "hybrid_topk" -> ((s, d) => TextRetrieval.hybridTopK(s, d, queryDoc = 0, alpha = 0.7, k = 10)),
+    "hybrid_topk_free" -> ((s, d) => TextRetrieval.hybridTopKFree(s, d, demoQueryVec,
+      Seq("spark", "join", "vector"), alpha = 0.7, k = 10)),
     // --- analytics / metadata ---
     "q1_pricing" -> ((s, d) => Analytics.q1Pricing(s, d)),
     "q3_shipping" -> ((s, d) => Analytics.q3Shipping(s, d)),
@@ -54,6 +57,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -66,6 +70,18 @@ object SparkEntry {
     "len_deciles" -> ((s, d) => Curation.lengthDeciles(s, d)),
   )
 
+  /** Deterministic external query vector for the *_qvec / *_free
+    * entries — the stand-in for `model.encode(text)` (app.py:169-171).
+    * Every component is an exact binary fraction (k/8) so the float
+    * literal in the Spark plan and the DOUBLE[] literal in the DuckDB
+    * oracle are bit-identical.
+    */
+  private[graft] val demoQueryVec: Array[Float] =
+    Array.tabulate(64)(i => ((i % 7) - 3) * 0.125f)
+
+  private def qvSqlList: String =
+    demoQueryVec.map(v => v.toDouble.toString).mkString("[", ", ", "]")
+
   /** DuckDB cosine identical to VectorFunctions.cosine5: double-promoted
     * dot products, rounded to 5 decimals.
     */
@@ -74,9 +90,12 @@ object SparkEntry {
   private def cosRaw(a: String, b: String): String =
     s"list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
 
-  /** Shared CTE fragments for the TF-IDF oracle (sklearn smooth-idf). */
+  /** Shared CTE fragments for the TF-IDF oracle (sklearn smooth-idf +
+    * sklearn default tokenizer: lowercase, maximal word-char runs of
+    * length ≥ 2 — see TextRetrieval.sklearnTokens).
+    */
   private val tfidfCtes: String =
-    """terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    """terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
       |dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
       |nn AS (SELECT count(*) AS n FROM documents),
@@ -108,6 +127,29 @@ object SparkEntry {
          |SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score
          |FROM embeddings e, q WHERE e.vec_id <> 0
          |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "vs_topk_qvec" ->
+      s"""WITH q AS (SELECT $qvSqlList::DOUBLE[] AS qv)
+         |SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score
+         |FROM embeddings e, q
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "hybrid_topk_free" ->
+      s"""WITH $tfidfCtes,
+         |q AS (SELECT term FROM (VALUES ('spark'), ('join'), ('vector')) t(term)),
+         |qw AS (SELECT q.term, ln((nn.n + 1) / (dfv.df + 1)) + 1 AS qw FROM q JOIN dfv USING (term), nn),
+         |qn AS (SELECT sqrt(sum(qw * qw)) AS qn FROM qw),
+         |ts AS (SELECT w.doc_id, sum(w.w / nrm.nrm * qw.qw / qn.qn) AS ts
+         |       FROM w JOIN qw USING (term) JOIN nrm USING (doc_id), qn GROUP BY 1),
+         |qv AS (SELECT $qvSqlList::DOUBLE[] AS qv),
+         |cand AS (SELECT e.vec_id AS doc_id, ${cosRaw("e.embedding", "qv.qv")} AS vs,
+         |                coalesce(ts.ts, 0.0) AS ts
+         |         FROM embeddings e CROSS JOIN qv LEFT JOIN ts ON ts.doc_id = e.vec_id),
+         |st AS (SELECT min(ts) AS mn, max(ts) AS mx FROM cand),
+         |f AS (SELECT doc_id, vs,
+         |             CASE WHEN st.mx > st.mn THEN (ts - st.mn) / (st.mx - st.mn + 1e-12) ELSE ts END AS tn
+         |      FROM cand, st)
+         |SELECT doc_id, round(vs * 0.7 + tn * (1 - 0.7), 5) AS hybrid_score,
+         |       round(vs, 5) AS vector_score, round(tn, 5) AS tfidf_score
+         |FROM f ORDER BY hybrid_score DESC, doc_id LIMIT 10""".stripMargin,
     "vs_item_similar" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
          |SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score
@@ -141,7 +183,9 @@ object SparkEntry {
       """WITH ed AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |st AS (SELECT min(list_min(emb)) AS mn, max(list_max(emb)) AS mx FROM ed),
         |coded AS (SELECT vec_id,
-        |                 list_transform(emb, x -> least(floor((x - st.mn) / (st.mx - st.mn) * 256), 255)) AS codes
+        |                 list_transform(emb, x -> CASE WHEN st.mx > st.mn
+        |                   THEN least(floor((x - st.mn) / (st.mx - st.mn) * 256), 255)
+        |                   ELSE 0.0 END) AS codes
         |          FROM ed, st),
         |q AS (SELECT codes AS qcodes FROM coded WHERE vec_id = 0)
         |SELECT c.vec_id, list_dot_product(c.codes, q.qcodes)::BIGINT AS score_q
@@ -303,7 +347,7 @@ object SparkEntry {
         |       round(avg(value), 4) AS avg_value, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "vocab_stats" ->
-      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      """WITH terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
         |d AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf_total FROM terms GROUP BY 1),
         |nn AS (SELECT count(*) AS n FROM documents)
         |SELECT term, df, tf_total, round(ln((nn.n + 1) / (df + 1)) + 1, 5) AS idf

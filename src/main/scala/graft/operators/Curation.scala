@@ -64,18 +64,41 @@ object Curation {
       .orderBy(col("lang"), col("rk"))
   }
 
-  /** Document-length decile profile: ntile(10) over (n_chars, doc_id)
-    * with per-tile count/min/max — the distribution report that sizes
-    * length filters before a curation run. Exact ranking needs a total
-    * order (fine for a one-off profile; at 100 TB the continuous
-    * monitor would use approx_percentile instead — this operator is the
-    * oracle-checkable exact variant).
+  /** Document-length decile profile with per-tile count/min/max — the
+    * distribution report that sizes length filters before a curation
+    * run. Semantics are exactly `ntile(10) OVER (ORDER BY n_chars,
+    * doc_id)` but computed in two phases so NO partition-less window
+    * ever executes (a global-order WindowExec serializes the table
+    * through one task — the classic 100 TB scale-killer):
+    *
+    *   1. a tiny histogram `n_chars → count` (distinct lengths ≪ rows)
+    *      is collected and turned into each length's global base rank —
+    *      the broadcast boundary table;
+    *   2. each row's global rank = base(n_chars) + its row_number
+    *      WITHIN its n_chars group (a partitioned window — every group
+    *      is small), and the ntile id follows from the rank by integer
+    *      arithmetic (first N%10 tiles get one extra row).
     */
   def lengthDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("n_chars"), col("doc_id"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"))
-      .withColumn("tile", ntile(10).over(w).cast("long"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val hist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      .orderBy(col("n_chars")).collect()
+    val n = hist.map(_.getLong(1)).sum
+    var cum = 0L
+    val baseRows = hist.map { r =>
+      val b = cum; cum += r.getLong(1); (r.getLong(0), b)
+    }.toSeq
+    import docs.sparkSession.implicits._
+    val base = baseRows.toDF("n_chars", "base")
+    val q = n / 10
+    val rem = n % 10
+    val cut = rem * (q + 1)
+    val w = Window.partitionBy(col("n_chars")).orderBy(col("doc_id"))
+    docs.join(broadcast(base), "n_chars")
+      .withColumn("rnk", col("base") + row_number().over(w))
+      .withColumn("tile", when(col("rnk") <= cut,
+          expr(s"(rnk + $q) div ${q + 1}"))
+        .otherwise(expr(s"$rem + (rnk - $cut + ${q - 1}) div $q")))
       .groupBy(col("tile"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("n_chars")).as("min_chars"),

@@ -129,35 +129,32 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** 64-bit SimHash near-dup: token-hash bit voting weighted by term
-    * frequency; candidate pairs must agree on at least one of four
-    * 16-bit chunks (pigeonhole: guaranteed complete for hamming ≤ 3,
-    * heuristic above); verified by exact hamming distance.
-    */
-  /** 64-bit SimHash signatures (doc_id, sig): md5-based token hashes,
-    * bit voting weighted by term frequency.
+  /** 64-bit SimHash signatures (doc_id, sig): per-occurrence token
+    * hashes via the built-in codegen'd `xxhash64` (no JVM
+    * Dataset.map, no per-token digest allocation — the whole stage
+    * stays in whole-stage codegen), bit voting weighted by term
+    * frequency expressed as 64 map-side-combined sum aggregates: one
+    * shuffle of 64-long vote buffers per doc, then the sign of each
+    * vote sets the signature bit.
     */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
+    val hashed = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val votes = new Array[Long](64)
-        text.split(' ').foreach { tok =>
-          val d = java.security.MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
-          var h = 0L
-          var i = 0
-          while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-          var b = 0
-          while (b < 64) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L); b += 1 }
-        }
-        var sig = 0L
-        var b = 0
-        while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-        (id, sig)
-      }.toDF("doc_id", "sig")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1L).otherwise(-1L)).as(s"v$b"))
+    hashed.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sig"))
   }
+
+  /** 64-bit SimHash near-dup: candidate pairs must agree on at least
+    * one of four 16-bit signature chunks (pigeonhole: guaranteed
+    * complete for hamming ≤ 3, heuristic above); verified by exact
+    * hamming distance.
+    */
 
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
     val sigs = simhashSignatures(spark, dir)
@@ -176,9 +173,12 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** Embedding-cosine near-dup, blocked by cluster label (at 100 TB the
-    * blocking key is an IVF/LSH cell id; the synthetic `label` column
-    * stands in). Only same-block pairs are scored.
+  /** Embedding-cosine near-dup, blocked by cluster label. This is the
+    * ORACLE variant (label blocking is SQL-expressible); its block key
+    * is coarse — L labels ⇒ O(n²/L) pairs inside each block — so the
+    * scale path is [[embeddingNearDupLsh]], which blocks on LSH
+    * buckets whose count grows with nBits, keeping per-block occupancy
+    * bounded.
     */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -188,6 +188,30 @@ object Dedup {
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         col("a.label").cast("long").as("label"),
+        round(dotd(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 5).as("score"))
+      .where(col("score") >= threshold)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Embedding-cosine near-dup blocked on random-hyperplane LSH
+    * buckets — the 100 TB blocking key (rows-only to the driver: the
+    * hyperplanes are RNG-seeded). Candidates are same-bucket pairs
+    * (cosine-close vectors agree on most sign bits, so true near-dups
+    * at high thresholds land in the same bucket with high
+    * probability); every candidate is verified with the EXACT cosine.
+    * Bucket count ≈ 2^nBits scales with the corpus, so per-block pair
+    * counts stay bounded where label blocking degrades to O(n²/L).
+    */
+  def embeddingNearDupLsh(spark: SparkSession, dir: String, nBits: Int = 8,
+                          threshold: Double = 0.9): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+      .join(Lsh.assignBuckets(spark, dir, nBits), "vec_id")
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.bucket").as("bucket"),
         round(dotd(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm")), 5).as("score"))
       .where(col("score") >= threshold)

@@ -13,33 +13,49 @@ import graft.functions.VectorFunctions._
   * (faiss_reviews_ivf.index; searched at app.py:383-414 with an nprobe
   * sweep; evaluated in ann_tradeoff_table.csv).
   *
-  * Build: k-means (MLlib, fixed seed) fits the coarse quantizer on the
-  * corpus; every vector is assigned to its nearest centroid's cell.
-  * At 100 TB the fit runs on a sample and the assignment is one narrow
-  * map against broadcast centroids; the cell id becomes a partition
-  * key, so a probe reads only nprobe/nCells of the data —
-  * partition-pruned ANN.
+  * Build ONCE, probe MANY — mirroring the reference's artifact split
+  * (index built offline, app.py only loads and probes it):
+  *   - the k-means coarse quantizer fits on a seeded SAMPLE (a few
+  *     thousand rows regardless of corpus size — cells only need rough
+  *     shape; a full-corpus fit at 100 TB is a non-starter and buys
+  *     nothing);
+  *   - every corpus vector is assigned to its nearest centroid by a
+  *     narrow map against the broadcast centroids (model.transform);
+  *   - the assignment persists as cell-PARTITIONED parquet
+  *     (saveIndex), the engine's faiss_*.index analog, so a probe is a
+  *     partition-pruned scan reading only nprobe/nCells of the data.
   *
-  * Search: queries × centroids (both tiny, broadcast) ranks cells per
-  * query; candidates are fetched by cell equi-join and scored exactly.
+  * Search plans the probe on the driver: ranking nCells centroids
+  * against one query is O(nCells·dim) scalar work (FAISS's
+  * coarse-quantizer scan), and emitting the winners as LITERAL cell
+  * ids is what lets Catalyst prune partitions at scan time.
   */
 object Ivf {
 
+  /** Rows the coarse-quantizer fit samples down to (~256 per cell at
+    * the default nCells=16). */
+  val fitRows = 4096L
+
   /** Corpus with a `cell` column (nearest-centroid id) plus the
-    * centroid table (cell, centroid array<double>).
+    * centroid table (cell, centroid array<double>). K-means fits on a
+    * seeded sample capped at [[fitRows]]; assignment is a narrow map
+    * against the broadcast model — no shuffle, no full-corpus fit.
     */
   def buildIndex(spark: SparkSession, dir: String, nCells: Int): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir)
-    val fe = e.withColumn("features", array_to_vector(col("embedding"))).cache()
+    val total = e.count()
+    val fraction = math.min(1.0, fitRows.toDouble / math.max(total, 1L))
+    val fitSet = e.sample(withReplacement = false, fraction, seed = 42)
+      .withColumn("features", array_to_vector(col("embedding")))
     // random init + bounded iterations: the coarse quantizer only needs
     // rough cells, and k-means|| init costs several extra Spark jobs
     val model = new KMeans().setK(nCells).setSeed(42)
       .setInitMode("random").setMaxIter(10).setTol(1e-4)
-      .setFeaturesCol("features").setPredictionCol("cell").fit(fe)
-    val assigned = model.transform(fe)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(fitSet)
+    val assigned = model.transform(
+        e.withColumn("features", array_to_vector(col("embedding"))))
       .select(col("vec_id"), col("label"), col("embedding"),
         l2norm(col("embedding")).as("nrm"), col("cell"))
-      .cache()
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq
@@ -47,9 +63,42 @@ object Ivf {
     (assigned, centroids)
   }
 
+  /** Persist an IVF index as two parquet tables — the engine's analog
+    * of the reference's faiss_*.index artifacts, but splittable and
+    * cell-partitioned so a probe at 100 TB touches only the probed
+    * cells' files (partition pruning on `cell`).
+    */
+  def saveIndex(assigned: DataFrame, centroids: DataFrame, path: String): Unit = {
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/cells"), spark.read.parquet(s"$path/centroids"))
+
+  private def indexPath(dir: String, nCells: Int): String =
+    s"target/graft-index/ivf_v2_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$nCells"
+
+  /** Build-once/probe-many entry: builds and persists the index on
+    * first use (per corpus × nCells), then every search loads the
+    * cell-partitioned artifact — exactly how the reference consumes
+    * its prebuilt faiss_reviews_ivf.index.
+    */
+  def ensureIndex(spark: SparkSession, dir: String, nCells: Int): (DataFrame, DataFrame) = {
+    val path = indexPath(dir, nCells)
+    // centroids are written last — their _SUCCESS marks a complete index
+    if (!new java.io.File(s"$path/centroids/_SUCCESS").exists()) {
+      val (assigned, centroids) = buildIndex(spark, dir, nCells)
+      saveIndex(assigned, centroids, path)
+    }
+    loadIndex(spark, path)
+  }
+
   /** Batch IVF search: for each query row (q_id, qv), rank centroids,
     * keep nprobe cells, score candidates in those cells, return top-k
-    * per query.
+    * per query. (The batch path equi-joins on `cell`; the single-query
+    * path [[ivfTopK]] goes further and prunes partitions with literal
+    * cell ids.)
     */
   def search(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
              nprobe: Int, k: Int): DataFrame = {
@@ -70,57 +119,85 @@ object Ivf {
       .where(col("rk") <= k)
   }
 
-  /** Persist an IVF index as two parquet tables — the engine's analog
-    * of the reference's faiss_*.index artifacts, but splittable and
-    * cell-partitioned so a probe at 100 TB touches only the probed
-    * cells' files (partition pruning on `cell`).
+  /** Single-query IVF top-k (the reference's interactive ANN demo,
+    * app.py:383-414). Probe planning happens on the driver — nCells
+    * centroid cosines against one query vector, O(nCells·dim) scalars —
+    * so the candidate fetch carries LITERAL cell ids and Catalyst
+    * prunes the index scan to the probed partitions (asserted in
+    * PlanSpec).
     */
-  def saveIndex(assigned: DataFrame, centroids: DataFrame, path: String): Unit = {
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
-    centroids.write.mode("overwrite").parquet(s"$path/centroids")
-  }
-
-  def loadIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/cells"), spark.read.parquet(s"$path/centroids"))
-
-  /** Single-query IVF top-k (the reference's interactive ANN demo). */
   def ivfTopK(spark: SparkSession, dir: String, queryId: Long, nCells: Int,
               nprobe: Int, k: Int): DataFrame = {
-    val (assigned, centroids) = buildIndex(spark, dir, nCells)
-    val q = assigned.where(col("vec_id") === queryId)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    search(assigned, centroids, q, nprobe, k)
+    val (cells, centroids) = ensureIndex(spark, dir, nCells)
+    val qv = Tables.embeddings(spark, dir).where(col("vec_id") === queryId)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val probedCells = rankCells(centroids, qv).take(nprobe)
+    val q = typedlit(qv)
+    val wk = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    cells.where(col("cell").isin(probedCells: _*))
+      .where(col("vec_id") =!= queryId)
+      .select(lit(queryId).as("q_id"), col("vec_id").as("n_id"),
+        col("cell").cast("long").as("cell"),
+        round(dotd(col("embedding"), q) / (col("nrm") * l2norm(q)), 5).as("score"))
+      .withColumn("rk", row_number().over(wk).cast("long"))
+      .where(col("rk") <= k)
       .select(col("n_id"), col("cell"), col("score"), col("rk"))
       .orderBy(col("rk"))
   }
 
-  /** ANN trade-off evaluation (reference ann_tradeoff_table.csv):
-    * recall@k and MRR of IVF vs the exact flat search over a sampled
-    * query batch, for each nprobe in the sweep.
+  /** Cells ranked by centroid cosine against one query vector —
+    * driver-side probe planning (ties broken on cell id, matching
+    * [[search]]'s (cdist DESC, cell) order).
+    */
+  private def rankCells(centroids: DataFrame, qv: Array[Float]): Seq[Int] = {
+    val qn = math.sqrt(qv.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+    centroids.collect().map { r =>
+      val c = r.getSeq[Double](1)
+      var dot = 0.0; var cn = 0.0; var i = 0
+      while (i < c.length) {
+        dot += qv(i) * c(i); cn += c(i) * c(i); i += 1
+      }
+      (r.getInt(0), dot / (math.sqrt(cn) * qn))
+    }.sortBy { case (cell, s) => (-s, cell) }.map(_._1).toSeq
+  }
+
+  /** ANN trade-off evaluation — the reference's headline table
+    * (ann_tradeoff_table.csv: nprobe, Precision@K, MRR,
+    * AvgQueryTime_ms, QueriesUsed; produced by app.py:383-414's timed
+    * nprobe sweep): IVF vs the exact flat search over a sampled query
+    * batch. Like the reference, the sweep TIMES each nprobe setting —
+    * AvgQueryTime_ms is batch wall-clock divided by the query count
+    * (amortized batch throughput; the reference times queries one at a
+    * time). The index is the persisted build-once artifact, so the
+    * sweep measures probing, not re-fitting.
     */
   def recallEval(spark: SparkSession, dir: String, nCells: Int, queryMod: Int,
                  k: Int, nprobes: Seq[Int]): DataFrame = {
-    val (assigned, centroids) = buildIndex(spark, dir, nCells)
+    val (assigned, centroids) = ensureIndex(spark, dir, nCells)
     val queries = assigned.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val gt = VectorSearch.knnJoin(spark, dir, queryMod, k)
       .select(col("q_id"), col("n_id"), col("rk")).cache()
     val gt1 = gt.where(col("rk") === 1).select(col("q_id"), col("n_id"))
     val nq = queries.count().toDouble
-    nprobes.map { np =>
+    val rows = nprobes.map { np =>
+      val t0 = System.nanoTime()
       val res = search(assigned, centroids, queries, np, k)
         .select(col("q_id"), col("n_id"), col("rk")).cache()
-      val hits = res.join(gt, Seq("q_id", "n_id"), "left_semi")
-        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
-      val rr = gt1.join(res.select(col("q_id"), col("n_id"), col("rk")), Seq("q_id", "n_id"))
-        .select(col("q_id"), (lit(1.0) / col("rk")).as("rr"))
-      val recall = hits.agg((sum(col("n_hits")) / (nq * k)).as("recall"))
-      val mrr = rr.agg((sum(col("rr")) / nq).as("mrr"))
-      recall.crossJoin(mrr).select(
-        lit(np).as("nprobe"),
-        round(col("recall"), 5).as("recall_at_k"),
-        round(col("mrr"), 5).as("mrr"),
-        lit(nq.toLong).as("n_queries"))
-    }.reduce(_ unionAll _).orderBy(col("nprobe"))
+      res.count() // materialize under the clock — the timed probe
+      val avgMs = (System.nanoTime() - t0) / 1e6 / nq
+      val nHits = res.join(gt, Seq("q_id", "n_id"), "left_semi").count()
+      val rrRow = gt1.join(res, Seq("q_id", "n_id"))
+        .agg(sum(lit(1.0) / col("rk"))).head
+      val rrSum = if (rrRow.isNullAt(0)) 0.0 else rrRow.getDouble(0)
+      res.unpersist()
+      (np, math.rint(nHits / (nq * k) * 1e5) / 1e5,
+        math.rint(rrSum / nq * 1e5) / 1e5,
+        math.rint(avgMs * 1e3) / 1e3, nq.toLong)
+    }
+    gt.unpersist()
+    import spark.implicits._
+    rows.toDF("nprobe", "Precision@K", "MRR", "AvgQueryTime_ms", "QueriesUsed")
+      .orderBy(col("nprobe"))
   }
 }

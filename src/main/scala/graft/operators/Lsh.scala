@@ -14,7 +14,7 @@ import graft.functions.VectorFunctions._
   * neighbors recovers most true neighbors while scanning a ~2^-nBits
   * fraction of the corpus per probe.
   *
-  * Scale shape: hyperplanes are a 16-row broadcast table; bucket
+  * Scale shape: hyperplanes are an nBits-row broadcast table; bucket
   * assignment is one broadcast-join + groupBy(vec_id) — at ingest this
   * is written once, bucket-partitioned (same layout as Ivf.saveIndex),
   * and a query touches only probed buckets (partition pruning).
@@ -33,12 +33,21 @@ object Lsh {
     }.toDF("bit", "weight", "plane")
   }
 
+  /** The corpus's embedding dimension, read from one row (a LIMIT 1
+    * scan — the schema's array type does not carry the length).
+    */
+  def embeddingDim(spark: SparkSession, dir: String): Int =
+    Tables.embeddings(spark, dir)
+      .select(size(col("embedding")).as("d")).head.getInt(0)
+
   /** Corpus with an LSH `bucket` column (sum of 2^bit over positive
-    * sign bits).
+    * sign bits). Hyperplanes are drawn at the corpus's actual
+    * dimension; a mismatched row would dot to null (VecDot fails fast
+    * on length mismatch) rather than hash into a wrong bucket.
     */
   def assignBuckets(spark: SparkSession, dir: String, nBits: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val planes = hyperplanes(spark, nBits, dim = 64)
+    val planes = hyperplanes(spark, nBits, embeddingDim(spark, dir))
     e.crossJoin(broadcast(planes))
       .groupBy(col("vec_id"))
       .agg(sum(when(dotd(col("embedding"), col("plane")) >= 0, col("weight"))
@@ -47,20 +56,30 @@ object Lsh {
 
   /** Multi-probe top-k: probe the query's bucket and every hamming≤1
     * neighbor bucket, rerank candidates with the exact cosine.
+    *
+    * The query's bucket is computed from its own (filter-pruned) row ×
+    * the broadcast planes, so the corpus-wide bucket assignment is
+    * evaluated exactly once — no cache to leak across calls (at ingest
+    * scale the assignment is written once, bucket-partitioned, like
+    * Ivf.saveIndex).
     */
   def lshTopK(spark: SparkSession, dir: String, queryId: Long, nBits: Int, k: Int): DataFrame = {
     import spark.implicits._
-    val buckets = assignBuckets(spark, dir, nBits).cache()
     val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
-    val corpus = e.join(buckets, "vec_id")
-    val qRow = corpus.where(col("vec_id") === queryId)
-      .select(col("embedding").as("qv"), col("nrm").as("qn"), col("bucket").as("qb"))
+    val planes = hyperplanes(spark, nBits, embeddingDim(spark, dir))
+    val qRow = e.where(col("vec_id") === queryId)
+      .crossJoin(broadcast(planes))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("qv"), first(col("nrm")).as("qn"),
+        sum(when(dotd(col("embedding"), col("plane")) >= 0, col("weight"))
+          .otherwise(0L)).as("qb"))
     // hamming≤1 probe set: the bucket itself plus each single-bit flip
     val masks = (0L +: (0 until nBits).map(1L << _).map(_.toLong)).toDF("mask")
     val probes = qRow.crossJoin(masks)
       .select(col("qv"), col("qn"),
         col("qb").bitwiseXOR(col("mask")).as("bucket"))
-    corpus.join(broadcast(probes), "bucket")
+    e.join(assignBuckets(spark, dir, nBits), "vec_id")
+      .join(broadcast(probes), "bucket")
       .where(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("bucket"),
         round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))

@@ -21,7 +21,10 @@ import graft.functions.VectorFunctions._
   */
 object Quantized {
 
-  /** Corpus coded against its global component range. */
+  /** Corpus coded against its global component range. A degenerate
+    * corpus (every component equal → mx == mn) codes to 0
+    * deterministically instead of floor(NaN).
+    */
   def sq8Codes(spark: SparkSession, dir: String): DataFrame = {
     val ed = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
@@ -31,7 +34,9 @@ object Quantized {
     ed.crossJoin(broadcast(stats))
       .select(col("vec_id"),
         transform(col("emb"),
-          x => least(floor((x - col("mn")) / (col("mx") - col("mn")) * 256), lit(255.0)))
+          x => when(col("mx") > col("mn"),
+            least(floor((x - col("mn")) / (col("mx") - col("mn")) * 256), lit(255.0)))
+            .otherwise(lit(0.0)))
           .as("codes"))
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
@@ -26,6 +26,19 @@ object TextRetrieval {
     */
   case class TfidfModel(w: DataFrame, norms: DataFrame, dfT: DataFrame, n: DataFrame)
 
+  /** sklearn-vectorizer tokenization (the reference's
+    * tfidf_vectorizer.joblib defaults: lowercase=True, token_pattern
+    * r"(?u)\b\w\w+\b"): lowercase, then every maximal word-char run of
+    * length ≥ 2 — 1-char tokens like "a" are dropped. Expressed as
+    * `[a-z0-9_]+` runs + a length filter, which equals the \b\w\w+\b
+    * pattern over ASCII text and evaluates identically in Spark (Java
+    * regex) and the DuckDB oracle (RE2), where \b/\w unicode semantics
+    * would diverge.
+    */
+  def sklearnTokens(c: Column): Column =
+    filter(regexp_extract_all(lower(c), lit("[a-z0-9_]+"), lit(0)),
+      t => length(t) >= 2)
+
   /** Sklearn-style TF-IDF weights (smooth idf, raw tf, L2 norm).
     *
     * One explode pass total: `df` is derived from the (doc, term)
@@ -39,7 +52,7 @@ object TextRetrieval {
   def tfidfWeights(docs: DataFrame): TfidfModel = {
     val terms = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"), explode(sklearnTokens(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).cache()
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df")).cache()
     val n = docs.agg(count(lit(1)).as("n"))
@@ -62,7 +75,7 @@ object TextRetrieval {
     val docs = Tables.documents(spark, dir)
     val terms = docs
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"), explode(sklearnTokens(col("text"))).as("term"))
     // one explode pass: per-(term, doc) counts first (map-side combine
     // shrinks the exploded stream before it shuffles), then df = row
     // count and tf_total = count sum per term — no second scan, no
@@ -96,6 +109,50 @@ object TextRetrieval {
       .groupBy(col("doc_id"))
       .agg(round(sum(col("w") / col("nrm") * col("qw") / col("qn")), 5).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Free-text hybrid search — the reference's ACTUAL interactive path
+    * (app.py:190-219: the query is text typed by a user; app.py:169-171
+    * embeds it, tfidf_vec.transform() vectorizes it): the caller
+    * supplies the externally produced embedding `qv` plus the query's
+    * tokens, and the engine blends
+    * `alpha·cos(e_d, qv) + (1-alpha)·minmax(tfidfcos(d, q))`.
+    * Query-side TF-IDF weights are idf(term) (tf=1 per distinct term),
+    * L2-normalized, exactly sklearn's transform of a short query.
+    */
+  def hybridTopKFree(spark: SparkSession, dir: String, qv: Array[Float],
+                     queryTerms: Seq[String], alpha: Double, k: Int): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+    val TfidfModel(w, norms, dfT, n) = tfidfWeights(docs)
+    import spark.implicits._
+    val q = queryTerms.distinct.toDF("term")
+    val qw = q.join(dfT, Seq("term"), "inner").crossJoin(broadcast(n))
+      .withColumn("qw", log((col("n") + 1) / (col("df") + 1)) + 1)
+      .select("term", "qw")
+    val qn = qw.agg(sqrt(sum(col("qw") * col("qw"))).as("qn"))
+    val ts = w.join(broadcast(qw), "term")
+      .join(norms, "doc_id")
+      .crossJoin(broadcast(qn))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w") / col("nrm") * col("qw") / col("qn")).as("ts"))
+    val qvLit = typedlit(qv)
+    val cand = e
+      .select(col("vec_id").as("doc_id"),
+        (dotd(col("embedding"), qvLit) / (l2norm(col("embedding")) * l2norm(qvLit))).as("vs"))
+      .join(ts, Seq("doc_id"), "left")
+      .withColumn("ts", coalesce(col("ts"), lit(0.0)))
+    val stats = cand.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    cand.crossJoin(broadcast(stats))
+      .withColumn("tn", when(col("mx") > col("mn"),
+        (col("ts") - col("mn")) / (col("mx") - col("mn") + lit(1e-12))).otherwise(col("ts")))
+      .select(
+        col("doc_id"),
+        round(col("vs") * alpha + col("tn") * (1 - alpha), 5).as("hybrid_score"),
+        round(col("vs"), 5).as("vector_score"),
+        round(col("tn"), 5).as("tfidf_score"))
+      .orderBy(col("hybrid_score").desc, col("doc_id"))
       .limit(k)
   }
 

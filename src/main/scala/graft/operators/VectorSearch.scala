@@ -45,6 +45,24 @@ object VectorSearch {
                    labels: Seq[Int]): DataFrame =
     topK(spark, dir, queryId, k, col("label").isin(labels: _*))
 
+  /** Free-text search seam (reference app.py:169-171
+    * `model.encode([text])`): top-k against an EXTERNAL query vector —
+    * what an embedding-model front end calls, instead of looking a
+    * corpus row up by id. The vector ships as a plan literal (no join,
+    * no broadcast table); no self-exclusion since the query is not a
+    * corpus row.
+    */
+  def topKVec(spark: SparkSession, dir: String, qv: Array[Float], k: Int,
+              filter: Column = lit(true)): DataFrame = {
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
+    val q = typedlit(qv)
+    e.where(filter)
+      .select(col("vec_id"),
+        round(dotd(col("embedding"), q) / (col("nrm") * l2norm(q)), 5).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Exact L2 (euclidean) top-k — FAISS IndexFlatL2's metric — via the
     * dot-product identity ‖a−b‖ = √(a·a + b·b − 2 a·b), so the same
     * codegen kernel serves both metrics and no per-pair subtraction

@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `aggregate(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double)), 0.0, _ + _)`
   * (left-to-right double accumulation over exact float→double casts),
   * which is also what the DuckDB oracle computes via
-  * `list_dot_product(a::DOUBLE[], b::DOUBLE[])`.
+  * `list_dot_product(a::DOUBLE[], b::DOUBLE[])` — including on length
+  * mismatch, where zip_with's null padding nulls the aggregate: VecDot
+  * returns null there too, so dimension bugs surface instead of
+  * yielding a truncated dot product.
   *
   * This file lives under org.apache.spark.sql only to reach the
   * `private[sql]` Column↔Expression bridge (ExpressionUtils); it uses
@@ -27,6 +30,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // null on input null AND on length mismatch (matches the HOF
+  // semantics: zip_with pads the shorter array with nulls, so the
+  // aggregate sum goes null — a dimension bug surfaces, never a
+  // silently truncated dot product)
+  override def nullable: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -37,7 +45,8 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
     var s = 0.0
@@ -56,12 +65,16 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
       val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += ($lGet) * ($rGet);
+         |int n = $a.numElements();
+         |if ($b.numElements() != n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double s = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    s += ($lGet) * ($rGet);
+         |  }
+         |  ${ev.value} = s;
          |}
-         |${ev.value} = s;
        """.stripMargin
     })
 

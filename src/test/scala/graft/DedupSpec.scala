@@ -54,4 +54,35 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getDouble(3) >= 0.3))
   }
+
+  test("LSH-blocked embedding near-dup: pairs verified exact, blocks bounded") {
+    val threshold = 0.9
+    val rows = Dedup.embeddingNearDupLsh(spark, TestSpark.sf, nBits = 8, threshold = threshold)
+      .collect()
+    assert(rows.nonEmpty, "corpus has high-cosine near-dups")
+    // every reported pair verified against a driver-side exact cosine
+    val vecs = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.foreach { r =>
+      val exact = cos(vecs(r.getLong(0)), vecs(r.getLong(1)))
+      assert(math.abs(exact - r.getDouble(3)) < 1e-4)
+      assert(r.getDouble(3) >= threshold)
+    }
+    // blocking is real: no bucket's candidate-pair count approaches the
+    // all-pairs space (the scale claim label blocking can't make)
+    val occ = graft.operators.Lsh.assignBuckets(spark, TestSpark.sf, 8)
+      .groupBy("bucket").count().collect().map(_.getLong(1))
+    val n = occ.sum
+    val maxBlockPairs = occ.map(c => c * (c - 1) / 2).max
+    assert(maxBlockPairs < n * (n - 1) / 2 / 20,
+      s"largest block generates $maxBlockPairs candidate pairs of ${n * (n - 1) / 2}")
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Analytics, Curation, Quantized, TopK, VectorSearch}
+import graft.operators.{Analytics, Curation, Ivf, Quantized, TopK, VectorSearch}
 
 /** Physical-plan assertions: the scale claims in SURVEY.md §5 must be
   * visible in the executed plan, not just intended.
@@ -72,5 +72,21 @@ class PlanSpec extends AnyFunSuite {
   test("similarity scoring runs the codegen vec_dot kernel") {
     val p = plan(VectorSearch.topK(spark, TestSpark.sf, 0, 10))
     assert(p.contains("vecdot"))
+  }
+
+  test("ivf probe partition-prunes the persisted index to the probed cells") {
+    val df = Ivf.ivfTopK(spark, TestSpark.sf, queryId = 0, nCells = 16, nprobe = 4, k = 10)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: ["), p.take(800))
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]* IN \\(".r.findFirstIn(p).isDefined,
+      "probe scan must carry literal cell-id partition filters:\n" + p.take(1500))
+  }
+
+  test("length deciles never plan a partition-less (global-order) window") {
+    val df = Curation.lengthDeciles(spark, TestSpark.sf)
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"global-order window found:\n${bad.mkString("\n")}")
   }
 }
