@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
@@ -42,16 +42,50 @@ object Lsh {
 
   /** Corpus with an LSH `bucket` column (sum of 2^bit over positive
     * sign bits). Hyperplanes are drawn at the corpus's actual
-    * dimension; a mismatched row would dot to null (VecDot fails fast
-    * on length mismatch) rather than hash into a wrong bucket.
+    * dimension; a dimension-mismatched row dots to null (VecDot nulls
+    * on length mismatch), which the two-branch `when` propagates to a
+    * NULL bucket — the row drops out of every bucket join instead of
+    * silently hashing to bucket 0.
     */
   def assignBuckets(spark: SparkSession, dir: String, nBits: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val planes = hyperplanes(spark, nBits, embeddingDim(spark, dir))
     e.crossJoin(broadcast(planes))
       .groupBy(col("vec_id"))
-      .agg(sum(when(dotd(col("embedding"), col("plane")) >= 0, col("weight"))
-        .otherwise(0L)).as("bucket"))
+      .agg(sum(signWeight(col("embedding"), col("plane"), col("weight"))).as("bucket"))
+  }
+
+  /** 2^bit weight for a positive sign bit, 0 for negative, NULL for a
+    * null dot (dimension mismatch) — the null branch keeps a bad row
+    * out of every bucket rather than voting it into bucket 0.
+    */
+  private def signWeight(emb: Column, plane: Column, weight: Column): Column = {
+    val d = dotd(emb, plane)
+    when(d >= 0, weight).when(d < 0, lit(0L))
+  }
+
+  /** Banded sign-LSH assignment: `nBands` INDEPENDENT hash tables of
+    * `bitsPerBand` bits each — (vec_id, band, bucket) rows. Two
+    * vectors are candidates if they collide in ANY band (the same
+    * band/bucket trick minhashLsh uses for Jaccard), which turns the
+    * single-table miss probability (1-p^r) into (1-p^r)^b — the knob
+    * that makes sign-LSH blocking tunable per threshold. All
+    * nBands·bitsPerBand hyperplanes ride one broadcast; assignment is
+    * a single crossJoin + groupBy(vec_id, band) with map-side combine,
+    * one pass over the corpus.
+    */
+  def assignBandBuckets(spark: SparkSession, dir: String, nBands: Int,
+                        bitsPerBand: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // weight restarts at each band boundary (2^(bit mod r)), so bucket
+    // ids stay in [0, 2^r) regardless of how many total bits are drawn
+    val planes = hyperplanes(spark, nBands * bitsPerBand, embeddingDim(spark, dir))
+      .select((col("bit") / bitsPerBand).cast("int").as("band"),
+        expr(s"shiftleft(1L, bit % $bitsPerBand)").cast("long").as("weight"),
+        col("plane"))
+    e.crossJoin(broadcast(planes))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(signWeight(col("embedding"), col("plane"), col("weight"))).as("bucket"))
   }
 
   /** Multi-probe top-k: probe the query's bucket and every hamming≤1

@@ -62,18 +62,25 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      // freshName: projection collapse can flatten several VecDots into
+      // one codegen scope (e.g. two aggregate buffer expressions) —
+      // fixed local names would redefine and Janino would reject,
+      // silently dropping the stage to interpreted execution
+      val n = ctx.freshName("vdN")
+      val s = ctx.freshName("vdS")
+      val i = ctx.freshName("vdI")
+      val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int n = $a.numElements();
-         |if ($b.numElements() != n) {
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double s = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    s += ($lGet) * ($rGet);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ($lGet) * ($rGet);
          |  }
-         |  ${ev.value} = s;
+         |  ${ev.value} = $s;
          |}
        """.stripMargin
     })

@@ -82,6 +82,25 @@ class PlanSpec extends AnyFunSuite {
       "probe scan must carry literal cell-id partition filters:\n" + p.take(1500))
   }
 
+  test("collapsed multi-VecDot aggregate compiles under codegen (no silent fallback)") {
+    // regression: VecDot.doGenCode once emitted fixed local names (n/s/i);
+    // projection collapse flattening >=2 VecDots into one codegen scope
+    // (e.g. Lsh.lshTopK's qRow aggregate: first(sqrt(vecdot(e,e))) next to
+    // sum(when(vecdot(e,plane)>=0,...))) made Janino reject the generated
+    // class and Spark silently ran the stage interpreted. Forcing
+    // CODEGEN_ONLY + fallback=false turns that into a hard failure.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val rows = graft.operators.Lsh.lshTopK(spark, TestSpark.sf, queryId = 0, nBits = 8, k = 10)
+        .collect()
+      assert(rows.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("length deciles never plan a partition-less (global-order) window") {
     val df = Curation.lengthDeciles(spark, TestSpark.sf)
     val bad = df.queryExecution.optimizedPlan.collect {
