@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
+import graft.sources.IndexStore
 
 /** IVF (inverted-file) approximate nearest-neighbor index — the Spark
   * re-expression of the reference's FAISS IVF index
@@ -69,25 +70,29 @@ object Ivf {
     * cells' files (partition pruning on `cell`).
     */
   def saveIndex(assigned: DataFrame, centroids: DataFrame, path: String): Unit = {
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    // one task per cell → one file per cell dir (cheap probe-time listing)
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   def loadIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/cells"), spark.read.parquet(s"$path/centroids"))
-
-  private def indexPath(dir: String, nCells: Int): String =
-    s"target/graft-index/ivf_v2_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$nCells"
+    (IndexStore.open(spark, s"$path/cells"), IndexStore.open(spark, s"$path/centroids"))
 
   /** Build-once/probe-many entry: builds and persists the index on
-    * first use (per corpus × nCells), then every search loads the
-    * cell-partitioned artifact — exactly how the reference consumes
-    * its prebuilt faiss_reviews_ivf.index.
+    * first use (per corpus FINGERPRINT × nCells — regenerated data at
+    * the same path gets a fresh index, never stale results), then
+    * every search loads the cell-partitioned artifact — exactly how
+    * the reference consumes its prebuilt faiss_reviews_ivf.index.
+    * Path and existence checks go through [[graft.sources.IndexStore]]
+    * (Hadoop FileSystem API — correct on file:/hdfs:/s3a:, root
+    * configurable via spark.graft.index.root).
     */
   def ensureIndex(spark: SparkSession, dir: String, nCells: Int): (DataFrame, DataFrame) = {
-    val path = indexPath(dir, nCells)
+    val path = IndexStore.indexPath(spark, "ivf_v3",
+      s"$dir/embeddings.parquet", nCells.toString)
     // centroids are written last — their _SUCCESS marks a complete index
-    if (!new java.io.File(s"$path/centroids/_SUCCESS").exists()) {
+    if (!IndexStore.exists(spark, s"$path/centroids/_SUCCESS")) {
       val (assigned, centroids) = buildIndex(spark, dir, nCells)
       saveIndex(assigned, centroids, path)
     }
@@ -130,7 +135,10 @@ object Ivf {
               nprobe: Int, k: Int): DataFrame = {
     val (cells, centroids) = ensureIndex(spark, dir, nCells)
     val qv = Tables.embeddings(spark, dir).where(col("vec_id") === queryId)
-      .select(col("embedding")).head.getSeq[Float](0).toArray
+      .select(col("embedding")).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"query vector $queryId not found in $dir/embeddings.parquet"))
+      .getSeq[Float](0).toArray
     val probedCells = rankCells(centroids, qv).take(nprobe)
     val q = typedlit(qv)
     val wk = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
+import graft.sources.IndexStore
 
 /** Random-hyperplane LSH for cosine similarity — the bucketed ANN
   * alternative to IVF (SURVEY §2 #6): no training pass (vs k-means),
@@ -24,12 +25,22 @@ import graft.functions.VectorFunctions._
   */
 object Lsh {
 
+  /** The nBits hyperplane normals — fixed seed, deterministic, tiny
+    * (nBits·dim doubles): the same arrays back both the broadcast
+    * assignment table and driver-side probe planning, so a query's
+    * bucket computed on the driver matches the persisted assignment
+    * bit-for-bit.
+    */
+  def hyperplaneArrays(nBits: Int, dim: Int): IndexedSeq[Array[Double]] = {
+    val rnd = new java.util.Random(42)
+    IndexedSeq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
   /** (bit, 2^bit weight, hyperplane) rows — fixed seed, unit scale. */
   def hyperplanes(spark: SparkSession, nBits: Int, dim: Int): DataFrame = {
     import spark.implicits._
-    val rnd = new java.util.Random(42)
-    (0 until nBits).map { j =>
-      (j, 1L << j, Array.fill(dim)(rnd.nextGaussian()))
+    hyperplaneArrays(nBits, dim).zipWithIndex.map { case (p, j) =>
+      (j, if (j < 63) 1L << j else 0L, p)
     }.toDF("bit", "weight", "plane")
   }
 
@@ -88,35 +99,64 @@ object Lsh {
       .agg(sum(signWeight(col("embedding"), col("plane"), col("weight"))).as("bucket"))
   }
 
+  /** Build-once/probe-many LSH index: the corpus with precomputed
+    * norms, persisted as BUCKET-partitioned parquet (the layout
+    * [[Ivf.ensureIndex]] uses for cells) under the shared
+    * [[graft.sources.IndexStore]] root. Built on first use per corpus
+    * fingerprint × nBits; every later query only reads the probed
+    * buckets' files via partition pruning — the faiss-index-artifact
+    * analog the per-query rebuild could never amortize.
+    */
+  def ensureIndex(spark: SparkSession, dir: String, nBits: Int): DataFrame = {
+    val path = IndexStore.indexPath(spark, "lsh_v1",
+      s"$dir/embeddings.parquet", nBits.toString)
+    if (!IndexStore.exists(spark, s"$path/_SUCCESS")) {
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+        .join(assignBuckets(spark, dir, nBits), "vec_id")
+        // co-locate each bucket into one task → one file per bucket
+        // dir, so probe-time partition discovery lists 2^nBits files,
+        // not 2^nBits × shuffle-partitions
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    }
+    IndexStore.open(spark, path)
+  }
+
   /** Multi-probe top-k: probe the query's bucket and every hamming≤1
     * neighbor bucket, rerank candidates with the exact cosine.
     *
-    * The query's bucket is computed from its own (filter-pruned) row ×
-    * the broadcast planes, so the corpus-wide bucket assignment is
-    * evaluated exactly once — no cache to leak across calls (at ingest
-    * scale the assignment is written once, bucket-partitioned, like
-    * Ivf.saveIndex).
+    * Probe planning happens on the DRIVER (mirroring
+    * [[Ivf.ivfTopK]]'s centroid ranking): the query's bucket is nBits
+    * dot products against the seed-fixed hyperplanes — O(nBits·dim)
+    * scalar work — so the candidate fetch carries LITERAL bucket ids
+    * and Catalyst prunes the persisted index scan to the nBits+1
+    * probed partitions. No corpus-wide work happens per query.
     */
   def lshTopK(spark: SparkSession, dir: String, queryId: Long, nBits: Int, k: Int): DataFrame = {
-    import spark.implicits._
-    val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
-    val planes = hyperplanes(spark, nBits, embeddingDim(spark, dir))
-    val qRow = e.where(col("vec_id") === queryId)
-      .crossJoin(broadcast(planes))
-      .groupBy(col("vec_id"))
-      .agg(first(col("embedding")).as("qv"), first(col("nrm")).as("qn"),
-        sum(when(dotd(col("embedding"), col("plane")) >= 0, col("weight"))
-          .otherwise(0L)).as("qb"))
-    // hamming≤1 probe set: the bucket itself plus each single-bit flip
-    val masks = (0L +: (0 until nBits).map(1L << _).map(_.toLong)).toDF("mask")
-    val probes = qRow.crossJoin(masks)
-      .select(col("qv"), col("qn"),
-        col("qb").bitwiseXOR(col("mask")).as("bucket"))
-    e.join(assignBuckets(spark, dir, nBits), "vec_id")
-      .join(broadcast(probes), "bucket")
+    val idx = ensureIndex(spark, dir, nBits)
+    val qv = Tables.embeddings(spark, dir).where(col("vec_id") === queryId)
+      .select(col("embedding")).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"query vector $queryId not found in $dir/embeddings.parquet"))
+      .getSeq[Float](0).toArray
+    val planes = hyperplaneArrays(nBits, qv.length)
+    // left-to-right double accumulation — bit-identical to VecDot, so
+    // the driver-computed bucket matches the persisted assignment
+    def dot(p: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < qv.length) { s += qv(i).toDouble * p(i); i += 1 }
+      s
+    }
+    val qn = math.sqrt(dot(qv.map(_.toDouble)))
+    val qb = planes.zipWithIndex.foldLeft(0L) { case (acc, (p, j)) =>
+      if (dot(p) >= 0) acc | (1L << j) else acc
+    }
+    val probeBuckets = qb +: (0 until nBits).map(j => qb ^ (1L << j))
+    idx.where(col("bucket").isin(probeBuckets: _*))
       .where(col("vec_id") =!= queryId)
-      .select(col("vec_id"), col("bucket"),
-        round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+        round(dotd(col("embedding"), typedlit(qv)) / (col("nrm") * lit(qn)), 5).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }

@@ -82,6 +82,14 @@ class PlanSpec extends AnyFunSuite {
       "probe scan must carry literal cell-id partition filters:\n" + p.take(1500))
   }
 
+  test("lsh probe partition-prunes the persisted index to the probed buckets") {
+    val df = graft.operators.Lsh.lshTopK(spark, TestSpark.sf, queryId = 0, nBits = 8, k = 10)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: ["), p.take(800))
+    assert("PartitionFilters: \\[[^\\]]*bucket[^\\]]* IN \\(".r.findFirstIn(p).isDefined,
+      "probe scan must carry literal bucket-id partition filters:\n" + p.take(1500))
+  }
+
   test("collapsed multi-VecDot aggregate compiles under codegen (no silent fallback)") {
     // regression: VecDot.doGenCode once emitted fixed local names (n/s/i);
     // projection collapse flattening >=2 VecDots into one codegen scope
@@ -89,12 +97,25 @@ class PlanSpec extends AnyFunSuite {
     // sum(when(vecdot(e,plane)>=0,...))) made Janino reject the generated
     // class and Spark silently ran the stage interpreted. Forcing
     // CODEGEN_ONLY + fallback=false turns that into a hard failure.
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
     spark.conf.set("spark.sql.codegen.fallback", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try {
-      val rows = graft.operators.Lsh.lshTopK(spark, TestSpark.sf, queryId = 0, nBits = 8, k = 10)
+      val dim = graft.operators.Lsh.embeddingDim(spark, TestSpark.sf)
+      val e = Tables.embeddings(spark, TestSpark.sf)
+        .withColumn("nrm", l2norm(col("embedding")))
+      val planes = graft.operators.Lsh.hyperplanes(spark, 8, dim)
+      val rows = e.where(col("vec_id") === 0).crossJoin(broadcast(planes))
+        .groupBy(col("vec_id"))
+        .agg(first(col("nrm")).as("qn"),
+          sum(when(dotd(col("embedding"), col("plane")) >= 0, col("weight"))
+            .otherwise(0L)).as("qb"))
         .collect()
       assert(rows.nonEmpty)
+      // and the full multi-probe search path stays codegen-clean too
+      assert(graft.operators.Lsh.lshTopK(spark, TestSpark.sf, queryId = 0, nBits = 8, k = 10)
+        .collect().nonEmpty)
     } finally {
       spark.conf.unset("spark.sql.codegen.fallback")
       spark.conf.unset("spark.sql.codegen.factoryMode")

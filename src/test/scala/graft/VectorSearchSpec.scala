@@ -67,6 +67,38 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(before.size == 10)
   }
 
+  test("LSH persisted index round-trips under a file:-scheme configurable root") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lsh-root").toAbsolutePath
+    spark.conf.set("spark.graft.index.root", s"file:$tmp")
+    try {
+      val first = Lsh.lshTopK(spark, TestSpark.sf, queryId = 3, nBits = 8, k = 5)
+        .collect().map(_.toSeq).toSeq
+      // index artifact landed under the configured root
+      val written = java.nio.file.Files.list(tmp).iterator()
+      assert(written.hasNext, "index artifact must be written under spark.graft.index.root")
+      // second call must serve from the same persisted artifact
+      val second = Lsh.lshTopK(spark, TestSpark.sf, queryId = 3, nBits = 8, k = 5)
+        .collect().map(_.toSeq).toSeq
+      assert(first == second && first.nonEmpty)
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
+
+  test("index fingerprint changes when the source table is regenerated") {
+    import graft.sources.IndexStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fp")
+    val src = java.nio.file.Paths.get(TestSpark.sf, "embeddings.parquet")
+    val dst = tmp.resolve("embeddings.parquet")
+    java.nio.file.Files.copy(src, dst)
+    val fp1 = IndexStore.fingerprint(spark, dst.toString)
+    // regenerate: same path, new mtime
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 123456))
+    val fp2 = IndexStore.fingerprint(spark, dst.toString)
+    assert(fp1 != fp2, "fingerprint must change on regeneration")
+    // distinct paths can never collide on a sanitized-name basis
+    assert(IndexStore.fingerprint(spark, src.toString) != fp2)
+  }
+
   test("IVF search recall grows with nprobe and hits exact at full probe") {
     val ev = Ivf.recallEval(spark, TestSpark.sf, nCells = 8, queryMod = 100,
       k = 10, nprobes = Seq(1, 8)).collect()
