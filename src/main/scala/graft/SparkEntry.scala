@@ -39,6 +39,11 @@ object SparkEntry {
     "hybrid_topk" -> ((s, d) => TextRetrieval.hybridTopK(s, d, queryDoc = 0, alpha = 0.7, k = 10)),
     "hybrid_topk_free" -> ((s, d) => TextRetrieval.hybridTopKFree(s, d, demoQueryVec,
       Seq("spark", "join", "vector"), alpha = 0.7, k = 10)),
+    "hybrid_filtered" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      TextRetrieval.hybridTopK(s, d, queryDoc = 0, alpha = 0.7, k = 10,
+        metaFilter = Some(col("lang") === "en" && col("n_chars") >= 200L))
+    }),
     // --- analytics / metadata ---
     "q1_pricing" -> ((s, d) => Analytics.q1Pricing(s, d)),
     "q3_shipping" -> ((s, d) => Analytics.q3Shipping(s, d)),
@@ -272,6 +277,26 @@ object SparkEntry {
          |cand AS (SELECT e.vec_id AS doc_id, ${cosRaw("e.embedding", "qe.qemb")} AS vs,
          |                coalesce(ts.ts, 0.0) AS ts
          |         FROM embeddings e CROSS JOIN qe LEFT JOIN ts ON ts.doc_id = e.vec_id
+         |         WHERE e.vec_id <> 0),
+         |st AS (SELECT min(ts) AS mn, max(ts) AS mx FROM cand),
+         |f AS (SELECT doc_id, vs,
+         |             CASE WHEN st.mx > st.mn THEN (ts - st.mn) / (st.mx - st.mn + 1e-12) ELSE ts END AS tn
+         |      FROM cand, st)
+         |SELECT doc_id, round(vs * 0.7 + tn * (1 - 0.7), 5) AS hybrid_score,
+         |       round(vs, 5) AS vector_score, round(tn, 5) AS tfidf_score
+         |FROM f ORDER BY hybrid_score DESC, doc_id LIMIT 10""".stripMargin,
+    "hybrid_filtered" ->
+      s"""WITH $tfidfCtes,
+         |wn AS (SELECT w.doc_id, w.term, w.w / nrm.nrm AS wn FROM w JOIN nrm USING (doc_id)),
+         |qv AS (SELECT term, wn AS qwn FROM wn WHERE doc_id = 0),
+         |ts AS (SELECT wn.doc_id, sum(wn.wn * qv.qwn) AS ts FROM wn JOIN qv USING (term)
+         |       WHERE wn.doc_id <> 0 GROUP BY 1),
+         |qe AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |cand AS (SELECT e.vec_id AS doc_id, ${cosRaw("e.embedding", "qe.qemb")} AS vs,
+         |                coalesce(ts.ts, 0.0) AS ts
+         |         FROM embeddings e
+         |         JOIN documents d ON d.doc_id = e.vec_id AND d.lang = 'en' AND d.n_chars >= 200
+         |         CROSS JOIN qe LEFT JOIN ts ON ts.doc_id = e.vec_id
          |         WHERE e.vec_id <> 0),
          |st AS (SELECT min(ts) AS mn, max(ts) AS mx FROM cand),
          |f AS (SELECT doc_id, vs,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
+import graft.sources.IndexStore
 
 /** TF-IDF retrieval and hybrid (vector + keyword) search.
   *
@@ -18,13 +19,23 @@ import graft.functions.VectorFunctions._
   * df/idf pass is one shuffle keyed by term, and query scoring joins
   * only the query's terms (a broadcast of |q| rows) against the
   * triples.
+  *
+  * The fitted model is a BUILD-ONCE artifact (the reference ships it
+  * as tfidf_vectorizer.joblib + tfidf_matrix.joblib and only loads it
+  * at query time, app.py:63-102): [[ensureModel]] persists the sparse
+  * triples/norms/df tables as fingerprint-addressed parquet under
+  * [[graft.sources.IndexStore]], so queries never refit and no
+  * `.cache()` leaks into the caller's session.
   */
 object TextRetrieval {
 
-  /** Sparse TF-IDF model: weights (doc_id, term, w), per-doc L2 norms
-    * (doc_id, nrm), document frequencies (term, df), corpus size (n).
+  /** Sparse TF-IDF model over persisted parquet: weights (doc_id,
+    * term, w), per-doc L2 norms (doc_id, nrm), document frequencies
+    * (term, df), corpus size (n, 1 row), raw term counts (doc_id,
+    * term, tf).
     */
-  case class TfidfModel(w: DataFrame, norms: DataFrame, dfT: DataFrame, n: DataFrame)
+  case class TfidfModel(w: DataFrame, norms: DataFrame, dfT: DataFrame,
+                        n: DataFrame, tf: DataFrame)
 
   /** sklearn-vectorizer tokenization (the reference's
     * tfidf_vectorizer.joblib defaults: lowercase=True, token_pattern
@@ -39,72 +50,88 @@ object TextRetrieval {
     filter(regexp_extract_all(lower(c), lit("[a-z0-9_]+"), lit(0)),
       t => length(t) >= 2)
 
-  /** Sklearn-style TF-IDF weights (smooth idf, raw tf, L2 norm).
+  /** Fit-once/query-many: build the sklearn-style model (smooth idf,
+    * raw tf, L2 norm) on first use per corpus fingerprint and persist
+    * every table; later calls only open the artifacts.
     *
-    * One explode pass total: `df` is derived from the (doc, term)
-    * aggregate — the count of docs a term appears in is just its row
-    * count in `tf` — so the raw term stream is shuffled once (with
-    * map-side combine) and never re-read. `tf` and `w` are cached
-    * because both the norm pass and query scoring reuse them (at
-    * cluster scale this is the checkpoint you'd persist as the fitted
-    * model artifact, like the reference's tfidf_matrix.joblib).
+    * Build shape: ONE explode pass total — `df` is derived from the
+    * persisted (doc, term) aggregate (a term's df is its row count in
+    * `tf`), `w` joins the persisted `tf`, `norms` aggregates the
+    * persisted `w` — so the raw term stream is shuffled once (with
+    * map-side combine) and never re-read, and no intermediate needs
+    * `.cache()` (each is read back from its own parquet). `norms` is
+    * written LAST: its _SUCCESS marks a complete model.
     */
-  def tfidfWeights(docs: DataFrame): TfidfModel = {
-    val terms = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(sklearnTokens(col("text"))).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).cache()
-    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df")).cache()
-    val n = docs.agg(count(lit(1)).as("n"))
-    // AQE sees dfT's runtime size (vocab << corpus) and broadcasts it
-    val w = tf.join(dfT, "term").crossJoin(broadcast(n))
-      .withColumn("w", col("tf") * (log((col("n") + 1) / (col("df") + 1)) + 1))
-      .select("doc_id", "term", "w")
-      .cache()
-    val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    TfidfModel(w, norms, dfT, n)
+  def ensureModel(spark: SparkSession, dir: String): TfidfModel = {
+    val base = IndexStore.indexPath(spark, "tfidf_v1", s"$dir/documents.parquet", "skl")
+    if (!IndexStore.exists(spark, s"$base/norms/_SUCCESS")) {
+      val docs = Tables.documents(spark, dir)
+      docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(sklearnTokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(s"$base/tf")
+      val tf = IndexStore.open(spark, s"$base/tf")
+      tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$base/df")
+      docs.agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$base/n")
+      // AQE sees df's runtime size (vocab << corpus) and broadcasts it
+      tf.join(IndexStore.open(spark, s"$base/df"), "term")
+        .crossJoin(broadcast(IndexStore.open(spark, s"$base/n")))
+        .withColumn("w", col("tf") * (log((col("n") + 1) / (col("df") + 1)) + 1))
+        .select("doc_id", "term", "w")
+        .write.mode("overwrite").parquet(s"$base/w")
+      IndexStore.open(spark, s"$base/w")
+        .groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+        .write.mode("overwrite").parquet(s"$base/norms")
+    }
+    TfidfModel(
+      IndexStore.open(spark, s"$base/w"),
+      IndexStore.open(spark, s"$base/norms"),
+      IndexStore.open(spark, s"$base/df"),
+      IndexStore.open(spark, s"$base/n"),
+      IndexStore.open(spark, s"$base/tf"))
   }
 
   /** Vocabulary statistics — the reference's fitted-vectorizer artifact
     * (tfidf_vectorizer.joblib: vocabulary_, document frequencies, idf_)
-    * as a queryable table. Distinct-count per term is the standard
-    * skew-safe two-phase rewrite: distinct (term, doc) pairs first,
-    * then count — no giant per-key state on hot terms.
+    * as a queryable table, served straight from the persisted model:
+    * df is the model's df table, tf_total one sum over the sparse
+    * triples — no re-tokenization.
     */
   def vocabStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val terms = docs
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(sklearnTokens(col("text"))).as("term"))
-    // one explode pass: per-(term, doc) counts first (map-side combine
-    // shrinks the exploded stream before it shuffles), then df = row
-    // count and tf_total = count sum per term — no second scan, no
-    // countDistinct expansion
-    val perDoc = terms.groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
-    val stats = perDoc.groupBy("term")
-      .agg(count(lit(1)).as("df"), sum(col("c")).as("tf_total"))
-    val n = docs.agg(count(lit(1)).as("n"))
-    stats.crossJoin(broadcast(n))
+    val m = ensureModel(spark, dir)
+    m.tf.groupBy("term").agg(sum(col("tf")).as("tf_total"))
+      .join(m.dfT, "term")
+      .crossJoin(broadcast(m.n))
       .select(col("term"), col("df"), col("tf_total"),
         round(log((col("n") + 1) / (col("df") + 1)) + 1, 5).as("idf"))
       .orderBy(col("df").desc, col("term"))
+  }
+
+  /** Query-side TF-IDF weights for a free-text term list: tf=1 per
+    * distinct term → weight = idf(term), exactly sklearn's transform
+    * of a short query. Returns (term, qw) plus the query L2 norm
+    * (1-row frame) — both tiny, both broadcast by callers.
+    */
+  private def queryWeights(spark: SparkSession, m: TfidfModel,
+                           queryTerms: Seq[String]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val q = queryTerms.distinct.toDF("term")
+    val qw = q.join(m.dfT, Seq("term"), "inner").crossJoin(broadcast(m.n))
+      .withColumn("qw", log((col("n") + 1) / (col("df") + 1)) + 1)
+      .select("term", "qw")
+    (qw, qw.agg(sqrt(sum(col("qw") * col("qw"))).as("qn")))
   }
 
   /** Keyword search: score = cosine(tfidf(query), tfidf(doc)), top-k.
     * Reference app.py:202-204 (tfidf_vec.transform + cosine_similarity).
     */
   def tfidfTopK(spark: SparkSession, dir: String, queryTerms: Seq[String], k: Int): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val TfidfModel(w, norms, dfT, n) = tfidfWeights(docs)
-    import spark.implicits._
-    val q = queryTerms.distinct.toDF("term")
-    // query weights: tf=1 per distinct term → weight = idf(term)
-    val qw = q.join(dfT, Seq("term"), "inner").crossJoin(broadcast(n))
-      .withColumn("qw", log((col("n") + 1) / (col("df") + 1)) + 1)
-      .select("term", "qw")
-    val qn = qw.agg(sqrt(sum(col("qw") * col("qw"))).as("qn"))
-    w.join(broadcast(qw), "term")
-      .join(norms, "doc_id")
+    val m = ensureModel(spark, dir)
+    val (qw, qn) = queryWeights(spark, m, queryTerms)
+    m.w.join(broadcast(qw), "term")
+      .join(m.norms, "doc_id")
       .crossJoin(broadcast(qn))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("w") / col("nrm") * col("qw") / col("qn")), 5).as("score"))
@@ -112,37 +139,31 @@ object TextRetrieval {
       .limit(k)
   }
 
-  /** Free-text hybrid search — the reference's ACTUAL interactive path
-    * (app.py:190-219: the query is text typed by a user; app.py:169-171
-    * embeds it, tfidf_vec.transform() vectorizes it): the caller
-    * supplies the externally produced embedding `qv` plus the query's
-    * tokens, and the engine blends
-    * `alpha·cos(e_d, qv) + (1-alpha)·minmax(tfidfcos(d, q))`.
-    * Query-side TF-IDF weights are idf(term) (tf=1 per distinct term),
-    * L2-normalized, exactly sklearn's transform of a short query.
+  /** Candidate embeddings under an optional metadata filter over the
+    * `documents` table (reference app.py:156-164 `candidate_indices()`
+    * — brand/rating/review-count become lang/source/n_chars here). The
+    * unfiltered path joins nothing.
     */
-  def hybridTopKFree(spark: SparkSession, dir: String, qv: Array[Float],
-                     queryTerms: Seq[String], alpha: Double, k: Int): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  private def candidates(spark: SparkSession, dir: String,
+                         metaFilter: Option[Column]): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val TfidfModel(w, norms, dfT, n) = tfidfWeights(docs)
-    import spark.implicits._
-    val q = queryTerms.distinct.toDF("term")
-    val qw = q.join(dfT, Seq("term"), "inner").crossJoin(broadcast(n))
-      .withColumn("qw", log((col("n") + 1) / (col("df") + 1)) + 1)
-      .select("term", "qw")
-    val qn = qw.agg(sqrt(sum(col("qw") * col("qw"))).as("qn"))
-    val ts = w.join(broadcast(qw), "term")
-      .join(norms, "doc_id")
-      .crossJoin(broadcast(qn))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("w") / col("nrm") * col("qw") / col("qn")).as("ts"))
-    val qvLit = typedlit(qv)
-    val cand = e
-      .select(col("vec_id").as("doc_id"),
-        (dotd(col("embedding"), qvLit) / (l2norm(col("embedding")) * l2norm(qvLit))).as("vs"))
-      .join(ts, Seq("doc_id"), "left")
-      .withColumn("ts", coalesce(col("ts"), lit(0.0)))
+    metaFilter match {
+      case Some(f) => e.join(
+        Tables.documents(spark, dir).where(f).select(col("doc_id").as("vec_id")), "vec_id")
+      case None => e
+    }
+  }
+
+  /** The reference's hybrid blend over a candidate frame that already
+    * carries `doc_id`, `vs` (vector cosine) and `ts` (tfidf cosine):
+    * min-max-normalize ts OVER THE CANDIDATE SET (app.py:205-212 —
+    * filters apply before normalization, so the blend is
+    * filter-relative exactly like `search_products_hybrid` running
+    * inside `candidate_indices()`), then
+    * alpha·vs + (1-alpha)·minmax(ts), including the max>min guard and
+    * the 1e-12 denominator epsilon.
+    */
+  private def blend(cand: DataFrame, alpha: Double, k: Int): DataFrame = {
     val stats = cand.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
     cand.crossJoin(broadcast(stats))
       .withColumn("tn", when(col("mx") > col("mn"),
@@ -156,38 +177,64 @@ object TextRetrieval {
       .limit(k)
   }
 
+  /** Free-text hybrid search — the reference's ACTUAL interactive path
+    * (app.py:190-219: the query is text typed by a user; app.py:169-171
+    * embeds it, tfidf_vec.transform() vectorizes it): the caller
+    * supplies the externally produced embedding `qv` plus the query's
+    * tokens. `metaFilter` reproduces the composition with
+    * `candidate_indices()` — the blend and its min-max run inside the
+    * filtered candidate set.
+    *
+    * The query norm is folded on the DRIVER (plain Scala, same
+    * left-to-right double accumulation as VecDot), so scoring costs
+    * two VecDots per corpus row (dot + corpus norm), not four.
+    */
+  def hybridTopKFree(spark: SparkSession, dir: String, qv: Array[Float],
+                     queryTerms: Seq[String], alpha: Double, k: Int,
+                     metaFilter: Option[Column] = None): DataFrame = {
+    val m = ensureModel(spark, dir)
+    val (qw, qn) = queryWeights(spark, m, queryTerms)
+    val ts = m.w.join(broadcast(qw), "term")
+      .join(m.norms, "doc_id")
+      .crossJoin(broadcast(qn))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w") / col("nrm") * col("qw") / col("qn")).as("ts"))
+    val qvNorm = math.sqrt(qv.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+    val cand = candidates(spark, dir, metaFilter)
+      .select(col("vec_id").as("doc_id"),
+        (dotd(col("embedding"), typedlit(qv)) /
+          (l2norm(col("embedding")) * lit(qvNorm))).as("vs"))
+      .join(ts, Seq("doc_id"), "left")
+      .withColumn("ts", coalesce(col("ts"), lit(0.0)))
+    blend(cand, alpha, k)
+  }
+
   /** Hybrid "more-like-this": query = one document (its embedding for
     * the vector leg, its TF-IDF vector for the keyword leg).
     * final = alpha·cos(e_d, e_q) + (1-alpha)·minmax(tfidfcos(d, q)),
-    * exactly reference app.py:190-219 (including the max>min guard and
-    * the 1e-12 denominator epsilon).
+    * exactly reference app.py:190-219; `metaFilter` composes it with
+    * the reference's candidate filters (min-max over candidates).
+    *
+    * The query norm rides the 1-row broadcast (computed once), so the
+    * corpus-side projection runs two VecDots per row.
     */
-  def hybridTopK(spark: SparkSession, dir: String, queryDoc: Long, alpha: Double, k: Int): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val e = Tables.embeddings(spark, dir)
-    val TfidfModel(w, norms, _, _) = tfidfWeights(docs)
-    val wn = w.join(norms, "doc_id")
+  def hybridTopK(spark: SparkSession, dir: String, queryDoc: Long, alpha: Double, k: Int,
+                 metaFilter: Option[Column] = None): DataFrame = {
+    val m = ensureModel(spark, dir)
+    val wn = m.w.join(m.norms, "doc_id")
       .select(col("doc_id"), col("term"), (col("w") / col("nrm")).as("wn"))
-      .cache()
     val qv = wn.where(col("doc_id") === queryDoc).select(col("term"), col("wn").as("qwn"))
     val tscore = wn.where(col("doc_id") =!= queryDoc)
       .join(broadcast(qv), "term")
       .groupBy("doc_id").agg(sum(col("wn") * col("qwn")).as("ts"))
-    val qe = e.where(col("vec_id") === queryDoc).select(col("embedding").as("qemb"))
-    val cand = e.where(col("vec_id") =!= queryDoc).crossJoin(broadcast(qe))
-      .select(col("vec_id").as("doc_id"), cosine(col("embedding"), col("qemb")).as("vs"))
+    val qe = Tables.embeddings(spark, dir).where(col("vec_id") === queryDoc)
+      .select(col("embedding").as("qemb"), l2norm(col("embedding")).as("qn"))
+    val cand = candidates(spark, dir, metaFilter)
+      .where(col("vec_id") =!= queryDoc).crossJoin(broadcast(qe))
+      .select(col("vec_id").as("doc_id"),
+        (dotd(col("embedding"), col("qemb")) / (l2norm(col("embedding")) * col("qn"))).as("vs"))
       .join(tscore, Seq("doc_id"), "left")
       .withColumn("ts", coalesce(col("ts"), lit(0.0)))
-    val stats = cand.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
-    cand.crossJoin(broadcast(stats))
-      .withColumn("tn", when(col("mx") > col("mn"),
-        (col("ts") - col("mn")) / (col("mx") - col("mn") + lit(1e-12))).otherwise(col("ts")))
-      .select(
-        col("doc_id"),
-        round(col("vs") * alpha + col("tn") * (1 - alpha), 5).as("hybrid_score"),
-        round(col("vs"), 5).as("vector_score"),
-        round(col("tn"), 5).as("tfidf_score"))
-      .orderBy(col("hybrid_score").desc, col("doc_id"))
-      .limit(k)
+    blend(cand, alpha, k)
   }
 }
