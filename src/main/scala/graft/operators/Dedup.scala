@@ -16,6 +16,40 @@ import graft.functions.VectorFunctions._
   */
 object Dedup {
 
+  /** Session-lifetime cached intermediates (shingle sets, minhash
+    * signatures), keyed by (session, corpus FINGERPRINT, params): the
+    * expensive explode/digest passes are cached once and REUSED across
+    * invocations instead of stacking a fresh CacheManager entry per
+    * call (the leak pattern), and a regenerated corpus maps to a new
+    * key instead of stale data. [[clearCaches]] releases everything
+    * explicitly.
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def memoized(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    memo.computeIfAbsent((spark, key), _ => build.cache())
+
+  private def corpusKey(spark: SparkSession, dir: String): String =
+    graft.sources.IndexStore.fingerprint(spark, s"$dir/documents.parquet")
+
+  private def cachedShingles(spark: SparkSession, dir: String, n: Int): DataFrame =
+    memoized(spark, s"sh|${corpusKey(spark, dir)}|$n")(
+      shingles(Tables.documents(spark, dir), n))
+
+  private def cachedSignatures(spark: SparkSession, dir: String, n: Int, k: Int): DataFrame =
+    memoized(spark, s"sig|${corpusKey(spark, dir)}|$n|$k")(
+      minhashSignatures(cachedShingles(spark, dir, n), k))
+
+  /** Unpersist and drop every memoized intermediate for a session. */
+  def clearCaches(spark: SparkSession): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
+    }
+  }
+
   /** Exact dedup: content hash + keep-first flag per document. */
   def exact(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("hash")).orderBy(col("doc_id"))
@@ -50,7 +84,7 @@ object Dedup {
     * shingle), never a cross join.
     */
   def ngramJaccard(spark: SparkSession, dir: String, n: Int = 5, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir), n).cache()
+    val sh = cachedShingles(spark, dir, n)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -91,8 +125,8 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String, n: Int = 5, k: Int = 16,
                  rowsPerBand: Int = 2, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir), n).cache()
-    val sigs = minhashSignatures(sh, k).cache()
+    val sh = cachedShingles(spark, dir, n)
+    val sigs = cachedSignatures(spark, dir, n, k)
     val nBands = k / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b.toLong).as("band"),

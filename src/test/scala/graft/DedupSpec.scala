@@ -49,6 +49,17 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("repeated dedup invocations reuse cached intermediates (no cache growth)") {
+    Dedup.ngramJaccard(spark, TestSpark.sf).count()
+    Dedup.minhashLsh(spark, TestSpark.sf).count()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    Dedup.ngramJaccard(spark, TestSpark.sf).count()
+    Dedup.minhashLsh(spark, TestSpark.sf).count()
+    val after2 = spark.sparkContext.getPersistentRDDs.size
+    assert(after2 == after1,
+      s"repeat invocations must not add cache entries ($after1 -> $after2)")
+  }
+
   test("embedding near-dup pairs stay within label blocks") {
     val rows = Dedup.embeddingNearDup(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
