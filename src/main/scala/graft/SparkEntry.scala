@@ -73,6 +73,7 @@ object SparkEntry {
     "key_skew" -> ((s, d) => Curation.keySkew(s, d)),
     "sample_stratified" -> ((s, d) => Curation.stratifiedSample(s, d)),
     "len_deciles" -> ((s, d) => Curation.lengthDeciles(s, d)),
+    "skew_salted_join" -> ((s, d) => Skew.saltedHotKeyRollup(s, d)),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free
@@ -462,6 +463,10 @@ object SparkEntry {
         |       length(text) AS n_chars,
         |       ceil(length(text) / 4.0)::BIGINT AS est_subtokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "skew_salted_join" ->
+      """SELECT least(user_id, 20) AS bucket, 'seg_' || least(user_id, 20) AS segment,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "doc_fingerprint" ->
       s"""WITH $shingleCtes,
          |c AS (SELECT doc_id, count(*) AS n_shingles FROM shd GROUP BY 1)

@@ -27,8 +27,13 @@ object Dedup {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def memoized(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    memo.computeIfAbsent((spark, key), _ => build.cache())
+  private def memoized(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val df = memo.computeIfAbsent((spark, key), _ => build)
+    // re-register after an external spark.catalog.clearCache() —
+    // .storageLevel is NONE once the session cache was wiped
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+    df
+  }
 
   private def corpusKey(spark: SparkSession, dir: String): String =
     graft.sources.IndexStore.fingerprint(spark, s"$dir/documents.parquet")

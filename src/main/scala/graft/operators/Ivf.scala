@@ -111,7 +111,9 @@ object Ivf {
     val probed = queries
       .withColumn("qn", l2norm(col("qv")))
       .crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosine(col("qv"), col("centroid")))
+      // reuse the precomputed qn — don't re-derive ||qv|| per centroid
+      .withColumn("cdist",
+        dotd(col("qv"), col("centroid")) / (col("qn") * l2norm(col("centroid"))))
       .withColumn("crk", row_number().over(wc))
       .where(col("crk") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"), col("cell"))
