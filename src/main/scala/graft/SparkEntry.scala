@@ -29,6 +29,7 @@ object SparkEntry {
     "knn_label_precision" -> ((s, d) => VectorSearch.knnLabelPrecision(s, d, queryMod = 100, k = 10)),
     "ann_knn_join_heap" -> ((s, d) => TopK.knnJoinHeap(s, d, queryMod = 100, k = 5)),
     "ann_sq8_topk" -> ((s, d) => Quantized.sq8TopK(s, d, queryId = 0, k = 10)),
+    "embed_project" -> ((s, d) => Quantized.randomProject(s, d)),
     "ann_ivf_topk" -> ((s, d) => Ivf.ivfTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
     "ann_lsh_topk" -> ((s, d) => Lsh.lshTopK(s, d, queryId = 0, nBits = 8, k = 10)),
     "ann_recall_eval" -> ((s, d) => Ivf.recallEval(s, d, nCells = 16, queryMod = 100, k = 10, nprobes = Seq(1, 2, 4))),
@@ -60,6 +61,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_cc" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
@@ -197,6 +199,16 @@ object SparkEntry {
         |SELECT c.vec_id, list_dot_product(c.codes, q.qcodes)::BIGINT AS score_q
         |FROM coded c, q WHERE c.vec_id <> 0
         |ORDER BY score_q DESC, c.vec_id LIMIT 10""".stripMargin,
+    "embed_project" -> {
+      val planes = graft.operators.Lsh.hyperplaneArrays(8, 64)
+      val cols = planes.zipWithIndex.map { case (p, i) =>
+        val lst = p.map(_.toString).mkString("[", ", ", "]")
+        s"round(list_dot_product(embedding::DOUBLE[], $lst::DOUBLE[]) / sqrt(8), 5) AS p$i"
+      }.mkString(",\n       ")
+      s"""SELECT vec_id,
+         |       $cols
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
     "text_normalize" ->
       """SELECT doc_id,
         |       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm_text,
@@ -426,6 +438,23 @@ object SparkEntry {
          |JOIN sz sa ON sa.doc_id = e.a_id JOIN sz sb ON sb.doc_id = e.b_id
          |WHERE round(coalesce(i.inter, 0) / (sa.sz + sb.sz - coalesce(i.inter, 0)), 5) >= 0.8
          |ORDER BY e.a_id, e.b_id""".stripMargin,
+    "dedup_cc" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |          FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT a_id, b_id
+         |          FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |          WHERE round(inter / (sa.sz + sb.sz - inter), 5) >= 0.8),
+         |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach AS (SELECT node AS src, node AS dst FROM nodes
+         |          UNION
+         |          SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+         |SELECT src AS doc_id, min(dst) AS cluster_id, src = min(dst) AS is_kept
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label::BIGINT AS label,
          |       ${cos5("a.embedding", "b.embedding")} AS score

@@ -233,6 +233,56 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Connected components over an undirected edge list (a_id, b_id) —
+    * the step that turns near-dup PAIRS into dedup decisions: every
+    * doc in a component is a duplicate of the component's minimum id.
+    *
+    * Algorithm: iterative min-label propagation (each node takes the
+    * smallest label among itself and its neighbors) — the standard
+    * distributed-CC shape: per iteration one join + one groupBy, both
+    * keyed shuffles, converging in O(component diameter) rounds.
+    * Near-dup components are shallow (duplicates of a common source),
+    * so the loop runs a handful of rounds even at corpus scale; each
+    * round materializes via localCheckpoint so the plan and lineage
+    * stay O(1) instead of growing per iteration. The driver loop
+    * iterates ROUNDS (bounded by graph diameter), never rows.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.toDF("a", "b")
+    val adj = sym.select(col("a").as("src"), col("b").as("dst"))
+      .union(sym.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = adj.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select(col("node"), col("label").as("old")), "node")
+        .where(col("label") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup clustering end-to-end: n-gram-Jaccard pairs → connected
+    * components → keep-first decision (the component's min id is the
+    * canonical doc). The output is the dedup verdict a curation
+    * pipeline actually consumes — only docs that appear in at least
+    * one near-dup pair are listed; everything else is implicitly kept.
+    */
+  def dedupClusters(spark: SparkSession, dir: String, n: Int = 5,
+                    threshold: Double = 0.8): DataFrame =
+    connectedComponents(ngramJaccard(spark, dir, n, threshold).select("a_id", "b_id"))
+      .withColumn("is_kept", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+
   /** Embedding-cosine near-dup blocked on BANDED random-hyperplane LSH
     * — the 100 TB blocking key (rows-only to the driver: the
     * hyperplanes are RNG-seeded). `nBands` independent sign-LSH tables

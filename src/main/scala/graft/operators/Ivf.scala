@@ -99,6 +99,33 @@ object Ivf {
     loadIndex(spark, path)
   }
 
+  /** Incremental index maintenance — FAISS `index.add()` semantics:
+    * assign NEW vectors to the EXISTING centroids (nearest-centroid by
+    * euclidean distance, no refit) and append them to the
+    * cell-partitioned artifact. At 100 TB this is what makes the index
+    * an artifact instead of a nightly rebuild: ingest appends only the
+    * new rows' cell files. The coarse quantizer drifts as data drifts —
+    * rebuild cadence is a policy decision, not an operator constraint.
+    * `newVectors`: (vec_id, label, embedding).
+    */
+  def appendToIndex(spark: SparkSession, path: String, newVectors: DataFrame): Unit = {
+    val centroids = IndexStore.open(spark, s"$path/centroids")
+    val wc = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
+    newVectors
+      .withColumn("nrm", l2norm(col("embedding")))
+      .crossJoin(broadcast(centroids))
+      // ‖e−c‖² via the dot identity — same codegen kernel as search
+      .withColumn("d2", dotd(col("embedding"), col("embedding"))
+        + dotd(col("centroid"), col("centroid"))
+        - lit(2) * dotd(col("embedding"), col("centroid")))
+      .withColumn("rk", row_number().over(wc))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    IndexStore.invalidate(spark, s"$path/cells")
+  }
+
   /** Batch IVF search: for each query row (q_id, qv), rank centroids,
     * keep nprobe cells, score candidates in those cells, return top-k
     * per query. (The batch path equi-joins on `cell`; the single-query

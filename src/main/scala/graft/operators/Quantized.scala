@@ -52,4 +52,26 @@ object Quantized {
       .orderBy(col("score_q").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Johnson-Lindenstrauss random projection — the DIMENSION-reduction
+    * sibling of SQ8's per-component compression: project each
+    * embedding onto `outDim` fixed seed-42 gaussian directions (scaled
+    * 1/√outDim, the JL normalization that approximately preserves
+    * pairwise distances). A 64-dim float corpus shrinks 8× at
+    * outDim=8 before any ANN indexing; the op itself is a pure
+    * narrow map — outDim codegen'd VecDots per row, no shuffle, no
+    * driver data. The projection directions ship as plan literals so
+    * the same query is reproducible in any engine.
+    */
+  def randomProject(spark: SparkSession, dir: String, outDim: Int = 8): DataFrame = {
+    val inDim = Lsh.embeddingDim(spark, dir)
+    val planes = Lsh.hyperplaneArrays(outDim, inDim)
+    val scale = math.sqrt(outDim.toDouble)
+    val comps = planes.zipWithIndex.map { case (p, i) =>
+      round(dotd(col("embedding"), typedlit(p)) / lit(scale), 5).as(s"p$i")
+    }
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id") +: comps: _*)
+      .orderBy(col("vec_id"))
+  }
 }

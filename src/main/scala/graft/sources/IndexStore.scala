@@ -69,4 +69,10 @@ object IndexStore {
     */
   def open(spark: SparkSession, path: String): DataFrame =
     loaded.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
+
+  /** Drop a memoized artifact (call after appending to its path —
+    * the cached file listing no longer covers the new files).
+    */
+  def invalidate(spark: SparkSession, path: String): Unit =
+    loaded.remove((spark, path))
 }

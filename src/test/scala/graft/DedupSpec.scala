@@ -49,6 +49,30 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("connected components match a driver-side union-find over the same pairs") {
+    val pairs = Dedup.ngramJaccard(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    // canonical = min id per component
+    val canon = expected.groupBy(_._2).flatMap { case (_, m) =>
+      val mn = m.keys.min; m.keys.map(_ -> mn)
+    }
+    val got = Dedup.dedupClusters(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == canon)
+  }
+
   test("repeated dedup invocations reuse cached intermediates (no cache growth)") {
     Dedup.ngramJaccard(spark, TestSpark.sf).count()
     Dedup.minhashLsh(spark, TestSpark.sf).count()

@@ -99,6 +99,25 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(IndexStore.fingerprint(spark, src.toString) != fp2)
   }
 
+  test("IVF append assigns new vectors to existing cells and search finds them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    val (assigned, centroids) = Ivf.buildIndex(spark, TestSpark.sf, nCells = 8)
+    Ivf.saveIndex(assigned, centroids, dir)
+    // append exact copies of vectors 0..4 under new ids — their nearest
+    // neighbor at full probe must be their original (cosine 1.0)
+    val newVecs = Tables.embeddings(spark, TestSpark.sf)
+      .where(col("vec_id") < 5)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("label"), col("embedding"))
+    Ivf.appendToIndex(spark, dir, newVecs)
+    val (cells, cents) = Ivf.loadIndex(spark, dir)
+    assert(cells.where(col("vec_id") >= 10000L).count() == 5)
+    val q = Tables.embeddings(spark, TestSpark.sf).where(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val top = Ivf.search(cells, cents, q, nprobe = 8, k = 1).head()
+    assert(top.getLong(1) == 10000L, s"expected the appended copy, got $top")
+    assert(top.getDouble(3) == 1.0)
+  }
+
   test("IVF search recall grows with nprobe and hits exact at full probe") {
     val ev = Ivf.recallEval(spark, TestSpark.sf, nCells = 8, queryMod = 100,
       k = 10, nprobes = Seq(1, 8)).collect()
