@@ -9,6 +9,8 @@ import graft.streaming.EventStreams
 case class TestEvent(event_id: Long, ts: Timestamp, user_id: Long,
                      event_type: String, value: Double)
 
+case class QueryVec(q_id: Long, qv: Array[Float])
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -76,6 +78,32 @@ class StreamingSpec extends AnyFunSuite {
         .select("n_events", "sess_value").collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(got == Set((2L, 3.0), (1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming LSH kNN matches the same pipeline run as a batch") {
+    import spark.implicits._
+    import graft.streaming.VectorServing
+    implicit val ctx = spark.sqlContext
+    val index = graft.operators.Lsh.ensureIndex(spark, TestSpark.sf, nBits = 8)
+    val qvecs = Tables.embeddings(spark, TestSpark.sf)
+      .where(col("vec_id").isin(0L, 7L, 42L))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => QueryVec(r.getLong(0), r.getSeq[Float](1).toArray))
+    val stream = MemoryStream[QueryVec]
+    val q = VectorServing.streamingLshTopK(stream.toDF(), index, nBits = 8, k = 5)
+      .writeStream.format("memory").queryName("vserve").outputMode("complete").start()
+    try {
+      stream.addData(qvecs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("vserve").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val batch = VectorServing.streamingLshTopK(qvecs.toSeq.toDF(), index, nBits = 8, k = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(got == batch)
+      // each query's own vector is in the corpus → top-1 is itself at 1.0
+      assert(Set(0L, 7L, 42L).forall(id => got.contains((id, id, 1.0, 1L))))
     } finally q.stop()
   }
 
