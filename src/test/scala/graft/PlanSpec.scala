@@ -122,6 +122,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("random projection is a narrow map (no hash-partitioned shuffle)") {
+    val p = plan(Quantized.randomProject(spark, TestSpark.sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "projection must not shuffle by key:\n" + p.take(800))
+    assert(p.contains("vecdot"), "components must run the codegen kernel")
+  }
+
   test("length deciles never plan a partition-less (global-order) window") {
     val df = Curation.lengthDeciles(spark, TestSpark.sf)
     val bad = df.queryExecution.optimizedPlan.collect {
