@@ -76,6 +76,7 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Curation.stratifiedSample(s, d)),
     "len_deciles" -> ((s, d) => Curation.lengthDeciles(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedHotKeyRollup(s, d)),
+    "curate_pipeline" -> ((s, d) => Curation.curatePipeline(s, d)),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free
@@ -496,6 +497,20 @@ object SparkEntry {
       """SELECT least(user_id, 20) AS bucket, 'seg_' || least(user_id, 20) AS segment,
         |       count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "curate_pipeline" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |           FROM documents WHERE lang = 'en'),
+        |q AS (SELECT doc_id, text, len(toks)::BIGINT AS n_tokens,
+        |             (2 * least(len(toks), 100) * len(toks)
+        |              + 150 * len(list_distinct(toks))
+        |              + 150 * (len(toks) - len(list_filter(toks, x -> list_contains(['the', 'a'], x)))))
+        |             / (500 * len(toks)) AS quality
+        |      FROM t),
+        |f AS (SELECT * FROM q WHERE quality >= 0.6),
+        |d AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f)
+        |SELECT doc_id, n_tokens, quality,
+        |       CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'd' THEN 'train' ELSE 'eval' END AS split
+        |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       s"""WITH $shingleCtes,
          |c AS (SELECT doc_id, count(*) AS n_shingles FROM shd GROUP BY 1)

@@ -27,6 +27,40 @@ object Curation {
       .select(col("doc_id"), col("bucket"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** End-to-end curation pipeline — the composition a training-data
+    * build actually runs, as ONE declarative plan Catalyst optimizes
+    * whole (filters fuse into the scan, the dedup window is the only
+    * shuffle): language filter → quality threshold ([[TextAnalysis
+    * .quality]]'s exact-ratio score) → exact-dedup keep-first →
+    * deterministic hash split. Output is the training-set manifest
+    * (doc_id, n_tokens, quality, split).
+    */
+  def curatePipeline(spark: SparkSession, dir: String, lang: String = "en",
+                     minQuality: Double = 0.6): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stop = Seq("the", "a")
+    val scored = Tables.documents(spark, dir)
+      .where(col("lang") === lang)
+      .withColumn("n_tok", size(toks))
+      .withColumn("n_types", size(array_distinct(toks)))
+      .withColumn("n_stop", size(filter(toks, t => t.isin(stop.map(lit): _*))))
+      .withColumn("quality",
+        (lit(2) * least(col("n_tok"), lit(100)) * col("n_tok")
+          + lit(150) * col("n_types")
+          + lit(150) * (col("n_tok") - col("n_stop")))
+          / (lit(500) * col("n_tok")))
+      .where(col("quality") >= minQuality)
+    val w = Window.partitionBy(col("hash")).orderBy(col("doc_id"))
+    scored
+      .withColumn("hash", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"), col("quality"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) < "d", "train")
+          .otherwise("eval").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Top-N bigram collocations: adjacent-token pairs with raw corpus
     * counts (unlike Dedup.shingles these are NOT distinct-per-doc —
     * frequency is the point). One explode + one count aggregation with
