@@ -37,18 +37,8 @@ object Curation {
     */
   def curatePipeline(spark: SparkSession, dir: String, lang: String = "en",
                      minQuality: Double = 0.6): DataFrame = {
-    val toks = split(col("text"), " ")
-    val stop = Seq("the", "a")
-    val scored = Tables.documents(spark, dir)
-      .where(col("lang") === lang)
-      .withColumn("n_tok", size(toks))
-      .withColumn("n_types", size(array_distinct(toks)))
-      .withColumn("n_stop", size(filter(toks, t => t.isin(stop.map(lit): _*))))
-      .withColumn("quality",
-        (lit(2) * least(col("n_tok"), lit(100)) * col("n_tok")
-          + lit(150) * col("n_types")
-          + lit(150) * (col("n_tok") - col("n_stop")))
-          / (lit(500) * col("n_tok")))
+    val scored = TextAnalysis.withQualityCols(
+        Tables.documents(spark, dir).where(col("lang") === lang))
       .where(col("quality") >= minQuality)
     val w = Window.partitionBy(col("hash")).orderBy(col("doc_id"))
     scored

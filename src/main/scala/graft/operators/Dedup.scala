@@ -28,6 +28,9 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def memoized(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    // evict entries of stopped sessions so session churn can't leak
+    val it = memo.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     val df = memo.computeIfAbsent((spark, key), _ => build)
     // re-register after an external spark.catalog.clearCache() —
     // .storageLevel is NONE once the session cache was wiped
@@ -45,6 +48,13 @@ object Dedup {
   private def cachedSignatures(spark: SparkSession, dir: String, n: Int, k: Int): DataFrame =
     memoized(spark, s"sig|${corpusKey(spark, dir)}|$n|$k")(
       minhashSignatures(cachedShingles(spark, dir, n), k))
+
+  private def cachedBandBuckets(spark: SparkSession, dir: String, nBands: Int,
+                                bitsPerBand: Int): DataFrame = {
+    val key = graft.sources.IndexStore.fingerprint(spark, s"$dir/embeddings.parquet")
+    memoized(spark, s"bands|$key|$nBands|$bitsPerBand")(
+      Lsh.assignBandBuckets(spark, dir, nBands, bitsPerBand))
+  }
 
   /** Unpersist and drop every memoized intermediate for a session. */
   def clearCaches(spark: SparkSession): Unit = {
@@ -308,7 +318,7 @@ object Dedup {
     */
   def embeddingNearDupLsh(spark: SparkSession, dir: String, nBands: Int = 32,
                           bitsPerBand: Int = 6, threshold: Double = 0.4): DataFrame = {
-    val bands = Lsh.assignBandBuckets(spark, dir, nBands, bitsPerBand)
+    val bands = cachedBandBuckets(spark, dir, nBands, bitsPerBand)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -109,14 +109,16 @@ object Ivf {
     * `newVectors`: (vec_id, label, embedding).
     */
   def appendToIndex(spark: SparkSession, path: String, newVectors: DataFrame): Unit = {
+    // centroid norms computed once on the broadcast side, vector norms
+    // once per row → ONE dot product per (vector, centroid) pair
     val centroids = IndexStore.open(spark, s"$path/centroids")
+      .withColumn("cn2", dotd(col("centroid"), col("centroid")))
     val wc = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
     newVectors
       .withColumn("nrm", l2norm(col("embedding")))
       .crossJoin(broadcast(centroids))
       // ‖e−c‖² via the dot identity — same codegen kernel as search
-      .withColumn("d2", dotd(col("embedding"), col("embedding"))
-        + dotd(col("centroid"), col("centroid"))
+      .withColumn("d2", col("nrm") * col("nrm") + col("cn2")
         - lit(2) * dotd(col("embedding"), col("centroid")))
       .withColumn("rk", row_number().over(wc))
       .where(col("rk") === 1)

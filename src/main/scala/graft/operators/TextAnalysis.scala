@@ -61,16 +61,35 @@ object TextAnalysis {
       .withColumn("norm_len", length(col("norm_text")).cast("long"))
       .orderBy(col("doc_id"))
 
+  /** Stopword list shared by [[quality]] and
+    * [[Curation.curatePipeline]]'s gate. */
+  private[operators] val stopwords: Seq[String] = Seq("the", "a")
+
+  /** Adds the token/quality columns (n_tok, n_types, n_stop, quality)
+    * to a frame with a `text` column — ONE definition of the score so
+    * [[quality]] and [[Curation.curatePipeline]] can never drift apart
+    * (both have DuckDB oracles that must match this exact arithmetic).
+    * The score is an exact integer ratio — see [[quality]]'s notes.
+    */
+  private[operators] def withQualityCols(df: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    df.withColumn("n_tok", size(toks))
+      .withColumn("n_types", size(array_distinct(toks)))
+      .withColumn("n_stop", size(filter(toks, t => t.isin(stopwords.map(lit): _*))))
+      // 0.4·min(tok,100)/100 + 0.3·types/tok + 0.3·(1 − stop/tok)
+      // as one integer ratio over denominator 500·tok
+      .withColumn("quality",
+        (lit(2) * least(col("n_tok"), lit(100)) * col("n_tok")
+          + lit(150) * col("n_types")
+          + lit(150) * (col("n_tok") - col("n_stop")))
+          / (lit(500) * col("n_tok")))
+  }
+
   /** Quality scoring: length, lexical diversity (type-token ratio),
     * stopword ratio, blended into a 0-1 quality score.
     */
   def quality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val stop = Seq("the", "a")
-    Tables.documents(spark, dir)
-      .withColumn("n_tok", size(toks))
-      .withColumn("n_types", size(array_distinct(toks)))
-      .withColumn("n_stop", size(filter(toks, t => t.isin(stop.map(lit): _*))))
+    withQualityCols(Tables.documents(spark, dir))
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("len_chars"),
@@ -81,12 +100,7 @@ object TextAnalysis {
         // where round()-of-a-computed-double can differ on decimal ties
         (col("n_types") / col("n_tok")).as("ttr"),
         (col("n_stop") / col("n_tok")).as("stop_ratio"),
-        // 0.4·min(tok,100)/100 + 0.3·types/tok + 0.3·(1 − stop/tok)
-        // as one integer ratio over denominator 500·tok
-        ((lit(2) * least(col("n_tok"), lit(100)) * col("n_tok")
-          + lit(150) * col("n_types")
-          + lit(150) * (col("n_tok") - col("n_stop")))
-          / (lit(500) * col("n_tok"))).as("quality"))
+        col("quality"))
       .orderBy(col("doc_id"))
   }
 

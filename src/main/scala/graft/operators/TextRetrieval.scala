@@ -65,6 +65,10 @@ object TextRetrieval {
   def ensureModel(spark: SparkSession, dir: String): TfidfModel = {
     val base = IndexStore.indexPath(spark, "tfidf_v1", s"$dir/documents.parquet", "skl")
     if (!IndexStore.exists(spark, s"$base/norms/_SUCCESS")) {
+      // a retry after a partially failed build must not serve memoized
+      // handles whose cached file listings the overwrite just deleted
+      Seq("tf", "df", "n", "w", "norms")
+        .foreach(t => IndexStore.invalidate(spark, s"$base/$t"))
       val docs = Tables.documents(spark, dir)
       docs.repartition(spark.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(sklearnTokens(col("text"))).as("term"))

@@ -67,8 +67,12 @@ object IndexStore {
     * data (regenerated corpora map to NEW paths) and pins no executor
     * memory.
     */
-  def open(spark: SparkSession, path: String): DataFrame =
+  def open(spark: SparkSession, path: String): DataFrame = {
+    // evict entries of stopped sessions so session churn can't leak
+    val it = loaded.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     loaded.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
+  }
 
   /** Drop a memoized artifact (call after appending to its path —
     * the cached file listing no longer covers the new files).

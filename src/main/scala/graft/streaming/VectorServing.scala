@@ -36,8 +36,13 @@ object VectorServing {
     import spark.implicits._
     val dim = index.select(size(col("embedding"))).head.getInt(0)
     val planes = Lsh.hyperplaneArrays(nBits, dim)
+    // two-branch when (no otherwise): a dimension-mismatched qv dots to
+    // null → the bit is null → the SUM is null → the event drops out of
+    // the bucket join instead of polluting bucket 0 and crashing the
+    // query when its null score hits ScoredPair's non-nullable Double
     val bucket = planes.zipWithIndex.map { case (p, j) =>
-      when(dotd(col("qv"), typedlit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      val d = dotd(col("qv"), typedlit(p))
+      when(d >= 0, lit(1L << j)).when(d < 0, lit(0L))
     }.reduce(_ + _)
     val q = queries.select(col("q_id"), col("qv"),
       l2norm(col("qv")).as("qn"), bucket.as("bucket"))
