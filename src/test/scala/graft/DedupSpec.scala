@@ -49,6 +49,17 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("connected components converge on a chain longer than one propagation hop") {
+    import spark.implicits._
+    // 1-2-3-4-5 chain (needs multiple rounds: 5's label reaches 1 only
+    // via propagation), plus an isolated pair and a singleton-free node set
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (10L, 11L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("connected components match a driver-side union-find over the same pairs") {
     val pairs = Dedup.ngramJaccard(spark, TestSpark.sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -122,6 +122,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered hybrid search pushes the metadata filters into the documents scan") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.TextRetrieval.hybridTopK(spark, TestSpark.sf,
+      queryDoc = 0, alpha = 0.7, k = 10,
+      metaFilter = Some(col("lang") === "en" && col("n_chars") >= 200L))
+    val p = plan(df)
+    assert(p.contains("EqualTo(lang,en)"), p.take(1200))
+    assert(p.contains("GreaterThanOrEqual(n_chars,200)"), p.take(1200))
+  }
+
   test("random projection is a narrow map (no hash-partitioned shuffle)") {
     val p = plan(Quantized.randomProject(spark, TestSpark.sf))
     assert(!p.contains("Exchange hashpartitioning"),
