@@ -51,6 +51,31 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(media_id: Long, kind: String, width: Int, height: Int,
+                          payload: Array[Byte])
+
+  /** STUB resize: deterministic nearest-neighbor byte sampling down to
+    * a fixed targetW×targetH payload — stands in for a real image
+    * resize (no codec libraries in this environment). The Spark
+    * plumbing is the production shape: typed mapPartitions batch (one
+    * resizer instantiation per partition), fixed output schema, narrow
+    * transform, no shuffle — swap the sampling loop for libvips/javacv
+    * and nothing around it changes.
+    */
+  def resizeStub(media: Dataset[Media], targetW: Int = 32, targetH: Int = 32): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    val outLen = targetW * targetH
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val n = m.payload.length
+        val out =
+          if (n == 0) new Array[Byte](outLen)
+          else Array.tabulate(outLen)(i => m.payload(((i.toLong * n) / outLen).toInt min (n - 1)))
+        ResizedMedia(m.media_id, m.kind, targetW, targetH, out)
+      }
+    }
+  }
+
   /** Frame sampling: treat the payload as a sequence of fixed-size
     * frames and emit every `stride`-th frame as its own row (video →
     * sampled stills before feature extraction). Pure narrow transform:

@@ -42,6 +42,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad == 0 && frames.count() > 0)
   }
 
+  test("resize emits fixed-shape payloads, deterministically, without shuffling") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, TestSpark.sf).limit(20).cache()
+    val resized = Multimodal.resizeStub(media, targetW = 16, targetH = 8)
+    val rows = resized.collect()
+    assert(rows.length == 20)
+    assert(rows.forall(r => r.payload.length == 16 * 8 && r.width == 16 && r.height == 8))
+    // deterministic: same input → same bytes
+    val again = Multimodal.resizeStub(media, 16, 8).collect()
+      .map(r => r.media_id -> r.payload.toSeq).toMap
+    assert(rows.map(r => r.media_id -> r.payload.toSeq).toMap == again)
+    // narrow transform: no exchange in the plan
+    val p = resized.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(600))
+  }
+
   test("decode stub is deterministic") {
     val a = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
     val b = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
