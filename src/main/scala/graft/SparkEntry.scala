@@ -69,6 +69,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "doc_winnow" -> ((s, d) => TextAnalysis.winnowFingerprint(s, d)),
     "text_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
     "sample_hash" -> ((s, d) => Curation.hashSample(s, d)),
     "bigram_freq" -> ((s, d) => Curation.bigramFreq(s, d)),
@@ -511,6 +512,16 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, quality,
         |       CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'd' THEN 'train' ELSE 'eval' END AS split
         |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "doc_winnow" ->
+      """WITH kg AS (SELECT doc_id, unnest([{'pos': i, 'g': substr(text, i+1, 8)}
+        |                                   for i in range(length(text) - 7)],
+        |                                  recursive := true) FROM documents),
+        |h AS (SELECT doc_id, pos, substr(md5(g), 1, 8) AS hh FROM kg),
+        |w AS (SELECT doc_id, pos, min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+        |                                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |      FROM h)
+        |SELECT doc_id, count(*) AS n_kgrams, count(DISTINCT sel) AS n_fps, min(sel) AS min_fp
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "doc_fingerprint" ->
       s"""WITH $shingleCtes,
          |c AS (SELECT doc_id, count(*) AS n_shingles FROM shd GROUP BY 1)

@@ -91,7 +91,10 @@ class DedupSpec extends AnyFunSuite {
     Dedup.ngramJaccard(spark, TestSpark.sf).count()
     Dedup.minhashLsh(spark, TestSpark.sf).count()
     val after2 = spark.sparkContext.getPersistentRDDs.size
-    assert(after2 == after1,
+    // <=, not ==: the shared session's ContextCleaner may asynchronously
+    // reclaim unrelated (e.g. localCheckpoint) RDDs between the probes —
+    // the invariant is that repeats ADD nothing
+    assert(after2 <= after1,
       s"repeat invocations must not add cache entries ($after1 -> $after2)")
   }
 
