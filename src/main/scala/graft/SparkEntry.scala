@@ -30,6 +30,7 @@ object SparkEntry {
     "ann_knn_join_heap" -> ((s, d) => TopK.knnJoinHeap(s, d, queryMod = 100, k = 5)),
     "ann_sq8_topk" -> ((s, d) => Quantized.sq8TopK(s, d, queryId = 0, k = 10)),
     "embed_project" -> ((s, d) => Quantized.randomProject(s, d)),
+    "ann_pq_topk" -> ((s, d) => Quantized.pqTopK(s, d, queryId = 0, k = 10)),
     "ann_ivf_topk" -> ((s, d) => Ivf.ivfTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
     "ann_lsh_topk" -> ((s, d) => Lsh.lshTopK(s, d, queryId = 0, nBits = 8, k = 10)),
     "ann_recall_eval" -> ((s, d) => Ivf.recallEval(s, d, nCells = 16, queryMod = 100, k = 10, nprobes = Seq(1, 2, 4))),

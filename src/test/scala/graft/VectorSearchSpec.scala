@@ -118,6 +118,30 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(top.getDouble(3) == 1.0)
   }
 
+  test("PQ/ADC search is deterministic, codes are bounded, recall is useful") {
+    import graft.operators.Quantized
+    val a = Quantized.pqTopK(spark, TestSpark.sf, queryId = 0, k = 10).collect()
+    val b = Quantized.pqTopK(spark, TestSpark.sf, queryId = 0, k = 10).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.length == 10 && !a.map(_.getLong(0)).contains(0L))
+    // ADC distances ascend
+    val d = a.map(_.getDouble(1))
+    assert(d.zip(d.tail).forall { case (x, y) => x <= y })
+    // codes live in [0, kCents)
+    val books = Quantized.pqFit(spark, TestSpark.sf, m = 8, kCents = 16)
+    val codes = Quantized.pqEncode(spark, TestSpark.sf, books)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("codes")).as("c"))
+      .agg(org.apache.spark.sql.functions.min("c"),
+        org.apache.spark.sql.functions.max("c")).head()
+    assert(codes.getInt(0) >= 0 && codes.getInt(1) < 16)
+    // lossy but useful: the 16-byte codes keep >=4 of the exact top-10
+    val exact = VectorSearch.topK(spark, TestSpark.sf, 0, 10).collect()
+      .map(_.getLong(0)).toSet
+    val got = a.map(_.getLong(0)).toSet
+    assert((exact & got).size >= 4, s"PQ recall too low: ${(exact & got).size}/10")
+  }
+
   test("IVF search recall grows with nprobe and hits exact at full probe") {
     val ev = Ivf.recallEval(spark, TestSpark.sf, nCells = 8, queryMod = 100,
       k = 10, nprobes = Seq(1, 8)).collect()
