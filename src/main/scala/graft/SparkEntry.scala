@@ -46,6 +46,12 @@ object SparkEntry {
       TextRetrieval.hybridTopK(s, d, queryDoc = 0, alpha = 0.7, k = 10,
         metaFilter = Some(col("lang") === "en" && col("n_chars") >= 200L))
     }),
+    "hybrid_filtered_free" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      TextRetrieval.hybridTopKFree(s, d, demoQueryVec, Seq("spark", "join", "vector"),
+        alpha = 0.7, k = 10,
+        metaFilter = Some(col("lang") === "en" && col("n_chars") >= 200L))
+    }),
     // --- analytics / metadata ---
     "q1_pricing" -> ((s, d) => Analytics.q1Pricing(s, d)),
     "q3_shipping" -> ((s, d) => Analytics.q3Shipping(s, d)),
@@ -154,6 +160,26 @@ object SparkEntry {
          |cand AS (SELECT e.vec_id AS doc_id, ${cosRaw("e.embedding", "qv.qv")} AS vs,
          |                coalesce(ts.ts, 0.0) AS ts
          |         FROM embeddings e CROSS JOIN qv LEFT JOIN ts ON ts.doc_id = e.vec_id),
+         |st AS (SELECT min(ts) AS mn, max(ts) AS mx FROM cand),
+         |f AS (SELECT doc_id, vs,
+         |             CASE WHEN st.mx > st.mn THEN (ts - st.mn) / (st.mx - st.mn + 1e-12) ELSE ts END AS tn
+         |      FROM cand, st)
+         |SELECT doc_id, round(vs * 0.7 + tn * (1 - 0.7), 5) AS hybrid_score,
+         |       round(vs, 5) AS vector_score, round(tn, 5) AS tfidf_score
+         |FROM f ORDER BY hybrid_score DESC, doc_id LIMIT 10""".stripMargin,
+    "hybrid_filtered_free" ->
+      s"""WITH $tfidfCtes,
+         |q AS (SELECT term FROM (VALUES ('spark'), ('join'), ('vector')) t(term)),
+         |qw AS (SELECT q.term, ln((nn.n + 1) / (dfv.df + 1)) + 1 AS qw FROM q JOIN dfv USING (term), nn),
+         |qn AS (SELECT sqrt(sum(qw * qw)) AS qn FROM qw),
+         |ts AS (SELECT w.doc_id, sum(w.w / nrm.nrm * qw.qw / qn.qn) AS ts
+         |       FROM w JOIN qw USING (term) JOIN nrm USING (doc_id), qn GROUP BY 1),
+         |qv AS (SELECT $qvSqlList::DOUBLE[] AS qv),
+         |cand AS (SELECT e.vec_id AS doc_id, ${cosRaw("e.embedding", "qv.qv")} AS vs,
+         |                coalesce(ts.ts, 0.0) AS ts
+         |         FROM embeddings e
+         |         JOIN documents d ON d.doc_id = e.vec_id AND d.lang = 'en' AND d.n_chars >= 200
+         |         CROSS JOIN qv LEFT JOIN ts ON ts.doc_id = e.vec_id),
          |st AS (SELECT min(ts) AS mn, max(ts) AS mx FROM cand),
          |f AS (SELECT doc_id, vs,
          |             CASE WHEN st.mx > st.mn THEN (ts - st.mn) / (st.mx - st.mn + 1e-12) ELSE ts END AS tn

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
+import graft.sources.IndexStore
 
 /** Scalar-quantized (SQ8) vector search — the Spark analog of FAISS's
   * IndexScalarQuantizer family (the memory-reduction sibling of the
@@ -129,6 +130,37 @@ object Quantized {
       .select(col("vec_id"), array((0 until m).map(s => col(s"c$s")): _*).as("codes"))
   }
 
+  /** Build-once PQ artifact: codebooks + the encoded corpus persisted
+    * under [[graft.sources.IndexStore]] (fingerprint-addressed like
+    * the IVF/LSH indexes). ENCODING is the expensive half of PQ at
+    * scale — one full-corpus codegen pass — so it runs once per corpus
+    * fingerprint × (m, kCents); every later query reads only the
+    * m-byte codes. Codes are written LAST: their _SUCCESS marks a
+    * complete artifact.
+    */
+  def ensurePqIndex(spark: SparkSession, dir: String, m: Int, kCents: Int)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
+    import spark.implicits._
+    val path = IndexStore.indexPath(spark, "pq_v1",
+      s"$dir/embeddings.parquet", s"${m}_$kCents")
+    if (!IndexStore.exists(spark, s"$path/codes/_SUCCESS")) {
+      IndexStore.invalidate(spark, s"$path/books")
+      IndexStore.invalidate(spark, s"$path/codes")
+      val books = pqFit(spark, dir, m, kCents)
+      books.zipWithIndex.flatMap { case (cents, s) =>
+        cents.zipWithIndex.map { case (c, j) => (s, j, c) }
+      }.toSeq.toDF("sub", "cent", "centroid")
+        .write.mode("overwrite").parquet(s"$path/books")
+      pqEncode(spark, dir, books)
+        .write.mode("overwrite").parquet(s"$path/codes")
+    }
+    val books = IndexStore.open(spark, s"$path/books").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    (IndexStore.open(spark, s"$path/codes"), books)
+  }
+
   /** PQ top-k via Asymmetric Distance Computation — FAISS IndexPQ's
     * search: the query stays exact; per subspace a kCents-entry lookup
     * table of ‖q_sub − centroid‖² is built ON THE DRIVER (m·kCents·sub
@@ -140,7 +172,7 @@ object Quantized {
     */
   def pqTopK(spark: SparkSession, dir: String, queryId: Long, k: Int,
              m: Int = 8, kCents: Int = 16): DataFrame = {
-    val codebooks = pqFit(spark, dir, m, kCents)
+    val (codes, codebooks) = ensurePqIndex(spark, dir, m, kCents)
     val sub = codebooks.head.head.length
     val qv = Tables.embeddings(spark, dir).where(col("vec_id") === queryId)
       .select(col("embedding")).collect().headOption
@@ -156,7 +188,7 @@ object Quantized {
     }
     val adc = (0 until m).map(s =>
       element_at(typedlit(lut(s)), element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
-    pqEncode(spark, dir, codebooks)
+    codes
       .where(col("vec_id") =!= queryId)
       .select(col("vec_id"), round(adc, 5).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
