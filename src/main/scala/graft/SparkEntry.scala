@@ -34,6 +34,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => Ivf.ivfTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
     "ann_lsh_topk" -> ((s, d) => Lsh.lshTopK(s, d, queryId = 0, nBits = 8, k = 10)),
     "ann_recall_eval" -> ((s, d) => Ivf.recallEval(s, d, nCells = 16, queryMod = 100, k = 10, nprobes = Seq(1, 2, 4))),
+    "ann_family_eval" -> ((s, d) => Ivf.familyEval(s, d, queryMod = 100, k = 10)),
     // --- text retrieval (reference core) ---
     "tfidf_topk" -> ((s, d) => TextRetrieval.tfidfTopK(s, d, Seq("spark", "join", "vector"), k = 10)),
     "vocab_stats" -> ((s, d) => TextRetrieval.vocabStats(s, d)),
@@ -222,11 +223,15 @@ object SparkEntry {
         |coded AS (SELECT vec_id,
         |                 list_transform(emb, x -> CASE WHEN st.mx > st.mn
         |                   THEN least(floor((x - st.mn) / (st.mx - st.mn) * 256), 255)
-        |                   ELSE 0.0 END) AS codes
+        |                   ELSE 0.0 END) AS codes,
+        |                 st.mn AS mn, st.mx AS mx
         |          FROM ed, st),
-        |q AS (SELECT codes AS qcodes FROM coded WHERE vec_id = 0)
-        |SELECT c.vec_id, list_dot_product(c.codes, q.qcodes)::BIGINT AS score_q
-        |FROM coded c, q WHERE c.vec_id <> 0
+        |dec AS (SELECT vec_id,
+        |               list_transform(codes, c -> mn + (c + 0.5) * ((mx - mn) / 256)) AS d
+        |        FROM coded),
+        |q AS (SELECT d AS qd FROM dec WHERE vec_id = 0)
+        |SELECT c.vec_id, round(list_dot_product(c.d, q.qd), 5) AS score_q
+        |FROM dec c, q WHERE c.vec_id <> 0
         |ORDER BY score_q DESC, c.vec_id LIMIT 10""".stripMargin,
     "embed_project" -> {
       val planes = graft.operators.Lsh.hyperplaneArrays(8, 64)

@@ -210,6 +210,50 @@ object Ivf {
     * time). The index is the persisted build-once artifact, so the
     * sweep measures probing, not re-fitting.
     */
+  /** The trade-off table generalized ACROSS the engine's whole index
+    * family — the reference compares Flat vs IVF (ann_tradeoff_table
+    * .csv); a user choosing an index needs the same three columns for
+    * every option: exact flat (the 1.0/1.0 anchor), IVF at nprobe,
+    * multi-probe LSH, SQ8 and PQ/ADC, all against the same query
+    * sample and the same exact ground truth, each timed. Queries run
+    * through the single-query entry points (the persisted build-once
+    * artifacts), so the sweep measures probing, not fitting.
+    */
+  def familyEval(spark: SparkSession, dir: String, queryMod: Int, k: Int,
+                 nCells: Int = 16, nprobe: Int = 4, lshBits: Int = 8): DataFrame = {
+    import spark.implicits._
+    val qIds = Tables.embeddings(spark, dir).where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val gt = VectorSearch.knnJoin(spark, dir, queryMod, k)
+      .select(col("q_id"), col("n_id"), col("rk")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    val nq = qIds.length.toDouble
+    def eval(name: String, run: Long => Seq[Long]) = {
+      val t0 = System.nanoTime()
+      val res = qIds.map(q => q -> run(q))
+      val avgMs = (System.nanoTime() - t0) / 1e6 / nq
+      val hits = res.map { case (q, ns) => ns.count(gt(q).contains).toLong }.sum
+      val rr = res.map { case (q, ns) =>
+        val top1 = gt(q).collectFirst { case (n, 1L) => n }.get
+        val i = ns.indexOf(top1)
+        if (i >= 0) 1.0 / (i + 1) else 0.0
+      }.sum
+      (name, math.rint(hits / (nq * k) * 1e5) / 1e5,
+        math.rint(rr / nq * 1e5) / 1e5,
+        math.rint(avgMs * 1e3) / 1e3, nq.toLong)
+    }
+    def ids(df: DataFrame): Seq[Long] = df.collect().map(_.getLong(0)).toSeq
+    Seq(
+      eval("flat", q => ids(VectorSearch.topK(spark, dir, q, k))),
+      eval(s"ivf_nprobe$nprobe", q => ids(ivfTopK(spark, dir, q, nCells, nprobe, k))),
+      eval("lsh_multiprobe", q => ids(Lsh.lshTopK(spark, dir, q, lshBits, k))),
+      eval("sq8", q => ids(Quantized.sq8TopK(spark, dir, q, k))),
+      eval("pq_adc", q => ids(Quantized.pqTopK(spark, dir, q, k))))
+      .toDF("family", "Precision@K", "MRR", "AvgQueryTime_ms", "QueriesUsed")
+      .orderBy(col("family"))
+  }
+
   def recallEval(spark: SparkSession, dir: String, nCells: Int, queryMod: Int,
                  k: Int, nprobes: Seq[Int]): DataFrame = {
     val (assigned, centroids) = ensureIndex(spark, dir, nCells)

@@ -38,18 +38,29 @@ object Quantized {
           x => when(col("mx") > col("mn"),
             least(floor((x - col("mn")) / (col("mx") - col("mn")) * 256), lit(255.0)))
             .otherwise(lit(0.0)))
-          .as("codes"))
+          .as("codes"),
+        col("mn"), col("mx"))
   }
 
-  /** Top-k by quantized dot product (asymmetric rerank left to the
-    * exact operators — at scale SQ8 is the first-pass filter).
+  /** Top-k by DECODED dot product — FAISS's SQ8 scoring: codes are
+    * reconstructed to x̂ᵢ = mn + (cᵢ + 0.5)·(mx − mn)/256 before the
+    * dot, because the raw code dot is biased by the affine offset
+    * (Σ(a·x+b)(a·q+b) carries per-vector Σx terms — ranking by it has
+    * ~0.1 precision against the exact cosine order, measured by
+    * familyEval; decoded scoring is ~1.0). The scan still reads only
+    * the 1-byte codes; decode is arithmetic in the projection.
     */
   def sq8TopK(spark: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
     val coded = sq8Codes(spark, dir)
-    val qc = coded.where(col("vec_id") === queryId).select(col("codes").as("qcodes"))
+    val qc = coded.where(col("vec_id") === queryId)
+      .select(col("codes").as("qcodes"), col("mn").as("qmn"), col("mx").as("qmx"))
+    val dec = transform(col("codes"),
+      c => col("mn") + (c + lit(0.5)) * ((col("mx") - col("mn")) / lit(256)))
+    val qdec = transform(col("qcodes"),
+      c => col("qmn") + (c + lit(0.5)) * ((col("qmx") - col("qmn")) / lit(256)))
     coded.where(col("vec_id") =!= queryId)
       .crossJoin(broadcast(qc))
-      .select(col("vec_id"), dotd(col("codes"), col("qcodes")).cast("long").as("score_q"))
+      .select(col("vec_id"), round(dotd(dec, qdec), 5).as("score_q"))
       .orderBy(col("score_q").desc, col("vec_id"))
       .limit(k)
   }

@@ -142,6 +142,18 @@ class VectorSearchSpec extends AnyFunSuite {
     assert((exact & got).size >= 4, s"PQ recall too low: ${(exact & got).size}/10")
   }
 
+  test("family eval anchors flat at 1.0/1.0 and bounds every family's metrics") {
+    val byF = Ivf.familyEval(spark, TestSpark.sf, queryMod = 100, k = 10).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(byF.keySet == Set("flat", "ivf_nprobe4", "lsh_multiprobe", "sq8", "pq_adc"))
+    assert(byF("flat") == ((1.0, 1.0)), "exact search must match its own ground truth")
+    byF.values.foreach { case (p, mrr) =>
+      assert(p >= 0.0 && p <= 1.0 && mrr >= 0.0 && mrr <= 1.0)
+    }
+    // approximate families still need to be USEFUL on this corpus
+    assert(byF("sq8")._1 >= 0.5, s"sq8 precision ${byF("sq8")._1}")
+  }
+
   test("IVF search recall grows with nprobe and hits exact at full probe") {
     val ev = Ivf.recallEval(spark, TestSpark.sf, nCells = 8, queryMod = 100,
       k = 10, nprobes = Seq(1, 8)).collect()
