@@ -34,7 +34,9 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => Ivf.ivfTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
     "ann_lsh_topk" -> ((s, d) => Lsh.lshTopK(s, d, queryId = 0, nBits = 8, k = 10)),
     "ann_recall_eval" -> ((s, d) => Ivf.recallEval(s, d, nCells = 16, queryMod = 100, k = 10, nprobes = Seq(1, 2, 4))),
-    "ann_family_eval" -> ((s, d) => Ivf.familyEval(s, d, queryMod = 100, k = 10)),
+    // queryMod 500: the per-family loop times interactive single-query
+    // latency, so the sample stays small (4 queries at sf0.1)
+    "ann_family_eval" -> ((s, d) => Ivf.familyEval(s, d, queryMod = 500, k = 10)),
     // --- text retrieval (reference core) ---
     "tfidf_topk" -> ((s, d) => TextRetrieval.tfidfTopK(s, d, Seq("spark", "join", "vector"), k = 10)),
     "vocab_stats" -> ((s, d) => TextRetrieval.vocabStats(s, d)),
