@@ -26,6 +26,10 @@ object SparkEntry {
     "ann_knn_join" -> ((s, d) => VectorSearch.knnJoin(s, d, queryMod = 100, k = 5)),
     "vs_topk_l2" -> ((s, d) => VectorSearch.topKL2(s, d, queryId = 0, k = 10)),
     "vs_meta_filtered" -> ((s, d) => VectorSearch.metaFilteredTopK(s, d, queryId = 0, k = 10, lang = "en", minChars = 200L)),
+    // item-to-item + metadata filter COMPOSED (reference
+    // search_by_product_id running inside candidate_indices(),
+    // app.py:221-241): "more like product 7, but only en/long docs"
+    "vs_item_similar_filtered" -> ((s, d) => VectorSearch.metaFilteredTopK(s, d, queryId = 7, k = 10, lang = "en", minChars = 200L)),
     "knn_label_precision" -> ((s, d) => VectorSearch.knnLabelPrecision(s, d, queryMod = 100, k = 10)),
     "ann_knn_join_heap" -> ((s, d) => TopK.knnJoinHeap(s, d, queryMod = 100, k = 5)),
     "ann_sq8_topk" -> ((s, d) => Quantized.sq8TopK(s, d, queryId = 0, k = 10)),
@@ -39,6 +43,11 @@ object SparkEntry {
     "ann_family_eval" -> ((s, d) => Ivf.familyEval(s, d, queryMod = 500, k = 10)),
     // --- text retrieval (reference core) ---
     "tfidf_topk" -> ((s, d) => TextRetrieval.tfidfTopK(s, d, Seq("spark", "join", "vector"), k = 10)),
+    // the raw-text front door: input is the string a user typed
+    // (app.py:173 search takes `query: str`); tokenization happens
+    // inside the engine, and the oracle re-tokenizes INDEPENDENTLY in
+    // SQL — a tokenizer drift fails the hash-match
+    "tfidf_topk_text" -> ((s, d) => TextRetrieval.tfidfTopK(s, d, "Spark JOIN, vector-search! spark", k = 10)),
     "vocab_stats" -> ((s, d) => TextRetrieval.vocabStats(s, d)),
     "events_hourly" -> ((s, d) => Analytics.hourly(s, d)),
     "hybrid_topk" -> ((s, d) => TextRetrieval.hybridTopK(s, d, queryDoc = 0, alpha = 0.7, k = 10)),
@@ -296,6 +305,13 @@ object SparkEntry {
          |JOIN documents d ON d.doc_id = e.vec_id AND d.lang = 'en' AND d.n_chars >= 200, q
          |WHERE e.vec_id <> 0
          |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "vs_item_similar_filtered" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+         |SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score
+         |FROM embeddings e
+         |JOIN documents d ON d.doc_id = e.vec_id AND d.lang = 'en' AND d.n_chars >= 200, q
+         |WHERE e.vec_id <> 7
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
     "knn_label_precision" ->
       s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv
          |           FROM embeddings WHERE vec_id % 100 = 0),
@@ -311,6 +327,16 @@ object SparkEntry {
     "tfidf_topk" ->
       s"""WITH $tfidfCtes,
          |q AS (SELECT term FROM (VALUES ('spark'), ('join'), ('vector')) t(term)),
+         |qw AS (SELECT q.term, ln((nn.n + 1) / (dfv.df + 1)) + 1 AS qw FROM q JOIN dfv USING (term), nn),
+         |qn AS (SELECT sqrt(sum(qw * qw)) AS qn FROM qw)
+         |SELECT w.doc_id, round(sum(w.w / nrm.nrm * qw.qw / qn.qn), 5) AS score
+         |FROM w JOIN qw USING (term) JOIN nrm USING (doc_id), qn
+         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // the oracle tokenizes the raw string ITSELF (DuckDB regexp, not a
+    // Scala-side token list), so driver-tokenizer drift breaks parity
+    "tfidf_topk_text" ->
+      s"""WITH $tfidfCtes,
+         |q AS (SELECT DISTINCT unnest(list_filter(regexp_extract_all(lower('Spark JOIN, vector-search! spark'), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term),
          |qw AS (SELECT q.term, ln((nn.n + 1) / (dfv.df + 1)) + 1 AS qw FROM q JOIN dfv USING (term), nn),
          |qn AS (SELECT sqrt(sum(qw * qw)) AS qn FROM qw)
          |SELECT w.doc_id, round(sum(w.w / nrm.nrm * qw.qw / qn.qn), 5) AS score

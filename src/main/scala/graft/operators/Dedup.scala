@@ -24,35 +24,62 @@ object Dedup {
     * key instead of stale data. [[clearCaches]] releases everything
     * explicitly.
     */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private case class Cached(fingerprint: String, df: DataFrame)
 
-  private def memoized(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+  /** Keyed by LOGICAL identity (session, kind|dir|params); the corpus
+    * fingerprint rides in the VALUE as a validity stamp. A regenerated
+    * corpus therefore REPLACES its stale entry (which is unpersisted)
+    * instead of accumulating next to it — the memo holds at most one
+    * cached frame per logical key for the life of the session.
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Cached]()
+
+  private def memoized(spark: SparkSession, logicalKey: String, fingerprint: String)
+                      (build: => DataFrame): DataFrame = {
     // evict entries of stopped sessions so session churn can't leak
-    val it = memo.keySet.iterator()
-    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-    val df = memo.computeIfAbsent((spark, key), _ => build)
-    // re-register after an external spark.catalog.clearCache() —
-    // .storageLevel is NONE once the session cache was wiped
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
-    df
+    val sit = memo.keySet.iterator()
+    while (sit.hasNext) if (sit.next()._1.sparkContext.isStopped) sit.remove()
+    val key = (spark, logicalKey)
+    val hit = memo.get(key)
+    if (hit != null && hit.fingerprint == fingerprint) {
+      // re-register after an external spark.catalog.clearCache() —
+      // .storageLevel is NONE once the session cache was wiped
+      if (hit.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) hit.df.cache()
+      hit.df
+    } else {
+      // get-then-put, never computeIfAbsent: the build runs full Spark
+      // jobs and may itself memoize a dependency — neither may happen
+      // under a ConcurrentHashMap bin lock (recursive update is
+      // documented-forbidden, and the lock would stall unrelated
+      // same-bin inserts for the build's duration)
+      val df = build.cache()
+      val prev = memo.put(key, Cached(fingerprint, df))
+      // stale-fingerprint predecessor, or a concurrent builder we raced
+      if (prev != null && (prev.df ne df)) prev.df.unpersist()
+      df
+    }
   }
 
   private def corpusKey(spark: SparkSession, dir: String): String =
     graft.sources.IndexStore.fingerprint(spark, s"$dir/documents.parquet")
 
   private def cachedShingles(spark: SparkSession, dir: String, n: Int): DataFrame =
-    memoized(spark, s"sh|${corpusKey(spark, dir)}|$n")(
+    memoized(spark, s"sh|$dir|$n", corpusKey(spark, dir))(
       shingles(Tables.documents(spark, dir), n))
 
-  private def cachedSignatures(spark: SparkSession, dir: String, n: Int, k: Int): DataFrame =
-    memoized(spark, s"sig|${corpusKey(spark, dir)}|$n|$k")(
-      minhashSignatures(cachedShingles(spark, dir, n), k))
+  private def cachedSignatures(spark: SparkSession, dir: String, n: Int, k: Int): DataFrame = {
+    // resolve the dependency BEFORE entering the memo: the signature
+    // build must not trigger a nested shingle memoization mid-insert
+    val sh = cachedShingles(spark, dir, n)
+    memoized(spark, s"sig|$dir|$n|$k", corpusKey(spark, dir))(
+      minhashSignatures(sh, k))
+  }
 
   private def cachedBandBuckets(spark: SparkSession, dir: String, nBands: Int,
                                 bitsPerBand: Int): DataFrame = {
-    val key = graft.sources.IndexStore.fingerprint(spark, s"$dir/embeddings.parquet")
-    memoized(spark, s"bands|$key|$nBands|$bitsPerBand")(
+    val fp = graft.sources.IndexStore.fingerprint(spark, s"$dir/embeddings.parquet")
+    memoized(spark, s"bands|$dir|$nBands|$bitsPerBand", fp)(
       Lsh.assignBandBuckets(spark, dir, nBands, bitsPerBand))
   }
 
@@ -61,7 +88,7 @@ object Dedup {
     val it = memo.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
+      if (e.getKey._1 eq spark) { e.getValue.df.unpersist(); it.remove() }
     }
   }
 

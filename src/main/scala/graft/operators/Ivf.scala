@@ -91,10 +91,11 @@ object Ivf {
   def ensureIndex(spark: SparkSession, dir: String, nCells: Int): (DataFrame, DataFrame) = {
     val path = IndexStore.indexPath(spark, "ivf_v3",
       s"$dir/embeddings.parquet", nCells.toString)
-    // centroids are written last — their _SUCCESS marks a complete index
-    if (!IndexStore.exists(spark, s"$path/centroids/_SUCCESS")) {
+    // staged under path.tmp-*, committed by one atomic rename — racing
+    // sessions can't interleave a reader with a half-written index
+    IndexStore.publish(spark, path) { tmp =>
       val (assigned, centroids) = buildIndex(spark, dir, nCells)
-      saveIndex(assigned, centroids, path)
+      saveIndex(assigned, centroids, tmp)
     }
     loadIndex(spark, path)
   }
@@ -130,9 +131,15 @@ object Ivf {
 
   /** Batch IVF search: for each query row (q_id, qv), rank centroids,
     * keep nprobe cells, score candidates in those cells, return top-k
-    * per query. (The batch path equi-joins on `cell`; the single-query
-    * path [[ivfTopK]] goes further and prunes partitions with literal
-    * cell ids.)
+    * per query.
+    *
+    * Like the single-query path [[ivfTopK]], the index scan is
+    * partition-pruned: after the (tiny) probe plan settles, the UNION
+    * of probed cells — at most nCells ints — is collected and pushed
+    * into the scan as literal ids, so a batch sweep reads only the
+    * probed cells' files instead of the whole persisted index (the
+    * equi-join alone can't prune the scan — Catalyst sees a join key,
+    * not a partition predicate).
     */
   def search(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
              nprobe: Int, k: Int): DataFrame = {
@@ -146,8 +153,11 @@ object Ivf {
       .withColumn("crk", row_number().over(wc))
       .where(col("crk") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"), col("cell"))
+    // bounded driver read: ≤ nCells distinct ids, never rows
+    val probedCells = probed.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq
     val wk = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
-    assigned.join(probed, Seq("cell"))
+    assigned.where(col("cell").isin(probedCells: _*)).join(probed, Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), col("cell").cast("long").as("cell"),
         round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
@@ -230,6 +240,11 @@ object Ivf {
       .map { case (q, rs) => q -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
     val nq = qIds.length.toDouble
     def eval(name: String, run: Long => Seq[Long]) = {
+      // one untimed warm-up so a cold index store's one-time artifact
+      // builds (PQ fit/encode, LSH/IVF/TF-IDF ensureIndex) happen
+      // OUTSIDE the clock — the sweep times probing, not fitting,
+      // matching the reference's ann_tradeoff_table methodology
+      run(qIds.head)
       val t0 = System.nanoTime()
       val res = qIds.map(q => q -> run(q))
       val avgMs = (System.nanoTime() - t0) / 1e6 / nq

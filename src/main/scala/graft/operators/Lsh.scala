@@ -36,7 +36,21 @@ object Lsh {
     IndexedSeq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** (bit, 2^bit weight, hyperplane) rows — fixed seed, unit scale. */
+  /** Single-table bucket ids live in a signed Long: bit 62 is the last
+    * safe 2^bit weight. Failing loudly beats silently zeroing high-bit
+    * weights (driver-planned probes would then target different buckets
+    * than the persisted assignment). The BANDED path is exempt — it
+    * draws nBands·bitsPerBand total planes but remaps weights to
+    * 2^(bit mod bitsPerBand), so only bitsPerBand must fit.
+    */
+  private[graft] def requireBucketBits(nBits: Int): Unit =
+    require(nBits <= 62, s"nBits=$nBits exceeds the 62-bit bucket-id budget")
+
+  /** (bit, 2^bit weight, hyperplane) rows — fixed seed, unit scale.
+    * Weight wraps past bit 62 (callers beyond that — the banded
+    * assignment — override it; single-table callers are guarded by
+    * [[requireBucketBits]]).
+    */
   def hyperplanes(spark: SparkSession, nBits: Int, dim: Int): DataFrame = {
     import spark.implicits._
     hyperplaneArrays(nBits, dim).zipWithIndex.map { case (p, j) =>
@@ -59,6 +73,7 @@ object Lsh {
     * silently hashing to bucket 0.
     */
   def assignBuckets(spark: SparkSession, dir: String, nBits: Int): DataFrame = {
+    requireBucketBits(nBits)
     val e = Tables.embeddings(spark, dir)
     val planes = hyperplanes(spark, nBits, embeddingDim(spark, dir))
     e.crossJoin(broadcast(planes))
@@ -110,7 +125,9 @@ object Lsh {
   def ensureIndex(spark: SparkSession, dir: String, nBits: Int): DataFrame = {
     val path = IndexStore.indexPath(spark, "lsh_v1",
       s"$dir/embeddings.parquet", nBits.toString)
-    if (!IndexStore.exists(spark, s"$path/_SUCCESS")) {
+    // staged under path.tmp-*, committed by one atomic rename — racing
+    // sessions can't interleave a reader with a half-written index
+    IndexStore.publish(spark, path) { tmp =>
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
         .join(assignBuckets(spark, dir, nBits), "vec_id")
@@ -118,7 +135,7 @@ object Lsh {
         // dir, so probe-time partition discovery lists 2^nBits files,
         // not 2^nBits × shuffle-partitions
         .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     }
     IndexStore.open(spark, path)
   }
@@ -134,6 +151,7 @@ object Lsh {
     * probed partitions. No corpus-wide work happens per query.
     */
   def lshTopK(spark: SparkSession, dir: String, queryId: Long, nBits: Int, k: Int): DataFrame = {
+    requireBucketBits(nBits)
     val idx = ensureIndex(spark, dir, nBits)
     val qv = Tables.embeddings(spark, dir).where(col("vec_id") === queryId)
       .select(col("embedding")).collect().headOption

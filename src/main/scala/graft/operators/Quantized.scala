@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
@@ -42,25 +42,49 @@ object Quantized {
         col("mn"), col("mx"))
   }
 
+  /** Build-once SQ8 artifact: the coded corpus persisted under
+    * [[graft.sources.IndexStore]] (fingerprint-addressed like the
+    * IVF/LSH/PQ indexes) as two tables — `codes` (vec_id,
+    * array<smallint>) and `stats` (the global mn/mx, one row). The
+    * full-float corpus is scanned ONCE per corpus fingerprint (the
+    * min/max aggregate + the quantize pass); every later query reads
+    * only the small-int codes — the 4× bytes-read reduction that is
+    * SQ8's entire value proposition at 100 TB. Codes are written LAST:
+    * the artifact commits atomically via [[IndexStore.publish]].
+    */
+  def ensureSq8Index(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val path = IndexStore.indexPath(spark, "sq8_v1", s"$dir/embeddings.parquet", "b256")
+    IndexStore.publish(spark, path) { tmp =>
+      val coded = sq8Codes(spark, dir)
+      coded.select(col("mn"), col("mx")).limit(1)
+        .write.mode("overwrite").parquet(s"$tmp/stats")
+      coded
+        .select(col("vec_id"), transform(col("codes"), _.cast("smallint")).as("codes"))
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+    }
+    (IndexStore.open(spark, s"$path/codes"), IndexStore.open(spark, s"$path/stats"))
+  }
+
   /** Top-k by DECODED dot product — FAISS's SQ8 scoring: codes are
     * reconstructed to x̂ᵢ = mn + (cᵢ + 0.5)·(mx − mn)/256 before the
     * dot, because the raw code dot is biased by the affine offset
     * (Σ(a·x+b)(a·q+b) carries per-vector Σx terms — ranking by it has
     * ~0.1 precision against the exact cosine order, measured by
-    * familyEval; decoded scoring is ~1.0). The scan still reads only
-    * the 1-byte codes; decode is arithmetic in the projection.
+    * familyEval; decoded scoring is ~1.0). Codes come from the
+    * persisted [[ensureSq8Index]] artifact, so the per-query scan
+    * reads only the small-int codes (plus the 1-row stats broadcast) —
+    * never the float corpus; decode is arithmetic in the projection.
     */
   def sq8TopK(spark: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
-    val coded = sq8Codes(spark, dir)
-    val qc = coded.where(col("vec_id") === queryId)
-      .select(col("codes").as("qcodes"), col("mn").as("qmn"), col("mx").as("qmx"))
-    val dec = transform(col("codes"),
-      c => col("mn") + (c + lit(0.5)) * ((col("mx") - col("mn")) / lit(256)))
-    val qdec = transform(col("qcodes"),
-      c => col("qmn") + (c + lit(0.5)) * ((col("qmx") - col("qmn")) / lit(256)))
-    coded.where(col("vec_id") =!= queryId)
+    val (codes, stats) = ensureSq8Index(spark, dir)
+    val qc = codes.where(col("vec_id") === queryId).select(col("codes").as("qcodes"))
+    def decode(c: Column): Column = transform(c,
+      x => col("mn") + (x + lit(0.5)) * ((col("mx") - col("mn")) / lit(256)))
+    codes.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(stats))
       .crossJoin(broadcast(qc))
-      .select(col("vec_id"), round(dotd(dec, qdec), 5).as("score_q"))
+      .select(col("vec_id"),
+        round(dotd(decode(col("codes")), decode(col("qcodes"))), 5).as("score_q"))
       .orderBy(col("score_q").desc, col("vec_id"))
       .limit(k)
   }
@@ -154,16 +178,16 @@ object Quantized {
     import spark.implicits._
     val path = IndexStore.indexPath(spark, "pq_v1",
       s"$dir/embeddings.parquet", s"${m}_$kCents")
-    if (!IndexStore.exists(spark, s"$path/codes/_SUCCESS")) {
-      IndexStore.invalidate(spark, s"$path/books")
-      IndexStore.invalidate(spark, s"$path/codes")
+    // staged under path.tmp-*, committed by one atomic rename — racing
+    // sessions can't interleave a reader with a half-written artifact
+    IndexStore.publish(spark, path) { tmp =>
       val books = pqFit(spark, dir, m, kCents)
       books.zipWithIndex.flatMap { case (cents, s) =>
         cents.zipWithIndex.map { case (c, j) => (s, j, c) }
       }.toSeq.toDF("sub", "cent", "centroid")
-        .write.mode("overwrite").parquet(s"$path/books")
+        .write.mode("overwrite").parquet(s"$tmp/books")
       pqEncode(spark, dir, books)
-        .write.mode("overwrite").parquet(s"$path/codes")
+        .write.mode("overwrite").parquet(s"$tmp/codes")
     }
     val books = IndexStore.open(spark, s"$path/books").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))

@@ -50,6 +50,18 @@ object TextRetrieval {
     filter(regexp_extract_all(lower(c), lit("[a-z0-9_]+"), lit(0)),
       t => length(t) >= 2)
 
+  /** Driver-side twin of [[sklearnTokens]] — the raw-text front door's
+    * tokenizer (reference app.py:202 `tfidf_vec.transform([query])`
+    * tokenizes the typed query with the SAME vectorizer as the corpus).
+    * Kept bit-identical to the Column version (same `[a-z0-9_]+` runs +
+    * len≥2 filter, ROOT-locale lowercase) so a query typed as a string
+    * scores exactly like one pre-tokenized by the corpus pipeline — a
+    * caller splitting on whitespace would silently diverge.
+    */
+  def sklearnTokenize(text: String): Seq[String] =
+    "[a-z0-9_]+".r.findAllIn(text.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.length >= 2).toSeq
+
   /** Fit-once/query-many: build the sklearn-style model (smooth idf,
     * raw tf, L2 norm) on first use per corpus fingerprint and persist
     * every table; later calls only open the artifacts.
@@ -64,30 +76,29 @@ object TextRetrieval {
     */
   def ensureModel(spark: SparkSession, dir: String): TfidfModel = {
     val base = IndexStore.indexPath(spark, "tfidf_v1", s"$dir/documents.parquet", "skl")
-    if (!IndexStore.exists(spark, s"$base/norms/_SUCCESS")) {
-      // a retry after a partially failed build must not serve memoized
-      // handles whose cached file listings the overwrite just deleted
-      Seq("tf", "df", "n", "w", "norms")
-        .foreach(t => IndexStore.invalidate(spark, s"$base/$t"))
+    // the whole five-table model is staged under base.tmp-* and
+    // committed by one atomic rename — a racing session either sees no
+    // model (and builds its own staging dir) or a complete one
+    IndexStore.publish(spark, base) { tmp =>
       val docs = Tables.documents(spark, dir)
       docs.repartition(spark.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(sklearnTokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .write.mode("overwrite").parquet(s"$base/tf")
-      val tf = IndexStore.open(spark, s"$base/tf")
+        .write.mode("overwrite").parquet(s"$tmp/tf")
+      val tf = spark.read.parquet(s"$tmp/tf")
       tf.groupBy("term").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$base/df")
+        .write.mode("overwrite").parquet(s"$tmp/df")
       docs.agg(count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(s"$base/n")
+        .write.mode("overwrite").parquet(s"$tmp/n")
       // AQE sees df's runtime size (vocab << corpus) and broadcasts it
-      tf.join(IndexStore.open(spark, s"$base/df"), "term")
-        .crossJoin(broadcast(IndexStore.open(spark, s"$base/n")))
+      tf.join(spark.read.parquet(s"$tmp/df"), "term")
+        .crossJoin(broadcast(spark.read.parquet(s"$tmp/n")))
         .withColumn("w", col("tf") * (log((col("n") + 1) / (col("df") + 1)) + 1))
         .select("doc_id", "term", "w")
-        .write.mode("overwrite").parquet(s"$base/w")
-      IndexStore.open(spark, s"$base/w")
+        .write.mode("overwrite").parquet(s"$tmp/w")
+      spark.read.parquet(s"$tmp/w")
         .groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-        .write.mode("overwrite").parquet(s"$base/norms")
+        .write.mode("overwrite").parquet(s"$tmp/norms")
     }
     TfidfModel(
       IndexStore.open(spark, s"$base/w"),
@@ -143,6 +154,13 @@ object TextRetrieval {
       .limit(k)
   }
 
+  /** Raw-text front door (reference app.py:173
+    * `search_products_vector(query: str)` — the search functions take
+    * the string a user typed): tokenize with the model's own tokenizer
+    * on the driver, then score. */
+  def tfidfTopK(spark: SparkSession, dir: String, query: String, k: Int): DataFrame =
+    tfidfTopK(spark, dir, sklearnTokenize(query), k)
+
   /** Candidate embeddings under an optional metadata filter over the
     * `documents` table (reference app.py:156-164 `candidate_indices()`
     * — brand/rating/review-count become lang/source/n_chars here). The
@@ -167,7 +185,14 @@ object TextRetrieval {
     * alpha·vs + (1-alpha)·minmax(ts), including the max>min guard and
     * the 1e-12 denominator epsilon.
     */
-  private def blend(cand: DataFrame, alpha: Double, k: Int): DataFrame = {
+  private def blend(cand0: DataFrame, alpha: Double, k: Int): DataFrame = {
+    // the blend needs TWO passes over the candidates (global min/max,
+    // then scoring) — localCheckpoint materializes the corpus-scan +
+    // TF-IDF-join subtree ONCE and both passes read the stored rows
+    // (narrow (doc_id, vs, ts) triples). Without it neither exchange
+    // reuse nor anything else stops Spark executing the whole subtree
+    // twice per query (r3 plan audit: 24 parquet scans in hybrid_topk).
+    val cand = cand0.localCheckpoint()
     val stats = cand.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
     cand.crossJoin(broadcast(stats))
       .withColumn("tn", when(col("mx") > col("mn"),
@@ -195,7 +220,17 @@ object TextRetrieval {
     */
   def hybridTopKFree(spark: SparkSession, dir: String, qv: Array[Float],
                      queryTerms: Seq[String], alpha: Double, k: Int,
-                     metaFilter: Option[Column] = None): DataFrame = {
+                     metaFilter: Option[Column] = None): DataFrame =
+    blend(hybridCandidatesFree(spark, dir, qv, queryTerms, metaFilter), alpha, k)
+
+  /** The free-text hybrid's candidate subtree — (doc_id, vs, ts) for
+    * every candidate. Package-visible so plan tests can assert on the
+    * EXACT plan [[blend]]'s checkpoint job executes (the checkpoint
+    * hides it from the returned frame's plan).
+    */
+  private[graft] def hybridCandidatesFree(spark: SparkSession, dir: String, qv: Array[Float],
+                                          queryTerms: Seq[String],
+                                          metaFilter: Option[Column]): DataFrame = {
     val m = ensureModel(spark, dir)
     val (qw, qn) = queryWeights(spark, m, queryTerms)
     val ts = m.w.join(broadcast(qw), "term")
@@ -204,14 +239,23 @@ object TextRetrieval {
       .groupBy(col("doc_id"))
       .agg(sum(col("w") / col("nrm") * col("qw") / col("qn")).as("ts"))
     val qvNorm = math.sqrt(qv.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
-    val cand = candidates(spark, dir, metaFilter)
+    candidates(spark, dir, metaFilter)
       .select(col("vec_id").as("doc_id"),
         (dotd(col("embedding"), typedlit(qv)) /
           (l2norm(col("embedding")) * lit(qvNorm))).as("vs"))
       .join(ts, Seq("doc_id"), "left")
       .withColumn("ts", coalesce(col("ts"), lit(0.0)))
-    blend(cand, alpha, k)
   }
+
+  /** Raw-text hybrid front door: the reference's exact interactive
+    * shape (app.py:190-219 — the user types `query: str`; the model
+    * embeds it, the vectorizer tokenizes it). `qv` stands in for
+    * `model.encode(query)`; tokenization happens here with the model's
+    * own tokenizer instead of leaking that contract to the caller. */
+  def hybridTopKFree(spark: SparkSession, dir: String, qv: Array[Float],
+                     query: String, alpha: Double, k: Int,
+                     metaFilter: Option[Column]): DataFrame =
+    hybridTopKFree(spark, dir, qv, sklearnTokenize(query), alpha, k, metaFilter)
 
   /** Hybrid "more-like-this": query = one document (its embedding for
     * the vector leg, its TF-IDF vector for the keyword leg).
@@ -223,7 +267,14 @@ object TextRetrieval {
     * corpus-side projection runs two VecDots per row.
     */
   def hybridTopK(spark: SparkSession, dir: String, queryDoc: Long, alpha: Double, k: Int,
-                 metaFilter: Option[Column] = None): DataFrame = {
+                 metaFilter: Option[Column] = None): DataFrame =
+    blend(hybridCandidates(spark, dir, queryDoc, metaFilter), alpha, k)
+
+  /** The more-like-this hybrid's candidate subtree — see
+    * [[hybridCandidatesFree]] for why it is package-visible.
+    */
+  private[graft] def hybridCandidates(spark: SparkSession, dir: String, queryDoc: Long,
+                                      metaFilter: Option[Column]): DataFrame = {
     val m = ensureModel(spark, dir)
     val wn = m.w.join(m.norms, "doc_id")
       .select(col("doc_id"), col("term"), (col("w") / col("nrm")).as("wn"))
@@ -233,12 +284,11 @@ object TextRetrieval {
       .groupBy("doc_id").agg(sum(col("wn") * col("qwn")).as("ts"))
     val qe = Tables.embeddings(spark, dir).where(col("vec_id") === queryDoc)
       .select(col("embedding").as("qemb"), l2norm(col("embedding")).as("qn"))
-    val cand = candidates(spark, dir, metaFilter)
+    candidates(spark, dir, metaFilter)
       .where(col("vec_id") =!= queryDoc).crossJoin(broadcast(qe))
       .select(col("vec_id").as("doc_id"),
         (dotd(col("embedding"), col("qemb")) / (l2norm(col("embedding")) * col("qn"))).as("vs"))
       .join(tscore, Seq("doc_id"), "left")
       .withColumn("ts", coalesce(col("ts"), lit(0.0)))
-    blend(cand, alpha, k)
   }
 }

@@ -38,22 +38,52 @@ object IndexStore {
     * metadata calls, no data scan — the same trade Spark's own
     * relation cache makes. Good enough to catch regeneration; cheap
     * enough to run on every ensureIndex call.
+    *
+    * The listing is RECURSIVE (leaf files, not directory entries):
+    * a partitioned source keeps its top-level directory statuses
+    * stable while leaf files churn — and on object stores "directory"
+    * entries carry no meaningful length/mtime at all — so a one-level
+    * listing could serve a stale index after a partition rewrite.
     */
   def fingerprint(spark: SparkSession, table: String): String = {
     val p = new Path(table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries = (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-                   else Seq(fs.getFileStatus(p)))
-      .map(s => s"${s.getPath}|${s.getLen}|${s.getModificationTime}")
-      .sorted
+    val st = fs.getFileStatus(p)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (st.isDirectory) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val s = it.next()
+        entries += s"${s.getPath}|${s.getLen}|${s.getModificationTime}"
+      }
+    } else entries += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(entries.mkString("\n").getBytes("UTF-8"))
+    md.digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
   }
 
   /** Canonical artifact path: root/kind_fingerprint_params. */
   def indexPath(spark: SparkSession, kind: String, table: String, params: String): String =
     s"${root(spark)}/${kind}_${fingerprint(spark, table)}_$params"
+
+  /** Atomic build-once publication: `build` writes the whole artifact
+    * (every sub-table) under a private `<path>.tmp-*` staging dir, then
+    * ONE FileSystem.rename moves it to `path`. Rename is atomic within
+    * a directory on HDFS and file: and refuses an existing destination,
+    * so of two sessions racing the first build exactly one commits; the
+    * loser deletes its staging dir and reads the winner's artifact.
+    * Existence of `path` therefore implies a COMPLETE artifact — a
+    * reader can never observe the overwrite-in-place interleaving
+    * (half-written sub-tables) the per-sub-dir _SUCCESS probes allowed.
+    */
+  def publish(spark: SparkSession, path: String)(build: String => Unit): Unit = {
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst)) return
+    val tmp = new Path(s"$path.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    build(tmp.toString)
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // lost the race; winner is complete
+  }
 
   private val loaded =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -71,7 +101,16 @@ object IndexStore {
     // evict entries of stopped sessions so session churn can't leak
     val it = loaded.keySet.iterator()
     while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-    loaded.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
+    // get-then-putIfAbsent, not computeIfAbsent: partition discovery
+    // does driver-side I/O that must not run under the map's bin lock
+    val key = (spark, path)
+    val hit = loaded.get(key)
+    if (hit != null) hit
+    else {
+      val df = spark.read.parquet(path)
+      val raced = loaded.putIfAbsent(key, df)
+      if (raced != null) raced else df
+    }
   }
 
   /** Drop a memoized artifact (call after appending to its path —

@@ -27,11 +27,16 @@ object VectorServing {
     * ranking needs). Candidates come from a stream-static equi-join on
     * `bucket`; ranking reuses [[TopK.TopKAgg]] — bounded partial
     * aggregation, legal in streaming where a rank window is not.
-    * Single-bucket probe (no hamming≤1 multi-probe): one row can't
-    * carry its neighbors without an explode — trade recall for a
-    * 1/2^nBits batch cost; lower nBits if recall matters more.
+    * MULTI-probe like the batch path ([[Lsh.lshTopK]]): each event
+    * explodes into its own bucket plus every hamming≤1 neighbor
+    * (nBits+1 probe rows — stream-side only, the corpus does no extra
+    * work), so recall matches the batch search. No candidate dedup is
+    * needed before the heap: a corpus vector lives in exactly ONE
+    * bucket and the probe ids are distinct, so a (query, candidate)
+    * pair joins at most once.
     */
   def streamingLshTopK(queries: DataFrame, index: DataFrame, nBits: Int, k: Int): DataFrame = {
+    Lsh.requireBucketBits(nBits)
     val spark = queries.sparkSession
     import spark.implicits._
     val dim = index.select(size(col("embedding"))).head.getInt(0)
@@ -44,8 +49,14 @@ object VectorServing {
       val d = dotd(col("qv"), typedlit(p))
       when(d >= 0, lit(1L << j)).when(d < 0, lit(0L))
     }.reduce(_ + _)
-    val q = queries.select(col("q_id"), col("qv"),
-      l2norm(col("qv")).as("qn"), bucket.as("bucket"))
+    val q0 = queries.select(col("q_id"), col("qv"),
+      l2norm(col("qv")).as("qn"), bucket.as("b0"))
+    // a null b0 (dimension mismatch) explodes into all-null probe rows
+    // that never join — same drop-the-event semantics as single-probe
+    val probes = array(col("b0") +:
+      (0 until nBits).map(j => col("b0").bitwiseXOR(lit(1L << j))): _*)
+    val q = q0.select(col("q_id"), col("qv"), col("qn"),
+      explode(probes).as("bucket"))
     q.join(index.select(col("vec_id"), col("embedding"), col("nrm"),
         col("bucket").cast("long").as("bucket")), "bucket")
       .select(col("q_id"), col("vec_id").as("n_id"),

@@ -122,10 +122,55 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sq8 search scans the persisted codes artifact, never the float corpus") {
+    val df = Quantized.sq8TopK(spark, TestSpark.sf, 0, 10)
+    val p = plan(df)
+    // the per-query scan reads the small-int codes tables under the
+    // sq8_v1_* artifact; the full-float corpus is only ever read by the
+    // one-time ensureSq8Index build (a separate, earlier execution)
+    assert(p.contains("sq8_v1"), "search must read the persisted artifact:\n" + p.take(1200))
+    assert(p.contains("codes"), p.take(1200))
+    assert(!p.contains("embeddings.parquet"),
+      "per-query plan must not rescan the float corpus:\n" + p.take(1500))
+    // and the artifact landed under the index root (build-once evidence)
+    val rootDir = new java.io.File(graft.sources.IndexStore.root(spark))
+    assert(rootDir.listFiles.exists(_.getName.startsWith("sq8_v1")),
+      rootDir.listFiles.map(_.getName).mkString(","))
+  }
+
+  test("hybrid blend materializes the candidate subtree once (no double corpus scan)") {
+    val df = graft.operators.TextRetrieval.hybridTopK(spark, TestSpark.sf,
+      queryDoc = 0, alpha = 0.7, k = 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // both blend passes (min/max stats + scoring) read the checkpointed
+    // candidate rows: the executed plan holds ZERO parquet scans of the
+    // corpus — the single corpus scan ran inside the checkpoint job
+    assert(!p.contains("embeddings.parquet"),
+      "blend must not re-execute the candidate subtree:\n" + p.take(1500))
+    assert(!p.contains("documents.parquet"), p.take(1500))
+    assert(p.contains("ExistingRDD"), "candidates must come from the checkpoint:\n" + p.take(800))
+  }
+
+  test("batch IVF search partition-prunes the index scan to the probed cells") {
+    val (cells, cents) = Ivf.ensureIndex(spark, TestSpark.sf, nCells = 16)
+    import org.apache.spark.sql.functions.col
+    val queries = cells.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val p = plan(Ivf.search(cells, cents, queries, nprobe = 4, k = 10))
+    // a batch's probed-cell union can exceed the 10-value In→InSet
+    // conversion threshold — both render a literal partition filter
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*(IN \\(|INSET )".r.findFirstIn(p).isDefined,
+      "batch probe must carry literal cell-id partition filters:\n" + p.take(1500))
+  }
+
   test("filtered hybrid search pushes the metadata filters into the documents scan") {
     import org.apache.spark.sql.functions.col
-    val df = graft.operators.TextRetrieval.hybridTopK(spark, TestSpark.sf,
-      queryDoc = 0, alpha = 0.7, k = 10,
+    // assert on the candidate subtree — the exact plan blend()'s
+    // checkpoint job executes (the checkpoint hides it from the
+    // returned frame's plan)
+    val df = graft.operators.TextRetrieval.hybridCandidates(spark, TestSpark.sf,
+      queryDoc = 0,
       metaFilter = Some(col("lang") === "en" && col("n_chars") >= 200L))
     val p = plan(df)
     assert(p.contains("EqualTo(lang,en)"), p.take(1200))

@@ -72,6 +72,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("racing first-builds publish exactly one complete index (atomic rename)") {
+    import graft.operators.Lsh
+    import graft.sources.IndexStore
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tmpRoot = Files.createTempDirectory("graft-race").toString
+    val prev = spark.conf.get("spark.graft.index.root", "target/graft-index")
+    spark.conf.set("spark.graft.index.root", tmpRoot)
+    try {
+      val builds = Seq.fill(2)(Future {
+        Lsh.ensureIndex(spark, TestSpark.sf, nBits = 8).count()
+      })
+      val counts = Await.result(Future.sequence(builds), 5.minutes)
+      val n = Tables.embeddings(spark, TestSpark.sf).count()
+      // both racers read a COMPLETE artifact (full corpus, never a
+      // half-written overwrite)
+      assert(counts == Seq(n, n), counts.toString)
+      val entries = new java.io.File(tmpRoot).listFiles.map(_.getName).toSeq
+      assert(entries.count(_.startsWith("lsh_v1")) == 1, entries.mkString(","))
+      assert(!entries.exists(_.contains(".tmp-")),
+        s"loser's staging dir must be cleaned up: $entries")
+      IndexStore.invalidate(spark,
+        entries.find(_.startsWith("lsh_v1")).map(e => s"$tmpRoot/$e").get)
+    } finally spark.conf.set("spark.graft.index.root", prev)
+  }
+
   test("vec_dot is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     Tables.embeddings(spark, TestSpark.sf).createOrReplaceTempView("emb")

@@ -91,19 +91,31 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => QueryVec(r.getLong(0), r.getSeq[Float](1).toArray))
     val stream = MemoryStream[QueryVec]
-    val q = VectorServing.streamingLshTopK(stream.toDF(), index, nBits = 8, k = 5)
+    // k=6: the stream includes the query's own corpus row, lshTopK
+    // excludes it — one extra slot keeps the candidate sets comparable
+    val q = VectorServing.streamingLshTopK(stream.toDF(), index, nBits = 8, k = 6)
       .writeStream.format("memory").queryName("vserve").outputMode("complete").start()
     try {
       stream.addData(qvecs.toIndexedSeq: _*)
       q.processAllAvailable()
       val got = spark.table("vserve").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
-      val batch = VectorServing.streamingLshTopK(qvecs.toSeq.toDF(), index, nBits = 8, k = 5)
+      val batch = VectorServing.streamingLshTopK(qvecs.toSeq.toDF(), index, nBits = 8, k = 6)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
       assert(got == batch)
       // each query's own vector is in the corpus → top-1 is itself at 1.0
       assert(Set(0L, 7L, 42L).forall(id => got.contains((id, id, 1.0, 1L))))
+      // multi-probe parity with the BATCH search: after dropping the
+      // self-hit, the stream's ranking equals Lsh.lshTopK (which probes
+      // the same hamming≤1 bucket set and excludes the query row)
+      for (qid <- Seq(0L, 7L, 42L)) {
+        val streamed = got.toSeq.filter(r => r._1 == qid && r._2 != qid)
+          .sortBy(r => (-r._3, r._2)).map(r => (r._2, r._3))
+        val batchTopK = graft.operators.Lsh.lshTopK(spark, TestSpark.sf, qid, nBits = 8, k = 5)
+          .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+        assert(streamed == batchTopK, s"q=$qid streamed=$streamed batch=$batchTopK")
+      }
     } finally q.stop()
   }
 

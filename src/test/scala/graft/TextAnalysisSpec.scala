@@ -33,6 +33,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(q.getDouble(0) > 0.0 && q.getDouble(1) <= 1.0)
   }
 
+  test("driver-side sklearnTokenize matches the Column tokenizer on the whole corpus") {
+    val rows = Tables.documents(spark, TestSpark.sf)
+      .select(col("text"), TextRetrieval.sklearnTokens(col("text")).as("toks"))
+      .collect()
+    rows.foreach { r =>
+      assert(TextRetrieval.sklearnTokenize(r.getString(0)) == r.getSeq[String](1),
+        r.getString(0).take(80))
+    }
+    // and punctuation/case/1-char-token handling on a crafted string
+    assert(TextRetrieval.sklearnTokenize("Spark JOIN, vector-search! a b2 _x") ==
+      Seq("spark", "join", "vector", "search", "b2", "_x"))
+  }
+
+  test("raw-text tfidf front door equals the pre-tokenized path") {
+    val viaText = TextRetrieval.tfidfTopK(spark, TestSpark.sf, "Spark, JOIN vector!", 10)
+      .collect().map(_.toSeq).toSeq
+    val viaTokens = TextRetrieval.tfidfTopK(spark, TestSpark.sf, Seq("spark", "join", "vector"), 10)
+      .collect().map(_.toSeq).toSeq
+    assert(viaText == viaTokens)
+  }
+
   test("tfidf search ranks docs containing all query terms first") {
     val top = TextRetrieval.tfidfTopK(spark, TestSpark.sf, Seq("spark", "join", "vector"), 10)
     assert(top.count() == 10)
