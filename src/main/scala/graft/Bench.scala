@@ -29,6 +29,34 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    // bench hygiene: this host is a shared VM whose identical-run totals
+    // vary several-fold (documented in BASELINE.md), so any single raw
+    // timing can be noise. Re-time every over-budget query with two
+    // extra warm reps and report the per-query MINIMUM under "retimed"
+    // — a reader can then separate host noise (retimed under budget)
+    // from a real regression (retimed still over) without a second run.
+    val budgets: Map[String, Double] = {
+      val f = new java.io.File("BASELINE.md")
+      if (!f.exists) Map.empty
+      else {
+        val re = """\|\s*`([a-z0-9_]+)`\s*\|\s*[0-9.]+\s*\|\s*([0-9.]+)\s*\|""".r
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().collect { case re(name, budget) => name -> budget.toDouble }.toMap
+        finally src.close()
+      }
+    }
+    val retimed = results.collect {
+      case (name, t, None) if budgets.get(name).exists(t > _) =>
+        val extra = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> (t +: extra).min
+    }
+    val rt = retimed.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // strip control chars too (Spark messages embed newlines/tabs) —
@@ -38,7 +66,7 @@ object Bench {
         .replaceAll("[\\x00-\\x1f]", " ") + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retimed":$rt,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

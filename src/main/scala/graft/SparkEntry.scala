@@ -228,6 +228,8 @@ object SparkEntry {
          |SELECT q_id, n_id, score,
          |       row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
          |FROM s QUALIFY rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // the decoded dot folded into exact-integer aggregates — the SAME
+    // expression dag as sq8TopK (C/Q/P/d exact in double → bit-parity)
     "ann_sq8_topk" ->
       """WITH ed AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |st AS (SELECT min(list_min(emb)) AS mn, max(list_max(emb)) AS mx FROM ed),
@@ -237,12 +239,16 @@ object SparkEntry {
         |                   ELSE 0.0 END) AS codes,
         |                 st.mn AS mn, st.mx AS mx
         |          FROM ed, st),
-        |dec AS (SELECT vec_id,
-        |               list_transform(codes, c -> mn + (c + 0.5) * ((mx - mn) / 256)) AS d
+        |agg AS (SELECT vec_id, codes, list_sum(codes) AS csum, mn, mx,
+        |               (mx - mn) / 256 AS s, len(codes) AS d
         |        FROM coded),
-        |q AS (SELECT d AS qd FROM dec WHERE vec_id = 0)
-        |SELECT c.vec_id, round(list_dot_product(c.d, q.qd), 5) AS score_q
-        |FROM dec c, q WHERE c.vec_id <> 0
+        |q AS (SELECT codes AS qcodes, csum AS qsum FROM agg WHERE vec_id = 0)
+        |SELECT c.vec_id,
+        |       round(c.d * c.mn * c.mn
+        |             + c.mn * c.s * (c.csum + q.qsum + c.d)
+        |             + c.s * c.s * (list_dot_product(c.codes, q.qcodes)
+        |                            + 0.5 * c.csum + 0.5 * q.qsum + 0.25 * c.d), 5) AS score_q
+        |FROM agg c, q WHERE c.vec_id <> 0
         |ORDER BY score_q DESC, c.vec_id LIMIT 10""".stripMargin,
     "embed_project" -> {
       val planes = graft.operators.Lsh.hyperplaneArrays(8, 64)

@@ -45,46 +45,64 @@ object Quantized {
   /** Build-once SQ8 artifact: the coded corpus persisted under
     * [[graft.sources.IndexStore]] (fingerprint-addressed like the
     * IVF/LSH/PQ indexes) as two tables — `codes` (vec_id,
-    * array<smallint>) and `stats` (the global mn/mx, one row). The
-    * full-float corpus is scanned ONCE per corpus fingerprint (the
-    * min/max aggregate + the quantize pass); every later query reads
-    * only the small-int codes — the 4× bytes-read reduction that is
-    * SQ8's entire value proposition at 100 TB. Codes are written LAST:
-    * the artifact commits atomically via [[IndexStore.publish]].
+    * array<smallint>, csum) and `stats` (the global mn/mx, one row).
+    * `csum` = Σcᵢ, precomputed at build so query-time scoring needs no
+    * per-row array aggregation. The full-float corpus is scanned ONCE
+    * per corpus fingerprint; every later query reads only the
+    * small-int codes — the 4× bytes-read reduction that is SQ8's
+    * entire value proposition at 100 TB. The artifact commits
+    * atomically via [[IndexStore.publish]].
     */
   def ensureSq8Index(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val path = IndexStore.indexPath(spark, "sq8_v1", s"$dir/embeddings.parquet", "b256")
+    val path = IndexStore.indexPath(spark, "sq8_v2", s"$dir/embeddings.parquet", "b256")
     IndexStore.publish(spark, path) { tmp =>
       val coded = sq8Codes(spark, dir)
       coded.select(col("mn"), col("mx")).limit(1)
         .write.mode("overwrite").parquet(s"$tmp/stats")
       coded
-        .select(col("vec_id"), transform(col("codes"), _.cast("smallint")).as("codes"))
+        .select(col("vec_id"), transform(col("codes"), _.cast("smallint")).as("codes"),
+          aggregate(col("codes"), lit(0.0), (a, x) => a + x).as("csum"))
         .write.mode("overwrite").parquet(s"$tmp/codes")
     }
     (IndexStore.open(spark, s"$path/codes"), IndexStore.open(spark, s"$path/stats"))
   }
 
-  /** Top-k by DECODED dot product — FAISS's SQ8 scoring: codes are
-    * reconstructed to x̂ᵢ = mn + (cᵢ + 0.5)·(mx − mn)/256 before the
-    * dot, because the raw code dot is biased by the affine offset
-    * (Σ(a·x+b)(a·q+b) carries per-vector Σx terms — ranking by it has
-    * ~0.1 precision against the exact cosine order, measured by
-    * familyEval; decoded scoring is ~1.0). Codes come from the
-    * persisted [[ensureSq8Index]] artifact, so the per-query scan
-    * reads only the small-int codes (plus the 1-row stats broadcast) —
-    * never the float corpus; decode is arithmetic in the projection.
+  /** Top-k by DECODED dot product — FAISS's SQ8 scoring: codes decode
+    * to x̂ᵢ = mn + (cᵢ + 0.5)·s with s = (mx − mn)/256 (the raw code
+    * dot is biased by the affine offset — ranking by it has ~0.1
+    * precision against the exact cosine order, measured by familyEval;
+    * decoded scoring is ~1.0). The decode is folded into the dot
+    * ALGEBRAICALLY so the hot path stays in whole-stage codegen
+    * (`transform`-based per-element decode is CodegenFallback):
+    *
+    *   Σ x̂ᵢq̂ᵢ = d·mn² + mn·s·(C + Q + d) + s²·(P + ½C + ½Q + ¼d)
+    *
+    * with C = Σcᵢ (persisted), Q = Σqᵢ, P = Σcᵢqᵢ, d = dim. C, Q, P, d
+    * are EXACT integers in double, so the oracle computing the same
+    * expression dag is bit-identical. Per corpus row: one codegen
+    * VecDot over the cast codes plus scalar arithmetic — no array
+    * materialization, no interpreted projection. Query stats and codes
+    * ride as plan literals (driver-collected, bounded: dim ints + 2
+    * doubles), mirroring [[graft.operators.Lsh.lshTopK]]'s probe
+    * planning.
     */
   def sq8TopK(spark: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
     val (codes, stats) = ensureSq8Index(spark, dir)
-    val qc = codes.where(col("vec_id") === queryId).select(col("codes").as("qcodes"))
-    def decode(c: Column): Column = transform(c,
-      x => col("mn") + (x + lit(0.5)) * ((col("mx") - col("mn")) / lit(256)))
+    val st = stats.head
+    val (mn, mx) = (st.getDouble(0), st.getDouble(1))
+    val s = (mx - mn) / 256
+    val q = codes.where(col("vec_id") === queryId)
+      .select(col("codes").cast("array<double>"), col("csum")).head
+    val qd = q.getSeq[Double](0).toArray
+    val qsum = q.getDouble(1)
+    val dim = qd.length
+    val p = dotd(col("codes").cast("array<double>"), typedlit(qd))
     codes.where(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(stats))
-      .crossJoin(broadcast(qc))
       .select(col("vec_id"),
-        round(dotd(decode(col("codes")), decode(col("qcodes"))), 5).as("score_q"))
+        round(lit(dim) * lit(mn) * lit(mn)
+          + lit(mn) * lit(s) * (col("csum") + lit(qsum) + lit(dim))
+          + lit(s) * lit(s) * (p + lit(0.5) * col("csum") + lit(0.5) * lit(qsum)
+            + lit(0.25) * lit(dim)), 5).as("score_q"))
       .orderBy(col("score_q").desc, col("vec_id"))
       .limit(k)
   }

@@ -126,15 +126,19 @@ class PlanSpec extends AnyFunSuite {
     val df = Quantized.sq8TopK(spark, TestSpark.sf, 0, 10)
     val p = plan(df)
     // the per-query scan reads the small-int codes tables under the
-    // sq8_v1_* artifact; the full-float corpus is only ever read by the
+    // sq8_v2_* artifact; the full-float corpus is only ever read by the
     // one-time ensureSq8Index build (a separate, earlier execution)
-    assert(p.contains("sq8_v1"), "search must read the persisted artifact:\n" + p.take(1200))
+    assert(p.contains("sq8_v2"), "search must read the persisted artifact:\n" + p.take(1200))
     assert(p.contains("codes"), p.take(1200))
+    // decode is folded into scalar algebra around one VecDot — the
+    // scoring projection stays codegen (no transform() fallback)
+    assert(p.contains("vecdot"), p.take(1200))
+    assert(!p.contains("transform("), "no interpreted per-element decode:\n" + p.take(1200))
     assert(!p.contains("embeddings.parquet"),
       "per-query plan must not rescan the float corpus:\n" + p.take(1500))
     // and the artifact landed under the index root (build-once evidence)
     val rootDir = new java.io.File(graft.sources.IndexStore.root(spark))
-    assert(rootDir.listFiles.exists(_.getName.startsWith("sq8_v1")),
+    assert(rootDir.listFiles.exists(_.getName.startsWith("sq8_v2")),
       rootDir.listFiles.map(_.getName).mkString(","))
   }
 
