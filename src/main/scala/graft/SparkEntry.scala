@@ -36,6 +36,7 @@ object SparkEntry {
     "embed_project" -> ((s, d) => Quantized.randomProject(s, d)),
     "ann_pq_topk" -> ((s, d) => Quantized.pqTopK(s, d, queryId = 0, k = 10)),
     "ann_ivf_topk" -> ((s, d) => Ivf.ivfTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
+    "ann_ivfpq_topk" -> ((s, d) => Quantized.ivfPqTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
     "ann_lsh_topk" -> ((s, d) => Lsh.lshTopK(s, d, queryId = 0, nBits = 8, k = 10)),
     "ann_recall_eval" -> ((s, d) => Ivf.recallEval(s, d, nCells = 16, queryMod = 100, k = 10, nprobes = Seq(1, 2, 4))),
     // queryMod 500: the per-family loop times interactive single-query
@@ -53,6 +54,10 @@ object SparkEntry {
     "hybrid_topk" -> ((s, d) => TextRetrieval.hybridTopK(s, d, queryDoc = 0, alpha = 0.7, k = 10)),
     "hybrid_topk_free" -> ((s, d) => TextRetrieval.hybridTopKFree(s, d, demoQueryVec,
       Seq("spark", "join", "vector"), alpha = 0.7, k = 10)),
+    // the reference's ACTUAL interactive entry: raw typed string in,
+    // engine-side tokenization (oracle re-tokenizes independently)
+    "hybrid_topk_text" -> ((s, d) => TextRetrieval.hybridTopKFree(s, d, demoQueryVec,
+      "Spark JOIN, vector-search! spark", alpha = 0.7, k = 10, metaFilter = None)),
     "hybrid_filtered" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       TextRetrieval.hybridTopK(s, d, queryDoc = 0, alpha = 0.7, k = 10,
@@ -164,6 +169,26 @@ object SparkEntry {
     "hybrid_topk_free" ->
       s"""WITH $tfidfCtes,
          |q AS (SELECT term FROM (VALUES ('spark'), ('join'), ('vector')) t(term)),
+         |qw AS (SELECT q.term, ln((nn.n + 1) / (dfv.df + 1)) + 1 AS qw FROM q JOIN dfv USING (term), nn),
+         |qn AS (SELECT sqrt(sum(qw * qw)) AS qn FROM qw),
+         |ts AS (SELECT w.doc_id, sum(w.w / nrm.nrm * qw.qw / qn.qn) AS ts
+         |       FROM w JOIN qw USING (term) JOIN nrm USING (doc_id), qn GROUP BY 1),
+         |qv AS (SELECT $qvSqlList::DOUBLE[] AS qv),
+         |cand AS (SELECT e.vec_id AS doc_id, ${cosRaw("e.embedding", "qv.qv")} AS vs,
+         |                coalesce(ts.ts, 0.0) AS ts
+         |         FROM embeddings e CROSS JOIN qv LEFT JOIN ts ON ts.doc_id = e.vec_id),
+         |st AS (SELECT min(ts) AS mn, max(ts) AS mx FROM cand),
+         |f AS (SELECT doc_id, vs,
+         |             CASE WHEN st.mx > st.mn THEN (ts - st.mn) / (st.mx - st.mn + 1e-12) ELSE ts END AS tn
+         |      FROM cand, st)
+         |SELECT doc_id, round(vs * 0.7 + tn * (1 - 0.7), 5) AS hybrid_score,
+         |       round(vs, 5) AS vector_score, round(tn, 5) AS tfidf_score
+         |FROM f ORDER BY hybrid_score DESC, doc_id LIMIT 10""".stripMargin,
+    // raw-text hybrid: the oracle tokenizes the string itself (DuckDB
+    // regexp), so engine-side tokenizer drift breaks the hash-match
+    "hybrid_topk_text" ->
+      s"""WITH $tfidfCtes,
+         |q AS (SELECT DISTINCT unnest(list_filter(regexp_extract_all(lower('Spark JOIN, vector-search! spark'), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term),
          |qw AS (SELECT q.term, ln((nn.n + 1) / (dfv.df + 1)) + 1 AS qw FROM q JOIN dfv USING (term), nn),
          |qn AS (SELECT sqrt(sum(qw * qw)) AS qn FROM qw),
          |ts AS (SELECT w.doc_id, sum(w.w / nrm.nrm * qw.qw / qn.qn) AS ts

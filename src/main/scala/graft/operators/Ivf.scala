@@ -198,7 +198,7 @@ object Ivf {
     * driver-side probe planning (ties broken on cell id, matching
     * [[search]]'s (cdist DESC, cell) order).
     */
-  private def rankCells(centroids: DataFrame, qv: Array[Float]): Seq[Int] = {
+  private[operators] def rankCells(centroids: DataFrame, qv: Array[Float]): Seq[Int] = {
     val qn = math.sqrt(qv.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
     centroids.collect().map { r =>
       val c = r.getSeq[Double](1)

@@ -226,12 +226,23 @@ object Quantized {
   def pqTopK(spark: SparkSession, dir: String, queryId: Long, k: Int,
              m: Int = 8, kCents: Int = 16): DataFrame = {
     val (codes, codebooks) = ensurePqIndex(spark, dir, m, kCents)
+    val adc = adcColumn(codebooks, queryVec(spark, dir, queryId))
+    codes
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(adc, 5).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** The ADC scoring column for one query against the codebooks: the
+    * per-subspace ‖q_sub − centroid‖² lookup tables fold on the driver
+    * (m·kCents·sub scalar ops) and ship as plan literals; scoring a
+    * row is m native element_at lookups + adds — whole-stage codegen,
+    * no per-row array math.
+    */
+  private def adcColumn(codebooks: Array[Array[Array[Double]]], qv: Array[Double]): Column = {
+    val m = codebooks.length
     val sub = codebooks.head.head.length
-    val qv = Tables.embeddings(spark, dir).where(col("vec_id") === queryId)
-      .select(col("embedding")).collect().headOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"query vector $queryId not found in $dir/embeddings.parquet"))
-      .getSeq[Float](0).map(_.toDouble).toArray
     val lut = Array.tabulate(m) { s =>
       codebooks(s).map { c =>
         var d = 0.0; var i = 0
@@ -239,11 +250,70 @@ object Quantized {
         d
       }
     }
-    val adc = (0 until m).map(s =>
+    (0 until m).map(s =>
       element_at(typedlit(lut(s)), element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
-    codes
+  }
+
+  private def queryVec(spark: SparkSession, dir: String, queryId: Long): Array[Double] =
+    Tables.embeddings(spark, dir).where(col("vec_id") === queryId)
+      .select(col("embedding")).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"query vector $queryId not found in $dir/embeddings.parquet"))
+      .getSeq[Float](0).map(_.toDouble).toArray
+
+  /** Build-once IVF+PQ composite index — the Spark analog of FAISS
+    * IndexIVFPQ, the index family's billion-scale workhorse: the PQ
+    * codes stored INSIDE the cell-partitioned layout, so one artifact
+    * serves both the coarse probe (partition pruning on `cell`) and
+    * the fine ranking (m-byte ADC codes). Rows carry ONLY (vec_id,
+    * codes): a probed partition reads m bytes a row — the dim·4/m
+    * reduction compounded with the nprobe/nCells scan cut.
+    *
+    * NON-RESIDUAL encoding (FAISS's by_residual=false): codes quantize
+    * raw vectors against the GLOBAL codebooks, not per-cell residuals
+    * — so the codebooks stay cell-independent, cells can be re-fit
+    * without re-encoding, and a full probe ranks EXACTLY like flat
+    * PQ/ADC (the equality contract VectorSearchSpec asserts). Residual
+    * encoding buys finer quantization at the cost of coupling every
+    * code to its cell's centroid; at that point incremental cell
+    * maintenance ([[Ivf.appendToIndex]]) forces a re-encode.
+    */
+  def ensureIvfPqIndex(spark: SparkSession, dir: String, nCells: Int,
+                       m: Int, kCents: Int): DataFrame = {
+    val path = IndexStore.indexPath(spark, "ivfpq_v1",
+      s"$dir/embeddings.parquet", s"${nCells}_${m}_$kCents")
+    IndexStore.publish(spark, path) { tmp =>
+      val (assigned, _) = Ivf.ensureIndex(spark, dir, nCells)
+      val (codes, _) = ensurePqIndex(spark, dir, m, kCents)
+      // one build-time shuffle marries the two persisted artifacts;
+      // queries never pay it again
+      codes.join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    }
+    IndexStore.open(spark, path)
+  }
+
+  /** IVFPQ search: driver-side probe planning exactly like
+    * [[Ivf.ivfTopK]] (rank nCells centroids against the query, emit
+    * LITERAL probed-cell ids → Catalyst prunes the partitioned scan),
+    * then ADC ranking exactly like [[pqTopK]] (driver LUT as plan
+    * literals, m element_at lookups per row). Per query the cluster
+    * touches nprobe/nCells of an m-bytes-per-row index and runs zero
+    * corpus dot products.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, queryId: Long, nCells: Int,
+                nprobe: Int, k: Int, m: Int = 8, kCents: Int = 16): DataFrame = {
+    val (_, centroids) = Ivf.ensureIndex(spark, dir, nCells)
+    val (_, codebooks) = ensurePqIndex(spark, dir, m, kCents)
+    val idx = ensureIvfPqIndex(spark, dir, nCells, m, kCents)
+    val qv = queryVec(spark, dir, queryId)
+    val probed = Ivf.rankCells(centroids, qv.map(_.toFloat)).take(nprobe)
+    val adc = adcColumn(codebooks, qv)
+    idx.where(col("cell").isin(probed: _*))
       .where(col("vec_id") =!= queryId)
-      .select(col("vec_id"), round(adc, 5).as("adc_dist"))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        round(adc, 5).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(k)
   }

@@ -68,21 +68,31 @@ object IndexStore {
 
   /** Atomic build-once publication: `build` writes the whole artifact
     * (every sub-table) under a private `<path>.tmp-*` staging dir, then
-    * ONE FileSystem.rename moves it to `path`. Rename is atomic within
-    * a directory on HDFS and file: and refuses an existing destination,
-    * so of two sessions racing the first build exactly one commits; the
-    * loser deletes its staging dir and reads the winner's artifact.
-    * Existence of `path` therefore implies a COMPLETE artifact — a
-    * reader can never observe the overwrite-in-place interleaving
-    * (half-written sub-tables) the per-sub-dir _SUCCESS probes allowed.
+    * ONE rename moves it to `path`. The rename goes through
+    * FileContext, whose no-OVERWRITE contract REFUSES an existing
+    * destination — FileSystem.rename instead "helpfully" moves the
+    * source INSIDE an existing destination directory, which would drop
+    * the loser's staging dir into the winner's artifact and corrupt
+    * partition discovery for every concurrent reader. Of two sessions
+    * racing the first build exactly one commits; the loser deletes its
+    * staging dir and reads the winner's artifact. Existence of `path`
+    * therefore implies a COMPLETE artifact — a reader can never observe
+    * the overwrite-in-place interleaving (half-written sub-tables) the
+    * per-sub-dir _SUCCESS probes allowed.
     */
   def publish(spark: SparkSession, path: String)(build: String => Unit): Unit = {
-    val dst = new Path(path)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val dst = fs.makeQualified(new Path(path))
     if (fs.exists(dst)) return
-    val tmp = new Path(s"$path.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val tmp = fs.makeQualified(
+      new Path(s"$path.tmp-${java.util.UUID.randomUUID.toString.take(8)}"))
     build(tmp.toString)
-    if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // lost the race; winner is complete
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+    try fc.rename(tmp, dst)
+    catch { // lost the race (dst exists / concurrent rename): winner is complete
+      case _: java.io.IOException => fs.delete(tmp, true)
+    }
   }
 
   private val loaded =

@@ -156,6 +156,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD"), "candidates must come from the checkpoint:\n" + p.take(800))
   }
 
+  test("ivfpq probe partition-prunes the composite index and reads only the codes") {
+    val df = Quantized.ivfPqTopK(spark, TestSpark.sf, queryId = 0,
+      nCells = 16, nprobe = 4, k = 10)
+    val p = plan(df)
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*(IN \\(|INSET )".r.findFirstIn(p).isDefined,
+      "probe scan must carry literal cell-id partition filters:\n" + p.take(1500))
+    // the composite index scan reads m-byte codes, never embeddings
+    assert(p.contains("ivfpq_v1"), p.take(1200))
+    assert(!p.contains("embedding:array<float>"),
+      "ivfpq scan must not read the float corpus:\n" + p.take(1500))
+  }
+
   test("batch IVF search partition-prunes the index scan to the probed cells") {
     val (cells, cents) = Ivf.ensureIndex(spark, TestSpark.sf, nCells = 16)
     import org.apache.spark.sql.functions.col

@@ -142,6 +142,29 @@ class VectorSearchSpec extends AnyFunSuite {
     assert((exact & got).size >= 4, s"PQ recall too low: ${(exact & got).size}/10")
   }
 
+  test("IVFPQ full probe ranks exactly like flat PQ/ADC; pruned probe stays in probed cells") {
+    import graft.operators.Quantized
+    // non-residual contract: with every cell probed the candidate set
+    // is the whole corpus, so the ADC ranking must equal pqTopK's
+    val full = Quantized.ivfPqTopK(spark, TestSpark.sf, queryId = 0,
+        nCells = 16, nprobe = 16, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val flat = Quantized.pqTopK(spark, TestSpark.sf, queryId = 0, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == flat, s"full=$full flat=$flat")
+    // pruned probe: deterministic, self-excluded, distances ascend
+    val pruned = Quantized.ivfPqTopK(spark, TestSpark.sf, queryId = 0,
+      nCells = 16, nprobe = 4, k = 10).collect()
+    assert(pruned.nonEmpty && !pruned.map(_.getLong(0)).contains(0L))
+    val d = pruned.map(_.getDouble(2))
+    assert(d.zip(d.tail).forall { case (x, y) => x <= y })
+    // pruned results are a subset of the full-probe candidate space:
+    // every returned distance exists in the full ranking's universe
+    val fullAll = Quantized.ivfPqTopK(spark, TestSpark.sf, queryId = 0,
+      nCells = 16, nprobe = 16, k = 2000).collect().map(_.getLong(0)).toSet
+    assert(pruned.map(_.getLong(0)).forall(fullAll.contains))
+  }
+
   test("family eval anchors flat at 1.0/1.0 and bounds every family's metrics") {
     val byF = Ivf.familyEval(spark, TestSpark.sf, queryMod = 100, k = 10).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
