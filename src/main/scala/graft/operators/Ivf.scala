@@ -224,8 +224,9 @@ object Ivf {
     * family — the reference compares Flat vs IVF (ann_tradeoff_table
     * .csv); a user choosing an index needs the same three columns for
     * every option: exact flat (the 1.0/1.0 anchor), IVF at nprobe,
-    * multi-probe LSH, SQ8 and PQ/ADC, all against the same query
-    * sample and the same exact ground truth, each timed. Queries run
+    * multi-probe LSH, SQ8, PQ/ADC and the IVF+PQ composite, all
+    * against the same query sample and the same exact ground truth,
+    * each timed. Queries run
     * through the single-query entry points (the persisted build-once
     * artifacts), so the sweep measures probing, not fitting.
     */
@@ -264,7 +265,9 @@ object Ivf {
       eval(s"ivf_nprobe$nprobe", q => ids(ivfTopK(spark, dir, q, nCells, nprobe, k))),
       eval("lsh_multiprobe", q => ids(Lsh.lshTopK(spark, dir, q, lshBits, k))),
       eval("sq8", q => ids(Quantized.sq8TopK(spark, dir, q, k))),
-      eval("pq_adc", q => ids(Quantized.pqTopK(spark, dir, q, k))))
+      eval("pq_adc", q => ids(Quantized.pqTopK(spark, dir, q, k))),
+      eval(s"ivfpq_nprobe$nprobe", q =>
+        ids(Quantized.ivfPqTopK(spark, dir, q, nCells, nprobe, k))))
       .toDF("family", "Precision@K", "MRR", "AvgQueryTime_ms", "QueriesUsed")
       .orderBy(col("family"))
   }
