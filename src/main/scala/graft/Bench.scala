@@ -40,7 +40,7 @@ object Bench {
       if (!f.exists) Map.empty
       else {
         val re = """\|\s*`([a-z0-9_]+)`\s*\|\s*[0-9.]+\s*\|\s*([0-9.]+)\s*\|""".r
-        val src = scala.io.Source.fromFile(f)
+        val src = scala.io.Source.fromFile(f, "UTF-8")
         try src.getLines().collect { case re(name, budget) => name -> budget.toDouble }.toMap
         finally src.close()
       }

@@ -72,11 +72,19 @@ object Lsh {
     * NULL bucket — the row drops out of every bucket join instead of
     * silently hashing to bucket 0.
     */
-  def assignBuckets(spark: SparkSession, dir: String, nBits: Int): DataFrame = {
+  def assignBuckets(spark: SparkSession, dir: String, nBits: Int): DataFrame =
+    assignBucketsOf(Tables.embeddings(spark, dir), nBits,
+      embeddingDim(spark, dir))
+
+  /** Bucket assignment for an arbitrary (vec_id, embedding) frame —
+    * the same seed-fixed hyperplanes at the same dimension yield the
+    * same buckets, which is what lets NEW vectors join an EXISTING
+    * index ([[appendToIndex]]).
+    */
+  def assignBucketsOf(vectors: DataFrame, nBits: Int, dim: Int): DataFrame = {
     requireBucketBits(nBits)
-    val e = Tables.embeddings(spark, dir)
-    val planes = hyperplanes(spark, nBits, embeddingDim(spark, dir))
-    e.crossJoin(broadcast(planes))
+    val planes = hyperplanes(vectors.sparkSession, nBits, dim)
+    vectors.crossJoin(broadcast(planes))
       .groupBy(col("vec_id"))
       .agg(sum(signWeight(col("embedding"), col("plane"), col("weight"))).as("bucket"))
   }
@@ -138,6 +146,25 @@ object Lsh {
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     }
     IndexStore.open(spark, path)
+  }
+
+  /** Incremental index maintenance — the LSH twin of
+    * [[Ivf.appendToIndex]] (FAISS `index.add()`): hash NEW vectors
+    * with the SAME seed-fixed hyperplanes and append them to the
+    * bucket-partitioned artifact. LSH needs no refit ever (no trained
+    * state), so unlike IVF there is no drift caveat — append is the
+    * complete maintenance story. At 100 TB ingest appends only the
+    * new rows' bucket files. `newVectors`: (vec_id, embedding).
+    */
+  def appendToIndex(spark: SparkSession, path: String, newVectors: DataFrame,
+                    nBits: Int): Unit = {
+    val dim = newVectors.select(size(col("embedding")).as("d")).head.getInt(0)
+    newVectors
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+      .join(assignBucketsOf(newVectors, nBits, dim), "vec_id")
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    IndexStore.invalidate(spark, path)
   }
 
   /** Multi-probe top-k: probe the query's bucket and every hamming≤1

@@ -118,6 +118,34 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(top.getDouble(3) == 1.0)
   }
 
+  test("LSH append hashes new vectors into existing buckets and probes find them") {
+    import graft.operators.Lsh
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-append").toString
+    val dim = Lsh.embeddingDim(spark, TestSpark.sf)
+    // build a fresh bucket index at a throwaway path (same layout as
+    // ensureIndex, without the fingerprinted store)
+    Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding"), graft.functions.VectorFunctions.l2norm(col("embedding")).as("nrm"))
+      .join(Lsh.assignBuckets(spark, TestSpark.sf, nBits = 8), "vec_id")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    // append exact copies of vectors 0..4 under new ids: identical
+    // embeddings hash to identical buckets, so the copy must land in
+    // its original's bucket and surface on a probe of that bucket
+    val newVecs = Tables.embeddings(spark, TestSpark.sf)
+      .where(col("vec_id") < 5)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    Lsh.appendToIndex(spark, dir, newVecs, nBits = 8)
+    val idx = graft.sources.IndexStore.open(spark, dir)
+    assert(idx.where(col("vec_id") >= 10000L).count() == 5)
+    val pairs = idx.where(col("vec_id") >= 10000L)
+      .select((col("vec_id") - 10000L).as("vec_id"), col("bucket").cast("long").as("b2"))
+      .join(idx.where(col("vec_id") < 5)
+        .select(col("vec_id"), col("bucket").cast("long").as("b1")), "vec_id")
+    assert(pairs.where(col("b1") =!= col("b2")).count() == 0,
+      "copies must hash to their originals' buckets")
+  }
+
   test("PQ/ADC search is deterministic, codes are bounded, recall is useful") {
     import graft.operators.Quantized
     val a = Quantized.pqTopK(spark, TestSpark.sf, queryId = 0, k = 10).collect()
