@@ -37,6 +37,7 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, d) => Quantized.pqTopK(s, d, queryId = 0, k = 10)),
     "ann_ivf_topk" -> ((s, d) => Ivf.ivfTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
     "ann_ivfpq_topk" -> ((s, d) => Quantized.ivfPqTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
+    "ann_ivfpq_rerank" -> ((s, d) => Quantized.ivfPqRerankTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, c = 50, k = 10)),
     "ann_lsh_topk" -> ((s, d) => Lsh.lshTopK(s, d, queryId = 0, nBits = 8, k = 10)),
     "ann_recall_eval" -> ((s, d) => Ivf.recallEval(s, d, nCells = 16, queryMod = 100, k = 10, nprobes = Seq(1, 2, 4))),
     // queryMod 500: the per-family loop times interactive single-query

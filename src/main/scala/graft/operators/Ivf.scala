@@ -77,7 +77,10 @@ object Ivf {
   }
 
   def loadIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
-    (IndexStore.open(spark, s"$path/cells"), IndexStore.open(spark, s"$path/centroids"))
+    // FAISS remove_ids(): ids deleted via IndexStore.addTombstones(path)
+    // are subtracted from the cells — append-only artifact, no rewrite
+    (IndexStore.minusTombstones(spark, path, IndexStore.open(spark, s"$path/cells")),
+      IndexStore.open(spark, s"$path/centroids"))
 
   /** Build-once/probe-many entry: builds and persists the index on
     * first use (per corpus FINGERPRINT × nCells — regenerated data at
@@ -88,9 +91,16 @@ object Ivf {
     * (Hadoop FileSystem API — correct on file:/hdfs:/s3a:, root
     * configurable via spark.graft.index.root).
     */
+  /** The corpus's fingerprint-addressed index path for (dir, nCells). */
+  def indexPath(spark: SparkSession, dir: String, nCells: Int): String =
+    IndexStore.indexPath(spark, "ivf_v3", s"$dir/embeddings.parquet", nCells.toString)
+
+  /** FAISS remove_ids() for the IVF index: tombstone, don't rewrite. */
+  def removeFromIndex(spark: SparkSession, dir: String, nCells: Int, ids: Seq[Long]): Unit =
+    IndexStore.addTombstones(spark, indexPath(spark, dir, nCells), ids)
+
   def ensureIndex(spark: SparkSession, dir: String, nCells: Int): (DataFrame, DataFrame) = {
-    val path = IndexStore.indexPath(spark, "ivf_v3",
-      s"$dir/embeddings.parquet", nCells.toString)
+    val path = indexPath(spark, dir, nCells)
     // staged under path.tmp-*, committed by one atomic rename — racing
     // sessions can't interleave a reader with a half-written index
     IndexStore.publish(spark, path) { tmp =>

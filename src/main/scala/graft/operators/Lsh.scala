@@ -130,9 +130,16 @@ object Lsh {
     * buckets' files via partition pruning — the faiss-index-artifact
     * analog the per-query rebuild could never amortize.
     */
+  /** The corpus's fingerprint-addressed index path for (dir, nBits). */
+  def indexPath(spark: SparkSession, dir: String, nBits: Int): String =
+    IndexStore.indexPath(spark, "lsh_v1", s"$dir/embeddings.parquet", nBits.toString)
+
+  /** FAISS remove_ids() for the LSH index: tombstone, don't rewrite. */
+  def removeFromIndex(spark: SparkSession, dir: String, nBits: Int, ids: Seq[Long]): Unit =
+    IndexStore.addTombstones(spark, indexPath(spark, dir, nBits), ids)
+
   def ensureIndex(spark: SparkSession, dir: String, nBits: Int): DataFrame = {
-    val path = IndexStore.indexPath(spark, "lsh_v1",
-      s"$dir/embeddings.parquet", nBits.toString)
+    val path = indexPath(spark, dir, nBits)
     // staged under path.tmp-*, committed by one atomic rename — racing
     // sessions can't interleave a reader with a half-written index
     IndexStore.publish(spark, path) { tmp =>
@@ -145,7 +152,9 @@ object Lsh {
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     }
-    IndexStore.open(spark, path)
+    // FAISS remove_ids(): ids deleted via IndexStore.addTombstones(path)
+    // are subtracted here — append-only artifact, no rewrite
+    IndexStore.minusTombstones(spark, path, IndexStore.open(spark, path))
   }
 
   /** Incremental index maintenance — the LSH twin of

@@ -291,7 +291,9 @@ object Quantized {
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     }
-    IndexStore.open(spark, path)
+    // per-artifact tombstones (each index maintains its own deletes,
+    // like separate FAISS indexes) — subtracted at open, no rewrite
+    IndexStore.minusTombstones(spark, path, IndexStore.open(spark, path))
   }
 
   /** IVFPQ search: driver-side probe planning exactly like
@@ -315,6 +317,34 @@ object Quantized {
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         round(adc, 5).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Two-stage retrieve-then-rerank — FAISS's IndexRefineFlat pattern,
+    * the production shape for quantized search: the IVFPQ index
+    * shortlists `c` candidates by ADC (m-byte rows, pruned
+    * partitions, no corpus dot products), then ONLY those c rows are
+    * rescored with the exact float cosine. The shortlist ids come
+    * back to the driver (bounded: c longs — the same probe-planning
+    * trade as the literal cell ids) so the rescoring scan carries a
+    * literal-id pushdown filter instead of a join. Quantization error
+    * then affects only RECALL (a true neighbor missing from the
+    * shortlist), never the returned ORDER — with c = corpus and a
+    * full probe this equals exact flat search row-for-row (the
+    * contract VectorSearchSpec asserts).
+    */
+  def ivfPqRerankTopK(spark: SparkSession, dir: String, queryId: Long, nCells: Int,
+                      nprobe: Int, c: Int, k: Int, m: Int = 8, kCents: Int = 16): DataFrame = {
+    val shortlist = ivfPqTopK(spark, dir, queryId, nCells, nprobe, c, m, kCents)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
+    val q = e.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    e.where(col("vec_id").isin(shortlist: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
 

@@ -128,4 +128,45 @@ object IndexStore {
     */
   def invalidate(spark: SparkSession, path: String): Unit =
     loaded.remove((spark, path))
+
+  /** Deletion from an append-only index — FAISS `remove_ids()`
+    * semantics without rewriting the artifact: deleted ids accumulate
+    * as TOMBSTONES under `<path>/_tombstones` (the `_` prefix hides
+    * the dir from Spark's partition discovery, like _SUCCESS), and
+    * probes subtract them. At 100 TB this is the only shape that
+    * works — rewriting a cell-partitioned corpus per delete is a
+    * non-starter; compaction (rewrite minus tombstones, then reset)
+    * is a background policy, not a query-path cost.
+    */
+  def addTombstones(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("vec_id").write.mode("append").parquet(s"$path/_tombstones")
+    tombstoneCache.remove((spark, path))
+  }
+
+  // the exists() probe is one namenode call per query — memoize the
+  // NEGATIVE result per (session, path); adding tombstones clears it
+  private val tombstoneCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
+
+  /** The index frame minus its tombstoned ids (no-op when no delete
+    * has ever happened — the common case costs one memoized metadata
+    * probe). The anti-join broadcasts the tombstone set: deletes are
+    * assumed small relative to the corpus; after heavy deletion,
+    * compact instead.
+    */
+  def minusTombstones(spark: SparkSession, path: String, index: DataFrame): DataFrame = {
+    val key = (spark, path)
+    val has: Boolean = tombstoneCache.get(key) match {
+      case null =>
+        val h = exists(spark, s"$path/_tombstones")
+        tombstoneCache.put(key, h); h
+      case h => h.booleanValue
+    }
+    if (!has) index
+    else index.join(
+      org.apache.spark.sql.functions.broadcast(
+        spark.read.parquet(s"$path/_tombstones")),
+      Seq("vec_id"), "left_anti")
+  }
 }

@@ -193,6 +193,45 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(pruned.map(_.getLong(0)).forall(fullAll.contains))
   }
 
+  test("IVFPQ rerank at full probe and full shortlist equals exact flat search") {
+    import graft.operators.Quantized
+    val n = Tables.embeddings(spark, TestSpark.sf).count().toInt
+    val reranked = Quantized.ivfPqRerankTopK(spark, TestSpark.sf, queryId = 0,
+      nCells = 16, nprobe = 16, c = n, k = 10).collect().map(_.toSeq).toSeq
+    val exact = VectorSearch.topK(spark, TestSpark.sf, 0, 10).collect().map(_.toSeq).toSeq
+    assert(reranked == exact,
+      "exact rescoring of the full shortlist must reproduce flat search")
+    // and a realistic shortlist still returns k exact-scored rows
+    val small = Quantized.ivfPqRerankTopK(spark, TestSpark.sf, queryId = 0,
+      nCells = 16, nprobe = 4, c = 50, k = 10).collect()
+    assert(small.length == 10 && !small.map(_.getLong(0)).contains(0L))
+  }
+
+  test("tombstoned ids vanish from probes without rewriting the index") {
+    import graft.operators.Lsh
+    import graft.sources.IndexStore
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-tomb").toString
+    val prev = spark.conf.get("spark.graft.index.root", "target/graft-index")
+    spark.conf.set("spark.graft.index.root", tmpRoot)
+    try {
+      val before = Lsh.lshTopK(spark, TestSpark.sf, queryId = 0, nBits = 8, k = 5)
+        .collect().map(_.getLong(0)).toSeq
+      val path = Lsh.indexPath(spark, TestSpark.sf, 8)
+      val files = new java.io.File(path).listFiles.map(_.getName).filter(_.startsWith("bucket=")).toSet
+      Lsh.removeFromIndex(spark, TestSpark.sf, nBits = 8, ids = before.take(2))
+      val after = Lsh.lshTopK(spark, TestSpark.sf, queryId = 0, nBits = 8, k = 5)
+        .collect().map(_.getLong(0)).toSeq
+      assert(before.take(2).forall(id => !after.contains(id)), s"before=$before after=$after")
+      // survivors keep their exact-cosine order; ranks 4-5 refill from
+      // deeper candidates in the probed buckets
+      assert(after.take(3) == before.drop(2), s"before=$before after=$after")
+      // the bucket files were NOT rewritten — deletion is a tombstone
+      val filesAfter = new java.io.File(path).listFiles.map(_.getName).filter(_.startsWith("bucket=")).toSet
+      assert(filesAfter == files, "no partition rewrite on delete")
+      assert(new java.io.File(s"$path/_tombstones").exists)
+    } finally spark.conf.set("spark.graft.index.root", prev)
+  }
+
   test("family eval anchors flat at 1.0/1.0 and bounds every family's metrics") {
     val byF = Ivf.familyEval(spark, TestSpark.sf, queryMod = 100, k = 10).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
