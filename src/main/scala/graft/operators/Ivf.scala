@@ -101,7 +101,7 @@ object Ivf {
 
   def ensureIndex(spark: SparkSession, dir: String, nCells: Int): (DataFrame, DataFrame) = {
     val path = indexPath(spark, dir, nCells)
-    // staged under path.tmp-*, committed by one atomic rename — racing
+    // staged under a hidden .tmp-* sibling, committed by one atomic rename — racing
     // sessions can't interleave a reader with a half-written index
     IndexStore.publish(spark, path) { tmp =>
       val (assigned, centroids) = buildIndex(spark, dir, nCells)

@@ -140,7 +140,7 @@ object Lsh {
 
   def ensureIndex(spark: SparkSession, dir: String, nBits: Int): DataFrame = {
     val path = indexPath(spark, dir, nBits)
-    // staged under path.tmp-*, committed by one atomic rename — racing
+    // staged under a hidden .tmp-* sibling, committed by one atomic rename — racing
     // sessions can't interleave a reader with a half-written index
     IndexStore.publish(spark, path) { tmp =>
       Tables.embeddings(spark, dir)

@@ -196,7 +196,7 @@ object Quantized {
     import spark.implicits._
     val path = IndexStore.indexPath(spark, "pq_v1",
       s"$dir/embeddings.parquet", s"${m}_$kCents")
-    // staged under path.tmp-*, committed by one atomic rename — racing
+    // staged under a hidden .tmp-* sibling, committed by one atomic rename — racing
     // sessions can't interleave a reader with a half-written artifact
     IndexStore.publish(spark, path) { tmp =>
       val books = pqFit(spark, dir, m, kCents)

@@ -76,7 +76,7 @@ object TextRetrieval {
     */
   def ensureModel(spark: SparkSession, dir: String): TfidfModel = {
     val base = IndexStore.indexPath(spark, "tfidf_v1", s"$dir/documents.parquet", "skl")
-    // the whole five-table model is staged under base.tmp-* and
+    // the whole five-table model is staged under a hidden .tmp-* sibling and
     // committed by one atomic rename — a racing session either sees no
     // model (and builds its own staging dir) or a complete one
     IndexStore.publish(spark, base) { tmp =>

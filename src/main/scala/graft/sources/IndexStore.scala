@@ -67,32 +67,37 @@ object IndexStore {
     s"${root(spark)}/${kind}_${fingerprint(spark, table)}_$params"
 
   /** Atomic build-once publication: `build` writes the whole artifact
-    * (every sub-table) under a private `<path>.tmp-*` staging dir, then
-    * ONE rename moves it to `path`. The rename goes through
-    * FileContext, whose no-OVERWRITE contract REFUSES an existing
-    * destination — FileSystem.rename instead "helpfully" moves the
-    * source INSIDE an existing destination directory, which would drop
-    * the loser's staging dir into the winner's artifact and corrupt
-    * partition discovery for every concurrent reader. Of two sessions
-    * racing the first build exactly one commits; the loser deletes its
-    * staging dir and reads the winner's artifact. Existence of `path`
-    * therefore implies a COMPLETE artifact — a reader can never observe
-    * the overwrite-in-place interleaving (half-written sub-tables) the
-    * per-sub-dir _SUCCESS probes allowed.
+    * (every sub-table) under a private DOT-PREFIXED staging dir
+    * (`.tmp-<name>-<uuid>`, sibling of `path`), then ONE rename moves
+    * it to `path`. Existence of `path` therefore implies a COMPLETE
+    * artifact — a reader can never observe the overwrite-in-place
+    * interleaving (half-written sub-tables) the per-sub-dir _SUCCESS
+    * probes allowed.
+    *
+    * Why the dot prefix is the load-bearing part: Hadoop rename
+    * semantics (FileSystem.rename, and FileContext on local/Delegate
+    * filesystems) MOVE the source INSIDE an existing destination
+    * directory instead of failing, so the LOSER of a first-build race
+    * ends up nesting its staging dir inside the winner's artifact.
+    * Spark's file index skips `.`/`_`-prefixed directories, so the
+    * nested dir is INVISIBLE to every reader (no
+    * CONFLICTING_DIRECTORY_STRUCTURES), and the loser detects and
+    * deletes it before returning.
     */
   def publish(spark: SparkSession, path: String)(build: String => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
     val dst = fs.makeQualified(new Path(path))
     if (fs.exists(dst)) return
-    val tmp = fs.makeQualified(
-      new Path(s"$path.tmp-${java.util.UUID.randomUUID.toString.take(8)}"))
+    val tmp = new Path(dst.getParent,
+      s".tmp-${dst.getName}-${java.util.UUID.randomUUID.toString.take(8)}")
     build(tmp.toString)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-    try fc.rename(tmp, dst)
-    catch { // lost the race (dst exists / concurrent rename): winner is complete
-      case _: java.io.IOException => fs.delete(tmp, true)
-    }
+    if (fs.exists(dst)) { fs.delete(tmp, true); return } // lost while building
+    if (!fs.rename(tmp, dst)) { fs.delete(tmp, true); return }
+    // rename "succeeded" but a concurrent winner already created dst →
+    // our staging dir was moved inside it (hidden); clean it up
+    val nested = new Path(dst, tmp.getName)
+    if (fs.exists(nested)) fs.delete(nested, true)
   }
 
   private val loaded =
@@ -156,6 +161,9 @@ object IndexStore {
     * compact instead.
     */
   def minusTombstones(spark: SparkSession, path: String, index: DataFrame): DataFrame = {
+    // evict entries of stopped sessions so session churn can't leak
+    val it = tombstoneCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     val key = (spark, path)
     val has: Boolean = tombstoneCache.get(key) match {
       case null =>
