@@ -22,24 +22,28 @@ import graft.sources.IndexStore
   */
 object Quantized {
 
-  /** Corpus coded against its global component range. A degenerate
-    * corpus (every component equal → mx == mn) codes to 0
-    * deterministically instead of floor(NaN).
+  /** Corpus coded against its global component range. The two-pass
+    * shape min/max quantization forces (pass 1: the global range
+    * aggregate; pass 2: the quantize map) is made explicit: the 2
+    * range doubles come back to the driver and ride pass 2 as PLAN
+    * LITERALS — no broadcast join, and nothing re-executes the
+    * aggregate subtree. A degenerate corpus (every component equal →
+    * mx == mn) codes to 0 deterministically instead of floor(NaN).
     */
   def sq8Codes(spark: SparkSession, dir: String): DataFrame = {
     val ed = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
-    val stats = ed.agg(
+    val st = ed.agg(
       min(array_min(col("emb"))).as("mn"),
-      max(array_max(col("emb"))).as("mx"))
-    ed.crossJoin(broadcast(stats))
-      .select(col("vec_id"),
-        transform(col("emb"),
-          x => when(col("mx") > col("mn"),
-            least(floor((x - col("mn")) / (col("mx") - col("mn")) * 256), lit(255.0)))
-            .otherwise(lit(0.0)))
-          .as("codes"),
-        col("mn"), col("mx"))
+      max(array_max(col("emb"))).as("mx")).head
+    val (mn, mx) = (st.getDouble(0), st.getDouble(1))
+    ed.select(col("vec_id"),
+      transform(col("emb"),
+        x => if (mx > mn)
+          least(floor((x - lit(mn)) / (lit(mx) - lit(mn)) * 256), lit(255.0))
+        else lit(0.0))
+        .as("codes"),
+      lit(mn).as("mn"), lit(mx).as("mx"))
   }
 
   /** Build-once SQ8 artifact: the coded corpus persisted under
