@@ -142,6 +142,16 @@ object SparkEntry {
       |shd AS (SELECT DISTINCT doc_id, shingle FROM
       |  (SELECT doc_id, unnest([array_to_string(toks[i+1:i+5], ' ') for i in range(len(toks) - 4)]) AS shingle FROM t))""".stripMargin
 
+  /** Shingles with document frequency above the skew cap removed —
+    * the oracle twin of Dedup.cappedShingles (maxDf = 1000, the
+    * engine default): jaccard is the exact Jaccard of the df-capped
+    * shingle sets on BOTH sides.
+    */
+  private val cappedShingleCtes: String =
+    shingleCtes + """,
+      |hot AS (SELECT shingle FROM shd GROUP BY 1 HAVING count(*) > 1000),
+      |shc AS (SELECT doc_id, shingle FROM shd ANTI JOIN hot USING (shingle))""".stripMargin
+
   private def langCase(prefix: String): String = {
     val langs = TextAnalysis.markers.map(_._1)
     val whens = langs.map { l =>
@@ -499,10 +509,10 @@ object SparkEntry {
         |       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH $shingleCtes,
-         |sz AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+      s"""WITH $cappedShingleCtes,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
          |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-         |          FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
          |SELECT a_id, b_id, round(inter / (sa.sz + sb.sz - inter), 5) AS jaccard
          |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
@@ -533,10 +543,10 @@ object SparkEntry {
          |WHERE round(coalesce(i.inter, 0) / (sa.sz + sb.sz - coalesce(i.inter, 0)), 5) >= 0.8
          |ORDER BY e.a_id, e.b_id""".stripMargin,
     "dedup_cc" ->
-      s"""WITH RECURSIVE $shingleCtes,
-         |sz AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+      s"""WITH RECURSIVE $cappedShingleCtes,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
          |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-         |          FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2),
          |pairs AS (SELECT a_id, b_id
          |          FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id

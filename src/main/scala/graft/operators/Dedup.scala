@@ -68,6 +68,20 @@ object Dedup {
     memoized(spark, s"sh|$dir|$n", corpusKey(spark, dir))(
       shingles(Tables.documents(spark, dir), n))
 
+  /** The cached shingle frame minus shingles with document frequency
+    * above `maxDf` — the anti-skew gate in front of every
+    * shingle-keyed self-join (see [[ngramJaccard]]). The hot set
+    * (df > cap) is computed by one count over the cached frame and is
+    * tiny by construction, so it broadcasts; the common case (no
+    * boilerplate above the cap) subtracts nothing.
+    */
+  private def cappedShingles(spark: SparkSession, dir: String, n: Int, maxDf: Long): DataFrame = {
+    val sh = cachedShingles(spark, dir, n)
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select(col("shingle"))
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
   private def cachedSignatures(spark: SparkSession, dir: String, n: Int, k: Int): DataFrame = {
     // resolve the dependency BEFORE entering the memo: the signature
     // build must not trigger a nested shingle memoization mid-insert
@@ -124,9 +138,25 @@ object Dedup {
     * shingles: a pair is only scored if the docs share ≥1 shingle, so
     * candidate generation is a shingle-keyed equi-join (shuffle by
     * shingle), never a cross join.
+    *
+    * `maxDf` bounds the join's skew: a shingle shared by K documents
+    * funnels K² candidate pairs into ONE reducer key, so a single
+    * boilerplate 5-gram (a common header/footer) in a 100 TB corpus
+    * is a ~10¹²-row reducer — the standard fix (every posting-list
+    * system bounds list length the same way) is to DROP shingles with
+    * document frequency above the cap before the self-join: a shingle
+    * in thousands of documents carries no discrimination, exactly as
+    * a stopword carries no TF-IDF weight. The drop applies to the
+    * WHOLE measure (sizes and intersections), so jaccard is the exact
+    * Jaccard of the df-capped shingle sets — same definition on both
+    * engine and oracle. Hot shingles are found by one map-side-combined
+    * count over the already-cached shingle frame and removed with a
+    * broadcast anti-join (the hot set is tiny by construction — only
+    * shingles above the cap ride the broadcast).
     */
-  def ngramJaccard(spark: SparkSession, dir: String, n: Int = 5, threshold: Double = 0.8): DataFrame = {
-    val sh = cachedShingles(spark, dir, n)
+  def ngramJaccard(spark: SparkSession, dir: String, n: Int = 5, threshold: Double = 0.8,
+                   maxDf: Long = 1000L): DataFrame = {
+    val sh = cappedShingles(spark, dir, n, maxDf)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -315,8 +345,8 @@ object Dedup {
     * one near-dup pair are listed; everything else is implicitly kept.
     */
   def dedupClusters(spark: SparkSession, dir: String, n: Int = 5,
-                    threshold: Double = 0.8): DataFrame =
-    connectedComponents(ngramJaccard(spark, dir, n, threshold).select("a_id", "b_id"))
+                    threshold: Double = 0.8, maxDf: Long = 1000L): DataFrame =
+    connectedComponents(ngramJaccard(spark, dir, n, threshold, maxDf).select("a_id", "b_id"))
       .withColumn("is_kept", col("doc_id") === col("cluster_id"))
       .orderBy(col("doc_id"))
 

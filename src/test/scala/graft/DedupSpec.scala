@@ -84,6 +84,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got == canon)
   }
 
+  test("df cap bounds candidates under a universal boilerplate shingle without losing true dups") {
+    import spark.implicits._
+    // 40 docs sharing ONE boilerplate 5-gram (df=40) with otherwise
+    // unique text, plus one genuine duplicate pair (docs 40/41) whose
+    // shingles all have df=2
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"B1 B2 B3 B4 B5 u${i}a u${i}b u${i}c u${i}d u${i}e")
+    } :+ (40L, "D1 D2 D3 D4 D5 D6 D7 D8 D9 D10") :+ (41L, "D1 D2 D3 D4 D5 D6 D7 D8 D9 D10")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dfcap").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // threshold 0 surfaces EVERY candidate pair the blocked join
+    // generated: uncapped, the universal shingle alone funnels
+    // 40·39/2 = 780 pairs through one reducer key
+    val uncapped = Dedup.ngramJaccard(spark, dir, threshold = 0.0).count()
+    assert(uncapped >= 780L, s"expected the hot shingle to generate >=780 pairs, got $uncapped")
+    // capped at df<=10 the boilerplate shingle is dropped, so the only
+    // surviving candidate is the true duplicate pair — candidates are
+    // bounded by REAL shared content, not boilerplate
+    val capped = Dedup.ngramJaccard(spark, dir, threshold = 0.0, maxDf = 10L).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((40L, 41L)),
+      s"capped candidates: ${capped.mkString(",")}")
+    assert(capped.head.getDouble(2) == 1.0)
+  }
+
   test("repeated dedup invocations reuse cached intermediates (no cache growth)") {
     Dedup.ngramJaccard(spark, TestSpark.sf).count()
     Dedup.minhashLsh(spark, TestSpark.sf).count()
