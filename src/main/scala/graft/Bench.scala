@@ -47,11 +47,15 @@ object Bench {
     }
     val retimed = results.collect {
       case (name, t, None) if budgets.get(name).exists(t > _) =>
-        val extra = (1 to 2).map { _ =>
+        // a transient flake (FS hiccup, OOM) in a retime rep must not
+        // abort main() after the full timed pass — fall back to the
+        // raw timing for that rep
+        val extra = (1 to 2).flatMap { _ =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          try { SparkEntry.queries(name)(spark, sfDir).count()
+                Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
         }
         name -> (t +: extra).min
     }

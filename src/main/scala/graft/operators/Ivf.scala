@@ -196,10 +196,19 @@ object Ivf {
       .getSeq[Float](0).toArray
     val probedCells = rankCells(centroids, qv).take(nprobe)
     val q = typedlit(qv)
+    // q_id rides a real 1-row broadcast, NOT lit(queryId): a literal
+    // partition key gets constant-folded out of the window spec,
+    // leaving a partition-less WindowExec that funnels every probed
+    // row into one task; a data column keeps the window partitioned,
+    // so the rk<=k filter compiles to WindowGroupLimit (map-side
+    // top-k before the shuffle) — the same bounded shape as [[search]]
+    import spark.implicits._
+    val qid = broadcast(Seq(queryId).toDF("q_id"))
     val wk = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
     cells.where(col("cell").isin(probedCells: _*))
       .where(col("vec_id") =!= queryId)
-      .select(lit(queryId).as("q_id"), col("vec_id").as("n_id"),
+      .crossJoin(qid)
+      .select(col("q_id"), col("vec_id").as("n_id"),
         col("cell").cast("long").as("cell"),
         round(dotd(col("embedding"), q) / (col("nrm") * l2norm(q)), 5).as("score"))
       .withColumn("rk", row_number().over(wk).cast("long"))

@@ -66,13 +66,37 @@ object IndexStore {
   def indexPath(spark: SparkSession, kind: String, table: String, params: String): String =
     s"${root(spark)}/${kind}_${fingerprint(spark, table)}_$params"
 
+  /** In-artifact completeness marker, written into the STAGING dir as
+    * the last build step so it rides the rename. `_`-prefixed →
+    * invisible to Spark's partition discovery (like _SUCCESS).
+    */
+  private val CompleteMarker = "_GRAFT_COMPLETE"
+
+  /** A path is a complete artifact iff its completeness marker exists.
+    * Bare directory existence is NOT enough: a partial artifact left
+    * by an interrupted external copy, or by a non-atomic rename on an
+    * object store (S3A rename is an O(data) copy+delete, not a
+    * metadata op), must read as absent so it gets repaired instead of
+    * served forever.
+    */
+  def isComplete(spark: SparkSession, path: String): Boolean =
+    exists(spark, s"$path/$CompleteMarker")
+
   /** Atomic build-once publication: `build` writes the whole artifact
     * (every sub-table) under a private DOT-PREFIXED staging dir
-    * (`.tmp-<name>-<uuid>`, sibling of `path`), then ONE rename moves
-    * it to `path`. Existence of `path` therefore implies a COMPLETE
-    * artifact — a reader can never observe the overwrite-in-place
-    * interleaving (half-written sub-tables) the per-sub-dir _SUCCESS
-    * probes allowed.
+    * (`.tmp-<name>-<uuid>`, sibling of `path`), the completeness
+    * marker lands in the staging dir LAST, then ONE rename moves it to
+    * `path`. A complete artifact is therefore `path` + marker:
+    *   - on file:/HDFS the rename is atomic, so marker-existence and
+    *     dir-existence coincide and a reader can never observe a
+    *     half-written artifact;
+    *   - on object stores (s3a:) the rename is a non-atomic copy — a
+    *     racing reader CAN list a partially-copied dir, but the marker
+    *     is absent until the copy finishes, so completeness probes
+    *     fail CLOSED (rebuild/repair) instead of serving a partial
+    *     index.
+    * A marker-less `path` (interrupted copy, pre-upgrade layout) is
+    * deleted and rebuilt on the next publish.
     *
     * Why the dot prefix is the load-bearing part: Hadoop rename
     * semantics (FileSystem.rename, and FileContext on local/Delegate
@@ -88,10 +112,14 @@ object IndexStore {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
     val dst = fs.makeQualified(new Path(path))
-    if (fs.exists(dst)) return
+    if (fs.exists(new Path(dst, CompleteMarker))) return
+    // dir without marker = partial artifact (interrupted copy / crash):
+    // repair by rebuilding — fail closed, never serve it
+    if (fs.exists(dst)) fs.delete(dst, true)
     val tmp = new Path(dst.getParent,
       s".tmp-${dst.getName}-${java.util.UUID.randomUUID.toString.take(8)}")
     build(tmp.toString)
+    fs.create(new Path(tmp, CompleteMarker)).close() // build complete
     if (fs.exists(dst)) { fs.delete(tmp, true); return } // lost while building
     if (!fs.rename(tmp, dst)) { fs.delete(tmp, true); return }
     // rename "succeeded" but a concurrent winner already created dst →
@@ -150,27 +178,39 @@ object IndexStore {
   }
 
   // the exists() probe is one namenode call per query — memoize the
-  // NEGATIVE result per (session, path); adding tombstones clears it
+  // result per (session, path) with a TTL so CROSS-session maintenance
+  // stays visible: a delete issued by another JVM appears within one
+  // TTL (a long-running server would otherwise cache the negative
+  // probe forever), and a compaction that REMOVES _tombstones stops
+  // being anti-joined within one TTL. Same-JVM addTombstones/compact
+  // invalidate immediately.
+  private case class TombstoneProbe(has: Boolean, atMs: Long)
   private val tombstoneCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), TombstoneProbe]()
+
+  /** Tombstone-probe TTL (ms); conf `spark.graft.tombstone.ttl.ms`. */
+  private def tombstoneTtlMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.tombstone.ttl.ms", "60000").toLong
 
   /** The index frame minus its tombstoned ids (no-op when no delete
     * has ever happened — the common case costs one memoized metadata
-    * probe). The anti-join broadcasts the tombstone set: deletes are
-    * assumed small relative to the corpus; after heavy deletion,
-    * compact instead.
+    * probe, re-validated per TTL). The anti-join broadcasts the
+    * tombstone set: deletes are assumed small relative to the corpus;
+    * after heavy deletion, [[compact]] instead.
     */
   def minusTombstones(spark: SparkSession, path: String, index: DataFrame): DataFrame = {
     // evict entries of stopped sessions so session churn can't leak
     val it = tombstoneCache.keySet.iterator()
     while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     val key = (spark, path)
-    val has: Boolean = tombstoneCache.get(key) match {
-      case null =>
+    val now = System.currentTimeMillis()
+    val cached = tombstoneCache.get(key)
+    val has: Boolean =
+      if (cached != null && now - cached.atMs < tombstoneTtlMs(spark)) cached.has
+      else {
         val h = exists(spark, s"$path/_tombstones")
-        tombstoneCache.put(key, h); h
-      case h => h.booleanValue
-    }
+        tombstoneCache.put(key, TombstoneProbe(h, now)); h
+      }
     if (!has) index
     else index.join(
       org.apache.spark.sql.functions.broadcast(

@@ -82,6 +82,20 @@ class PlanSpec extends AnyFunSuite {
       "probe scan must carry literal cell-id partition filters:\n" + p.take(1500))
   }
 
+  test("ivf single-query ranking keeps a PARTITIONED window (WindowGroupLimit, no fold-away)") {
+    // regression: partitioning the rank window by lit(queryId) let
+    // FoldablePropagation erase the partition spec → a partition-less
+    // WindowExec funneling every probed row into one task; q_id must
+    // ride as a real (non-foldable) column
+    val df = Ivf.ivfTopK(spark, TestSpark.sf, queryId = 0, nCells = 16, nprobe = 4, k = 10)
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"partition-less window found:\n${bad.mkString("\n")}")
+    assert(plan(df).contains("WindowGroupLimit"),
+      "rank filter must compile to map-side WindowGroupLimit:\n" + plan(df).take(800))
+  }
+
   test("lsh probe partition-prunes the persisted index to the probed buckets") {
     val df = graft.operators.Lsh.lshTopK(spark, TestSpark.sf, queryId = 0, nBits = 8, k = 10)
     val p = plan(df)
