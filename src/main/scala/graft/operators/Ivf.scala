@@ -67,19 +67,23 @@ object Ivf {
   /** Persist an IVF index as two parquet tables — the engine's analog
     * of the reference's faiss_*.index artifacts, but splittable and
     * cell-partitioned so a probe at 100 TB touches only the probed
-    * cells' files (partition pruning on `cell`).
+    * cells' files (partition pruning on `cell`). Cells nest under
+    * `epoch=base` so maintenance batches ([[appendToIndex]],
+    * [[IndexStore.compact]]) commit atomically as sibling epoch dirs;
+    * pruning on `cell` is unaffected (any partition column prunes).
     */
   def saveIndex(assigned: DataFrame, centroids: DataFrame, path: String): Unit = {
     // one task per cell → one file per cell dir (cheap probe-time listing)
     assigned.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells/epoch=base")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   def loadIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     // FAISS remove_ids(): ids deleted via IndexStore.addTombstones(path)
     // are subtracted from the cells — append-only artifact, no rewrite
-    (IndexStore.minusTombstones(spark, path, IndexStore.open(spark, s"$path/cells")),
+    (IndexStore.minusTombstones(spark, path, IndexStore.open(spark, s"$path/cells"))
+      .drop("epoch"),
       IndexStore.open(spark, s"$path/centroids"))
 
   /** Build-once/probe-many entry: builds and persists the index on
@@ -93,7 +97,7 @@ object Ivf {
     */
   /** The corpus's fingerprint-addressed index path for (dir, nCells). */
   def indexPath(spark: SparkSession, dir: String, nCells: Int): String =
-    IndexStore.indexPath(spark, "ivf_v3", s"$dir/embeddings.parquet", nCells.toString)
+    IndexStore.indexPath(spark, "ivf_v4", s"$dir/embeddings.parquet", nCells.toString)
 
   /** FAISS remove_ids() for the IVF index: tombstone, don't rewrite. */
   def removeFromIndex(spark: SparkSession, dir: String, nCells: Int, ids: Seq[Long]): Unit =
@@ -119,12 +123,20 @@ object Ivf {
     * rebuild cadence is a policy decision, not an operator constraint.
     * `newVectors`: (vec_id, label, embedding).
     */
-  def appendToIndex(spark: SparkSession, path: String, newVectors: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, path: String, newVectors: DataFrame): Unit =
+    commitAppend(spark, path, stageAppend(spark, path, newVectors))
+
+  /** Phase 1 of the atomic append: assign and write the WHOLE batch
+    * under a hidden staging dir (invisible to readers). Returns the
+    * staging path for [[commitAppend]].
+    */
+  def stageAppend(spark: SparkSession, path: String, newVectors: DataFrame): String = {
     // centroid norms computed once on the broadcast side, vector norms
     // once per row → ONE dot product per (vector, centroid) pair
     val centroids = IndexStore.open(spark, s"$path/centroids")
       .withColumn("cn2", dotd(col("centroid"), col("centroid")))
     val wc = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
+    val staging = IndexStore.stageEpochPath(s"$path/cells", "add")
     newVectors
       .withColumn("nrm", l2norm(col("embedding")))
       .crossJoin(broadcast(centroids))
@@ -135,8 +147,23 @@ object Ivf {
       .where(col("rk") === 1)
       .select(col("vec_id"), col("label"), col("embedding"), col("nrm"), col("cell"))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
-    IndexStore.invalidate(spark, s"$path/cells")
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    staging
+  }
+
+  /** Phase 2: one rename makes the staged batch a visible epoch —
+    * readers see either none or ALL of the appended vectors.
+    */
+  def commitAppend(spark: SparkSession, path: String, staging: String): Unit =
+    IndexStore.commitEpoch(spark, s"$path/cells", staging)
+
+  /** Tombstone compaction for an IVF index (see [[IndexStore.compact]]):
+    * after heavy deletion, rewrite cells minus tombstones so probes
+    * stop paying the anti-join.
+    */
+  def compactIndex(spark: SparkSession, dir: String, nCells: Int): Unit = {
+    val path = indexPath(spark, dir, nCells)
+    IndexStore.compact(spark, s"$path/cells", path, "cell")
   }
 
   /** Batch IVF search: for each query row (q_id, qv), rank centroids,
@@ -290,7 +317,15 @@ object Ivf {
       eval("sq8", q => ids(Quantized.sq8TopK(spark, dir, q, k))),
       eval("pq_adc", q => ids(Quantized.pqTopK(spark, dir, q, k))),
       eval(s"ivfpq_nprobe$nprobe", q =>
-        ids(Quantized.ivfPqTopK(spark, dir, q, nCells, nprobe, k))))
+        ids(Quantized.ivfPqTopK(spark, dir, q, nCells, nprobe, k))),
+      // rerank: the production answer to quantization recall loss —
+      // this row quantifies the recall recovered per extra shortlist c
+      eval(s"ivfpq_rerank_c50", q =>
+        ids(Quantized.ivfPqRerankTopK(spark, dir, q, nCells, nprobe, c = 50, k))),
+      // residual encoding (FAISS by_residual=true): finer quantization
+      // at the same m — the recall gap vs ivfpq_nprobe is the point
+      eval(s"ivfpq_res_nprobe$nprobe", q =>
+        ids(Quantized.ivfPqResidualTopK(spark, dir, q, nCells, nprobe, k))))
       .toDF("family", "Precision@K", "MRR", "AvgQueryTime_ms", "QueriesUsed")
       .orderBy(col("family"))
   }

@@ -132,7 +132,7 @@ object Lsh {
     */
   /** The corpus's fingerprint-addressed index path for (dir, nBits). */
   def indexPath(spark: SparkSession, dir: String, nBits: Int): String =
-    IndexStore.indexPath(spark, "lsh_v1", s"$dir/embeddings.parquet", nBits.toString)
+    IndexStore.indexPath(spark, "lsh_v2", s"$dir/embeddings.parquet", nBits.toString)
 
   /** FAISS remove_ids() for the LSH index: tombstone, don't rewrite. */
   def removeFromIndex(spark: SparkSession, dir: String, nBits: Int, ids: Seq[Long]): Unit =
@@ -141,7 +141,10 @@ object Lsh {
   def ensureIndex(spark: SparkSession, dir: String, nBits: Int): DataFrame = {
     val path = indexPath(spark, dir, nBits)
     // staged under a hidden .tmp-* sibling, committed by one atomic rename — racing
-    // sessions can't interleave a reader with a half-written index
+    // sessions can't interleave a reader with a half-written index.
+    // Buckets nest under epoch=base so maintenance batches
+    // (appendToIndex, IndexStore.compact) commit atomically as sibling
+    // epoch dirs; pruning on `bucket` is unaffected.
     IndexStore.publish(spark, path) { tmp =>
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
@@ -150,11 +153,12 @@ object Lsh {
         // dir, so probe-time partition discovery lists 2^nBits files,
         // not 2^nBits × shuffle-partitions
         .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/epoch=base")
     }
     // FAISS remove_ids(): ids deleted via IndexStore.addTombstones(path)
     // are subtracted here — append-only artifact, no rewrite
     IndexStore.minusTombstones(spark, path, IndexStore.open(spark, path))
+      .drop("epoch")
   }
 
   /** Incremental index maintenance — the LSH twin of
@@ -166,14 +170,38 @@ object Lsh {
     * new rows' bucket files. `newVectors`: (vec_id, embedding).
     */
   def appendToIndex(spark: SparkSession, path: String, newVectors: DataFrame,
-                    nBits: Int): Unit = {
+                    nBits: Int): Unit =
+    commitAppend(spark, path, stageAppend(spark, path, newVectors, nBits))
+
+  /** Phase 1 of the atomic append: hash and write the WHOLE batch
+    * under a hidden staging dir (invisible to readers). Returns the
+    * staging path for [[commitAppend]].
+    */
+  def stageAppend(spark: SparkSession, path: String, newVectors: DataFrame,
+                  nBits: Int): String = {
     val dim = newVectors.select(size(col("embedding")).as("d")).head.getInt(0)
+    val staging = IndexStore.stageEpochPath(path, "add")
     newVectors
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
       .join(assignBucketsOf(newVectors, nBits, dim), "vec_id")
       .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(path)
-    IndexStore.invalidate(spark, path)
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    staging
+  }
+
+  /** Phase 2: one rename makes the staged batch a visible epoch —
+    * readers see either none or ALL of the appended vectors.
+    */
+  def commitAppend(spark: SparkSession, path: String, staging: String): Unit =
+    IndexStore.commitEpoch(spark, path, staging)
+
+  /** Tombstone compaction for an LSH index (see [[IndexStore.compact]]):
+    * after heavy deletion, rewrite buckets minus tombstones so probes
+    * stop paying the anti-join.
+    */
+  def compactIndex(spark: SparkSession, dir: String, nBits: Int): Unit = {
+    val path = indexPath(spark, dir, nBits)
+    IndexStore.compact(spark, path, path, "bucket")
   }
 
   /** Multi-probe top-k: probe the query's bucket and every hamming≤1

@@ -162,6 +162,77 @@ object IndexStore {
   def invalidate(spark: SparkSession, path: String): Unit =
     loaded.remove((spark, path))
 
+  // ---------------------------------------------------------------
+  // Epoch-partitioned maintenance: append and compaction
+  //
+  // A maintainable artifact stores its partition dirs one level down,
+  // under epoch=<batch> (epoch=base for the initial build), so a
+  // MULTI-FILE append can commit with ONE directory rename: the batch
+  // is written complete under a hidden dot-prefixed staging sibling
+  // (invisible to partition discovery), then renamed in as a new
+  // epoch dir. A concurrent reader lists the artifact either before
+  // the rename (sees none of the new vectors) or after (sees all) —
+  // never a partially-committed set, which is exactly the
+  // interleaving `mode("append")` into live partition dirs allowed.
+  // Catalyst still prunes on the inner partition column; the extra
+  // `epoch` partition column is dropped at load.
+  // ---------------------------------------------------------------
+
+  /** Hidden staging path for one epoch batch under `dataDir`;
+    * `kind` tags the epoch (add/compact) for operability.
+    */
+  def stageEpochPath(dataDir: String, kind: String): String =
+    s"$dataDir/.tmp-$kind-${java.util.UUID.randomUUID.toString.take(8)}"
+
+  /** Commit a fully-written staging dir as a new epoch: one rename.
+    * The staging name `.tmp-<kind>-<uuid>` becomes `epoch=<kind>-<uuid>`.
+    */
+  def commitEpoch(spark: SparkSession, dataDir: String, staging: String): Unit = {
+    val fs = new Path(dataDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = fs.makeQualified(new Path(staging))
+    val dst = new Path(fs.makeQualified(new Path(dataDir)),
+      s"epoch=${src.getName.stripPrefix(".tmp-")}")
+    require(fs.rename(src, dst), s"epoch commit failed: $src -> $dst")
+    invalidate(spark, dataDir)
+  }
+
+  /** Tombstone compaction — closes the lifecycle [[addTombstones]]
+    * opens: rewrite the artifact minus its tombstoned ids as ONE new
+    * epoch, drop the old epochs and the `_tombstones` dir, so probes
+    * stop paying the anti-join forever. The rewrite stages hidden and
+    * commits by rename like an append; old epochs are deleted AFTER
+    * the compacted epoch is visible, so every id stays reachable
+    * throughout — a reader racing the swap can transiently see a
+    * surviving row TWICE (old + compacted epoch), which is why
+    * compaction, like FAISS index rewrites, is a single-writer
+    * maintenance operation, not a query-path one. No-op when no
+    * deletes ever happened.
+    */
+  def compact(spark: SparkSession, dataDir: String, tombstoneRoot: String,
+              partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val fs = new Path(dataDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tomb = fs.makeQualified(new Path(s"$tombstoneRoot/_tombstones"))
+    if (!fs.exists(tomb)) return
+    val survivors = spark.read.parquet(dataDir)
+      .join(broadcast(spark.read.parquet(tomb.toString)), Seq("vec_id"), "left_anti")
+      .drop("epoch")
+    val staging = stageEpochPath(dataDir, "compact")
+    survivors.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(staging)
+    val dataPath = fs.makeQualified(new Path(dataDir))
+    val newEpochName = s"epoch=${new Path(staging).getName.stripPrefix(".tmp-")}"
+    require(fs.rename(fs.makeQualified(new Path(staging)), new Path(dataPath, newEpochName)),
+      s"compact commit failed under $dataDir")
+    fs.listStatus(dataPath).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("epoch=") && nm != newEpochName) fs.delete(st.getPath, true)
+    }
+    fs.delete(tomb, true)
+    invalidate(spark, dataDir)
+    tombstoneCache.remove((spark, tombstoneRoot))
+  }
+
   /** Deletion from an append-only index — FAISS `remove_ids()`
     * semantics without rewriting the artifact: deleted ids accumulate
     * as TOMBSTONES under `<path>/_tombstones` (the `_` prefix hides

@@ -5,6 +5,14 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.Sources
 
+/** Deterministic stand-in for a real embedding model — resolved by
+  * class name through spark.graft.encoder.class (needs the no-arg
+  * constructor the QueryEncoder contract requires).
+  */
+class FakeQueryEncoder extends graft.functions.QueryEncoder {
+  override def encode(text: String): Array[Float] = SparkEntry.demoQueryVec
+}
+
 class SourcesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -91,12 +99,32 @@ class SourcesSpec extends AnyFunSuite {
       // half-written overwrite)
       assert(counts == Seq(n, n), counts.toString)
       val entries = new java.io.File(tmpRoot).listFiles.map(_.getName).toSeq
-      assert(entries.count(_.startsWith("lsh_v1")) == 1, entries.mkString(","))
+      assert(entries.count(_.startsWith("lsh_v2")) == 1, entries.mkString(","))
       assert(!entries.exists(_.contains(".tmp-")),
         s"loser's staging dir must be cleaned up: $entries")
       IndexStore.invalidate(spark,
-        entries.find(_.startsWith("lsh_v1")).map(e => s"$tmpRoot/$e").get)
+        entries.find(_.startsWith("lsh_v2")).map(e => s"$tmpRoot/$e").get)
     } finally spark.conf.set("spark.graft.index.root", prev)
+  }
+
+  test("query encoder seam: a configured fake encoder drives raw-text search end-to-end") {
+    import graft.operators.VectorSearch
+    // no encoder configured → hard error naming the conf key
+    spark.conf.unset("spark.graft.encoder.class")
+    val err = intercept[IllegalStateException] {
+      VectorSearch.topKText(spark, TestSpark.sf, "any query", k = 5)
+    }
+    assert(err.getMessage.contains("spark.graft.encoder.class"))
+    // wire the fake: raw text must flow encoder → vector → topKVec
+    spark.conf.set("spark.graft.encoder.class", classOf[FakeQueryEncoder].getName)
+    try {
+      val viaText = VectorSearch.topKText(spark, TestSpark.sf, "any query", k = 5)
+        .collect().map(_.toSeq).toSeq
+      val viaVec = VectorSearch.topKVec(spark, TestSpark.sf, SparkEntry.demoQueryVec, k = 5)
+        .collect().map(_.toSeq).toSeq
+      assert(viaText == viaVec && viaText.nonEmpty,
+        "text front door must equal topKVec on the encoder's vector")
+    } finally spark.conf.unset("spark.graft.encoder.class")
   }
 
   test("vec_dot is callable from SQL after extension registration") {

@@ -108,7 +108,13 @@ class VectorSearchSpec extends AnyFunSuite {
     val newVecs = Tables.embeddings(spark, TestSpark.sf)
       .where(col("vec_id") < 5)
       .select((col("vec_id") + 10000L).as("vec_id"), col("label"), col("embedding"))
-    Ivf.appendToIndex(spark, dir, newVecs)
+    // two-phase atomic append: MID-append (batch staged, not committed)
+    // a reader sees NONE of the new vectors...
+    val staging = Ivf.stageAppend(spark, dir, newVecs)
+    assert(spark.read.parquet(s"$dir/cells").where(col("vec_id") >= 10000L).count() == 0,
+      "staged batch must be invisible to readers")
+    // ...and after the one-rename commit it sees ALL of them
+    Ivf.commitAppend(spark, dir, staging)
     val (cells, cents) = Ivf.loadIndex(spark, dir)
     assert(cells.where(col("vec_id") >= 10000L).count() == 5)
     val q = Tables.embeddings(spark, TestSpark.sf).where(col("vec_id") === 0)
@@ -128,15 +134,19 @@ class VectorSearchSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding"), graft.functions.VectorFunctions.l2norm(col("embedding")).as("nrm"))
       .join(Lsh.assignBuckets(spark, TestSpark.sf, nBits = 8), "vec_id")
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/epoch=base")
     // append exact copies of vectors 0..4 under new ids: identical
     // embeddings hash to identical buckets, so the copy must land in
     // its original's bucket and surface on a probe of that bucket
     val newVecs = Tables.embeddings(spark, TestSpark.sf)
       .where(col("vec_id") < 5)
       .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
-    Lsh.appendToIndex(spark, dir, newVecs, nBits = 8)
-    val idx = graft.sources.IndexStore.open(spark, dir)
+    // two-phase atomic append: staged batch invisible, commit = all
+    val staging = Lsh.stageAppend(spark, dir, newVecs, nBits = 8)
+    assert(spark.read.parquet(dir).where(col("vec_id") >= 10000L).count() == 0,
+      "staged batch must be invisible to readers")
+    Lsh.commitAppend(spark, dir, staging)
+    val idx = graft.sources.IndexStore.open(spark, dir).drop("epoch")
     assert(idx.where(col("vec_id") >= 10000L).count() == 5)
     val pairs = idx.where(col("vec_id") >= 10000L)
       .select((col("vec_id") - 10000L).as("vec_id"), col("bucket").cast("long").as("b2"))
@@ -144,6 +154,88 @@ class VectorSearchSpec extends AnyFunSuite {
         .select(col("vec_id"), col("bucket").cast("long").as("b1")), "vec_id")
     assert(pairs.where(col("b1") =!= col("b2")).count() == 0,
       "copies must hash to their originals' buckets")
+  }
+
+  test("tombstone compaction: probes return identical rows with no anti-join, tombstones gone") {
+    import graft.sources.IndexStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toAbsolutePath
+    spark.conf.set("spark.graft.index.root", tmp.toString)
+    try {
+      val base = Lsh.lshTopK(spark, TestSpark.sf, queryId = 3, nBits = 8, k = 5).collect()
+      assert(base.nonEmpty)
+      // FAISS remove_ids(): delete the probe's top neighbor
+      val victim = base.head.getLong(0)
+      Lsh.removeFromIndex(spark, TestSpark.sf, nBits = 8, Seq(victim))
+      val delDf = Lsh.lshTopK(spark, TestSpark.sf, queryId = 3, nBits = 8, k = 5)
+      val afterDelete = delDf.collect()
+      assert(!afterDelete.map(_.getLong(0)).contains(victim))
+      // before compaction every probe pays the tombstone anti-join
+      assert(delDf.queryExecution.executedPlan.toString.contains("LeftAnti"),
+        "deletes must be subtracted via anti-join pre-compaction")
+      Lsh.compactIndex(spark, TestSpark.sf, nBits = 8)
+      val cmpDf = Lsh.lshTopK(spark, TestSpark.sf, queryId = 3, nBits = 8, k = 5)
+      val afterCompact = cmpDf.collect()
+      // identical rows, but the anti-join is gone and so is _tombstones
+      assert(afterCompact.map(_.toSeq).toSeq == afterDelete.map(_.toSeq).toSeq)
+      assert(!cmpDf.queryExecution.executedPlan.toString.contains("LeftAnti"),
+        "compaction must remove the per-probe anti-join")
+      val path = Lsh.indexPath(spark, TestSpark.sf, 8)
+      assert(!IndexStore.exists(spark, s"$path/_tombstones"))
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
+
+  test("residual IVFPQ reconstructs finer than non-residual; ADC matches a driver oracle") {
+    import graft.operators.{Ivf, Quantized}
+    val (assigned, centroids) = Ivf.ensureIndex(spark, TestSpark.sf, 16)
+    val cents = centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
+    val (codesNR, booksNR) = Quantized.ensurePqIndex(spark, TestSpark.sf, 8, 16)
+    val (codesR, booksR) = Quantized.ensureIvfPqResIndex(spark, TestSpark.sf, 16, 8, 16)
+    val embs = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val nrCodes = codesNR.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val rRows = codesR.select("vec_id", "codes", "cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toArray, r.getInt(2)))
+    val m = 8
+    val sub = embs(0L).length / m
+    def recon(books: Array[Array[Array[Double]]], codes: Array[Int]): Array[Double] =
+      (0 until m).flatMap(s => books(s)(codes(s))).toArray
+    // 1) the by_residual claim that IS guaranteed: x̂ = c + r̂ lands
+    //    closer to x than the raw-codebook x̂ at the same m (measured
+    //    ~11% lower mean squared reconstruction error on this corpus).
+    //    NOTE the claim that is NOT asserted: better recon does not
+    //    automatically buy better ADC recall — at this corpus/m the
+    //    quantization noise is comparable to the neighbor-distance
+    //    spread, and the familyEval table reports the measured recall
+    //    of both variants so the trade is visible, not assumed.
+    var eNR = 0.0; var eR = 0.0
+    rRows.foreach { case (id, rc, cell) =>
+      val x = embs(id).map(_.toDouble)
+      val xhatNR = recon(booksNR, nrCodes(id))
+      val rhat = recon(booksR, rc)
+      val xhatR = Array.tabulate(x.length)(i => cents(cell)(i) + rhat(i))
+      eNR += x.zip(xhatNR).map { case (a, b) => (a - b) * (a - b) }.sum
+      eR += x.zip(xhatR).map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    assert(eR < eNR, s"residual recon error $eR must beat non-residual $eNR")
+    // 2) operator fidelity: full-probe residual ADC equals the same
+    //    formula computed driver-side — per-cell LUTs select correctly
+    val q = embs(0L).map(_.toDouble)
+    val driverTop = rRows.filter(_._1 != 0L).map { case (id, rc, cell) =>
+      val qr = Array.tabulate(q.length)(i => q(i) - cents(cell)(i))
+      val d = (0 until m).map { s =>
+        val b = booksR(s)(rc(s))
+        (0 until sub).map(i => { val t = qr(s * sub + i) - b(i); t * t }).sum
+      }.sum
+      (id, d)
+    }.sortBy { case (id, d) => (d, id) }.take(10)
+    val opTop = Quantized.ivfPqResidualTopK(spark, TestSpark.sf, 0L, 16, 16, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(opTop.map(_._1).toSeq == driverTop.map(_._1).toSeq,
+      s"op ${opTop.mkString(",")} vs driver ${driverTop.mkString(",")}")
+    opTop.zip(driverTop).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-3, s"ADC drift: $a vs $b")
+    }
   }
 
   test("PQ/ADC search is deterministic, codes are bounded, recall is useful") {
@@ -236,13 +328,17 @@ class VectorSearchSpec extends AnyFunSuite {
     val byF = Ivf.familyEval(spark, TestSpark.sf, queryMod = 100, k = 10).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(byF.keySet == Set("flat", "ivf_nprobe4", "lsh_multiprobe", "sq8", "pq_adc",
-      "ivfpq_nprobe4"))
+      "ivfpq_nprobe4", "ivfpq_rerank_c50", "ivfpq_res_nprobe4"))
     assert(byF("flat") == ((1.0, 1.0)), "exact search must match its own ground truth")
     byF.values.foreach { case (p, mrr) =>
       assert(p >= 0.0 && p <= 1.0 && mrr >= 0.0 && mrr <= 1.0)
     }
     // approximate families still need to be USEFUL on this corpus
     assert(byF("sq8")._1 >= 0.5, s"sq8 precision ${byF("sq8")._1}")
+    // rerank's whole point: exact rescoring of the ADC shortlist must
+    // recover precision over raw IVFPQ at the same probe
+    assert(byF("ivfpq_rerank_c50")._1 >= byF("ivfpq_nprobe4")._1,
+      s"rerank ${byF("ivfpq_rerank_c50")} vs ivfpq ${byF("ivfpq_nprobe4")}")
   }
 
   test("IVF search recall grows with nprobe and hits exact at full probe") {
