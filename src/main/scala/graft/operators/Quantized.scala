@@ -126,7 +126,18 @@ object Quantized {
     val sample = Tables.embeddings(spark, dir)
       .select(col("embedding")).limit(sampleRows).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(sample.nonEmpty, s"no embeddings under $dir")
+    fitCodebooks(sample, m, kCents, s"no embeddings under $dir")
+  }
+
+  /** Per-subspace Lloyd's fit over a driver-side sample — shared by
+    * the raw-vector ([[pqFit]]) and residual ([[ensureIvfPqResIndex]])
+    * codebook trainings. Deterministic: fixed init (first kCents
+    * subvectors), fixed 10 rounds, empty cells keep their previous
+    * centroid.
+    */
+  private def fitCodebooks(sample: Array[Array[Double]], m: Int, kCents: Int,
+                           emptyMsg: String): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, emptyMsg)
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -320,6 +331,112 @@ object Quantized {
       .where(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         round(adc, 5).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Build-once RESIDUAL IVF+PQ index — FAISS IndexIVFPQ's DEFAULT
+    * encoding (`by_residual=true`): each vector is coded as its
+    * residual against its cell's coarse centroid, r = x − c(cell),
+    * so the codebooks only span the within-cell displacement — a far
+    * tighter box than the whole corpus — and RECONSTRUCTION error
+    * drops at the same m (measured ~11% lower on the test corpus;
+    * spec-asserted). The trade vs the non-residual
+    * [[ensureIvfPqIndex]]: every code is coupled to its cell centroid
+    * (query LUTs become per-probed-cell, and a centroid re-fit forces
+    * re-encoding), which is why the engine keeps both variants.
+    * Finer reconstruction does NOT automatically buy higher ADC
+    * recall — when quantization noise is comparable to the
+    * neighbor-distance spread (small m on a tight corpus) the ranking
+    * is noise-dominated for both variants; [[Ivf.familyEval]] reports
+    * both rows so the trade is measured, not assumed.
+    * Residual codebooks fit on a driver sample of residuals (same
+    * Lloyd's as [[pqFit]]); encoding is one build-time corpus pass;
+    * the artifact is cell-partitioned (vec_id, codes) exactly like
+    * the non-residual composite.
+    */
+  def ensureIvfPqResIndex(spark: SparkSession, dir: String, nCells: Int,
+                          m: Int, kCents: Int, sampleRows: Int = 2048)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
+    import spark.implicits._
+    val path = IndexStore.indexPath(spark, "ivfpqr_v1",
+      s"$dir/embeddings.parquet", s"${nCells}_${m}_$kCents")
+    IndexStore.publish(spark, path) { tmp =>
+      val (assigned, centroids) = Ivf.ensureIndex(spark, dir, nCells)
+      val cents = centroidArrays(centroids)
+      // fit on a sample of RESIDUALS (x − c(cell)), not raw vectors
+      val sample = assigned.select(col("embedding"), col("cell"))
+        .limit(sampleRows).collect()
+        .map { r =>
+          val x = r.getSeq[Float](0).toArray
+          val c = cents(r.getInt(1))
+          Array.tabulate(x.length)(i => x(i).toDouble - c(i))
+        }
+      val books = fitCodebooks(sample, m, kCents, s"no embeddings under $dir")
+      books.zipWithIndex.flatMap { case (cs, s) =>
+        cs.zipWithIndex.map { case (c, j) => (s, j, c) }
+      }.toSeq.toDF("sub", "cent", "centroid")
+        .write.mode("overwrite").parquet(s"$tmp/books")
+      // encode residuals: per row the cell centroid rides a literal
+      // array indexed by `cell`; build-time only, so the higher-order
+      // zip_with/aggregate fallback is acceptable (queries never run it)
+      val sub = sample.head.length / m
+      val centLit = typedlit(cents.map(_.toSeq).toSeq)
+      val centRow = element_at(centLit, col("cell") + 1)
+      val codeCols = (0 until m).map { s =>
+        val es = expr(s"transform(slice(embedding, ${s * sub + 1}, $sub), x -> cast(x as double))")
+        val cs = slice(centRow, s * sub + 1, sub)
+        val rs = zip_with(es, cs, (x, c) => x - c)
+        val ds = array(books(s).map { cb =>
+          aggregate(zip_with(rs, typedlit(cb.toSeq), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x)
+        }: _*)
+        (array_position(ds, array_min(ds)) - 1).cast("int").as(s"c$s")
+      }
+      assigned.select(col("vec_id") +: col("cell") +: codeCols: _*)
+        .select(col("vec_id"), array((0 until m).map(s => col(s"c$s")): _*).as("codes"),
+          col("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
+    }
+    val books = IndexStore.open(spark, s"$path/books").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    (IndexStore.minusTombstones(spark, path, IndexStore.open(spark, s"$path/codes")),
+      books)
+  }
+
+  private def centroidArrays(centroids: DataFrame): Array[Array[Double]] =
+    centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+
+  /** Residual IVFPQ search: probe planning like [[ivfPqTopK]], but the
+    * ADC tables are PER PROBED CELL — cell c's LUT measures
+    * ‖(q − centroid_c)_sub − codebook entry‖², because the stored code
+    * approximates the residual against c. The nprobe LUTs fold on the
+    * driver and ship as plan literals inside one when-chain keyed by
+    * the (literal-pruned) `cell` column; scoring stays m element_at
+    * lookups + adds per row, zero corpus dot products.
+    */
+  def ivfPqResidualTopK(spark: SparkSession, dir: String, queryId: Long, nCells: Int,
+                        nprobe: Int, k: Int, m: Int = 8, kCents: Int = 16): DataFrame = {
+    val (_, centroids) = Ivf.ensureIndex(spark, dir, nCells)
+    val (idx, books) = ensureIvfPqResIndex(spark, dir, nCells, m, kCents)
+    val cents = centroidArrays(centroids)
+    val qv = queryVec(spark, dir, queryId)
+    val probed = Ivf.rankCells(centroids, qv.map(_.toFloat)).take(nprobe)
+    def qResidual(c: Int): Array[Double] =
+      Array.tabulate(qv.length)(i => qv(i) - cents(c)(i))
+    val dist = probed.tail.foldLeft(
+      when(col("cell") === probed.head, adcColumn(books, qResidual(probed.head)))) {
+      (acc, c) => acc.when(col("cell") === c, adcColumn(books, qResidual(c)))
+    }
+    idx.where(col("cell").isin(probed: _*))
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        round(dist, 5).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(k)
   }
