@@ -103,8 +103,37 @@ object Curation {
     *      is small), and the ntile id follows from the rank by integer
     *      arithmetic (first N%10 tiles get one extra row).
     */
-  def lengthDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+  def lengthDeciles(spark: SparkSession, dir: String): DataFrame =
+    lengthDecilesOf(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")))
+
+  /** See [[lengthDeciles]]. The exact two-phase path collects a
+    * driver-side histogram of DISTINCT lengths, so its driver memory
+    * is bounded by the length cardinality, not the row count — fine
+    * for text corpora (lengths ≤ max doc length), but the bound is
+    * enforced, not assumed: above `maxDistinct` distinct values the
+    * operator switches to `approx_percentile`-derived decile
+    * boundaries (driver data = 9 numbers) with exact per-tile
+    * count/min/max. The approx path's tile POPULATIONS can deviate
+    * from exact ntile on heavy boundary ties; boundaries themselves
+    * are exact whenever the sketch's accuracy budget covers the
+    * cardinality.
+    */
+  def lengthDecilesOf(docs0: DataFrame, maxDistinct: Long = 100000L): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("n_chars"))
+    val nd = docs.agg(count_distinct(col("n_chars"))).head.getLong(0)
+    if (nd > maxDistinct) {
+      val bounds = docs.agg(expr(
+        "approx_percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)"))
+        .head.getSeq[Long](0)
+      val tile = bounds.foldLeft(lit(1L))((acc, b) =>
+        acc + when(col("n_chars") > b, 1L).otherwise(0L))
+      return docs.withColumn("tile", tile)
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("tile"))
+    }
     val hist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
       .orderBy(col("n_chars")).collect()
     val n = hist.map(_.getLong(1)).sum

@@ -63,6 +63,18 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** The raw-text front door over [[topKVec]] — the reference's full
+    * interactive path (app.py:169-188: `model.encode(query)` then the
+    * cosine scan): the configured [[graft.functions.QueryEncoder]]
+    * (`spark.graft.encoder.class`) embeds the string on the driver and
+    * the vector ships as a plan literal. Swapping the embedding model
+    * is a configuration change; no operator references a concrete
+    * encoder.
+    */
+  def topKText(spark: SparkSession, dir: String, text: String, k: Int,
+               filter: Column = lit(true)): DataFrame =
+    topKVec(spark, dir, graft.functions.QueryEncoder.required(spark).encode(text), k, filter)
+
   /** Exact L2 (euclidean) top-k — FAISS IndexFlatL2's metric — via the
     * dot-product identity ‖a−b‖ = √(a·a + b·b − 2 a·b), so the same
     * codegen kernel serves both metrics and no per-pair subtraction
