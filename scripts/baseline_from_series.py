@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Regenerate the BASELINE.md budget table from a bench series.
+
+Usage: baseline_from_series.py <series.jsonl>
+
+Baseline = per-query MIN across all runs, also folding in each run's
+`retimed` values (the bench's own warm re-reps of over-budget queries
+-- same min-approximates-uncontended-cost reasoning as the series
+min). Budget = 2x baseline rounded UP to 2 decimals, floored at
+0.5 s. Prints the markdown table plus totals.
+"""
+import json
+import math
+import sys
+
+runs = []
+with open(sys.argv[1]) as f:
+    for line in f:
+        line = line.strip()
+        if line:
+            runs.append(json.loads(line))
+
+if not runs:
+    sys.exit("no runs in series file")
+
+best: dict[str, float] = {}
+for r in runs:
+    for q, t in r["queries"].items():
+        best[q] = min(best.get(q, 1e9), t)
+    for q, t in r.get("retimed", {}).items():
+        best[q] = min(best.get(q, 1e9), t)
+    if r.get("errors"):
+        sys.exit(f"run has errors: {r['errors']}")
+
+rows = []
+for q in sorted(best):
+    b = best[q]
+    budget = max(0.5, math.ceil(b * 2 * 100) / 100)
+    rows.append((q, b, budget))
+
+print(f"runs: {len(runs)}; totals per run: "
+      + ", ".join(f"{r['value']:.1f}s" for r in runs))
+print()
+print("| query | baseline | budget (2x) |")
+print("|---|---|---|")
+for q, b, budget in rows:
+    print(f"| `{q}` | {b:.2f} | {budget:.2f} |")
+print()
+print(f"total baseline: {sum(b for _, b, _ in rows):.1f} s over {len(rows)} queries; "
+      f"total budget: {sum(bud for _, _, bud in rows):.1f} s")

@@ -295,20 +295,23 @@ object Quantized {
     */
   def ensureIvfPqIndex(spark: SparkSession, dir: String, nCells: Int,
                        m: Int, kCents: Int): DataFrame = {
-    val path = IndexStore.indexPath(spark, "ivfpq_v1",
+    val path = IndexStore.indexPath(spark, "ivfpq_v2",
       s"$dir/embeddings.parquet", s"${nCells}_${m}_$kCents")
     IndexStore.publish(spark, path) { tmp =>
       val (assigned, _) = Ivf.ensureIndex(spark, dir, nCells)
       val (codes, _) = ensurePqIndex(spark, dir, m, kCents)
       // one build-time shuffle marries the two persisted artifacts;
-      // queries never pay it again
+      // queries never pay it again. epoch=base keeps the layout
+      // maintenance-compatible (IndexStore.compact commits sibling
+      // epoch dirs).
       codes.join(assigned.select(col("vec_id"), col("cell")), "vec_id")
         .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/epoch=base")
     }
     // per-artifact tombstones (each index maintains its own deletes,
     // like separate FAISS indexes) — subtracted at open, no rewrite
     IndexStore.minusTombstones(spark, path, IndexStore.open(spark, path))
+      .drop("epoch")
   }
 
   /** IVFPQ search: driver-side probe planning exactly like
@@ -397,13 +400,14 @@ object Quantized {
         .select(col("vec_id"), array((0 until m).map(s => col(s"c$s")): _*).as("codes"),
           col("cell"))
         .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes/epoch=base")
     }
     val books = IndexStore.open(spark, s"$path/books").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .groupBy(_._1).toArray.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3))
-    (IndexStore.minusTombstones(spark, path, IndexStore.open(spark, s"$path/codes")),
+    (IndexStore.minusTombstones(spark, path, IndexStore.open(spark, s"$path/codes"))
+      .drop("epoch"),
       books)
   }
 

@@ -214,6 +214,11 @@ object IndexStore {
     val fs = new Path(dataDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tomb = fs.makeQualified(new Path(s"$tombstoneRoot/_tombstones"))
     if (!fs.exists(tomb)) return
+    // compaction swaps epoch dirs — a pre-epoch layout would end up
+    // MIXED (epoch=* beside bare partition dirs), which breaks
+    // partition discovery; refuse instead of corrupting
+    require(fs.listStatus(new Path(dataDir)).exists(_.getPath.getName.startsWith("epoch=")),
+      s"$dataDir does not use the epoch layout; compact() only maintains epoch-partitioned artifacts")
     val survivors = spark.read.parquet(dataDir)
       .join(broadcast(spark.read.parquet(tomb.toString)), Seq("vec_id"), "left_anti")
       .drop("epoch")
