@@ -38,6 +38,8 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => Ivf.ivfTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
     "ann_ivfpq_topk" -> ((s, d) => Quantized.ivfPqTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
     "ann_ivfpq_rerank" -> ((s, d) => Quantized.ivfPqRerankTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, c = 50, k = 10)),
+    // FAISS IndexIVFPQ's by_residual=true default — per-probed-cell LUTs
+    "ann_ivfpq_res_topk" -> ((s, d) => Quantized.ivfPqResidualTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
     "ann_lsh_topk" -> ((s, d) => Lsh.lshTopK(s, d, queryId = 0, nBits = 8, k = 10)),
     "ann_recall_eval" -> ((s, d) => Ivf.recallEval(s, d, nCells = 16, queryMod = 100, k = 10, nprobes = Seq(1, 2, 4))),
     // queryMod 500: the per-family loop times interactive single-query
@@ -89,6 +91,7 @@ object SparkEntry {
     "dedup_cc" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "dedup_substring" -> ((s, d) => Dedup.substringDedup(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -624,6 +627,28 @@ object SparkEntry {
         |      FROM h)
         |SELECT doc_id, count(*) AS n_kgrams, count(DISTINCT sel) AS n_fps, min(sel) AS min_fp
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    // winnow-overlap substring dedup: same winnowing CTE, pairs block
+    // on shared selected fingerprints with the df cap, overlap =
+    // containment vs the smaller fingerprint set (exact int/int double)
+    "dedup_substring" ->
+      """WITH kg AS (SELECT doc_id, unnest([{'pos': i, 'g': substr(text, i+1, 8)}
+        |                                   for i in range(length(text) - 7)],
+        |                                  recursive := true) FROM documents),
+        |h AS (SELECT doc_id, pos, substr(md5(g), 1, 8) AS hh FROM kg),
+        |w AS (SELECT doc_id, pos, min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+        |                                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |      FROM h),
+        |fp AS (SELECT DISTINCT doc_id, sel FROM w),
+        |hot AS (SELECT sel FROM fp GROUP BY 1 HAVING count(*) > 1000),
+        |fpc AS (SELECT doc_id, sel FROM fp ANTI JOIN hot USING (sel)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM fpc GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+        |          FROM fpc a JOIN fpc b ON a.sel = b.sel AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id, b_id, shared, shared / least(sa.n, sb.n) AS overlap
+        |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |WHERE shared / least(sa.n, sb.n) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
     "doc_fingerprint" ->
       s"""WITH $shingleCtes,
          |c AS (SELECT doc_id, count(*) AS n_shingles FROM shd GROUP BY 1)

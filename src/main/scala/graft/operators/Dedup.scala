@@ -350,6 +350,43 @@ object Dedup {
       .withColumn("is_kept", col("doc_id") === col("cluster_id"))
       .orderBy(col("doc_id"))
 
+  /** Cross-document SUBSTRING duplication — the training-data dedup
+    * dimension the set-based measures miss (a doc that embeds a long
+    * verbatim passage of another scores low n-gram Jaccard but should
+    * still be flagged; cf. the substring-dedup argument in
+    * "Deduplicating Training Data Makes Language Models Better").
+    * Winnowing guarantees any shared substring of length ≥ w + k − 1
+    * chars contributes a shared SELECTED fingerprint, so the pair
+    * space blocks on selected fingerprints exactly like
+    * [[ngramJaccard]] blocks on shingles — an equi-join keyed by
+    * fingerprint, never all-pairs — and the same df cap bounds the
+    * join against boilerplate fingerprints. Reported `overlap` is the
+    * MOSS similarity: shared fingerprints over the smaller document's
+    * fingerprint set (containment, not Jaccard — a short doc fully
+    * embedded in a long one scores 1.0).
+    */
+  def substringDedup(spark: SparkSession, dir: String, k: Int = 8, w: Int = 4,
+                     threshold: Double = 0.5, maxDf: Long = 1000L): DataFrame = {
+    val fp = TextAnalysis.winnowed(spark, dir, k, w)
+      .select(col("doc_id"), col("sel")).distinct()
+    val hot = fp.groupBy(col("sel")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select(col("sel"))
+    val fpc = fp.join(broadcast(hot), Seq("sel"), "left_anti")
+    val sz = fpc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = fpc.as("a").join(fpc.as("b"),
+        col("a.sel") === col("b.sel") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    inter
+      .join(sz.select(col("doc_id").as("a_id"), col("n").as("a_n")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("n").as("b_n")), "b_id")
+      // int/int division is bit-identical across engines — no rounding
+      .withColumn("overlap", col("shared") / least(col("a_n"), col("b_n")))
+      .where(col("overlap") >= threshold)
+      .select(col("a_id"), col("b_id"), col("shared"), col("overlap"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Embedding-cosine near-dup blocked on BANDED random-hyperplane LSH
     * — the 100 TB blocking key (rows-only to the driver: the
     * hyperplanes are RNG-seeded). `nBands` independent sign-LSH tables

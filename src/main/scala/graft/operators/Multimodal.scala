@@ -116,4 +116,26 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("n_bytes"),
         col("width"), col("height"), col("features"))
       .orderBy(col("media_id"))
+
+  /** Distributed corpus embedding — the OFFLINE half of the encoder
+    * seam (the reference embeds its whole corpus offline with the same
+    * model that serves queries; [[graft.functions.QueryEncoder]]
+    * covers the query half). The encoder is resolved BY CLASS NAME
+    * inside each partition, so nothing is serialized and heavyweight
+    * model state (an ONNX session, a JNI handle) loads once per
+    * partition, not per row — the Scala analog of a pandas_udf's
+    * per-batch model cache. Pure narrow transform: embed in place, no
+    * shuffle; at 100 TB throughput scales with partitions × encoder
+    * batch rate.
+    */
+  def embedDocuments(docs: DataFrame, encoderClass: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val enc = Class.forName(encoderClass).getDeclaredConstructor()
+          .newInstance().asInstanceOf[graft.functions.QueryEncoder]
+        rows.map { case (id, text) => (id, enc.encode(text)) }
+      }
+      .toDF("doc_id", "embedding")
+  }
 }

@@ -131,7 +131,20 @@ object TextAnalysis {
     * (tail windows shorter than w included) — deterministic and
     * engine-portable, which the oracle checks.
     */
-  def winnowFingerprint(spark: SparkSession, dir: String, k: Int = 8, w: Int = 4): DataFrame = {
+  def winnowFingerprint(spark: SparkSession, dir: String, k: Int = 8, w: Int = 4): DataFrame =
+    winnowed(spark, dir, k, w)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kgrams"),
+        countDistinct(col("sel")).as("n_fps"),
+        min(col("sel")).as("min_fp"))
+      .orderBy(col("doc_id"))
+
+  /** The per-position winnowing frame (doc_id, pos, sel) —
+    * [[winnowFingerprint]] aggregates it per document;
+    * [[Dedup.substringDedup]] joins documents on shared selected
+    * fingerprints.
+    */
+  private[operators] def winnowed(spark: SparkSession, dir: String, k: Int, w: Int): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
@@ -144,11 +157,6 @@ object TextAnalysis {
       .toDF("doc_id", "pos", "g")
       .select(col("doc_id"), col("pos"), substring(md5(col("g")), 1, 8).as("hh"))
       .withColumn("sel", min(col("hh")).over(win))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kgrams"),
-        countDistinct(col("sel")).as("n_fps"),
-        min(col("sel")).as("min_fp"))
-      .orderBy(col("doc_id"))
   }
 
   /** Content fingerprinting: md5 content hash, a 64-bit prefix

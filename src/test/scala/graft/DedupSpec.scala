@@ -108,6 +108,30 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.head.getDouble(2) == 1.0)
   }
 
+  test("substring dedup flags an embedded verbatim passage that n-gram Jaccard misses") {
+    import spark.implicits._
+    val passage = (1 to 30).map(i => s"tok$i").mkString(" ")      // ~200 chars
+    val host = (1 to 40).map(i => s"pre$i").mkString(" ") + " " + passage + " " +
+      (1 to 40).map(i => s"post$i").mkString(" ")
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((0L, host), (1L, passage), (2L, other)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-substr").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.substringDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // the embedded passage is contained: overlap vs the SMALLER doc ≈ 1
+    assert(rows.contains((0L, 1L)), s"got ${rows.keySet}")
+    assert(rows((0L, 1L)) >= 0.9, s"containment overlap ${rows((0L, 1L))}")
+    // the unrelated doc pairs with nothing
+    assert(!rows.keySet.exists { case (a, b) => a == 2L || b == 2L })
+    // ...while n-gram Jaccard scores the same pair LOW (the set measure
+    // dilutes the shared passage by the host's length) — the reason
+    // substring dedup exists as its own operator
+    val jac = Dedup.ngramJaccard(spark, dir, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac.get((0L, 1L)).forall(_ < 0.5), s"jaccard ${jac.get((0L, 1L))}")
+  }
+
   test("repeated dedup invocations reuse cached intermediates (no cache growth)") {
     Dedup.ngramJaccard(spark, TestSpark.sf).count()
     Dedup.minhashLsh(spark, TestSpark.sf).count()

@@ -63,4 +63,14 @@ class MultimodalSpec extends AnyFunSuite {
     val b = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
     assert(a._1 == b._1 && a._2 == b._2 && a._3.sameElements(b._3))
   }
+
+  test("corpus embedding resolves the encoder per partition and embeds every doc") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val out = Multimodal.embedDocuments(docs, classOf[FakeQueryEncoder].getName)
+    val rows = out.collect()
+    assert(rows.length == docs.count())
+    // the fake encoder is deterministic: every row carries its vector
+    val expected = SparkEntry.demoQueryVec.toSeq
+    assert(rows.forall(_.getSeq[Float](1) == expected))
+  }
 }
