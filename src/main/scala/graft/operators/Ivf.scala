@@ -181,10 +181,12 @@ object Ivf {
   def search(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
              nprobe: Int, k: Int): DataFrame = {
     val wc = Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cell"))
-    // localCheckpoint: the probe plan (queries × centroids ranking) is
+    // scratch-persist: the probe plan (queries × centroids ranking) is
     // read twice — once to collect the pruning ids, once as the join's
-    // build side — and must not execute twice
-    val probed = queries
+    // build side — and must not execute twice. Recomputable lineage
+    // (vs localCheckpoint's non-reliable blocks) + bounded LRU
+    // lifecycle — see graft.sources.ScratchCache
+    val probed0 = queries
       .withColumn("qn", l2norm(col("qv")))
       .crossJoin(broadcast(centroids))
       // reuse the precomputed qn — don't re-derive ||qv|| per centroid
@@ -193,7 +195,7 @@ object Ivf {
       .withColumn("crk", row_number().over(wc))
       .where(col("crk") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"), col("cell"))
-      .localCheckpoint()
+    val probed = graft.sources.ScratchCache.materialize(probed0)
     // bounded driver read: ≤ nCells distinct ids, never rows
     val probedCells = probed.select(col("cell")).distinct()
       .collect().map(_.get(0)).toSeq

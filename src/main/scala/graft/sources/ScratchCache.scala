@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.storage.StorageLevel
+
+/** Bounded per-process cache of PERSISTED intermediate frames for
+  * query-path materialization barriers (the hybrid blend's candidate
+  * triples, the IVF batch probe plan — subtrees that two downstream
+  * passes must read without executing twice).
+  *
+  * Why not `localCheckpoint()`: its blocks are stored NON-reliably on
+  * the executors that computed them — under executor loss,
+  * decommissioning, or dynamic allocation the lineage is gone and the
+  * query FAILS with missing-checkpoint blocks, which contradicts a
+  * 1000-executor deployment where churn is routine. It also runs a
+  * Spark job eagerly at DataFrame CONSTRUCTION time.
+  *
+  * Why not bare `persist()`: Spark's CacheManager keeps a registered
+  * entry (memory + disk blocks) alive until `unpersist()` — a serving
+  * session issuing thousands of distinct queries would accumulate one
+  * scratch entry per query, forever. This cache bounds that: an LRU of
+  * at most `spark.graft.scratch.cache.size` (default 8) persisted
+  * frames per process; eviction unpersists. Storage is
+  * MEMORY_AND_DISK, so lineage stays RECOMPUTABLE — a lost block is
+  * recomputed from source, not a query failure, and an evicted frame
+  * still referenced by an un-executed caller plan simply recomputes.
+  *
+  * Keys are the frame's CANONICALIZED logical plan (structural
+  * equality — auto-generated attribute ids normalized away), so a
+  * repeated interactive query (same filter, same query vector) reuses
+  * the still-warm scratch instead of re-scanning — the serving-path
+  * win the reference gets from Streamlit's st.cache_resource
+  * (reference app.py:63-102).
+  */
+object ScratchCache {
+
+  private def capacity(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.scratch.cache.size", "8").toInt
+
+  // access-ordered LinkedHashMap = LRU; guarded by this object's lock
+  // (driver-side planning only — never on a per-row path)
+  private val lru =
+    new java.util.LinkedHashMap[(SparkSession, LogicalPlan), DataFrame](16, 0.75f, true)
+
+  /** Persist `df` (MEMORY_AND_DISK) under LRU lifecycle and return the
+    * cached frame. The first downstream action populates the cache;
+    * every later pass over the returned frame reads the stored rows.
+    * No eager job runs here.
+    */
+  def materialize(df: DataFrame): DataFrame = synchronized {
+    // evict entries of stopped sessions so session churn can't leak
+    val dead = lru.keySet.iterator()
+    while (dead.hasNext) if (dead.next()._1.sparkContext.isStopped) dead.remove()
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+    val hit = lru.get(key)
+    if (hit != null) hit
+    else {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      lru.put(key, p)
+      val cap = capacity(df.sparkSession)
+      val it = lru.entrySet().iterator()
+      while (lru.size() > cap && it.hasNext) {
+        it.next().getValue.unpersist(blocking = false)
+        it.remove()
+      }
+      p
+    }
+  }
+
+  /** Test/ops hook: drop and unpersist everything. */
+  def clear(): Unit = synchronized {
+    val it = lru.entrySet().iterator()
+    while (it.hasNext) { it.next().getValue.unpersist(blocking = false); it.remove() }
+  }
+
+  /** Test hook: number of live scratch entries. */
+  def size: Int = synchronized(lru.size())
+}

@@ -135,6 +135,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-4)
   }
 
+  test("scratch cache bounds live persisted entries and unpersists evictions") {
+    import graft.sources.ScratchCache
+    import org.apache.spark.storage.StorageLevel
+    ScratchCache.clear()
+    spark.conf.set("spark.graft.scratch.cache.size", "2")
+    try {
+      import spark.implicits._
+      val frames = (0 until 3).map { i =>
+        ScratchCache.materialize(Seq(i, i + 1).toDF(s"c$i"))
+      }
+      frames.foreach(_.count())
+      assert(ScratchCache.size == 2, s"LRU must hold at most 2, held ${ScratchCache.size}")
+      // the first (oldest) frame was evicted and unpersisted; the
+      // last two still hold their storage level
+      assert(frames(0).storageLevel == StorageLevel.NONE, "evicted frame must be unpersisted")
+      assert(frames(2).storageLevel != StorageLevel.NONE)
+      // same logical plan → same cached frame, no new entry
+      val again = ScratchCache.materialize(Seq(2, 3).toDF("c2"))
+      assert(ScratchCache.size == 2)
+      assert(again.storageLevel != StorageLevel.NONE)
+    } finally {
+      spark.conf.unset("spark.graft.scratch.cache.size")
+      ScratchCache.clear()
+    }
+  }
+
   test("vec_norm and vec_cosine compose the same kernel in SQL") {
     GraftExtensions.register(spark)
     Tables.embeddings(spark, TestSpark.sf).createOrReplaceTempView("emb")
