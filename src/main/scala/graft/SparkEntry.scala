@@ -106,6 +106,19 @@ object SparkEntry {
     "len_deciles" -> ((s, d) => Curation.lengthDeciles(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedHotKeyRollup(s, d)),
     "curate_pipeline" -> ((s, d) => Curation.curatePipeline(s, d)),
+    // Okapi BM25 — the standard keyword ranker alongside the
+    // reference's TF-IDF cosine; same persisted sparse model
+    "bm25_topk" -> ((s, d) => TextRetrieval.bm25TopK(s, d, Seq("spark", "join", "vector"), k = 10)),
+    // raw-text BM25 front door (engine-side tokenization; the oracle
+    // re-tokenizes independently, catching tokenizer drift)
+    "bm25_topk_text" -> ((s, d) => TextRetrieval.bm25TopK(s, d, "Spark JOIN, vector-search! spark", k = 10)),
+    "pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
+    "quality_gopher" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
+    "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(s, d)),
+    "pack_sequences" -> ((s, d) => Curation.packSequences(s, d)),
+    "sample_mixture" -> ((s, d) => Curation.mixtureSample(s, d)),
+    // SemDeDup (k-means-blocked embedding dedup) — rows-only oracle
+    "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free
@@ -655,5 +668,97 @@ object SparkEntry {
          |SELECT d.doc_id, md5(d.text) AS fp, substr(md5(d.text), 1, 16) AS fp64,
          |       coalesce(c.n_shingles, 0) AS n_shingles
          |FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // Okapi BM25 (k1=1.2, b=0.75): idf = ln((N-df+0.5)/(df+0.5)+1),
+    // tf saturation + dl/avgdl length norm — association order mirrors
+    // the Scala expression exactly so both engines round the same
+    // doubles (SURVEY §4)
+    "bm25_topk" -> bm25Oracle("SELECT unnest(['spark', 'join', 'vector']) AS term"),
+    "bm25_topk_text" -> bm25Oracle(
+      "SELECT DISTINCT unnest(list_filter(regexp_extract_all(lower('Spark JOIN, vector-search! spark'), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term"),
+    // PII counts are taken on the RAW text per pattern independently;
+    // replacement is sequential (email → ipv4 → number)
+    "pii_redact" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_email,
+        |       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+        |       len(regexp_extract_all(text, '\d{6,}'))::BIGINT AS n_number,
+        |       regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |         '\d{6,}', '<NUM>', 'g') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_gopher" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, len(toks)::BIGINT AS n_words,
+        |             list_sum(list_transform(toks, x -> length(x)))::BIGINT AS swl,
+        |             len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+        |             len(list_filter(toks, x -> x = 'the' OR x = 'a'))::BIGINT AS n_stop
+        |      FROM t)
+        |SELECT doc_id, n_words, swl / n_words AS mean_word_len,
+        |       n_alpha / n_words AS frac_alpha, n_stop,
+        |       (n_words >= 10 AND n_words <= 100000) AS rule_words,
+        |       (swl / n_words >= 3.0 AND swl / n_words <= 10.0) AS rule_word_len,
+        |       (n_alpha / n_words >= 0.8) AS rule_alpha,
+        |       (n_stop >= 2) AS rule_stop,
+        |       ((n_words >= 10 AND n_words <= 100000)
+        |        AND (swl / n_words >= 3.0 AND swl / n_words <= 10.0)
+        |        AND (n_alpha / n_words >= 0.8) AND (n_stop >= 2)) AS pass_gopher
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "doc_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, CASE WHEN len(toks) >= 2
+        |                           THEN [array_to_string(toks[i+1:i+2], ' ') for i in range(len(toks) - 1)]
+        |                           ELSE []::VARCHAR[] END AS bgs FROM t),
+        |base AS (SELECT doc_id, len(bgs)::BIGINT AS n_bigrams,
+        |                len(list_distinct(bgs))::BIGINT AS n_distinct FROM bg),
+        |ex AS (SELECT doc_id, unnest(bgs) AS bigram FROM bg),
+        |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM ex GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_bigram_n FROM cnt GROUP BY 1)
+        |SELECT b.doc_id, n_bigrams, n_distinct,
+        |       coalesce(top_bigram_n, 0)::BIGINT AS top_bigram_n,
+        |       CASE WHEN n_bigrams > 0 THEN (n_bigrams - n_distinct) / n_bigrams ELSE 0.0 END AS dup_bigram_frac,
+        |       CASE WHEN n_bigrams > 0 THEN coalesce(top_bigram_n, 0) / n_bigrams ELSE 0.0 END AS top_bigram_share
+        |FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // contiguous packing: bin = cum-before div budget, per-shard
+    // window — all exact integer arithmetic
+    "pack_sequences" ->
+      """WITH d AS (SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 1) AS shard,
+        |                  ceil(length(text) / 4.0)::BIGINT AS est_tok FROM documents),
+        |c AS (SELECT doc_id, shard, est_tok,
+        |             sum(est_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                                ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT shard, ((cum - est_tok) // 2048)::BIGINT AS bin,
+        |       count(*) AS n_docs, sum(est_tok)::BIGINT AS tok_sum
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sample_mixture" ->
+      """WITH d AS (SELECT source, substr(md5(doc_id::VARCHAR), 1, 4) AS bucket,
+        |                  CASE source WHEN 'src0' THEN 'cccc' WHEN 'src1' THEN '8000'
+        |                              WHEN 'src2' THEN '4000' WHEN 'src3' THEN '2000'
+        |                              ELSE '1000' END AS thr
+        |           FROM documents)
+        |SELECT source, count(*) AS n_total,
+        |       sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |       sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END)::BIGINT / count(*) AS rate
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
   )
+
+  /** BM25 oracle parameterized by the query-terms subquery (term-list
+    * vs raw-text tokenization — the latter re-tokenizes independently
+    * of the engine, catching tokenizer drift).
+    */
+  private def bm25Oracle(termsSubquery: String): String =
+    s"""WITH terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+       |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+       |q AS ($termsSubquery),
+       |qi AS (SELECT term, ln((nn.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1) AS qidf
+       |       FROM q JOIN dfv USING (term), nn)
+       |SELECT tf.doc_id,
+       |       round(sum(qi.qidf * tf.tf * (1.2 + 1.0) /
+       |                 (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))), 5) AS score
+       |FROM tf JOIN qi USING (term) JOIN dl USING (doc_id), ad
+       |GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 }

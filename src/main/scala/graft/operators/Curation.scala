@@ -159,6 +159,67 @@ object Curation {
       .orderBy(col("tile"))
   }
 
+  /** Sequence packing — the step that turns a curated corpus into
+    * fixed-budget training sequences: documents are laid out in a
+    * deterministic order and cut into bins of `budgetTokens` estimated
+    * tokens (ceil(chars/4), [[TextAnalysis.tokenCount]]'s estimate). A
+    * document goes to the bin its CUMULATIVE-BEFORE token count falls
+    * in (`cum_before div budget`), so bin assignment is a closed-form
+    * window expression — no iterative first-fit state — at the cost of
+    * boundary documents overflowing their bin by at most one document
+    * (the standard contiguous-packing trade; training runs truncate or
+    * span, they don't re-shuffle).
+    *
+    * Scale: the layout order is per-SHARD (first hex char of
+    * md5(doc_id) — 16 shards here, thousands at 100 TB), so the
+    * running sum is a window PARTITIONED by shard: no global-order
+    * window ever plans, every shard packs independently and in
+    * parallel, and adding a shard dimension to the output keeps bin
+    * ids stable under re-runs. Output is the per-bin manifest
+    * (shard, bin, n_docs, tok_sum) a data loader consumes.
+    */
+  def packSequences(spark: SparkSession, dir: String, budgetTokens: Long = 2048L): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("est_tok"))
+      .withColumn("cum", sum(col("est_tok")).over(w))
+      // integer div (`div`, not `/`) — exact on both engines (SURVEY §4)
+      .withColumn("bin", expr(s"(cum - est_tok) div ${budgetTokens}L"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("est_tok")).as("tok_sum"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  /** Source-mixture sampling — the domain-weighting step of a training
+    * mix (the Pile/Dolma "mixing proportions" table): each source gets
+    * a deterministic hash-threshold keep rate, so the drawn subset is
+    * reproducible, stable under corpus growth, and needs NO shuffle to
+    * draw (the keep decision is a pure scan predicate, like
+    * [[hashSample]]). Rates are expressed as md5-prefix hex
+    * thresholds out of 0x10000 (e.g. "8000" ≈ 50%). The report
+    * aggregates per source: corpus rows, kept rows, achieved rate —
+    * the sanity table checked before a mix ships.
+    */
+  def mixtureSample(spark: SparkSession, dir: String,
+                    rates: Seq[(String, String)] = Seq(
+                      "src0" -> "cccc", "src1" -> "8000", "src2" -> "4000",
+                      "src3" -> "2000"),
+                    defaultRate: String = "1000"): DataFrame = {
+    val thr = rates.foldRight(lit(defaultRate)) { case ((src, hex), els) =>
+      when(col("source") === src, lit(hex)).otherwise(els)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 4))
+      .withColumn("kept", (col("bucket") < thr).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+      .withColumn("rate", col("n_kept") / col("n_total"))
+      .orderBy(col("source"))
+  }
+
   /** Key-skew diagnostic: per-key row counts for the heaviest keys,
     * with each key's share of the table and its multiple of the mean
     * key size. This is the report that decides salting / AQE skew-join

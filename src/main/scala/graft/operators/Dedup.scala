@@ -313,6 +313,14 @@ object Dedup {
     * round materializes via localCheckpoint so the plan and lineage
     * stay O(1) instead of growing per iteration. The driver loop
     * iterates ROUNDS (bounded by graph diameter), never rows.
+    *
+    * localCheckpoint (not the ScratchCache persist the query paths
+    * use) is deliberate here: an iterative loop needs lineage
+    * TRUNCATION — persist keeps the full lineage, so after R rounds
+    * the plan is R joins deep and recovery recomputes the whole
+    * history. The trade is that a lost executor fails the BUILD job
+    * (rerun it), which is the right trade for offline maintenance
+    * work, unlike interactive probes.
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val sym = edges.toDF("a", "b")
@@ -430,5 +438,44 @@ object Dedup {
           .as("score"))
       .where(col("score") >= threshold)
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Semantic dedup — SemDeDup (Abbas et al. 2023): k-means-cluster
+    * the embedding space, compare pairs only WITHIN a cluster, drop
+    * all but one of each semantic-duplicate group. Where
+    * [[embeddingNearDup]] blocks on a supervised label and
+    * [[embeddingNearDupLsh]] on random hyperplanes, this blocks on
+    * LEARNED structure — near-duplicate meaning lands in the same
+    * k-means cell even when no label says so, which is exactly the
+    * redundancy pruning SemDeDup showed accelerates LLM training.
+    *
+    * Reuses the persisted IVF assignment ([[Ivf.ensureIndex]] — the
+    * build-once cell-partitioned artifact) as the clustering, so the
+    * dedup pass costs ONE self-join keyed by cell over data that is
+    * already cell-partitioned on disk: each cell's pairs compute
+    * within its partition, occupancy is corpus/nCells on average, and
+    * nCells scales with the corpus (100k cells at 100 TB) to bound
+    * per-cell work the same way the paper shards FAISS k-means.
+    * Verdict per doc: keep the cluster-minimum id of each duplicate
+    * group (keep-first, matching [[exactDedup]]). Rows-only oracle
+    * (k-means is not SQL-expressible).
+    */
+  def semanticDedup(spark: SparkSession, dir: String, nCells: Int = 16,
+                    threshold: Double = 0.4): DataFrame = {
+    val (assigned, _) = Ivf.ensureIndex(spark, dir, nCells)
+    val e = assigned.select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.cell").cast("long").as("cell"),
+        round(dotd(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 5).as("score"))
+      .where(col("score") >= threshold)
+    // duplicate groups are cell-local, so the keep decision is a
+    // cell-local min — no cross-cell propagation needed
+    connectedComponents(pairs.select("a_id", "b_id"))
+      .withColumn("is_kept", col("doc_id") === col("cluster_id"))
+      .withColumnRenamed("doc_id", "vec_id")
+      .orderBy(col("vec_id"))
   }
 }

@@ -159,6 +159,122 @@ object TextAnalysis {
       .withColumn("sel", min(col("hh")).over(win))
   }
 
+  /** PII patterns shared by the engine and the DuckDB oracle — kept to
+    * the regex subset Java and RE2 evaluate identically (no
+    * backreferences, no lookaround, ASCII classes): emails, IPv4
+    * addresses, long digit runs (phone/account numbers). Order
+    * matters — emails first so their digits aren't half-eaten by the
+    * number rule.
+    */
+  private[graft] val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("number", "\\d{6,}", "<NUM>"))
+
+  /** Adds per-pattern match counts (n_email, n_ipv4, n_number) and the
+    * redacted text to a frame with a `text` column — the PII scrub a
+    * training-data pipeline runs before anything else ships. Counts
+    * are taken BEFORE redaction (on the raw text, each pattern
+    * independently); replacement is sequential in [[piiPatterns]]
+    * order. Everything is a narrow codegen'd transform — the scrub
+    * streams through a corpus scan at IO speed with zero shuffles.
+    */
+  private[graft] def withPiiCols(df: DataFrame): DataFrame = {
+    val counted = piiPatterns.foldLeft(df) { case (acc, (name, pat, _)) =>
+      acc.withColumn(s"n_$name",
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long"))
+    }
+    val redacted = piiPatterns.foldLeft(col("text")) { case (c, (_, pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+    counted.withColumn("clean_text", redacted)
+  }
+
+  /** PII redaction over the documents table: doc_id, match counts per
+    * pattern, redacted text. See [[withPiiCols]].
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    withPiiCols(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_number"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Table A1 — the rule family most
+    * curation stacks since have reused): word-count bounds, mean word
+    * length bounds, minimum alphabetic-word fraction, minimum stopword
+    * hits. Emitted as one boolean per rule plus the conjunction, so a
+    * pipeline can both GATE (pass_gopher) and DIAGNOSE (which rule
+    * fired) in one pass. All ratios are exact integer divisions
+    * (SURVEY §4); every column is a narrow per-row transform.
+    *
+    * Thresholds are tuned to this corpus's scale (synthetic docs are
+    * shorter than web pages) but keep Gopher's structure: 10 ≤ words ≤
+    * 100000, 3 ≤ mean word length ≤ 10, ≥ 80% of words contain an
+    * alphabetic character, ≥ 2 stopword occurrences.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        aggregate(toks, lit(0), (a, t) => a + length(t)).cast("long").as("sum_word_len"),
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("n_alpha_words"),
+        size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("long").as("n_stop"))
+      .withColumn("mean_word_len", col("sum_word_len") / col("n_words"))
+      .withColumn("frac_alpha", col("n_alpha_words") / col("n_words"))
+      .withColumn("rule_words", col("n_words") >= 10 && col("n_words") <= 100000)
+      .withColumn("rule_word_len", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("rule_alpha", col("frac_alpha") >= 0.8)
+      .withColumn("rule_stop", col("n_stop") >= 2)
+      .withColumn("pass_gopher",
+        col("rule_words") && col("rule_word_len") && col("rule_alpha") && col("rule_stop"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"), col("frac_alpha"),
+        col("n_stop"), col("rule_words"), col("rule_word_len"), col("rule_alpha"),
+        col("rule_stop"), col("pass_gopher"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Intra-document repetition signals (the Gopher/Dolma repetition
+    * family): duplicate-bigram fraction and the most frequent bigram's
+    * share of the document. High values flag boilerplate and generated
+    * spam that inter-document dedup can't see. The distinct/total
+    * counts are array-side narrow transforms; the top-bigram count
+    * explodes and aggregates KEYED BY (doc_id, bigram) — blocked per
+    * document, so no key ever exceeds one document's bigrams and the
+    * aggregate partial-combines map-side.
+    */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), bigrams.as("bgs"))
+      .select(col("doc_id"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bgs"))).cast("long").as("n_distinct"),
+        col("bgs"))
+    val top = base.where(col("n_bigrams") > 0)
+      .select(col("doc_id"), explode(col("bgs")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
+    base.drop("bgs")
+      .join(top, Seq("doc_id"), "left")
+      .withColumn("top_bigram_n", coalesce(col("top_bigram_n"), lit(0L)))
+      // exact integer ratios (SURVEY §4); 0-bigram docs are 0-dup
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") > 0, (col("n_bigrams") - col("n_distinct")) / col("n_bigrams"))
+          .otherwise(lit(0.0)))
+      .withColumn("top_bigram_share",
+        when(col("n_bigrams") > 0, col("top_bigram_n") / col("n_bigrams"))
+          .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"), col("top_bigram_n"),
+        col("dup_bigram_frac"), col("top_bigram_share"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprinting: md5 content hash, a 64-bit prefix
     * fingerprint, and the distinct-shingle count (winnowing-style
     * signature size).

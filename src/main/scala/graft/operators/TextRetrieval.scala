@@ -161,6 +161,69 @@ object TextRetrieval {
   def tfidfTopK(spark: SparkSession, dir: String, query: String, k: Int): DataFrame =
     tfidfTopK(spark, dir, sklearnTokenize(query), k)
 
+  /** BM25 doc-length artifact derived from the persisted tf table:
+    * per-doc length `dl` (sum of term frequencies) plus the corpus
+    * average `avgdl` (1 row) — the two statistics Okapi BM25 adds over
+    * TF-IDF. Build-once under the same fingerprint-addressed layout as
+    * the model itself; `avg` is written LAST so the completeness
+    * marker rides the publish rename.
+    */
+  private def ensureBm25(spark: SparkSession, dir: String,
+                         m: TfidfModel): (DataFrame, DataFrame) = {
+    val base = IndexStore.indexPath(spark, "bm25_v1", s"$dir/documents.parquet", "dl")
+    IndexStore.publish(spark, base) { tmp =>
+      m.tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        .write.mode("overwrite").parquet(s"$tmp/dl")
+      spark.read.parquet(s"$tmp/dl").agg(avg(col("dl")).as("avgdl"))
+        .write.mode("overwrite").parquet(s"$tmp/avg")
+    }
+    (IndexStore.open(spark, s"$base/dl"), IndexStore.open(spark, s"$base/avg"))
+  }
+
+  /** Okapi BM25 ranking — the standard keyword scorer the reference's
+    * TF-IDF-cosine approximates (Robertson & Zaragoza 2009; Lucene's
+    * default similarity). Per query term t with document frequency df:
+    *
+    *   idf(t)  = ln((N − df + 0.5)/(df + 0.5) + 1)
+    *   s(d,t)  = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * summed over the query's distinct terms. Unlike TF-IDF cosine it
+    * saturates term frequency (k1) and penalizes long documents (b) —
+    * the two behaviors that make it the stronger default ranker.
+    *
+    * Scale shape is identical to [[tfidfTopK]]: the persisted sparse
+    * tf triples are joined against a BROADCAST of |q| idf rows, the
+    * per-doc sum partial-aggregates map-side, and the top-k is a
+    * TakeOrderedAndProject — one shuffle keyed by doc_id, no dense
+    * vectors anywhere.
+    */
+  def bm25TopK(spark: SparkSession, dir: String, queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val m = ensureModel(spark, dir)
+    val (dl, avgdl) = ensureBm25(spark, dir, m)
+    import spark.implicits._
+    val q = queryTerms.distinct.toDF("term")
+    val qidf = q.join(m.dfT, Seq("term"), "inner").crossJoin(broadcast(m.n))
+      .withColumn("qidf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .select("term", "qidf")
+    // association order mirrors the oracle SQL exactly (left-to-right)
+    // so both engines round the same doubles — SURVEY §4
+    m.tf.join(broadcast(qidf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(avgdl))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("qidf") * col("tf") * (lit(k1) + lit(1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))), 5)
+        .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Raw-text BM25 front door — same tokenizer contract as
+    * [[tfidfTopK]]'s String overload. */
+  def bm25TopK(spark: SparkSession, dir: String, query: String, k: Int): DataFrame =
+    bm25TopK(spark, dir, sklearnTokenize(query), k)
+
   /** Candidate embeddings under an optional metadata filter over the
     * `documents` table (reference app.py:156-164 `candidate_indices()`
     * — brand/rating/review-count become lang/source/n_chars here). The
@@ -187,12 +250,15 @@ object TextRetrieval {
     */
   private def blend(cand0: DataFrame, alpha: Double, k: Int): DataFrame = {
     // the blend needs TWO passes over the candidates (global min/max,
-    // then scoring) — localCheckpoint materializes the corpus-scan +
+    // then scoring) — ScratchCache persists the corpus-scan +
     // TF-IDF-join subtree ONCE and both passes read the stored rows
     // (narrow (doc_id, vs, ts) triples). Without it neither exchange
     // reuse nor anything else stops Spark executing the whole subtree
     // twice per query (r3 plan audit: 24 parquet scans in hybrid_topk).
-    val cand = cand0.localCheckpoint()
+    // Persisted (recomputable lineage — survives executor churn where
+    // localCheckpoint blocks would not) under a bounded LRU so a
+    // serving session can't leak one cache entry per query.
+    val cand = graft.sources.ScratchCache.materialize(cand0)
     val stats = cand.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
     cand.crossJoin(broadcast(stats))
       .withColumn("tn", when(col("mx") > col("mn"),

