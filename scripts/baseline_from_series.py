@@ -1,16 +1,20 @@
 #!/usr/bin/env python3
 """Regenerate the BASELINE.md budget table from a bench series.
 
-Usage: baseline_from_series.py <series.jsonl>
+Usage: baseline_from_series.py <series.jsonl> [prior_BASELINE.md]
 
 Baseline = per-query MIN across all runs, also folding in each run's
 `retimed` values (the bench's own warm re-reps of over-budget queries
 -- same min-approximates-uncontended-cost reasoning as the series
-min). Budget = 2x baseline rounded UP to 2 decimals, floored at
-0.5 s. Prints the markdown table plus totals.
+min). With a prior BASELINE.md, each query's prior baseline joins the
+min (a pure ratchet: the combined series only ever lowers a
+baseline; queries new to the surface enter at their series min).
+Budget = 2x baseline rounded UP to 2 decimals, floored at 0.5 s.
+Prints the markdown table plus totals.
 """
 import json
 import math
+import re
 import sys
 
 runs = []
@@ -31,6 +35,14 @@ for r in runs:
         best[q] = min(best.get(q, 1e9), t)
     if r.get("errors"):
         sys.exit(f"run has errors: {r['errors']}")
+
+if len(sys.argv) > 2:
+    with open(sys.argv[2]) as f:
+        for line in f:
+            m = re.match(r"\|\s*`?(\w+)`?\s*\|\s*([\d.]+)\s*\|\s*[\d.]+", line)
+            if m and m.group(1) != "query":
+                q = m.group(1)
+                best[q] = min(best.get(q, 1e9), float(m.group(2)))
 
 rows = []
 for q in sorted(best):

@@ -178,9 +178,17 @@ object Lsh {
     * staging path for [[commitAppend]].
     */
   def stageAppend(spark: SparkSession, path: String, newVectors: DataFrame,
-                  nBits: Int): String = {
+                  nBits: Int): String =
+    stageAppendAt(spark, path, newVectors, nBits, IndexStore.stageEpochPath(path, "add"))
+
+  /** [[stageAppend]] with a caller-chosen staging path — the streaming
+    * ingest sink ([[graft.streaming.IndexIngest]]) names staging dirs
+    * DETERMINISTICALLY per micro-batch so a replayed batch commits the
+    * same epoch name and idempotence is an existence check.
+    */
+  private[graft] def stageAppendAt(spark: SparkSession, path: String, newVectors: DataFrame,
+                                   nBits: Int, staging: String): String = {
     val dim = newVectors.select(size(col("embedding")).as("d")).head.getInt(0)
-    val staging = IndexStore.stageEpochPath(path, "add")
     newVectors
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
       .join(assignBucketsOf(newVectors, nBits, dim), "vec_id")

@@ -242,4 +242,41 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(bad.isEmpty, s"global-order window found:\n${bad.mkString("\n")}")
   }
+
+  test("bm25 broadcasts the query idf rows and takes top-k without a full sort") {
+    val df = graft.operators.TextRetrieval.bm25TopK(spark, TestSpark.sf,
+      Seq("spark", "join", "vector"), k = 10)
+    df.collect() // finalize the adaptive plan before asserting on it
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // scoring reads the persisted sparse model, never re-tokenizes
+    assert(!p.contains("documents.parquet"),
+      "per-query bm25 must not rescan/re-tokenize the corpus:\n" + p.take(1500))
+  }
+
+  test("pii redaction is a narrow scan transform (no hash shuffle)") {
+    val p = plan(graft.operators.TextAnalysis.piiRedact(spark, TestSpark.sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "redaction must stream through the scan:\n" + p.take(800))
+  }
+
+  test("gopher rules are a narrow scan transform (no hash shuffle)") {
+    val p = plan(graft.operators.TextAnalysis.gopherRules(spark, TestSpark.sf))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(800))
+  }
+
+  test("sequence packing never plans a partition-less (global-order) window") {
+    val df = Curation.packSequences(spark, TestSpark.sf)
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"global-order window found:\n${bad.mkString("\n")}")
+  }
+
+  test("mixture sampling needs one aggregation, no join, no window") {
+    val p = plan(Curation.mixtureSample(spark, TestSpark.sf))
+    assert(!p.contains("Join"), "the keep decision is a scan predicate:\n" + p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+  }
 }

@@ -11,6 +11,8 @@ case class TestEvent(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class QueryVec(q_id: Long, qv: Array[Float])
 
+case class NewVec(vec_id: Long, embedding: Array[Float])
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -117,6 +119,58 @@ class StreamingSpec extends AnyFunSuite {
         assert(streamed == batchTopK, s"q=$qid streamed=$streamed batch=$batchTopK")
       }
     } finally q.stop()
+  }
+
+  test("streaming ingest commits each micro-batch as one idempotent index epoch") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    import graft.streaming.IndexIngest
+    implicit val ctx = spark.sqlContext
+    // isolated index root: the ingested epochs must not leak into the
+    // shared fingerprint-addressed artifacts other suites probe
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-root").toString
+    spark.conf.set("spark.graft.index.root", root)
+    try {
+      val nBits = 4
+      graft.operators.Lsh.ensureIndex(spark, TestSpark.sf, nBits).count()
+      val path = graft.operators.Lsh.indexPath(spark, TestSpark.sf, nBits)
+      val before = spark.read.parquet(path).count()
+      def vec(seed: Int): Array[Float] = Array.tabulate(64)(i => ((i + seed) % 5 - 2) * 0.25f)
+      // batch 1 ingests a CLONE of corpus vector 0: same hyperplanes →
+      // same bucket, so the serving path must surface it at cosine 1.0
+      val clone0 = Tables.embeddings(spark, TestSpark.sf).where(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val stream = MemoryStream[NewVec]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString
+      val q = IndexIngest.intoLshIndex(spark, stream.toDF(), path, nBits, ckpt)
+      try {
+        stream.addData(NewVec(10001L, vec(1)), NewVec(10002L, vec(2)))
+        q.processAllAvailable()
+        stream.addData(NewVec(10003L, clone0))
+        q.processAllAvailable()
+      } finally q.stop()
+      IndexStore.invalidate(spark, path)
+      val after = spark.read.parquet(path)
+      assert(after.where(col("vec_id") >= 10000L).count() == 3)
+      assert(after.count() == before + 3)
+      // epoch per micro-batch, named by batch id (the idempotence key)
+      val epochs = new java.io.File(path).listFiles.map(_.getName)
+        .filter(_.startsWith("epoch=ingest-b")).toSet
+      assert(epochs == Set("epoch=ingest-b0", "epoch=ingest-b1"), epochs.mkString(","))
+      // a replayed (already-committed) batch is a no-op — exactly-once
+      IndexIngest.appendLshBatch(spark, path, nBits)(
+        Seq(NewVec(10001L, vec(1)), NewVec(10002L, vec(2))).toDF(), 0L)
+      IndexStore.invalidate(spark, path)
+      assert(spark.read.parquet(path).count() == before + 3, "replay must not duplicate")
+      // the serving path sees the ingested vectors within one batch:
+      // the clone of vector 0 hashes to 0's own bucket and must come
+      // back as the top hit at cosine 1.0 — no rebuild, no restart
+      val top = graft.operators.Lsh.lshTopK(spark, TestSpark.sf, 0L, nBits, k = 5).head
+      assert(top.getLong(0) == 10003L && top.getDouble(2) == 1.0, top.toString)
+    } finally {
+      spark.conf.unset("spark.graft.index.root")
+      IndexStore.invalidate(spark, graft.operators.Lsh.indexPath(spark, TestSpark.sf, 4))
+    }
   }
 
   test("stateful flatMapGroupsWithState sessionizer closes on gap and timeout") {
