@@ -119,6 +119,10 @@ object SparkEntry {
     "sample_mixture" -> ((s, d) => Curation.mixtureSample(s, d)),
     // SemDeDup (k-means-blocked embedding dedup) — rows-only oracle
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
+    // train/eval n-gram decontamination over the hash split
+    "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    // TPC-H Q6: full-pushdown filtered scan + global agg
+    "q6_forecast" -> ((s, d) => Analytics.q6Forecast(s, d)),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free
@@ -740,6 +744,31 @@ object SparkEntry {
         |       sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END)::BIGINT AS n_kept,
         |       sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END)::BIGINT / count(*) AS rate
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) ++ extraOracles
+
+  /** Oracle entries for the decontamination and Q6 additions live in
+    * [[extraOracles]] (split out so neither map literal exceeds the
+    * JVM method-size limit).
+    */
+  private def extraOracles: Map[String, String] = Map(
+    // same df-capped distinct-shingle CTEs as the jaccard oracle, with
+    // the md5 hash split deciding eval membership
+    "decontaminate" ->
+      s"""WITH $cappedShingleCtes,
+         |b AS (SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 4) AS bucket FROM documents),
+         |ev AS (SELECT DISTINCT shingle FROM shc JOIN b USING (doc_id) WHERE bucket < '0ccc'),
+         |tr AS (SELECT shc.doc_id, shingle FROM shc JOIN b USING (doc_id) WHERE bucket >= '0ccc'),
+         |hits AS (SELECT doc_id, count(DISTINCT shingle) AS n_shared
+         |         FROM tr JOIN ev USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(h.n_shared, 0)::BIGINT AS n_shared,
+         |       coalesce(h.n_shared, 0) >= 3 AS contaminated
+         |FROM (SELECT doc_id FROM b WHERE bucket >= '0ccc') d
+         |LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "q6_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
   )
 
   /** BM25 oracle parameterized by the query-terms subquery (term-list

@@ -63,6 +63,19 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q6-style revenue forecast: one tightly-filtered scan and a
+    * global sum — the pushdown showcase. Every predicate (date range,
+    * discount band, quantity cap) reaches the parquet reader as a
+    * PushedFilter, the projection reads three columns, and the
+    * aggregate is one partial+final pair — no data-row shuffle at any
+    * scale. Plan-asserted in PlanSpec.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01")
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
   /** Top-N per group via ranking window (the reference's per-facet
     * top-k lists generalized).
     */

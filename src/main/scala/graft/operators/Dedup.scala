@@ -90,6 +90,15 @@ object Dedup {
       minhashSignatures(sh, k))
   }
 
+  /** Memoized distinct winnowing fingerprints per doc —
+    * [[substringDedup]] reads this frame FIVE times in one query (df
+    * agg, anti-join both self-join sides, size agg); without the
+    * cache each read re-runs the k-gram explode + per-doc window.
+    */
+  private def cachedWinnowFps(spark: SparkSession, dir: String, k: Int, w: Int): DataFrame =
+    memoized(spark, s"winnow|$dir|$k|$w", corpusKey(spark, dir))(
+      TextAnalysis.winnowed(spark, dir, k, w).select(col("doc_id"), col("sel")).distinct())
+
   private def cachedBandBuckets(spark: SparkSession, dir: String, nBands: Int,
                                 bitsPerBand: Int): DataFrame = {
     val fp = graft.sources.IndexStore.fingerprint(spark, s"$dir/embeddings.parquet")
@@ -375,8 +384,7 @@ object Dedup {
     */
   def substringDedup(spark: SparkSession, dir: String, k: Int = 8, w: Int = 4,
                      threshold: Double = 0.5, maxDf: Long = 1000L): DataFrame = {
-    val fp = TextAnalysis.winnowed(spark, dir, k, w)
-      .select(col("doc_id"), col("sel")).distinct()
+    val fp = cachedWinnowFps(spark, dir, k, w)
     val hot = fp.groupBy(col("sel")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select(col("sel"))
     val fpc = fp.join(broadcast(hot), Seq("sel"), "left_anti")
@@ -438,6 +446,42 @@ object Dedup {
           .as("score"))
       .where(col("score") >= threshold)
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Train/eval decontamination — the n-gram-overlap check every LLM
+    * training build runs before shipping (the GPT-3 appendix-C /
+    * Dolma method): a TRAINING document is contaminated if it shares
+    * at least `minShared` distinct n-gram shingles with ANY evaluation
+    * document. Eval membership is the deterministic md5 hash split
+    * ([[Curation.hashSample]]'s rule, bucket < evalThresholdHex), so
+    * the check is reproducible and SQL-expressible end-to-end.
+    *
+    * Shape at scale: the eval side collapses to its DISTINCT shingle
+    * set (a benchmark suite is tiny next to a 100 TB corpus — AQE
+    * broadcasts it), the train side joins keyed by shingle with a
+    * map-side-combined per-doc distinct count, and the same df cap as
+    * [[ngramJaccard]] drops boilerplate shingles on BOTH sides first —
+    * a universal shingle would otherwise mark the whole corpus
+    * contaminated while carrying zero signal. Every train doc is
+    * reported (left join), contaminated or not.
+    */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 5,
+                    evalThresholdHex: String = "0ccc", minShared: Long = 3L,
+                    maxDf: Long = 1000L): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val sh = cappedShingles(spark, dir, n, maxDf)
+    val evalShingles = sh.where(bucket < lit(evalThresholdHex))
+      .select(col("shingle")).distinct()
+    val hits = sh.where(bucket >= lit(evalThresholdHex))
+      .join(evalShingles, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("shingle")).as("n_shared"))
+    Tables.documents(spark, dir).where(bucket >= lit(evalThresholdHex))
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+      .orderBy(col("doc_id"))
   }
 
   /** Semantic dedup — SemDeDup (Abbas et al. 2023): k-means-cluster

@@ -195,6 +195,27 @@ class DedupSpec extends AnyFunSuite {
       s"largest block generates $maxBlockPairs candidate pairs of ${n * (n - 1) / 2}")
   }
 
+  test("decontamination matches a driver-side shingle-overlap recount") {
+    val got = Dedup.decontaminate(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val docs = Tables.documents(spark, TestSpark.sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(4)
+    def sh(text: String): Set[String] =
+      text.split(' ').sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    val (evalDocs, trainDocs) = docs.partition { case (id, _) => bucket(id) < "0ccc" }
+    val evalShingles = evalDocs.flatMap(d => sh(d._2)).toSet
+    assert(got.keySet == trainDocs.map(_._1).toSet, "every train doc is reported")
+    trainDocs.foreach { case (id, text) =>
+      val shared = (sh(text) & evalShingles).size.toLong
+      assert(got(id) == ((shared, shared >= 3L)), s"doc $id")
+    }
+    assert(got.values.exists(_._2), "the corpus's near-dups straddle the split")
+    assert(got.values.exists(!_._2))
+  }
+
   test("semantic dedup keeps exactly one doc per duplicate cluster, pairs cell-local") {
     val rows = Dedup.semanticDedup(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty, "corpus has within-cell pairs above the default threshold")

@@ -274,6 +274,17 @@ class PlanSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"global-order window found:\n${bad.mkString("\n")}")
   }
 
+  test("q6 pushes every predicate into the scan and prunes to the needed columns") {
+    val p = plan(Analytics.q6Forecast(spark, TestSpark.sf))
+    // the PushedFilters list is truncated in plan dumps — assert its
+    // visible head, then the full predicate set on the Filter node
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(1500))
+    assert("l_quantity#\\d+ < 24.0".r.findFirstIn(p).isDefined, p.take(1500))
+    assert("l_discount#\\d+ >= 0.05".r.findFirstIn(p).isDefined, p.take(1500))
+    // projection prunes: none of the untouched lineitem columns load
+    assert(!p.contains("l_returnflag") && !p.contains("l_partkey"), p.take(1200))
+  }
+
   test("mixture sampling needs one aggregation, no join, no window") {
     val p = plan(Curation.mixtureSample(spark, TestSpark.sf))
     assert(!p.contains("Join"), "the keep decision is a scan predicate:\n" + p.take(800))
