@@ -123,6 +123,10 @@ object SparkEntry {
     "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     // TPC-H Q6: full-pushdown filtered scan + global agg
     "q6_forecast" -> ((s, d) => Analytics.q6Forecast(s, d)),
+    // RAG-prep chunking: fixed windows with overlap, narrow explode
+    "doc_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
+    // contrastive hard-negative mining (top-k cross-label cosine)
+    "hard_negatives" -> ((s, d) => VectorSearch.hardNegatives(s, d, queryMod = 100, k = 5)),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free
@@ -769,6 +773,24 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    // chunk starts step by size-overlap = 150; last chunk short, not
+    // padded; 1-based substr semantics agree across engines
+    "doc_chunk" ->
+      """SELECT doc_id, i::BIGINT AS chunk_id, substr(text, i * 150 + 1, 200) AS chunk_text,
+        |       length(substr(text, i * 150 + 1, 200)) AS chunk_len
+        |FROM (SELECT doc_id, text, unnest(range((length(text) - 1) // 150 + 1)) AS i
+        |      FROM documents WHERE length(text) > 0)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |s AS (SELECT q.q_id, q.q_label::BIGINT AS q_label, e.vec_id AS neg_id,
+         |             e.label::BIGINT AS neg_label, ${cos5("e.v", "q.qv")} AS score
+         |      FROM e JOIN q ON e.label <> q.q_label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neg_id) AS rk
+         |      FROM s)
+         |SELECT q_id, q_label, neg_id, neg_label, score, rk::BIGINT AS rk
+         |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
   )
 
   /** BM25 oracle parameterized by the query-terms subquery (term-list

@@ -275,6 +275,29 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Document chunking — the RAG/embedding-prep splitter: fixed-size
+    * character windows with overlap, so every document becomes
+    * embeddable units under a model's context limit while no boundary
+    * sentence is lost to a hard cut. Chunk starts step by
+    * `size − overlap`; the last chunk is short rather than padded.
+    * A narrow explode (no shuffle) — at 100 TB this streams through
+    * the scan and multiplies rows by ~len/step, which is the point:
+    * chunking must never be a per-document driver loop.
+    */
+  def chunk(spark: SparkSession, dir: String, size: Int = 200, overlap: Int = 50): DataFrame = {
+    require(overlap < size, s"overlap $overlap must be < size $size")
+    val step = size - overlap
+    Tables.documents(spark, dir)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, (length(text) - 1) div $step), " +
+          s"i -> substring(text, i * $step + 1, $size))")))
+      .toDF("doc_id", "chunk_id", "chunk_text")
+      .withColumn("chunk_id", col("chunk_id").cast("long"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Content fingerprinting: md5 content hash, a 64-bit prefix
     * fingerprint, and the distinct-shingle count (winnowing-style
     * signature size).

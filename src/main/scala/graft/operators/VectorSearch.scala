@@ -171,4 +171,28 @@ object VectorSearch {
       .where(col("rk") <= k)
       .orderBy(col("q_id"), col("rk"))
   }
+
+  /** Hard-negative mining — the contrastive-training data op (batch
+    * triplet construction): for each anchor, the `k` highest-cosine
+    * corpus vectors with a DIFFERENT label. These near-miss negatives
+    * are what make a contrastive epoch informative; random negatives
+    * are trivially separable. Same distributed shape as [[knnJoin]]
+    * (anchors broadcast, one corpus scan, WindowGroupLimit-bounded
+    * per-anchor ranking) with the label-mismatch predicate fused into
+    * the join condition, so same-label pairs never leave the probe.
+    */
+  def hardNegatives(spark: SparkSession, dir: String, queryMod: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
+    val q = e.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+        col("vec_id").as("neg_id"), col("label").cast("long").as("neg_label"),
+        round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("neg_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .orderBy(col("q_id"), col("rk"))
+  }
 }

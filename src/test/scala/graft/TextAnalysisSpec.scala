@@ -138,6 +138,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking tiles every document: step-aligned starts, overlap preserved, full coverage") {
+    val size = 200; val overlap = 50; val step = size - overlap
+    val docs = Tables.documents(spark, TestSpark.sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = TextAnalysis.chunk(spark, TestSpark.sf, size, overlap).collect()
+      .groupBy(_.getLong(0))
+    assert(chunks.keySet == docs.keySet.filter(docs(_).nonEmpty))
+    chunks.foreach { case (id, rows) =>
+      val text = docs(id)
+      val sorted = rows.sortBy(_.getLong(1))
+      // contiguous ids from 0; each chunk is exactly the substring at
+      // its step-aligned start; all but the last are full-size
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i.toLong)
+        val expect = text.substring(i * step, math.min(i * step + size, text.length))
+        assert(r.getString(2) == expect, s"doc $id chunk $i")
+      }
+      // every non-last chunk spans at least one step plus a character
+      // of overlap context (full `size` unless the doc ends inside its
+      // window) — never degenerate
+      assert(sorted.init.forall(r => r.getLong(3) > step && r.getLong(3) <= size))
+      // coverage: the last chunk reaches the end of the document
+      val last = sorted.last
+      assert((sorted.length - 1) * step + last.getLong(3) == text.length.toLong)
+    }
+  }
+
   test("raw-text tfidf front door equals the pre-tokenized path") {
     val viaText = TextRetrieval.tfidfTopK(spark, TestSpark.sf, "Spark, JOIN vector!", 10)
       .collect().map(_.toSeq).toSeq

@@ -348,4 +348,32 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(byNp(8) == 1.0, "probing all cells must equal exact search")
     assert(byNp(1) <= byNp(8))
   }
+
+  test("hard negatives are the true cross-label top-k per anchor") {
+    val k = 5
+    val got = VectorSearch.hardNegatives(spark, TestSpark.sf, queryMod = 100, k = k).collect()
+    val vecs = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def r5(x: Double): Double =
+      BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val anchors = vecs.filter(_._1 % 100 == 0)
+    assert(got.length == anchors.length * k)
+    anchors.foreach { case (qid, qlabel, qv) =>
+      val expect = vecs.filter(_._2 != qlabel)
+        .map { case (id, _, v) => (id, r5(cos(v, qv))) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).toSeq
+      val mine = got.filter(_.getLong(0) == qid).sortBy(_.getLong(5))
+        .map(r => (r.getLong(2), r.getDouble(4))).toSeq
+      assert(mine == expect, s"anchor $qid")
+      // and not a single same-label row survived the fused predicate
+      assert(got.filter(_.getLong(0) == qid).forall(_.getLong(3) != qlabel.toLong))
+    }
+  }
 }
