@@ -331,11 +331,54 @@ object Dedup {
     * (rerun it), which is the right trade for offline maintenance
     * work, unlike interactive probes.
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges.toDF("a", "b")
+  def connectedComponents(edges: DataFrame): DataFrame =
+    connectedComponents(edges, 1000000L)
+
+  /** See [[connectedComponents]]. `localThreshold` picks the strategy:
+    * an edge list at or under it (counted AFTER materialization, one
+    * cheap job) is solved with a driver-side union-find — near-dup
+    * edge sets are usually tiny relative to their corpus (pairs must
+    * already exceed a high similarity threshold), and an iterative
+    * Spark loop pays rounds × jobs of scheduling overhead to
+    * propagate labels across a few thousand rows. Above the
+    * threshold the distributed min-label loop runs. The default
+    * (1M edges ≈ 16 MB of longs) bounds driver memory explicitly;
+    * production CC implementations (GraphFrames, GraphX docs) make
+    * the same small-graph cutover. Tests pin `localThreshold = 0` to
+    * exercise the distributed loop regardless of size.
+    */
+  def connectedComponents(edges: DataFrame, localThreshold: Long): DataFrame = {
+    // materialize the (possibly expensive) edge source ONCE, before
+    // symmetrization — a union of two selects over the raw frame
+    // would execute the upstream pair-join twice in one job
+    val sym = edges.toDF("a", "b").localCheckpoint()
+    if (sym.count() <= localThreshold) {
+      // bounded driver solve: union-find with path halving
+      val rows = sym.collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x); parent(x) = parent.getOrElse(p, p); x = parent(x)
+        }
+        x
+      }
+      rows.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root so every root is its component's minimum —
+        // the same canonical label the distributed loop converges to
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      import sym.sparkSession.implicits._
+      return parent.keys.toSeq.map(n => (n, find(n)))
+        .toDF("doc_id", "cluster_id")
+    }
+    // distributed path: symmetrize off the checkpointed edges (the
+    // union reads stored blocks twice, not the upstream join twice)
     val adj = sym.select(col("a").as("src"), col("b").as("dst"))
       .union(sym.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
     var labels = adj.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()

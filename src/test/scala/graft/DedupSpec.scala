@@ -54,10 +54,21 @@ class DedupSpec extends AnyFunSuite {
     // 1-2-3-4-5 chain (needs multiple rounds: 5's label reaches 1 only
     // via propagation), plus an isolated pair and a singleton-free node set
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (10L, 11L)).toDF("a_id", "b_id")
-    val got = Dedup.connectedComponents(edges).collect()
+    // localThreshold = 0 pins the DISTRIBUTED min-label loop — the
+    // default would solve a 5-edge graph on the driver
+    val got = Dedup.connectedComponents(edges, localThreshold = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L))
+  }
+
+  test("local and distributed connected components agree on the corpus edge set") {
+    val edges = Dedup.ngramJaccard(spark, TestSpark.sf).select("a_id", "b_id")
+    val local = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(edges, localThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local.nonEmpty && local == dist)
   }
 
   test("connected components match a driver-side union-find over the same pairs") {
