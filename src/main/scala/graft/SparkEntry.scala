@@ -127,6 +127,8 @@ object SparkEntry {
     "doc_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     // contrastive hard-negative mining (top-k cross-label cosine)
     "hard_negatives" -> ((s, d) => VectorSearch.hardNegatives(s, d, queryMod = 100, k = 5)),
+    // session-based recommendation: events → profile vector → top-k
+    "recommend_user" -> ((s, d) => VectorSearch.recommendForUser(s, d, userId = 7L, k = 10)),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free
@@ -781,6 +783,23 @@ object SparkEntry {
         |FROM (SELECT doc_id, text, unnest(range((length(text) - 1) // 150 + 1)) AS i
         |      FROM documents WHERE length(text) > 0)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // the full app loop: user 7's view/click items → mean profile →
+    // cosine top-k over unseen items. Parallel unnests zip in DuckDB,
+    // list(m ORDER BY pos) rebuilds the profile in dimension order.
+    "recommend_user" ->
+      """WITH seen AS (SELECT DISTINCT json_extract(props, '$.k')::BIGINT AS vec_id
+        |              FROM events WHERE user_id = 7 AND event_type IN ('view', 'click')),
+        |pe AS (SELECT unnest(e.embedding::DOUBLE[]) AS v,
+        |              unnest(range(len(e.embedding))) AS pos
+        |       FROM embeddings e JOIN seen USING (vec_id)),
+        |prof AS (SELECT pos, avg(v) AS m FROM pe GROUP BY 1),
+        |pvec AS (SELECT list(m ORDER BY pos) AS pv FROM prof)
+        |SELECT e.vec_id,
+        |       round(list_dot_product(e.embedding::DOUBLE[], pvec.pv) /
+        |             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |              * sqrt(list_dot_product(pvec.pv, pvec.pv))), 5) AS score
+        |FROM embeddings e ANTI JOIN seen USING (vec_id), pvec
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
     "hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id % 100 = 0),

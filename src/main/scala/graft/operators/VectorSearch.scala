@@ -172,6 +172,46 @@ object VectorSearch {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Session-based recommendation — the app-level composition the
+    * reference exists to serve (its Streamlit UI recommends products
+    * from what a shopper looked at): a user's view/click events yield
+    * their item set (`props.k`), the PROFILE vector is the
+    * dimension-wise mean of those items' embeddings, and the
+    * recommendation is exact cosine top-k over the corpus MINUS the
+    * already-seen items.
+    *
+    * Scale shape: the profile reduces through a (pos → mean)
+    * aggregate and only `dim` doubles reach the driver (bounded
+    * planning data, like every probe plan); the corpus scan then
+    * costs one VecDot per row against the literal profile, and the
+    * seen-set exclusion is a broadcast anti-join. At 100 TB the same
+    * plan serves billions of rows; nothing scales with the user's
+    * history but the tiny profile aggregate.
+    */
+  def recommendForUser(spark: SparkSession, dir: String, userId: Long, k: Int): DataFrame = {
+    val seen = Tables.events(spark, dir)
+      .where(col("user_id") === userId && col("event_type").isin("view", "click"))
+      .select(get_json_object(col("props"), "$.k").cast("long").as("vec_id"))
+      .distinct()
+    val e = Tables.embeddings(spark, dir)
+    val prof = e.join(seen, "vec_id")
+      .select(posexplode(col("embedding")))
+      .toDF("pos", "v")
+      .groupBy(col("pos")).agg(avg(col("v")).as("m"))
+      .orderBy(col("pos")).collect()
+    require(prof.nonEmpty, s"user $userId has no embeddable interactions")
+    val pv: Array[Double] = prof.map(_.getDouble(1))
+    // left-to-right fold — the same association order the oracle's
+    // list_dot_product uses, so both engines derive one norm
+    val pn = math.sqrt(pv.foldLeft(0.0)((s, x) => s + x * x))
+    e.join(seen, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"),
+        round(dotd(col("embedding"), typedlit(pv)) /
+          (l2norm(col("embedding")) * lit(pn)), 5).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Hard-negative mining — the contrastive-training data op (batch
     * triplet construction): for each anchor, the `k` highest-cosine
     * corpus vectors with a DIFFERENT label. These near-miss negatives

@@ -349,6 +349,36 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(byNp(1) <= byNp(8))
   }
 
+  test("session recommendation excludes seen items and matches a driver recount") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val got = VectorSearch.recommendForUser(spark, TestSpark.sf, userId = 7L, k = 10).collect()
+    assert(got.length == 10)
+    val seen = Tables.events(spark, TestSpark.sf)
+      .where(col("user_id") === 7L && col("event_type").isin("view", "click"))
+      .select(get_json_object(col("props"), "$.k").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    assert(seen.nonEmpty)
+    assert(got.forall(r => !seen.contains(r.getLong(0))), "seen items must not be recommended")
+    val scores = got.map(_.getDouble(1))
+    assert(scores.toSeq == scores.sortBy(-_).toSeq)
+    // driver recount: mean profile over seen embeddings → top cosine
+    val vecs = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val seenVecs = seen.toSeq.sorted.flatMap(vecs.get)
+    val prof = Array.tabulate(64)(i => seenVecs.map(_(i).toDouble).sum / seenVecs.length)
+    def r5(x: Double): Double =
+      BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pn = math.sqrt(prof.map(x => x * x).sum)
+    val expect = vecs.toSeq.filterNot { case (id, _) => seen.contains(id) }
+      .map { case (id, v) =>
+        var d = 0.0; var nv = 0.0
+        for (i <- 0 until 64) { d += v(i).toDouble * prof(i); nv += v(i).toDouble * v(i) }
+        (id, r5(d / (math.sqrt(nv) * pn)))
+      }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq == expect)
+  }
+
   test("hard negatives are the true cross-label top-k per anchor") {
     val k = 5
     val got = VectorSearch.hardNegatives(spark, TestSpark.sf, queryMod = 100, k = k).collect()
