@@ -71,7 +71,7 @@ object TextAnalysis {
     * (both have DuckDB oracles that must match this exact arithmetic).
     * The score is an exact integer ratio — see [[quality]]'s notes.
     */
-  private[operators] def withQualityCols(df: DataFrame): DataFrame = {
+  private[graft] def withQualityCols(df: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     df.withColumn("n_tok", size(toks))
       .withColumn("n_types", size(array_distinct(toks)))

@@ -13,6 +13,8 @@ case class QueryVec(q_id: Long, qv: Array[Float])
 
 case class NewVec(vec_id: Long, embedding: Array[Float])
 
+case class DocRow(doc_id: Long, text: String)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -171,6 +173,33 @@ class StreamingSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.index.root")
       IndexStore.invalidate(spark, graft.operators.Lsh.indexPath(spark, TestSpark.sf, 4))
     }
+  }
+
+  test("streaming curation gates and redacts exactly like the batch plan") {
+    import spark.implicits._
+    import graft.streaming.CurationStreams
+    implicit val ctx = spark.sqlContext
+    val good = "the big table " + Seq.tabulate(40)(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      DocRow(1L, good + " mail me at a.b@example.com now"),
+      DocRow(2L, "a a a a a a a a"), // stopword sludge → gated out
+      DocRow(3L, good))
+    val stream = MemoryStream[DocRow]
+    val q = CurationStreams.curate(stream.toDF())
+      .writeStream.format("memory").queryName("cur").outputMode("append").start()
+    try {
+      stream.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("cur").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).sortBy(_._1).toSeq
+      val batch = CurationStreams.curate(docs.toDF()).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).sortBy(_._1).toSeq
+      assert(got == batch, "stream and batch must admit identical rows")
+      assert(got.map(_._1) == Seq(1L, 3L), "the low-quality doc must be gated out")
+      val redacted = got.find(_._1 == 1L).get
+      assert(redacted._2.contains("<EMAIL>") && redacted._3 == 1L)
+      assert(got.find(_._1 == 3L).get._3 == 0L)
+    } finally q.stop()
   }
 
   test("stateful flatMapGroupsWithState sessionizer closes on gap and timeout") {
