@@ -129,6 +129,8 @@ object SparkEntry {
     "hard_negatives" -> ((s, d) => VectorSearch.hardNegatives(s, d, queryMod = 100, k = 5)),
     // session-based recommendation: events → profile vector → top-k
     "recommend_user" -> ((s, d) => VectorSearch.recommendForUser(s, d, userId = 7L, k = 10)),
+    // per-source dedup summary (exact copies + near-dup involvement)
+    "dedup_report" -> ((s, d) => Dedup.dedupReport(s, d)),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free
@@ -783,6 +785,27 @@ object SparkEntry {
         |FROM (SELECT doc_id, text, unnest(range((length(text) - 1) // 150 + 1)) AS i
         |      FROM documents WHERE length(text) > 0)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // per-source dedup summary over the SAME exact/near-dup verdicts
+    // the per-document queries serve
+    "dedup_report" ->
+      s"""WITH $cappedShingleCtes,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT a_id, b_id FROM inter
+         |          JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |          WHERE round(inter / (sa.sz + sb.sz - inter), 5) >= 0.8),
+         |near AS (SELECT DISTINCT doc_id FROM
+         |           (SELECT a_id AS doc_id FROM pairs UNION ALL SELECT b_id FROM pairs)),
+         |ex AS (SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
+         |       FROM documents)
+         |SELECT d.source, count(*) AS n_docs,
+         |       sum(CASE WHEN ex.is_dup THEN 1 ELSE 0 END)::BIGINT AS n_exact_dups,
+         |       sum(CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_neardup_docs,
+         |       (count(*) - sum(CASE WHEN ex.is_dup THEN 1 ELSE 0 END)::BIGINT) / count(*) AS keep_frac
+         |FROM documents d JOIN ex USING (doc_id) LEFT JOIN near USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the full app loop: user 7's view/click items → mean profile →
     // cosine top-k over unseen items. Parallel unnests zip in DuckDB,
     // list(m ORDER BY pos) rebuilds the profile in dimension order.

@@ -491,6 +491,32 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Corpus dedup report — the per-source summary a curation run
+    * publishes before a corpus ships: document counts, exact-duplicate
+    * copies (beyond-first, [[exact]]'s keep-first rule), documents
+    * involved in at least one near-dup pair ([[ngramJaccard]]'s
+    * df-capped pairs), and the exact keep fraction after exact dedup.
+    * One aggregate over the joined verdicts — the report never
+    * recomputes a dedup decision, it reuses the same frames the
+    * per-document queries serve.
+    */
+  def dedupReport(spark: SparkSession, dir: String, n: Int = 5,
+                  threshold: Double = 0.8, maxDf: Long = 1000L): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, n, threshold, maxDf)
+    val nearDocs = pairs.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+      .withColumn("is_near", lit(1L))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(exact(spark, dir).select(col("doc_id"), col("is_dup")), "doc_id")
+      .join(nearDocs, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup").cast("long")).as("n_exact_dups"),
+        sum(coalesce(col("is_near"), lit(0L))).as("n_neardup_docs"))
+      .withColumn("keep_frac", (col("n_docs") - col("n_exact_dups")) / col("n_docs"))
+      .orderBy(col("source"))
+  }
+
   /** Train/eval decontamination — the n-gram-overlap check every LLM
     * training build runs before shipping (the GPT-3 appendix-C /
     * Dolma method): a TRAINING document is contaminated if it shares

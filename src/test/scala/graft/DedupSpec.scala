@@ -206,6 +206,21 @@ class DedupSpec extends AnyFunSuite {
       s"largest block generates $maxBlockPairs candidate pairs of ${n * (n - 1) / 2}")
   }
 
+  test("dedup report totals equal recounts over the per-document verdicts") {
+    val rep = Dedup.dedupReport(spark, TestSpark.sf).collect()
+    val exactDups = Dedup.exact(spark, TestSpark.sf).collect().count(_.getBoolean(2))
+    val nearDocs = Dedup.ngramJaccard(spark, TestSpark.sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val nDocs = Tables.documents(spark, TestSpark.sf).count()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(rep.map(_.getAs[Long]("n_exact_dups")).sum == exactDups.toLong)
+    assert(rep.map(_.getAs[Long]("n_neardup_docs")).sum == nearDocs.size.toLong)
+    rep.foreach { r =>
+      assert(r.getAs[Double]("keep_frac") ==
+        (r.getAs[Long]("n_docs") - r.getAs[Long]("n_exact_dups")).toDouble / r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("decontamination matches a driver-side shingle-overlap recount") {
     val got = Dedup.decontaminate(spark, TestSpark.sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
