@@ -131,6 +131,8 @@ object SparkEntry {
     "recommend_user" -> ((s, d) => VectorSearch.recommendForUser(s, d, userId = 7L, k = 10)),
     // per-source dedup summary (exact copies + near-dup involvement)
     "dedup_report" -> ((s, d) => Dedup.dedupReport(s, d)),
+    // index observability (rows-only: k-means artifact internals)
+    "ann_index_stats" -> ((s, d) => Ivf.indexStats(s, d)),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free

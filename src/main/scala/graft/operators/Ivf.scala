@@ -361,4 +361,42 @@ object Ivf {
     rows.toDF("nprobe", "Precision@K", "MRR", "AvgQueryTime_ms", "QueriesUsed")
       .orderBy(col("nprobe"))
   }
+
+  /** Operational stats for the persisted IVF index — the observability
+    * a maintenance policy consumes: row/cell counts and occupancy skew
+    * decide rebuild cadence (a drifted quantizer shows up as hot
+    * cells), epoch count decides when to [[IndexStore.compact]], and
+    * the tombstone count says how much every probe pays in anti-join.
+    * Cost: one aggregate over the cell ids (column-pruned scan) plus
+    * driver-side directory listings — no vector data is read.
+    */
+  def indexStats(spark: SparkSession, dir: String, nCells: Int = 16): DataFrame = {
+    ensureIndex(spark, dir, nCells)
+    val path = indexPath(spark, dir, nCells)
+    val occ = IndexStore.open(spark, s"$path/cells")
+      .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("cells"), sum(col("c")).as("rows"),
+        min(col("c")).as("mn"), max(col("c")).as("mx"))
+      .head()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/cells"))
+      .count(_.getPath.getName.startsWith("epoch="))
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val tombstones =
+      if (!fs.exists(tombPath)) 0L
+      else spark.read.parquet(tombPath.toString).count()
+    val cells = occ.getLong(0)
+    import spark.implicits._
+    Seq(
+      ("n_rows", occ.getLong(1).toDouble),
+      ("n_cells", cells.toDouble),
+      ("n_epochs", epochs.toDouble),
+      ("n_tombstones", tombstones.toDouble),
+      ("min_cell_rows", occ.getLong(2).toDouble),
+      ("max_cell_rows", occ.getLong(3).toDouble),
+      ("avg_cell_rows", occ.getLong(1).toDouble / cells),
+      ("occupancy_skew_x", occ.getLong(3).toDouble / (occ.getLong(1).toDouble / cells)))
+      .toDF("metric", "value")
+  }
 }

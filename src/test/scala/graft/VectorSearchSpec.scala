@@ -349,6 +349,20 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(byNp(1) <= byNp(8))
   }
 
+  test("index stats report a consistent inventory of the persisted IVF artifact") {
+    val stats = graft.operators.Ivf.indexStats(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val corpus = Tables.embeddings(spark, TestSpark.sf).count().toDouble
+    assert(stats("n_rows") == corpus)
+    assert(stats("n_cells") > 0 && stats("n_cells") <= 16)
+    assert(stats("n_epochs") >= 1.0, "at least the base epoch")
+    assert(stats("n_tombstones") == 0.0)
+    assert(stats("min_cell_rows") <= stats("avg_cell_rows") &&
+      stats("avg_cell_rows") <= stats("max_cell_rows"))
+    assert(stats("occupancy_skew_x") >= 1.0)
+    assert(stats("avg_cell_rows") == stats("n_rows") / stats("n_cells"))
+  }
+
   test("session recommendation excludes seen items and matches a driver recount") {
     import org.apache.spark.sql.functions.{col, get_json_object}
     val got = VectorSearch.recommendForUser(spark, TestSpark.sf, userId = 7L, k = 10).collect()
