@@ -42,7 +42,13 @@ if len(sys.argv) > 2:
             m = re.match(r"\|\s*`?(\w+)`?\s*\|\s*([\d.]+)\s*\|\s*[\d.]+", line)
             if m and m.group(1) != "query":
                 q = m.group(1)
-                best[q] = min(best.get(q, 1e9), float(m.group(2)))
+                # ratchet only queries the CURRENT series still runs —
+                # a renamed/removed query must not be resurrected from
+                # the prior table (it would inflate totals forever)
+                if q in best:
+                    best[q] = min(best[q], float(m.group(2)))
+                else:
+                    print(f"dropping stale prior-baseline row: {q}", file=sys.stderr)
 
 rows = []
 for q in sorted(best):

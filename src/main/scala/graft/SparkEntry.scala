@@ -779,12 +779,15 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
-    // chunk starts step by size-overlap = 150; last chunk short, not
-    // padded; 1-based substr semantics agree across engines
+    // chunk starts step by size-overlap = 150; last start =
+    // ceil((len-200)/150) floored at 0 so the final chunk always adds
+    // new content (no wholly-contained duplicate); last chunk short,
+    // not padded; 1-based substr semantics agree across engines
     "doc_chunk" ->
       """SELECT doc_id, i::BIGINT AS chunk_id, substr(text, i * 150 + 1, 200) AS chunk_text,
         |       length(substr(text, i * 150 + 1, 200)) AS chunk_len
-        |FROM (SELECT doc_id, text, unnest(range((length(text) - 1) // 150 + 1)) AS i
+        |FROM (SELECT doc_id, text,
+        |             unnest(range(greatest((length(text) - 200 + 149) // 150, 0) + 1)) AS i
         |      FROM documents WHERE length(text) > 0)
         |ORDER BY doc_id, chunk_id""".stripMargin,
     // per-source dedup summary over the SAME exact/near-dup verdicts

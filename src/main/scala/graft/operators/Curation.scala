@@ -120,8 +120,14 @@ object Curation {
     */
   def lengthDecilesOf(docs0: DataFrame, maxDistinct: Long = 100000L): DataFrame = {
     val docs = docs0.select(col("doc_id"), col("n_chars"))
-    val nd = docs.agg(count_distinct(col("n_chars"))).head.getLong(0)
-    if (nd > maxDistinct) {
+    // ONE aggregation decides the path AND feeds the exact path: the
+    // histogram collect is capped at maxDistinct+1 rows (driver memory
+    // bounded by the cap, not the cardinality); overflowing the cap
+    // switches to the sketch. A separate count_distinct pre-pass would
+    // scan the corpus twice for no extra safety.
+    val histCapped = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      .orderBy(col("n_chars")).limit(maxDistinct.toInt + 1).collect()
+    if (histCapped.length > maxDistinct) {
       val bounds = docs.agg(expr(
         "approx_percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)"))
         .head.getSeq[Long](0)
@@ -134,8 +140,7 @@ object Curation {
           max(col("n_chars")).as("max_chars"))
         .orderBy(col("tile"))
     }
-    val hist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
-      .orderBy(col("n_chars")).collect()
+    val hist = histCapped // complete: cardinality is under the cap
     val n = hist.map(_.getLong(1)).sum
     var cum = 0L
     val baseRows = hist.map { r =>

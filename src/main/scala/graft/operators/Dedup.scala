@@ -75,12 +75,22 @@ object Dedup {
     * tiny by construction, so it broadcasts; the common case (no
     * boilerplate above the cap) subtracts nothing.
     */
-  private def cappedShingles(spark: SparkSession, dir: String, n: Int, maxDf: Long): DataFrame = {
-    val sh = cachedShingles(spark, dir, n)
-    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf).select(col("shingle"))
-    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  /** `frame` minus rows whose `key` value occurs in more than `maxDf`
+    * rows — THE anti-skew gate in front of every key-blocked
+    * self-join (shingles, winnowing fingerprints). One policy, one
+    * implementation: the hot set (df > cap) is tiny by construction
+    * and broadcasts; the common case (nothing above the cap)
+    * subtracts nothing. Callers pass distinct-per-doc frames, so the
+    * count IS document frequency.
+    */
+  private def dfCapped(frame: DataFrame, key: String, maxDf: Long): DataFrame = {
+    val hot = frame.groupBy(col(key)).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select(col(key))
+    frame.join(broadcast(hot), Seq(key), "left_anti")
   }
+
+  private def cappedShingles(spark: SparkSession, dir: String, n: Int, maxDf: Long): DataFrame =
+    dfCapped(cachedShingles(spark, dir, n), "shingle", maxDf)
 
   private def cachedSignatures(spark: SparkSession, dir: String, n: Int, k: Int): DataFrame = {
     // resolve the dependency BEFORE entering the memo: the signature
@@ -427,10 +437,7 @@ object Dedup {
     */
   def substringDedup(spark: SparkSession, dir: String, k: Int = 8, w: Int = 4,
                      threshold: Double = 0.5, maxDf: Long = 1000L): DataFrame = {
-    val fp = cachedWinnowFps(spark, dir, k, w)
-    val hot = fp.groupBy(col("sel")).agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf).select(col("sel"))
-    val fpc = fp.join(broadcast(hot), Seq("sel"), "left_anti")
+    val fpc = dfCapped(cachedWinnowFps(spark, dir, k, w), "sel", maxDf)
     val sz = fpc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = fpc.as("a").join(fpc.as("b"),
         col("a.sel") === col("b.sel") && col("a.doc_id") < col("b.doc_id"))

@@ -287,10 +287,16 @@ object TextAnalysis {
   def chunk(spark: SparkSession, dir: String, size: Int = 200, overlap: Int = 50): DataFrame = {
     require(overlap < size, s"overlap $overlap must be < size $size")
     val step = size - overlap
+    // last start = ceil((len − size)/step) (floored at 0): the final
+    // chunk must extend PAST the previous chunk's end — a start inside
+    // the previous chunk's tail would emit a wholly-contained
+    // duplicate (e.g. len=200: one chunk, not a 200-char chunk plus
+    // its own last 50 chars again)
     Tables.documents(spark, dir)
       .where(length(col("text")) > 0)
       .select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, (length(text) - 1) div $step), " +
+        posexplode(expr(
+          s"transform(sequence(0, greatest((length(text) - $size + $step - 1) div $step, 0)), " +
           s"i -> substring(text, i * $step + 1, $size))")))
       .toDF("doc_id", "chunk_id", "chunk_text")
       .withColumn("chunk_id", col("chunk_id").cast("long"))

@@ -108,14 +108,42 @@ object IndexStore {
     * CONFLICTING_DIRECTORY_STRUCTURES), and the loser detects and
     * deletes it before returning.
     */
+  /** Filesystems whose rename is an atomic metadata op. On these, a
+    * marker-less destination can only be a CRASH remnant (no live
+    * writer — a live writer's rename is instantaneous), so deleting it
+    * is safe. On object stores rename is a per-file copy: a
+    * marker-less dir may be another publisher MID-COPY, and deleting
+    * it would destroy files the winner already copied while its
+    * marker still lands later — a marker-present-but-incomplete
+    * artifact served forever. There we wait for the marker instead.
+    */
+  private def renameIsAtomic(scheme: String): Boolean =
+    scheme == null || Set("file", "hdfs", "viewfs", "webhdfs", "hftp").contains(scheme)
+
+  /** How long to wait for a concurrent object-store publisher's marker
+    * before declaring the partial artifact a crash remnant. */
+  private def publishGraceMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.publish.grace.ms", "600000").toLong
+
   def publish(spark: SparkSession, path: String)(build: String => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
     val dst = fs.makeQualified(new Path(path))
     if (fs.exists(new Path(dst, CompleteMarker))) return
-    // dir without marker = partial artifact (interrupted copy / crash):
-    // repair by rebuilding — fail closed, never serve it
-    if (fs.exists(dst)) fs.delete(dst, true)
+    // dir without marker = partial artifact. On atomic-rename
+    // filesystems that can only be a crash remnant: repair by
+    // rebuilding (fail closed, never serve it). On object stores a
+    // LIVE publisher may be mid-copy — give its marker a grace window
+    // before treating the dir as crashed.
+    if (fs.exists(dst)) {
+      if (!renameIsAtomic(dst.toUri.getScheme)) {
+        val deadline = System.currentTimeMillis() + publishGraceMs(spark)
+        while (!fs.exists(new Path(dst, CompleteMarker))
+            && System.currentTimeMillis() < deadline) Thread.sleep(2000L)
+        if (fs.exists(new Path(dst, CompleteMarker))) return // the racer finished
+      }
+      if (fs.exists(dst)) fs.delete(dst, true)
+    }
     val tmp = new Path(dst.getParent,
       s".tmp-${dst.getName}-${java.util.UUID.randomUUID.toString.take(8)}")
     build(tmp.toString)
@@ -207,6 +235,13 @@ object IndexStore {
     * compaction, like FAISS index rewrites, is a single-writer
     * maintenance operation, not a query-path one. No-op when no
     * deletes ever happened.
+    *
+    * Cross-JVM readers: compaction REPLACES the path's file listing,
+    * so another session's memoized [[open]] goes stale (its listed
+    * epoch files are gone) until that session calls [[invalidate]] or
+    * reopens. Run compaction in a maintenance window, or have serving
+    * sessions re-open the artifact after it — same operational
+    * contract as swapping a FAISS index file under a live server.
     */
   def compact(spark: SparkSession, dataDir: String, tombstoneRoot: String,
               partitionCol: String): Unit = {
@@ -281,8 +316,15 @@ object IndexStore {
     val key = (spark, path)
     val now = System.currentTimeMillis()
     val cached = tombstoneCache.get(key)
+    // only NEGATIVE probes ride the TTL: a cached positive is
+    // re-verified every call (one metadata op, paid only while deletes
+    // exist), because acting on a stale positive after another
+    // session's compact() deleted _tombstones would build an anti-join
+    // against a missing path and fail the query — a stale negative
+    // merely serves deleted ids for one TTL, which degrades instead of
+    // crashing
     val has: Boolean =
-      if (cached != null && now - cached.atMs < tombstoneTtlMs(spark)) cached.has
+      if (cached != null && !cached.has && now - cached.atMs < tombstoneTtlMs(spark)) false
       else {
         val h = exists(spark, s"$path/_tombstones")
         tombstoneCache.put(key, TombstoneProbe(h, now)); h

@@ -31,20 +31,52 @@ import graft.sources.IndexStore
   */
 object IndexIngest {
 
+  /** The committed-batch high-water mark, persisted as a tiny
+    * `_`-prefixed file (invisible to partition discovery, and NOT an
+    * epoch dir — so [[IndexStore.compact]], which folds epoch dirs
+    * away, cannot erase the idempotence record). Without it, a
+    * compaction running between a crash and the stream's restart
+    * would delete the replayed batch's epoch dir and the replay would
+    * append duplicates. Structured Streaming batch ids are monotonic,
+    * so one long is the whole ledger.
+    */
+  private def hwmPath(path: String) = new Path(path, "_ingest_hwm")
+
+  private[graft] def readHwm(spark: SparkSession, path: String): Long = {
+    val fs = hwmPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hwmPath(path))) -1L
+    else {
+      val in = fs.open(hwmPath(path))
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeHwm(spark: SparkSession, path: String, batchId: Long): Unit = {
+    val fs = hwmPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hwmPath(path), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** The foreachBatch body: hash the batch with the index's seed-fixed
     * hyperplanes and commit it as epoch `ingest-b<batchId>`; no-op on
-    * replayed (already-committed) or empty batches. Single-writer per
-    * index, like every maintenance op on the artifact.
-    * `batch`: (vec_id, embedding).
+    * replayed (already-committed) batches — detected by the epoch dir
+    * OR the compaction-proof high-water mark — and on empty batches.
+    * Single-writer per index, like every maintenance op on the
+    * artifact. `batch`: (vec_id, embedding).
     */
   def appendLshBatch(spark: SparkSession, path: String, nBits: Int)
                     (batch: DataFrame, batchId: Long): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epochName = s"ingest-b$batchId"
-    if (fs.exists(new Path(path, s"epoch=$epochName"))) return // replay of a committed batch
+    if (batchId <= readHwm(spark, path)) return // replay of a committed (possibly compacted) batch
+    if (fs.exists(new Path(path, s"epoch=$epochName"))) { // committed, hwm write lost
+      writeHwm(spark, path, batchId); return
+    }
     if (batch.isEmpty) return
     val staging = Lsh.stageAppendAt(spark, path, batch, nBits, s"$path/.tmp-$epochName")
     IndexStore.commitEpoch(spark, path, staging)
+    writeHwm(spark, path, batchId)
   }
 
   /** Start the ingest: `stream` (vec_id, embedding) → atomic per-batch

@@ -42,10 +42,15 @@ class CurationSpec extends AnyFunSuite {
       val ids = rows.map(_.getAs[Long]("bin")).sorted
       assert(ids.head == 0L && ids.last == ids.length - 1L,
         s"shard $shard bins must be contiguous from 0: ${ids.mkString(",")}")
-      // every bin but the shard's last must have reached the budget
-      // (the next doc overflowed it) — the contiguous-packing contract
-      rows.sortBy(_.getAs[Long]("bin")).dropRight(1).foreach { r =>
-        assert(r.getAs[Long]("tok_sum") >= 1L, r.toString)
+      // the packing contract: the doc that OPENS bin j+1 has
+      // cumulative-before ≥ (j+1)·budget, so the prefix sum of bins
+      // 0..j must have reached (j+1)·budget — non-final bins fill to
+      // the boundary (modulo the one overflowing doc), they never
+      // close early
+      val sums = rows.sortBy(_.getAs[Long]("bin")).map(_.getAs[Long]("tok_sum"))
+      sums.scanLeft(0L)(_ + _).tail.zipWithIndex.dropRight(1).foreach { case (prefix, j) =>
+        assert(prefix >= (j + 1L) * 2048L,
+          s"shard $shard bins 0..$j hold $prefix tokens < ${(j + 1) * 2048} boundary")
       }
     }
   }

@@ -169,6 +169,19 @@ class StreamingSpec extends AnyFunSuite {
       // back as the top hit at cosine 1.0 — no rebuild, no restart
       val top = graft.operators.Lsh.lshTopK(spark, TestSpark.sf, 0L, nBits, k = 5).head
       assert(top.getLong(0) == 10003L && top.getDouble(2) == 1.0, top.toString)
+      // the high-water mark outlives the epoch dirs: even after
+      // maintenance folds an ingest epoch away (simulated delete), a
+      // replay of that batch stays a no-op — the compaction-proof half
+      // of the exactly-once contract
+      assert(IndexIngest.readHwm(spark, path) == 1L)
+      val fsys = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(path, "epoch=ingest-b1"), true)
+      IndexIngest.appendLshBatch(spark, path, nBits)(
+        Seq(NewVec(10003L, clone0)).toDF(), 1L)
+      IndexStore.invalidate(spark, path)
+      assert(spark.read.parquet(path).count() == before + 2,
+        "hwm must keep the replay a no-op after its epoch dir is gone")
     } finally {
       spark.conf.unset("spark.graft.index.root")
       IndexStore.invalidate(spark, graft.operators.Lsh.indexPath(spark, TestSpark.sf, 4))

@@ -155,13 +155,18 @@ class TextAnalysisSpec extends AnyFunSuite {
         val expect = text.substring(i * step, math.min(i * step + size, text.length))
         assert(r.getString(2) == expect, s"doc $id chunk $i")
       }
-      // every non-last chunk spans at least one step plus a character
-      // of overlap context (full `size` unless the doc ends inside its
-      // window) — never degenerate
-      assert(sorted.init.forall(r => r.getLong(3) > step && r.getLong(3) <= size))
-      // coverage: the last chunk reaches the end of the document
+      // every non-last chunk is exactly full size (the start formula
+      // guarantees the doc extends past each non-final window)
+      assert(sorted.init.forall(_.getLong(3) == size.toLong))
+      // coverage: the last chunk reaches the end of the document...
       val last = sorted.last
       assert((sorted.length - 1) * step + last.getLong(3) == text.length.toLong)
+      // ...and adds content past the previous chunk's end — no
+      // wholly-contained duplicate chunk (the len=200 class of bug)
+      if (sorted.length > 1)
+        assert((sorted.length - 1) * step + last.getLong(3) >
+          (sorted.length - 2) * step + size,
+          s"doc $id trailing chunk adds nothing new")
     }
   }
 
