@@ -133,6 +133,8 @@ object SparkEntry {
     "dedup_report" -> ((s, d) => Dedup.dedupReport(s, d)),
     // index observability (rows-only: k-means artifact internals)
     "ann_index_stats" -> ((s, d) => Ivf.indexStats(s, d)),
+    // weekly cohort retention over the events stream
+    "events_retention" -> ((s, d) => Analytics.retention(s, d)),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free
@@ -790,6 +792,18 @@ object SparkEntry {
         |             unnest(range(greatest((length(text) - 200 + 149) // 150, 0) + 1)) AS i
         |      FROM documents WHERE length(text) > 0)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // weekly cohorts by first active week; offset cells count distinct
+    // active users; exact ms-div-week arithmetic on both engines
+    "events_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1),
+        |s AS (SELECT cohort_week, count(*) AS n_cohort FROM c GROUP BY 1),
+        |a AS (SELECT c.cohort_week, wk.week - c.cohort_week AS "offset",
+        |             count(DISTINCT wk.user_id) AS n_active
+        |      FROM wk JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cohort_week, a."offset", a.n_active, s.n_cohort,
+        |       a.n_active / s.n_cohort AS retention
+        |FROM a JOIN s USING (cohort_week) ORDER BY 1, 2""".stripMargin,
     // per-source dedup summary over the SAME exact/near-dup verdicts
     // the per-document queries serve
     "dedup_report" ->

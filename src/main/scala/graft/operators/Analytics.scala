@@ -170,6 +170,36 @@ object Analytics {
         col("n_events"), col("total_value"))
       .orderBy(col("hour_ms"), col("event_type"))
 
+  /** Weekly cohort retention — the engagement table behind every
+    * product dashboard: users are cohorted by their FIRST active week,
+    * and each (cohort, week-offset) cell counts how many of them were
+    * active that many weeks later, as a fraction of the cohort.
+    * Offset 0 is 1.0 by construction (the cohort definition), which
+    * the spec pins.
+    *
+    * Scale shape: the (user, week) activity set is one distinct over
+    * a two-column projection; cohorts are a per-user min; the cell
+    * counts shuffle by (cohort, offset) with map-side partial
+    * distinct. The cohort-size table is weeks-sized — AQE broadcasts
+    * it. Exact integer week arithmetic (ms div week-ms) on both
+    * engines; retention is an exact long/long division (SURVEY §4).
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val weekMs = 604800000L // 7 * 24 * 3600 * 1000
+    val wk = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts_ms div $weekMs").as("week"))
+      .distinct()
+    val cohort = wk.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week")).agg(count(lit(1)).as("n_cohort"))
+    wk.join(cohort, "user_id")
+      .withColumn("offset", col("week") - col("cohort_week"))
+      .groupBy(col("cohort_week"), col("offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .join(sizes, "cohort_week")
+      .withColumn("retention", col("n_active") / col("n_cohort"))
+      .orderBy(col("cohort_week"), col("offset"))
+  }
+
   /** Semi-structured extraction: events.props carries a JSON payload;
     * pull typed fields out with the codegen'd JSON path expression and
     * aggregate — no UDF, pushdown-friendly.
