@@ -112,6 +112,16 @@ object SparkEntry {
     // raw-text BM25 front door (engine-side tokenization; the oracle
     // re-tokenizes independently, catching tokenizer drift)
     "bm25_topk_text" -> ((s, d) => TextRetrieval.bm25TopK(s, d, "Spark JOIN, vector-search! spark", k = 10)),
+    // the reference's hybrid blend (α·vec + (1−α)·minmax(keyword))
+    // with BM25 as the keyword leg — same contract, stronger ranker
+    "bm25_hybrid_topk" -> ((s, d) => TextRetrieval.bm25HybridTopK(s, d, demoQueryVec,
+      Seq("spark", "join", "vector"), alpha = 0.7, k = 10)),
+    "bm25_hybrid_filtered" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      TextRetrieval.bm25HybridTopK(s, d, demoQueryVec, Seq("spark", "join", "vector"),
+        alpha = 0.7, k = 10,
+        metaFilter = Some(col("lang") === "en" && col("n_chars") >= 200L))
+    }),
     "pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "quality_gopher" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(s, d)),
@@ -691,6 +701,9 @@ object SparkEntry {
     "bm25_topk" -> bm25Oracle("SELECT unnest(['spark', 'join', 'vector']) AS term"),
     "bm25_topk_text" -> bm25Oracle(
       "SELECT DISTINCT unnest(list_filter(regexp_extract_all(lower('Spark JOIN, vector-search! spark'), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term"),
+    "bm25_hybrid_topk" -> bm25HybridOracle(""),
+    "bm25_hybrid_filtered" -> bm25HybridOracle(
+      "JOIN documents d ON d.doc_id = e.vec_id AND d.lang = 'en' AND d.n_chars >= 200"),
     // PII counts are taken on the RAW text per pattern independently;
     // replacement is sequential (email → ipv4 → number)
     "pii_redact" ->
@@ -765,17 +778,28 @@ object SparkEntry {
   private def extraOracles: Map[String, String] = Map(
     // same df-capped distinct-shingle CTEs as the jaccard oracle, with
     // the md5 hash split deciding eval membership
+    // witness = eval doc sharing the most distinct shingles (ties →
+    // lowest id; −1/0 when nothing is shared) — the provenance a
+    // pipeline needs to adjudicate a contamination hit
     "decontaminate" ->
       s"""WITH $cappedShingleCtes,
          |b AS (SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 4) AS bucket FROM documents),
-         |ev AS (SELECT DISTINCT shingle FROM shc JOIN b USING (doc_id) WHERE bucket < '0ccc'),
+         |ev AS (SELECT shc.doc_id AS eval_id, shingle FROM shc JOIN b USING (doc_id) WHERE bucket < '0ccc'),
          |tr AS (SELECT shc.doc_id, shingle FROM shc JOIN b USING (doc_id) WHERE bucket >= '0ccc'),
-         |hits AS (SELECT doc_id, count(DISTINCT shingle) AS n_shared
-         |         FROM tr JOIN ev USING (shingle) GROUP BY 1)
+         |hits AS (SELECT tr.doc_id, count(DISTINCT shingle) AS n_shared
+         |         FROM tr JOIN ev USING (shingle) GROUP BY 1),
+         |pw AS (SELECT tr.doc_id, ev.eval_id, count(DISTINCT shingle) AS ps
+         |       FROM tr JOIN ev USING (shingle) GROUP BY 1, 2),
+         |wit AS (SELECT doc_id, eval_id, ps FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ps DESC, eval_id) AS rk FROM pw)
+         |        WHERE rk = 1)
          |SELECT d.doc_id, coalesce(h.n_shared, 0)::BIGINT AS n_shared,
-         |       coalesce(h.n_shared, 0) >= 3 AS contaminated
+         |       coalesce(h.n_shared, 0) >= 3 AS contaminated,
+         |       coalesce(w.eval_id, -1)::BIGINT AS witness_id,
+         |       coalesce(w.ps, 0)::BIGINT AS witness_shared
          |FROM (SELECT doc_id FROM b WHERE bucket >= '0ccc') d
-         |LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+         |LEFT JOIN hits h USING (doc_id) LEFT JOIN wit w USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q6_forecast" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
         |FROM lineitem
@@ -834,7 +858,7 @@ object SparkEntry {
         |pe AS (SELECT unnest(e.embedding::DOUBLE[]) AS v,
         |              unnest(range(len(e.embedding))) AS pos
         |       FROM embeddings e JOIN seen USING (vec_id)),
-        |prof AS (SELECT pos, avg(v) AS m FROM pe GROUP BY 1),
+        |prof AS (SELECT pos, round(avg(v), 12) AS m FROM pe GROUP BY 1),
         |pvec AS (SELECT list(m ORDER BY pos) AS pv FROM prof)
         |SELECT e.vec_id,
         |       round(list_dot_product(e.embedding::DOUBLE[], pvec.pv) /
@@ -853,6 +877,38 @@ object SparkEntry {
          |SELECT q_id, q_label, neg_id, neg_label, score, rk::BIGINT AS rk
          |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
   )
+
+  /** BM25-hybrid oracle: the BM25 CTEs + the vector leg + the blend,
+    * parameterized by the candidate join (unfiltered vs
+    * metadata-filtered — the min-max runs inside the candidate set
+    * either way, like the reference's tfidf hybrid).
+    */
+  private def bm25HybridOracle(candJoin: String): String =
+    s"""WITH terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+       |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+       |q AS (SELECT unnest(['spark', 'join', 'vector']) AS term),
+       |qi AS (SELECT term, ln((nn.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1) AS qidf
+       |       FROM q JOIN dfv USING (term), nn),
+       |bs AS (SELECT tf.doc_id, sum(qi.qidf * tf.tf * (1.2 + 1.0) /
+       |              (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))) AS ts
+       |       FROM tf JOIN qi USING (term) JOIN dl USING (doc_id), ad GROUP BY 1),
+       |qv AS (SELECT $qvSqlList::DOUBLE[] AS qv),
+       |cand AS (SELECT e.vec_id AS doc_id, ${cosRaw("e.embedding", "qv.qv")} AS vs,
+       |                coalesce(bs.ts, 0.0) AS ts
+       |         FROM embeddings e
+       |         $candJoin
+       |         CROSS JOIN qv LEFT JOIN bs ON bs.doc_id = e.vec_id),
+       |st AS (SELECT min(ts) AS mn, max(ts) AS mx FROM cand),
+       |f AS (SELECT doc_id, vs,
+       |             CASE WHEN st.mx > st.mn THEN (ts - st.mn) / (st.mx - st.mn + 1e-12) ELSE ts END AS tn
+       |      FROM cand, st)
+       |SELECT doc_id, round(vs * 0.7 + tn * (1 - 0.7), 5) AS hybrid_score,
+       |       round(vs, 5) AS vector_score, round(tn, 5) AS bm25_score
+       |FROM f ORDER BY hybrid_score DESC, doc_id LIMIT 10""".stripMargin
 
   /** BM25 oracle parameterized by the query-terms subquery (term-list
     * vs raw-text tokenization — the latter re-tokenizes independently

@@ -223,22 +223,24 @@ object Dedup {
       struct(lit(b.toLong).as("band"),
         concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("bv"))
     }
-    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    // the full signature RIDES the band rows (one array column) so the
+    // minhash estimate is computed directly on the candidate rows —
+    // no re-join of the k-wide signature frame per side (two shuffles
+    // of n×k cells saved for ~k× wider band-join rows, a win because
+    // candidates ≪ band rows and the join itself is the skew risk)
+    val bands = sigs.select(col("doc_id"),
+        array((0 until k).map(i => col(s"mh$i")): _*).as("sig"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bv").as("bv"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .select(col("a.doc_id").as("a_id"), col("a.sig").as("a_sig"),
+        col("b.doc_id").as("b_id"), col("b.sig").as("b_sig"))
       .distinct()
-    val aSig = sigs.columns.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"a_$c"))
-    val bSig = sigs.columns.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"b_$c"))
-    val matches = (0 until k)
-      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    val est = cand
-      .join(aSig, col("a_id") === col("a_doc_id"))
-      .join(bSig, col("b_id") === col("b_doc_id"))
-      .select(col("a_id"), col("b_id"), round(matches / lit(k.toDouble), 5).as("est_jaccard"))
+    val est = cand.select(col("a_id"), col("b_id"),
+      round(expr("aggregate(zip_with(a_sig, b_sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)")
+        / lit(k.toDouble), 5).as("est_jaccard"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val shA = sh.toDF("a_id", "shingle")
     val shB = sh.toDF("b_id", "shingle")
@@ -276,19 +278,40 @@ object Dedup {
   }
 
   /** 64-bit SimHash near-dup: candidate pairs must agree on at least
-    * one of four 16-bit signature chunks (pigeonhole: guaranteed
-    * complete for hamming ≤ 3, heuristic above); verified by exact
-    * hamming distance.
+    * one of `64/chunkBits` signature chunks (pigeonhole: with b
+    * chunks, guaranteed complete for hamming ≤ b−1 — 4×16-bit chunks
+    * cover hamming ≤ 3 exactly; the default maxHamming=6 is
+    * knowingly heuristic above that); verified by exact hamming
+    * distance.
+    *
+    * Scale: a (position, chunk) bucket carries only `chunkBits` bits
+    * of entropy, so at n ≫ 2^chunkBits docs the within-bucket pair
+    * join goes quadratic — degenerate corpora (empty/boilerplate
+    * docs hashing to one signature) hit this at ANY n. Every bucket
+    * therefore rides the same [[dfCapped]] occupancy gate as the
+    * shingle joins: buckets holding more than `bucketCap` docs are
+    * dropped before the self-join (a >cap bucket is either
+    * boilerplate — near-dup pairs there are better found by the
+    * exact-dedup hash — or a signal that chunkBits is too narrow for
+    * the corpus; for corpora where n/2^chunkBits approaches the cap,
+    * widen the chunks, accepting the lower complete-hamming bound,
+    * or use [[minhashLsh]], whose band keys grow with the signature).
     */
-
-  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 6,
+              chunkBits: Int = 16, bucketCap: Long = 1000L): DataFrame = {
+    require(Set(8, 16, 32).contains(chunkBits), s"chunkBits must be 8, 16, or 32: $chunkBits")
+    val nChunks = 64 / chunkBits
+    val mask = (1L << chunkBits) - 1
     val sigs = simhashSignatures(spark, dir)
+    // bucket = chunk position × 2^chunkBits + chunk value: one flat
+    // key space so the occupancy gate sees every (position, value)
+    // bucket as one key
     val chunks = sigs.select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("c"))
-      .withColumn("chunk", expr("(sig >> (c * 16)) & 65535"))
-    val cand = chunks.as("a").join(chunks.as("b"),
-        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
+        explode(sequence(lit(0), lit(nChunks - 1))).as("c"))
+      .withColumn("bucket", expr(s"c * ${mask + 1}L + ((sig >> (c * $chunkBits)) & ${mask}L)"))
+    val capped = dfCapped(chunks, "bucket", bucketCap)
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("a.sig").as("a_sig"),
         col("b.doc_id").as("b_id"), col("b.sig").as("b_sig"))
       .distinct()
@@ -541,22 +564,47 @@ object Dedup {
     * contaminated while carrying zero signal. Every train doc is
     * reported (left join), contaminated or not.
     */
+  /** Output per train doc: `n_shared` (distinct df-capped shingles
+    * shared with ANY eval doc), the contamination verdict, plus the
+    * PROVENANCE a real pipeline needs to adjudicate hits —
+    * `witness_id`, the eval doc sharing the MOST distinct shingles
+    * (ties → lowest id; −1 when nothing is shared) and
+    * `witness_shared`, that pairwise count. The witness join keys by
+    * shingle with the df cap bounding fan-out on both sides, the
+    * pairwise counts partial-aggregate map-side, and the argmax is a
+    * per-train-doc ranking window (WindowGroupLimit shape) — never an
+    * eval×train product.
+    */
   def decontaminate(spark: SparkSession, dir: String, n: Int = 5,
                     evalThresholdHex: String = "0ccc", minShared: Long = 3L,
                     maxDf: Long = 1000L): DataFrame = {
     val bucket = substring(md5(col("doc_id").cast("string")), 1, 4)
     val sh = cappedShingles(spark, dir, n, maxDf)
-    val evalShingles = sh.where(bucket < lit(evalThresholdHex))
-      .select(col("shingle")).distinct()
-    val hits = sh.where(bucket >= lit(evalThresholdHex))
-      .join(evalShingles, "shingle")
-      .groupBy(col("doc_id"))
+    // (train doc, shingle, eval doc) hit triples — read twice (union
+    // count + pairwise witness), materialized once
+    val joined = graft.sources.ScratchCache.materialize(
+      sh.where(bucket >= lit(evalThresholdHex))
+        .join(sh.where(bucket < lit(evalThresholdHex))
+          .select(col("doc_id").as("eval_id"), col("shingle")), "shingle"))
+    val hits = joined.groupBy(col("doc_id"))
       .agg(count_distinct(col("shingle")).as("n_shared"))
+    val wWit = Window.partitionBy(col("doc_id"))
+      .orderBy(col("witness_shared").desc, col("eval_id"))
+    val witness = joined.groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("witness_shared")) // (doc, shingle, eval) triples are distinct
+      .withColumn("rk", row_number().over(wWit))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("eval_id").as("witness_id"), col("witness_shared"))
     Tables.documents(spark, dir).where(bucket >= lit(evalThresholdHex))
       .select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
+      .join(witness, Seq("doc_id"), "left")
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .withColumn("contaminated", col("n_shared") >= minShared)
+      .withColumn("witness_id", coalesce(col("witness_id"), lit(-1L)))
+      .withColumn("witness_shared", coalesce(col("witness_shared"), lit(0L)))
+      .select(col("doc_id"), col("n_shared"), col("contaminated"),
+        col("witness_id"), col("witness_shared"))
       .orderBy(col("doc_id"))
   }
 

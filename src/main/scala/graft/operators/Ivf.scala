@@ -166,6 +166,82 @@ object Ivf {
     IndexStore.compact(spark, s"$path/cells", path, "cell")
   }
 
+  /** Occupancy-driven rebalance — the maintenance op that
+    * [[indexStats]]'s `occupancy_skew_x` metric exists to trigger:
+    * incremental appends assign to FROZEN centroids, so a drifting
+    * ingest distribution piles rows into a few cells until probing
+    * those cells scans far more than corpus/nCells rows. When max/avg
+    * occupancy is at least `skewThreshold`, refit the coarse quantizer
+    * on a seeded sample of the CURRENT contents (base + appends −
+    * tombstones), reassign every row, and republish in place: the new
+    * cells commit as ONE epoch (stage + rename, like append/compact),
+    * old epochs and the tombstone set drop, and the centroid table is
+    * swapped last. Returns true iff a rebalance ran.
+    *
+    * Single-writer MAINTENANCE op with [[IndexStore.compact]]'s
+    * operational contract: cells and centroids are two tables, so a
+    * reader racing the swap can plan probes against the outgoing
+    * centroids — run it in a maintenance window; serving sessions
+    * reopen afterwards. (FAISS has no online retrain either; its
+    * answer is an offline rebuild + index-file swap, which this
+    * reproduces without moving the artifact.)
+    */
+  def rebalanceIndex(spark: SparkSession, dir: String, nCells: Int,
+                     skewThreshold: Double = 4.0): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val path = indexPath(spark, dir, nCells)
+    val (current, _) = ensureIndex(spark, dir, nCells)
+    val occ = current.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("cells"), max(col("c")).as("mx"))
+      .head()
+    val total = occ.getLong(0)
+    val skew = occ.getLong(2).toDouble / (total.toDouble / occ.getLong(1))
+    if (skew < skewThreshold) return false
+    // refit on a seeded sample of the current contents — same bounded
+    // fit as buildIndex (cells need rough shape, not a full-corpus fit)
+    val rows = current.select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
+    val fraction = math.min(1.0, fitRows.toDouble / math.max(total, 1L))
+    val fitSet = rows.sample(withReplacement = false, fraction, seed = 42)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nCells).setSeed(42)
+      .setInitMode("random").setMaxIter(10).setTol(1e-4)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(fitSet)
+    val assigned = model.transform(rows.withColumn("features", array_to_vector(col("embedding"))))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"), col("cell"))
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // cells: stage hidden, commit as ONE epoch, then drop the old
+    // epochs (the same visibility contract as append/compact — a
+    // racing reader sees the old cells or the new, never a mix)
+    val staging = IndexStore.stageEpochPath(s"$path/cells", "rebalance")
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    val cellsPath = fs.makeQualified(new Path(s"$path/cells"))
+    val newEpoch = s"epoch=${new Path(staging).getName.stripPrefix(".tmp-")}"
+    require(fs.rename(fs.makeQualified(new Path(staging)), new Path(cellsPath, newEpoch)),
+      s"rebalance commit failed under $path")
+    IndexStore.foldIngestHwm(spark, s"$path/cells")
+    fs.listStatus(cellsPath).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("epoch=") && nm != newEpoch) fs.delete(st.getPath, true)
+    }
+    // tombstoned rows were excluded from the rewrite — retire the set
+    IndexStore.clearTombstones(spark, path)
+    // centroids last: stage + swap (a 1-file table; the delete+rename
+    // window is why this is a maintenance-window op)
+    val cTmp = s"$path/.tmp-centroids-${java.util.UUID.randomUUID.toString.take(8)}"
+    centroids.write.mode("overwrite").parquet(cTmp)
+    val cDst = fs.makeQualified(new Path(s"$path/centroids"))
+    fs.delete(cDst, true)
+    require(fs.rename(fs.makeQualified(new Path(cTmp)), cDst),
+      s"rebalance centroid swap failed under $path")
+    IndexStore.invalidate(spark, s"$path/cells")
+    IndexStore.invalidate(spark, s"$path/centroids")
+    true
+  }
+
   /** Batch IVF search: for each query row (q_id, qv), rank centroids,
     * keep nprobe cells, score candidates in those cells, return top-k
     * per query.

@@ -36,8 +36,45 @@ object Multimodal {
     (w, h, hist.map(_ / n))
   }
 
+  /** REAL image decode for the formats the JDK ships codecs for (PNG,
+    * BMP, JPEG, GIF, WBMP via `javax.imageio` — public JDK, zero
+    * external dependency): actual pixel dimensions plus a 16-bin
+    * normalized LUMINANCE histogram (Rec.601 integer weights) as the
+    * feature vector. Returns None for payloads ImageIO cannot decode
+    * (audio bytes, truncated files, unsupported formats) so callers
+    * dispatch to the stub — the per-format codec dispatch a production
+    * pipeline runs behind this same seam.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val hist = new Array[Float](16)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum / 16) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w * h, 1)
+        Some((w, h, hist.map(_ / n)))
+      }
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+
   /** Batch feature extraction: per-partition iteration (decoder state
     * amortized across the partition), narrow transform, no shuffle.
+    * `image` payloads go through the REAL JDK decoder ([[decodeImage]])
+    * and fall back to [[stubDecode]] when the bytes aren't a
+    * JDK-decodable image; non-image kinds go straight to the stub
+    * (no audio/video codec ships with the JDK).
     */
   def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -45,7 +82,9 @@ object Multimodal {
       // per-partition decoder init would go here (expensive at 100 TB
       // if done per row)
       rows.map { m =>
-        val (w, h, feat) = stubDecode(m.payload)
+        val (w, h, feat) =
+          (if (m.kind == "image") decodeImage(m.payload) else None)
+            .getOrElse(stubDecode(m.payload))
         MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, w, h, feat)
       }
     }
@@ -53,6 +92,43 @@ object Multimodal {
 
   case class ResizedMedia(media_id: Long, kind: String, width: Int, height: Int,
                           payload: Array[Byte])
+
+  /** REAL image resize for JDK-decodable payloads: decode, scale with
+    * Graphics2D bilinear interpolation, re-encode as PNG. Same
+    * per-partition batch shape as [[resizeStub]]; payloads ImageIO
+    * cannot decode fall back to the stub's byte sampling so mixed
+    * media batches never fail mid-partition.
+    */
+  def resizeImages(media: Dataset[Media], targetW: Int = 32, targetH: Int = 32): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    val outLen = targetW * targetH
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val real: Option[Array[Byte]] =
+          try {
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload)))
+              .map { img =>
+                val scaled = new java.awt.image.BufferedImage(
+                  targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = scaled.createGraphics()
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, targetW, targetH, null)
+                g.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(scaled, "png", bos)
+                bos.toByteArray
+              }
+          } catch { case _: java.io.IOException | _: RuntimeException => None }
+        val out = real.getOrElse {
+          val n = m.payload.length
+          if (n == 0) new Array[Byte](outLen)
+          else Array.tabulate(outLen)(i => m.payload(((i.toLong * n) / outLen).toInt min (n - 1)))
+        }
+        ResizedMedia(m.media_id, m.kind, targetW, targetH, out)
+      }
+    }
+  }
 
   /** STUB resize: deterministic nearest-neighbor byte sampling down to
     * a fixed targetW×targetH payload — stands in for a real image

@@ -198,7 +198,20 @@ object TextRetrieval {
     * vectors anywhere.
     */
   def bm25TopK(spark: SparkSession, dir: String, queryTerms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(spark, dir, queryTerms, k1, b)
+      .select(col("doc_id"), round(col("ts"), 5).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** The unrounded per-doc BM25 sum (doc_id, ts) — shared by
+    * [[bm25TopK]] (round + top-k) and the hybrid blend (min-max
+    * normalize). Association order mirrors the oracle SQL exactly
+    * (left-to-right) so both engines round the same doubles —
+    * SURVEY §4.
+    */
+  private def bm25Scores(spark: SparkSession, dir: String, queryTerms: Seq[String],
+                         k1: Double, b: Double): DataFrame = {
     val m = ensureModel(spark, dir)
     val (dl, avgdl) = ensureBm25(spark, dir, m)
     import spark.implicits._
@@ -206,17 +219,13 @@ object TextRetrieval {
     val qidf = q.join(m.dfT, Seq("term"), "inner").crossJoin(broadcast(m.n))
       .withColumn("qidf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1))
       .select("term", "qidf")
-    // association order mirrors the oracle SQL exactly (left-to-right)
-    // so both engines round the same doubles — SURVEY §4
     m.tf.join(broadcast(qidf), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(avgdl))
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("qidf") * col("tf") * (lit(k1) + lit(1.0)) /
-        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))), 5)
-        .as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+      .agg(sum(col("qidf") * col("tf") * (lit(k1) + lit(1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+        .as("ts"))
   }
 
   /** Raw-text BM25 front door — same tokenizer contract as
@@ -248,7 +257,8 @@ object TextRetrieval {
     * alpha·vs + (1-alpha)·minmax(ts), including the max>min guard and
     * the 1e-12 denominator epsilon.
     */
-  private def blend(cand0: DataFrame, alpha: Double, k: Int): DataFrame = {
+  private def blend(cand0: DataFrame, alpha: Double, k: Int,
+                    tsName: String = "tfidf_score"): DataFrame = {
     // the blend needs TWO passes over the candidates (global min/max,
     // then scoring) — ScratchCache persists the corpus-scan +
     // TF-IDF-join subtree ONCE and both passes read the stored rows
@@ -267,7 +277,7 @@ object TextRetrieval {
         col("doc_id"),
         round(col("vs") * alpha + col("tn") * (1 - alpha), 5).as("hybrid_score"),
         round(col("vs"), 5).as("vector_score"),
-        round(col("tn"), 5).as("tfidf_score"))
+        round(col("tn"), 5).as(tsName))
       .orderBy(col("hybrid_score").desc, col("doc_id"))
       .limit(k)
   }
@@ -335,6 +345,49 @@ object TextRetrieval {
   def hybridTopK(spark: SparkSession, dir: String, queryDoc: Long, alpha: Double, k: Int,
                  metaFilter: Option[Column] = None): DataFrame =
     blend(hybridCandidates(spark, dir, queryDoc, metaFilter), alpha, k)
+
+  /** BM25-keyword-leg hybrid — the reference's blend contract
+    * (app.py:190-219: α·vec + (1−α)·minmax(keyword), min-max over the
+    * candidate set) with Okapi BM25 as the keyword scorer instead of
+    * TF-IDF cosine. BM25's raw sums are unbounded, so the candidate
+    * min-max normalization the reference applies to its tfidf leg is
+    * exactly what makes the two legs commensurable here too.
+    * `metaFilter` composes with `candidate_indices()` like every other
+    * search: the blend AND its min-max run inside the filtered set.
+    * Output: (doc_id, hybrid_score, vector_score, bm25_score).
+    *
+    * Same single-scan shape as [[hybridTopKFree]]: the (doc_id, vs,
+    * ts) candidate subtree persists once through ScratchCache and both
+    * blend passes read it.
+    */
+  def bm25HybridTopK(spark: SparkSession, dir: String, qv: Array[Float],
+                     queryTerms: Seq[String], alpha: Double, k: Int,
+                     metaFilter: Option[Column] = None,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    blend(bm25HybridCandidates(spark, dir, qv, queryTerms, metaFilter, k1, b),
+      alpha, k, tsName = "bm25_score")
+
+  /** Raw-text BM25-hybrid front door — same tokenizer contract as the
+    * other String overloads. */
+  def bm25HybridTopK(spark: SparkSession, dir: String, qv: Array[Float],
+                     query: String, alpha: Double, k: Int,
+                     metaFilter: Option[Column]): DataFrame =
+    bm25HybridTopK(spark, dir, qv, sklearnTokenize(query), alpha, k, metaFilter)
+
+  /** The BM25 hybrid's candidate subtree (doc_id, vs, ts) —
+    * package-visible for plan assertions like its TF-IDF twin. */
+  private[graft] def bm25HybridCandidates(spark: SparkSession, dir: String, qv: Array[Float],
+                                          queryTerms: Seq[String], metaFilter: Option[Column],
+                                          k1: Double, b: Double): DataFrame = {
+    val ts = bm25Scores(spark, dir, queryTerms, k1, b)
+    val qvNorm = math.sqrt(qv.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+    candidates(spark, dir, metaFilter)
+      .select(col("vec_id").as("doc_id"),
+        (dotd(col("embedding"), typedlit(qv)) /
+          (l2norm(col("embedding")) * lit(qvNorm))).as("vs"))
+      .join(ts, Seq("doc_id"), "left")
+      .withColumn("ts", coalesce(col("ts"), lit(0.0)))
+  }
 
   /** The more-like-this hybrid's candidate subtree — see
     * [[hybridCandidatesFree]] for why it is package-visible.

@@ -200,7 +200,14 @@ object VectorSearch {
       .groupBy(col("pos")).agg(avg(col("v")).as("m"))
       .orderBy(col("pos")).collect()
     require(prof.nonEmpty, s"user $userId has no embeddable interactions")
-    val pv: Array[Double] = prof.map(_.getDouble(1))
+    // round the profile components to 12 decimals: Spark's partial-agg
+    // summation order is nondeterministic and differs from the
+    // oracle's, so the raw means drift by ~1 ulp between runs and
+    // engines; at 12 decimals (1e7× coarser than the drift, 1e7×
+    // finer than the 5-decimal score round) both sides build the
+    // IDENTICAL profile literal and downstream is one expression dag
+    val pv: Array[Double] = prof.map(r =>
+      BigDecimal(r.getDouble(1)).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
     // left-to-right fold — the same association order the oracle's
     // list_dot_product uses, so both engines derive one norm
     val pn = math.sqrt(pv.foldLeft(0.0)((s, x) => s + x * x))

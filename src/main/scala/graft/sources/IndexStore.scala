@@ -21,7 +21,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     silently serving results from a stale index, and distinct dirs
   *     can never collide (the hash covers the absolute path).
   */
-object IndexStore {
+object IndexStore extends org.apache.spark.internal.Logging {
 
   /** Artifact root; override with spark.graft.index.root. */
   def root(spark: SparkSession): String =
@@ -137,10 +137,21 @@ object IndexStore {
     // before treating the dir as crashed.
     if (fs.exists(dst)) {
       if (!renameIsAtomic(dst.toUri.getScheme)) {
+        // this wait stalls first-query latency for up to the grace
+        // window — surface it so the stall is attributable. (A writer
+        // heartbeat can't shrink the window: the racer is inside an
+        // object-store RENAME, a server-side copy it cannot touch
+        // files under dst during, so liveness is only observable via
+        // the marker's eventual arrival.)
+        logWarning(s"publish($dst): marker-less artifact exists on a non-atomic-rename " +
+          s"store; waiting up to ${publishGraceMs(spark)} ms for a concurrent publisher's " +
+          "completeness marker before treating it as a crash remnant")
         val deadline = System.currentTimeMillis() + publishGraceMs(spark)
         while (!fs.exists(new Path(dst, CompleteMarker))
             && System.currentTimeMillis() < deadline) Thread.sleep(2000L)
         if (fs.exists(new Path(dst, CompleteMarker))) return // the racer finished
+        logWarning(s"publish($dst): grace window elapsed with no marker; " +
+          "deleting the partial artifact and rebuilding")
       }
       if (fs.exists(dst)) fs.delete(dst, true)
     }
@@ -224,6 +235,79 @@ object IndexStore {
     invalidate(spark, dataDir)
   }
 
+  // ---------------------------------------------------------------
+  // Streaming-ingest high-water mark (the idempotence ledger of
+  // graft.streaming.IndexIngest, kept here because compact() must
+  // maintain it when it folds ingest epochs away)
+  // ---------------------------------------------------------------
+
+  private def ingestHwmPath(dataDir: String) = new Path(dataDir, "_ingest_hwm")
+
+  private val IngestEpoch = "epoch=ingest-b(\\d+)".r
+
+  private def maxIngestEpoch(fs: org.apache.hadoop.fs.FileSystem, dataDir: String): Long = {
+    val dir = new Path(dataDir)
+    if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case IngestEpoch(n) => n.toLong }.foldLeft(-1L)(math.max)
+  }
+
+  /** Read the streaming-ingest high-water mark (max committed batch
+    * id; -1 = none). Tolerates a missing, empty, or torn file by
+    * falling back to the max committed `epoch=ingest-b<N>` dir — the
+    * same ledger the hwm summarizes — so a corrupt hwm degrades to
+    * the epoch-existence probe instead of throwing
+    * NumberFormatException on every subsequent micro-batch and
+    * permanently wedging the ingest stream.
+    */
+  def readIngestHwm(spark: SparkSession, dataDir: String): Long = {
+    val fs = ingestHwmPath(dataDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readIngestHwmFile(fs, dataDir).getOrElse(maxIngestEpoch(fs, dataDir))
+  }
+
+  /** The hwm FILE's value alone (None = missing/empty/torn), no epoch
+    * fallback — compact() needs this to know whether the file itself
+    * is behind the epochs it is about to fold away.
+    */
+  private def readIngestHwmFile(fs: org.apache.hadoop.fs.FileSystem,
+                                dataDir: String): Option[Long] = {
+    val p = ingestHwmPath(dataDir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      if (s.isEmpty) None
+      else try Some(s.toLong) catch { case _: NumberFormatException => None }
+    }
+  }
+
+  /** Persist the ingest hwm ATOMICALLY: write complete to a hidden
+    * temp file, then rename over `_ingest_hwm`
+    * (FileContext.rename OVERWRITE — atomic on file:/HDFS). A crash
+    * mid-write leaves only the temp file, never a torn visible value.
+    * Where overwrite-rename is unsupported, falls back to
+    * delete-then-rename, whose no-hwm window [[readIngestHwm]] repairs
+    * from the epoch dirs.
+    */
+  def writeIngestHwm(spark: SparkSession, dataDir: String, batchId: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = ingestHwmPath(dataDir)
+    val fs = p.getFileSystem(conf)
+    val tmp = new Path(dataDir,
+      s"._ingest_hwm.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    }
+  }
+
   /** Tombstone compaction — closes the lifecycle [[addTombstones]]
     * opens: rewrite the artifact minus its tombstoned ids as ONE new
     * epoch, drop the old epochs and the `_tombstones` dir, so probes
@@ -264,13 +348,38 @@ object IndexStore {
     val newEpochName = s"epoch=${new Path(staging).getName.stripPrefix(".tmp-")}"
     require(fs.rename(fs.makeQualified(new Path(staging)), new Path(dataPath, newEpochName)),
       s"compact commit failed under $dataDir")
+    foldIngestHwm(spark, dataDir)
     fs.listStatus(dataPath).foreach { st =>
       val nm = st.getPath.getName
       if (nm.startsWith("epoch=") && nm != newEpochName) fs.delete(st.getPath, true)
     }
-    fs.delete(tomb, true)
     invalidate(spark, dataDir)
-    tombstoneCache.remove((spark, tombstoneRoot))
+    clearTombstones(spark, tombstoneRoot)
+  }
+
+  /** Fold the max committed `epoch=ingest-b<N>` id into the hwm file.
+    * MUST run before any maintenance op deletes ingest epoch dirs: a
+    * stream that crashed after commitEpoch but BEFORE its hwm write
+    * would otherwise replay the batch post-maintenance (both its
+    * guards gone — epoch dir folded away, hwm stale) and append
+    * duplicate vectors.
+    */
+  private[graft] def foldIngestHwm(spark: SparkSession, dataDir: String): Unit = {
+    val fs = new Path(dataDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folded = maxIngestEpoch(fs, dataDir)
+    if (folded >= 0 && !readIngestHwmFile(fs, dataDir).exists(_ >= folded))
+      writeIngestHwm(spark, dataDir, folded)
+  }
+
+  /** Delete a root's tombstone set and its cached probe — for
+    * maintenance ops (compact, rebalance) that just rewrote the
+    * artifact minus the tombstoned rows.
+    */
+  private[graft] def clearTombstones(spark: SparkSession, root: String): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tomb = new Path(s"$root/_tombstones")
+    if (fs.exists(tomb)) fs.delete(tomb, true)
+    tombstoneCache.remove((spark, root))
   }
 
   /** Deletion from an append-only index — FAISS `remove_ids()`

@@ -40,9 +40,15 @@ object ScratchCache {
     spark.conf.get("spark.graft.scratch.cache.size", "8").toInt
 
   // access-ordered LinkedHashMap = LRU; guarded by this object's lock
-  // (driver-side planning only — never on a per-row path)
+  // (driver-side planning only — never on a per-row path).
+  // The key carries the OUTPUT FIELD NAMES alongside the canonicalized
+  // plan: canonicalization normalizes aliases away, so two
+  // structurally identical frames differing only in column names
+  // would otherwise collide and the second caller's col("name")
+  // references would fail with AnalysisException.
   private val lru =
-    new java.util.LinkedHashMap[(SparkSession, LogicalPlan), DataFrame](16, 0.75f, true)
+    new java.util.LinkedHashMap[(SparkSession, LogicalPlan, Seq[String]), DataFrame](
+      16, 0.75f, true)
 
   /** Persist `df` (MEMORY_AND_DISK) under LRU lifecycle and return the
     * cached frame. The first downstream action populates the cache;
@@ -53,7 +59,8 @@ object ScratchCache {
     // evict entries of stopped sessions so session churn can't leak
     val dead = lru.keySet.iterator()
     while (dead.hasNext) if (dead.next()._1.sparkContext.isStopped) dead.remove()
-    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized,
+      df.schema.fieldNames.toSeq)
     val hit = lru.get(key)
     if (hit != null) hit
     else {

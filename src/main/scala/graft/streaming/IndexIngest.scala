@@ -40,23 +40,11 @@ object IndexIngest {
     * append duplicates. Structured Streaming batch ids are monotonic,
     * so one long is the whole ledger.
     */
-  private def hwmPath(path: String) = new Path(path, "_ingest_hwm")
+  private[graft] def readHwm(spark: SparkSession, path: String): Long =
+    IndexStore.readIngestHwm(spark, path)
 
-  private[graft] def readHwm(spark: SparkSession, path: String): Long = {
-    val fs = hwmPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hwmPath(path))) -1L
-    else {
-      val in = fs.open(hwmPath(path))
-      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-      finally in.close()
-    }
-  }
-
-  private def writeHwm(spark: SparkSession, path: String, batchId: Long): Unit = {
-    val fs = hwmPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(hwmPath(path), true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-  }
+  private def writeHwm(spark: SparkSession, path: String, batchId: Long): Unit =
+    IndexStore.writeIngestHwm(spark, path, batchId)
 
   /** The foreachBatch body: hash the batch with the index's seed-fixed
     * hyperplanes and commit it as epoch `ingest-b<batchId>`; no-op on

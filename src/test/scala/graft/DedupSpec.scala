@@ -49,6 +49,31 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("simhash candidate buckets are occupancy-capped (the anti-quadratic gate)") {
+    // bucketCap = 0 drops EVERY bucket before the self-join — zero
+    // candidates proves the gate sits on the candidate path, not on a
+    // side branch the optimizer could prune away
+    assert(Dedup.simhash(spark, TestSpark.sf, bucketCap = 0L).count() == 0L)
+    // a restrictive cap yields a SUBSET of the default result (the
+    // gate only ever drops candidates, never invents or rescores)
+    val all = Dedup.simhash(spark, TestSpark.sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val capped = Dedup.simhash(spark, TestSpark.sf, bucketCap = 2L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(capped.toSet.subsetOf(all.toSet))
+    // wider 32-bit chunks: still a subset of the hamming≤6 pair set,
+    // with every surviving pair agreeing on one of the two chunk halves
+    val wide = Dedup.simhash(spark, TestSpark.sf, chunkBits = 32).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val sigMap = Dedup.simhashSignatures(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide.toSet.subsetOf(all.toSet))
+    wide.keys.foreach { case (a, b) =>
+      val (sa, sb) = (sigMap(a), sigMap(b))
+      assert((sa & 0xffffffffL) == (sb & 0xffffffffL) || (sa >>> 32) == (sb >>> 32))
+    }
+  }
+
   test("connected components converge on a chain longer than one propagation hop") {
     import spark.implicits._
     // 1-2-3-4-5 chain (needs multiple rounds: 5's label reaches 1 only
@@ -224,6 +249,8 @@ class DedupSpec extends AnyFunSuite {
   test("decontamination matches a driver-side shingle-overlap recount") {
     val got = Dedup.decontaminate(spark, TestSpark.sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val gotWitness = Dedup.decontaminate(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
     val docs = Tables.documents(spark, TestSpark.sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -237,9 +264,18 @@ class DedupSpec extends AnyFunSuite {
     trainDocs.foreach { case (id, text) =>
       val shared = (sh(text) & evalShingles).size.toLong
       assert(got(id) == ((shared, shared >= 3L)), s"doc $id")
+      // witness: the eval doc sharing the most distinct shingles,
+      // ties to the lowest id, (-1, 0) when nothing is shared
+      val pair = evalDocs.map { case (eid, etext) => (eid, (sh(text) & sh(etext)).size.toLong) }
+        .filter(_._2 > 0)
+      val expectedW =
+        if (pair.isEmpty) (-1L, 0L)
+        else { val w = pair.minBy { case (eid, c) => (-c, eid) }; (w._1, w._2) }
+      assert(gotWitness(id) == expectedW, s"witness for doc $id")
     }
     assert(got.values.exists(_._2), "the corpus's near-dups straddle the split")
     assert(got.values.exists(!_._2))
+    assert(gotWitness.values.exists(_._1 >= 0L), "some witness is reported")
   }
 
   test("semantic dedup keeps exactly one doc per duplicate cluster, pairs cell-local") {

@@ -58,6 +58,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.take(600))
   }
 
+  test("real JDK codec round-trips a generated PNG; stub handles the rest") {
+    import spark.implicits._
+    // paint a 40×24 PNG: left half dark (low luminance bins), right
+    // half pure white (luminance 255 → bin 15)
+    val img = new java.awt.image.BufferedImage(40, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 40)
+      img.setRGB(x, y, if (x < 20) 0x101010 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    // direct decode: true pixel dimensions + luminance histogram
+    val Some((w, h, feat)) = Multimodal.decodeImage(png)
+    assert(w == 40 && h == 24)
+    assert(math.abs(feat(15) - 0.5f) < 1e-6, "white half fills luminance bin 15")
+    assert(math.abs(feat.sum - 1.0f) < 1e-3)
+    // non-image bytes refuse to decode (fall back to the stub seam)
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    // through the distributed path: the PNG row gets REAL dimensions,
+    // the text-payload row falls back to the stub
+    val media = Seq(
+      Multimodal.Media(1L, "image", png),
+      Multimodal.Media(2L, "image", "plain text pretending".getBytes("UTF-8"))).toDS()
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 40 && feats(1L).height == 24)
+    val stubbed = Multimodal.stubDecode("plain text pretending".getBytes("UTF-8"))
+    assert(feats(2L).width == stubbed._1 && feats(2L).height == stubbed._2)
+    // real resize: 40×24 PNG → 8×8 PNG that decodes back at 8×8 with
+    // both luminance extremes still present
+    val resized = Multimodal.resizeImages(media, targetW = 8, targetH = 8).collect()
+      .map(r => r.media_id -> r).toMap
+    val Some((rw, rh, rfeat)) = Multimodal.decodeImage(resized(1L).payload)
+    assert(rw == 8 && rh == 8)
+    assert(rfeat(15) > 0.3f && rfeat.take(4).sum > 0.3f)
+    // undecodable payload rides the stub fallback: fixed-length bytes
+    assert(resized(2L).payload.length == 8 * 8)
+  }
+
   test("decode stub is deterministic") {
     val a = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
     val b = Multimodal.stubDecode("hello world".getBytes("UTF-8"))

@@ -188,6 +188,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ingest hwm survives torn files and compaction (crash-recovery ledger)") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    import graft.streaming.IndexIngest
+    val root = java.nio.file.Files.createTempDirectory("graft-hwm-root").toString
+    spark.conf.set("spark.graft.index.root", root)
+    try {
+      val nBits = 4
+      graft.operators.Lsh.ensureIndex(spark, TestSpark.sf, nBits).count()
+      val path = graft.operators.Lsh.indexPath(spark, TestSpark.sf, nBits)
+      val before = spark.read.parquet(path).count()
+      def vec(seed: Int): Array[Float] = Array.tabulate(64)(i => ((i + seed) % 7 - 3) * 0.2f)
+      IndexIngest.appendLshBatch(spark, path, nBits)(Seq(NewVec(20001L, vec(1))).toDF(), 0L)
+      IndexIngest.appendLshBatch(spark, path, nBits)(Seq(NewVec(20002L, vec(2))).toDF(), 1L)
+      val fsys = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hwm = new org.apache.hadoop.fs.Path(path, "_ingest_hwm")
+      // a torn/garbage hwm (crash mid-write) must not wedge the
+      // stream: readHwm repairs from the committed epoch dirs
+      val out = fsys.create(hwm, true); out.write("not-a-number".getBytes); out.close()
+      assert(IndexIngest.readHwm(spark, path) == 1L)
+      val empty = fsys.create(hwm, true); empty.close()
+      assert(IndexIngest.readHwm(spark, path) == 1L)
+      // crash window: batches committed but the hwm write lost
+      // entirely. compaction must fold the max ingest epoch INTO the
+      // hwm file before deleting the epoch dirs, or a post-compaction
+      // replay would pass both guards and append duplicates
+      fsys.delete(hwm, false)
+      assert(IndexIngest.readHwm(spark, path) == 1L)
+      IndexStore.addTombstones(spark, path, Seq(20001L))
+      graft.operators.Lsh.compactIndex(spark, TestSpark.sf, nBits)
+      assert(!fsys.exists(new org.apache.hadoop.fs.Path(path, "epoch=ingest-b1")),
+        "compaction folds ingest epochs away")
+      assert(IndexIngest.readHwm(spark, path) == 1L,
+        "compact must persist the folded ingest hwm")
+      IndexIngest.appendLshBatch(spark, path, nBits)(Seq(NewVec(20002L, vec(2))).toDF(), 1L)
+      IndexStore.invalidate(spark, path)
+      assert(spark.read.parquet(path).where(col("vec_id") === 20002L).count() == 1L,
+        "post-compaction replay must stay a no-op")
+      assert(spark.read.parquet(path).count() == before + 1) // 20001 tombstoned away
+    } finally {
+      spark.conf.unset("spark.graft.index.root")
+      IndexStore.invalidate(spark, graft.operators.Lsh.indexPath(spark, TestSpark.sf, 4))
+    }
+  }
+
   test("streaming curation gates and redacts exactly like the batch plan") {
     import spark.implicits._
     import graft.streaming.CurationStreams

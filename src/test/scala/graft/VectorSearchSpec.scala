@@ -184,6 +184,49 @@ class VectorSearchSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.index.root")
   }
 
+  test("IVF rebalance: skewed appends trigger a refit, stats improve, exhaustive search identical") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rebalance").toAbsolutePath
+    spark.conf.set("spark.graft.index.root", tmp.toString)
+    try {
+      val nCells = 8
+      Ivf.ensureIndex(spark, TestSpark.sf, nCells)
+      val path = Ivf.indexPath(spark, TestSpark.sf, nCells)
+      def skewOf(): Double = Ivf.indexStats(spark, TestSpark.sf, nCells).collect()
+        .find(_.getString(0) == "occupancy_skew_x").get.getDouble(1)
+      // drift the distribution: 600 scaled copies of vector 0 (a ray of
+      // norms 0.5–1.5×) — the FROZEN centroids funnel them into one or
+      // two cells, exactly the skew shape incremental append creates
+      val clones = Tables.embeddings(spark, TestSpark.sf).where(col("vec_id") === 0L)
+        .crossJoin(spark.range(600).toDF("i"))
+        .select((col("i") + 50000L).as("vec_id"), col("label"),
+          expr("cast(transform(embedding, x -> x * (0.5 + (i % 100) / 100.0)) as array<float>)")
+            .as("embedding"))
+      Ivf.appendToIndex(spark, path, clones)
+      val skewBefore = skewOf()
+      assert(skewBefore >= 2.0, s"appends should have skewed a cell, skew=$skewBefore")
+      // exhaustive probe (nprobe = nCells) is exact — invariant under
+      // any re-celling, so it pins result identity across the rebalance
+      val before = Ivf.ivfTopK(spark, TestSpark.sf, queryId = 3, nCells, nprobe = nCells, k = 5)
+        .select("n_id", "score", "rk").collect().map(_.toSeq).toSeq
+      // below threshold → no-op (returns false, artifact untouched)
+      assert(!Ivf.rebalanceIndex(spark, TestSpark.sf, nCells, skewThreshold = 1e9))
+      assert(Ivf.rebalanceIndex(spark, TestSpark.sf, nCells, skewThreshold = 2.0),
+        "skew above threshold must trigger the rebalance")
+      val skewAfter = skewOf()
+      assert(skewAfter < skewBefore,
+        s"refit must spread the hot cell: before=$skewBefore after=$skewAfter")
+      val after = Ivf.ivfTopK(spark, TestSpark.sf, queryId = 3, nCells, nprobe = nCells, k = 5)
+        .select("n_id", "score", "rk").collect().map(_.toSeq).toSeq
+      assert(after == before, "exhaustive search must be unchanged by rebalancing")
+      // the artifact folded to ONE epoch (append epochs gone)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val epochs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/cells"))
+        .map(_.getPath.getName).filter(_.startsWith("epoch="))
+      assert(epochs.length == 1 && epochs.head.startsWith("epoch=rebalance-"), epochs.mkString(","))
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
+
   test("residual IVFPQ reconstructs finer than non-residual; ADC matches a driver oracle") {
     import graft.operators.{Ivf, Quantized}
     val (assigned, centroids) = Ivf.ensureIndex(spark, TestSpark.sf, 16)
