@@ -137,6 +137,10 @@ object SparkEntry {
     "doc_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     // contrastive hard-negative mining (top-k cross-label cosine)
     "hard_negatives" -> ((s, d) => VectorSearch.hardNegatives(s, d, queryMod = 100, k = 5)),
+    // array-typed metadata (the reference's multi-valued categories):
+    // exploded facet counts + array_contains-filtered vector search
+    "tag_facets" -> ((s, d) => Analytics.tagFacets(s, d)),
+    "vs_tag_filtered" -> ((s, d) => VectorSearch.tagFilteredTopK(s, d, queryId = 0, tag = "len:1", k = 10)),
     // session-based recommendation: events → profile vector → top-k
     "recommend_user" -> ((s, d) => VectorSearch.recommendForUser(s, d, userId = 7L, k = 10)),
     // per-source dedup summary (exact copies + near-dup involvement)
@@ -776,6 +780,22 @@ object SparkEntry {
     * JVM method-size limit).
     */
   private def extraOracles: Map[String, String] = Map(
+    // derived multi-valued tag list (lang, source tag, length bucket)
+    // treated as first-class array metadata — explode for facets,
+    // membership for filtered search
+    "tag_facets" ->
+      """WITH tg AS (SELECT [lang, 'src:' || source, 'len:' || (n_chars // 500)::VARCHAR] AS tags FROM documents),
+        |ex AS (SELECT unnest(tags) AS tag FROM tg)
+        |SELECT tag, count(*)::BIGINT AS n_docs FROM ex
+        |GROUP BY 1 ORDER BY n_docs DESC, tag""".stripMargin,
+    "vs_tag_filtered" ->
+      s"""WITH tg AS (SELECT doc_id FROM documents
+         |            WHERE list_contains([lang, 'src:' || source, 'len:' || (n_chars // 500)::VARCHAR], 'len:1')),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score
+         |FROM embeddings e JOIN tg ON tg.doc_id = e.vec_id, q
+         |WHERE e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
     // same df-capped distinct-shingle CTEs as the jaccard oracle, with
     // the md5 hash split deciding eval membership
     // witness = eval doc sharing the most distinct shingles (ties →

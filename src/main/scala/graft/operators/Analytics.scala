@@ -127,6 +127,29 @@ object Analytics {
         col("label").cast("long").as("label"))
       .orderBy(col("doc_id"))
 
+  /** The reference's array-valued `categories` metadata (products
+    * carry a category LIST, app.py:118, shown in the details and
+    * comparison panels app.py:334-347). The test tables carry scalar
+    * metadata only, so the list column is DERIVED deterministically —
+    * lang, a source tag, a length bucket — and then treated as a
+    * first-class array column: facets explode it, membership filters
+    * compile to array_contains. Narrow projection; no shuffle.
+    */
+  def docTags(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).withColumn("tags",
+      array(col("lang"), concat(lit("src:"), col("source")),
+        concat(lit("len:"), expr("n_chars div 500"))))
+
+  /** Facet counts over the EXPLODED array column — the category
+    * sidebar facet for multi-valued metadata (app.py:118/138 shape).
+    * explode + partial-agg: shuffle carries (tag, count) pairs only.
+    */
+  def tagFacets(spark: SparkSession, dir: String): DataFrame =
+    docTags(spark, dir)
+      .select(explode(col("tags")).as("tag"))
+      .groupBy(col("tag")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("tag"))
+
   /** Facet value counts (reference app.py:138 sidebar brand facet). */
   def brandFacets(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)

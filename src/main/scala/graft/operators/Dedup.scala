@@ -497,14 +497,30 @@ object Dedup {
     * measured recall ≈ 0.9 vs the exact all-pairs scan). At production
     * near-dup thresholds (cos ≥ 0.9, p ≈ 0.86) the same structure
     * gives >0.99 recall with far fewer bands — tune (nBands,
-    * bitsPerBand) to the threshold, not the corpus size.
+    * bitsPerBand) to the threshold.
+    *
+    * Corpus growth is handled by the OPERATOR, not the caller: at
+    * fixed bits a 10× corpus makes per-bucket occupancy 10× and the
+    * within-bucket pair verification 100× (measured at the sf1 scale
+    * point — BASELINE.md), so `bitsPerBand` is a FLOOR and the
+    * effective width grows as ceil(log2(n/32)), holding occupancy
+    * near 32 rows; recall lost to narrower buckets is the documented
+    * nBands knob. Degenerate buckets (identical embeddings collide at
+    * ANY width) ride the same [[dfCapped]] occupancy gate as every
+    * other key-blocked self-join.
     */
   def embeddingNearDupLsh(spark: SparkSession, dir: String, nBands: Int = 32,
-                          bitsPerBand: Int = 6, threshold: Double = 0.4): DataFrame = {
-    val bands = cachedBandBuckets(spark, dir, nBands, bitsPerBand)
+                          bitsPerBand: Int = 6, threshold: Double = 0.4,
+                          bucketCap: Long = 1000L): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    val bits = math.max(bitsPerBand,
+      math.ceil(math.log(math.max(n, 32L).toDouble / 32.0) / math.log(2.0)).toInt)
+    val bands = dfCapped(
+      cachedBandBuckets(spark, dir, nBands, bits)
+        .withColumn("bb", col("band") * lit(1L << bits) + col("bucket")),
+      "bb", bucketCap)
     val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
+        col("a.bb") === col("b.bb") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
     val e = Tables.embeddings(spark, dir)

@@ -359,10 +359,17 @@ object Ivf {
     * artifacts), so the sweep measures probing, not fitting.
     */
   def familyEval(spark: SparkSession, dir: String, queryMod: Int, k: Int,
-                 nCells: Int = 16, nprobe: Int = 4, lshBits: Int = 8): DataFrame = {
+                 nCells: Int = 16, nprobe: Int = 4, lshBits: Int = 8,
+                 maxQueries: Int = 8): DataFrame = {
     import spark.implicits._
+    // the sample is BOUNDED (lowest maxQueries mod-selected ids): the
+    // eval is a driver loop of single-query searches, so an unbounded
+    // mod-sample makes the harness O(corpus × per-call) — 10× data
+    // would mean 10× queries × (up to 10×) per-call cost, timing the
+    // sample size instead of the index family (measured at the sf1
+    // scale point — BASELINE.md)
     val qIds = Tables.embeddings(spark, dir).where(col("vec_id") % queryMod === 0)
-      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted.take(maxQueries).toSeq
     val gt = VectorSearch.knnJoin(spark, dir, queryMod, k)
       .select(col("q_id"), col("n_id"), col("rk")).collect()
       .groupBy(_.getLong(0))

@@ -136,6 +136,31 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Two-stage retrieval with an ARRAY-membership metadata filter —
+    * the reference's products carry a multi-valued `categories` list
+    * (app.py:118) and a catalog user filters by category membership:
+    * candidates = documents whose tag array contains `tag`
+    * ([[Analytics.docTags]]), then exact cosine top-k.
+    * `array_contains` is a row-level predicate on the candidate scan —
+    * no explode ever reaches the search path.
+    */
+  def tagFilteredTopK(spark: SparkSession, dir: String, queryId: Long, tag: String,
+                      k: Int): DataFrame = {
+    val d = Analytics.docTags(spark, dir)
+      .where(array_contains(col("tags"), tag))
+      .select(col("doc_id"))
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
+    val q = e.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    e.join(d, col("vec_id") === col("doc_id"))
+      .where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Pairwise cosine similarity matrix for a small id set
     * (reference app.py:348-356, product comparison tab).
     */

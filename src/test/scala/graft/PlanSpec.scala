@@ -191,6 +191,36 @@ class PlanSpec extends AnyFunSuite {
         df.queryExecution.executedPlan.toString.take(800))
   }
 
+  test("bm25 hybrid blend shares the single-scan shape and pushes candidate filters") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.TextRetrieval.bm25HybridTopK(spark, TestSpark.sf,
+      SparkEntry.demoQueryVec, Seq("spark", "join", "vector"), alpha = 0.7, k = 10)
+    df.collect()
+    val nodes = allExecNodes(df.queryExecution.executedPlan)
+    assert(nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) == 0,
+      "bm25 blend must read its candidates from the scratch cache")
+    // the filtered variant pushes the metadata predicates into the
+    // documents scan (assert on the candidate subtree — the plan the
+    // scratch materialization executes)
+    val cand = graft.operators.TextRetrieval.bm25HybridCandidates(spark, TestSpark.sf,
+      SparkEntry.demoQueryVec, Seq("spark", "join", "vector"),
+      Some(col("lang") === "en" && col("n_chars") >= 200L), 1.2, 0.75)
+    val p = plan(cand)
+    assert(p.contains("EqualTo(lang,en)"), p.take(1200))
+    assert(p.contains("GreaterThanOrEqual(n_chars,200)"), p.take(1200))
+  }
+
+  test("array-membership filtered search keeps array_contains off the explode path") {
+    val df = graft.operators.VectorSearch.tagFilteredTopK(spark, TestSpark.sf,
+      queryId = 0, tag = "len:2", k = 10)
+    val p = plan(df)
+    // top-k bounded (no global sort) and no explode anywhere: the tag
+    // filter is a per-row predicate over the derived array
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.toLowerCase.contains("generate"),
+      "membership filter must not explode the tags array:\n" + p.take(1200))
+  }
+
   test("ivfpq probe partition-prunes the composite index and reads only the codes") {
     val df = Quantized.ivfPqTopK(spark, TestSpark.sf, queryId = 0,
       nCells = 16, nprobe = 4, k = 10)
