@@ -32,7 +32,7 @@ object GenData {
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: GenData <srcDir> <dstDir> <copies>")
     val (src, dst, copies) = (args(0), args(1), args(2).toInt)
-    require(copies >= 1 && copies < 64, s"copies must be in [1, 64): $copies")
+    require(copies >= 1 && copies <= 128, s"copies must be in [1, 128]: $copies")
     val spark = SparkSession.builder()
       .appName("graft-gendata")
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
@@ -97,12 +97,19 @@ object GenData {
     }), "documents", copies)
 
     wr(tiled(embeddings, (d, c) => {
+      // rotation has only `dim` distinct values — copies past dim
+      // additionally flip signs (cosine −1 to their rotation twin, so
+      // still no cross-copy near-dup pairs at positive thresholds)
       val rot = c % dim
       val rotated =
         if (rot == 0) d
         else d.withColumn("embedding",
           concat(slice(col("embedding"), rot + 1, dim - rot), slice(col("embedding"), 1, rot)))
-      shift(rotated, c, "vec_id" -> kDoc)
+      val signed =
+        if (c / dim % 2 == 0) rotated
+        else rotated.withColumn("embedding",
+          expr("cast(transform(embedding, x -> -x) as array<float>)"))
+      shift(signed, c, "vec_id" -> kDoc)
     }), "embeddings", copies)
 
     wr(tiled(events, (d, c) =>
