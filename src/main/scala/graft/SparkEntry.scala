@@ -122,6 +122,10 @@ object SparkEntry {
         alpha = 0.7, k = 10,
         metaFilter = Some(col("lang") === "en" && col("n_chars") >= 200L))
     }),
+    // raw-text BM25-hybrid front door (engine-side tokenization; the
+    // oracle re-tokenizes the string independently in DuckDB)
+    "bm25_hybrid_text" -> ((s, d) => TextRetrieval.bm25HybridTopK(s, d, demoQueryVec,
+      "Spark JOIN, vector-search! spark", alpha = 0.7, k = 10, metaFilter = None)),
     "pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "quality_gopher" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(s, d)),
@@ -708,6 +712,8 @@ object SparkEntry {
     "bm25_hybrid_topk" -> bm25HybridOracle(""),
     "bm25_hybrid_filtered" -> bm25HybridOracle(
       "JOIN documents d ON d.doc_id = e.vec_id AND d.lang = 'en' AND d.n_chars >= 200"),
+    "bm25_hybrid_text" -> bm25HybridOracle("",
+      "SELECT DISTINCT unnest(list_filter(regexp_extract_all(lower('Spark JOIN, vector-search! spark'), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term"),
     // PII counts are taken on the RAW text per pattern independently;
     // replacement is sequential (email → ipv4 → number)
     "pii_redact" ->
@@ -903,14 +909,15 @@ object SparkEntry {
     * metadata-filtered — the min-max runs inside the candidate set
     * either way, like the reference's tfidf hybrid).
     */
-  private def bm25HybridOracle(candJoin: String): String =
+  private def bm25HybridOracle(candJoin: String,
+      termsSubquery: String = "SELECT unnest(['spark', 'join', 'vector']) AS term"): String =
     s"""WITH terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
        |dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
        |nn AS (SELECT count(*) AS n FROM documents),
        |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
        |ad AS (SELECT avg(dl) AS avgdl FROM dl),
-       |q AS (SELECT unnest(['spark', 'join', 'vector']) AS term),
+       |q AS ($termsSubquery),
        |qi AS (SELECT term, ln((nn.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1) AS qidf
        |       FROM q JOIN dfv USING (term), nn),
        |bs AS (SELECT tf.doc_id, sum(qi.qidf * tf.tf * (1.2 + 1.0) /
