@@ -126,6 +126,16 @@ object SparkEntry {
     // oracle re-tokenizes the string independently in DuckDB)
     "bm25_hybrid_text" -> ((s, d) => TextRetrieval.bm25HybridTopK(s, d, demoQueryVec,
       "Spark JOIN, vector-search! spark", alpha = 0.7, k = 10, metaFilter = None)),
+    // rank-based fusion (RRF) — the other standard hybrid: no score
+    // normalization, each leg contributes 1/(60+rank) from its top-100
+    "hybrid_rrf" -> ((s, d) => TextRetrieval.rrfTopK(s, d, demoQueryVec,
+      Seq("spark", "join", "vector"), k = 10)),
+    // exact phrase search over the persisted positional posting lists;
+    // the repeated-term phrase exercises the offset-count match logic
+    "phrase_search" -> ((s, d) => TextRetrieval.phraseSearch(s, d, "table table")),
+    // per-user purchase→last-preceding-view attribution (sort-merge
+    // as-of join: union + one window, no inequality join)
+    "events_asof" -> ((s, d) => Analytics.eventsAsOf(s, d)),
     "pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "quality_gopher" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(s, d)),
@@ -139,6 +149,10 @@ object SparkEntry {
     "q6_forecast" -> ((s, d) => Analytics.q6Forecast(s, d)),
     // RAG-prep chunking: fixed windows with overlap, narrow explode
     "doc_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
+    // cross-doc chunk-level exact dedup (the paragraph-dedup analog)
+    "dedup_chunks" -> ((s, d) => TextAnalysis.dedupChunks(s, d)),
+    // corpus-unigram mean NLL — the cheap perplexity-proxy quality gate
+    "unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(s, d)),
     // contrastive hard-negative mining (top-k cross-label cosine)
     "hard_negatives" -> ((s, d) => VectorSearch.hardNegatives(s, d, queryMod = 100, k = 5)),
     // array-typed metadata (the reference's multi-valued categories):
@@ -714,6 +728,86 @@ object SparkEntry {
       "JOIN documents d ON d.doc_id = e.vec_id AND d.lang = 'en' AND d.n_chars >= 200"),
     "bm25_hybrid_text" -> bm25HybridOracle("",
       "SELECT DISTINCT unnest(list_filter(regexp_extract_all(lower('Spark JOIN, vector-search! spark'), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term"),
+    // RRF: ranks are deterministic ((score DESC, doc_id) over
+    // bit-identical scores, SURVEY §4), so the fused score is exact
+    // integer arithmetic in double — no normalization anywhere
+    "hybrid_rrf" ->
+      s"""WITH terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+         |q AS (SELECT unnest(['spark', 'join', 'vector']) AS term),
+         |qi AS (SELECT term, ln((nn.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1) AS qidf
+         |       FROM q JOIN dfv USING (term), nn),
+         |bs AS (SELECT tf.doc_id, sum(qi.qidf * tf.tf * (1.2 + 1.0) /
+         |              (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))) AS ts
+         |       FROM tf JOIN qi USING (term) JOIN dl USING (doc_id), ad GROUP BY 1),
+         |qv AS (SELECT $qvSqlList::DOUBLE[] AS qv),
+         |vsx AS (SELECT e.vec_id AS doc_id, ${cosRaw("e.embedding", "qv.qv")} AS vs
+         |        FROM embeddings e, qv),
+         |vr AS (SELECT doc_id, row_number() OVER (ORDER BY vs DESC, doc_id) AS rv
+         |       FROM vsx QUALIFY rv <= 100),
+         |br AS (SELECT doc_id, row_number() OVER (ORDER BY ts DESC, doc_id) AS rb
+         |       FROM bs QUALIFY rb <= 100)
+         |SELECT coalesce(vr.doc_id, br.doc_id) AS doc_id,
+         |       round(coalesce(1.0 / (60 + rv), 0) + coalesce(1.0 / (60 + rb), 0), 6) AS rrf_score,
+         |       coalesce(rv, 0) AS vec_rank, coalesce(rb, 0) AS bm25_rank
+         |FROM vr FULL JOIN br ON vr.doc_id = br.doc_id
+         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+    // positional phrase match: anchor p0 matches when every phrase
+    // offset is satisfied (matched = |phrase|); the oracle re-tokenizes
+    // both corpus AND phrase independently (generate_subscripts is
+    // 1-based, the engine 0-based — relative offsets agree)
+    "phrase_search" ->
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2) AS ts FROM documents),
+        |p AS (SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS pos FROM toks),
+        |q AS (SELECT unnest(qts) AS term, generate_subscripts(qts, 1) - 1 AS off
+        |      FROM (SELECT list_filter(regexp_extract_all(lower('table table'), '[a-z0-9_]+'), t -> length(t) >= 2) AS qts)),
+        |qn AS (SELECT count(*) AS m FROM q),
+        |g AS (SELECT p.doc_id, p.pos - q.off AS p0, count(*) AS matched
+        |      FROM p JOIN q USING (term) GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM g, qn WHERE matched = m
+        |GROUP BY 1 ORDER BY n_hits DESC, doc_id""".stripMargin,
+    // purchase → most recent STRICTLY-earlier view per user (ASOF
+    // LEFT JOIN); the matched v_ms is the max below ts_ms, so the
+    // output is deterministic even when several views share it
+    "events_asof" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT user_id AS v_user, epoch_ms(ts) AS v_ms
+        |           FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts_ms, v.v_ms AS last_view_ms,
+        |       p.ts_ms - v.v_ms AS gap_ms, round(p.value, 2) AS value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.v_user AND p.ts_ms > v.v_ms
+        |ORDER BY p.event_id""".stripMargin,
+    // chunk-level cross-doc exact dedup: same chunk CTE as doc_chunk,
+    // keep-first by (doc_id, chunk_id) within each chunk hash
+    "dedup_chunks" ->
+      """WITH c AS (SELECT doc_id, i::BIGINT AS chunk_id, substr(text, i * 150 + 1, 200) AS chunk_text
+        |           FROM (SELECT doc_id, text,
+        |                        unnest(range(greatest((length(text) - 200 + 149) // 150, 0) + 1)) AS i
+        |                 FROM documents WHERE length(text) > 0)),
+        |d AS (SELECT doc_id,
+        |             row_number() OVER (PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id) > 1 AS is_dup
+        |      FROM c)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |       count(*) FILTER (WHERE is_dup) AS n_dup_chunks,
+        |       round(count(*) FILTER (WHERE is_dup) / count(*), 4) AS dup_frac
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // corpus-unigram mean NLL per doc; same token stream as the
+    // TF-IDF model, same association order for the rounded double
+    "unigram_logprob" ->
+      """WITH terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |ct AS (SELECT term, sum(tf)::BIGINT AS ct FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(ct)::BIGINT AS tot FROM ct)
+        |SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+        |       round(-sum(tf.tf * ln(ct.ct / tot.tot)) / sum(tf.tf), 5) AS avg_nll
+        |FROM tf JOIN ct USING (term), tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // PII counts are taken on the RAW text per pattern independently;
     // replacement is sequential (email → ipv4 → number)
     "pii_redact" ->

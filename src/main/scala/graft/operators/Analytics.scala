@@ -238,6 +238,44 @@ object Analytics {
         count(when(col("k") > 50, 1)).as("n_high"))
       .orderBy(col("event_type"))
 
+  /** Per-user as-of join: each purchase matched to the user's most
+    * recent STRICTLY-earlier view (attribution: "which browse led to
+    * this buy"). Spark has no ASOF JOIN operator, and the naive
+    * inequality join (`p.ts > v.ts` + max per purchase) plans a
+    * per-user pair blowup; instead both sides UNION into one stream,
+    * sorted once per user, and the match is `last(view_ts)` over the
+    * preceding-rows frame — the classic sort-merge as-of shape.
+    *
+    * Scale: ONE shuffle keyed by user_id, one sort within each
+    * partition, then a narrow frame-bounded window — no join at all,
+    * so there is no pair explosion for hot users and the cost is
+    * O(events log events-per-user) regardless of how many views
+    * precede each purchase. Purchases sort BEFORE views at equal ts
+    * (`ord`), making the match strictly-earlier like the oracle's
+    * `p.ts_ms > v.v_ms`. Plan-asserted in PlanSpec: no join operator,
+    * one hash-partitioning exchange.
+    */
+  def eventsAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        lit(0).as("ord"), lit(null).cast("long").as("v_ms"), col("value"))
+    val v = e.where(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        lit(1).as("ord"), col("ts_ms").as("v_ms"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("ord"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionByName(v)
+      .withColumn("last_view_ms", last(col("v_ms"), ignoreNulls = true).over(w))
+      .where(col("ord") === 0)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("last_view_ms"),
+        (col("ts_ms") - col("last_view_ms")).as("gap_ms"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Behavioral rollup per event type (funnel stage counts). */
   def funnel(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

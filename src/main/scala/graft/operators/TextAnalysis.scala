@@ -292,6 +292,14 @@ object TextAnalysis {
     // the previous chunk's tail would emit a wholly-contained
     // duplicate (e.g. len=200: one chunk, not a 200-char chunk plus
     // its own last 50 chars again)
+    chunkFrame(spark, dir, size, step)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** The unordered chunk stream [[chunk]] and [[dedupChunks]] share —
+    * a narrow explode, no shuffle. */
+  private def chunkFrame(spark: SparkSession, dir: String,
+                         size: Int, step: Int): DataFrame =
     Tables.documents(spark, dir)
       .where(length(col("text")) > 0)
       .select(col("doc_id"),
@@ -301,7 +309,67 @@ object TextAnalysis {
       .toDF("doc_id", "chunk_id", "chunk_text")
       .withColumn("chunk_id", col("chunk_id").cast("long"))
       .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
-      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Cross-document chunk-level exact dedup — the paragraph-dedup
+    * analog for a corpus without natural paragraph boundaries: chunk
+    * every document with the SAME deterministic fixed-window splitter
+    * as [[chunk]], hash each chunk, and mark every copy after the
+    * first (keep-first by (doc_id, chunk_id)) as a duplicate. Reports
+    * the per-document duplicated-chunk fraction — the signal a
+    * curation pipeline thresholds on to drop boilerplate-heavy
+    * documents that exact whole-doc dedup misses.
+    *
+    * Scale: the chunk stream is a narrow explode; the dup verdict is
+    * one window keyed by the 128-bit chunk hash (partition count =
+    * distinct hashes, no hot key beyond true duplicate mass); the
+    * rollup partial-aggregates map-side by doc_id. Never compares
+    * chunk text pairwise.
+    */
+  def dedupChunks(spark: SparkSession, dir: String,
+                  size: Int = 200, overlap: Int = 50): DataFrame = {
+    require(overlap < size, s"overlap $overlap must be < size $size")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hash")).orderBy(col("doc_id"), col("chunk_id"))
+    chunkFrame(spark, dir, size, size - overlap)
+      .withColumn("hash", md5(col("chunk_text")))
+      .withColumn("is_dup", row_number().over(w) > 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("is_dup"), 1)).as("n_dup_chunks"),
+        round(count(when(col("is_dup"), 1)) / count(lit(1)), 4).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unigram log-probability score — the cheap perplexity proxy
+    * (CCNet/Dolma-style: a language-model filter approximated by the
+    * corpus's own unigram distribution). Per document: the mean
+    * negative log-likelihood of its tokens under the corpus unigram
+    * model, avg_nll = −Σ tf·ln(ct/T) / Σ tf, where ct is the term's
+    * corpus count and T the total token count. Low avg_nll = the
+    * document is made of corpus-typical tokens; high = rare-token
+    * soup — the threshold signal quality pipelines use when a real LM
+    * is too expensive to run over 100 TB.
+    *
+    * Reuses the persisted TF-IDF model's sparse tf triples
+    * ([[TextRetrieval.ensureModel]] — fit once per corpus
+    * fingerprint), so scoring is one vocab-keyed aggregate, a join of
+    * the triples against the vocab-sized count table (AQE broadcasts
+    * it), and a doc-keyed partial aggregate. No re-tokenization, no
+    * dense vectors.
+    */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val m = TextRetrieval.ensureModel(spark, dir)
+    val ct = m.tf.groupBy(col("term")).agg(sum(col("tf")).as("ct"))
+    val tot = ct.agg(sum(col("ct")).as("tot"))
+    m.tf.join(ct, "term")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        round(-sum(col("tf") * log(col("ct") / col("tot"))) / sum(col("tf")), 5)
+          .as("avg_nll"))
+      .orderBy(col("doc_id"))
   }
 
   /** Content fingerprinting: md5 content hash, a 64-bit prefix

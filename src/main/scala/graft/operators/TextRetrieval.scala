@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
@@ -233,6 +234,56 @@ object TextRetrieval {
   def bm25TopK(spark: SparkSession, dir: String, query: String, k: Int): DataFrame =
     bm25TopK(spark, dir, sklearnTokenize(query), k)
 
+  /** Positional posting lists (doc_id, pos, term) — the build-once
+    * inverted-index artifact behind [[phraseSearch]], persisted under
+    * the same fingerprint-addressed IndexStore layout as the TF-IDF
+    * model (fit once per corpus, queries only read). Tokenization is
+    * the model's own [[sklearnTokens]], so a phrase hit means the
+    * query terms are adjacent in TOKEN space on both engines.
+    */
+  private def ensurePositions(spark: SparkSession, dir: String): DataFrame = {
+    val base = IndexStore.indexPath(spark, "pos_v1", s"$dir/documents.parquet", "p")
+    IndexStore.publish(spark, base) { tmp =>
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), posexplode(sklearnTokens(col("text"))))
+        .toDF("doc_id", "pos", "term")
+        .write.mode("overwrite").parquet(s"$tmp/p")
+    }
+    IndexStore.open(spark, s"$base/p")
+  }
+
+  /** Exact phrase search over the positional index: a document matches
+    * at anchor p0 when, for EVERY phrase offset i, the posting at
+    * position p0+i carries phrase term i. Expressed relationally (the
+    * classic positional-intersection query): postings join a BROADCAST
+    * of the |phrase| (term, off) rows, group by (doc, pos − off), and
+    * an anchor with `matched == |phrase|` satisfied every offset — one
+    * join + one aggregate regardless of phrase length, never an m-way
+    * self-join. Returns per-doc occurrence counts.
+    *
+    * Scale: the static `isin` on the phrase's distinct terms is pushed
+    * into the parquet scan of the posting artifact (row-group stats
+    * skip the vocabulary's cold range), the surviving postings are
+    * df-bounded per term, and both aggregates partial-combine
+    * map-side.
+    */
+  def phraseSearch(spark: SparkSession, dir: String, phrase: String): DataFrame = {
+    val toks = sklearnTokenize(phrase)
+    require(toks.nonEmpty, s"phrase '$phrase' has no tokens")
+    import spark.implicits._
+    val q = toks.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toDF("term", "off")
+    ensurePositions(spark, dir)
+      .where(col("term").isin(toks.distinct: _*))
+      .join(broadcast(q), "term")
+      .groupBy(col("doc_id"), (col("pos") - col("off")).as("p0"))
+      .agg(count(lit(1)).as("matched"))
+      .where(col("matched") === toks.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+  }
+
   /** Candidate embeddings under an optional metadata filter over the
     * `documents` table (reference app.py:156-164 `candidate_indices()`
     * — brand/rating/review-count become lang/source/n_chars here). The
@@ -388,6 +439,59 @@ object TextRetrieval {
       .join(ts, Seq("doc_id"), "left")
       .withColumn("ts", coalesce(col("ts"), lit(0.0)))
   }
+
+  /** Reciprocal-rank fusion of the vector and BM25 legs (Cormack,
+    * Clarke & Buettcher 2009) — the OTHER standard hybrid next to the
+    * reference's score blend (app.py:190-219): each leg contributes
+    * 1/(rrfK + rank) for documents in its top-`n` list, so the fusion
+    * depends only on RANKS, needs no min-max normalization, and is
+    * robust to the legs' incomparable score scales. rrfK=60 is the
+    * paper's constant.
+    *
+    * Scale shape: each leg reduces to its top-n via
+    * TakeOrderedAndProject (per-partition heaps, no global sort of the
+    * corpus); the rank window then runs over an n-row frame — bounded
+    * by construction, like the driver-side probe planning elsewhere —
+    * and the fusion is a full-outer join of two n-row lists. Rank
+    * assignment is deterministic ((score DESC, doc_id), bit-identical
+    * scores on both engines per SURVEY §4), so ranks — and therefore
+    * the fused scores — are exact integers fed into exact double
+    * arithmetic.
+    */
+  def rrfTopK(spark: SparkSession, dir: String, qv: Array[Float],
+              queryTerms: Seq[String], k: Int, n: Int = 100,
+              rrfK: Int = 60): DataFrame = {
+    val qvNorm = math.sqrt(qv.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+    val vecTop = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"),
+        (dotd(col("embedding"), typedlit(qv)) /
+          (l2norm(col("embedding")) * lit(qvNorm))).as("vs"))
+      .orderBy(col("vs").desc, col("doc_id")).limit(n)
+    val bmTop = bm25Scores(spark, dir, queryTerms, k1 = 1.2, b = 0.75)
+      .orderBy(col("ts").desc, col("doc_id")).limit(n)
+    // rank windows run AFTER the limit — an n-row single-partition
+    // sort, not a corpus-wide global window
+    val rv = vecTop.withColumn("rv",
+      row_number().over(Window.orderBy(col("vs").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rv")
+    val rb = bmTop.withColumn("rb",
+      row_number().over(Window.orderBy(col("ts").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rb")
+    rv.join(rb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("rv")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rb")), lit(0.0)), 6).as("rrf_score"),
+        coalesce(col("rv"), lit(0L)).as("vec_rank"),
+        coalesce(col("rb"), lit(0L)).as("bm25_rank"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Raw-text RRF front door — same tokenizer contract as the other
+    * String overloads. */
+  def rrfTopK(spark: SparkSession, dir: String, qv: Array[Float],
+              query: String, k: Int): DataFrame =
+    rrfTopK(spark, dir, qv, sklearnTokenize(query), k)
 
   /** The more-like-this hybrid's candidate subtree — see
     * [[hybridCandidatesFree]] for why it is package-visible.

@@ -58,6 +58,35 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n_events"), col("sess_value"))
 
+  /** Stream-stream interval join — the online twin of
+    * Analytics.eventsAsOf's attribution question: every purchase is
+    * matched to the same user's views in the lookback window
+    * [p_ts − maxLag, p_ts). Both sides carry a watermark and the join
+    * condition bounds event-time distance, so Spark can expire join
+    * state once `watermark + maxLag` has passed — without the time
+    * bound the state store would grow forever (Spark rejects an
+    * unbounded stream-stream join in append mode for exactly that
+    * reason). The same plan runs on bounded frames for backfill.
+    */
+  def viewPurchaseAttribution(views: DataFrame, purchases: DataFrame,
+                              maxLag: String = "1 hour",
+                              watermark: String = "2 hours"): DataFrame = {
+    val v = views
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    val p = purchases
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+    p.join(v,
+      col("v_user") === col("user_id") &&
+        col("v_ts") < col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $maxLag"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("view_id"), col("v_ts"), col("value"))
+  }
+
   /** Custom stateful sessionizer via flatMapGroupsWithState — the
     * fully-controlled variant of sessionWindows for semantics
     * session_window can't express (per-session running payloads,

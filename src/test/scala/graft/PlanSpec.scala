@@ -320,4 +320,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "the keep decision is a scan predicate:\n" + p.take(800))
     assert(!p.contains("Window"), p.take(800))
   }
+
+  test("as-of join plans as union+window: no join, one user-keyed shuffle") {
+    val p = plan(Analytics.eventsAsOf(spark, TestSpark.sf))
+    assert(!p.contains("Join"), "as-of must never plan a join:\n" + p.take(800))
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(shuffles == 1, s"expected exactly one hash shuffle, got $shuffles:\n" + p.take(800))
+  }
+
+  test("phrase search pushes the term filter into the posting scan and broadcasts the phrase") {
+    val p = plan(graft.operators.TextRetrieval.phraseSearch(spark, TestSpark.sf, "table table"))
+    assert(p.contains("EqualTo(term,table)") || p.contains("In(term"),
+      "phrase terms must reach the posting scan as pushed filters:\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("rrf legs reduce via TakeOrderedAndProject, never a corpus-wide sort") {
+    val p = plan(graft.operators.TextRetrieval.rrfTopK(
+      spark, TestSpark.sf, SparkEntry.demoQueryVec, Seq("spark", "join", "vector"), k = 10))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
 }

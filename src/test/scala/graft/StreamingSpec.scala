@@ -85,6 +85,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join bounds the lookback and matches batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[TestEvent]
+    val purchases = MemoryStream[TestEvent]
+    val q = EventStreams.viewPurchaseAttribution(
+        views.toDF(), purchases.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("vp").outputMode("append").start()
+    try {
+      val vData = Seq(
+        TestEvent(1, t(5), 1, "view", 0.0), TestEvent(2, t(50), 1, "view", 0.0),
+        TestEvent(3, t(10), 2, "view", 0.0), TestEvent(4, t(30), 3, "view", 0.0))
+      val pData = Seq(
+        TestEvent(10, t(60), 1, "purchase", 9.0),   // views 5 & 50 in window
+        TestEvent(11, t(100), 2, "purchase", 5.0),  // view 10 older than 1h lag
+        TestEvent(12, t(30), 3, "purchase", 1.0))   // simultaneous view: strict <
+      views.addData(vData: _*)
+      purchases.addData(pData: _*)
+      q.processAllAvailable()
+      val got = spark.table("vp").select("purchase_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((10L, 1L), (10L, 2L)))
+      // the SAME plan runs bounded for backfill
+      val batch = EventStreams.viewPurchaseAttribution(
+          vData.toDF(), pData.toDF(), "1 hour", "2 hours")
+        .select("purchase_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("streaming LSH kNN matches the same pipeline run as a batch") {
     import spark.implicits._
     import graft.streaming.VectorServing

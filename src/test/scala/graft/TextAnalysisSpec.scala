@@ -20,6 +20,62 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk-level dedup matches a full driver recount (keep-first by doc, chunk)") {
+    val texts = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    def chunks(t: String): Seq[String] = {
+      val last = math.max((t.length - 200 + 149) / 150, 0)
+      (0 to last).map(i => t.substring(math.min(i * 150, t.length),
+        math.min(i * 150 + 200, t.length)))
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    val want = texts.map { case (id, t) =>
+      val cs = chunks(t)
+      // docs iterate in doc_id order, chunks in chunk_id order — the
+      // operator's keep-first tie-break
+      val dups = cs.count(c => !seen.add(c))
+      id -> ((cs.length.toLong, dups.toLong))
+    }.toMap
+    val got = TextAnalysis.dedupChunks(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+  }
+
+  test("unigram log-prob matches a driver recount against corpus stats") {
+    val texts = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val ct = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    texts.foreach { case (_, t) =>
+      TextRetrieval.sklearnTokenize(t).foreach(tok => ct(tok) += 1) }
+    val tot = ct.values.sum.toDouble
+    val got = TextAnalysis.unigramLogProb(spark, TestSpark.sf)
+      .where(col("doc_id") < 5).collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val toks = TextRetrieval.sklearnTokenize(texts.toMap.apply(r.getLong(0)))
+      val want = -toks.map(t => math.log(ct(t) / tot)).sum / toks.length
+      assert(r.getLong(1) == toks.length.toLong)
+      // the engine rounds to 5 decimals; allow the half-width
+      assert(math.abs(r.getDouble(2) - want) <= 5e-6 + 1e-9,
+        s"doc ${r.getLong(0)}: got ${r.getDouble(2)} want $want")
+    }
+  }
+
+  test("phrase search counts match a driver-side adjacency recount") {
+    val want = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = TextRetrieval.sklearnTokenize(r.getString(1))
+        r.getLong(0) -> toks.sliding(2).count(_ == Seq("table", "table"))
+      }.filter(_._2 > 0).toMap
+    val got = TextRetrieval.phraseSearch(spark, TestSpark.sf, "table table")
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == want, s"got ${got.size} docs, want ${want.size}")
+    assert(want.nonEmpty, "phrase should occur in testdata")
+  }
+
   test("lang_id emits one prediction per doc from the known label set") {
     val langs = TextAnalysis.markers.map(_._1).toSet
     val got = TextAnalysis.langId(spark, TestSpark.sf).collect()
