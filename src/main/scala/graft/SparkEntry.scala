@@ -34,6 +34,8 @@ object SparkEntry {
     "ann_knn_join_heap" -> ((s, d) => TopK.knnJoinHeap(s, d, queryMod = 100, k = 5)),
     "ann_sq8_topk" -> ((s, d) => Quantized.sq8TopK(s, d, queryId = 0, k = 10)),
     "embed_project" -> ((s, d) => Quantized.randomProject(s, d)),
+    // learned twin of embed_project (rows-only: eigen not in SQL)
+    "embed_pca" -> ((s, d) => Quantized.pcaProject(s, d)),
     "ann_pq_topk" -> ((s, d) => Quantized.pqTopK(s, d, queryId = 0, k = 10)),
     "ann_ivf_topk" -> ((s, d) => Ivf.ivfTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
     "ann_ivfpq_topk" -> ((s, d) => Quantized.ivfPqTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
@@ -136,6 +138,14 @@ object SparkEntry {
     // per-user purchase→last-preceding-view attribution (sort-merge
     // as-of join: union + one window, no inequality join)
     "events_asof" -> ((s, d) => Analytics.eventsAsOf(s, d)),
+    // running aggregates: 5-row moving avg + cumulative sum per user
+    "events_rolling" -> ((s, d) => Analytics.rolling(s, d)),
+    // exact interpolated quantiles per event type
+    "events_quantiles" -> ((s, d) => Analytics.quantiles(s, d)),
+    // CUBE over (event_type, hour-of-day) with grouping_id
+    "events_cube" -> ((s, d) => Analytics.cubeByTypeHour(s, d)),
+    // per-user event-type counts pivoted to fixed columns
+    "events_pivot" -> ((s, d) => Analytics.pivotUserCounts(s, d)),
     "pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "quality_gopher" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(s, d)),
@@ -783,6 +793,46 @@ object SparkEntry {
         |       p.ts_ms - v.v_ms AS gap_ms, round(p.value, 2) AS value
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.v_user AND p.ts_ms > v.v_ms
         |ORDER BY p.event_id""".stripMargin,
+    // running window frames: both engines accumulate the frame in row
+    // order; rounded at 4/2 decimals
+    "events_rolling" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events)
+        |SELECT user_id, event_id, ts_ms, value,
+        |       round(avg(value) OVER w5, 4) AS avg5,
+        |       round(sum(value) OVER wc, 2) AS cum_value
+        |FROM e WINDOW
+        |  w5 AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |  wc AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    // Spark `percentile` and DuckDB `quantile_cont` share the exact
+    // definition: rank (n-1)·p, linear interpolation
+    "events_quantiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.25), 5) AS q25,
+        |       round(quantile_cont(value, 0.5), 5) AS q50,
+        |       round(quantile_cont(value, 0.75), 5) AS q75,
+        |       round(quantile_cont(value, 0.95), 5) AS p95,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ordering by gid first sidesteps cross-engine NULL ordering:
+    // within a gid the nulled columns are null on every row
+    "events_cube" ->
+      """WITH e AS (SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hod, value FROM events)
+        |SELECT event_type, hod, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value,
+        |       grouping_id(event_type, hod)::BIGINT AS gid
+        |FROM e GROUP BY CUBE(event_type, hod)
+        |ORDER BY gid, event_type, hod""".stripMargin,
+    "events_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |       count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // chunk-level cross-doc exact dedup: same chunk CTE as doc_chunk,
     // keep-first by (doc_id, chunk_id) within each chunk hash
     "dedup_chunks" ->

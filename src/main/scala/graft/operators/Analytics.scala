@@ -276,6 +276,77 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** Per-user running aggregates: 5-row moving average and cumulative
+    * value over the event-time order — the dashboard trend-line
+    * shapes. One shuffle keyed by user, one sort per partition, both
+    * frames computed in the same window pass; no global ordering is
+    * ever planned (the final orderBy is presentation, outside the
+    * window).
+    */
+  def rolling(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+      .withColumn("avg5",
+        round(avg(col("value")).over(w.rowsBetween(-4, Window.currentRow)), 4))
+      .withColumn("cum_value",
+        round(sum(col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
+  /** Exact interpolated quantiles of event value per type (Spark's
+    * `percentile` ≡ DuckDB's `quantile_cont`: rank (n−1)·p, linear
+    * interpolation). Exact percentile holds per-group value counts in
+    * the aggregation buffer — right for oracle-parity and for
+    * low-cardinality value domains; at 100 TB with unbounded domains
+    * the drop-in scale path is `approx_percentile` (t-digest, bounded
+    * memory), the same trade len_deciles documents.
+    */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))").as("qs"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        round(element_at(col("qs"), 1), 5).as("q25"),
+        round(element_at(col("qs"), 2), 5).as("q50"),
+        round(element_at(col("qs"), 3), 5).as("q75"),
+        round(element_at(col("qs"), 4), 5).as("p95"),
+        col("n_events"))
+      .orderBy(col("event_type"))
+
+  /** CUBE over (event_type, hour-of-day): all four grouping sets in
+    * one pass (Spark expands the cube BEFORE the shuffle, so partial
+    * aggregation still combines map-side). `gid` is grouping_id —
+    * sorting by it first makes the output deterministic without
+    * relying on cross-engine NULL-ordering: within one gid every
+    * nulled column is null for ALL rows.
+    */
+  def cubeByTypeHour(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("hod", expr("(ts_ms div 3600000) % 24"))
+      .cube(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("event_type"), col("hod"))
+
+  /** Pivot: per-user event-type counts as columns. The value list is
+    * EXPLICIT, so no distinct-values pre-job runs and the plan is one
+    * partial-aggregated groupBy whose width is fixed at plan time —
+    * the only pivot shape that works when the corpus is 100 TB.
+    */
+  def pivotUserCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .select(col("user_id"), col("view").as("n_view"), col("click").as("n_click"),
+        col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+        col("error").as("n_error"))
+      .orderBy(col("user_id"))
+
   /** Behavioral rollup per event type (funnel stage counts). */
   def funnel(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

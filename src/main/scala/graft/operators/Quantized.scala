@@ -494,4 +494,55 @@ object Quantized {
       .select(col("vec_id") +: comps: _*)
       .orderBy(col("vec_id"))
   }
+
+  /** The fitted PCA model behind [[pcaProject]]: `outDim` principal
+    * directions (sign-canonicalized: each component's largest-|w|
+    * element is positive, removing the eigenvector sign ambiguity) and
+    * the mean's projection onto each. Fit is MLlib RowMatrix — the
+    * d×d covariance accumulates DISTRIBUTED via treeAggregate (one
+    * corpus pass, d²-sized partials), only the 64×64 eigenproblem
+    * runs on the driver — the same bounded-driver-state shape as the
+    * IVF k-means fit.
+    */
+  private[graft] def pcaModel(spark: SparkSession, dir: String,
+                              outDim: Int): (Seq[Array[Float]], Array[Double]) = {
+    import org.apache.spark.mllib.linalg.Vectors
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = Tables.embeddings(spark, dir).select(col("embedding")).rdd
+      .map(r => Vectors.dense(r.getSeq[Float](0).map(_.toDouble).toArray))
+    val mat = new RowMatrix(rows)
+    val inDim = mat.numCols().toInt
+    val pc = mat.computePrincipalComponents(outDim)
+    val mean = mat.computeColumnSummaryStatistics().mean.toArray
+    val comps = (0 until outDim).map { j =>
+      val w = Array.tabulate(inDim)(i => pc(i, j))
+      val s = if (w.maxBy(math.abs) < 0) -1.0 else 1.0
+      w.map(x => (x * s).toFloat)
+    }
+    val meanProj = comps.map(w =>
+      w.indices.foldLeft(0.0)((acc, i) => acc + mean(i) * w(i))).toArray
+    (comps, meanProj)
+  }
+
+  /** PCA projection — the LEARNED compression next to [[randomProject]]'s
+    * oblivious one, and the rotation OPQ (Ge et al. 2013) applies
+    * before product quantization: center, then project onto the top
+    * `outDim` principal directions, which maximizes retained variance
+    * for the dimension budget (JL only preserves distances in
+    * expectation). The fitted directions ship back as PLAN LITERALS,
+    * so the projection itself is `outDim` codegen'd VecDots per row
+    * minus a precomputed mean offset — a pure narrow map, no shuffle,
+    * no driver data on the query path (plan-asserted like
+    * embed_project). Rows-only by design: the eigendecomposition is
+    * not SQL-expressible (same class as the k-means queries).
+    */
+  def pcaProject(spark: SparkSession, dir: String, outDim: Int = 8): DataFrame = {
+    val (comps, meanProj) = pcaModel(spark, dir, outDim)
+    val cols = comps.zipWithIndex.map { case (w, j) =>
+      round(dotd(col("embedding"), typedlit(w)) - lit(meanProj(j)), 5).as(s"c$j")
+    }
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id") +: cols: _*)
+      .orderBy(col("vec_id"))
+  }
 }

@@ -49,6 +49,16 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC — the other columnar warehouse format (Hive-ecosystem
+    * interop); same pushdown/pruning behavior as parquet under
+    * Spark's vectorized ORC reader.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Bucketed managed table: rows are hash-clustered into a fixed
     * number of files per partition by the join key at WRITE time, so
     * every later join or aggregation on that key runs with no shuffle —

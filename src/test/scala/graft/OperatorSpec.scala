@@ -61,6 +61,15 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_count_distinct stays within 5% of exact (HLL++, default rsd)") {
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct, col}
+    val row = Tables.events(spark, TestSpark.sf)
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id")).as("approx")).head()
+    val (e, a) = (row.getLong(0), row.getLong(1))
+    assert(e > 0 && math.abs(a - e).toDouble / e <= 0.05, s"exact $e approx $a")
+  }
+
   test("rrf fusion is consistent with its own emitted ranks") {
     val rows = graft.operators.TextRetrieval
       .rrfTopK(spark, TestSpark.sf, SparkEntry.demoQueryVec,

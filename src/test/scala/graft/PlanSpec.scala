@@ -265,6 +265,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("vecdot"), "components must run the codegen kernel")
   }
 
+  test("pca projection is a narrow map once fitted (no hash-partitioned shuffle)") {
+    val p = plan(Quantized.pcaProject(spark, TestSpark.sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "projection must not shuffle by key:\n" + p.take(800))
+    assert(p.contains("vecdot"), "components must run the codegen kernel")
+  }
+
   test("length deciles never plan a partition-less (global-order) window") {
     val df = Curation.lengthDeciles(spark, TestSpark.sf)
     val bad = df.queryExecution.optimizedPlan.collect {
@@ -339,5 +346,35 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.operators.TextRetrieval.rrfTopK(
       spark, TestSpark.sf, SparkEntry.demoQueryVec, Seq("spark", "join", "vector"), k = 10))
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("rolling aggregates keep a partitioned window and one user-keyed shuffle") {
+    val df = Analytics.rolling(spark, TestSpark.sf)
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"global-order window found:\n${bad.mkString("\n")}")
+    val p = plan(df)
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(shuffles == 1, s"expected one shuffle, got $shuffles:\n" + p.take(800))
+  }
+
+  test("cube expands grouping sets before the shuffle (map-side partial agg)") {
+    val p = plan(Analytics.cubeByTypeHour(spark, TestSpark.sf))
+    assert(p.contains("Expand"), p.take(800))
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(shuffles == 1, s"cube must aggregate in one shuffle, got $shuffles:\n" + p.take(800))
+  }
+
+  test("pivot with explicit values needs no distinct-values job and no join") {
+    val df = Analytics.pivotUserCounts(spark, TestSpark.sf)
+    val p = plan(df)
+    // Spark's pivot is two aggregate stages (pre-agg by (user, type),
+    // then pivotfirst by user) — the point of the EXPLICIT value list
+    // is that no separate distinct-values collect job precedes them
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(shuffles <= 2, s"pivot grew beyond its two agg stages, got $shuffles:\n" + p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("pivotfirst"), p.take(800))
   }
 }

@@ -35,6 +35,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(ev).isEmpty)
   }
 
+  test("orc round-trip preserves documents and pushes filters") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val docs = Tables.documents(spark, TestSpark.sf)
+    Sources.writeOrc(docs, s"$dir/docs")
+    val back = Sources.readOrc(spark, s"$dir/docs")
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    val filtered = back.where(col("n_chars") >= 500L)
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("n_chars"), p.take(600))
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString
     Sources.writePartitioned(Tables.documents(spark, TestSpark.sf), s"$dir/docs", Seq("lang"))

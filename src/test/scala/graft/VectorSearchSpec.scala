@@ -463,4 +463,26 @@ class VectorSearchSpec extends AnyFunSuite {
       assert(got.filter(_.getLong(0) == qid).forall(_.getLong(3) != qlabel.toLong))
     }
   }
+
+  test("pca components are orthonormal; projected output is centered with sorted variance") {
+    val outDim = 8
+    val (comps, _) = graft.operators.Quantized.pcaModel(spark, TestSpark.sf, outDim)
+    assert(comps.length == outDim)
+    for (i <- comps.indices; j <- i until comps.length) {
+      val d = comps(i).zip(comps(j)).map { case (a, b) => a.toDouble * b }.sum
+      if (i == j) assert(math.abs(d - 1.0) < 1e-4, s"comp $i not unit: $d")
+      else assert(math.abs(d) < 1e-4, s"comps $i,$j not orthogonal: $d")
+    }
+    val rows = graft.operators.Quantized.pcaProject(spark, TestSpark.sf, outDim).collect()
+    val n = rows.length.toDouble
+    assert(n > 0)
+    val vars = (0 until outDim).map { j =>
+      val xs = rows.map(_.getDouble(j + 1))
+      val m = xs.sum / n
+      assert(math.abs(m) < 1e-3, s"component $j not centered: mean $m")
+      xs.map(x => (x - m) * (x - m)).sum / n
+    }
+    // eigen order: retained variance is non-increasing across components
+    assert(vars.sliding(2).forall(p => p(0) >= p(1) - 1e-6), vars.toString)
+  }
 }
