@@ -1,10 +1,13 @@
 #!/bin/bash
 # Run graft.Bench N times back-to-back (bare JVM, exactly as the
 # driver invokes it) and append each JSON line to the given output
-# file. Usage: bench_series.sh <n_runs> <out.jsonl>
+# file. Usage: bench_series.sh <n_runs> <out.jsonl> [sf_dir]
+# (sf_dir defaults to /root/testdata/sf0.1; pass target/testdata-sf1
+# for the 10x scale point)
 set -u
 N="${1:?n_runs}"
 OUT="${2:?out file}"
+SF_DIR="${3:-/root/testdata/sf0.1}"
 cd /root/repo
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
@@ -14,7 +17,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
 done
 for i in $(seq 1 "$N"); do
   echo "=== run $i/$N $(date +%H:%M:%S) ===" >&2
-  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR="$SF_DIR" \
   java $ADD_OPENS -Xmx48g \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \

@@ -55,6 +55,10 @@ object SparkEntry {
     // SQL — a tokenizer drift fails the hash-match
     "tfidf_topk_text" -> ((s, d) => TextRetrieval.tfidfTopK(s, d, "Spark JOIN, vector-search! spark", k = 10)),
     "vocab_stats" -> ((s, d) => TextRetrieval.vocabStats(s, d)),
+    // top-3 TF-IDF terms per doc from the persisted sparse model
+    "doc_keywords" -> ((s, d) => TextRetrieval.docKeywords(s, d)),
+    // per-label class prototypes as (label, pos, m) rows
+    "label_centroids" -> ((s, d) => VectorSearch.labelCentroids(s, d)),
     "events_hourly" -> ((s, d) => Analytics.hourly(s, d)),
     "hybrid_topk" -> ((s, d) => TextRetrieval.hybridTopK(s, d, queryDoc = 0, alpha = 0.7, k = 10)),
     "hybrid_topk_free" -> ((s, d) => TextRetrieval.hybridTopKFree(s, d, demoQueryVec,
@@ -738,6 +742,22 @@ object SparkEntry {
       "JOIN documents d ON d.doc_id = e.vec_id AND d.lang = 'en' AND d.n_chars >= 200"),
     "bm25_hybrid_text" -> bm25HybridOracle("",
       "SELECT DISTINCT unnest(list_filter(regexp_extract_all(lower('Spark JOIN, vector-search! spark'), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term"),
+    // top-N tfidf terms per doc: weight = tf·idf is the same exact
+    // expression on both engines (no summation → no drift); term
+    // tie-break
+    "doc_keywords" ->
+      s"""WITH $tfidfCtes
+         |SELECT doc_id, term, round(w, 5) AS weight,
+         |       row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rk
+         |FROM w QUALIFY rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // per-label dimension means (class prototypes); engine pos is
+    // 0-based posexplode, oracle generate_subscripts is 1-based
+    "label_centroids" ->
+      """WITH pe AS (SELECT label::BIGINT AS label, unnest(embedding::DOUBLE[]) AS v,
+        |                   generate_subscripts(embedding, 1) - 1 AS pos
+        |            FROM embeddings)
+        |SELECT label, pos, round(avg(v), 5) AS m, count(*) AS n_vecs
+        |FROM pe GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // RRF: ranks are deterministic ((score DESC, doc_id) over
     // bit-identical scores, SURVEY §4), so the fused score is exact
     // integer arithmetic in double — no normalization anywhere

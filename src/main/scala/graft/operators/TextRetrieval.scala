@@ -234,6 +234,25 @@ object TextRetrieval {
   def bm25TopK(spark: SparkSession, dir: String, query: String, k: Int): DataFrame =
     bm25TopK(spark, dir, sklearnTokenize(query), k)
 
+  /** Per-document keyword extraction: the top-N TF-IDF-weighted terms
+    * of every document, straight from the persisted sparse triples —
+    * the "why did this match" explainer and the cheap tag generator.
+    * Weights are the exact same expression on both engines (no
+    * summation, so no float drift); ties break on term.
+    *
+    * Scale: a WindowGroupLimit-bounded ranking window keyed by doc_id
+    * over the model artifact — per-partition top-N pruning before the
+    * shuffle, no corpus re-tokenization, no global sort.
+    */
+  def docKeywords(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
+    val m = ensureModel(spark, dir)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("w").desc, col("term"))
+    m.w.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= topN)
+      .select(col("doc_id"), col("term"), round(col("w"), 5).as("weight"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Positional posting lists (doc_id, pos, term) — the build-once
     * inverted-index artifact behind [[phraseSearch]], persisted under
     * the same fingerprint-addressed IndexStore layout as the TF-IDF

@@ -267,4 +267,24 @@ object VectorSearch {
       .where(col("rk") <= k)
       .orderBy(col("q_id"), col("rk"))
   }
+
+  /** Per-label centroid table — class prototypes over the embedding
+    * corpus (the prototype-classifier / cluster-seeding building
+    * block, and the per-class analog of recommend_user's profile
+    * vector). Emitted as (label, pos, m, n_vecs) rows, the sparse
+    * layout that joins and aggregates without ever materializing a
+    * dense per-label vector on the driver.
+    *
+    * Scale: one explode keyed by (label, pos) — dim·n rows shuffled
+    * with map-side partial avg, output is |labels|·dim rows. No
+    * driver data, no collect.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"), posexplode(col("embedding")))
+      .toDF("label", "pos", "v")
+      .withColumn("pos", col("pos").cast("long"))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")), 5).as("m"), count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("pos"))
 }

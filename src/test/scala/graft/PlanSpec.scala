@@ -348,6 +348,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("doc keywords rank with WindowGroupLimit over the persisted model (no re-tokenize)") {
+    val df = graft.operators.TextRetrieval.docKeywords(spark, TestSpark.sf)
+    df.collect() // finalize adaptive plan
+    val p = plan(df)
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(!p.contains("documents.parquet"),
+      "keywords must read the model artifact, not re-tokenize the corpus:\n" + p.take(1200))
+  }
+
   test("rolling aggregates keep a partitioned window and one user-keyed shuffle") {
     val df = Analytics.rolling(spark, TestSpark.sf)
     val bad = df.queryExecution.optimizedPlan.collect {
