@@ -90,6 +90,12 @@ object SparkEntry {
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "events_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "events_props_parse" -> ((s, d) => Analytics.propsParse(s, d)),
+    // behavioral item-item recommender (co-engagement counts)
+    "item_cooc" -> ((s, d) => Analytics.itemCooccurrence(s, d)),
+    // trailing-24h z-score anomaly hours, global top-10
+    "events_anomaly" -> ((s, d) => Analytics.anomalies(s, d)),
+    // farthest-from-centroid vectors per label (mislabel detector)
+    "embed_outliers" -> ((s, d) => VectorSearch.labelOutliers(s, d)),
     // --- LLM-data-pipeline operators ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -582,6 +588,46 @@ object SparkEntry {
         |       max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
         |       count(*) FILTER (WHERE json_extract_string(props, '$.k')::BIGINT > 50) AS n_high
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // distinct (user, item) engagement → per-user pair join (basket
+    // cap mirrors the engine's maxBasket) → exact integer counts
+    "item_cooc" ->
+      """WITH ui AS (SELECT DISTINCT user_id,
+        |                   json_extract_string(props, '$.k')::BIGINT AS item_id
+        |            FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')
+        |              AND json_extract_string(props, '$.k') IS NOT NULL),
+        |deg AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+        |capped AS (SELECT ui.user_id, ui.item_id FROM ui
+        |           JOIN deg USING (user_id) WHERE deg.basket <= 500),
+        |pairs AS (SELECT a.item_id, b.item_id AS rec_item_id, count(*) AS n_users
+        |          FROM capped a JOIN capped b USING (user_id)
+        |          WHERE a.item_id <> b.item_id GROUP BY 1, 2)
+        |SELECT item_id, rec_item_id, n_users,
+        |       row_number() OVER (PARTITION BY item_id
+        |                          ORDER BY n_users DESC, rec_item_id) AS rk
+        |FROM pairs QUALIFY rk <= 5 ORDER BY item_id, rk""".stripMargin,
+    // mean/std from EXACT integer window sums (Σx, Σx²) — identical
+    // expression dag both engines, no float accumulation crosses the
+    // boundary (the SQ8 precedent)
+    "events_anomaly" ->
+      """WITH h AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hour,
+        |                  count(*) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, hour, n_events,
+        |             count(*) OVER wp AS n_prev,
+        |             sum(n_events) OVER wp AS sum_prev,
+        |             sum(n_events * n_events) OVER wp AS sumsq_prev
+        |      FROM h WINDOW wp AS (PARTITION BY event_type ORDER BY hour
+        |                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |x AS (SELECT event_type, hour * 3600000 AS hour_ms, n_events,
+        |             sum_prev / 24.0 AS mean,
+        |             (sumsq_prev - sum_prev * sum_prev / 24.0) / 23.0 AS varp
+        |      FROM s WHERE n_prev = 24)
+        |SELECT event_type, hour_ms, n_events, round(mean, 5) AS mean_prev,
+        |       round((n_events - mean) / sqrt(varp), 5) AS z
+        |FROM x WHERE varp > 0
+        |ORDER BY abs(round((n_events - mean) / sqrt(varp), 5)) DESC, event_type, hour_ms
+        |LIMIT 10""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS hash,
         |       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
@@ -758,6 +804,24 @@ object SparkEntry {
         |            FROM embeddings)
         |SELECT label, pos, round(avg(v), 5) AS m, count(*) AS n_vecs
         |FROM pe GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // squared-L2 to the label centroid via the dot identity
+    // ‖v−c‖² = v·v − 2 v·c + c·c — every summation a deterministic
+    // list_dot_product fold, centroid components pre-rounded to 5
+    // exactly like label_centroids
+    "embed_outliers" ->
+      """WITH pe AS (SELECT label::BIGINT AS label, unnest(embedding::DOUBLE[]) AS v,
+        |                   generate_subscripts(embedding, 1) AS pos
+        |            FROM embeddings),
+        |cm AS (SELECT label, pos, round(avg(v), 5) AS m FROM pe GROUP BY 1, 2),
+        |cent AS (SELECT label, list(m ORDER BY pos) AS c FROM cm GROUP BY 1),
+        |d AS (SELECT e.vec_id, cent.label,
+        |             round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+        |                   - 2.0 * list_dot_product(e.embedding::DOUBLE[], cent.c)
+        |                   + list_dot_product(cent.c, cent.c), 5) AS dist_sq
+        |      FROM embeddings e JOIN cent ON cent.label = e.label::BIGINT)
+        |SELECT label, vec_id, dist_sq,
+        |       row_number() OVER (PARTITION BY label ORDER BY dist_sq DESC, vec_id) AS rk
+        |FROM d QUALIFY rk <= 5 ORDER BY label, rk""".stripMargin,
     // RRF: ranks are deterministic ((score DESC, doc_id) over
     // bit-identical scores, SURVEY §4), so the fused score is exact
     // integer arithmetic in double — no normalization anywhere

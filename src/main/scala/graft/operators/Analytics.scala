@@ -357,4 +357,88 @@ object Analytics {
         round(avg(col("value")), 4).as("avg_value"),
         round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("event_type"))
+
+  /** Item-to-item co-occurrence recommendations ("users who engaged
+    * with X also engaged with Y") — the collaborative-filtering
+    * counterpart of the embedding recommender (reference app.py's
+    * content-based similar-items panel; this is the behavioral twin a
+    * production recommender blends with it). Items come from the
+    * event payload (`props.$.k`, the engine's JSON-path extraction —
+    * no UDF); counts are over DISTINCT (user, item) engagement so a
+    * user clicking one item a hundred times votes once.
+    *
+    * Scale: the per-user self-join is the classic pair-explosion
+    * shape — a user with B items emits B² pairs — so users above
+    * `maxBasket` distinct items are dropped BEFORE the join (the
+    * co-occurrence analog of the shingle df cap: power users and bots
+    * carry near-zero signal per pair and all of the quadratic cost).
+    * After the cap the join is bounded O(U·B²) keyed by user_id, the
+    * pair counts partial-aggregate map-side, and the final ranking is
+    * a WindowGroupLimit top-N per item — no global sort.
+    */
+  def itemCooccurrence(spark: SparkSession, dir: String, topN: Int = 5,
+                       maxBasket: Int = 500): DataFrame = {
+    val ui = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .distinct()
+    val deg = ui.groupBy(col("user_id")).agg(count(lit(1)).as("basket"))
+    val capped = ui.join(deg.where(col("basket") <= maxBasket), Seq("user_id"))
+      .select(col("user_id"), col("item_id"))
+    val pairs = capped
+      .join(capped.select(col("user_id"), col("item_id").as("rec_item_id")), Seq("user_id"))
+      .where(col("item_id") =!= col("rec_item_id"))
+      .groupBy(col("item_id"), col("rec_item_id"))
+      .agg(count(lit(1)).as("n_users"))
+    val w = Window.partitionBy(col("item_id"))
+      .orderBy(col("n_users").desc, col("rec_item_id"))
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= topN)
+      .orderBy(col("item_id"), col("rk"))
+  }
+
+  /** Trailing-window z-score anomaly detection over the hourly event
+    * stream — the ops-dashboard "this hour is weird" detector. Each
+    * (event_type, hour) count is scored against the mean/std of that
+    * type's previous `win` OBSERVED hours, and the `topN` most
+    * anomalous hours are returned (top-N rather than a fixed z cutoff
+    * so the surface is threshold-free and never empty).
+    *
+    * Oracle parity: mean and variance are derived from EXACT integer
+    * window sums (Σx, Σx² over bigint counts) via the same expression
+    * dag on both engines — no float accumulation crosses the engine
+    * boundary, per the SQ8 precedent (SURVEY §4).
+    *
+    * Scale: one shuffle to the hourly rollup (map-side combined), one
+    * window pass keyed by event_type (frame-bounded, sequential per
+    * partition), then TakeOrdered for the global top-N. Nothing holds
+    * more than `win` rows of state per group.
+    */
+  def anomalies(spark: SparkSession, dir: String, win: Int = 24,
+                topN: Int = 10): DataFrame = {
+    val hourMs = 3600000L
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"ts_ms div $hourMs").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val wp = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-win, -1)
+    hourly
+      .withColumn("n_prev", count(col("n_events")).over(wp))
+      .withColumn("sum_prev", sum(col("n_events")).over(wp))
+      .withColumn("sumsq_prev", sum(col("n_events") * col("n_events")).over(wp))
+      .where(col("n_prev") === win)
+      .withColumn("mean", col("sum_prev") / lit(win.toDouble))
+      .withColumn("varp",
+        (col("sumsq_prev") - col("sum_prev") * col("sum_prev") / lit(win.toDouble)) /
+          lit((win - 1).toDouble))
+      .where(col("varp") > 0)
+      .withColumn("z", round((col("n_events") - col("mean")) / sqrt(col("varp")), 5))
+      .select(col("event_type"), (col("hour") * hourMs).as("hour_ms"),
+        col("n_events"), round(col("mean"), 5).as("mean_prev"), col("z"))
+      .orderBy(abs(col("z")).desc, col("event_type"), col("hour_ms"))
+      .limit(topN)
+  }
 }

@@ -287,4 +287,47 @@ object VectorSearch {
       .groupBy(col("label"), col("pos"))
       .agg(round(avg(col("v")), 5).as("m"), count(lit(1)).as("n_vecs"))
       .orderBy(col("label"), col("pos"))
+
+  /** Per-label embedding outliers — the vectors FARTHEST from their
+    * label's centroid (squared L2), the standard mislabel/contamination
+    * detector over an embedded corpus: a point far from its class
+    * prototype is either mislabeled, an outlier, or genuinely hard.
+    *
+    * Oracle parity: centroid components are the 5-decimal-rounded
+    * per-dimension means (exactly [[labelCentroids]]' contract, already
+    * oracle-proven), and the distance is computed via the dot-product
+    * identity ‖v−c‖² = v·v − 2·v·c + c·c, so every float-summation is
+    * a deterministic left-to-right [[VectorFunctions.dotd]] fold that
+    * DuckDB's `list_dot_product` reproduces bit-for-bit — the same
+    * algebraic-identity trick the SQ8/L2 operators use (SURVEY §4).
+    *
+    * Scale: the centroid table is |labels|·dim rows aggregated with
+    * map-side partial avg, collapsed to |labels| array rows and
+    * BROADCAST; scoring is then one narrow codegen'd pass over the
+    * corpus and a WindowGroupLimit top-N per label. No driver vectors,
+    * no shuffle of the embedding column.
+    */
+  def labelOutliers(spark: SparkSession, dir: String, topN: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("embedding"))
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "pos", "v")
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")), 5).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist_sq").desc, col("vec_id"))
+    emb.join(broadcast(cent), Seq("label"))
+      .withColumn("dist_sq", round(
+        dotd(col("embedding"), col("embedding"))
+          - lit(2.0) * dotd(col("embedding"), col("centroid"))
+          + dotd(col("centroid"), col("centroid")), 5))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= topN)
+      .select(col("label"), col("vec_id"), col("dist_sq"), col("rk"))
+      .orderBy(col("label"), col("rk"))
+  }
 }

@@ -348,6 +348,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("label outliers broadcast the centroid table and score with the codegen kernel") {
+    val df = VectorSearch.labelOutliers(spark, TestSpark.sf)
+    df.collect() // finalize adaptive plan
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("vecdot"), "distance must ride the codegen VecDot kernel:\n" + p.take(800))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("item co-occurrence ranks with WindowGroupLimit and never plans a global sort before it") {
+    val df = Analytics.itemCooccurrence(spark, TestSpark.sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("event anomaly plans one frame-bounded window and a TakeOrdered top-N (no join)") {
+    val df = Analytics.anomalies(spark, TestSpark.sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, "anomaly scoring must be a window pass, not a join")
+  }
+
   test("doc keywords rank with WindowGroupLimit over the persisted model (no re-tokenize)") {
     val df = graft.operators.TextRetrieval.docKeywords(spark, TestSpark.sf)
     df.collect() // finalize adaptive plan
