@@ -92,6 +92,12 @@ object SparkEntry {
     "events_props_parse" -> ((s, d) => Analytics.propsParse(s, d)),
     // behavioral item-item recommender (co-engagement counts)
     "item_cooc" -> ((s, d) => Analytics.itemCooccurrence(s, d)),
+    // RFM quartile segmentation (broadcast cutoffs, no global sort)
+    "user_rfm" -> ((s, d) => Analytics.userRfm(s, d)),
+    // strict ordered funnel (first-occurrence ordering per user)
+    "funnel_ordered" -> ((s, d) => Analytics.funnelOrdered(s, d)),
+    // top 3-step event-type paths (user flow analysis)
+    "events_paths" -> ((s, d) => Analytics.commonPaths(s, d)),
     // trailing-24h z-score anomaly hours, global top-10
     "events_anomaly" -> ((s, d) => Analytics.anomalies(s, d)),
     // farthest-from-centroid vectors per label (mislabel detector)
@@ -173,6 +179,12 @@ object SparkEntry {
     "dedup_chunks" -> ((s, d) => TextAnalysis.dedupChunks(s, d)),
     // corpus-unigram mean NLL — the cheap perplexity-proxy quality gate
     "unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(s, d)),
+    // interpolated bigram LM NLL — the word-salad detector unigrams miss
+    "bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
+    // char-level Shannon entropy — zero-shuffle gibberish detector
+    "doc_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
+    // time-decayed trending items (exact dyadic decay arithmetic)
+    "item_trending" -> ((s, d) => Analytics.itemTrending(s, d)),
     // contrastive hard-negative mining (top-k cross-label cosine)
     "hard_negatives" -> ((s, d) => VectorSearch.hardNegatives(s, d, queryMod = 100, k = 5)),
     // array-typed metadata (the reference's multi-valued categories):
@@ -606,6 +618,61 @@ object SparkEntry {
         |       row_number() OVER (PARTITION BY item_id
         |                          ORDER BY n_users DESC, rec_item_id) AS rk
         |FROM pairs QUALIFY rk <= 5 ORDER BY item_id, rk""".stripMargin,
+    // quartile cutoffs via quantile_cont ≡ Spark percentile, rounded
+    // to 5 on both engines before the bucket comparison
+    "user_rfm" ->
+      """WITH per AS (SELECT user_id, max(epoch_ms(ts)) AS last_ms, count(*) AS frequency,
+        |                    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS monetary
+        |             FROM events GROUP BY 1),
+        |cuts AS (SELECT max(last_ms) AS corpus_max,
+        |                quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+        |                quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mq
+        |         FROM per),
+        |wr AS (SELECT per.*, cuts.fq, cuts.mq,
+        |              (cuts.corpus_max - per.last_ms) // 3600000 AS recency_hours
+        |       FROM per, cuts),
+        |rc AS (SELECT quantile_cont(recency_hours, [0.25, 0.5, 0.75]) AS rq FROM wr),
+        |sc AS (SELECT wr.*,
+        |              5 - (1 + CASE WHEN recency_hours > round(rq[1], 5) THEN 1 ELSE 0 END
+        |                     + CASE WHEN recency_hours > round(rq[2], 5) THEN 1 ELSE 0 END
+        |                     + CASE WHEN recency_hours > round(rq[3], 5) THEN 1 ELSE 0 END) AS r_score,
+        |              1 + CASE WHEN frequency > round(fq[1], 5) THEN 1 ELSE 0 END
+        |                + CASE WHEN frequency > round(fq[2], 5) THEN 1 ELSE 0 END
+        |                + CASE WHEN frequency > round(fq[3], 5) THEN 1 ELSE 0 END AS f_score,
+        |              1 + CASE WHEN monetary > round(mq[1], 5) THEN 1 ELSE 0 END
+        |                + CASE WHEN monetary > round(mq[2], 5) THEN 1 ELSE 0 END
+        |                + CASE WHEN monetary > round(mq[3], 5) THEN 1 ELSE 0 END AS m_score
+        |       FROM wr, rc)
+        |SELECT user_id, recency_hours, frequency, monetary, r_score, f_score, m_score,
+        |       r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+        |FROM sc ORDER BY user_id""".stripMargin,
+    // consecutive event-type trigrams per user timeline, exact counts
+    "events_paths" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+        |t AS (SELECT event_type,
+        |             lead(event_type, 1) OVER w AS t1,
+        |             lead(event_type, 2) OVER w AS t2
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+        |SELECT event_type || '>' || t1 || '>' || t2 AS path, count(*) AS n_occurrences
+        |FROM t WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT 20""".stripMargin,
+    // strict ordered funnel: conditional first-occurrence mins, exact
+    // integer counts, one exact division
+    "funnel_ordered" ->
+      """WITH firsts AS (SELECT user_id,
+        |                       min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS v_ms,
+        |                       min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS c_ms,
+        |                       min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS p_ms
+        |                FROM events GROUP BY 1),
+        |c AS (SELECT count(*) FILTER (WHERE v_ms IS NOT NULL) AS n1,
+        |             count(*) FILTER (WHERE v_ms IS NOT NULL AND c_ms > v_ms) AS n2,
+        |             count(*) FILTER (WHERE v_ms IS NOT NULL AND c_ms > v_ms AND p_ms > c_ms) AS n3
+        |      FROM firsts)
+        |SELECT step, stage, n_users, round(n_users / n1::DOUBLE, 5) AS conversion
+        |FROM (SELECT 1::BIGINT AS step, 'view' AS stage, n1 AS n_users, n1 FROM c
+        |      UNION ALL SELECT 2::BIGINT, 'view>click', n2, n1 FROM c
+        |      UNION ALL SELECT 3::BIGINT, 'view>click>purchase', n3, n1 FROM c)
+        |ORDER BY step""".stripMargin,
     // mean/std from EXACT integer window sums (Σx, Σx²) — identical
     // expression dag both engines, no float accumulation crosses the
     // boundary (the SQ8 precedent)
@@ -942,6 +1009,48 @@ object SparkEntry {
         |       round(-sum(tf.tf * ln(ct.ct / tot.tot)) / sum(tf.tf), 5) AS avg_nll
         |FROM tf JOIN ct USING (term), tot
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bigrams via list_zip of the token list against its own tail —
+    // the same adjacent-pairs construction as the Spark transform;
+    // float literals cast ::DOUBLE so DuckDB doesn't run the
+    // interpolation in DECIMAL arithmetic
+    "bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2) AS l FROM documents),
+        |bg AS (SELECT doc_id, struct_extract(z, 1) AS w1, struct_extract(z, 2) AS w2
+        |       FROM (SELECT doc_id, unnest(list_zip(l[1:len(l) - 1], l[2:])) AS z FROM toks WHERE len(l) >= 2)),
+        |tf12 AS (SELECT doc_id, w1, w2, count(*) AS tf12 FROM bg GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, sum(tf12)::BIGINT AS c12 FROM tf12 GROUP BY 1, 2),
+        |terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |ct AS (SELECT term, sum(tf)::BIGINT AS ct FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(ct)::BIGINT AS tot FROM ct)
+        |SELECT tf12.doc_id, sum(tf12.tf12)::BIGINT AS n_bigrams,
+        |       round(-sum(tf12.tf12 * ln(0.75::DOUBLE * c12.c12 / c1.ct + 0.25::DOUBLE * c2.ct / tot.tot)) / sum(tf12.tf12), 5) AS avg_nll
+        |FROM tf12 JOIN c12 USING (w1, w2) JOIN ct c1 ON tf12.w1 = c1.term JOIN ct c2 ON tf12.w2 = c2.term, tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the entropy oracle is ASSEMBLED from the same SQL fragments the
+    // Spark operator selectExprs — identical expression trees by
+    // construction, cross-engine float drift structurally impossible
+    "doc_entropy" -> {
+      val inner = ("doc_id" +: TextAnalysis.entropyCountCols).mkString(", ")
+      val outer = TextAnalysis.entropyOuterCols.mkString(", ")
+      s"SELECT $outer FROM (SELECT $inner FROM (SELECT doc_id, lower(text) AS t FROM documents)) ORDER BY doc_id"
+    },
+    // exact dyadic decay: integer-scaled weights summed as BIGINT,
+    // one final division by 2^40 (power() so DuckDB stays in DOUBLE)
+    "item_trending" ->
+      """WITH ev AS (SELECT event_type, epoch_ms(ts) AS ts_ms,
+        |                   json_extract_string(props, '$.k')::BIGINT AS item_id
+        |            FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')
+        |              AND json_extract_string(props, '$.k') IS NOT NULL),
+        |mx AS (SELECT max(ts_ms) AS t_max FROM ev),
+        |sc AS (SELECT item_id,
+        |              (CASE WHEN event_type = 'purchase' THEN 4 WHEN event_type = 'click' THEN 2 ELSE 1 END)::BIGINT
+        |              * (1::BIGINT << CAST(40 - least((t_max - ts_ms) // 86400000, 40) AS INT)) AS scaled
+        |       FROM ev, mx)
+        |SELECT item_id, count(*) AS n_events,
+        |       round(sum(scaled)::BIGINT / power(2.0, 40), 5) AS trend_score
+        |FROM sc GROUP BY 1 ORDER BY trend_score DESC, item_id LIMIT 25""".stripMargin,
     // PII counts are taken on the RAW text per pattern independently;
     // replacement is sequential (email → ipv4 → number)
     "pii_redact" ->

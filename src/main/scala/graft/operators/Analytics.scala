@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -358,6 +358,120 @@ object Analytics {
         round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("event_type"))
 
+  /** RFM user segmentation — the classic marketing cut of the user
+    * base: Recency (hours since the user's last event, relative to the
+    * corpus max), Frequency (event count), Monetary (purchase value
+    * sum), each bucketed into quartiles, plus the composed "rfm"
+    * segment code.
+    *
+    * Quartiles WITHOUT a global sort: a single-row
+    * `percentile(metric, [.25,.5,.75])` aggregate per metric computes
+    * the cutoffs (Spark's `percentile` ≡ DuckDB's `quantile_cont`, the
+    * events_quantiles parity precedent), the one-row cutoff table
+    * broadcasts, and bucket assignment is a narrow comparison pass —
+    * the same shape len_deciles uses, vs. the naive `ntile(4)` whose
+    * unpartitioned window would single-thread the entire user base at
+    * 100 TB.
+    */
+  def userRfm(spark: SparkSession, dir: String): DataFrame = {
+    // ScratchCache: the cutoff aggregates and the scoring pass both
+    // read the per-user rollup — one event scan, not three
+    val per = graft.sources.ScratchCache.materialize(
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("ts_ms")).as("last_ms"),
+          count(lit(1)).as("frequency"),
+          round(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0))), 2).as("monetary")))
+    val cuts = per
+      .select(expr("max(last_ms)").as("corpus_max"),
+        expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))").as("fq"),
+        expr("percentile(monetary, array(0.25D, 0.5D, 0.75D))").as("mq"))
+    val withRec = per.crossJoin(broadcast(cuts))
+      .withColumn("recency_hours", expr("(corpus_max - last_ms) div 3600000"))
+    // recency quartiles need the recency distribution itself
+    val rcuts = withRec
+      .select(expr("percentile(recency_hours, array(0.25D, 0.5D, 0.75D))").as("rq"))
+    def bucket(m: Column, q: Column, reverse: Boolean): Column = {
+      // quartile 1..4; recency reverses (LOW recency = best = 4).
+      // Cutoffs rounded to 5 decimals on BOTH engines before the
+      // comparison: the interpolation formulas may differ at the ulp
+      // level, and a metric sitting exactly on a cutoff must not flip
+      val b = lit(1) + when(m > round(element_at(q, 1), 5), 1).otherwise(0) +
+        when(m > round(element_at(q, 2), 5), 1).otherwise(0) +
+        when(m > round(element_at(q, 3), 5), 1).otherwise(0)
+      if (reverse) lit(5) - b else b
+    }
+    withRec.crossJoin(broadcast(rcuts))
+      .withColumn("r_score", bucket(col("recency_hours"), col("rq"), reverse = true))
+      .withColumn("f_score", bucket(col("frequency"), col("fq"), reverse = false))
+      .withColumn("m_score", bucket(col("monetary"), col("mq"), reverse = false))
+      .select(col("user_id"), col("recency_hours"), col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Strict ORDERED funnel — unlike [[funnel]]'s per-stage totals,
+    * each user advances a stage only if their FIRST occurrence of that
+    * stage is strictly later than their first occurrence of the
+    * previous one (view → click → purchase in that order). Emits one
+    * row per stage with the surviving-user count and the conversion
+    * fraction off the top of the funnel — exact integer counts and one
+    * exact long/long division, so cross-engine parity is trivial.
+    *
+    * Scale: ONE groupBy(user) with conditional-min partial aggregation
+    * (no pivot pre-job, no join), a single-row rollup, and a 3-row
+    * stack — nothing global but the final 3-row reduce.
+    */
+  def funnelOrdered(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts_ms"))).as("v_ms"),
+        min(when(col("event_type") === "click", col("ts_ms"))).as("c_ms"),
+        min(when(col("event_type") === "purchase", col("ts_ms"))).as("p_ms"))
+    val counts = firsts.select(
+      count(when(col("v_ms").isNotNull, 1)).as("n1"),
+      count(when(col("v_ms").isNotNull && col("c_ms") > col("v_ms"), 1)).as("n2"),
+      count(when(col("v_ms").isNotNull && col("c_ms") > col("v_ms") &&
+        col("p_ms") > col("c_ms"), 1)).as("n3"))
+    counts.selectExpr(
+      """stack(3,
+        |  1L, 'view', n1,
+        |  2L, 'view>click', n2,
+        |  3L, 'view>click>purchase', n3) AS (step, stage, n_users)""".stripMargin,
+      "n1")
+      .select(col("step"), col("stage"), col("n_users"),
+        round(col("n_users") / col("n1"), 5).as("conversion"))
+      .orderBy(col("step"))
+  }
+
+  /** Top event-type paths — the "user flow" analysis: every
+    * consecutive 3-step event-type sequence in a user's timeline,
+    * counted corpus-wide, top-N most common. Exact integer counts,
+    * ties broken on the path string.
+    *
+    * Scale: one shuffle keyed by user_id, the lead() pairs come from
+    * the SAME sorted window pass (no self-join over consecutive rows —
+    * the naive formulation), a map-side-combined count, and TakeOrdered
+    * for the top-N. State per group is the 2-row lead buffer.
+    */
+  def commonPaths(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .where(col("t1").isNotNull && col("t2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t1"), col("t2")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path"))
+      .limit(topN)
+  }
+
   /** Item-to-item co-occurrence recommendations ("users who engaged
     * with X also engaged with Y") — the collaborative-filtering
     * counterpart of the embedding recommender (reference app.py's
@@ -397,6 +511,49 @@ object Analytics {
     pairs.withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= topN)
       .orderBy(col("item_id"), col("rk"))
+  }
+
+  /** Trending items — exponentially time-decayed engagement score per
+    * item (the "popular right now" fallback every recommender serves
+    * cold-start users): each engagement contributes
+    * weight · 2^(−age_days), weight 4/2/1 for purchase/click/view.
+    *
+    * Determinism by EXACT arithmetic: a naive Σ w·2^(−age) sums doubles
+    * whose exponents span the corpus age range — partial-aggregation
+    * order then changes the rounded result between engines. Instead the
+    * decay is computed scaled: w · (1 << (maxAgeDays − min(age, maxAge)))
+    * is a BIGINT, the sum is exact integer arithmetic in any order, and
+    * the one float op is the final division by 2^maxAgeDays — identical
+    * on both engines for identical integer sums. Ages ≥ maxAgeDays
+    * saturate at weight·1 (scaled), i.e. 2^(−maxAgeDays) — the long
+    * tail keeps votes without dominating cost or precision.
+    *
+    * Scale: one narrow scan + broadcast of the 1-row corpus-max, one
+    * item-keyed partial aggregate, TakeOrdered top-N. No window, no
+    * join beyond the broadcast.
+    */
+  def itemTrending(spark: SparkSession, dir: String, topN: Int = 25,
+                   maxAgeDays: Int = 40): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_type"), col("ts_ms"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+    val mx = ev.agg(max(col("ts_ms")).as("t_max"))
+    ev.crossJoin(broadcast(mx))
+      .withColumn("age_days", expr("(t_max - ts_ms) div 86400000"))
+      .withColumn("w",
+        when(col("event_type") === "purchase", 4L)
+          .when(col("event_type") === "click", 2L)
+          .otherwise(1L))
+      .withColumn("scaled", expr(
+        s"w * shiftleft(CAST(1 AS BIGINT), $maxAgeDays - CAST(least(age_days, $maxAgeDays) AS INT))"))
+      .groupBy(col("item_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("scaled")).as("scaled_sum"))
+      .select(col("item_id"), col("n_events"),
+        round(col("scaled_sum") / lit(math.pow(2.0, maxAgeDays)), 5).as("trend_score"))
+      .orderBy(col("trend_score").desc, col("item_id"))
+      .limit(topN)
   }
 
   /** Trailing-window z-score anomaly detection over the hourly event

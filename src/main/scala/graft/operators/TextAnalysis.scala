@@ -372,6 +372,106 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated bigram log-probability — the next step up from
+    * [[unigramLogProb]] on the cheap-LM-filter ladder: per document,
+    * the mean negative log-likelihood of its token BIGRAMS under the
+    * corpus's own interpolated bigram model,
+    * p(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/T (Jelinek–Mercer
+    * smoothing with λ an exact binary fraction so both engines build
+    * the identical float expression). Catches word-salad documents
+    * whose unigrams are corpus-typical but whose transitions are not —
+    * the signal the unigram proxy is blind to.
+    *
+    * Scale: bigrams come from one narrow pass (transform over the
+    * token array — no window, no self-join), collapse to per-doc
+    * (doc,w1,w2,tf) triples FIRST (map-side combine), and the corpus
+    * bigram count table derives from those same triples — the one
+    * genuinely corpus-sized join is keyed by (w1,w2), exactly the
+    * shape AQE handles (the unigram count table is vocab-sized and
+    * broadcasts). The triples are ScratchCache-materialized: probe
+    * and count sides read one tokenize pass, not two.
+    */
+  def bigramLogProb(spark: SparkSession, dir: String, lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    val m = TextRetrieval.ensureModel(spark, dir)
+    val ct = m.tf.groupBy(col("term")).agg(sum(col("tf")).as("ct"))
+    val tot = ct.agg(sum(col("ct")).as("tot"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextRetrieval.sklearnTokens(col("text")).as("l"))
+      .where(size(col("l")) >= 2)
+    // adjacent pairs from the SAME array via transform-with-index —
+    // no posexplode/self-join, no window
+    val bg = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(l, 1, size(l) - 1), (x, i) -> struct(x AS w1, element_at(l, i + 2) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tf12 = graft.sources.ScratchCache.materialize(
+      bg.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("tf12")))
+    val c12 = tf12.groupBy(col("w1"), col("w2")).agg(sum(col("tf12")).as("c12"))
+    tf12.join(c12, Seq("w1", "w2"))
+      .join(ct.select(col("term").as("w1"), col("ct").as("c1")), Seq("w1"))
+      .join(ct.select(col("term").as("w2"), col("ct").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf12")).as("n_bigrams"),
+        round(-sum(col("tf12") *
+          log(lit(lambda) * col("c12") / col("c1") + lit(1 - lambda) * col("c2") / col("tot"))) /
+          sum(col("tf12")), 5).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Alphabet for [[charEntropy]]: lowercase ASCII letters + digits.
+    * Shared with the oracle builder so both engines count the exact
+    * same symbol set.
+    */
+  private[graft] val entropyAlphabet: Seq[Char] = ('a' to 'z') ++ ('0' to '9')
+
+  /** Per-symbol count via the length/replace identity — pure string
+    * expressions that parse identically in Spark SQL and DuckDB, so
+    * the Spark plan and the oracle build the SAME expression tree
+    * (association order and all) and float drift cannot flip a value.
+    */
+  private[graft] def entropyCountCols: Seq[String] =
+    entropyAlphabet.map(c =>
+      s"(length(t) - length(replace(t, '$c', ''))) AS c_$c")
+
+  /** The outer select over the named count columns: total alphanumeric
+    * count and Shannon entropy (nats) via H = ln(n) − Σ c·ln(c) / n.
+    */
+  private[graft] def entropyOuterCols: Seq[String] = {
+    val names = entropyAlphabet.map(c => s"c_$c")
+    val n = names.mkString("CAST(", " + ", " AS BIGINT)")
+    val terms = names.map(c =>
+      s"CASE WHEN $c > 0 THEN $c * ln($c) ELSE CAST(0 AS DOUBLE) END").mkString(" + ")
+    Seq(
+      "doc_id",
+      s"$n AS n_alnum",
+      s"round(CASE WHEN $n > 0 THEN ln(CAST($n AS DOUBLE)) - ($terms) / $n ELSE CAST(0 AS DOUBLE) END, 5) AS entropy_nats")
+  }
+
+  /** Character-level Shannon entropy over the [a-z0-9] alphabet — the
+    * classic cheap gibberish/boilerplate detector (near-zero entropy =
+    * one repeated symbol, ~5.1 nats = uniform soup; real text sits in
+    * a narrow band, so both tails are quality-filter candidates).
+    *
+    * Scale: NO explode — a per-character explode would shuffle one row
+    * per character (100 T rows at the target scale). Instead each of
+    * the 36 symbol counts is a `length(t) − length(replace(t, c, ''))`
+    * expression: a fully narrow scan, zero shuffles, that streams at
+    * IO speed. Two chained projections keep each count computed once
+    * (CollapseProject leaves non-cheap multiply-referenced aliases in
+    * place); the entropy itself is arithmetic over the 36 counts.
+    * Both projections are built from the same SQL fragments the
+    * DuckDB oracle uses, so cross-engine parity is by construction.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .selectExpr("doc_id" +: entropyCountCols: _*)
+      .selectExpr(entropyOuterCols: _*)
+      .orderBy(col("doc_id"))
+
   /** Content fingerprinting: md5 content hash, a 64-bit prefix
     * fingerprint, and the distinct-shingle count (winnowing-style
     * signature size).

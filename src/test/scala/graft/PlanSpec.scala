@@ -348,6 +348,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("rfm buckets assign via broadcast cutoffs, never an ntile window") {
+    val df = Analytics.userRfm(spark, TestSpark.sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Window"), "rfm must not plan a global ntile window:\n" + p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("ordered funnel is two aggregates and a stack — no join, no window") {
+    val df = Analytics.funnelOrdered(spark, TestSpark.sf)
+    df.collect()
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, "ordered funnel must not join")
+    assert(!plan(df).contains("Window"))
+  }
+
   test("label outliers broadcast the centroid table and score with the codegen kernel") {
     val df = VectorSearch.labelOutliers(spark, TestSpark.sf)
     df.collect() // finalize adaptive plan
@@ -412,5 +430,35 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"pivot grew beyond its two agg stages, got $shuffles:\n" + p.take(800))
     assert(!p.contains("Join"), p.take(800))
     assert(p.contains("pivotfirst"), p.take(800))
+  }
+
+  test("char entropy never shuffles and never explodes — replace-count narrow scan") {
+    val df = graft.operators.TextAnalysis.charEntropy(spark, TestSpark.sf)
+    val p = plan(df)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "entropy must stream through the scan with no shuffle:\n" + p.take(800))
+    assert(!p.contains("Generate"), "entropy must not explode per character:\n" + p.take(800))
+  }
+
+  test("trending items are one aggregate + TakeOrdered, decay via broadcast corpus-max") {
+    val df = Analytics.itemTrending(spark, TestSpark.sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("bigram NLL probes and counts off one materialized triple pass") {
+    val df = graft.operators.TextAnalysis.bigramLogProb(spark, TestSpark.sf)
+    df.collect()
+    val nodes = allExecNodes(df.queryExecution.executedPlan)
+    // the (doc,w1,w2,tf) triples are ScratchCache-materialized: the
+    // bigram-count side and the probe side both read the cached
+    // relation instead of re-running the tokenize+explode subtree
+    val memScans = nodes.filter(_.getClass.getSimpleName.startsWith("InMemoryTableScan"))
+    assert(memScans.size >= 2,
+      s"both join sides must read the scratch triples, got ${memScans.size}:\n" +
+        df.queryExecution.executedPlan.toString.take(800))
   }
 }
