@@ -191,6 +191,11 @@ object SparkEntry {
     // exploded facet counts + array_contains-filtered vector search
     "tag_facets" -> ((s, d) => Analytics.tagFacets(s, d)),
     "vs_tag_filtered" -> ((s, d) => VectorSearch.tagFilteredTopK(s, d, queryId = 0, tag = "len:1", k = 10)),
+    // related-facets panel: per-pair doc counts over the tag arrays
+    "tag_cooc" -> ((s, d) => Analytics.tagCooccurrence(s, d)),
+    // MMR diversified rerank (rows-only: driver greedy over a bounded
+    // candidate fetch; invariants spec-asserted in VectorSearchSpec)
+    "vs_mmr_topk" -> ((s, d) => VectorSearch.mmrRerank(s, d, queryId = 0, k = 10, fetchK = 30, lambda = 0.7)),
     // session-based recommendation: events → profile vector → top-k
     "recommend_user" -> ((s, d) => VectorSearch.recommendForUser(s, d, userId = 7L, k = 10)),
     // per-source dedup summary (exact copies + near-dup involvement)
@@ -1131,6 +1136,15 @@ object SparkEntry {
         |ex AS (SELECT unnest(tags) AS tag FROM tg)
         |SELECT tag, count(*)::BIGINT AS n_docs FROM ex
         |GROUP BY 1 ORDER BY n_docs DESC, tag""".stripMargin,
+    // unordered pairs via double unnest + lexicographic guard — the
+    // same construction as the Spark chained explodes
+    "tag_cooc" ->
+      """WITH tg AS (SELECT [lang, 'src:' || source, 'len:' || (n_chars // 500)::VARCHAR] AS tags FROM documents),
+        |ex AS (SELECT tags, unnest(tags) AS tag_a FROM tg),
+        |px AS (SELECT tag_a, unnest(tags) AS tag_b FROM ex)
+        |SELECT tag_a, tag_b, count(*)::BIGINT AS n_docs FROM px
+        |WHERE tag_a < tag_b
+        |GROUP BY 1, 2 ORDER BY n_docs DESC, tag_a, tag_b LIMIT 30""".stripMargin,
     "vs_tag_filtered" ->
       s"""WITH tg AS (SELECT doc_id FROM documents
          |            WHERE list_contains([lang, 'src:' || source, 'len:' || (n_chars // 500)::VARCHAR], 'len:1')),

@@ -150,6 +150,26 @@ object Analytics {
       .groupBy(col("tag")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("tag"))
 
+  /** Tag co-occurrence — the "related facets" panel: for every pair of
+    * tags appearing on the same document, how many documents carry
+    * both. Pairs are ordered lexicographically (tag_a < tag_b) so each
+    * unordered pair counts once; top-N by count with full tie-break.
+    *
+    * Scale: a narrow per-doc explode of the (bounded, per-doc) tag
+    * array against itself — pair volume is O(docs · tags²) with tags
+    * per doc a small constant, never a corpus join; then one
+    * map-side-combined aggregate and TakeOrdered.
+    */
+  def tagCooccurrence(spark: SparkSession, dir: String, topN: Int = 30): DataFrame =
+    docTags(spark, dir)
+      .select(col("tags"), explode(col("tags")).as("tag_a"))
+      .select(col("tag_a"), explode(col("tags")).as("tag_b"))
+      .where(col("tag_a") < col("tag_b"))
+      .groupBy(col("tag_a"), col("tag_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("tag_a"), col("tag_b"))
+      .limit(topN)
+
   /** Facet value counts (reference app.py:138 sidebar brand facet). */
   def brandFacets(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)

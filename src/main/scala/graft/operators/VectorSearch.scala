@@ -330,4 +330,65 @@ object VectorSearch {
       .select(col("label"), col("vec_id"), col("dist_sq"), col("rk"))
       .orderBy(col("label"), col("rk"))
   }
+
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diversified top-k: fetch the `fetchK` most relevant candidates,
+    * then greedily select `k` maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-selected — the
+    * standard post-retrieval diversifier (a catalog UI showing ten
+    * near-identical variants of one product is a worse panel than ten
+    * relevant-but-distinct ones).
+    *
+    * Scale: the DISTRIBUTED part is the candidate fetch (the same
+    * TakeOrdered single-scan plan as [[topK]], with embeddings riding
+    * along); the greedy rerank is inherently sequential over fetchK
+    * rows (k·fetchK·dim flops on ≤ fetchK vectors) and runs on the
+    * driver like every post-retrieval rerank — bounded planning-sized
+    * data, NOT a corpus collect. Ties break on (score, relevance,
+    * lower id) so the output is deterministic; λ=1 reduces exactly to
+    * [[topK]] order.
+    */
+  def mmrRerank(spark: SparkSession, dir: String, queryId: Long, k: Int = 10,
+                fetchK: Int = 30, lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1]: $lambda")
+    require(fetchK >= k, s"fetchK $fetchK must be >= k $k")
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
+    val q = e.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    val cands = e.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("relevance"),
+        col("embedding"), col("nrm"))
+      .orderBy(col("relevance").desc, col("vec_id"))
+      .limit(fetchK)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Float](2).toArray, r.getDouble(3)))
+    def cos(a: (Long, Double, Array[Float], Double),
+            b: (Long, Double, Array[Float], Double)): Double = {
+      var s = 0.0; var i = 0
+      while (i < a._3.length) { s += a._3(i).toDouble * b._3(i).toDouble; i += 1 }
+      s / (a._4 * b._4)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[((Long, Double, Array[Float], Double), Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands.indices: _*)
+    while (selected.size < math.min(k, cands.length)) {
+      val best = remaining.maxBy { ri =>
+        val c = cands(ri)
+        val maxSim = if (selected.isEmpty) 0.0
+                     else selected.iterator.map(s => cos(c, s._1)).max
+        (lambda * c._2 - (1 - lambda) * maxSim, c._2, -c._1)
+      }
+      val c = cands(best)
+      val maxSim = if (selected.isEmpty) 0.0
+                   else selected.iterator.map(s => cos(c, s._1)).max
+      selected += ((c, lambda * c._2 - (1 - lambda) * maxSim))
+      remaining -= best
+    }
+    selected.zipWithIndex.map { case ((c, s), i) =>
+      (i + 1L, c._1, c._2, math.rint(s * 1e5) / 1e5)
+    }.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
 }

@@ -449,6 +449,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("tag co-occurrence is narrow explodes + one aggregate + TakeOrdered") {
+    val df = Analytics.tagCooccurrence(spark, TestSpark.sf)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(shuffles == 1, s"pair counting must aggregate in one shuffle, got $shuffles:\n" + p.take(800))
+    assert(!p.contains("Join"), "pairs come from the array, not a corpus join:\n" + p.take(800))
+  }
+
   test("bigram NLL probes and counts off one materialized triple pass") {
     val df = graft.operators.TextAnalysis.bigramLogProb(spark, TestSpark.sf)
     df.collect()

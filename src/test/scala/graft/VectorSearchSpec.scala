@@ -485,4 +485,65 @@ class VectorSearchSpec extends AnyFunSuite {
     // eigen order: retained variance is non-increasing across components
     assert(vars.sliding(2).forall(p => p(0) >= p(1) - 1e-6), vars.toString)
   }
+
+  test("mmr with lambda=1 reduces exactly to topK order") {
+    val mmr = VectorSearch.mmrRerank(spark, TestSpark.sf, queryId = 0, k = 10,
+      fetchK = 30, lambda = 1.0).collect()
+    val top = VectorSearch.topK(spark, TestSpark.sf, queryId = 0, k = 10).collect()
+    assert(mmr.map(_.getLong(1)).toSeq == top.map(_.getLong(0)).toSeq)
+    // and mmr_score degenerates to the relevance itself
+    mmr.foreach(r => assert(math.abs(r.getDouble(3) - r.getDouble(2)) < 1e-9))
+  }
+
+  test("mmr greedy invariant: every pick maximizes the marginal score") {
+    val lambda = 0.7
+    val fetchK = 30
+    val out = VectorSearch.mmrRerank(spark, TestSpark.sf, queryId = 0, k = 10,
+      fetchK = fetchK, lambda = lambda).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(1)).distinct.length == 10, "no duplicate picks")
+    // recompute the candidate set independently and replay the greedy
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val q = e.where(col("vec_id") === 0L).collect().head
+      .getSeq[Float](e.columns.indexOf("embedding")).toArray
+    def nrm(v: Array[Float]) = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    def cosRaw(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum / (nrm(a) * nrm(b))
+    val cands = e.where(col("vec_id") =!= 0L).collect()
+      .map { r =>
+        val v = r.getSeq[Float](e.columns.indexOf("embedding")).toArray
+        (r.getLong(e.columns.indexOf("vec_id")),
+          math.rint(cosRaw(v, q) * 1e5) / 1e5, v)
+      }
+      .sortBy { case (id, rel, _) => (-rel, id) }
+      .take(fetchK)
+    // first pick is the relevance argmax
+    assert(out.head.getLong(1) == cands.head._1)
+    val byId = cands.map(c => c._1 -> c).toMap
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float])]
+    out.foreach { r =>
+      val id = r.getLong(1)
+      val c = byId(id)
+      val myScore = lambda * c._2 - (1 - lambda) *
+        (if (picked.isEmpty) 0.0 else picked.map(p => cosRaw(c._3, p._3)).max)
+      // no unpicked candidate strictly beats the recorded pick
+      cands.filterNot(x => picked.exists(_._1 == x._1) || x._1 == id).foreach { o =>
+        val oScore = lambda * o._2 - (1 - lambda) *
+          (if (picked.isEmpty) 0.0 else picked.map(p => cosRaw(o._3, p._3)).max)
+        assert(oScore <= myScore + 1e-9,
+          s"candidate ${o._1} ($oScore) beats pick $id ($myScore)")
+      }
+      picked += c
+    }
+  }
+
+  test("mmr with low lambda diversifies away from the pure top-k panel") {
+    val pure = VectorSearch.topK(spark, TestSpark.sf, queryId = 0, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val div = VectorSearch.mmrRerank(spark, TestSpark.sf, queryId = 0, k = 10,
+      fetchK = 30, lambda = 0.2).collect().map(_.getLong(1)).toSeq
+    // with strong diversity pressure the panel cannot keep the pure
+    // relevance ORDER — a redundant near-duplicate gets pushed down
+    assert(div != pure, "lambda=0.2 panel should reorder vs pure relevance")
+  }
 }
