@@ -31,6 +31,10 @@ object SparkEntry {
     // app.py:221-241): "more like product 7, but only en/long docs"
     "vs_item_similar_filtered" -> ((s, d) => VectorSearch.metaFilteredTopK(s, d, queryId = 7, k = 10, lang = "en", minChars = 200L)),
     "knn_label_precision" -> ((s, d) => VectorSearch.knnLabelPrecision(s, d, queryMod = 100, k = 10)),
+    // kNN majority-vote label prediction over the same query batch
+    "knn_classify" -> ((s, d) => VectorSearch.knnClassify(s, d, queryMod = 100, k = 10)),
+    // per-label embedding L2-norm distribution (encoder sanity check)
+    "embed_norm_stats" -> ((s, d) => VectorSearch.embedNormStats(s, d)),
     "ann_knn_join_heap" -> ((s, d) => TopK.knnJoinHeap(s, d, queryMod = 100, k = 5)),
     "ann_sq8_topk" -> ((s, d) => Quantized.sq8TopK(s, d, queryId = 0, k = 10)),
     "embed_project" -> ((s, d) => Quantized.randomProject(s, d)),
@@ -92,6 +96,8 @@ object SparkEntry {
     "events_props_parse" -> ((s, d) => Analytics.propsParse(s, d)),
     // behavioral item-item recommender (co-engagement counts)
     "item_cooc" -> ((s, d) => Analytics.itemCooccurrence(s, d)),
+    // support/confidence/lift rules over the same engagement baskets
+    "assoc_rules" -> ((s, d) => Analytics.assocRules(s, d)),
     // RFM quartile segmentation (broadcast cutoffs, no global sort)
     "user_rfm" -> ((s, d) => Analytics.userRfm(s, d)),
     // strict ordered funnel (first-occurrence ordering per user)
@@ -111,7 +117,19 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringDedup(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
+    // cross-doc boilerplate trigrams (df >= 5), top-20 by df
+    "boilerplate_ngrams" -> ((s, d) => Dedup.boilerplateNgrams(s, d)),
+    // per-doc fraction of shingles that are corpus boilerplate
+    "boilerplate_ratio" -> ((s, d) => Dedup.boilerplateRatio(s, d)),
+    // pairwise source-level shingle-set Jaccard (mirror detector)
+    "source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
+    // declared-vs-detected language confusion cells with witness ids
+    "lang_mismatch" -> ((s, d) => TextAnalysis.langMismatch(s, d)),
+    // Zipf slope/intercept over the top-100 vocabulary
+    "vocab_zipf" -> ((s, d) => TextAnalysis.vocabZipf(s, d)),
+    // per-source unigram KL divergence from the corpus distribution
+    "source_kl" -> ((s, d) => TextAnalysis.sourceKl(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -467,6 +485,28 @@ object SparkEntry {
          |       count(*) FILTER (WHERE n_label = q_label) AS n_match,
          |       count(*) FILTER (WHERE n_label = q_label) / 10.0 AS precision
          |FROM r GROUP BY 1, 2 ORDER BY q_id""".stripMargin,
+    "knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |s AS (SELECT q.q_id, q.q_label, e.vec_id AS n_id, e.label AS n_label,
+         |             ${cos5("e.embedding", "q.qv")} AS score
+         |      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+         |      FROM s QUALIFY rk <= 10),
+         |v AS (SELECT q_id, q_label, n_label, count(*) AS n_votes FROM r GROUP BY 1, 2, 3),
+         |p AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, n_label) AS vr
+         |      FROM v QUALIFY vr = 1)
+         |SELECT q_id, q_label::BIGINT AS q_label, n_label::BIGINT AS pred_label, n_votes,
+         |       q_label = n_label AS correct
+         |FROM p ORDER BY q_id""".stripMargin,
+    "embed_norm_stats" ->
+      """WITH n AS (SELECT label::BIGINT AS label,
+        |                  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 5) AS nrm
+        |           FROM embeddings)
+        |SELECT label, count(*) AS n_vecs, round(avg(nrm), 4) AS avg_norm,
+        |       round(stddev(nrm), 4) AS std_norm,
+        |       round(min(nrm), 5) AS min_norm, round(max(nrm), 5) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
     "tfidf_topk" ->
       s"""WITH $tfidfCtes,
          |q AS (SELECT term FROM (VALUES ('spark'), ('join'), ('vector')) t(term)),
@@ -623,6 +663,26 @@ object SparkEntry {
         |       row_number() OVER (PARTITION BY item_id
         |                          ORDER BY n_users DESC, rec_item_id) AS rk
         |FROM pairs QUALIFY rk <= 5 ORDER BY item_id, rk""".stripMargin,
+    "assoc_rules" ->
+      """WITH ui AS (SELECT DISTINCT user_id,
+        |                   json_extract_string(props, '$.k')::BIGINT AS item_id
+        |            FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')
+        |              AND json_extract_string(props, '$.k') IS NOT NULL),
+        |deg AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+        |capped AS (SELECT ui.user_id, ui.item_id FROM ui
+        |           JOIN deg USING (user_id) WHERE deg.basket <= 500),
+        |tot AS (SELECT count(DISTINCT user_id) AS n_baskets FROM capped),
+        |supp AS (SELECT item_id, count(*) AS supp FROM capped GROUP BY 1),
+        |ps AS (SELECT a.item_id AS antecedent, b.item_id AS consequent, count(*) AS supp_ab
+        |       FROM capped a JOIN capped b USING (user_id)
+        |       WHERE a.item_id <> b.item_id GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT antecedent, consequent, supp_ab,
+        |       round(supp_ab / sa.supp, 5) AS confidence,
+        |       round(supp_ab * tot.n_baskets / (sa.supp * sb.supp), 5) AS lift
+        |FROM ps JOIN supp sa ON sa.item_id = antecedent
+        |JOIN supp sb ON sb.item_id = consequent, tot
+        |ORDER BY lift DESC, antecedent, consequent LIMIT 25""".stripMargin,
     // quartile cutoffs via quantile_cont ≡ Spark percentile, rounded
     // to 5 on both engines before the bucket comparison
     "user_rfm" ->
@@ -714,6 +774,37 @@ object SparkEntry {
          |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
          |WHERE round(inter / (sa.sz + sb.sz - inter), 5) >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
+    "boilerplate_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh3 AS (SELECT DISTINCT doc_id, shingle FROM
+        |  (SELECT doc_id, unnest([array_to_string(toks[i+1:i+3], ' ') for i in range(len(toks) - 2)]) AS shingle FROM t)),
+        |dfv AS (SELECT shingle, count(*) AS df FROM sh3 GROUP BY 1)
+        |SELECT shingle, df FROM dfv WHERE df >= 5
+        |ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+    "boilerplate_ratio" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh3 AS (SELECT DISTINCT doc_id, shingle FROM
+        |  (SELECT doc_id, unnest([array_to_string(toks[i+1:i+3], ' ') for i in range(len(toks) - 2)]) AS shingle FROM t)),
+        |dfv AS (SELECT shingle, count(*) AS df FROM sh3 GROUP BY 1)
+        |SELECT s.doc_id, count(*) AS n_shingles,
+        |       count(*) FILTER (WHERE d.df >= 5) AS n_boiler,
+        |       round(count(*) FILTER (WHERE d.df >= 5) / count(*), 5) AS boiler_ratio
+        |FROM sh3 s JOIN dfv d USING (shingle)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT DISTINCT source, shingle FROM
+        |  (SELECT source, unnest([array_to_string(toks[i+1:i+5], ' ') for i in range(len(toks) - 4)]) AS shingle FROM t)),
+        |hot AS (SELECT shingle FROM shs GROUP BY 1 HAVING count(*) > 1000),
+        |shc AS (SELECT source, shingle FROM shs ANTI JOIN hot USING (shingle)),
+        |sz AS (SELECT source, count(*) AS sz FROM shc GROUP BY 1),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.source < b.source
+        |          GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared,
+        |       round(n_shared / (sa.sz + sb.sz - n_shared), 5) AS jaccard
+        |FROM inter JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $shingleCtes,
          |hs AS (SELECT doc_id, i,
@@ -772,6 +863,40 @@ object SparkEntry {
          |p AS (SELECT doc_id, lang, ${langCase("")} AS pred_lang FROM s)
          |SELECT doc_id, pred_lang, lang, pred_lang = lang AS correct
          |FROM p ORDER BY doc_id""".stripMargin
+    },
+    "vocab_zipf" ->
+      """WITH terms AS (SELECT unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+        |tf AS (SELECT term, count(*) AS tf FROM terms GROUP BY 1),
+        |top AS (SELECT term, tf FROM tf ORDER BY tf DESC, term LIMIT 100),
+        |r AS (SELECT ln(row_number() OVER (ORDER BY tf DESC, term)) AS x, ln(tf) AS y FROM top),
+        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * x) AS sxx, sum(x * y) AS sxy FROM r)
+        |SELECT n AS n_terms,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept
+        |FROM s""".stripMargin,
+    "source_kl" ->
+      """WITH terms AS (SELECT source, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+        |stf AS (SELECT source, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |stot AS (SELECT source, sum(tf)::BIGINT AS t_src, count(*) AS n_terms FROM stf GROUP BY 1),
+        |ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM stf GROUP BY 1),
+        |ctot AS (SELECT sum(ctf)::BIGINT AS t_corp FROM ctf)
+        |SELECT s.source, st.t_src AS n_tokens, st.n_terms,
+        |       round(sum((s.tf / st.t_src) * ln((s.tf / st.t_src) / (c.ctf / ct.t_corp))), 4) AS kl
+        |FROM stf s JOIN ctf c USING (term) JOIN stot st USING (source), ctot ct
+        |GROUP BY 1, 2, 3 ORDER BY source""".stripMargin,
+    "lang_mismatch" -> {
+      val scores = TextAnalysis.markers.map { case (l, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), x -> list_contains([$lst], x))) AS s_$l"
+      }.mkString(",\n       ")
+      s"""WITH s AS (SELECT doc_id, lang,
+         |       $scores
+         |FROM documents),
+         |p AS (SELECT doc_id, lang, ${langCase("")} AS pred_lang FROM s)
+         |SELECT lang, pred_lang, count(*) AS n_docs, min(doc_id) AS first_doc
+         |FROM p WHERE pred_lang <> lang
+         |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
     },
     "text_quality" ->
       """SELECT doc_id, length(text) AS len_chars,

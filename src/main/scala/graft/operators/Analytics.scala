@@ -533,6 +533,52 @@ object Analytics {
       .orderBy(col("item_id"), col("rk"))
   }
 
+  /** Association rules over the user-item engagement baskets — the
+    * classic support/confidence/lift mining ([[itemCooccurrence]]
+    * counts the co-occurrences; this turns them into scored rules
+    * `a → b` a merchandiser can rank by lift). Confidence and lift are
+    * exact integer ratios (supp_ab/supp_a and
+    * supp_ab·N/(supp_a·supp_b)) rounded once at the end, so both
+    * engines compute identical doubles from identical counts.
+    *
+    * Scale shape: the same basket-capped pair join as
+    * [[itemCooccurrence]] (per-user baskets bounded by `maxBasket`, so
+    * the pair explode is ≤ maxBasket² per user, never corpus-quadratic)
+    * + two item-support joins whose build side is one row per item
+    * (AQE/broadcast picks) + a 1-row basket-count broadcast. Output
+    * bounded by TakeOrdered top-N.
+    */
+  def assocRules(spark: SparkSession, dir: String, minSupport: Long = 3L,
+                 topN: Int = 25, maxBasket: Int = 500): DataFrame = {
+    val ui = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .distinct()
+    val deg = ui.groupBy(col("user_id")).agg(count(lit(1)).as("basket"))
+    val capped = ui.join(deg.where(col("basket") <= maxBasket), Seq("user_id"))
+      .select(col("user_id"), col("item_id"))
+    val total = capped.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val supp = capped.groupBy(col("item_id")).agg(count(lit(1)).as("supp"))
+    val pairSupp = capped
+      .join(capped.select(col("user_id"), col("item_id").as("conseq")), Seq("user_id"))
+      .where(col("item_id") =!= col("conseq"))
+      .groupBy(col("item_id").as("antecedent"), col("conseq").as("consequent"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .where(col("supp_ab") >= minSupport)
+    pairSupp
+      .join(supp.select(col("item_id").as("antecedent"), col("supp").as("supp_a")), "antecedent")
+      .join(supp.select(col("item_id").as("consequent"), col("supp").as("supp_b")), "consequent")
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("supp_ab"),
+        round(col("supp_ab") / col("supp_a"), 5).as("confidence"),
+        round(col("supp_ab") * col("n_baskets") / (col("supp_a") * col("supp_b")), 5).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(topN)
+  }
+
   /** Trending items — exponentially time-decayed engagement score per
     * item (the "popular right now" fallback every recommender serves
     * cold-start users): each engagement contributes

@@ -190,6 +190,92 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Cross-document boilerplate n-grams: the shingles that recur in at
+    * least `minDf` distinct documents (headers, footers, license
+    * blurbs, template fragments — C4/Gopher-style curation looks for
+    * exactly these before near-dup scoring, because boilerplate both
+    * inflates pair similarity and pollutes training text). Shorter
+    * shingles than the dedup default (n=3) because boilerplate phrases
+    * repeat at phrase length, not paragraph length.
+    *
+    * Scale shape: the cached distinct-per-doc shingle frame → one
+    * map-side-combined count per shingle → global top-N via
+    * TakeOrderedAndProject. No join, no quadratic term anywhere.
+    */
+  def boilerplateNgrams(spark: SparkSession, dir: String, n: Int = 3, minDf: Long = 5L,
+                        topN: Int = 20): DataFrame =
+    cachedShingles(spark, dir, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(topN)
+
+  /** Per-document boilerplate ratio: the fraction of each document's
+    * distinct n-gram shingles whose corpus document frequency is
+    * ≥ `minDf` — the gate value a curation pipeline thresholds on to
+    * drop template-dominated documents.
+    *
+    * Scale shape: shingle frame → per-shingle df aggregate → equi-join
+    * back on shingle → per-doc aggregate. The join's build side carries
+    * ONE row per shingle (the df), so even a pathologically hot
+    * boilerplate shingle only replicates that single row across its
+    * occurrences — sort-merge/AQE handles it without a df cap; the
+    * per-doc aggregate is map-side combined.
+    */
+  def boilerplateRatio(spark: SparkSession, dir: String, n: Int = 3,
+                       minDf: Long = 5L): DataFrame = {
+    val sh = cachedShingles(spark, dir, n)
+    val dfv = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(dfv, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") >= minDf, lit(1))).as("n_boiler"))
+      .withColumn("boiler_ratio", round(col("n_boiler") / col("n_shingles"), 5))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Source-level overlap diagnostics: pairwise Jaccard between each
+    * pair of sources' distinct shingle sets. Before mixing corpora a
+    * pipeline wants to know which sources are re-crawls / mirrors of
+    * each other — pair-level near-dup ([[ngramJaccard]]) answers
+    * "which documents", this answers "which SOURCES" in one aggregate
+    * view (the number the sample_mixture weights should be corrected
+    * by).
+    *
+    * Scale shape: distinct (source, shingle) — cardinality bounded by
+    * sources × shingle vocabulary, far below the document shingle
+    * frame — then the standard df-capped shingle-keyed self-join
+    * ([[dfCapped]], cap = `maxDf` SOURCES sharing a shingle; a shingle
+    * in more sources than that carries no pair information, exactly
+    * the ngramJaccard argument one level up). Source pair count is
+    * quadratic only in the number of SOURCES sharing shingles, and the
+    * per-source size/join frames are tiny → broadcast.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String, n: Int = 5,
+                    maxDf: Long = 1000L): DataFrame = {
+    val toks = split(col("text"), " ")
+    val sh = dfCapped(
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("source"),
+          explode(when(size(toks) >= n,
+            transform(sequence(lit(0), size(toks) - lit(n)),
+              i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+            .otherwise(array().cast("array<string>"))).as("shingle"))
+        .distinct(),
+      "shingle", maxDf)
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sz_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("sz_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared") / (col("sz_a") + col("sz_b") - col("n_shared")), 5).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** MinHash signatures, wide format (doc_id, mh0..mh{k-1}): k
     * independent hash functions realized as 8-hex-char (32-bit) chunks
     * of md5(seed || '|' || shingle) — one md5 evaluation yields four

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -45,6 +46,85 @@ object TextAnalysis {
     scored.select(col("doc_id"), pred.as("pred_lang"), col("lang"),
         (pred === col("lang")).as("correct"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Language-metadata audit: the (declared, detected) confusion cells
+    * where [[langId]]'s n-gram detector disagrees with the corpus's
+    * `lang` column, with a witness doc id per cell. Mislabeled
+    * language metadata silently routes documents through the wrong
+    * curation filters — a pipeline wants this audit before trusting
+    * the column for mixture weights or per-language quality gates.
+    *
+    * Scale shape: [[langId]]'s narrow scan + one map-side-combined
+    * aggregate; output rows bounded by |langs|².
+    */
+  def langMismatch(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir).where(!col("correct"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  /** Zipf-law fit over the corpus vocabulary: least-squares slope of
+    * ln(tf) on ln(rank) across the top-N terms. Natural text sits near
+    * slope −1; a corpus whose slope collapses toward 0 (template spam)
+    * or steepens sharply (tiny vocabulary, generated text) fails the
+    * distributional sanity check before training sees it.
+    *
+    * Scale shape: one map-side-combined term count + TakeOrdered
+    * top-N; the regression runs over those N rows only (single
+    * bounded-width window, then one tiny aggregate). Same sklearn
+    * tokenizer as the TF-IDF surface so vocab numbers line up across
+    * queries.
+    */
+  def vocabZipf(spark: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    val top = Tables.documents(spark, dir)
+      .select(explode(TextRetrieval.sklearnTokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term")).limit(topN)
+    val w = Window.orderBy(col("tf").desc, col("term"))
+    val xy = top.withColumn("rank", row_number().over(w))
+      .select(log(col("rank")).as("x"), log(col("tf")).as("y"))
+    xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 4)
+          .as("intercept"))
+  }
+
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * the distribution-shift score behind mixture decisions: a source
+    * whose KL spikes writes in a different register (or is machine
+    * noise) relative to the pool it's being mixed into.
+    * KL(src ‖ corpus) = Σ_t p_t · ln(p_t/q_t) over the source's own
+    * terms (p_t > 0 there, and q_t > 0 because the corpus contains the
+    * source — no smoothing needed).
+    *
+    * Scale shape: one (source, term) count; corpus counts derive from
+    * it by a second map-side-combined agg (the text is scanned ONCE);
+    * the join back is term-keyed with one corpus row per term —
+    * skew-safe like every single-row-build-side join; per-source
+    * totals broadcast.
+    */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val srcTf = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextRetrieval.sklearnTokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val srcTot = srcTf.groupBy(col("source"))
+      .agg(sum(col("tf")).as("t_src"), count(lit(1)).as("n_terms"))
+    val corpTf = srcTf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val corpTot = corpTf.agg(sum(col("ctf")).as("t_corp"))
+    srcTf.join(corpTf, "term")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(corpTot))
+      .select(col("source"), col("t_src"), col("n_terms"),
+        ((col("tf") / col("t_src")) *
+          log((col("tf") / col("t_src")) / (col("ctf") / col("t_corp")))).as("contrib"))
+      .groupBy(col("source"), col("t_src").as("n_tokens"), col("n_terms"))
+      .agg(round(sum(col("contrib")), 4).as("kl"))
+      .orderBy(col("source"))
   }
 
   /** Text normalization — the reference's preprocessing step before

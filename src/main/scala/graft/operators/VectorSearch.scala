@@ -115,6 +115,61 @@ object VectorSearch {
       .orderBy(col("q_id"))
   }
 
+  /** kNN majority-vote classification over the embedding space — the
+    * label-prediction twin of [[knnLabelPrecision]] (same sampled
+    * query batch, same exact top-k): each query's predicted label is
+    * the mode of its k nearest neighbors' labels, ties broken toward
+    * the smaller label id so the vote is deterministic on both the
+    * engine and the DuckDB oracle.
+    *
+    * Scale shape: identical to [[knnLabelPrecision]] — tiny broadcast
+    * query batch, one corpus scan, per-query window top-k — plus one
+    * extra aggregate over k rows per query (negligible).
+    */
+  def knnClassify(spark: SparkSession, dir: String, queryMod: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
+    val q = e.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("label").as("n_label"), col("vec_id").as("n_id"),
+        round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    val votes = scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .groupBy(col("q_id"), col("q_label"), col("n_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val vw = Window.partitionBy(col("q_id")).orderBy(col("n_votes").desc, col("n_label"))
+    votes.withColumn("vr", row_number().over(vw)).where(col("vr") === 1)
+      .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+        col("n_label").cast("long").as("pred_label"), col("n_votes"),
+        (col("q_label") === col("n_label")).as("correct"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Embedding-corpus sanity stats: per-label vector count and L2-norm
+    * distribution (mean/std/min/max). The first thing a pipeline
+    * checks after an embedding run — collapsed norms or a label whose
+    * norms drifted signal an encoder bug before anything downstream
+    * spends compute on the vectors.
+    *
+    * Scale shape: one narrow scan + one map-side-combined aggregate;
+    * output rows = label cardinality. Norms are rounded to 5 decimals
+    * BEFORE aggregating so both engines aggregate identical values;
+    * mean/std round to 4 to absorb summation-order drift.
+    */
+  def embedNormStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        round(l2norm(col("embedding")), 5).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("nrm")), 4).as("avg_norm"),
+        round(stddev(col("nrm")), 4).as("std_norm"),
+        round(min(col("nrm")), 5).as("min_norm"),
+        round(max(col("nrm")), 5).as("max_norm"))
+      .orderBy(col("label"))
+
   /** Two-stage retrieval where the metadata lives in ANOTHER table
     * (reference app.py:156-164 filters product metadata before
     * searching embeddings): candidate set = documents join on id.

@@ -310,4 +310,68 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("vec_id")).toSet == inPairs,
       "clustered ids must be exactly the docs appearing in a within-cell pair")
   }
+
+  /** Driver-side distinct trigram sets per doc — the recount base for
+    * the boilerplate specs. */
+  private def trigramSets(): Map[Long, Set[String]] =
+    Tables.documents(spark, TestSpark.sf).select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val sh = if (toks.length >= 3)
+          (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+        else Set.empty[String]
+        (r.getLong(0), sh)
+      }.toMap
+
+  test("boilerplate ngrams match a driver-side df recount") {
+    val sets = trigramSets()
+    val df = sets.values.flatten.groupBy(identity).map { case (s, o) => (s, o.size.toLong) }
+    val expected = df.filter(_._2 >= 3).toSeq
+      .sortBy { case (s, d) => (-d, s) }.take(20)
+    val got = Dedup.boilerplateNgrams(spark, TestSpark.sf, minDf = 3, topN = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
+
+  test("boilerplate ratio matches a per-doc recount against the df>=cap set") {
+    val sets = trigramSets()
+    val df = sets.values.flatten.groupBy(identity).map { case (s, o) => (s, o.size) }
+    val boiler = df.filter(_._2 >= 3).keySet
+    val got = Dedup.boilerplateRatio(spark, TestSpark.sf, minDf = 3).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // only docs with >=1 shingle appear
+    assert(got.keySet == sets.filter(_._2.nonEmpty).keySet)
+    sets.filter(_._2.nonEmpty).foreach { case (id, sh) =>
+      val (nSh, nB) = got(id)
+      assert(nSh == sh.size, s"doc $id shingle count")
+      assert(nB == sh.count(boiler), s"doc $id boilerplate count")
+    }
+    assert(got.values.exists(_._2 > 0), "corpus has boilerplate-bearing docs")
+  }
+
+  test("source overlap matches a driver-side pairwise jaccard over source shingle sets") {
+    val docs = Tables.documents(spark, TestSpark.sf).select("source", "text").collect()
+    val bySource = docs.groupBy(_.getString(0)).map { case (s, rs) =>
+      (s, rs.flatMap { r =>
+        val toks = r.getString(1).split(" ", -1)
+        if (toks.length >= 5)
+          (0 to toks.length - 5).map(i => toks.slice(i, i + 5).mkString(" "))
+        else Seq.empty
+      }.toSet)
+    }
+    def r5(x: Double): Double =
+      BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (for {
+      (sa, xa) <- bySource; (sb, xb) <- bySource
+      if sa < sb
+      inter = (xa & xb).size
+      if inter > 0
+    } yield ((sa, sb), (inter.toLong, r5(inter.toDouble / (xa.size + xb.size - inter)))))
+      .toMap
+    val got = Dedup.sourceOverlap(spark, TestSpark.sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty, "synthetic near-dups straddle sources")
+    assert(got == expected)
+  }
 }

@@ -70,6 +70,76 @@ class OperatorSpec extends AnyFunSuite {
     assert(e > 0 && math.abs(a - e).toDouble / e <= 0.05, s"exact $e approx $a")
   }
 
+  test("association rules match a driver-side basket recount") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ui = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val baskets = ui.groupBy(_._1).values.map(_.map(_._2).toSet).filter(_.size <= 500).toSeq
+    val n = baskets.size
+    val supp = baskets.flatten.groupBy(identity).map { case (i, o) => (i, o.size) }
+    val pairSupp = baskets
+      .flatMap(b => for (a <- b.toSeq; c <- b.toSeq if a != c) yield (a, c))
+      .groupBy(identity).map { case (p, o) => (p, o.size) }.filter(_._2 >= 3)
+    val expected = pairSupp.map { case ((a, c), s) =>
+      (a, c, s.toLong, r5(s.toDouble / supp(a)),
+        r5(s.toDouble * n / (supp(a).toDouble * supp(c))))
+    }.toSeq.sortBy(t => (-t._5, t._1, t._2)).take(25)
+    val got = graft.operators.Analytics.assocRules(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
+
+  test("zipf fit slopes negative and matches a driver-side regression") {
+    val re = "[a-z0-9_]+".r
+    val tf = Tables.documents(spark, TestSpark.sf).select("text").collect()
+      .flatMap(r => re.findAllIn(r.getString(0).toLowerCase).filter(_.length >= 2))
+      .groupBy(identity).map { case (t, o) => (t, o.size) }
+    val top = tf.toSeq.sortBy { case (t, c) => (-c, t) }.take(100)
+    val xy = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val (n, sx, sy) = (xy.size.toDouble, xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    val row = graft.operators.TextAnalysis.vocabZipf(spark, TestSpark.sf).head()
+    // the tiny test corpus has < 100 distinct terms — the fit uses all
+    assert(row.getLong(0) == top.size)
+    assert(row.getDouble(1) < 0, "natural-ish text must slope downward")
+    assert(math.abs(row.getDouble(1) - slope) < 1e-3, s"slope ${row.getDouble(1)} vs $slope")
+    assert(math.abs(row.getDouble(2) - intercept) < 1e-3)
+  }
+
+  test("per-source KL matches a driver-side recount and is non-negative") {
+    val re = "[a-z0-9_]+".r
+    val rows = Tables.documents(spark, TestSpark.sf).select("source", "text").collect()
+      .map(r => (r.getString(0), re.findAllIn(r.getString(1).toLowerCase)
+        .filter(_.length >= 2).toSeq))
+    val srcTf = rows.groupBy(_._1).map { case (s, docs) =>
+      (s, docs.flatMap(_._2).groupBy(identity).map { case (t, o) => (t, o.size.toLong) })
+    }
+    val corpTf = srcTf.values.flatten.groupBy(_._1).map { case (t, o) => (t, o.map(_._2).sum) }
+    val tCorp = corpTf.values.sum.toDouble
+    val got = graft.operators.TextAnalysis.sourceKl(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == srcTf.keySet)
+    srcTf.foreach { case (s, tfm) =>
+      val tSrc = tfm.values.sum.toDouble
+      val kl = tfm.map { case (t, c) =>
+        (c / tSrc) * math.log((c / tSrc) / (corpTf(t) / tCorp)) }.sum
+      val (nTok, nTerms, gotKl) = got(s)
+      assert(nTok == tfm.values.sum && nTerms == tfm.size, s"source $s counts")
+      assert(gotKl >= 0.0, "KL is non-negative")
+      assert(math.abs(gotKl - kl) < 1e-3, s"source $s kl $gotKl vs $kl")
+    }
+  }
+
   test("rrf fusion is consistent with its own emitted ranks") {
     val rows = graft.operators.TextRetrieval
       .rrfTopK(spark, TestSpark.sf, SparkEntry.demoQueryVec,

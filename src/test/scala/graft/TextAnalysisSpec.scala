@@ -234,6 +234,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(viaText == viaTokens)
   }
 
+  test("lang mismatch cells recount langId's incorrect rows exactly") {
+    val bad = TextAnalysis.langId(spark, TestSpark.sf)
+      .where(!col("correct")).collect()
+      .map(r => ((r.getAs[String]("lang"), r.getAs[String]("pred_lang")), r.getLong(0)))
+    val expected = bad.groupBy(_._1).map { case (k, v) =>
+      (k, (v.length.toLong, v.map(_._2).min)) }
+    val got = TextAnalysis.langMismatch(spark, TestSpark.sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty, "detector and metadata disagree somewhere")
+    assert(got == expected)
+    // mismatch cells only — the diagonal never appears
+    assert(got.keys.forall { case (l, p) => l != p })
+  }
+
   test("tfidf search ranks docs containing all query terms first") {
     val top = TextRetrieval.tfidfTopK(spark, TestSpark.sf, Seq("spark", "join", "vector"), 10)
     assert(top.count() == 10)

@@ -546,4 +546,47 @@ class VectorSearchSpec extends AnyFunSuite {
     // relevance ORDER — a redundant near-duplicate gets pushed down
     assert(div != pure, "lambda=0.2 panel should reorder vs pure relevance")
   }
+
+  test("knn classify votes are consistent with knn label precision over the same top-k") {
+    val k = 10
+    val prec = VectorSearch.knnLabelPrecision(spark, TestSpark.sf, queryMod = 100, k = k)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val cls = VectorSearch.knnClassify(spark, TestSpark.sf, queryMod = 100, k = k).collect()
+    assert(cls.nonEmpty)
+    assert(cls.map(_.getLong(0)).toSet == prec.keySet, "same sampled query batch")
+    cls.foreach { r =>
+      val (qId, qLabel, pred, votes, correct) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      val (precLabel, nMatch) = prec(qId)
+      assert(qLabel == precLabel)
+      assert(votes >= 1 && votes <= k)
+      assert(correct == (pred == qLabel))
+      // n_match counts the query-label votes within the SAME top-k:
+      // the winning label's votes can never be fewer, and equal counts
+      // break toward the smaller label id
+      assert(votes >= nMatch, s"q $qId: winner votes $votes < q-label votes $nMatch")
+      if (correct) assert(votes == nMatch)
+      if (nMatch > k / 2) assert(correct, s"q $qId: majority label must win")
+    }
+  }
+
+  test("embedding norm stats match a driver-side recount") {
+    def r = (x: Double, s: Int) =>
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables.embeddings(spark, TestSpark.sf).select("label", "embedding").collect()
+      .map(x => (x.getInt(0).toLong, {
+        val e = x.getSeq[Float](1)
+        r(math.sqrt(e.map(v => v.toDouble * v.toDouble).sum), 5)
+      }))
+    val got = VectorSearch.embedNormStats(spark, TestSpark.sf).collect()
+    assert(got.map(_.getLong(0)).toSeq == vecs.map(_._1).distinct.sorted.toSeq)
+    got.foreach { row =>
+      val ns = vecs.filter(_._1 == row.getLong(0)).map(_._2)
+      assert(row.getLong(1) == ns.length)
+      assert(row.getDouble(2) == r(ns.sum / ns.length, 4), "mean of rounded norms")
+      assert(row.getDouble(4) == ns.min && row.getDouble(5) == ns.max)
+      assert(row.getDouble(3) >= 0.0)
+      assert(row.getDouble(4) <= row.getDouble(2) && row.getDouble(2) <= row.getDouble(5))
+    }
+  }
 }
