@@ -142,6 +142,8 @@ object SparkEntry {
     "len_deciles" -> ((s, d) => Curation.lengthDeciles(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedHotKeyRollup(s, d)),
     "curate_pipeline" -> ((s, d) => Curation.curatePipeline(s, d)),
+    // adaptive p25-of-corpus quality gate, per-source keep report
+    "quality_gate_pct" -> ((s, d) => Curation.qualityPercentileGate(s, d)),
     // Okapi BM25 — the standard keyword ranker alongside the
     // reference's TF-IDF cosine; same persisted sparse model
     "bm25_topk" -> ((s, d) => TextRetrieval.bm25TopK(s, d, Seq("spark", "join", "vector"), k = 10)),
@@ -174,6 +176,8 @@ object SparkEntry {
     "events_asof" -> ((s, d) => Analytics.eventsAsOf(s, d)),
     // running aggregates: 5-row moving avg + cumulative sum per user
     "events_rolling" -> ((s, d) => Analytics.rolling(s, d)),
+    // per-type gap-to-next-user-event distribution (dwell pacing)
+    "events_dwell" -> ((s, d) => Analytics.eventsDwell(s, d)),
     // exact interpolated quantiles per event type
     "events_quantiles" -> ((s, d) => Analytics.quantiles(s, d)),
     // CUBE over (event_type, hour-of-day) with grouping_id
@@ -921,6 +925,30 @@ object SparkEntry {
       """SELECT least(user_id, 20) AS bucket, 'seg_' || least(user_id, 20) AS segment,
         |       count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "quality_gate_pct" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |q AS (SELECT source,
+        |             round((2 * least(len(toks), 100) * len(toks)
+        |                    + 150 * len(list_distinct(toks))
+        |                    + 150 * (len(toks) - len(list_filter(toks, x -> list_contains(['the', 'a'], x)))))
+        |                   / (500 * len(toks)), 5) AS q
+        |      FROM t),
+        |c AS (SELECT round(quantile_cont(q, 0.25), 5) AS cutoff FROM q)
+        |SELECT source, c.cutoff, count(*) AS n_docs,
+        |       count(*) FILTER (WHERE q >= c.cutoff) AS n_kept,
+        |       round(count(*) FILTER (WHERE q >= c.cutoff) / count(*), 5) AS keep_ratio
+        |FROM q, c GROUP BY 1, 2 ORDER BY source""".stripMargin,
+    "events_dwell" ->
+      """WITH g AS (SELECT event_type, epoch_ms(ts) AS ts_ms,
+        |                  lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |                                           ORDER BY epoch_ms(ts), event_id) AS next_ms
+        |           FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |       round(sum(next_ms - ts_ms)::BIGINT / count(*) / 1000.0, 3) AS avg_gap_s,
+        |       round(quantile_cont(next_ms - ts_ms, 0.5) / 1000.0, 3) AS median_gap_s,
+        |       min(next_ms - ts_ms) AS min_ms, max(next_ms - ts_ms) AS max_ms
+        |FROM g WHERE next_ms IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "curate_pipeline" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
         |           FROM documents WHERE lang = 'en'),

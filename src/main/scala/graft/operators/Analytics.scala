@@ -296,6 +296,39 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** Inter-event dwell times: per event TYPE, the distribution of the
+    * gap from an event to the same user's next event (any type) — the
+    * engagement-pacing profile (how long after a view does anything
+    * else happen) that session-gap and trending thresholds are tuned
+    * against.
+    *
+    * Determinism: gaps are exact epoch-ms longs; the mean is the exact
+    * integer sum divided once (never a running double `avg`), the
+    * median is the exact `percentile` (≡ DuckDB `quantile_cont`) on
+    * integers, both rounded once.
+    *
+    * Scale shape: one user-keyed window pass (shuffle by user, sort
+    * within partition) + one map-side-combined aggregate per type —
+    * the same shape as [[rolling]]; no global sort.
+    */
+  def eventsDwell(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"))
+      .withColumn("next_ms", lead(col("ts_ms"), 1).over(w))
+      .where(col("next_ms").isNotNull)
+      .withColumn("gap_ms", col("next_ms") - col("ts_ms"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_ms")).as("sum_ms"),
+        min(col("gap_ms")).as("min_ms"), max(col("gap_ms")).as("max_ms"),
+        expr("percentile(gap_ms, 0.5D)").as("med"))
+      .select(col("event_type"), col("n_gaps"),
+        round(col("sum_ms") / col("n_gaps") / 1000.0, 3).as("avg_gap_s"),
+        round(col("med") / 1000.0, 3).as("median_gap_s"),
+        col("min_ms"), col("max_ms"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-user running aggregates: 5-row moving average and cumulative
     * value over the event-time order — the dashboard trend-line
     * shapes. One shuffle keyed by user, one sort per partition, both

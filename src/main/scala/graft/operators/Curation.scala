@@ -27,6 +27,41 @@ object Curation {
       .select(col("doc_id"), col("bucket"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Percentile-relative quality gate: instead of a fixed threshold
+    * ([[curatePipeline]]'s 0.6), keep documents above the corpus's own
+    * p-quantile of the quality score — the adaptive cut a pipeline
+    * uses when absolute score scales drift between corpus versions.
+    * Reports the per-source keep ratio against the one shared cutoff
+    * (the number that exposes which sources a tightened gate would
+    * silently delete).
+    *
+    * Determinism: per-row quality is an exact integer ratio; rows are
+    * rounded to 5 decimals BEFORE the exact `percentile` aggregate
+    * (Spark's `percentile` ≡ DuckDB `quantile_cont`, rank (n−1)·p
+    * linear interpolation — the [[Analytics.userRfm]] parity), and the
+    * cutoff is rounded to 5 again so the >= comparison sees identical
+    * doubles on both engines.
+    *
+    * Scale shape: one narrow scored scan feeding BOTH the tiny
+    * percentile aggregate (1 row, broadcast back) and the per-source
+    * count — no window, no sort of the corpus. Exact percentile holds
+    * per-value counts; above a distinct-value cap the drop-in is
+    * `approx_percentile` (same argument as [[lenDeciles]]).
+    */
+  def qualityPercentileGate(spark: SparkSession, dir: String,
+                            p: Double = 0.25): DataFrame = {
+    val scored = TextAnalysis.withQualityCols(Tables.documents(spark, dir))
+      .select(col("source"), round(col("quality"), 5).as("q"))
+    val cut = scored.agg(expr(s"percentile(q, ${p}D)").as("c"))
+      .select(round(col("c"), 5).as("cutoff"))
+    scored.crossJoin(broadcast(cut))
+      .groupBy(col("source"), col("cutoff"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("q") >= col("cutoff"), lit(1))).as("n_kept"))
+      .withColumn("keep_ratio", round(col("n_kept") / col("n_docs"), 5))
+      .orderBy(col("source"))
+  }
+
   /** End-to-end curation pipeline — the composition a training-data
     * build actually runs, as ONE declarative plan Catalyst optimizes
     * whole (filters fuse into the scan, the dedup window is the only

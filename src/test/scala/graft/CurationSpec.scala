@@ -74,4 +74,37 @@ class CurationSpec extends AnyFunSuite {
     val kept = got.values.map(_._2).sum
     assert(kept > 0, "default rates must keep a non-empty mix")
   }
+
+  test("percentile quality gate matches a driver-side quantile recount") {
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stop = Set("the", "a")
+    val qs = Tables.documents(spark, TestSpark.sf).select("source", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val n = toks.length.toLong
+        val types = toks.distinct.length.toLong
+        val ns = toks.count(stop).toLong
+        (r.getString(0),
+          r5((2 * math.min(n, 100) * n + 150 * types + 150 * (n - ns)).toDouble / (500 * n)))
+      }
+    // rank (n−1)·p linear interpolation — the percentile/quantile_cont def
+    val sorted = qs.map(_._2).sorted
+    val rank = (sorted.length - 1) * 0.25
+    val (lo, hi) = (sorted(rank.toInt), sorted(math.ceil(rank).toInt))
+    val cutoff = r5(lo + (rank - rank.toInt) * (hi - lo))
+    val got = graft.operators.Curation.qualityPercentileGate(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0),
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == qs.map(_._1).toSet)
+    qs.groupBy(_._1).foreach { case (src, rows) =>
+      val (gotCut, nDocs, nKept, ratio) = got(src)
+      assert(gotCut == cutoff, s"cutoff $gotCut vs $cutoff")
+      assert(nDocs == rows.length)
+      assert(nKept == rows.count(_._2 >= cutoff), s"source $src kept")
+      assert(ratio == r5(nKept.toDouble / nDocs))
+    }
+    // the gate actually cuts: roughly a quarter of the corpus drops
+    val (keptTot, docTot) = (got.values.map(_._3).sum, got.values.map(_._2).sum)
+    assert(keptTot < docTot && keptTot >= docTot / 2)
+  }
 }

@@ -140,6 +140,32 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("dwell gaps recount from a driver-side per-user timeline") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val gaps = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._4, e._2))
+      s.zip(s.tail).map { case (a, b) => (a._3, b._4 - a._4) }
+    }.toSeq
+    val expected = gaps.groupBy(_._1).map { case (t, g) =>
+      val v = g.map(_._2)
+      (t, (v.size.toLong, v.min, v.max, v.sum))
+    }
+    val got = graft.operators.Analytics.eventsDwell(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(4), r.getLong(5), r.getDouble(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (t, (n, mn, mx, sum)) =>
+      val (gn, gmn, gmx, gavg) = got(t)
+      assert(gn == n && gmn == mn && gmx == mx, s"type $t counts")
+      val want = BigDecimal(sum.toDouble / n / 1000.0)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(gavg == want, s"type $t avg $gavg vs $want")
+    }
+  }
+
   test("rrf fusion is consistent with its own emitted ranks") {
     val rows = graft.operators.TextRetrieval
       .rrfTopK(spark, TestSpark.sf, SparkEntry.demoQueryVec,

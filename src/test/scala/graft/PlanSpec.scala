@@ -458,6 +458,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "pairs come from the array, not a corpus join:\n" + p.take(800))
   }
 
+  test("boilerplate ngram detection is one aggregate + TakeOrdered, no join") {
+    val df = graft.operators.Dedup.boilerplateNgrams(spark, TestSpark.sf)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Join"), "df counting must not join:\n" + p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("embedding norm stats are a narrow scan + one aggregate exchange") {
+    val df = VectorSearch.embedNormStats(spark, TestSpark.sf)
+    val p = plan(df)
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+    // one partial-agg shuffle on label + the final tiny-sort exchange
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(shuffles == 1, s"expected one agg shuffle, got $shuffles:\n" + p.take(800))
+  }
+
+  test("zipf fit windows only the bounded top-N, never the corpus") {
+    val df = graft.operators.TextAnalysis.vocabZipf(spark, TestSpark.sf)
+    df.collect()
+    val p = plan(df)
+    // the single-partition window is AFTER TakeOrdered cut the frame
+    // to <= topN rows — the corpus-wide path sees only the term agg
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    val winIdx = p.indexOf("Window")
+    val takeIdx = p.indexOf("TakeOrderedAndProject")
+    assert(winIdx >= 0 && takeIdx > winIdx,
+      "window must consume TakeOrdered's bounded output:\n" + p.take(1200))
+  }
+
   test("bigram NLL probes and counts off one materialized triple pass") {
     val df = graft.operators.TextAnalysis.bigramLogProb(spark, TestSpark.sf)
     df.collect()
