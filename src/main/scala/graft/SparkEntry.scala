@@ -92,6 +92,12 @@ object SparkEntry {
     "doc_preview" -> ((s, d) => Analytics.docPreview(s, d)),
     "product_details" -> ((s, d) => Analytics.productDetails(s, d, Seq(0L, 1L, 2L, 3L))),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
+    // session-size distribution (count/duration/value per k-event bin)
+    "events_session_stats" -> ((s, d) => Analytics.sessionStats(s, d)),
+    // TPC-H Q10-style returned-revenue customer triage
+    "q10_returns" -> ((s, d) => Analytics.q10Returns(s, d)),
+    // TPC-H Q14-style promo revenue share per ship month
+    "q14_promo_share" -> ((s, d) => Analytics.q14PromoShare(s, d)),
     "events_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "events_props_parse" -> ((s, d) => Analytics.propsParse(s, d)),
     // behavioral item-item recommender (co-engagement counts)
@@ -629,6 +635,44 @@ object SparkEntry {
         |       round(sum(value), 2) AS sess_value,
         |       max(ts_ms) - min(ts_ms) AS duration_ms
         |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |x AS (SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+        |                       OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |y AS (SELECT user_id, event_id, ts_ms, value,
+        |             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS sess_id
+        |      FROM x),
+        |s AS (SELECT user_id, sess_id, count(*) AS n_events,
+        |             max(ts_ms) - min(ts_ms) AS duration_ms,
+        |             round(sum(value), 2) AS sess_value
+        |      FROM y GROUP BY 1, 2)
+        |SELECT n_events, count(*) AS n_sessions,
+        |       sum(duration_ms)::BIGINT AS sum_duration_ms,
+        |       round(sum(sess_value), 2) AS value_total,
+        |       round(sum(duration_ms)::BIGINT / count(*) / 1000.0, 3) AS avg_duration_s
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_returns" ->
+      """SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_share" ->
+      """WITH m AS (SELECT (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT AS ship_month,
+        |                  l_extendedprice * (1 - l_discount) AS rev,
+        |                  p_type LIKE 'PROMO%' AS is_promo
+        |           FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT ship_month,
+        |       round(sum(CASE WHEN is_promo THEN rev ELSE 0.0 END), 2) AS promo_revenue,
+        |       round(sum(rev), 2) AS total_revenue,
+        |       round(100.0 * round(sum(CASE WHEN is_promo THEN rev ELSE 0.0 END), 2)
+        |             / round(sum(rev), 2), 4) AS promo_share_pct
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_funnel" ->
       """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         |       round(avg(value), 4) AS avg_value, round(sum(value), 2) AS total_value

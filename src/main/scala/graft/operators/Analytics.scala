@@ -42,6 +42,64 @@ object Analytics {
       .limit(10)
   }
 
+  /** TPC-H Q10-style: top customers by RETURNED revenue — the
+    * lost-revenue triage list. Returned lines filter in the lineitem
+    * scan (pushed), the order join shuffles on orderkey, the customer
+    * attributes ride a key-equi join AQE sizes (broadcast at dim
+    * scale, sort-merge when customer is corpus-sized), global top-N
+    * via TakeOrdered.
+    */
+  def q10Returns(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val l = Tables.lineitem(spark, dir).where(col("l_returnflag") === "R")
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(topN)
+  }
+
+  /** TPC-H Q14-style: promo revenue share per ship month. The part
+    * attribute join carries one build row per partkey; the month key
+    * is integer yyyymm arithmetic (identical on both engines, no
+    * date_trunc timezone surface); share is a ratio of two
+    * same-ordered sums rounded once.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("ship_month"))
+      .agg(
+        round(sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0))), 2)
+          .as("promo_revenue"),
+        round(sum(rev), 2).as("total_revenue"))
+      .withColumn("promo_share_pct",
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4))
+      .orderBy(col("ship_month"))
+  }
+
+  /** Session-size distribution over [[sessionize]]'s output: how many
+    * sessions have k events, and how long they run — the shape
+    * engagement dashboards trend and the sanity check on the session
+    * gap parameter itself (a gap set too tight shows as a mass of
+    * 1-event sessions). Duration mean is the exact integer sum divided
+    * once.
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    sessionize(spark, dir)
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("duration_ms")).as("sum_duration_ms"),
+        round(sum(col("sess_value")), 2).as("value_total"))
+      .withColumn("avg_duration_s",
+        round(col("sum_duration_ms") / col("n_sessions") / 1000.0, 3))
+      .orderBy(col("n_events"))
+
   /** TPC-H Q5-style snowflake join: revenue by nation within a region
     * and date window, with co-located customer/supplier nations.
     */

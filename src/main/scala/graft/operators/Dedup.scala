@@ -253,15 +253,15 @@ object Dedup {
     */
   def sourceOverlap(spark: SparkSession, dir: String, n: Int = 5,
                     maxDf: Long = 1000L): DataFrame = {
-    val toks = split(col("text"), " ")
+    // source-level shingles derive from the memoized doc-level frame
+    // (shared with every other shingle consumer — the corpus is
+    // tokenized ONCE per session) via a doc→source attribute join
+    // whose build side is two columns of the documents table
+    val docSrc = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     val sh = dfCapped(
-      Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(col("source"),
-          explode(when(size(toks) >= n,
-            transform(sequence(lit(0), size(toks) - lit(n)),
-              i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-            .otherwise(array().cast("array<string>"))).as("shingle"))
+      cachedShingles(spark, dir, n)
+        .join(docSrc, Seq("doc_id"))
+        .select(col("source"), col("shingle"))
         .distinct(),
       "shingle", maxDf)
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))

@@ -166,6 +166,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("session stats recount sessionize's output bins exactly") {
+    val s = graft.operators.Analytics.sessionize(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("duration_ms")))
+    val expected = s.groupBy(_._1).map { case (k, v) => (k, (v.size.toLong, v.map(_._2).sum)) }
+    val got = graft.operators.Analytics.sessionStats(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    assert(got.keys.max > 1, "gap parameter must produce multi-event sessions")
+  }
+
+  test("q10 returned-revenue triage is ordered, bounded, and positive") {
+    val rows = graft.operators.Analytics.q10Returns(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "one row per customer")
+    val revs = rows.map(_.getDouble(3))
+    assert(revs.forall(_ > 0))
+    assert(revs.toSeq == revs.sortBy(-_).toSeq)
+  }
+
+  test("promo share is the exact ratio of its own revenue columns") {
+    val rows = graft.operators.Analytics.q14PromoShare(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, t, s) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p >= 0 && p <= t)
+      val want = BigDecimal(100.0 * p / t).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(s == want, s"share $s vs $want")
+    }
+  }
+
   test("rrf fusion is consistent with its own emitted ranks") {
     val rows = graft.operators.TextRetrieval
       .rrfTopK(spark, TestSpark.sf, SparkEntry.demoQueryVec,
