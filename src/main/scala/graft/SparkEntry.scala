@@ -271,6 +271,16 @@ object SparkEntry {
       |shd AS (SELECT DISTINCT doc_id, shingle FROM
       |  (SELECT doc_id, unnest([array_to_string(toks[i+1:i+5], ' ') for i in range(len(toks) - 4)]) AS shingle FROM t))""".stripMargin
 
+  /** Trigram twin of [[shingleCtes]] (n = 3, the boilerplate-detection
+    * shingle length) — ONE definition for both boilerplate oracles, the
+    * SQL mirror of the engine's shared `cachedShingles(n = 3)` frame.
+    */
+  private val trigramCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh3 AS (SELECT DISTINCT doc_id, shingle FROM
+      |  (SELECT doc_id, unnest([array_to_string(toks[i+1:i+3], ' ') for i in range(len(toks) - 2)]) AS shingle FROM t)),
+      |dfv AS (SELECT shingle, count(*) AS df FROM sh3 GROUP BY 1)""".stripMargin
+
   /** Shingles with document frequency above the skew cap removed —
     * the oracle twin of Dedup.cappedShingles (maxDf = 1000, the
     * engine default): jaccard is the exact Jaccard of the df-capped
@@ -823,18 +833,12 @@ object SparkEntry {
          |WHERE round(inter / (sa.sz + sb.sz - inter), 5) >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
     "boilerplate_ngrams" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |sh3 AS (SELECT DISTINCT doc_id, shingle FROM
-        |  (SELECT doc_id, unnest([array_to_string(toks[i+1:i+3], ' ') for i in range(len(toks) - 2)]) AS shingle FROM t)),
-        |dfv AS (SELECT shingle, count(*) AS df FROM sh3 GROUP BY 1)
-        |SELECT shingle, df FROM dfv WHERE df >= 5
-        |ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+      s"""WITH $trigramCtes
+         |SELECT shingle, df FROM dfv WHERE df >= 5
+         |ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
     "boilerplate_ratio" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |sh3 AS (SELECT DISTINCT doc_id, shingle FROM
-        |  (SELECT doc_id, unnest([array_to_string(toks[i+1:i+3], ' ') for i in range(len(toks) - 2)]) AS shingle FROM t)),
-        |dfv AS (SELECT shingle, count(*) AS df FROM sh3 GROUP BY 1)
-        |SELECT s.doc_id, count(*) AS n_shingles,
+      s"""WITH $trigramCtes
+         |SELECT s.doc_id, count(*) AS n_shingles,
         |       count(*) FILTER (WHERE d.df >= 5) AS n_boiler,
         |       round(count(*) FILTER (WHERE d.df >= 5) / count(*), 5) AS boiler_ratio
         |FROM sh3 s JOIN dfv d USING (shingle)

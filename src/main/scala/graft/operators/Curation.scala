@@ -42,16 +42,19 @@ object Curation {
     * cutoff is rounded to 5 again so the >= comparison sees identical
     * doubles on both engines.
     *
-    * Scale shape: one narrow scored scan feeding BOTH the tiny
-    * percentile aggregate (1 row, broadcast back) and the per-source
-    * count — no window, no sort of the corpus. Exact percentile holds
-    * per-value counts; above a distinct-value cap the drop-in is
-    * `approx_percentile` (same argument as [[lenDeciles]]).
+    * Scale shape: ONE scored scan — the (source, q) projection is
+    * ScratchCache-materialized so the percentile aggregate and the
+    * per-source count both read the cached two-column frame instead of
+    * re-scanning and re-scoring documents; no window, no sort of the
+    * corpus. Exact percentile holds per-value counts; above a
+    * distinct-value cap the drop-in is `approx_percentile` (same
+    * argument as [[lenDeciles]]).
     */
   def qualityPercentileGate(spark: SparkSession, dir: String,
                             p: Double = 0.25): DataFrame = {
-    val scored = TextAnalysis.withQualityCols(Tables.documents(spark, dir))
-      .select(col("source"), round(col("quality"), 5).as("q"))
+    val scored = graft.sources.ScratchCache.materialize(
+      TextAnalysis.withQualityCols(Tables.documents(spark, dir))
+        .select(col("source"), round(col("quality"), 5).as("q")))
     val cut = scored.agg(expr(s"percentile(q, ${p}D)").as("c"))
       .select(round(col("c"), 5).as("cutoff"))
     scored.crossJoin(broadcast(cut))

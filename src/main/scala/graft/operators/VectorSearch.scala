@@ -97,7 +97,15 @@ object VectorSearch {
     * class label matches the query's — fully oracle-checkable since
     * exact search is deterministic.
     */
-  def knnLabelPrecision(spark: SparkSession, dir: String, queryMod: Int, k: Int): DataFrame = {
+  /** The shared top-k block behind BOTH label evals: sampled query
+    * batch (vec_id % queryMod == 0), broadcast to one corpus scan,
+    * round-5 cosine, per-query row_number cut at k with the
+    * (score DESC, n_id) tie-break. [[knnLabelPrecision]] and
+    * [[knnClassify]] MUST rank from this one definition — their
+    * oracles assume the identical top-k.
+    */
+  private def knnTopKByLabel(spark: SparkSession, dir: String,
+                             queryMod: Int, k: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
     val q = e.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
@@ -106,8 +114,11 @@ object VectorSearch {
       .select(col("q_id"), col("q_label"), col("label").as("n_label"), col("vec_id").as("n_id"),
         round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  def knnLabelPrecision(spark: SparkSession, dir: String, queryMod: Int, k: Int): DataFrame = {
+    knnTopKByLabel(spark, dir, queryMod, k)
       .withColumn("m", when(col("n_label") === col("q_label"), 1))
       .groupBy(col("q_id"), col("q_label").cast("long").as("q_label"))
       .agg(count(col("m")).as("n_match"))
@@ -127,16 +138,7 @@ object VectorSearch {
     * extra aggregate over k rows per query (negligible).
     */
   def knnClassify(spark: SparkSession, dir: String, queryMod: Int, k: Int): DataFrame = {
-    val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
-    val q = e.where(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-        col("embedding").as("qv"), col("nrm").as("qn"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_label"), col("label").as("n_label"), col("vec_id").as("n_id"),
-        round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
-    val votes = scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
+    val votes = knnTopKByLabel(spark, dir, queryMod, k)
       .groupBy(col("q_id"), col("q_label"), col("n_label"))
       .agg(count(lit(1)).as("n_votes"))
     val vw = Window.partitionBy(col("q_id")).orderBy(col("n_votes").desc, col("n_label"))
@@ -165,9 +167,15 @@ object VectorSearch {
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         round(avg(col("nrm")), 4).as("avg_norm"),
-        round(stddev(col("nrm")), 4).as("std_norm"),
+        round(stddev(col("nrm")), 4).as("std_raw"),
         round(min(col("nrm")), 5).as("min_norm"),
         round(max(col("nrm")), 5).as("max_norm"))
+      // a single-vector label: Spark stddev_samp yields NaN where the
+      // DuckDB oracle's stddev yields NULL — align on NULL
+      .select(col("label"), col("n_vecs"), col("avg_norm"),
+        when(isnan(col("std_raw")), lit(null).cast("double"))
+          .otherwise(col("std_raw")).as("std_norm"),
+        col("min_norm"), col("max_norm"))
       .orderBy(col("label"))
 
   /** Two-stage retrieval where the metadata lives in ANOTHER table
