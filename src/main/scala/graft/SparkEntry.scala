@@ -123,6 +123,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringDedup(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
+    // incremental-ingest gate: new batch vs standing corpus, best match
+    "dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     // cross-doc boilerplate trigrams (df >= 5), top-20 by df
     "boilerplate_ngrams" -> ((s, d) => Dedup.boilerplateNgrams(s, d)),
     // per-doc fraction of shingles that are corpus boilerplate
@@ -232,6 +234,8 @@ object SparkEntry {
     "ann_index_stats" -> ((s, d) => Ivf.indexStats(s, d)),
     // weekly cohort retention over the events stream
     "events_retention" -> ((s, d) => Analytics.retention(s, d)),
+    // revenue-cohort LTV curve (cumulative value per cohort member)
+    "user_ltv" -> ((s, d) => Analytics.userLtv(s, d)),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free
@@ -1406,6 +1410,38 @@ object SparkEntry {
         |SELECT a.cohort_week, a."offset", a.n_active, s.n_cohort,
         |       a.n_active / s.n_cohort AS retention
         |FROM a JOIN s USING (cohort_week) ORDER BY 1, 2""".stripMargin,
+    "user_ltv" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) // 604800000 AS week,
+        |                   CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS rev
+        |            FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+        |s AS (SELECT cohort_week, count(*) AS n_cohort FROM c GROUP BY 1),
+        |o AS (SELECT c.cohort_week, ev.week - c.cohort_week AS "offset",
+        |             round(sum(ev.rev), 2) AS week_revenue
+        |      FROM ev JOIN c USING (user_id) GROUP BY 1, 2),
+        |cum AS (SELECT cohort_week, "offset", week_revenue,
+        |               round(sum(week_revenue) OVER (PARTITION BY cohort_week ORDER BY "offset"
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+        |        FROM o)
+        |SELECT cum.cohort_week, cum."offset", cum.week_revenue, cum.cum_revenue,
+        |       s.n_cohort, round(cum.cum_revenue / s.n_cohort, 4) AS ltv_per_user
+        |FROM cum JOIN s USING (cohort_week) ORDER BY 1, 2""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $cappedShingleCtes,
+         |f AS (SELECT doc_id, shingle,
+         |             substr(md5(doc_id::VARCHAR), 1, 4) < '1999' AS is_new FROM shc),
+         |sz AS (SELECT doc_id, is_new, count(*) AS sz FROM f GROUP BY 1, 2),
+         |inter AS (SELECT a.doc_id AS doc_id, b.doc_id AS match_id, count(*) AS inter
+         |          FROM f a JOIN f b ON a.shingle = b.shingle AND a.is_new AND NOT b.is_new
+         |          GROUP BY 1, 2),
+         |j AS (SELECT i.doc_id, i.match_id,
+         |             round(i.inter / (sa.sz + sb.sz - i.inter), 5) AS jaccard
+         |      FROM inter i JOIN sz sa ON sa.doc_id = i.doc_id AND sa.is_new
+         |      JOIN sz sb ON sb.doc_id = i.match_id AND NOT sb.is_new
+         |      WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 5) >= 0.8),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                                   ORDER BY jaccard DESC, match_id) AS rk FROM j)
+         |SELECT doc_id, match_id, jaccard FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     // per-source dedup summary over the SAME exact/near-dup verdicts
     // the per-document queries serve
     "dedup_report" ->

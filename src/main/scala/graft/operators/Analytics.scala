@@ -301,6 +301,36 @@ object Analytics {
       .orderBy(col("cohort_week"), col("offset"))
   }
 
+  /** Revenue-cohort LTV curve — the money twin of [[retention]]: per
+    * first-active-week cohort and week offset, the purchase value that
+    * week, cumulative per cohort, and cumulative per cohort MEMBER
+    * (the LTV trajectory growth models fit against). Same
+    * exact-integer week arithmetic as retention; the cumulative sum
+    * runs over the tiny cohort×offset aggregate, never the event
+    * stream.
+    */
+  def userLtv(spark: SparkSession, dir: String): DataFrame = {
+    val weekMs = 604800000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts_ms div $weekMs").as("week"),
+        when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)).as("rev"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week")).agg(count(lit(1)).as("n_cohort"))
+    val byOffset = ev.join(cohort, "user_id")
+      .withColumn("offset", col("week") - col("cohort_week"))
+      .groupBy(col("cohort_week"), col("offset"))
+      .agg(round(sum(col("rev")), 2).as("week_revenue"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byOffset
+      .withColumn("cum_revenue", round(sum(col("week_revenue")).over(w), 2))
+      .join(broadcast(sizes), "cohort_week")
+      .withColumn("ltv_per_user", round(col("cum_revenue") / col("n_cohort"), 4))
+      .select(col("cohort_week"), col("offset"), col("week_revenue"),
+        col("cum_revenue"), col("n_cohort"), col("ltv_per_user"))
+      .orderBy(col("cohort_week"), col("offset"))
+  }
+
   /** Semi-structured extraction: events.props carries a JSON payload;
     * pull typed fields out with the codegen'd JSON path expression and
     * aggregate — no UDF, pushdown-friendly.

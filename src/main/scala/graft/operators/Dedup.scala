@@ -276,6 +276,78 @@ object Dedup {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Incremental-ingest near-dup gate: flag each NEW document (the
+    * deterministic md5 hash-split below `newThresholdHex`, standing in
+    * for today's ingest batch) whose df-capped shingle Jaccard against
+    * some EXISTING corpus document clears `threshold`, with the best
+    * match as witness. This is the dedup shape a 100 TB pipeline runs
+    * daily: the new batch joins the standing corpus; nothing ever
+    * re-pairs corpus×corpus.
+    *
+    * Scale shape: ONE shared shingle build ([[cachedShingles]] → the
+    * same [[dfCapped]] gate as [[ngramJaccard]], so Jaccard keeps the
+    * one corpus-wide capped-set definition), split by a narrow md5
+    * predicate; the candidate join is new-side × corpus-side keyed on
+    * shingle — the new batch is a small fraction of the corpus, so
+    * join volume is batch-sized, not corpus². Best-match via
+    * per-new-doc WindowGroupLimit.
+    */
+  def incrementalNearDup(spark: SparkSession, dir: String, n: Int = 5,
+                         threshold: Double = 0.8, maxDf: Long = 1000L,
+                         newThresholdHex: String = "1999"): DataFrame = {
+    val sh = cappedShingles(spark, dir, n, maxDf)
+      .withColumn("is_new",
+        substring(md5(col("doc_id").cast("string")), 1, 4) < lit(newThresholdHex))
+    val sizes = sh.groupBy(col("doc_id"), col("is_new")).agg(count(lit(1)).as("sz"))
+    val inter = sh.where(col("is_new")).as("a")
+      .join(sh.where(!col("is_new")).as("b"), col("a.shingle") === col("b.shingle"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"))
+      .agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(sizes.where(col("is_new")).select(col("doc_id"), col("sz").as("a_sz")), "doc_id")
+      .join(sizes.where(!col("is_new"))
+        .select(col("doc_id").as("match_id"), col("sz").as("b_sz")), "match_id")
+      .withColumn("jaccard", round(col("inter") / (col("a_sz") + col("b_sz") - col("inter")), 5))
+      .where(col("jaccard") >= threshold)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("match_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("doc_id"), col("match_id"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[incrementalNearDup]]'s core for an EXTERNAL batch of new
+    * documents (doc_id, text) — the shape the streaming gate feeds one
+    * micro-batch at a time ([[graft.streaming.DedupStreams]]): shingle
+    * the batch, join the standing corpus's df-capped shingle frame,
+    * flag batch docs whose Jaccard clears `threshold` with the best
+    * corpus match as witness. The corpus side keeps the df cap
+    * (anti-skew); the new batch's shingles are used whole — a
+    * fresh document deserves its full shingle set, and batch-side
+    * volume is bounded by the batch itself.
+    */
+  def gateAgainstCorpus(spark: SparkSession, dir: String, newDocs: DataFrame,
+                        n: Int = 5, threshold: Double = 0.8,
+                        maxDf: Long = 1000L): DataFrame = {
+    val corp = cappedShingles(spark, dir, n, maxDf)
+    val corpSizes = corp.groupBy(col("doc_id")).agg(count(lit(1)).as("b_sz"))
+    val newSh = shingles(newDocs, n)
+    val newSizes = newSh.groupBy(col("doc_id")).agg(count(lit(1)).as("a_sz"))
+    val inter = newSh.as("a").join(corp.as("b"), col("a.shingle") === col("b.shingle"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"))
+      .agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(broadcast(newSizes), "doc_id")
+      .join(corpSizes.withColumnRenamed("doc_id", "match_id"), "match_id")
+      .withColumn("jaccard", round(col("inter") / (col("a_sz") + col("b_sz") - col("inter")), 5))
+      .where(col("jaccard") >= threshold)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("match_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("doc_id"), col("match_id"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash signatures, wide format (doc_id, mh0..mh{k-1}): k
     * independent hash functions realized as 8-hex-char (32-bit) chunks
     * of md5(seed || '|' || shingle) — one md5 evaluation yields four

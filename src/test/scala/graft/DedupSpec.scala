@@ -323,6 +323,39 @@ class DedupSpec extends AnyFunSuite {
         (r.getLong(0), sh)
       }.toMap
 
+  test("incremental near-dup gate matches a driver-side split recount") {
+    def md5hex4(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.take(2).map(b => f"${b & 0xff}%02x").mkString
+    }
+    def r5(x: Double): Double =
+      BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 5-gram distinct sets (df cap is a no-op at this corpus size)
+    val sets = Tables.documents(spark, TestSpark.sf).select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val sh = if (toks.length >= 5)
+          (0 to toks.length - 5).map(i => toks.slice(i, i + 5).mkString(" ")).toSet
+        else Set.empty[String]
+        (r.getLong(0), sh)
+      }.filter(_._2.nonEmpty)
+    val (newDocs, corpus) = sets.partition { case (id, _) => md5hex4(id.toString) < "1999" }
+    val expected = newDocs.flatMap { case (id, sa) =>
+      val best = corpus.flatMap { case (cid, sb) =>
+        val inter = (sa & sb).size
+        val j = r5(inter.toDouble / (sa.size + sb.size - inter))
+        if (inter > 0 && j >= 0.8) Some((cid, j)) else None
+      }.sortBy { case (cid, j) => (-j, cid) }.headOption
+      best.map { case (cid, j) => (id, (cid, j)) }
+    }.toMap
+    val got = Dedup.incrementalNearDup(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.nonEmpty, "the synthetic near-dups straddle the hash split")
+    assert(got == expected)
+    // the gate never flags corpus-side docs
+    assert(got.keySet.forall(id => md5hex4(id.toString) < "1999"))
+  }
+
   test("boilerplate ngrams match a driver-side df recount") {
     val sets = trigramSets()
     val df = sets.values.flatten.groupBy(identity).map { case (s, o) => (s, o.size.toLong) }

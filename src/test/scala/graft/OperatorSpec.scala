@@ -196,6 +196,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ltv curve recounts cohort revenue and stays monotone") {
+    import org.apache.spark.sql.functions.col
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("ts_ms"), col("event_type"), col("value"))
+      .collect().map(x => (x.getLong(0), Math.floorDiv(x.getLong(1), 604800000L),
+        if (x.getString(2) == "purchase") x.getDouble(3) else 0.0))
+    val cohort = ev.groupBy(_._1).map { case (u, es) => (u, es.map(_._2).min) }
+    val weekRev = ev.groupBy(e => (cohort(e._1), e._2 - cohort(e._1)))
+      .map { case (k, es) => (k, r(es.map(_._3).sum, 2)) }
+    val sizes = cohort.values.groupBy(identity).map { case (w, o) => (w, o.size.toLong) }
+    val got = graft.operators.Analytics.userLtv(spark, TestSpark.sf).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getDouble(2), x.getDouble(3), x.getLong(4), x.getDouble(5))))
+    assert(got.nonEmpty)
+    assert(got.map(_._1).toSet == weekRev.keySet)
+    got.groupBy(_._1._1).foreach { case (cw, rows) =>
+      val ordered = rows.sortBy(_._1._2)
+      var cum = 0.0
+      ordered.foreach { case ((_, off), (wr, cr, n, ltv)) =>
+        assert(wr == weekRev((cw, off)), s"cohort $cw offset $off weekly")
+        cum = r(cum + wr, 2)
+        assert(cr == cum, s"cohort $cw offset $off cumulative")
+        assert(n == sizes(cw))
+        assert(ltv == r(cr / n, 4))
+      }
+    }
+  }
+
   test("rrf fusion is consistent with its own emitted ranks") {
     val rows = graft.operators.TextRetrieval
       .rrfTopK(spark, TestSpark.sf, SparkEntry.demoQueryVec,

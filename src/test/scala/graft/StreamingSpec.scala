@@ -292,6 +292,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup gate admits and flags exactly like the batch core") {
+    import spark.implicits._
+    import graft.streaming.DedupStreams
+    implicit val ctx = spark.sqlContext
+    // one incoming doc duplicates a corpus doc verbatim, one is novel
+    val dupOf = Tables.documents(spark, TestSpark.sf)
+      .orderBy(col("doc_id")).select("doc_id", "text").head()
+    val docs = Seq(
+      DocRow(900001L, dupOf.getString(1)),
+      DocRow(900002L, Seq.tabulate(30)(i => s"novel$i").mkString(" ")))
+    val stream = MemoryStream[DocRow]
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = DedupStreams.start(spark, TestSpark.sf, stream.toDF()) { (out, _) =>
+      flagged ++= out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try {
+      stream.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.operators.Dedup
+      .gateAgainstCorpus(spark, TestSpark.sf, docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(flagged.sortBy(_._1).toSeq == batch.sortBy(_._1), "stream ≡ batch")
+    // the verbatim copy is flagged at jaccard 1.0; the novel doc passes
+    val hit = flagged.find(_._1 == 900001L)
+    assert(hit.isDefined && hit.get._3 == 1.0)
+    assert(!flagged.exists(_._1 == 900002L))
+    // witness really is an identical-shingle doc (the copied source or
+    // a member of its duplicate cluster)
+    val witnessText = Tables.documents(spark, TestSpark.sf)
+      .where(col("doc_id") === hit.get._2).head().getAs[String]("text")
+    assert(witnessText.split(" ", -1).sliding(5).map(_.mkString(" ")).toSet ==
+      dupOf.getString(1).split(" ", -1).sliding(5).map(_.mkString(" ")).toSet)
+  }
+
   test("stateful flatMapGroupsWithState sessionizer closes on gap and timeout") {
     import spark.implicits._
     import graft.streaming.{SessionOut, UserEvent}
