@@ -64,10 +64,20 @@ object Bench {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // strip control chars too (Spark messages embed newlines/tabs) —
-    // one bad error string must not corrupt the JSON line
-    val errs = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\x00-\\x1f]", " ") + "\"" }
+    // one bad error string must not corrupt the JSON line. Group queries
+    // by (truncated) message: a single root cause breaking N queries
+    // must cost one dict entry, not N — in round 8, 24 per-query error
+    // strings pushed the JSON line past the driver's stdout-tail capture
+    // and the whole bench parsed as null. Full messages go to stderr.
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    results.foreach { case (k, _, Some(e)) => System.err.println(s"BENCH ERROR $k: $e"); case _ => () }
+    val errs = results.collect { case (k, _, Some(e)) => (e.take(100), k) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (msg, ks) =>
+        jstr(msg) + ":" + ks.map(p => jstr(p._2)).mkString("[", ",", "]")
+      }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retimed":$rt,"errors":$errs,"sf":"$sfDir"}""")

@@ -24,18 +24,25 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects unless `spark.sql.legacy.parquet.nanosAsLong` is set (then
-    * it surfaces as epoch-nanos LongType). Expose a stable epoch-millis
-    * column `ts_ms` (integer `div`, no double round-trip — epoch nanos
-    * exceed 2^53) so downstream results are oracle-comparable (DuckDB
-    * `epoch_ms`) under either representation.
+  /** events.ts has shipped in three parquet representations across driver
+    * regenerations: TIMESTAMP(NANOS) (surfaces as epoch-nanos LongType
+    * under `spark.sql.legacy.parquet.nanosAsLong`), TIMESTAMP(MICROS)
+    * adjusted-to-UTC (Spark TimestampType), and TIMESTAMP(MICROS)
+    * isAdjustedToUTC=false (Spark TIMESTAMP_NTZ). Expose a stable
+    * epoch-millis column `ts_ms` (integer `div` for nanos — no double
+    * round-trip, epoch nanos exceed 2^53) so downstream results are
+    * oracle-comparable (DuckDB `epoch_ms`) under all three. For NTZ the
+    * session TZ is pinned UTC in every entrypoint, so casting NTZ →
+    * TIMESTAMP reinterprets the wall-clock as UTC, matching DuckDB's
+    * naive-timestamp epoch semantics.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = table(spark, dir, "events")
     val tsMs = df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-      case _ => unix_millis(col("ts"))
+      case LongType            => expr("ts div 1000000")
+      case _: TimestampNTZType => unix_millis(col("ts").cast(TimestampType))
+      case _                   => unix_millis(col("ts"))
     }
     df.withColumn("ts_ms", tsMs.cast("long"))
   }
