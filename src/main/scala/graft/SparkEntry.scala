@@ -223,8 +223,9 @@ object SparkEntry {
     "vs_tag_filtered" -> ((s, d) => VectorSearch.tagFilteredTopK(s, d, queryId = 0, tag = "len:1", k = 10)),
     // related-facets panel: per-pair doc counts over the tag arrays
     "tag_cooc" -> ((s, d) => Analytics.tagCooccurrence(s, d)),
-    // MMR diversified rerank (rows-only: driver greedy over a bounded
-    // candidate fetch; invariants spec-asserted in VectorSearchSpec)
+    // MMR diversified rerank (driver greedy over a bounded candidate
+    // fetch; oracle = recursive-CTE replay of the same greedy,
+    // invariants additionally spec-asserted in VectorSearchSpec)
     "vs_mmr_topk" -> ((s, d) => VectorSearch.mmrRerank(s, d, queryId = 0, k = 10, fetchK = 30, lambda = 0.7)),
     // session-based recommendation: events → profile vector → top-k
     "recommend_user" -> ((s, d) => VectorSearch.recommendForUser(s, d, userId = 7L, k = 10)),
@@ -306,8 +307,8 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ann_ivf_topk /
-    * ann_recall_eval / dedup_simhash (k-means and binary simhash are
-    * not SQL-expressible) → driver records rows-only checks.
+    * ann_recall_eval and the other k-means- or RNG-derived outputs
+    * (not SQL-expressible) → driver records rows-only checks.
     */
   def oracleSql: Map[String, String] = Map(
     "vs_topk" ->
@@ -1333,6 +1334,59 @@ object SparkEntry {
     * JVM method-size limit).
     */
   private def extraOracles: Map[String, String] = Map(
+    // SimHash replayed end-to-end in SQL: the per-token hash is the
+    // engine-portable md5-derived long (Dedup.md5Long64 == DuckDB's
+    // md5_number_upper reinterpreted signed), so signatures, chunk
+    // buckets, the occupancy cap, and hamming verification all
+    // reproduce bit-for-bit (defaults: 4×16-bit chunks, cap 1000,
+    // hamming ≤ 6)
+    "dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |hv AS (SELECT doc_id, CAST(CASE WHEN md5_number_upper(tok) >= 9223372036854775808::HUGEINT
+        |         THEN md5_number_upper(tok)::HUGEINT - 18446744073709551616::HUGEINT
+        |         ELSE md5_number_upper(tok)::HUGEINT END AS BIGINT) AS h FROM toks),
+        |votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |          FROM hv, range(64) r(b) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN
+        |            CASE WHEN b = 63 THEN -9223372036854775808::HUGEINT ELSE (1::BIGINT << b)::HUGEINT END
+        |          ELSE 0::HUGEINT END) AS BIGINT) AS sig FROM votes GROUP BY 1),
+        |chunks AS (SELECT doc_id, sig, c * 65536 + ((sig >> (c * 16)) & 65535) AS bucket
+        |           FROM sig, range(4) r(c)),
+        |hot AS (SELECT bucket FROM chunks GROUP BY 1 HAVING count(*) > 1000),
+        |capped AS (SELECT * FROM chunks ANTI JOIN hot USING (bucket)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, a.sig AS a_sig, b.doc_id AS b_id, b.sig AS b_sig
+        |         FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, bit_count(xor(a_sig, b_sig))::BIGINT AS hamming
+        |FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= 6
+        |ORDER BY a_id, b_id""".stripMargin,
+    // MMR greedy replayed as a recursive CTE: one row per iteration
+    // carrying the selected-id list; each step picks the argmax of
+    // λ·relevance − (1−λ)·max-sim-to-selected with the engine's exact
+    // tie order (score, relevance, lower id). λ and 1−λ are
+    // interpolated from the SAME double arithmetic the engine uses
+    // (1−0.7 ≠ 0.3 in binary), so scores agree to the last bit
+    "vs_mmr_topk" ->
+      s"""WITH RECURSIVE
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cand AS (SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS relevance, e.embedding AS emb
+         |         FROM embeddings e, q WHERE e.vec_id <> 0
+         |         ORDER BY relevance DESC, e.vec_id LIMIT 30),
+         |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosRaw("a.emb", "b.emb")} AS sim
+         |          FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+         |sel(rank, vec_id, relevance, score, ids) AS (
+         |  (SELECT 1::BIGINT, vec_id, relevance, ${0.7} * relevance, [vec_id]
+         |   FROM cand ORDER BY relevance DESC, vec_id LIMIT 1)
+         |  UNION ALL
+         |  SELECT s.rank + 1, t.vec_id, t.relevance, t.score, list_append(s.ids, t.vec_id)
+         |  FROM sel s, LATERAL (
+         |    SELECT c.vec_id, c.relevance,
+         |           ${0.7} * c.relevance - ${1 - 0.7} *
+         |             (SELECT max(p.sim) FROM pairs p
+         |              WHERE p.a_id = c.vec_id AND list_contains(s.ids, p.b_id)) AS score
+         |    FROM cand c WHERE NOT list_contains(s.ids, c.vec_id)
+         |    ORDER BY score DESC, c.relevance DESC, c.vec_id LIMIT 1) t
+         |  WHERE s.rank < 10)
+         |SELECT rank, vec_id, relevance, round(score, 5) AS mmr_score FROM sel ORDER BY rank""".stripMargin,
     // derived multi-valued tag list (lang, source tag, length bucket)
     // treated as first-class array metadata — explode for facets,
     // membership for filtered search

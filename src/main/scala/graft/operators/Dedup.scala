@@ -414,10 +414,29 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Portable 64-bit token hash: the little-endian reading of the
+    * first 8 md5 bytes, reinterpreted as a signed long — exactly the
+    * value DuckDB exposes as `md5_number_upper(tok)` (signed), so
+    * signatures built here can be re-derived bit-for-bit by any engine
+    * with an md5 builtin and verified by the external oracle.
+    * `xxhash64` would be ~2× cheaper per token but is Spark-private;
+    * a persisted near-dup signature is an ARTIFACT other systems must
+    * be able to audit, so portability wins. All string/conv ops are
+    * codegen'd builtins — the stage stays in whole-stage codegen.
+    */
+  private[graft] def md5Long64(tok: Column): Column = {
+    val hx = md5(tok)
+    def byte(k: Int): Column = conv(substring(hx, 2 * k + 1, 2), 16, 10).cast("long")
+    val b7 = byte(7)
+    // byte 7 carries the sign: value = Σ_{k<7} b_k·2^(8k) + (b7 signed)·2^56
+    val b7s = b7 - when(b7 >= 128, lit(256L)).otherwise(lit(0L))
+    (0 to 6).map(k => byte(k) * lit(1L << (8 * k))).reduce(_ + _) + b7s * lit(1L << 56)
+  }
+
   /** 64-bit SimHash signatures (doc_id, sig): per-occurrence token
-    * hashes via the built-in codegen'd `xxhash64` (no JVM
-    * Dataset.map, no per-token digest allocation — the whole stage
-    * stays in whole-stage codegen), bit voting weighted by term
+    * hashes via the engine-portable [[md5Long64]] (the DuckDB
+    * `md5_number_upper` value, so the whole pipeline is
+    * oracle-checkable end-to-end), bit voting weighted by term
     * frequency expressed as 64 map-side-combined sum aggregates: one
     * shuffle of 64-long vote buffers per doc, then the sign of each
     * vote sets the signature bit.
@@ -426,7 +445,7 @@ object Dedup {
     val hashed = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), md5Long64(col("tok")).as("h"))
     val votes = (0 until 64).map(b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1L).otherwise(-1L)).as(s"v$b"))
     hashed.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)

@@ -451,7 +451,11 @@ object VectorSearch {
       remaining -= best
     }
     selected.zipWithIndex.map { case ((c, s), i) =>
-      (i + 1L, c._1, c._2, math.rint(s * 1e5) / 1e5)
+      // HALF_UP to 5 decimals — the same convention as SQL round()
+      // (Spark and DuckDB), so the driver-side greedy replay is
+      // oracle-comparable; rint's half-even would diverge on .000005
+      (i + 1L, c._1, c._2,
+        BigDecimal(s).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
   }
 }
