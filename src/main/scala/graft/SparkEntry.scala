@@ -120,7 +120,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_cc" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
-    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupLabeled(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringDedup(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     // incremental-ingest gate: new batch vs standing corpus, best match
@@ -295,6 +295,26 @@ object SparkEntry {
     shingleCtes + """,
       |hot AS (SELECT shingle FROM shd GROUP BY 1 HAVING count(*) > 1000),
       |shc AS (SELECT doc_id, shingle FROM shd ANTI JOIN hot USING (shingle))""".stripMargin
+
+  /** Shared CTEs replaying Dedup's banded Rademacher-LSH blocking
+    * (32 bands; the adaptive band width resolves to its 6-bit floor at
+    * every verify scale — sf0.001 and sf0.01 corpora are ≤ 2^11·32
+    * vectors; dim 64 matches the testdata embeddings).
+    */
+  private val lshBlockCtes: String =
+    """planes AS (SELECT b, j, list_transform(range(0, 64), i ->
+      |             CASE WHEN (md5_number_upper(b::VARCHAR || ':' || j::VARCHAR || ':' || i::VARCHAR) & 1) = 1
+      |                  THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS plane
+      |           FROM range(32) rb(b), range(6) rj(j)),
+      |bb AS (SELECT e.vec_id, p.b,
+      |              sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+      |                       THEN (1::BIGINT << p.j) ELSE 0 END) AS bucket
+      |       FROM embeddings e, planes p GROUP BY 1, 2),
+      |bbk AS (SELECT vec_id, b * 64 + bucket AS bbkey FROM bb),
+      |hot AS (SELECT bbkey FROM bbk GROUP BY 1 HAVING count(*) > 1000),
+      |capped AS (SELECT * FROM bbk ANTI JOIN hot USING (bbkey)),
+      |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |         FROM capped a JOIN capped b ON a.bbkey = b.bbkey AND a.vec_id < b.vec_id)""".stripMargin
 
   private def langCase(prefix: String): String = {
     val langs = TextAnalysis.markers.map(_._1)
@@ -903,11 +923,24 @@ object SparkEntry {
          |          SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
          |SELECT src AS doc_id, min(dst) AS cluster_id, src = min(dst) AS is_kept
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // banded-LSH blocking replayed exactly: hash-derived ±1 planes
+    // (Dedup.rademacherPlane == the md5_number_upper low bit), sign
+    // buckets, occupancy cap, any-band collision, exact-cosine verify,
+    // label filter POST-block — deterministic, so misses reproduce too
     "dedup_embedding" ->
-      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label::BIGINT AS label,
+      s"""WITH $lshBlockCtes
+         |SELECT c.a_id, c.b_id, a.label::BIGINT AS label,
          |       ${cos5("a.embedding", "b.embedding")} AS score
-         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${cos5("a.embedding", "b.embedding")} >= 0.3
+         |FROM cand c JOIN embeddings a ON a.vec_id = c.a_id
+         |            JOIN embeddings b ON b.vec_id = c.b_id
+         |WHERE a.label = b.label AND ${cos5("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_embedding_lsh" ->
+      s"""WITH $lshBlockCtes
+         |SELECT c.a_id, c.b_id, ${cos5("a.embedding", "b.embedding")} AS score
+         |FROM cand c JOIN embeddings a ON a.vec_id = c.a_id
+         |            JOIN embeddings b ON b.vec_id = c.b_id
+         |WHERE ${cos5("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY a_id, b_id""".stripMargin,
     "lang_id" -> {
       val scores = TextAnalysis.markers.map { case (l, ms) =>

@@ -109,11 +109,45 @@ object Dedup {
     memoized(spark, s"winnow|$dir|$k|$w", corpusKey(spark, dir))(
       TextAnalysis.winnowed(spark, dir, k, w).select(col("doc_id"), col("sel")).distinct())
 
+  /** Driver-side twin of [[md5Long64]]: the signed little-endian
+    * reading of the first 8 md5 bytes of a UTF-8 string — DuckDB's
+    * `md5_number_upper` value. One hash definition across driver,
+    * executors, and the external oracle.
+    */
+  private[graft] def md5Le64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    (0 to 7).map(k => (d(k).toLong & 0xffL) << (8 * k)).reduce(_ | _)
+  }
+
+  /** Deterministic ±1 (Rademacher) hyperplanes for the near-dup LSH
+    * blocking: component (band, bit, dim i) is +1 when the low bit of
+    * md5Le64("band:bit:i") is set. Sign-LSH needs only a symmetric
+    * component distribution (Charikar's simhash draws ±1 projections),
+    * and a HASH-derived plane makes the whole blocking structure —
+    * bucket assignment, candidate set, final pairs — re-derivable by
+    * the external DuckDB oracle, which a seeded java.util.Random
+    * gaussian (the ANN-family planes in [[Lsh]]) never can be. The
+    * plane table is nBands·bitsPerBand rows and broadcasts.
+    */
+  private[graft] def rademacherPlane(band: Int, bit: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i => if ((md5Le64(s"$band:$bit:$i") & 1L) == 1L) 1.0 else -1.0 }
+
   private def cachedBandBuckets(spark: SparkSession, dir: String, nBands: Int,
                                 bitsPerBand: Int): DataFrame = {
     val fp = graft.sources.IndexStore.fingerprint(spark, s"$dir/embeddings.parquet")
-    memoized(spark, s"bands|$dir|$nBands|$bitsPerBand", fp)(
-      Lsh.assignBandBuckets(spark, dir, nBands, bitsPerBand))
+    memoized(spark, s"bands_md5|$dir|$nBands|$bitsPerBand", fp) {
+      import spark.implicits._
+      val dim = Lsh.embeddingDim(spark, dir)
+      val planes = (for (b <- 0 until nBands; j <- 0 until bitsPerBand) yield
+        (b, 1L << j, rademacherPlane(b, j, dim))).toDF("band", "weight", "plane")
+      // same one-pass crossJoin + map-side-combined groupBy shape as
+      // Lsh.assignBandBuckets; sign convention dot >= 0 → bit set
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(planes))
+        .groupBy(col("vec_id"), col("band"))
+        .agg(sum(when(dotd(col("embedding"), col("plane")) >= 0, col("weight"))
+          .when(dotd(col("embedding"), col("plane")) < 0, lit(0L))).as("bucket"))
+    }
   }
 
   /** Unpersist and drop every memoized intermediate for a session. */
@@ -688,7 +722,37 @@ object Dedup {
     */
   def embeddingNearDupLsh(spark: SparkSession, dir: String, nBands: Int = 32,
                           bitsPerBand: Int = 6, threshold: Double = 0.4,
-                          bucketCap: Long = 1000L): DataFrame = {
+                          bucketCap: Long = 1000L): DataFrame =
+    lshVerifiedPairs(spark, dir, nBands, bitsPerBand, bucketCap)
+      .where(col("score") >= threshold)
+      .select(col("a_id"), col("b_id"), col("score"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** The surfaced `dedup_embedding` path: the SAME banded-LSH blocking
+    * as [[embeddingNearDupLsh]] with the cluster-label restriction
+    * applied POST-block — candidate volume is bounded by bucket
+    * occupancy (grows with the adaptive band width), not by n²/L label
+    * blocks, so this is the 100 TB shape; [[embeddingNearDup]] remains
+    * the exact all-pairs-within-label twin that specs compare against.
+    * Deterministic by construction (hash-derived planes), so the
+    * DuckDB oracle reproduces the result exactly, misses included.
+    */
+  def embeddingNearDupLabeled(spark: SparkSession, dir: String, nBands: Int = 32,
+                              bitsPerBand: Int = 6, threshold: Double = 0.3,
+                              bucketCap: Long = 1000L): DataFrame =
+    lshVerifiedPairs(spark, dir, nBands, bitsPerBand, bucketCap)
+      .where(col("a_label") === col("b_label") && col("score") >= threshold)
+      .select(col("a_id"), col("b_id"), col("a_label").cast("long").as("label"), col("score"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Shared LSH candidate generation + exact verification: distinct
+    * any-band collisions under the occupancy cap, joined back to the
+    * corpus for the exact cosine. Returns every verified candidate
+    * with both labels, unthresholded — callers apply their own
+    * threshold/label policy.
+    */
+  private def lshVerifiedPairs(spark: SparkSession, dir: String, nBands: Int,
+                               bitsPerBand: Int, bucketCap: Long): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     val bits = math.max(bitsPerBand,
       math.ceil(math.log(math.max(n, 32L).toDouble / 32.0) / math.log(2.0)).toInt)
@@ -701,17 +765,15 @@ object Dedup {
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("label"), col("embedding"), l2norm(col("embedding")).as("nrm"))
     cand
-      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-        col("nrm").as("a_nrm")), "a_id")
-      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-        col("nrm").as("b_nrm")), "b_id")
-      .select(col("a_id"), col("b_id"),
+      .join(e.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm")), "b_id")
+      .select(col("a_id"), col("b_id"), col("a_label"), col("b_label"),
         round(dotd(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 5)
           .as("score"))
-      .where(col("score") >= threshold)
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** Corpus dedup report — the per-source summary a curation run

@@ -231,6 +231,23 @@ class DedupSpec extends AnyFunSuite {
       s"largest block generates $maxBlockPairs candidate pairs of ${n * (n - 1) / 2}")
   }
 
+  test("labeled LSH near-dup: exact-scored subset of the label-blocked scan") {
+    val exactRows = Dedup.embeddingNearDup(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val got = Dedup.embeddingNearDupLabeled(spark, TestSpark.sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exactRows.contains(key), s"pair $key not in the exact label-blocked scan")
+      assert(math.abs(exactRows(key) - r.getDouble(3)) < 1e-9,
+        s"score drift on $key: lsh ${r.getDouble(3)} vs exact ${exactRows(key)}")
+    }
+    // the LSH gate may deterministically miss low-cosine pairs; it must
+    // still surface the bulk of what the exact scan finds
+    val recall = got.length.toDouble / exactRows.size
+    assert(recall >= 0.6, s"labeled recall $recall = ${got.length}/${exactRows.size}")
+  }
+
   test("dedup report totals equal recounts over the per-document verdicts") {
     val rep = Dedup.dedupReport(spark, TestSpark.sf).collect()
     val exactDups = Dedup.exact(spark, TestSpark.sf).collect().count(_.getBoolean(2))
