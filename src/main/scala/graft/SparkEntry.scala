@@ -1059,19 +1059,20 @@ object SparkEntry {
         |      FROM h)
         |SELECT doc_id, count(*) AS n_kgrams, count(DISTINCT sel) AS n_fps, min(sel) AS min_fp
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
-    // winnow-overlap substring dedup: same winnowing CTE, pairs block
+    // winnow-overlap substring dedup: same winnowing CTE at the
+    // operator's k = 16 (doc_winnow keeps its own k = 8), pairs block
     // on shared selected fingerprints with the df cap, overlap =
     // containment vs the smaller fingerprint set (exact int/int double)
     "dedup_substring" ->
-      """WITH kg AS (SELECT doc_id, unnest([{'pos': i, 'g': substr(text, i+1, 8)}
-        |                                   for i in range(length(text) - 7)],
+      """WITH kg AS (SELECT doc_id, unnest([{'pos': i, 'g': substr(text, i+1, 16)}
+        |                                   for i in range(length(text) - 15)],
         |                                  recursive := true) FROM documents),
         |h AS (SELECT doc_id, pos, substr(md5(g), 1, 8) AS hh FROM kg),
         |w AS (SELECT doc_id, pos, min(hh) OVER (PARTITION BY doc_id ORDER BY pos
         |                                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
         |      FROM h),
         |fp AS (SELECT DISTINCT doc_id, sel FROM w),
-        |hot AS (SELECT sel FROM fp GROUP BY 1 HAVING count(*) > 1000),
+        |hot AS (SELECT sel FROM fp GROUP BY 1 HAVING count(*) > 64),
         |fpc AS (SELECT doc_id, sel FROM fp ANTI JOIN hot USING (sel)),
         |sz AS (SELECT doc_id, count(*) AS n FROM fpc GROUP BY 1),
         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared

@@ -668,9 +668,29 @@ object Dedup {
     * MOSS similarity: shared fingerprints over the smaller document's
     * fingerprint set (containment, not Jaccard — a short doc fully
     * embedded in a long one scores 1.0).
+    *
+    * k = 16 is a measured choice, not a tuning default: at k = 8 the
+    * char-gram universe is so small that fingerprints repeat across
+    * most of the corpus (sf0.1: 559k (doc,fp) rows collapse onto 7k
+    * distinct fingerprints, Σdf² = 192M — the "blocked" self-join was
+    * effectively all-pairs); at k = 16 the same corpus yields 263k
+    * distinct fingerprints and Σdf² = 4.1M, a 47× structural cut in
+    * join volume that grows with corpus diversity. The detection
+    * guarantee loosens from shared substrings ≥ 11 chars to ≥ w+k−1 =
+    * 19 chars — still far below any "verbatim passage" of interest.
+    *
+    * maxDf = 64 is likewise measured: winnowing's min-in-window
+    * selection concentrates on globally-common grams (small hash
+    * values win every window they appear in), so the df mass sits
+    * just under any high cap — at the sf1 scale point Σdf² was 1.31G
+    * at cap 1000 but 51M at cap 64, and growth vs sf0.1 is ~linear at
+    * the tight cap. A fingerprint shared by >64 documents is corpus
+    * boilerplate with no pair-level signal (MOSS applies the same
+    * too-common drop); a genuinely duplicated passage is still found
+    * through its rarer fingerprints.
     */
-  def substringDedup(spark: SparkSession, dir: String, k: Int = 8, w: Int = 4,
-                     threshold: Double = 0.5, maxDf: Long = 1000L): DataFrame = {
+  def substringDedup(spark: SparkSession, dir: String, k: Int = 16, w: Int = 4,
+                     threshold: Double = 0.5, maxDf: Long = 64L): DataFrame = {
     val fpc = dfCapped(cachedWinnowFps(spark, dir, k, w), "sel", maxDf)
     val sz = fpc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = fpc.as("a").join(fpc.as("b"),
@@ -687,9 +707,10 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** Embedding-cosine near-dup blocked on BANDED random-hyperplane LSH
-    * — the 100 TB blocking key (rows-only to the driver: the
-    * hyperplanes are RNG-seeded). `nBands` independent sign-LSH tables
+  /** Embedding-cosine near-dup blocked on BANDED sign-LSH — the
+    * 100 TB blocking key, fully deterministic and oracle-replayable
+    * (hash-derived ±1 planes — [[rademacherPlane]]). `nBands`
+    * independent sign-LSH tables
     * of `bitsPerBand` bits each (the same band/bucket trick
     * [[minhashLsh]] uses for Jaccard): a pair is a candidate if it
     * collides in ANY band, so the miss probability at per-bit
