@@ -183,4 +183,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-4) // unit-norm corpus
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-6) // self-cosine = 1
   }
+
+  test("npy reader ingests the reference's own embedding artifacts") {
+    import graft.sources.NpySource
+    // 66×384 f4 matrix (reference app.py:68-70 loads it with np.load)
+    val df = NpySource.readNpy(spark, "/root/reference/product_embeddings.npy")
+    assert(df.count() == 66L)
+    val rows = df.orderBy("vec_id").collect()
+    assert(rows.head.getLong(0) == 0L && rows.last.getLong(0) == 65L)
+    assert(rows.forall(_.getSeq[Float](1).length == 384))
+    // spot values verified against an independent decode of the raw bytes
+    val r0 = rows.head.getSeq[Float](1)
+    assert(math.abs(r0(0) - 0.013940855f) < 1e-7f)
+    assert(math.abs(r0(1) - (-0.057955224f)) < 1e-7f)
+    val r65 = rows.last.getSeq[Float](1)
+    assert(math.abs(r65(0) - (-0.04671314f)) < 1e-7f)
+    // small batchRows must shard the read without changing the result
+    val sharded = NpySource.readNpy(spark, "/root/reference/product_embeddings.npy", batchRows = 7)
+      .orderBy("vec_id").collect()
+    assert(sharded.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).toSeq)
+    assert(sharded.zip(rows).forall { case (a, b) =>
+      a.getSeq[Float](1) == b.getSeq[Float](1) })
+  }
+
+  test("npy write/read round-trips the engine's embedding frame bit-for-bit") {
+    import graft.sources.NpySource
+    val dir = Files.createTempDirectory("graft-npy").toString
+    val emb = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding")
+    NpySource.writeNpy(emb, s"$dir/emb.npy")
+    val back = NpySource.readNpy(spark, s"$dir/emb.npy")
+    val orig = emb.orderBy("vec_id").collect()
+    val got = back.orderBy("vec_id").collect()
+    assert(got.length == orig.length)
+    // vec_id becomes the ROW INDEX on export (npy carries no ids) —
+    // compare positionally
+    got.zip(orig).foreach { case (g, o) =>
+      assert(g.getSeq[Float](1) == o.getSeq[Float](1))
+    }
+  }
 }
