@@ -19,6 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- vector search (reference core) ---
     "vs_topk" -> ((s, d) => VectorSearch.topK(s, d, queryId = 0, k = 10)),
+    // raw text through the LEARNED corpus-lexical encoder (the
+    // reference's model.encode seam) — lexicon induction, driver-side
+    // encode, and the cosine scan all replayed by the oracle
+    "vs_topk_lexenc" -> ((s, d) => {
+      s.conf.set("spark.graft.encoder.class", "graft.functions.CorpusLexicalQueryEncoder")
+      s.conf.set(graft.functions.CorpusLexicalEncoder.DirKey, d)
+      VectorSearch.topKText(s, d, "the data", k = 10)
+    }),
     "vs_topk_qvec" -> ((s, d) => VectorSearch.topKVec(s, d, demoQueryVec, k = 10)),
     "vs_item_similar" -> ((s, d) => VectorSearch.topK(s, d, queryId = 7, k = 10)),
     "vs_filtered_topk" -> ((s, d) => VectorSearch.filteredTopK(s, d, queryId = 0, k = 10, labels = Seq(1, 2, 3))),
@@ -1393,6 +1401,25 @@ object SparkEntry {
         |SELECT a_id, b_id, bit_count(xor(a_sig, b_sig))::BIGINT AS hamming
         |FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= 6
         |ORDER BY a_id, b_id""".stripMargin,
+    // the corpus-lexical encoder end-to-end: per-term centroids of
+    // containing-doc embeddings (FLOAT casts quantize away
+    // aggregation-order noise, so the induced lexicon is bit-stable
+    // across engines), occurrence-weighted query mean, L2 normalize,
+    // cosine top-k — the full raw-text retrieval path as one SQL replay
+    "vs_topk_lexenc" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+         |                                                t -> length(t) >= 2)) AS term FROM documents),
+         |dt AS (SELECT DISTINCT doc_id, term FROM toks),
+         |dims AS (SELECT dt.term, r.p, CAST(avg(e.embedding[r.p + 1]::DOUBLE) AS FLOAT) AS v
+         |         FROM dt JOIN embeddings e ON e.vec_id = dt.doc_id, range(64) r(p)
+         |         GROUP BY dt.term, r.p),
+         |m AS (SELECT a.p, (a.v::DOUBLE + b.v::DOUBLE) / 2 AS mv
+         |      FROM dims a JOIN dims b USING (p) WHERE a.term = 'the' AND b.term = 'data'),
+         |nrm AS (SELECT sum(mv * mv) AS n2 FROM m),
+         |qv AS (SELECT list(CAST(mv * (1 / sqrt(n2)) AS FLOAT) ORDER BY p) AS qv FROM m, nrm)
+         |SELECT e.vec_id, ${cos5("e.embedding", "qv.qv")} AS score
+         |FROM embeddings e, qv
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
     // MMR greedy replayed as a recursive CTE: one row per iteration
     // carrying the selected-id list; each step picks the argmax of
     // λ·relevance − (1−λ)·max-sim-to-selected with the engine's exact

@@ -139,6 +139,59 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.encoder.class")
   }
 
+  test("corpus-lexical encoder: learned lexicon drives raw-text search end-to-end") {
+    import graft.functions.{CorpusLexicalEncoder, CorpusLexicalQueryEncoder}
+    import graft.operators.VectorSearch
+    spark.conf.set("spark.graft.encoder.class", classOf[CorpusLexicalQueryEncoder].getName)
+    spark.conf.set(CorpusLexicalEncoder.DirKey, TestSpark.sf)
+    try {
+      // the artifact builds once and is complete on disk
+      val lex = CorpusLexicalEncoder.ensureLexicon(spark, TestSpark.sf).collect()
+      assert(lex.nonEmpty)
+      val dim = lex.head.getSeq[Float](2).length
+      assert(lex.forall(_.getSeq[Float](2).length == dim))
+      assert(graft.sources.IndexStore.isComplete(spark,
+        CorpusLexicalEncoder.lexiconPath(spark, TestSpark.sf)))
+
+      // semantic grounding on a purpose-built corpus: a term occurring
+      // in exactly ONE document encodes to that document's embedding
+      // direction, so top-1 must be the containing doc
+      {
+        import spark.implicits._
+        val tiny = Files.createTempDirectory("graft-lexenc").toString
+        Seq((0L, "alpha shared words"), (1L, "beta shared words"), (2L, "gamma shared words"))
+          .toDF("doc_id", "text").write.parquet(s"$tiny/documents.parquet")
+        Seq((0L, Array(1f, 0f, 0f, 0f), 0), (1L, Array(0f, 1f, 0f, 0f), 1),
+            (2L, Array(0f, 0f, 1f, 0f), 2))
+          .toDF("vec_id", "embedding", "label").write.parquet(s"$tiny/embeddings.parquet")
+        spark.conf.set(CorpusLexicalEncoder.DirKey, tiny)
+        for ((term, home) <- Seq(("alpha", 0L), ("beta", 1L), ("gamma", 2L))) {
+          val top = VectorSearch.topKText(spark, tiny, term, k = 1).head()
+          assert(top.getLong(0) == home,
+            s"df=1 term '$term' should retrieve its home doc $home, got ${top.getLong(0)}")
+        }
+        spark.conf.set(CorpusLexicalEncoder.DirKey, TestSpark.sf)
+      }
+
+      // front door equals topKVec on the encoder's own vector
+      val enc = new CorpusLexicalQueryEncoder
+      val viaText = VectorSearch.topKText(spark, TestSpark.sf, "the data", k = 5)
+        .collect().map(_.toSeq).toSeq
+      val viaVec = VectorSearch.topKVec(spark, TestSpark.sf, enc.encode("the data"), k = 5)
+        .collect().map(_.toSeq).toSeq
+      assert(viaText == viaVec && viaText.nonEmpty)
+
+      // unknown-vocabulary queries fail loudly, never rank at random
+      val err = intercept[IllegalArgumentException] {
+        VectorSearch.topKText(spark, TestSpark.sf, "zzzznotaterm", k = 3)
+      }
+      assert(err.getMessage.contains("lexicon"))
+    } finally {
+      spark.conf.unset("spark.graft.encoder.class")
+      spark.conf.unset(CorpusLexicalEncoder.DirKey)
+    }
+  }
+
   test("vec_dot is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     Tables.embeddings(spark, TestSpark.sf).createOrReplaceTempView("emb")
