@@ -11,8 +11,45 @@ import org.apache.spark.sql.functions._
   * (doc_id = vec_id), `events` plays the review/interaction stream.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Warm-serving registry — the engine's analog of the reference's
+    * cached resources (app.py:63-102 `st.cache_resource`/`st.cache_data`
+    * keep the matrices and frames resident between interactions): a
+    * long-lived serving session calls [[warm]] once, and every
+    * operator that reads a warmed (dir, table) pair — all of them go
+    * through [[table]] — plans an InMemoryTableScan instead of a file
+    * scan, so repeat queries never touch storage. Entries are
+    * per-session; sessions that stopped are evicted lazily.
+    */
+  private val warmed = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  /** Persist + materialize `names` under (spark, dir); idempotent. */
+  def warm(spark: SparkSession, dir: String, names: Seq[String]): Unit = {
+    val it = warmed.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    names.foreach { n =>
+      warmed.computeIfAbsent((spark, dir, n), { _ =>
+        val df = spark.read.parquet(s"$dir/$n.parquet").persist()
+        df.count() // materialize now: serving latency should not pay the first-touch build
+        df
+      })
+    }
+  }
+
+  /** Unpersist and drop every warmed table of this session. */
+  def cool(spark: SparkSession): Unit = {
+    val it = warmed.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
+    }
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val hit = warmed.get((spark, dir, name))
+    if (hit != null) hit else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
