@@ -25,24 +25,49 @@ import org.apache.spark.sql.functions._
   *     id range, which the recommendation path reads as a user base
   *     10× wider over the same catalog slice.
   *
-  * Usage: GenData <srcDir> <dstDir> <copies>
+  * A second mode, `zipf`, tiles the same volume but SKEWS the key
+  * distributions the way organic corpora do (uniform tiling is the
+  * best case for every hash shuffle — a skew bench must be asked for
+  * explicitly):
+  *   - events: copy c compresses user_id into the first 1/(c+1) of the
+  *     id space, so low ids accumulate events from every copy — a
+  *     harmonic (Zipf-tailed) events-per-user profile with the same
+  *     total volume;
+  *   - orders/lineitem: o_custkey and l_suppkey compress the same way
+  *     (hot customers, hot suppliers) while the o_orderkey/l_orderkey
+  *     PK-FK tiling stays intact;
+  *   - embeddings: copy c routes vec_id % 10 < c rows to label 0 — the
+  *     hot cluster label every label-blocked path must survive;
+  *   - documents: only alternating 8-token blocks get the per-copy
+  *     suffix, so the unsuffixed blocks repeat VERBATIM in every copy —
+  *     hot cross-copy shingles and winnow fingerprints (exactly the
+  *     boilerplate profile the df-occupancy caps exist for).
+  *
+  * Usage: GenData <srcDir> <dstDir> <copies> [uniform|zipf]
   */
 object GenData {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: GenData <srcDir> <dstDir> <copies>")
+    require(args.length == 3 || args.length == 4,
+      "usage: GenData <srcDir> <dstDir> <copies> [uniform|zipf]")
     val (src, dst, copies) = (args(0), args(1), args(2).toInt)
+    val mode = if (args.length == 4) args(3) else "uniform"
     require(copies >= 1 && copies <= 128, s"copies must be in [1, 128]: $copies")
+    require(Set("uniform", "zipf").contains(mode), s"unknown mode $mode")
     val spark = SparkSession.builder()
       .appName("graft-gendata")
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    try generate(spark, src, dst, copies) finally spark.stop()
+    try generate(spark, src, dst, copies, mode == "zipf") finally spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+  def generate(spark: SparkSession, src: String, dst: String, copies: Int): Unit =
+    generate(spark, src, dst, copies, skew = false)
+
+  def generate(spark: SparkSession, src: String, dst: String, copies: Int,
+               skew: Boolean): Unit = {
     def rd(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def wr(df: DataFrame, name: String, files: Int): Unit =
       df.coalesce(files).write.mode("overwrite").parquet(s"$dst/$name.parquet")
@@ -78,18 +103,35 @@ object GenData {
         d.withColumn(k, (col(k) + lit(c * span)).cast("long"))
       }
 
+    // zipf mode: compress a key into the first 1/(c+1) of its id space —
+    // copy 0 is untouched, later copies pile onto ever-smaller prefixes,
+    // so key i's total weight ≈ Σ_c [i < span/(c+1)] (harmonic tail)
+    def compress(d: DataFrame, c: Int, key: String, span: Long): DataFrame =
+      if (!skew || c == 0) d
+      else d.withColumn(key, (col(key) % lit(math.max(1L, span / (c + 1)))).cast("long"))
+
     wr(tiled(customer, (d, c) => shift(d, c, "c_custkey" -> kCust)), "customer", copies)
     wr(tiled(supplier, (d, c) => shift(d, c, "s_suppkey" -> kSupp)), "supplier", copies)
     wr(tiled(part, (d, c) => shift(d, c, "p_partkey" -> kPart)), "part", copies)
     wr(tiled(orders, (d, c) =>
-      shift(d, c, "o_orderkey" -> kOrd, "o_custkey" -> kCust)), "orders", copies)
+      if (skew) compress(shift(d, c, "o_orderkey" -> kOrd), c, "o_custkey", kCust)
+      else shift(d, c, "o_orderkey" -> kOrd, "o_custkey" -> kCust)), "orders", copies)
     wr(tiled(rd("lineitem"), (d, c) =>
-      shift(d, c, "l_orderkey" -> kOrd, "l_partkey" -> kPart, "l_suppkey" -> kSupp)),
+      if (skew) compress(shift(d, c, "l_orderkey" -> kOrd, "l_partkey" -> kPart),
+        c, "l_suppkey", kSupp)
+      else shift(d, c, "l_orderkey" -> kOrd, "l_partkey" -> kPart, "l_suppkey" -> kSupp)),
       "lineitem", copies)
 
     wr(tiled(documents, (d, c) => {
       val suffixed =
         if (c == 0) d
+        else if (skew)
+          // suffix only alternating 8-token blocks: the unsuffixed
+          // blocks repeat verbatim across copies → hot shingles
+          d.withColumn("text",
+            array_join(expr(
+              s"transform(split(text, ' '), (t, i) -> CASE WHEN (i div 8) % 2 = 0 THEN t ELSE concat(t, '_c$c') END)"),
+              " "))
         else d.withColumn("text",
           array_join(transform(split(col("text"), " "), t => concat(t, lit(s"_c$c"))), " "))
       shift(suffixed, c, "doc_id" -> kDoc)
@@ -109,10 +151,17 @@ object GenData {
         if (c / dim % 2 == 0) rotated
         else rotated.withColumn("embedding",
           expr("cast(transform(embedding, x -> -x) as array<float>)"))
-      shift(signed, c, "vec_id" -> kDoc)
+      val labeled =
+        if (skew && c > 0)
+          // hot cluster label: copy c routes vec_id % 10 < c to label 0
+          signed.withColumn("label",
+            when(col("vec_id") % 10 < c, lit(0)).otherwise(col("label")).cast("int"))
+        else signed
+      shift(labeled, c, "vec_id" -> kDoc)
     }), "embeddings", copies)
 
     wr(tiled(events, (d, c) =>
-      shift(d, c, "event_id" -> kEvent, "user_id" -> kUser)), "events", copies)
+      if (skew) compress(shift(d, c, "event_id" -> kEvent), c, "user_id", kUser)
+      else shift(d, c, "event_id" -> kEvent, "user_id" -> kUser)), "events", copies)
   }
 }
