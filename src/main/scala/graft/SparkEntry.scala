@@ -304,6 +304,44 @@ object SparkEntry {
       |hot AS (SELECT shingle FROM shd GROUP BY 1 HAVING count(*) > 1000),
       |shc AS (SELECT doc_id, shingle FROM shd ANTI JOIN hot USING (shingle))""".stripMargin
 
+  /** Shared CTEs replaying the deterministic IVF coarse-quantizer fit
+    * (Ivf.fitCentroidsPortable: sorted sample, k=16 evenly-spaced
+    * seeds, 10 fixed Lloyd rounds, FLOAT32-quantized round centroids,
+    * direct Σdiff² distances with ties to the lower cell, empty cells
+    * keep their previous centroid) plus the full-corpus argmin
+    * assignment. step=1 at every verify SF (corpus ≤ Ivf.fitRows), so
+    * the sample is the whole sorted table. Callers prepend
+    * `WITH RECURSIVE`.
+    */
+  private val ivfFitCtes: String =
+    """s AS (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM embeddings),
+      |ns AS (SELECT count(*) AS n FROM s),
+      |km(iter, cell, centroid) AS (
+      |  SELECT 0, c.c, (SELECT list_transform(s.embedding, x -> x::DOUBLE) FROM s, ns WHERE s.rn = (c.c * ns.n) // 16)
+      |  FROM range(16) c(c)
+      |  UNION ALL
+      |  SELECT w.iter + 1, w.cell, coalesce(mm.cent, w.centroid)
+      |  FROM km w LEFT JOIN (
+      |    SELECT cell, list(CAST(av AS FLOAT)::DOUBLE ORDER BY p) AS cent
+      |    FROM (
+      |      SELECT win.cell, r.p, avg(win.embedding[r.p + 1]::DOUBLE) AS av
+      |      FROM (
+      |        SELECT s.vec_id, s.embedding, k2.cell
+      |        FROM s, km k2
+      |        QUALIFY row_number() OVER (PARTITION BY s.vec_id ORDER BY
+      |          list_sum(list_transform(range(1, 65), i -> (s.embedding[i]::DOUBLE - k2.centroid[i]) * (s.embedding[i]::DOUBLE - k2.centroid[i]))), k2.cell) = 1
+      |      ) win, range(64) r(p)
+      |      GROUP BY win.cell, r.p
+      |    ) GROUP BY cell
+      |  ) mm ON mm.cell = w.cell
+      |  WHERE w.iter < 10
+      |),
+      |cent AS (SELECT cell, centroid FROM km WHERE iter = 10),
+      |asg AS (SELECT s.vec_id, s.embedding, c.cell
+      |        FROM s, cent c
+      |        QUALIFY row_number() OVER (PARTITION BY s.vec_id ORDER BY
+      |          list_sum(list_transform(range(1, 65), i -> (s.embedding[i]::DOUBLE - c.centroid[i]) * (s.embedding[i]::DOUBLE - c.centroid[i]))), c.cell) = 1)""".stripMargin
+
   /** Shared CTEs replaying Dedup's banded Rademacher-LSH blocking
     * (32 bands; the adaptive band width resolves to its 6-bit floor at
     * every verify scale — sf0.001 and sf0.01 corpora are ≤ 2^11·32
@@ -1376,6 +1414,80 @@ object SparkEntry {
     * JVM method-size limit).
     */
   private def extraOracles: Map[String, String] = Map(
+    // the FULL IVF pipeline replayed in SQL — deterministic portable
+    // k-means (Ivf.fitCentroidsPortable: sorted hash-mod sample, k
+    // evenly-spaced seeds, 10 fixed Lloyd rounds with FLOAT32-quantized
+    // centroids so aggregation-order noise rounds away), full-corpus
+    // argmin assignment, cosine-ranked nprobe=4 probe, exact-cosine
+    // top-10 over the probed cells. Verified bit-identical to a
+    // straight-line reimplementation before wiring. step=1 at every
+    // verify SF (corpus ≤ fitRows), so the sample is the whole table.
+    "ann_ivf_topk" ->
+      s"""WITH RECURSIVE
+         |$ivfFitCtes,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT c.cell FROM cent c, q
+         |          ORDER BY list_dot_product(q.qv::DOUBLE[], c.centroid) /
+         |                   (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) * sqrt(list_dot_product(c.centroid, c.centroid))) DESC, c.cell
+         |          LIMIT 4)
+         |SELECT a.vec_id AS n_id, a.cell::BIGINT AS cell,
+         |       ${cos5("a.embedding", "q.qv")} AS score,
+         |       CAST(row_number() OVER (ORDER BY ${cos5("a.embedding", "q.qv")} DESC, a.vec_id) AS BIGINT) AS rk
+         |FROM asg a JOIN probe USING (cell), q
+         |WHERE a.vec_id <> 0
+         |QUALIFY rk <= 10
+         |ORDER BY rk""".stripMargin,
+    // inventory over the same replayed IVF build; n_epochs/n_tombstones
+    // are filesystem facts of a FRESH fingerprint-addressed artifact
+    // (exactly one epoch, no tombstones — verify never appends/deletes)
+    "ann_index_stats" ->
+      s"""WITH RECURSIVE
+         |$ivfFitCtes,
+         |occ AS (SELECT cell, count(*) AS c FROM asg GROUP BY 1),
+         |a AS (SELECT count(*)::DOUBLE AS cells, sum(c)::DOUBLE AS rws,
+         |             min(c)::DOUBLE AS mn, max(c)::DOUBLE AS mx FROM occ)
+         |SELECT metric, value FROM (
+         |  SELECT 0 AS o, 'n_rows' AS metric, rws AS value FROM a
+         |  UNION ALL SELECT 1, 'n_cells', cells FROM a
+         |  UNION ALL SELECT 2, 'n_epochs', 1.0 FROM a
+         |  UNION ALL SELECT 3, 'n_tombstones', 0.0 FROM a
+         |  UNION ALL SELECT 4, 'min_cell_rows', mn FROM a
+         |  UNION ALL SELECT 5, 'max_cell_rows', mx FROM a
+         |  UNION ALL SELECT 6, 'avg_cell_rows', rws / cells FROM a
+         |  UNION ALL SELECT 7, 'occupancy_skew_x', mx / (rws / cells) FROM a) t
+         |ORDER BY o""".stripMargin,
+    // recall/MRR sweep over the replayed IVF: per-query probe ranking,
+    // per-(nprobe, query) candidate top-10, hits vs the exact top-10
+    "ann_recall_eval" ->
+      s"""WITH RECURSIVE
+         |$ivfFitCtes,
+         |qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |nps AS (SELECT * FROM (VALUES (1), (2), (4)) t(np)),
+         |probes AS (SELECT q.q_id, c.cell,
+         |             row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |               list_dot_product(q.qv::DOUBLE[], c.centroid) /
+         |               (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+         |               c.cell) AS crk
+         |           FROM qs q, cent c),
+         |cand AS (SELECT np.np, p.q_id, a.vec_id AS n_id, ${cos5("a.embedding", "q.qv")} AS score
+         |         FROM nps np, probes p JOIN asg a ON a.cell = p.cell JOIN qs q ON q.q_id = p.q_id
+         |         WHERE p.crk <= np.np AND a.vec_id <> p.q_id),
+         |res AS (SELECT np, q_id, n_id,
+         |          row_number() OVER (PARTITION BY np, q_id ORDER BY score DESC, n_id) AS rk
+         |        FROM cand QUALIFY rk <= 10),
+         |gt AS (SELECT q.q_id, e.vec_id AS n_id,
+         |         row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos5("e.embedding", "q.qv")} DESC, e.vec_id) AS rk
+         |       FROM embeddings e, qs q WHERE e.vec_id <> q.q_id QUALIFY rk <= 10),
+         |nqv AS (SELECT count(*)::DOUBLE AS nq FROM qs),
+         |hits AS (SELECT res.np AS hnp, count(*) AS h FROM res JOIN gt USING (q_id, n_id) GROUP BY 1),
+         |rr AS (SELECT res.np AS rnp, sum(1.0::DOUBLE / res.rk) AS s
+         |       FROM gt g JOIN res ON res.q_id = g.q_id AND res.n_id = g.n_id
+         |       WHERE g.rk = 1 GROUP BY 1)
+         |SELECT np.np AS nprobe,
+         |       round(coalesce((SELECT h FROM hits WHERE hnp = np.np), 0) / ((SELECT nq FROM nqv) * 10), 5) AS "Precision@K",
+         |       round(coalesce((SELECT s FROM rr WHERE rnp = np.np), 0.0) / (SELECT nq FROM nqv), 5) AS "MRR",
+         |       CAST((SELECT nq FROM nqv) AS BIGINT) AS "QueriesUsed"
+         |FROM nps np ORDER BY np.np""".stripMargin,
     // SimHash replayed end-to-end in SQL: the per-token hash is the
     // engine-portable md5-derived long (Dedup.md5Long64 == DuckDB's
     // md5_number_upper reinterpreted signed), so signatures, chunk

@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
+
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -42,26 +42,87 @@ object Ivf {
     * seeded sample capped at [[fitRows]]; assignment is a narrow map
     * against the broadcast model — no shuffle, no full-corpus fit.
     */
-  def buildIndex(spark: SparkSession, dir: String, nCells: Int): (DataFrame, DataFrame) = {
-    val e = Tables.embeddings(spark, dir)
-    val total = e.count()
-    val fraction = math.min(1.0, fitRows.toDouble / math.max(total, 1L))
-    val fitSet = e.sample(withReplacement = false, fraction, seed = 42)
-      .withColumn("features", array_to_vector(col("embedding")))
-    // random init + bounded iterations: the coarse quantizer only needs
-    // rough cells, and k-means|| init costs several extra Spark jobs
-    val model = new KMeans().setK(nCells).setSeed(42)
-      .setInitMode("random").setMaxIter(10).setTol(1e-4)
-      .setFeaturesCol("features").setPredictionCol("cell").fit(fitSet)
-    val assigned = model.transform(
-        e.withColumn("features", array_to_vector(col("embedding"))))
-      .select(col("vec_id"), col("label"), col("embedding"),
-        l2norm(col("embedding")).as("nrm"), col("cell"))
+  def buildIndex(spark: SparkSession, dir: String, nCells: Int): (DataFrame, DataFrame) =
+    fitAndAssign(spark, Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding")), nCells)
+
+  /** Deterministic, ENGINE-PORTABLE coarse-quantizer fit (the choice
+    * that lets `ann_ivf_topk` carry a hard external oracle — an
+    * RNG-seeded MLlib fit never can): the fit sample is hash-mod
+    * selected (`vec_id % ceil(total/fitRows) == 0`, sorted by id),
+    * seeds are the k evenly-spaced sample vectors (position
+    * `(i·n)/k`), and Lloyd runs a FIXED 10 rounds — nearest cell by
+    * direct Σ(aᵢ−bᵢ)² in dimension order, ties to the lower cell,
+    * empty cells keep their previous centroid (the same conventions
+    * [[Quantized]]'s PQ codebook fit uses). Each round's centroids
+    * are quantized to FLOAT32, so summation-order noise in the means
+    * (parallel vs sequential aggregation) is rounded away and any
+    * engine replaying the recipe lands on bit-identical centroids.
+    *
+    * The sample collect is bounded by [[fitRows]] (the same
+    * driver-artifact budget as PQ codebooks and probe LUTs); the
+    * full-corpus ASSIGNMENT stays distributed — one broadcast of the
+    * k×dim centroid table and a map-side-combined
+    * `min(struct(d2, cell))` argmin per vector, no shuffle of
+    * embeddings beyond the vec_id groupBy.
+    */
+  private def fitAndAssign(spark: SparkSession, rows: DataFrame,
+                           nCells: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toSeq
+    val total = rows.count()
+    val step = math.max(1L, (total + fitRows - 1) / fitRows)
+    val sample = rows.where(col("vec_id") % step === 0)
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+      .collect().map(_.getSeq[Float](1).toArray)
+    val cents = fitCentroidsPortable(sample, nCells)
+    // float-exact values widened to double: the persisted centroid
+    // schema stays array<double>, the values stay replayable
+    val centroids = cents.zipWithIndex
+      .map { case (v, i) => (i, v.map(_.toDouble)) }.toSeq
       .toDF("cell", "centroid")
+    val d2 = expr(
+      "aggregate(zip_with(embedding, centroid, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (acc, v) -> acc + v)")
+    val assigned = rows.crossJoin(broadcast(centroids))
+      .withColumn("d2", d2)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("m"),
+        first(col("label")).as("label"), first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"), col("m.cell").as("cell"))
     (assigned, centroids)
+  }
+
+  /** See [[fitAndAssign]] for the conventions; bit-reproducible. */
+  private[operators] def fitCentroidsPortable(sample: Array[Array[Float]],
+                                              k: Int, iters: Int = 10): Array[Array[Float]] = {
+    require(sample.nonEmpty, "empty fit sample")
+    val n = sample.length
+    require(n >= k, s"fit sample $n smaller than nCells $k")
+    val dim = sample.head.length
+    var cents = Array.tabulate(k)(i => sample(((i.toLong * n) / k).toInt).clone())
+    var iter = 0
+    while (iter < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var bi = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i).toDouble - cents(c)(i).toDouble; d += t * t; i += 1 }
+          if (d < bd) { bd = d; bi = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(bi)(i) += v(i); i += 1 }
+        counts(bi) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat))
+      iter += 1
+    }
+    cents
   }
 
   /** Persist an IVF index as two parquet tables — the engine's analog
@@ -97,7 +158,7 @@ object Ivf {
     */
   /** The corpus's fingerprint-addressed index path for (dir, nCells). */
   def indexPath(spark: SparkSession, dir: String, nCells: Int): String =
-    IndexStore.indexPath(spark, "ivf_v4", s"$dir/embeddings.parquet", nCells.toString)
+    IndexStore.indexPath(spark, "ivf_v5", s"$dir/embeddings.parquet", nCells.toString)
 
   /** FAISS remove_ids() for the IVF index: tombstone, don't rewrite. */
   def removeFromIndex(spark: SparkSession, dir: String, nCells: Int, ids: Seq[Long]): Unit =
@@ -197,20 +258,10 @@ object Ivf {
     val total = occ.getLong(0)
     val skew = occ.getLong(2).toDouble / (total.toDouble / occ.getLong(1))
     if (skew < skewThreshold) return false
-    // refit on a seeded sample of the current contents — same bounded
+    // refit on the current contents — the same deterministic bounded
     // fit as buildIndex (cells need rough shape, not a full-corpus fit)
-    val rows = current.select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
-    val fraction = math.min(1.0, fitRows.toDouble / math.max(total, 1L))
-    val fitSet = rows.sample(withReplacement = false, fraction, seed = 42)
-      .withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nCells).setSeed(42)
-      .setInitMode("random").setMaxIter(10).setTol(1e-4)
-      .setFeaturesCol("features").setPredictionCol("cell").fit(fitSet)
-    val assigned = model.transform(rows.withColumn("features", array_to_vector(col("embedding"))))
-      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"), col("cell"))
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    val (assigned, centroids) = fitAndAssign(spark,
+      current.select(col("vec_id"), col("label"), col("embedding")), nCells)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // cells: stage hidden, commit as ONE epoch, then drop the old
     // epochs (the same visibility contract as append/compact — a
@@ -424,24 +475,25 @@ object Ivf {
       .select(col("q_id"), col("n_id"), col("rk")).cache()
     val gt1 = gt.where(col("rk") === 1).select(col("q_id"), col("n_id"))
     val nq = queries.count().toDouble
+    // no wall-clock column: timing evidence belongs to the bench
+    // harness, and a timing-free frame is fully deterministic — with
+    // the portable k-means fit this eval carries a hard DuckDB oracle.
+    // HALF_UP rounding = SQL round() convention (oracle parity).
+    def r5(x: Double): Double =
+      BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
     val rows = nprobes.map { np =>
-      val t0 = System.nanoTime()
       val res = search(assigned, centroids, queries, np, k)
         .select(col("q_id"), col("n_id"), col("rk")).cache()
-      res.count() // materialize under the clock — the timed probe
-      val avgMs = (System.nanoTime() - t0) / 1e6 / nq
       val nHits = res.join(gt, Seq("q_id", "n_id"), "left_semi").count()
       val rrRow = gt1.join(res, Seq("q_id", "n_id"))
         .agg(sum(lit(1.0) / col("rk"))).head
       val rrSum = if (rrRow.isNullAt(0)) 0.0 else rrRow.getDouble(0)
       res.unpersist()
-      (np, math.rint(nHits / (nq * k) * 1e5) / 1e5,
-        math.rint(rrSum / nq * 1e5) / 1e5,
-        math.rint(avgMs * 1e3) / 1e3, nq.toLong)
+      (np, r5(nHits / (nq * k)), r5(rrSum / nq), nq.toLong)
     }
     gt.unpersist()
     import spark.implicits._
-    rows.toDF("nprobe", "Precision@K", "MRR", "AvgQueryTime_ms", "QueriesUsed")
+    rows.toDF("nprobe", "Precision@K", "MRR", "QueriesUsed")
       .orderBy(col("nprobe"))
   }
 
