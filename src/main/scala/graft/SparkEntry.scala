@@ -342,6 +342,59 @@ object SparkEntry {
       |        QUALIFY row_number() OVER (PARTITION BY s.vec_id ORDER BY
       |          list_sum(list_transform(range(1, 65), i -> (s.embedding[i]::DOUBLE - c.centroid[i]) * (s.embedding[i]::DOUBLE - c.centroid[i]))), c.cell) = 1)""".stripMargin
 
+  /** Shared CTEs replaying the deterministic PQ codebook fit + corpus
+    * encode (Quantized.pqFit/fitCodebooks at the surfaced m=8,
+    * kCents=16 over dim 64: sorted mod-step sample — step=1 at every
+    * verify SF — first-16 subvector seeds, 10 fixed Lloyd rounds with
+    * FLOAT32-quantized round centroids, Σdiff² distances with ties to
+    * the lower centroid; encode via the engine's exact dot-identity
+    * ds = ss + cc − 2·dot with first-minimum argmin). Callers prepend
+    * `WITH RECURSIVE`.
+    */
+  private val pqFitCtes: String =
+    """ps AS (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM embeddings),
+      |sv AS (SELECT vec_id, rn, ss.s, list_transform(embedding[ss.s * 8 + 1 : ss.s * 8 + 8], x -> x::DOUBLE) AS v
+      |       FROM ps, range(8) ss(s)),
+      |pkm(iter, s, cent, centroid) AS (
+      |  SELECT 0, sv.s, sv.rn::INT, sv.v FROM sv WHERE sv.rn < 16
+      |  UNION ALL
+      |  SELECT w.iter + 1, w.s, w.cent, coalesce(mm.cnew, w.centroid)
+      |  FROM pkm w LEFT JOIN (
+      |    SELECT s, cent, list(CAST(av AS FLOAT)::DOUBLE ORDER BY p) AS cnew
+      |    FROM (
+      |      SELECT win.s, win.cent, r.p, avg(win.v[r.p + 1]) AS av
+      |      FROM (
+      |        SELECT sv.rn, sv.s, sv.v, k2.cent
+      |        FROM sv JOIN pkm k2 ON k2.s = sv.s
+      |        QUALIFY row_number() OVER (PARTITION BY sv.rn, sv.s ORDER BY
+      |          list_sum(list_transform(range(1, 9), i -> (sv.v[i] - k2.centroid[i]) * (sv.v[i] - k2.centroid[i]))), k2.cent) = 1
+      |      ) win, range(8) r(p)
+      |      GROUP BY win.s, win.cent, r.p
+      |    ) GROUP BY s, cent
+      |  ) mm ON mm.s = w.s AND mm.cent = w.cent
+      |  WHERE w.iter < 10
+      |),
+      |books AS (SELECT s, cent, centroid FROM pkm WHERE iter = 10),
+      |encw AS (SELECT sv.vec_id, sv.s, b.cent,
+      |           row_number() OVER (PARTITION BY sv.vec_id, sv.s ORDER BY
+      |             list_dot_product(sv.v, sv.v) + list_sum(list_transform(b.centroid, x -> x * x)) - 2.0 * list_dot_product(sv.v, b.centroid),
+      |             b.cent) AS rk
+      |         FROM sv JOIN books b ON b.s = sv.s),
+      |codes AS (SELECT vec_id, list(cent ORDER BY s) AS codes FROM encw WHERE rk = 1 GROUP BY vec_id)""".stripMargin
+
+  /** The per-subspace ADC lookup CTE (‖q_sub − centroid‖² per (s,
+    * cent) in dimension order) plus the ordered 8-term ADC sum the
+    * engine's `reduce(_ + _)` produces.
+    */
+  private val pqLutCte: String =
+    """lut AS (SELECT b.s, b.cent,
+      |          list_sum(list_transform(range(1, 9), i -> (qq.qd[b.s * 8 + i] - b.centroid[i]) * (qq.qd[b.s * 8 + i] - b.centroid[i]))) AS d
+      |        FROM books b, (SELECT list_transform(embedding, x -> x::DOUBLE) AS qd FROM embeddings WHERE vec_id = 0) qq)""".stripMargin
+
+  private def adcChain(codesCol: String): String =
+    (0 until 8).map(s => s"(SELECT d FROM lut WHERE s = $s AND cent = $codesCol[${s + 1}])")
+      .mkString(" + ")
+
   /** Shared CTEs replaying Dedup's banded Rademacher-LSH blocking
     * (32 bands; the adaptive band width resolves to its 6-bit floor at
     * every verify scale — sf0.001 and sf0.01 corpora are ≤ 2^11·32
@@ -1437,6 +1490,146 @@ object SparkEntry {
          |WHERE a.vec_id <> 0
          |QUALIFY rk <= 10
          |ORDER BY rk""".stripMargin,
+    // flat PQ/ADC replayed end-to-end: codebook fit, corpus encode,
+    // driver LUT, ordered 8-term ADC sum — all from the shared CTEs
+    "ann_pq_topk" ->
+      s"""WITH RECURSIVE
+         |$pqFitCtes,
+         |$pqLutCte
+         |SELECT c.vec_id, round(${adcChain("c.codes")}, 5) AS adc_dist
+         |FROM codes c WHERE c.vec_id <> 0
+         |ORDER BY adc_dist, c.vec_id LIMIT 10""".stripMargin,
+    // IVFPQ (non-residual): the replayed IVF probe prunes to 4 cells,
+    // the replayed flat-PQ codes rank by the same ordered ADC chain
+    "ann_ivfpq_topk" ->
+      s"""WITH RECURSIVE
+         |$ivfFitCtes,
+         |$pqFitCtes,
+         |$pqLutCte,
+         |q2 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT c.cell FROM cent c, q2
+         |          ORDER BY list_dot_product(q2.qv::DOUBLE[], c.centroid) /
+         |            (sqrt(list_dot_product(q2.qv::DOUBLE[], q2.qv::DOUBLE[])) * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+         |            c.cell LIMIT 4)
+         |SELECT cd.vec_id, a.cell::BIGINT AS cell, round(${adcChain("cd.codes")}, 5) AS adc_dist
+         |FROM codes cd JOIN asg a ON a.vec_id = cd.vec_id JOIN probe ON probe.cell = a.cell
+         |WHERE cd.vec_id <> 0
+         |ORDER BY adc_dist, cd.vec_id LIMIT 10""".stripMargin,
+    // retrieve-then-rerank: the same ADC scan shortlists 50, only
+    // those rows are rescored with the exact cosine
+    "ann_ivfpq_rerank" ->
+      s"""WITH RECURSIVE
+         |$ivfFitCtes,
+         |$pqFitCtes,
+         |$pqLutCte,
+         |q2 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT c.cell FROM cent c, q2
+         |          ORDER BY list_dot_product(q2.qv::DOUBLE[], c.centroid) /
+         |            (sqrt(list_dot_product(q2.qv::DOUBLE[], q2.qv::DOUBLE[])) * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+         |            c.cell LIMIT 4),
+         |short AS (SELECT cd.vec_id
+         |          FROM codes cd JOIN asg a ON a.vec_id = cd.vec_id JOIN probe ON probe.cell = a.cell
+         |          WHERE cd.vec_id <> 0
+         |          ORDER BY round(${adcChain("cd.codes")}, 5), cd.vec_id LIMIT 50)
+         |SELECT e.vec_id, ${cos5("e.embedding", "q2.qv")} AS score
+         |FROM embeddings e JOIN short USING (vec_id), q2
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    // residual IVFPQ (FAISS by_residual=true): codebooks fit and codes
+    // computed on x − c(cell) residuals, per-probed-cell query LUTs —
+    // all from the same deterministic recipes
+    "ann_ivfpq_res_topk" ->
+      s"""WITH RECURSIVE
+         |$ivfFitCtes,
+         |q2 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |qd AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qd FROM embeddings WHERE vec_id = 0),
+         |rres AS (SELECT a.vec_id, a.embedding, a.cell, c.centroid AS ccent,
+         |                row_number() OVER (ORDER BY a.vec_id) - 1 AS rn
+         |         FROM asg a JOIN cent c ON c.cell = a.cell),
+         |rsv AS (SELECT vec_id, rn, cell, ss.s,
+         |               list_transform(range(1, 9), i -> embedding[ss.s * 8 + i]::DOUBLE - ccent[ss.s * 8 + i]) AS v
+         |        FROM rres, range(8) ss(s)),
+         |rkm(iter, s, cent, centroid) AS (
+         |  SELECT 0, rsv.s, rsv.rn::INT, rsv.v FROM rsv WHERE rsv.rn < 16
+         |  UNION ALL
+         |  SELECT w.iter + 1, w.s, w.cent, coalesce(mm.cnew, w.centroid)
+         |  FROM rkm w LEFT JOIN (
+         |    SELECT s, cent, list(CAST(av AS FLOAT)::DOUBLE ORDER BY p) AS cnew
+         |    FROM (
+         |      SELECT win.s, win.cent, r.p, avg(win.v[r.p + 1]) AS av
+         |      FROM (
+         |        SELECT rsv.rn, rsv.s, rsv.v, k2.cent
+         |        FROM rsv JOIN rkm k2 ON k2.s = rsv.s
+         |        QUALIFY row_number() OVER (PARTITION BY rsv.rn, rsv.s ORDER BY
+         |          list_sum(list_transform(range(1, 9), i -> (rsv.v[i] - k2.centroid[i]) * (rsv.v[i] - k2.centroid[i]))), k2.cent) = 1
+         |      ) win, range(8) r(p)
+         |      GROUP BY win.s, win.cent, r.p
+         |    ) GROUP BY s, cent
+         |  ) mm ON mm.s = w.s AND mm.cent = w.cent
+         |  WHERE w.iter < 10
+         |),
+         |rbooks AS (SELECT s, cent, centroid FROM rkm WHERE iter = 10),
+         |rencw AS (SELECT rsv.vec_id, rsv.s, b.cent,
+         |            row_number() OVER (PARTITION BY rsv.vec_id, rsv.s ORDER BY
+         |              list_sum(list_transform(range(1, 9), i -> (rsv.v[i] - b.centroid[i]) * (rsv.v[i] - b.centroid[i]))), b.cent) AS rk
+         |          FROM rsv JOIN rbooks b ON b.s = rsv.s),
+         |rcodes AS (SELECT vec_id, list(cent ORDER BY s) AS codes FROM rencw WHERE rk = 1 GROUP BY vec_id),
+         |probe AS (SELECT c.cell FROM cent c, q2
+         |          ORDER BY list_dot_product(q2.qv::DOUBLE[], c.centroid) /
+         |            (sqrt(list_dot_product(q2.qv::DOUBLE[], q2.qv::DOUBLE[])) * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+         |            c.cell LIMIT 4),
+         |rlut AS (SELECT p.cell, b.s, b.cent,
+         |           list_sum(list_transform(range(1, 9), i ->
+         |             ((qd.qd[b.s * 8 + i] - cc.centroid[b.s * 8 + i]) - b.centroid[i]) *
+         |             ((qd.qd[b.s * 8 + i] - cc.centroid[b.s * 8 + i]) - b.centroid[i]))) AS d
+         |         FROM probe p JOIN cent cc ON cc.cell = p.cell, rbooks b, qd)
+         |SELECT rc.vec_id, a.cell::BIGINT AS cell,
+         |       round(${(0 until 8).map(s => s"(SELECT d FROM rlut WHERE rlut.cell = a.cell AND rlut.s = $s AND rlut.cent = rc.codes[${s + 1}])").mkString(" + ")}, 5) AS adc_dist
+         |FROM rcodes rc JOIN asg a ON a.vec_id = rc.vec_id JOIN probe ON probe.cell = a.cell
+         |WHERE rc.vec_id <> 0
+         |ORDER BY adc_dist, rc.vec_id LIMIT 10""".stripMargin,
+    // single-table sign-LSH with multi-probe (hamming ≤ 1) replayed
+    // with the engine's own seed-fixed hyperplanes injected as SQL
+    // literals (Double.toString round-trips, so the planes are
+    // bit-identical); bucket assignment, query bucket, probe set, and
+    // the exact-cosine rerank all reproduce
+    "ann_lsh_topk" -> {
+      val planes = graft.operators.Lsh.hyperplaneArrays(8, 64)
+      val rows = planes.zipWithIndex.map { case (p, j) =>
+        s"($j, ${p.map(_.toString).mkString("[", ", ", "]")}::DOUBLE[])"
+      }.mkString(",\n        ")
+      s"""WITH planes(j, plane) AS (VALUES
+         |        $rows),
+         |bb AS (SELECT e.vec_id,
+         |              CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+         |                       THEN (1::BIGINT << p.j) ELSE 0 END) AS BIGINT) AS bucket
+         |       FROM embeddings e, planes p GROUP BY e.vec_id),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |qb AS (SELECT CAST(sum(CASE WHEN list_dot_product(q.qv::DOUBLE[], p.plane) >= 0
+         |                  THEN (1::BIGINT << p.j) ELSE 0 END) AS BIGINT) AS b FROM q, planes p),
+         |probe AS (SELECT b AS bucket FROM qb
+         |          UNION ALL SELECT xor(qb.b, (1::BIGINT << r.j)) FROM qb, range(8) r(j))
+         |SELECT e.vec_id, bb.bucket AS bucket, ${cos5("e.embedding", "q.qv")} AS score
+         |FROM bb JOIN probe USING (bucket) JOIN embeddings e ON e.vec_id = bb.vec_id, q
+         |WHERE bb.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
+    },
+    // SemDeDup replayed over the same deterministic IVF assignment:
+    // within-cell exact-cosine pairs at threshold 0.4, transitive
+    // closure, keep the component-minimum id
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE
+         |$ivfFitCtes,
+         |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |          FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |          WHERE ${cos5("a.embedding", "b.embedding")} >= 0.4),
+         |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach AS (SELECT node AS src, node AS dst FROM nodes
+         |          UNION
+         |          SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+         |SELECT src AS vec_id, min(dst) AS cluster_id, src = min(dst) AS is_kept
+         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
     // inventory over the same replayed IVF build; n_epochs/n_tombstones
     // are filesystem facts of a FRESH fingerprint-addressed artifact
     // (exactly one epoch, no tombstones — verify never appends/deletes)

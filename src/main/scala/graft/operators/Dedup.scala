@@ -901,8 +901,10 @@ object Dedup {
     * nCells scales with the corpus (100k cells at 100 TB) to bound
     * per-cell work the same way the paper shards FAISS k-means.
     * Verdict per doc: keep the cluster-minimum id of each duplicate
-    * group (keep-first, matching [[exactDedup]]). Rows-only oracle
-    * (k-means is not SQL-expressible).
+    * group (keep-first, matching [[exactDedup]]). With the portable
+    * deterministic coarse-quantizer fit ([[Ivf]]) the whole pass —
+    * fit, assignment, within-cell pairs, transitive closure — replays
+    * as a hard DuckDB oracle.
     */
   def semanticDedup(spark: SparkSession, dir: String, nCells: Int = 16,
                     threshold: Double = 0.4): DataFrame = {

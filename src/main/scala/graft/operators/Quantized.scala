@@ -122,10 +122,15 @@ object Quantized {
     */
   def pqFit(spark: SparkSession, dir: String, m: Int, kCents: Int,
             sampleRows: Int = 2048): Array[Array[Array[Double]]] = {
-    // first N rows in file order — deterministic for a static corpus
-    val sample = Tables.embeddings(spark, dir)
-      .select(col("embedding")).limit(sampleRows).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // ENGINE-PORTABLE sample (the same recipe as Ivf.fitAndAssign):
+    // vec_id-mod selection sorted by id — a `limit` in file order
+    // would be irreproducible by the external oracle
+    val e = Tables.embeddings(spark, dir)
+    val total = e.count()
+    val step = math.max(1L, (total + sampleRows - 1) / sampleRows)
+    val sample = e.where(col("vec_id") % step === 0)
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     fitCodebooks(sample, m, kCents, s"no embeddings under $dir")
   }
 
@@ -163,9 +168,13 @@ object Quantized {
           while (i < sub) { sums(bi)(i) += x(i); i += 1 }
           counts(bi) += 1
         }
+        // FLOAT32-quantize each round's centroids (as Ivf's portable
+        // fit does): mean-accumulation order noise rounds away, so an
+        // engine replaying the recipe with unordered aggregation
+        // lands on bit-identical codebooks
         cents = Array.tabulate(kCents)(c =>
           if (counts(c) == 0) cents(c)
-          else sums(c).map(_ / counts(c)))
+          else sums(c).map(x => (x / counts(c)).toFloat.toDouble))
         iter += 1
       }
       cents
@@ -209,7 +218,7 @@ object Quantized {
   def ensurePqIndex(spark: SparkSession, dir: String, m: Int, kCents: Int)
       : (DataFrame, Array[Array[Array[Double]]]) = {
     import spark.implicits._
-    val path = IndexStore.indexPath(spark, "pq_v1",
+    val path = IndexStore.indexPath(spark, "pq_v2",
       s"$dir/embeddings.parquet", s"${m}_$kCents")
     // staged under a hidden .tmp-* sibling, committed by one atomic rename — racing
     // sessions can't interleave a reader with a half-written artifact
@@ -295,7 +304,7 @@ object Quantized {
     */
   def ensureIvfPqIndex(spark: SparkSession, dir: String, nCells: Int,
                        m: Int, kCents: Int): DataFrame = {
-    val path = IndexStore.indexPath(spark, "ivfpq_v2",
+    val path = IndexStore.indexPath(spark, "ivfpq_v3",
       s"$dir/embeddings.parquet", s"${nCells}_${m}_$kCents")
     IndexStore.publish(spark, path) { tmp =>
       val (assigned, _) = Ivf.ensureIndex(spark, dir, nCells)
@@ -362,17 +371,21 @@ object Quantized {
                           m: Int, kCents: Int, sampleRows: Int = 2048)
       : (DataFrame, Array[Array[Array[Double]]]) = {
     import spark.implicits._
-    val path = IndexStore.indexPath(spark, "ivfpqr_v1",
+    val path = IndexStore.indexPath(spark, "ivfpqr_v3",
       s"$dir/embeddings.parquet", s"${nCells}_${m}_$kCents")
     IndexStore.publish(spark, path) { tmp =>
       val (assigned, centroids) = Ivf.ensureIndex(spark, dir, nCells)
       val cents = centroidArrays(centroids)
-      // fit on a sample of RESIDUALS (x − c(cell)), not raw vectors
-      val sample = assigned.select(col("embedding"), col("cell"))
-        .limit(sampleRows).collect()
+      // fit on a sample of RESIDUALS (x − c(cell)), not raw vectors;
+      // sorted mod-step selection (not `limit` file order) so the
+      // external oracle can reproduce the sample exactly
+      val totalA = assigned.count()
+      val stepA = math.max(1L, (totalA + sampleRows - 1) / sampleRows)
+      val sample = assigned.select(col("vec_id"), col("embedding"), col("cell"))
+        .where(col("vec_id") % stepA === 0).orderBy(col("vec_id")).collect()
         .map { r =>
-          val x = r.getSeq[Float](0).toArray
-          val c = cents(r.getInt(1))
+          val x = r.getSeq[Float](1).toArray
+          val c = cents(r.getInt(2))
           Array.tabulate(x.length)(i => x(i).toDouble - c(i))
         }
       val books = fitCodebooks(sample, m, kCents, s"no embeddings under $dir")

@@ -228,7 +228,7 @@ class PlanSpec extends AnyFunSuite {
     assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*(IN \\(|INSET )".r.findFirstIn(p).isDefined,
       "probe scan must carry literal cell-id partition filters:\n" + p.take(1500))
     // the composite index scan reads m-byte codes, never embeddings
-    assert(p.contains("ivfpq_v2"), p.take(1200))
+    assert(p.contains("ivfpq_v3"), p.take(1200))
     assert(!p.contains("embedding:array<float>"),
       "ivfpq scan must not read the float corpus:\n" + p.take(1500))
   }
