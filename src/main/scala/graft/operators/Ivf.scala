@@ -80,15 +80,23 @@ object Ivf {
     val centroids = cents.zipWithIndex
       .map { case (v, i) => (i, v.map(_.toDouble)) }.toSeq
       .toDF("cell", "centroid")
-    val d2 = expr(
-      "aggregate(zip_with(embedding, centroid, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (acc, v) -> acc + v)")
-    val assigned = rows.crossJoin(broadcast(centroids))
-      .withColumn("d2", d2)
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cell"))).as("m"),
-        first(col("label")).as("label"), first(col("embedding")).as("embedding"))
+    // NARROW assignment — no shuffle of the corpus: the k centroids
+    // ride as plan literals and the nearest cell is
+    // array_position-of-array_min over the k Σdiff² values (the same
+    // first-minimum tie rule as min(struct(d2, cell)), the same
+    // distance expression the oracle replays). MLlib's transform was
+    // also a narrow map; a groupBy argmin would shuffle every
+    // embedding at 100 TB just to pick a cell.
+    val ds = array(cents.map { c =>
+      aggregate(
+        zip_with(col("embedding"), typedlit(c.map(_.toDouble)),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+    val assigned = rows
+      .withColumn("cell", (array_position(ds, array_min(ds)) - 1).cast("int"))
       .select(col("vec_id"), col("label"), col("embedding"),
-        l2norm(col("embedding")).as("nrm"), col("m.cell").as("cell"))
+        l2norm(col("embedding")).as("nrm"), col("cell"))
     (assigned, centroids)
   }
 
