@@ -245,6 +245,20 @@ object SparkEntry {
     "events_retention" -> ((s, d) => Analytics.retention(s, d)),
     // revenue-cohort LTV curve (cumulative value per cohort member)
     "user_ltv" -> ((s, d) => Analytics.userLtv(s, d)),
+    // order-independent per-source content fingerprint (data versioning)
+    "corpus_checksum" -> ((s, d) => Curation.corpusChecksum(s, d)),
+    // integer-exact weighted sampling (size-biased mixture draws)
+    "weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
+    // GPT-2-style regex pre-tokenization + subtoken estimate
+    "bpe_token_stats" -> ((s, d) => TextAnalysis.bpeTokenStats(s, d)),
+    // Count-Min sketch heavy hitters with exact-count error profile
+    "cms_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
+    // integer-exact fixed-iteration PageRank over item co-engagement
+    "item_pagerank" -> ((s, d) => Graph.itemPagerank(s, d)),
+    // band recall + estimate error of the MinHash blocking vs exact
+    "minhash_recall_eval" -> ((s, d) => Dedup.minhashRecallEval(s, d)),
+    // embedding-space train/eval contamination with witness
+    "decontaminate_semantic" -> ((s, d) => Dedup.decontaminateSemantic(s, d)),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free
@@ -1910,7 +1924,141 @@ object SparkEntry {
          |      FROM s)
          |SELECT q_id, q_label, neg_id, neg_label, score, rk::BIGINT AS rk
          |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // order-independent per-source checksum: bit_xor of the signed
+    // md5_number_upper value (Dedup.md5Long64) over doc_id:md5(text)
+    "corpus_checksum" ->
+      s"""WITH h AS (SELECT source, n_chars,
+         |  ${md5SignedSql("doc_id::VARCHAR || ':' || md5(text)")} AS h
+         |  FROM documents)
+         |SELECT source, count(*)::BIGINT AS n_docs, bit_xor(h) AS checksum,
+         |       sum(n_chars)::BIGINT AS sum_chars
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    // integer-exact weighted priority draw: u = 48-bit md5 uniform,
+    // priority = n_chars * 2^44 div u (w/u surrogate of u^(1/w))
+    "weighted_sample" ->
+      s"""WITH u AS (SELECT doc_id, source, n_chars,
+         |  (${md5SignedSql("'ws:' || doc_id::VARCHAR")} & 281474976710655) + 1 AS u
+         |  FROM documents)
+         |SELECT doc_id, source, n_chars,
+         |       (n_chars * 17592186044416) // u AS priority
+         |FROM u ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin,
+    // the oracle re-runs the GPT-2-ish piece regex itself under RE2
+    "bpe_token_stats" ->
+      """WITH p AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 \t\n\r]') AS pieces
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(pieces)::BIGINT AS n_pieces,
+        |  len(list_filter(pieces, x -> x[1] BETWEEN 'a' AND 'z'))::BIGINT AS n_alpha,
+        |  len(list_filter(pieces, x -> x[1] BETWEEN '0' AND '9'))::BIGINT AS n_digit,
+        |  (len(pieces) - len(list_filter(pieces, x -> x[1] BETWEEN 'a' AND 'z'))
+        |   - len(list_filter(pieces, x -> x[1] BETWEEN '0' AND '9')))::BIGINT AS n_punct,
+        |  coalesce(list_sum(list_transform(pieces, x -> (length(x) + 5) // 6)), 0)::BIGINT AS est_bpe
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // the whole sketch replays: same md5 buckets, same collision mass
+    "cms_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |cells AS (SELECT r, ${md5SignedSql("r::VARCHAR || ':' || tok")} & 1023 AS b,
+         |                 count(*) AS cnt
+         |          FROM toks CROSS JOIN range(4) rr(r) GROUP BY 1, 2),
+         |exact AS (SELECT tok, count(*) AS exact FROM toks
+         |          GROUP BY 1 ORDER BY exact DESC, tok LIMIT 20),
+         |est AS (SELECT e.tok, e.exact, min(c.cnt)::BIGINT AS est
+         |        FROM exact e CROSS JOIN range(4) rr(r)
+         |        JOIN cells c ON c.r = rr.r
+         |          AND c.b = (${md5SignedSql("rr.r::VARCHAR || ':' || e.tok")} & 1023)
+         |        GROUP BY 1, 2)
+         |SELECT tok, exact, est, (est - exact)::BIGINT AS overcount
+         |FROM est ORDER BY exact DESC, tok""".stripMargin,
+    // 8 unrolled integer-exact damping steps (floor div both engines)
+    "item_pagerank" ->
+      s"""WITH ui AS (SELECT DISTINCT user_id,
+         |                   json_extract_string(props, '$$.k')::BIGINT AS item_id
+         |            FROM events
+         |            WHERE event_type IN ('view', 'click', 'purchase')
+         |              AND json_extract_string(props, '$$.k') IS NOT NULL),
+         |bk AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+         |capped AS (SELECT ui.user_id, ui.item_id FROM ui
+         |           JOIN bk USING (user_id) WHERE bk.basket <= 500),
+         |edges AS (SELECT DISTINCT a.item_id AS src, b.item_id AS dst
+         |          FROM capped a JOIN capped b USING (user_id)
+         |          WHERE a.item_id <> b.item_id),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT item_id FROM capped),
+         |r0 AS (SELECT item_id, 17179869184::BIGINT AS r FROM nodes),
+         |${pagerankSteps(8)}
+         |SELECT item_id, r AS rank_scaled,
+         |       round(r / 17179869184.0, 6) AS rank
+         |FROM r8 ORDER BY rank_scaled DESC, item_id LIMIT 25""".stripMargin,
+    // truth = the df-capped exact-jaccard pairs; detection = the
+    // UNverified any-band minhash candidates with their estimates
+    "minhash_recall_eval" ->
+      s"""WITH $cappedShingleCtes,
+         |szc AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
+         |interc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |           FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |truth AS (SELECT a_id, b_id,
+         |                 round(inter / (sa.sz + sb.sz - inter), 5) AS jaccard
+         |          FROM interc JOIN szc sa ON sa.doc_id = a_id
+         |                      JOIN szc sb ON sb.doc_id = b_id
+         |          WHERE round(inter / (sa.sz + sb.sz - inter), 5) >= 0.8),
+         |hs AS (SELECT doc_id, i,
+         |              min(substr(md5((i // 4)::VARCHAR || '|' || shingle), (i % 4) * 8 + 1, 8)) AS mh
+         |       FROM shd CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, i // 2 AS band, string_agg(mh, '' ORDER BY i) AS bv
+         |          FROM hs GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |est AS (SELECT c.a_id, c.b_id,
+         |               round(avg(CASE WHEN x.mh = y.mh THEN 1.0 ELSE 0.0 END), 5) AS est_jaccard
+         |        FROM cand c JOIN hs x ON x.doc_id = c.a_id
+         |        JOIN hs y ON y.doc_id = c.b_id AND y.i = x.i GROUP BY 1, 2)
+         |SELECT t.a_id, t.b_id, t.jaccard,
+         |       e.est_jaccard IS NOT NULL AS found, e.est_jaccard
+         |FROM truth t LEFT JOIN est e ON e.a_id = t.a_id AND e.b_id = t.b_id
+         |ORDER BY t.a_id, t.b_id""".stripMargin,
+    // hash split + shared LSH blocking + exact verify + witness window
+    "decontaminate_semantic" ->
+      s"""WITH $lshBlockCtes,
+         |p AS (SELECT c.a_id, c.b_id, ${cos5("a.embedding", "b.embedding")} AS score
+         |      FROM cand c JOIN embeddings a ON a.vec_id = c.a_id
+         |                  JOIN embeddings b ON b.vec_id = c.b_id
+         |      WHERE ${cos5("a.embedding", "b.embedding")} >= 0.4),
+         |o AS (SELECT CASE WHEN substr(md5(a_id::VARCHAR), 1, 4) < '1999' THEN a_id ELSE b_id END AS eval_id,
+         |             CASE WHEN substr(md5(a_id::VARCHAR), 1, 4) < '1999' THEN b_id ELSE a_id END AS train_id,
+         |             score FROM p),
+         |f AS (SELECT * FROM o WHERE substr(md5(eval_id::VARCHAR), 1, 4) < '1999'
+         |                        AND substr(md5(train_id::VARCHAR), 1, 4) >= '1999'),
+         |r AS (SELECT eval_id, train_id, score,
+         |             row_number() OVER (PARTITION BY eval_id ORDER BY score DESC, train_id) AS rk
+         |      FROM f)
+         |SELECT eval_id, train_id, score FROM r WHERE rk = 1 ORDER BY eval_id""".stripMargin,
   )
+
+  /** The signed-BIGINT reading of DuckDB's `md5_number_upper` — the
+    * exact value of [[graft.operators.Dedup.md5Long64]], shared by
+    * every oracle that replays an engine-side 64-bit hash.
+    */
+  private def md5SignedSql(arg: String): String =
+    s"""CAST(CASE WHEN md5_number_upper($arg) >= 9223372036854775808::HUGEINT
+       |     THEN md5_number_upper($arg)::HUGEINT - 18446744073709551616::HUGEINT
+       |     ELSE md5_number_upper($arg)::HUGEINT END AS BIGINT)""".stripMargin
+
+  /** Unrolled PageRank damping steps r1..rN — same integer ops as
+    * [[graft.operators.Graph.itemPagerank]], floor division on both
+    * engines.
+    */
+  private def pagerankSteps(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.item_id,
+         |  (15 * 17179869184) // 100 + (85 * coalesce(c.contrib, 0)) // 100 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS item_id, sum(r.r // d.deg)::BIGINT AS contrib
+         |    FROM edges e JOIN deg d USING (src)
+         |    JOIN r${i - 1} r ON r.item_id = e.src
+         |    GROUP BY 1) c USING (item_id))""".stripMargin
+    }.mkString(",\n")
 
   /** BM25-hybrid oracle: the BM25 CTEs + the vector leg + the blend,
     * parameterized by the candidate join (unfiltered vs

@@ -283,4 +283,51 @@ object Curation {
       .orderBy(col("n_events").desc, col("user_id"))
       .limit(topN)
   }
+
+  /** Per-source corpus content checksum — the data-versioning receipt a
+    * 100 TB pipeline publishes with every corpus snapshot so replicas,
+    * re-crawls and migrations can be audited without byte-comparing
+    * shards: row count, total chars, and an ORDER-INDEPENDENT content
+    * fingerprint (`bit_xor` of a portable 64-bit hash of
+    * `doc_id:md5(text)`). XOR commutes and never overflows, so the
+    * aggregate is partition-order-invariant — identical across any
+    * shuffle layout, executor count, or engine — and any single
+    * changed/dropped/duplicated document flips it. One narrow scan +
+    * map-side-combined aggregate; the hash ([[Dedup.md5Long64]]) is the
+    * DuckDB `md5_number_upper` value, so an external auditor can
+    * re-derive every checksum from the raw parquet.
+    */
+  def corpusChecksum(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"),
+        Dedup.md5Long64(concat(col("doc_id").cast("string"), lit(":"), md5(col("text")))).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("checksum"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+
+  /** Deterministic weighted sampling (size-biased draws for data
+    * mixing): each document gets a reproducible uniform from
+    * md5("ws:"||doc_id) and a priority `w·2^44 div u` — the
+    * integer-exact w/u surrogate of the Efraimidis–Spirakis key
+    * u^(1/w), monotone in weight over uniform, so selection
+    * probability grows with the weight (here `n_chars`, the
+    * chars-processed-per-doc cost a token-budgeted mixture weights by).
+    * All arithmetic is 64-bit integer (md5 masked to 48 bits, one
+    * exact `div`) — no float, no RNG state — so membership is a pure
+    * function of the id, stable across engines and corpus growth like
+    * [[hashSample]]. Top-N by (priority DESC, doc_id ASC) runs as
+    * TakeOrderedAndProject over the narrow scan — per-partition heaps,
+    * no global sort.
+    */
+  def weightedSample(spark: SparkSession, dir: String, n: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (Dedup.md5Long64(concat(lit("ws:"), col("doc_id").cast("string")))
+          .bitwiseAND(lit((1L << 48) - 1)) + 1L).as("u"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("n_chars * 17592186044416 div u").as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(n)
 }

@@ -409,6 +409,30 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String, n: Int = 5, k: Int = 16,
                  rowsPerBand: Int = 2, threshold: Double = 0.8): DataFrame = {
     val sh = cachedShingles(spark, dir, n)
+    val est = minhashCandEst(spark, dir, n, k, rowsPerBand)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shA = sh.toDF("a_id", "shingle")
+    val shB = sh.toDF("b_id", "shingle")
+    val inter = est.select(col("a_id"), col("b_id"))
+      .join(shA, "a_id").join(shB, Seq("b_id", "shingle"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    est.join(inter, Seq("a_id", "b_id"), "left")
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .withColumn("jaccard", round(coalesce(col("inter"), lit(0L)) /
+        (col("a_sz") + col("b_sz") - coalesce(col("inter"), lit(0L))), 5))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("est_jaccard"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** The blocking + estimation stage of [[minhashLsh]] alone:
+    * any-band-collision candidate pairs with their signature-agreement
+    * Jaccard estimate, UNverified — what [[minhashRecallEval]] audits
+    * and [[minhashLsh]] then verifies exactly.
+    */
+  private[operators] def minhashCandEst(spark: SparkSession, dir: String, n: Int,
+                                        k: Int, rowsPerBand: Int): DataFrame = {
     val sigs = cachedSignatures(spark, dir, n, k)
     val nBands = k / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
@@ -430,22 +454,9 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("a.sig").as("a_sig"),
         col("b.doc_id").as("b_id"), col("b.sig").as("b_sig"))
       .distinct()
-    val est = cand.select(col("a_id"), col("b_id"),
+    cand.select(col("a_id"), col("b_id"),
       round(expr("aggregate(zip_with(a_sig, b_sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)")
         / lit(k.toDouble), 5).as("est_jaccard"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val shA = sh.toDF("a_id", "shingle")
-    val shB = sh.toDF("b_id", "shingle")
-    val inter = cand.join(shA, "a_id").join(shB, Seq("b_id", "shingle"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
-    est.join(inter, Seq("a_id", "b_id"), "left")
-      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
-      .withColumn("jaccard", round(coalesce(col("inter"), lit(0L)) /
-        (col("a_sz") + col("b_sz") - coalesce(col("inter"), lit(0L))), 5))
-      .where(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("est_jaccard"), col("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** Portable 64-bit token hash: the little-endian reading of the
@@ -923,5 +934,73 @@ object Dedup {
       .withColumn("is_kept", col("doc_id") === col("cluster_id"))
       .withColumnRenamed("doc_id", "vec_id")
       .orderBy(col("vec_id"))
+  }
+
+  /** MinHash estimator-quality eval — the dedup-side twin of
+    * [[Ivf.recallEval]]: for every ground-truth near-dup pair
+    * ([[ngramJaccard]]'s df-capped exact Jaccard ≥ threshold), did the
+    * banded MinHash blocking ([[minhashLsh]]) surface it, and how far
+    * off was its estimate? This is the report that justifies running
+    * the sketch INSTEAD of the exact shingle self-join at 100 TB: band
+    * recall tells you what the blocking misses, the estimate error
+    * tells you whether its threshold can be trusted.
+    *
+    * Pure composition — both sides reuse the session-cached shingle
+    * and signature frames, so the eval adds one left join over two
+    * already-memoized pipelines. Deterministic end-to-end (md5-chunk
+    * minhash, df-capped exact measure), so the oracle replays truth,
+    * detection, and the join verbatim. (At the df cap's default the
+    * capped and uncapped Jaccard coincide on these corpora; the truth
+    * side is ngramJaccard's own capped measure by definition.)
+    */
+  def minhashRecallEval(spark: SparkSession, dir: String, n: Int = 5, k: Int = 16,
+                        rowsPerBand: Int = 2, threshold: Double = 0.8,
+                        maxDf: Long = 1000L): DataFrame = {
+    val truth = ngramJaccard(spark, dir, n, threshold, maxDf)
+    val det = minhashCandEst(spark, dir, n, k, rowsPerBand)
+    truth.join(det, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"), col("jaccard"),
+        col("est_jaccard").isNotNull.as("found"), col("est_jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Semantic train/eval decontamination — the embedding-space twin of
+    * [[decontaminate]] (GPT-3/Dolma shingle overlap catches verbatim
+    * leakage; this catches PARAPHRASED leakage the way modern corpus
+    * audits do — an eval item whose meaning, not wording, already sits
+    * in the training split). The eval carve-out is the same
+    * md5-threshold hash split as [[Curation.hashSample]]; candidate
+    * pairs come from the SAME banded-LSH blocking every embedding
+    * near-dup query shares ([[lshVerifiedPairs]] — bucket-occupancy-
+    * bounded, never n²), and each contaminated eval item reports its
+    * best-matching train item as the witness (max cosine, ties to the
+    * smaller id — [[decontaminate]]'s witness contract).
+    *
+    * Deterministic: hash split + hash-derived planes + exact verify,
+    * so the oracle replays the whole pass, misses included. Scale
+    * shape: one candidate join bounded by bucket occupancy + a
+    * per-eval-item WindowGroupLimit — the same 100 TB plan as
+    * `dedup_embedding_lsh` with an extra scan-level predicate.
+    */
+  def decontaminateSemantic(spark: SparkSession, dir: String,
+                            evalThresholdHex: String = "1999",
+                            threshold: Double = 0.4, nBands: Int = 32,
+                            bitsPerBand: Int = 6,
+                            bucketCap: Long = 1000L): DataFrame = {
+    def isEval(id: Column): Column =
+      substring(md5(id.cast("string")), 1, 4) < lit(evalThresholdHex)
+    val oriented = lshVerifiedPairs(spark, dir, nBands, bitsPerBand, bucketCap)
+      .where(col("score") >= threshold)
+      .select(
+        when(isEval(col("a_id")), col("a_id")).otherwise(col("b_id")).as("eval_id"),
+        when(isEval(col("a_id")), col("b_id")).otherwise(col("a_id")).as("train_id"),
+        col("score"))
+      .where(isEval(col("eval_id")) && !isEval(col("train_id")))
+    val w = Window.partitionBy(col("eval_id"))
+      .orderBy(col("score").desc, col("train_id"))
+    oriented.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("eval_id"), col("train_id"), col("score"))
+      .orderBy(col("eval_id"))
   }
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.ScratchCache
+
+/** Graph analytics over the behavioral item graph. Link analysis is a
+  * first-class corpus-quality signal at 100 TB (crawl frontiers rank
+  * pages by it; recommenders use it as a popularity prior that, unlike
+  * raw counts, resists single-user spam); here it runs over the same
+  * capped user-item engagement baskets as [[Analytics.itemCooccurrence]].
+  */
+object Graph {
+
+  /** Mass scale for integer-exact PageRank: ranks are dyadic rationals
+    * scaled by 2^34, so `85·Σr` stays far under 2^63 up to ~10^6 nodes
+    * (|V|·2^34·85 ≈ 1.4·10^18); a bigger graph halves the scale, it
+    * never changes the algorithm.
+    */
+  private val Scale = 1L << 34
+
+  /** Fixed-iteration PageRank over the item co-engagement graph,
+    * computed in EXACT integer arithmetic so every engine replays it
+    * bit-for-bit: ranks are 2^34-scaled BIGINTs, each hop contributes
+    * `r div deg`, and the damping update is
+    * `(15·2^34) div 100 + (85·Σcontrib) div 100` — floor division and
+    * BIGINT sums are order-independent, so (unlike float power
+    * iteration, whose shuffle-order-dependent partial sums drift
+    * between runs and engines) the result is deterministic and the
+    * DuckDB oracle unrolls the same `iters` steps. Floor division
+    * leaks ≤1/2^34 of mass per hop and dangling nodes keep theirs —
+    * both standard fixed-point conventions, documented not corrected.
+    *
+    * Edges: distinct item pairs co-engaged by a user, baskets over
+    * `maxBasket` dropped BEFORE the pair join (the
+    * [[Analytics.itemCooccurrence]] cap — bots pay all of the
+    * quadratic cost and carry none of the signal).
+    *
+    * Scale shape: the edge list + out-degrees build once
+    * (ScratchCache'd, one scan of events); each of the `iters`
+    * rounds is ONE shuffle — an item-keyed broadcast-sized rank join
+    * against the cached edges and a map-side-combined contribution
+    * sum. Rank state is |items| rows, never corpus-sized; the final
+    * top-N is a TakeOrderedAndProject.
+    */
+  def itemPagerank(spark: SparkSession, dir: String, iters: Int = 8,
+                   topN: Int = 25, maxBasket: Int = 500): DataFrame = {
+    val ui = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .distinct()
+    val deg0 = ui.groupBy(col("user_id")).agg(count(lit(1)).as("basket"))
+    val capped = ui.join(deg0.where(col("basket") <= maxBasket), Seq("user_id"))
+      .select(col("user_id"), col("item_id"))
+    val edges = ScratchCache.materialize(
+      capped.join(capped.select(col("user_id"), col("item_id").as("dst")), Seq("user_id"))
+        .where(col("item_id") =!= col("dst"))
+        .select(col("item_id").as("src"), col("dst"))
+        .distinct())
+    val withDeg = ScratchCache.materialize(
+      edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"))
+    val nodes = ScratchCache.materialize(capped.select(col("item_id")).distinct())
+    val base = (15L * Scale) / 100L
+    var ranks = nodes.select(col("item_id"), lit(Scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks.select(col("item_id").as("src"), col("r")), "src")
+        .select(col("dst").as("item_id"), expr("r div deg").as("c"))
+        .groupBy(col("item_id")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contrib, Seq("item_id"), "left")
+        .select(col("item_id"),
+          (lit(base) + expr("(85 * coalesce(contrib, 0)) div 100")).as("r"))
+    }
+    ranks
+      .select(col("item_id"), col("r").as("rank_scaled"),
+        round(col("r") / lit(Scale.toDouble), 6).as("rank"))
+      .orderBy(col("rank_scaled").desc, col("item_id"))
+      .limit(topN)
+  }
+}

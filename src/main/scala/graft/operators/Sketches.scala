@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sketch-based approximate aggregates beyond the built-in HLL++
+  * (`approx_count_distinct`, spec'd in OperatorSpec): mergeable
+  * fixed-size summaries that replace unbounded-key aggregations at
+  * 100 TB. First member: a Count-Min sketch over corpus tokens with an
+  * exact-count error profile — the estimator-quality eval that decides
+  * whether a downstream consumer (stopword lists, df caps, mixture
+  * weights) can run on the sketch instead of the full token aggregate.
+  */
+object Sketches {
+
+  /** Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    * `d` hash rows × `w` counters; every token occurrence increments
+    * one counter per row; a token's estimate is the MIN of its `d`
+    * counters — always ≥ the true count, over by at most the collision
+    * mass in its least-loaded bucket. The report joins the estimate
+    * against the exact count for the true top-`topN` tokens, emitting
+    * the overcount each one carries.
+    *
+    * Scale shape: the sketch itself is the point — `d·w` counters
+    * (4×1024 here) regardless of corpus size, built by ONE
+    * map-side-combined aggregate over (row, bucket) keys whose key
+    * universe is ≤ d·w, so the shuffle is constant-size no matter how
+    * many tokens stream through, and sketches from disjoint shards
+    * merge by cell-wise addition. The exact side (a full token
+    * aggregate) exists for the ERROR PROFILE only; a production run at
+    * 100 TB would keep per-partition local top-k candidates and serve
+    * estimates straight from the sketch.
+    *
+    * Determinism/oracle: bucket hashes are [[Dedup.md5Long64]] (the
+    * DuckDB `md5_number_upper` value) masked to `w−1`, so the whole
+    * sketch — buckets, collisions, estimates — replays bit-for-bit in
+    * SQL.
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String, d: Int = 4,
+                      w: Int = 1024, topN: Int = 20): DataFrame = {
+    require((w & (w - 1)) == 0, "w must be a power of two (bucket = hash & (w-1))")
+    val toks = graft.sources.ScratchCache.materialize(
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("tok")))
+    def bucket(row: Int, tok: Column): Column =
+      Dedup.md5Long64(concat(lit(s"$row:"), tok)).bitwiseAND(lit((w - 1).toLong))
+    // one constant-size agg: 4x the rows in, <= d*w keys out
+    val cells = toks
+      .select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), bucket(r, col("tok")).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("tok")).limit(topN)
+    val withEst = (0 until d).foldLeft(exact) { (acc, r) =>
+      acc.join(broadcast(cells.where(col("r") === r)
+          .select(col("b").as(s"b$r"), col("cnt").as(s"c$r"))),
+        bucket(r, col("tok")) === col(s"b$r"))
+    }
+    withEst
+      .select(col("tok"), col("exact"),
+        least((0 until d).map(r => col(s"c$r")): _*).as("est"))
+      .withColumn("overcount", col("est") - col("exact"))
+      .orderBy(col("exact").desc, col("tok"))
+  }
+}

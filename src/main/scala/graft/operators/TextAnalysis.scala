@@ -200,6 +200,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-style pre-tokenization stats: the GPT-2-family regex split
+    * (letter runs | single digits | single punctuation — the
+    * Java∩RE2-portable core of the released pattern, digits split
+    * singly exactly as GPT-2 does) plus a piece-length subtoken
+    * estimate `Σ ceil(len/6)` (long words cost multiple merges — a
+    * much closer token-budget proxy than [[tokenCount]]'s flat
+    * chars/4). All counts are exact integers over the piece list —
+    * `regexp_extract_all` + array ops, zero shuffles, one narrow
+    * codegen'd scan — and the oracle re-runs the same pattern under
+    * RE2, so engine/oracle regex drift fails the hash-match instead of
+    * hiding.
+    */
+  def bpeTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val pieces = regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]|[^a-z0-9 \\t\\n\\r]"), lit(0))
+    def firstBetween(lo: String, hi: String): Column => Column =
+      x => substring(x, 1, 1).between(lit(lo), lit(hi))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), pieces.as("pieces"))
+      .select(col("doc_id"),
+        size(col("pieces")).cast("long").as("n_pieces"),
+        size(filter(col("pieces"), firstBetween("a", "z"))).cast("long").as("n_alpha"),
+        size(filter(col("pieces"), firstBetween("0", "9"))).cast("long").as("n_digit"),
+        (size(col("pieces")) - size(filter(col("pieces"), firstBetween("a", "z")))
+          - size(filter(col("pieces"), firstBetween("0", "9")))).cast("long").as("n_punct"),
+        expr("aggregate(transform(pieces, x -> (length(x) + 5) div 6), 0L, (a, v) -> a + v)")
+          .as("est_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing fingerprints (rolling-hash document signatures — the
     * MOSS scheme): hash every char k-gram, then keep each window-of-w
     * minimum. Near-identical documents share most selected

@@ -107,4 +107,43 @@ class CurationSpec extends AnyFunSuite {
     val (keptTot, docTot) = (got.values.map(_._3).sum, got.values.map(_._2).sum)
     assert(keptTot < docTot && keptTot >= docTot / 2)
   }
+
+  test("corpus checksum is order-independent and flips on any content change") {
+    val rows = Curation.corpusChecksum(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.nonEmpty)
+    // driver recount: xor over per-doc hashes in DOC order must equal
+    // the engine's shuffle-order aggregate (order independence), and
+    // doc counts must add up
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("source"),
+        graft.operators.Dedup.md5Long64(
+          concat(col("doc_id").cast("string"), lit(":"), md5(col("text")))).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySource = docs.groupBy(_._1).map { case (s, hs) =>
+      s -> (hs.length.toLong, hs.map(_._2).foldLeft(0L)(_ ^ _))
+    }
+    bySource.foreach { case (s, (n, x)) =>
+      assert(rows(s)._1 == n && rows(s)._2 == x, s"source $s checksum mismatch")
+    }
+  }
+
+  test("weighted sample is exactly the top-N of the driver-replayed priority formula") {
+    val got = Curation.weightedSample(spark, TestSpark.sf, n = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val all = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("n_chars"),
+        (graft.operators.Dedup.md5Long64(concat(lit("ws:"), col("doc_id").cast("string")))
+          .bitwiseAND(lit((1L << 48) - 1)) + 1L).as("u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) * (1L << 44) / r.getLong(2)))
+    val expected = all.sortBy { case (id, p) => (-p, id) }.take(50)
+    assert(got.toSeq == expected.toSeq)
+    // the draw is genuinely size-biased: mean sampled length beats corpus mean
+    val lens = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sampleMean = got.map(g => lens(g._1)).sum.toDouble / got.length
+    val corpusMean = lens.values.sum.toDouble / lens.size
+    assert(sampleMean > corpusMean, f"weighting must favor long docs: $sampleMean%.1f vs $corpusMean%.1f")
+  }
 }

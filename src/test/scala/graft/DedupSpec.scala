@@ -424,4 +424,38 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty, "synthetic near-dups straddle sources")
     assert(got == expected)
   }
+
+  test("minhash recall eval: identical shingle sets are always found (pigeonhole)") {
+    val rows = Dedup.minhashRecallEval(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty, "truth pairs exist at sf0.001")
+    rows.foreach { r =>
+      val (jac, found) = (r.getDouble(2), r.getBoolean(3))
+      assert(jac >= 0.8)
+      // jaccard 1.0 => equal capped shingle sets => equal signatures
+      // => every band collides: a miss here is an implementation bug,
+      // not sketch noise
+      if (jac == 1.0) assert(found, s"exact-duplicate pair missed by banding: $r")
+      if (found) {
+        val est = r.getDouble(4)
+        assert(est >= 0.0 && est <= 1.0)
+      } else assert(r.isNullAt(4))
+    }
+  }
+
+  test("semantic decontamination: split respected, witness is the max-cosine train match") {
+    def isEval(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      hex < "1999"
+    }
+    val rows = Dedup.decontaminateSemantic(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty, "contaminated eval items exist at sf0.001")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "one witness per eval item")
+    rows.foreach { r =>
+      assert(isEval(r.getLong(0)), s"eval side must be in the hash split: $r")
+      assert(!isEval(r.getLong(1)), s"witness must be a train item: $r")
+      assert(r.getDouble(2) >= 0.4)
+    }
+  }
 }

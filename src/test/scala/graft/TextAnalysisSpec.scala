@@ -256,4 +256,34 @@ class TextAnalysisSpec extends AnyFunSuite {
       .where(col("doc_id") === best.getLong(0)).head().getAs[String]("text")
     assert(Seq("spark", "join", "vector").exists(text.split(' ').contains(_)))
   }
+
+  test("BPE piece stats: categories partition the pieces, estimate brackets hold") {
+    val rows = TextAnalysis.bpeTokenStats(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, a, d, p, est) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(a + d + p == n, s"alpha+digit+punct must partition pieces: $r")
+      assert(est >= n, s"every piece is >= 1 subtoken: $r")
+    }
+    // a doc's subtoken estimate never exceeds its character count
+    val chars = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(5) <= chars(r.getLong(0))))
+  }
+
+  test("BPE piece stats replay against a driver-side Java-regex recount") {
+    val pat = "[a-z]+|[0-9]|[^a-z0-9 \t\n\r]".r
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> pat.findAllIn(r.getString(1).toLowerCase).toVector).toMap
+    TextAnalysis.bpeTokenStats(spark, TestSpark.sf).collect().foreach { r =>
+      val ps = docs(r.getLong(0))
+      assert(r.getLong(1) == ps.length)
+      assert(r.getLong(2) == ps.count(p => p.head >= 'a' && p.head <= 'z'))
+      assert(r.getLong(3) == ps.count(p => p.head >= '0' && p.head <= '9'))
+      assert(r.getLong(5) == ps.map(p => (p.length + 5) / 6).sum)
+    }
+  }
 }
