@@ -106,6 +106,16 @@ object SparkEntry {
     "q10_returns" -> ((s, d) => Analytics.q10Returns(s, d)),
     // TPC-H Q14-style promo revenue share per ship month
     "q14_promo_share" -> ((s, d) => Analytics.q14PromoShare(s, d)),
+    // TPC-H Q4-style late-shipment priority check (LEFT SEMI + residual)
+    "q4_priority" -> ((s, d) => Analytics.q4Priority(s, d)),
+    // TPC-H Q7-style cross-nation volume (dims joined before the fact)
+    "q7_nation_volume" -> ((s, d) => Analytics.q7NationVolume(s, d)),
+    // TPC-H Q13-style order-count histogram (left outer + two aggs)
+    "q13_custdist" -> ((s, d) => Analytics.q13CustDist(s, d)),
+    // TPC-H Q18-style large-volume orders (HAVING before the joins)
+    "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
+    // TPC-H Q22-style dormant-rich customers (scalar avg + LEFT ANTI)
+    "q22_dormant_rich" -> ((s, d) => Analytics.q22DormantRich(s, d)),
     "events_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "events_props_parse" -> ((s, d) => Analytics.propsParse(s, d)),
     // behavioral item-item recommender (co-engagement counts)
@@ -821,6 +831,51 @@ object SparkEntry {
         |       round(100.0 * round(sum(CASE WHEN is_promo THEN rev ELSE 0.0 END), 2)
         |             / round(sum(rev), 2), 4) AS promo_share_pct
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l_shipdate)::BIGINT AS ship_year,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+        |  AND n2.n_name IN ('NATION_18', 'NATION_19')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q13_custdist" ->
+      """WITH percust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT n_orders, count(*) AS n_customers
+        |FROM percust GROUP BY 1 ORDER BY n_customers DESC, n_orders DESC""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 250.0)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |       round(o_totalprice, 2) AS totalprice, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q22_dormant_rich" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS total_acctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_funnel" ->
       """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         |       round(avg(value), 4) AS avg_value, round(sum(value), 2) AS total_value

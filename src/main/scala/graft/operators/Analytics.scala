@@ -785,4 +785,117 @@ object Analytics {
       .orderBy(abs(col("z")).desc, col("event_type"), col("hour_ms"))
       .limit(topN)
   }
+
+  /** TPC-H Q4-style order-priority check: orders in a date window with
+    * at least one line shipped AFTER the order date (late shipment),
+    * counted per priority. The existence test is a LEFT SEMI join — the
+    * probe row is emitted at most once no matter how many lines match,
+    * so the join never multiplies lineitem fan-out into the aggregate —
+    * keyed on orderkey with the `l_shipdate > o_orderdate` correlation
+    * as the residual join filter. The date window prunes the orders
+    * scan (PushedFilters); the output is |priorities| rows.
+    */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q7-style cross-nation volume shipping: revenue flowing
+    * between two specific nations (supplier nation ≠ customer nation)
+    * per ship year. Both nation filters resolve to broadcast dims
+    * joined to supplier/customer BEFORE the big fact join, so the
+    * lineitem↔orders shuffle carries only rows from the two nations'
+    * suppliers/customers (a 2/25 double cut at this schema's uniform
+    * nation spread). Output is years × 2 directed pairs.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String,
+                     nationA: String = "NATION_18", nationB: String = "NATION_19"): DataFrame = {
+    val n = Tables.nation(spark, dir)
+      .where(col("n_name").isin(nationA, nationB))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+  }
+
+  /** TPC-H Q13-style customer order-count distribution: how many
+    * customers placed k orders. Left outer join keeps zero-order
+    * customers (count(o_orderkey) ignores the null-extended rows);
+    * two cascaded aggregates, the second over at most |distinct k|
+    * rows. The first agg shuffles on custkey — the natural key — and
+    * the histogram agg is a near-no-op.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("n_orders").desc)
+
+  /** TPC-H Q18-style large-volume orders: orders whose total line
+    * quantity exceeds a threshold, with customer attribution. The
+    * HAVING filter runs on the lineitem aggregate BEFORE any join —
+    * the orderkey→qty rollup is map-side combined and the survivors
+    * (a ~1% tail) drive key-equi joins back to orders/customer that
+    * AQE sizes (broadcast once the filtered side is small). Global
+    * top-N via TakeOrdered.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String,
+                     minQty: Double = 250.0, topN: Int = 100): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    big.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        round(col("o_totalprice"), 2).as("totalprice"), col("total_qty"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(topN)
+  }
+
+  /** TPC-H Q22-style dormant-rich-customer report: customers whose
+    * balance exceeds the positive-balance average but who placed NO
+    * order in the recent window, counted per market segment. The
+    * scalar average is a one-row broadcast (cross join), the
+    * inactivity test a LEFT ANTI join against the date-filtered
+    * orders scan (pushed) — the classic "NOT EXISTS at scale" shape.
+    */
+  def q22DormantRich(spark: SparkSession, dir: String,
+                     sinceDate: String = "2000-01-01"): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.where(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit(sinceDate))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

@@ -26,6 +26,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("q13 histogram masses sum to the customer count (left join keeps everyone)") {
+    val total = Tables.customer(spark, TestSpark.sf).count()
+    val got = graft.operators.Analytics.q13CustDist(spark, TestSpark.sf)
+      .collect().map(_.getLong(1)).sum
+    assert(got == total, s"histogram mass $got != customers $total")
+  }
+
+  test("q18 rows all exceed the quantity threshold and match a recount") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val rows = graft.operators.Analytics.q18LargeOrders(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val recount = Tables.lineitem(spark, TestSpark.sf)
+      .groupBy(col("l_orderkey")).agg(fsum(col("l_quantity")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val (okey, qty) = (r.getLong(2), r.getDouble(5))
+      assert(qty > 250.0, r.toString)
+      assert(math.abs(recount(okey) - qty) < 1e-6, s"order $okey qty mismatch")
+    }
+  }
+
+  test("q22 counts only above-average customers inactive in the window") {
+    import org.apache.spark.sql.functions.{avg, col}
+    val c = Tables.customer(spark, TestSpark.sf)
+    val avgBal = c.where(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal"))).head().getDouble(0)
+    val activeSince = Tables.orders(spark, TestSpark.sf)
+      .where(col("o_orderdate") >= "2000-01-01")
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val expected = c.select("c_custkey", "c_acctbal", "c_mktsegment").collect()
+      .filter(r => r.getDouble(1) > avgBal && !activeSince(r.getLong(0)))
+      .groupBy(_.getString(2)).view.mapValues(_.length.toLong).toMap
+    val got = graft.operators.Analytics.q22DormantRich(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("q7 reports both directed nation pairs and no self-pairs") {
+    val rows = graft.operators.Analytics.q7NationVolume(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0) != r.getString(1), r.toString))
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("NATION_18", "NATION_19"), ("NATION_19", "NATION_18")), pairs.toString)
+  }
+
   test("cohort retention pins offset 0 at 1.0 and stays a valid fraction") {
     val rows = graft.operators.Analytics.retention(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)

@@ -34,6 +34,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q4 existence test plans a LEFT SEMI join (no lineitem fan-out)") {
+    val p = plan(Analytics.q4Priority(spark, TestSpark.sf))
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      "order-date window must reach the orders scan")
+  }
+
+  test("q22 inactivity test plans a LEFT ANTI join with the date filter pushed") {
+    val p = plan(Analytics.q22DormantRich(spark, TestSpark.sf))
+    assert(p.contains("LeftAnti"), p.take(800))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "recency window must reach the orders scan")
+  }
+
+  test("q18 aggregates and filters lineitem BEFORE joining orders/customer") {
+    val df = Analytics.q18LargeOrders(spark, TestSpark.sf)
+    val p = plan(df)
+    // the HAVING survives as a filter on the aggregate output, and the
+    // big-side rollup partial-aggregates map-side (two HashAggregate levels)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), "top-N must not global-sort")
+  }
+
   test("knn ranking uses WindowGroupLimit (partial per-partition top-k)") {
     val p = plan(VectorSearch.knnJoin(spark, TestSpark.sf, 100, 5))
     assert(p.contains("WindowGroupLimit"))
