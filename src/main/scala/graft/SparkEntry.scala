@@ -43,6 +43,8 @@ object SparkEntry {
     "knn_classify" -> ((s, d) => VectorSearch.knnClassify(s, d, queryMod = 100, k = 10)),
     // per-label embedding L2-norm distribution (encoder sanity check)
     "embed_norm_stats" -> ((s, d) => VectorSearch.embedNormStats(s, d)),
+    // per-dimension corpus stats (dead dims / quantizer-symmetry QA)
+    "embed_dim_stats" -> ((s, d) => VectorSearch.embedDimStats(s, d)),
     "ann_knn_join_heap" -> ((s, d) => TopK.knnJoinHeap(s, d, queryMod = 100, k = 5)),
     "ann_sq8_topk" -> ((s, d) => Quantized.sq8TopK(s, d, queryId = 0, k = 10)),
     "embed_project" -> ((s, d) => Quantized.randomProject(s, d)),
@@ -157,6 +159,8 @@ object SparkEntry {
     // per-source unigram KL divergence from the corpus distribution
     "source_kl" -> ((s, d) => TextAnalysis.sourceKl(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
+    // Flesch / FK-grade readability from shared-regex proxies
+    "doc_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "doc_winnow" -> ((s, d) => TextAnalysis.winnowFingerprint(s, d)),
@@ -219,6 +223,8 @@ object SparkEntry {
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
     // train/eval n-gram decontamination over the hash split
     "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    // constant-size Bloom-bitmap prefilter for the same check
+    "bloom_decontaminate" -> ((s, d) => Dedup.bloomDecontaminate(s, d)),
     // TPC-H Q6: full-pushdown filtered scan + global agg
     "q6_forecast" -> ((s, d) => Analytics.q6Forecast(s, d)),
     // RAG-prep chunking: fixed windows with overlap, narrow explode
@@ -1871,6 +1877,63 @@ object SparkEntry {
          |FROM (SELECT doc_id FROM b WHERE bucket >= '0ccc') d
          |LEFT JOIN hits h USING (doc_id) LEFT JOIN wit w USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // Bloom bitmap replay: positions are 16-bit chunks of the signed
+    // md5_number_upper value, words pack 64 bits via bit_or (bit 63
+    // through HUGEINT like the simhash oracle — 1::BIGINT << 63
+    // overflows), membership = all k chunk bits set
+    "bloom_decontaminate" ->
+      s"""WITH $cappedShingleCtes,
+         |b AS (SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 4) AS bucket FROM documents),
+         |ev AS (SELECT DISTINCT shingle FROM shc JOIN b USING (doc_id) WHERE bucket < '0ccc'),
+         |evh AS (SELECT CAST(CASE WHEN md5_number_upper(shingle) >= 9223372036854775808::HUGEINT
+         |          THEN md5_number_upper(shingle)::HUGEINT - 18446744073709551616::HUGEINT
+         |          ELSE md5_number_upper(shingle)::HUGEINT END AS BIGINT) AS h FROM ev),
+         |epos AS (SELECT ((h >> (16 * j)) & 65535) AS pos FROM evh, range(4) r(j)),
+         |words AS (SELECT pos // 64 AS word_idx,
+         |                 bit_or(CAST(CASE WHEN pos % 64 = 63 THEN -9223372036854775808::HUGEINT
+         |                        ELSE (1::BIGINT << (pos % 64)::INT)::HUGEINT END AS BIGINT)) AS word
+         |          FROM epos GROUP BY 1),
+         |tr AS (SELECT shc.doc_id, shingle FROM shc JOIN b USING (doc_id) WHERE bucket >= '0ccc'),
+         |trh AS (SELECT doc_id, shingle,
+         |               CAST(CASE WHEN md5_number_upper(shingle) >= 9223372036854775808::HUGEINT
+         |                 THEN md5_number_upper(shingle)::HUGEINT - 18446744073709551616::HUGEINT
+         |                 ELSE md5_number_upper(shingle)::HUGEINT END AS BIGINT) AS h FROM tr),
+         |tpos AS (SELECT doc_id, shingle, ((h >> (16 * j)) & 65535) AS pos FROM trh, range(4) r(j)),
+         |hitrows AS (SELECT doc_id, shingle,
+         |              CASE WHEN (coalesce(w.word, 0) &
+         |                CAST(CASE WHEN pos % 64 = 63 THEN -9223372036854775808::HUGEINT
+         |                     ELSE (1::BIGINT << (pos % 64)::INT)::HUGEINT END AS BIGINT)) <> 0
+         |              THEN 1 ELSE 0 END AS hit
+         |            FROM tpos LEFT JOIN words w ON tpos.pos // 64 = w.word_idx),
+         |shhit AS (SELECT doc_id, shingle, min(hit) AS all_hit FROM hitrows GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, count(*) AS n_shingles, sum(all_hit) AS n_bloom_hits
+         |        FROM shhit GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_shingles, 0)::BIGINT AS n_shingles,
+         |       coalesce(a.n_bloom_hits, 0)::BIGINT AS n_bloom_hits,
+         |       coalesce(a.n_bloom_hits, 0) >= 3 AS candidate
+         |FROM (SELECT doc_id FROM b WHERE bucket >= '0ccc') d
+         |LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "doc_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT AS n_words,
+        |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sentences,
+        |  len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |       round(206.835 - 1.015 * (n_words / n_sentences)
+        |             - 84.6 * (n_syllables / n_words), 4) AS flesch,
+        |       round(0.39 * (n_words / n_sentences)
+        |             + 11.8 * (n_syllables / n_words) - 15.59, 4) AS fk_grade
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    "embed_dim_stats" ->
+      """WITH x AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+        |                  unnest(embedding)::DOUBLE AS v FROM embeddings)
+        |SELECT pos::BIGINT AS pos, count(*) AS n,
+        |       round(sum(v) / count(*), 5) AS mean_v,
+        |       round(sqrt(greatest((sum(v * v) - sum(v) * sum(v) / count(*))
+        |             / (count(*) - 1), 0.0)), 5) AS std_v,
+        |       round(min(v), 5) AS min_v, round(max(v), 5) AS max_v
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "q6_forecast" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
         |FROM lineitem

@@ -895,6 +895,65 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter decontamination PREFILTER — the constant-size
+    * broadcast stage that runs BEFORE [[decontaminate]]'s shingle
+    * join at 100 TB: the eval carve-out's df-capped shingles set
+    * `kHash` md5-derived bits each in a 2^16-bit filter packed into
+    * ≤1024 bigint words (the Bloom bitmap — Bloom 1970, the same
+    * structure Spark's own runtime bloom-join pushes below shuffles);
+    * train shingles then test membership against the BROADCAST bitmap
+    * and a doc becomes a contamination CANDIDATE iff ≥ `minShared`
+    * distinct shingles pass. One-sided by construction: every truly
+    * shared shingle has all its bits set, so candidates ⊇
+    * [[decontaminate]]'s contaminated set (spec-asserted) and the
+    * exact check only runs on the surviving sliver — the bitmap costs
+    * 8 KiB no matter the corpus, where the exact join shuffles every
+    * train shingle. False-positive mass is the report's point: with
+    * |eval shingles|=m' bits set of m=65536, a clean shingle passes
+    * with p≈(1−e^{−k·m'/m})^k — size m to the eval suite, not the
+    * corpus.
+    *
+    * Bit positions are the four 16-bit chunks of [[md5Long64]] (the
+    * DuckDB `md5_number_upper` value), so bitmap build, membership
+    * test, and verdict replay end-to-end in SQL.
+    */
+  def bloomDecontaminate(spark: SparkSession, dir: String, n: Int = 5,
+                         evalThresholdHex: String = "0ccc", minShared: Long = 3L,
+                         maxDf: Long = 1000L, kHash: Int = 4): DataFrame = {
+    require(kHash >= 1 && kHash <= 4, s"kHash draws 16-bit chunks of one 64-bit digest: $kHash")
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val sh = cappedShingles(spark, dir, n, maxDf)
+    val h = md5Long64(col("shingle"))
+    val posCols = (0 until kHash).map(j =>
+      shiftright(h, 16 * j).bitwiseAND(lit(65535L)))
+    val words = sh.where(bucket < lit(evalThresholdHex))
+      .select(explode(array(posCols: _*)).as("pos"))
+      .select(expr("pos div 64").as("word_idx"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("bit"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(bit)").as("word"))
+    // membership: k bitmap lookups per shingle; a duplicate chunk value
+    // yields duplicate pos rows, so the per-shingle verdict is min(hit),
+    // robust to collisions inside one digest
+    val probes = sh.where(bucket >= lit(evalThresholdHex))
+      .select(col("doc_id"), col("shingle"), explode(array(posCols: _*)).as("pos"))
+      .join(broadcast(words), expr("pos div 64") === col("word_idx"), "left")
+      .withColumn("hit",
+        (coalesce(col("word"), lit(0L))
+          .bitwiseAND(expr("shiftleft(1L, cast(pos % 64 as int))")) =!= 0L).cast("long"))
+    val perDoc = probes.groupBy(col("doc_id"), col("shingle"))
+      .agg(min(col("hit")).as("all_hit"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("all_hit")).as("n_bloom_hits"))
+    Tables.documents(spark, dir).where(bucket >= lit(evalThresholdHex))
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
+      .withColumn("n_bloom_hits", coalesce(col("n_bloom_hits"), lit(0L)))
+      .withColumn("candidate", col("n_bloom_hits") >= minShared)
+      .orderBy(col("doc_id"))
+  }
+
   /** Semantic dedup — SemDeDup (Abbas et al. 2023): k-means-cluster
     * the embedding space, compare pairs only WITHIN a cluster, drop
     * all but one of each semantic-duplicate group. Where

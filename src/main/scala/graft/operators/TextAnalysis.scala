@@ -582,6 +582,32 @@ object TextAnalysis {
       .selectExpr(entropyOuterCols: _*)
       .orderBy(col("doc_id"))
 
+  /** Readability scoring — Flesch reading ease + Flesch-Kincaid grade
+    * with fully deterministic proxies: words are `[a-z0-9_]+` runs of
+    * the lowercased text (the corpus tokenizer's alphabet), sentences
+    * are `[.!?]+` runs floored at 1, syllables are `[aeiouy]+` vowel
+    * groups — each one regexp count evaluated by BOTH engines over
+    * the same pattern, so the score replays exactly (the classic
+    * syllable heuristic, off-by-a-bit on English edge cases but
+    * identical everywhere, which is what a corpus-scale quality
+    * signal needs). Zero-shuffle narrow scan; ratios are exact
+    * integer-over-integer doubles rounded once.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("regexp_count(lower(text), '[a-z0-9_]+')").cast("long").as("n_words"),
+        greatest(expr("regexp_count(text, '[.!?]+')"), lit(1)).cast("long").as("n_sentences"),
+        expr("regexp_count(lower(text), '[aeiouy]+')").cast("long").as("n_syllables"))
+      .where(col("n_words") > 0)
+      .withColumn("flesch",
+        round(lit(206.835) - lit(1.015) * (col("n_words") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables") / col("n_words")), 4))
+      .withColumn("fk_grade",
+        round(lit(0.39) * (col("n_words") / col("n_sentences"))
+          + lit(11.8) * (col("n_syllables") / col("n_words")) - lit(15.59), 4))
+      .orderBy(col("doc_id"))
+
   /** Content fingerprinting: md5 content hash, a 64-bit prefix
     * fingerprint, and the distinct-shingle count (winnowing-style
     * signature size).

@@ -178,6 +178,31 @@ object VectorSearch {
         col("min_norm"), col("max_norm"))
       .orderBy(col("label"))
 
+  /** Per-DIMENSION embedding corpus stats — the other axis of
+    * [[embedNormStats]]'s encoder QA: count/mean/std/min/max of every
+    * coordinate. A dead dimension (std≈0) means wasted index bytes, a
+    * mean far from 0 breaks the symmetric-quantizer assumption SQ8/PQ
+    * make, and a heavy-tailed dim dominates L2 — this is the report
+    * that justifies the [[Quantized.pcaProject]] rotation. One
+    * posexplode keyed by position (64·n narrow rows, map-side
+    * combined), 64-row output; std derives from exact Σv/Σv² sums via
+    * the same expression dag on both engines.
+    */
+  def embedDimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("pos").cast("long").as("pos"), col("vf").cast("double").as("v"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("s1"), sum(col("v") * col("v")).as("s2"),
+        round(min(col("v")), 5).as("min_v"), round(max(col("v")), 5).as("max_v"))
+      .select(col("pos"), col("n"),
+        round(col("s1") / col("n"), 5).as("mean_v"),
+        round(sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n"))
+          / (col("n") - 1), lit(0.0))), 5).as("std_v"),
+        col("min_v"), col("max_v"))
+      .orderBy(col("pos"))
+
   /** Two-stage retrieval where the metadata lives in ANOTHER table
     * (reference app.py:156-164 filters product metadata before
     * searching embeddings): candidate set = documents join on id.

@@ -458,4 +458,19 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.4)
     }
   }
+
+  test("bloom prefilter is one-sided: candidates cover every exact contamination") {
+    val exact = Dedup.decontaminate(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val bloom = Dedup.bloomDecontaminate(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(bloom.keySet == exact.keySet, "both report every train doc")
+    exact.foreach { case (doc, (nShared, contaminated)) =>
+      val (nHits, candidate) = bloom(doc)
+      // a truly shared shingle has all its bits set, so the Bloom
+      // count can only overcount (false positives), never undercount
+      assert(nHits >= nShared, s"doc $doc: bloom hits $nHits < exact shared $nShared")
+      if (contaminated) assert(candidate, s"doc $doc contaminated but not a bloom candidate")
+    }
+  }
 }

@@ -26,6 +26,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("embed_dim_stats covers all 64 dims with coherent bounds") {
+    val n = Tables.embeddings(spark, TestSpark.sf).count()
+    val rows = graft.operators.VectorSearch.embedDimStats(spark, TestSpark.sf).collect()
+    assert(rows.length == 64)
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 64L))
+    rows.foreach { r =>
+      assert(r.getLong(1) == n, "every dim sees every vector")
+      val (mean, std, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo <= mean + 1e-9 && mean <= hi + 1e-9, r.toString)
+      assert(std >= 0.0 && hi <= 1.0 + 1e-9 && lo >= -1.0 - 1e-9, r.toString)
+    }
+  }
+
+  test("readability replays a driver-side count of one document") {
+    val doc = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").head()
+    val (id, text) = (doc.getLong(0), doc.getString(1))
+    def cnt(p: String, s: String) = p.r.findAllIn(s).length
+    val w = cnt("[a-z0-9_]+", text.toLowerCase)
+    val s = math.max(cnt("[.!?]+", text), 1)
+    val y = cnt("[aeiouy]+", text.toLowerCase)
+    val row = graft.operators.TextAnalysis.readability(spark, TestSpark.sf)
+      .where(org.apache.spark.sql.functions.col("doc_id") === id).head()
+    assert((row.getLong(1), row.getLong(2), row.getLong(3)) == ((w.toLong, s.toLong, y.toLong)))
+    val flesch = BigDecimal(206.835 - 1.015 * (w.toDouble / s) - 84.6 * (y.toDouble / w))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getDouble(4) - flesch) < 1e-9)
+  }
+
   test("q13 histogram masses sum to the customer count (left join keeps everyone)") {
     val total = Tables.customer(spark, TestSpark.sf).count()
     val got = graft.operators.Analytics.q13CustDist(spark, TestSpark.sf)
