@@ -132,6 +132,8 @@ object SparkEntry {
     "events_paths" -> ((s, d) => Analytics.commonPaths(s, d)),
     // trailing-24h z-score anomaly hours, global top-10
     "events_anomaly" -> ((s, d) => Analytics.anomalies(s, d)),
+    // DAU / new / returning / cumulative growth accounting
+    "events_daily_active" -> ((s, d) => Analytics.dailyActive(s, d)),
     // farthest-from-centroid vectors per label (mislabel detector)
     "embed_outliers" -> ((s, d) => VectorSearch.labelOutliers(s, d)),
     // --- LLM-data-pipeline operators ---
@@ -161,6 +163,8 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     // Flesch / FK-grade readability from shared-regex proxies
     "doc_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
+    // quartile-binned cross-signal quality blend (broadcast cutoffs)
+    "quality_composite" -> ((s, d) => TextAnalysis.qualityComposite(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "doc_winnow" -> ((s, d) => TextAnalysis.winnowFingerprint(s, d)),
@@ -271,6 +275,8 @@ object SparkEntry {
     "cms_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
     // integer-exact fixed-iteration PageRank over item co-engagement
     "item_pagerank" -> ((s, d) => Graph.itemPagerank(s, d)),
+    // deterministic synchronous label-propagation communities
+    "item_communities" -> ((s, d) => Graph.itemCommunities(s, d)),
     // band recall + estimate error of the MinHash blocking vs exact
     "minhash_recall_eval" -> ((s, d) => Dedup.minhashRecallEval(s, d)),
     // embedding-space train/eval contamination with witness
@@ -2108,6 +2114,56 @@ object SparkEntry {
          |SELECT item_id, r AS rank_scaled,
          |       round(r / 17179869184.0, 6) AS rank
          |FROM r8 ORDER BY rank_scaled DESC, item_id LIMIT 25""".stripMargin,
+    "item_communities" ->
+      s"""WITH ui AS (SELECT DISTINCT user_id,
+         |                   json_extract_string(props, '$$.k')::BIGINT AS item_id
+         |            FROM events
+         |            WHERE event_type IN ('view', 'click', 'purchase')
+         |              AND json_extract_string(props, '$$.k') IS NOT NULL),
+         |bk AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+         |capped AS (SELECT ui.user_id, ui.item_id FROM ui
+         |           JOIN bk USING (user_id) WHERE bk.basket <= 500),
+         |edges AS (SELECT DISTINCT a.item_id AS src, b.item_id AS dst
+         |          FROM capped a JOIN capped b USING (user_id)
+         |          WHERE a.item_id <> b.item_id),
+         |l0 AS (SELECT DISTINCT item_id, item_id AS lab FROM capped),
+         |${lpaSteps(4)},
+         |sz AS (SELECT lab, count(*) AS community_size FROM l4 GROUP BY 1)
+         |SELECT l4.item_id, l4.lab AS community, sz.community_size
+         |FROM l4 JOIN sz USING (lab) ORDER BY l4.item_id""".stripMargin,
+    "events_daily_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |fs AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+        |d AS (SELECT day, count(*) AS n_active FROM ud GROUP BY 1),
+        |nw AS (SELECT first_day AS day, count(*) AS n_new FROM fs GROUP BY 1)
+        |SELECT (d.day * 86400000)::BIGINT AS day_ms, n_active,
+        |       coalesce(n_new, 0)::BIGINT AS n_new,
+        |       (n_active - coalesce(n_new, 0))::BIGINT AS n_returning,
+        |       sum(coalesce(n_new, 0)) OVER (ORDER BY d.day
+        |         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+        |FROM d LEFT JOIN nw USING (day) ORDER BY day_ms""".stripMargin,
+    "quality_composite" ->
+      """WITH q AS (SELECT doc_id, length(text)::BIGINT AS len_chars,
+        |  len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS ttr,
+        |  len(list_filter(string_split(text, ' '), x -> list_contains(['the', 'a'], x)))
+        |    / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM documents),
+        |c AS (SELECT
+        |  round(quantile_cont(len_chars, 0.25), 5) AS l1, round(quantile_cont(len_chars, 0.5), 5) AS l2,
+        |  round(quantile_cont(len_chars, 0.75), 5) AS l3,
+        |  round(quantile_cont(ttr, 0.25), 5) AS t1, round(quantile_cont(ttr, 0.5), 5) AS t2,
+        |  round(quantile_cont(ttr, 0.75), 5) AS t3,
+        |  round(quantile_cont(stop_ratio, 0.25), 5) AS s1, round(quantile_cont(stop_ratio, 0.5), 5) AS s2,
+        |  round(quantile_cont(stop_ratio, 0.75), 5) AS s3
+        |  FROM q),
+        |b AS (SELECT doc_id, len_chars, ttr, stop_ratio,
+        |  (1 + (len_chars > l1)::INT + (len_chars > l2)::INT + (len_chars > l3)::INT)::BIGINT AS q_len,
+        |  (1 + (ttr > t1)::INT + (ttr > t2)::INT + (ttr > t3)::INT)::BIGINT AS q_ttr,
+        |  (1 + (stop_ratio > s1)::INT + (stop_ratio > s2)::INT + (stop_ratio > s3)::INT)::BIGINT AS q_stop
+        |  FROM q, c)
+        |SELECT doc_id, len_chars, ttr, stop_ratio, q_len, q_ttr, q_stop,
+        |       (q_len + q_ttr + q_stop)::BIGINT AS composite
+        |FROM b ORDER BY doc_id""".stripMargin,
     // truth = the df-capped exact-jaccard pairs; detection = the
     // UNverified any-band minhash candidates with their estimates
     "minhash_recall_eval" ->
@@ -2162,6 +2218,23 @@ object SparkEntry {
     s"""CAST(CASE WHEN md5_number_upper($arg) >= 9223372036854775808::HUGEINT
        |     THEN md5_number_upper($arg)::HUGEINT - 18446744073709551616::HUGEINT
        |     ELSE md5_number_upper($arg)::HUGEINT END AS BIGINT)""".stripMargin
+
+  /** Unrolled synchronous label-propagation rounds l1..lN — the same
+    * most-frequent-neighbor-label update with (count DESC, label ASC)
+    * ties as [[graft.operators.Graph.itemCommunities]]; isolated
+    * nodes keep their label via the LEFT JOIN coalesce.
+    */
+  private def lpaSteps(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""l$i AS (SELECT p.item_id, coalesce(b.new_lab, p.lab) AS lab
+         |  FROM l${i - 1} p LEFT JOIN (
+         |    SELECT src AS item_id, lab AS new_lab FROM (
+         |      SELECT e.src, r.lab, count(*) AS n,
+         |             row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, r.lab) AS rk
+         |      FROM edges e JOIN l${i - 1} r ON r.item_id = e.dst
+         |      GROUP BY 1, 2)
+         |    WHERE rk = 1) b USING (item_id))""".stripMargin
+    }.mkString(",\n")
 
   /** Unrolled PageRank damping steps r1..rN — same integer ops as
     * [[graft.operators.Graph.itemPagerank]], floor division on both

@@ -786,6 +786,33 @@ object Analytics {
       .limit(topN)
   }
 
+  /** Growth accounting over the event stream: per UTC day, active
+    * users, NEW users (first ever seen that day), returning = active −
+    * new, and the cumulative user count — the DAU/new/returning split
+    * every product dashboard leads with. Exact integer day arithmetic
+    * (`ts_ms div 86400000`). Scale shape: one distinct (user, day)
+    * shuffle, a per-user min for first-seen, then per-day aggregates;
+    * the cumulative window runs over the |days|-row daily frame only —
+    * never the event log.
+    */
+  def dailyActive(spark: SparkSession, dir: String): DataFrame = {
+    val dayMs = 86400000L
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts_ms div $dayMs").as("day"))
+      .distinct()
+    val firstSeen = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val daily = ud.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val news = firstSeen.groupBy(col("first_day").as("day")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    daily.join(news, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .select((col("day") * dayMs).as("day_ms"), col("n_active"), col("n_new"),
+        col("n_returning"), col("cum_users"))
+      .orderBy(col("day_ms"))
+  }
+
   /** TPC-H Q4-style order-priority check: orders in a date window with
     * at least one line shipped AFTER the order date (late shipment),
     * counted per priority. The existence test is a LEFT SEMI join — the

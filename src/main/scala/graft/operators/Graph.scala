@@ -80,4 +80,59 @@ object Graph {
       .orderBy(col("rank_scaled").desc, col("item_id"))
       .limit(topN)
   }
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan et
+    * al. 2007) over the same co-engagement graph — the
+    * related-item-cluster view merchandisers browse and the natural
+    * blocking key for within-community recommendation reranks.
+    * Classic async LPA is order-dependent; this variant is
+    * deterministic by construction: every node starts as its own
+    * label, and each of the `iters` rounds updates ALL nodes at once
+    * to the most frequent neighbor label with ties broken toward the
+    * SMALLER label (count DESC, label ASC — a ranking window with the
+    * engine's standard tie order), isolated nodes keeping their own.
+    * Integer counts only, so the DuckDB oracle unrolls the same
+    * rounds and replays the result exactly.
+    *
+    * Scale shape: per round, ONE item-keyed join of the |V|-row label
+    * state against the ScratchCache'd edge list, a map-side-combined
+    * (node, label) count, and a WindowGroupLimit-bounded argmax —
+    * state is |V| rows, never corpus-sized (the GraphX/Pregel LPA
+    * schedule, expressed relationally).
+    */
+  def itemCommunities(spark: SparkSession, dir: String, iters: Int = 4,
+                      maxBasket: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ui = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .distinct()
+    val deg0 = ui.groupBy(col("user_id")).agg(count(lit(1)).as("basket"))
+    val capped = ui.join(deg0.where(col("basket") <= maxBasket), Seq("user_id"))
+      .select(col("user_id"), col("item_id"))
+    val edges = ScratchCache.materialize(
+      capped.join(capped.select(col("user_id"), col("item_id").as("dst")), Seq("user_id"))
+        .where(col("item_id") =!= col("dst"))
+        .select(col("item_id").as("src"), col("dst"))
+        .distinct())
+    val nodes = ScratchCache.materialize(capped.select(col("item_id")).distinct())
+    val w = Window.partitionBy(col("src")).orderBy(col("n").desc, col("lab"))
+    var labels = nodes.select(col("item_id"), col("item_id").as("lab"))
+    for (_ <- 1 to iters) {
+      val best = edges
+        .join(labels.select(col("item_id").as("dst"), col("lab")), "dst")
+        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("src").as("item_id"), col("lab").as("new_lab"))
+      labels = labels.join(best, Seq("item_id"), "left")
+        .select(col("item_id"), coalesce(col("new_lab"), col("lab")).as("lab"))
+    }
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lab")
+      .select(col("item_id"), col("lab").as("community"), col("community_size"))
+      .orderBy(col("item_id"))
+  }
 }

@@ -582,6 +582,42 @@ object TextAnalysis {
       .selectExpr(entropyOuterCols: _*)
       .orderBy(col("doc_id"))
 
+  /** Rank-normalized quality composite — the cross-signal blend a
+    * curation run actually gates on: each signal (length, type-token
+    * ratio, stopword ratio) quartile-bins against its OWN corpus
+    * distribution — exact `percentile` cutoffs computed once and
+    * BROADCAST back over one scored scan (the [[Analytics.userRfm]]
+    * shape; no ntile global sort ever plans) — and the composite is
+    * the 3–12 bin sum, so a signal's absolute scale can't dominate
+    * the blend the way it does in [[withQualityCols]]'s fixed-weight
+    * score. Cutoffs rounded to 5 decimals on BOTH engines before
+    * comparison so interpolation ulps can't flip a bin.
+    */
+  def qualityComposite(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.sources.ScratchCache.materialize(
+      withQualityCols(Tables.documents(spark, dir))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len_chars"),
+          (col("n_types") / col("n_tok")).as("ttr"),
+          (col("n_stop") / col("n_tok")).as("stop_ratio")))
+    val cuts = scored.select(
+      expr("percentile(len_chars, array(0.25D, 0.5D, 0.75D))").as("lq"),
+      expr("percentile(ttr, array(0.25D, 0.5D, 0.75D))").as("tq"),
+      expr("percentile(stop_ratio, array(0.25D, 0.5D, 0.75D))").as("sq"))
+    def bin(m: Column, q: Column): Column =
+      lit(1) + when(m > round(element_at(q, 1), 5), 1).otherwise(0) +
+        when(m > round(element_at(q, 2), 5), 1).otherwise(0) +
+        when(m > round(element_at(q, 3), 5), 1).otherwise(0)
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("q_len", bin(col("len_chars"), col("lq")).cast("long"))
+      .withColumn("q_ttr", bin(col("ttr"), col("tq")).cast("long"))
+      .withColumn("q_stop", bin(col("stop_ratio"), col("sq")).cast("long"))
+      .withColumn("composite", col("q_len") + col("q_ttr") + col("q_stop"))
+      .select(col("doc_id"), col("len_chars"), col("ttr"), col("stop_ratio"),
+        col("q_len"), col("q_ttr"), col("q_stop"), col("composite"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Readability scoring — Flesch reading ease + Flesch-Kincaid grade
     * with fully deterministic proxies: words are `[a-z0-9_]+` runs of
     * the lowercased text (the corpus tokenizer's alphabet), sentences

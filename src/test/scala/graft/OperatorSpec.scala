@@ -26,6 +26,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("daily active accounting balances: active = new + returning, cum ends at total users") {
+    val rows = graft.operators.Analytics.dailyActive(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), s"active != new+returning: $r")
+      assert(r.getLong(2) >= 0 && r.getLong(3) >= 0, r.toString)
+    }
+    assert(rows.head.getLong(3) == 0L, "first day has no returning users")
+    val totalUsers = Tables.events(spark, TestSpark.sf)
+      .select("user_id").distinct().count()
+    assert(rows.last.getLong(4) == totalUsers, "cumulative must end at the user universe")
+    assert(rows.map(_.getLong(4)).toSeq == rows.map(_.getLong(4)).sorted.toSeq, "cum is monotone")
+  }
+
+  test("quality composite bins are quartile-valued and sum correctly") {
+    val rows = graft.operators.TextAnalysis.qualityComposite(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (l, t, s, c) = (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(Seq(l, t, s).forall(b => b >= 1 && b <= 4), r.toString)
+      assert(c == l + t + s && c >= 3 && c <= 12, r.toString)
+    }
+    // quartile binning must actually spread: no signal collapses to one bin
+    Seq(4, 5, 6).foreach { i =>
+      assert(rows.map(_.getLong(i)).distinct.length >= 2, s"signal col $i never varies")
+    }
+  }
+
+  test("label propagation is deterministic and conserves community mass") {
+    val a = graft.operators.Graph.itemCommunities(spark, TestSpark.sf).collect()
+    val b = graft.operators.Graph.itemCommunities(spark, TestSpark.sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "two runs must agree exactly")
+    assert(a.nonEmpty)
+    val items = a.map(_.getLong(0)).toSet
+    a.foreach(r => assert(items(r.getLong(1)), "labels are node ids"))
+    val sizes = a.groupBy(_.getLong(1)).view.mapValues(_.length.toLong).toMap
+    a.foreach(r => assert(r.getLong(2) == sizes(r.getLong(1)), s"stale size: $r"))
+    assert(sizes.values.sum == a.length.toLong, "every node in exactly one community")
+    // propagation must actually merge something on a co-engagement graph
+    assert(sizes.size < items.size, "no community ever formed")
+  }
+
   test("embed_dim_stats covers all 64 dims with coherent bounds") {
     val n = Tables.embeddings(spark, TestSpark.sf).count()
     val rows = graft.operators.VectorSearch.embedDimStats(spark, TestSpark.sf).collect()
