@@ -165,6 +165,8 @@ object SparkEntry {
     "doc_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     // quartile-binned cross-signal quality blend (broadcast cutoffs)
     "quality_composite" -> ((s, d) => TextAnalysis.qualityComposite(s, d)),
+    // per-source rollup of the composite (mixture-table input)
+    "source_quality_report" -> ((s, d) => TextAnalysis.sourceQualityReport(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "doc_winnow" -> ((s, d) => TextAnalysis.winnowFingerprint(s, d)),
@@ -277,6 +279,8 @@ object SparkEntry {
     "item_pagerank" -> ((s, d) => Graph.itemPagerank(s, d)),
     // deterministic synchronous label-propagation communities
     "item_communities" -> ((s, d) => Graph.itemCommunities(s, d)),
+    // top hubs by co-engagement degree (salting-decision report)
+    "item_hubs" -> ((s, d) => Graph.itemHubs(s, d)),
     // band recall + estimate error of the MinHash blocking vs exact
     "minhash_recall_eval" -> ((s, d) => Dedup.minhashRecallEval(s, d)),
     // embedding-space train/eval contamination with witness
@@ -2131,6 +2135,49 @@ object SparkEntry {
          |sz AS (SELECT lab, count(*) AS community_size FROM l4 GROUP BY 1)
          |SELECT l4.item_id, l4.lab AS community, sz.community_size
          |FROM l4 JOIN sz USING (lab) ORDER BY l4.item_id""".stripMargin,
+    "item_hubs" ->
+      s"""WITH ui AS (SELECT DISTINCT user_id,
+         |                   json_extract_string(props, '$$.k')::BIGINT AS item_id
+         |            FROM events
+         |            WHERE event_type IN ('view', 'click', 'purchase')
+         |              AND json_extract_string(props, '$$.k') IS NOT NULL),
+         |bk AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+         |capped AS (SELECT ui.user_id, ui.item_id FROM ui
+         |           JOIN bk USING (user_id) WHERE bk.basket <= 500),
+         |edges AS (SELECT DISTINCT a.item_id AS src, b.item_id AS dst
+         |          FROM capped a JOIN capped b USING (user_id)
+         |          WHERE a.item_id <> b.item_id),
+         |tot AS (SELECT count(*) AS total_edges FROM edges)
+         |SELECT src AS item_id, count(*) AS degree,
+         |       count(*) / tot.total_edges AS degree_share
+         |FROM edges, tot GROUP BY 1, tot.total_edges
+         |ORDER BY degree DESC, item_id LIMIT 20""".stripMargin,
+    "source_quality_report" ->
+      """WITH q AS (SELECT doc_id, length(text)::BIGINT AS len_chars,
+        |  len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS ttr,
+        |  len(list_filter(string_split(text, ' '), x -> list_contains(['the', 'a'], x)))
+        |    / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM documents),
+        |c AS (SELECT
+        |  round(quantile_cont(len_chars, 0.25), 5) AS l1, round(quantile_cont(len_chars, 0.5), 5) AS l2,
+        |  round(quantile_cont(len_chars, 0.75), 5) AS l3,
+        |  round(quantile_cont(ttr, 0.25), 5) AS t1, round(quantile_cont(ttr, 0.5), 5) AS t2,
+        |  round(quantile_cont(ttr, 0.75), 5) AS t3,
+        |  round(quantile_cont(stop_ratio, 0.25), 5) AS s1, round(quantile_cont(stop_ratio, 0.5), 5) AS s2,
+        |  round(quantile_cont(stop_ratio, 0.75), 5) AS s3
+        |  FROM q),
+        |b AS (SELECT doc_id, len_chars,
+        |  (1 + (len_chars > l1)::INT + (len_chars > l2)::INT + (len_chars > l3)::INT)
+        |  + (1 + (ttr > t1)::INT + (ttr > t2)::INT + (ttr > t3)::INT)
+        |  + (1 + (stop_ratio > s1)::INT + (stop_ratio > s2)::INT + (stop_ratio > s3)::INT) AS composite
+        |  FROM q, c)
+        |SELECT d.source, count(*) AS n_docs,
+        |       sum(b.composite) / count(*) AS mean_composite,
+        |       sum(CASE WHEN b.composite >= 9 THEN 1 ELSE 0 END) / count(*) AS high_frac,
+        |       sum(CASE WHEN b.composite <= 5 THEN 1 ELSE 0 END) / count(*) AS low_frac,
+        |       sum(b.len_chars) / count(*) AS mean_chars
+        |FROM b JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_daily_active" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
         |fs AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),

@@ -127,12 +127,53 @@ object Graph {
         .withColumn("rk", row_number().over(w))
         .where(col("rk") === 1)
         .select(col("src").as("item_id"), col("lab").as("new_lab"))
-      labels = labels.join(best, Seq("item_id"), "left")
-        .select(col("item_id"), coalesce(col("new_lab"), col("lab")).as("lab"))
+      // materialize each round: the update references the previous
+      // label state TWICE (neighbor vote + isolated-node carry), so an
+      // unmaterialized plan doubles per round — 2^iters subtree copies
+      // by the end. One |V|-row cache entry per round keeps the DAG
+      // linear, the same state-truncation move as the CC loop.
+      labels = ScratchCache.materialize(
+        labels.join(best, Seq("item_id"), "left")
+          .select(col("item_id"), coalesce(col("new_lab"), col("lab")).as("lab")))
     }
     val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("community_size"))
     labels.join(sizes, "lab")
       .select(col("item_id"), col("lab").as("community"), col("community_size"))
       .orderBy(col("item_id"))
+  }
+
+  /** Hub diagnostics over the co-engagement graph: the top items by
+    * degree with each hub's share of total directed edges — the
+    * graph-side twin of [[Curation.keySkew]]'s raw-key report, and
+    * the number that decides whether per-item joins ([[itemPagerank]]
+    * contributions, [[Analytics.itemCooccurrence]] rankings) need a
+    * salt or a cap at the next scale-up. Degree share is an exact
+    * int/int double. One map-side-combined degree count over the
+    * cached edge list + TakeOrdered.
+    */
+  def itemHubs(spark: SparkSession, dir: String, topN: Int = 20,
+               maxBasket: Int = 500): DataFrame = {
+    val ui = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .distinct()
+    val deg0 = ui.groupBy(col("user_id")).agg(count(lit(1)).as("basket"))
+    val capped = ui.join(deg0.where(col("basket") <= maxBasket), Seq("user_id"))
+      .select(col("user_id"), col("item_id"))
+    val edges = ScratchCache.materialize(
+      capped.join(capped.select(col("user_id"), col("item_id").as("dst")), Seq("user_id"))
+        .where(col("item_id") =!= col("dst"))
+        .select(col("item_id").as("src"), col("dst"))
+        .distinct())
+    val total = edges.agg(count(lit(1)).as("total_edges"))
+    edges.groupBy(col("src").as("item_id"))
+      .agg(count(lit(1)).as("degree"))
+      .crossJoin(broadcast(total))
+      .select(col("item_id"), col("degree"),
+        (col("degree") / col("total_edges")).as("degree_share"))
+      .orderBy(col("degree").desc, col("item_id"))
+      .limit(topN)
   }
 }

@@ -618,6 +618,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source quality rollup — the mixture-table input: how each
+    * source's documents distribute over [[qualityComposite]]'s
+    * rank-normalized blend (mean composite, high/low-tail fractions,
+    * mean length). One aggregate over the SAME composite frame the
+    * per-document query serves (the [[graft.operators.Dedup.dedupReport]]
+    * reuse rule); fractions are exact integer ratios, |sources| rows
+    * out.
+    */
+  def sourceQualityReport(spark: SparkSession, dir: String): DataFrame =
+    qualityComposite(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("composite")).as("sum_composite"),
+        sum(when(col("composite") >= 9, 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("composite") <= 5, 1L).otherwise(0L)).as("n_low"),
+        sum(col("len_chars")).as("sum_chars"))
+      .select(col("source"), col("n_docs"),
+        (col("sum_composite") / col("n_docs")).as("mean_composite"),
+        (col("n_high") / col("n_docs")).as("high_frac"),
+        (col("n_low") / col("n_docs")).as("low_frac"),
+        (col("sum_chars") / col("n_docs")).as("mean_chars"))
+      .orderBy(col("source"))
+
   /** Readability scoring — Flesch reading ease + Flesch-Kincaid grade
     * with fully deterministic proxies: words are `[a-z0-9_]+` runs of
     * the lowercased text (the corpus tokenizer's alphabet), sentences

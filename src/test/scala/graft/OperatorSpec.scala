@@ -68,6 +68,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(sizes.size < items.size, "no community ever formed")
   }
 
+  test("item hubs rank by degree with exact shares") {
+    val rows = graft.operators.Graph.itemHubs(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val degrees = rows.map(_.getLong(1)).toSeq
+    assert(degrees == degrees.sorted.reverse, "hubs must rank by degree desc")
+    rows.foreach(r => assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0, r.toString))
+    assert(rows.map(_.getDouble(2)).sum <= 1.0 + 1e-9, "shares of one edge universe")
+  }
+
+  test("source quality rollup conserves the document universe and tail fractions") {
+    val total = Tables.documents(spark, TestSpark.sf).count()
+    val rows = graft.operators.TextAnalysis.sourceQualityReport(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getLong(1)).sum == total, "every doc lands in exactly one source row")
+    rows.foreach { r =>
+      val (mean, hi, lo) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mean >= 3.0 && mean <= 12.0, r.toString)
+      assert(hi >= 0.0 && hi <= 1.0 && lo >= 0.0 && lo <= 1.0 && hi + lo <= 1.0 + 1e-9, r.toString)
+    }
+  }
+
   test("embed_dim_stats covers all 64 dims with coherent bounds") {
     val n = Tables.embeddings(spark, TestSpark.sf).count()
     val rows = graft.operators.VectorSearch.embedDimStats(spark, TestSpark.sf).collect()
