@@ -118,6 +118,28 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
     // TPC-H Q22-style dormant-rich customers (scalar avg + LEFT ANTI)
     "q22_dormant_rich" -> ((s, d) => Analytics.q22DormantRich(s, d)),
+    // TPC-H Q2-style min-cost supplier (rollup + per-part ranking window)
+    "q2_min_price_supp" -> ((s, d) => Analytics.q2MinPriceSupp(s, d)),
+    // TPC-H Q8-style nation market share per order year
+    "q8_market_share" -> ((s, d) => Analytics.q8MarketShare(s, d)),
+    // TPC-H Q9-style product-line profit by nation and year
+    "q9_profit" -> ((s, d) => Analytics.q9Profit(s, d)),
+    // TPC-H Q11-style important parts (scalar-total threshold)
+    "q11_important_parts" -> ((s, d) => Analytics.q11ImportantParts(s, d)),
+    // TPC-H Q12-style late-shipment priority split (conditional agg)
+    "q12_priority_late" -> ((s, d) => Analytics.q12PriorityLate(s, d)),
+    // TPC-H Q15-style top supplier (scalar max over the rollup)
+    "q15_top_supplier" -> ((s, d) => Analytics.q15TopSupplier(s, d)),
+    // TPC-H Q16-style supplier variety (distinct agg + LEFT ANTI denylist)
+    "q16_supplier_variety" -> ((s, d) => Analytics.q16SupplierVariety(s, d)),
+    // TPC-H Q17-style small-quantity revenue (per-part avg join)
+    "q17_small_qty" -> ((s, d) => Analytics.q17SmallQty(s, d)),
+    // TPC-H Q19-style disjunctive-predicate revenue (one pass)
+    "q19_disjunctive" -> ((s, d) => Analytics.q19Disjunctive(s, d)),
+    // TPC-H Q20-style dominant suppliers (nested agg + LEFT SEMI)
+    "q20_dominant_supp" -> ((s, d) => Analytics.q20DominantSupp(s, d)),
+    // TPC-H Q21-style sole-late-supplier audit (windowed EXISTS pair)
+    "q21_sole_late" -> ((s, d) => Analytics.q21SoleLate(s, d)),
     "events_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "events_props_parse" -> ((s, d) => Analytics.propsParse(s, d)),
     // behavioral item-item recommender (co-engagement counts)
@@ -892,6 +914,142 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q2_min_price_supp" ->
+      """WITH unitp AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(l_extendedprice / l_quantity) AS ps_price
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |                               ORDER BY ps_price, l_suppkey) AS rn
+        |  FROM unitp)
+        |SELECT p_partkey, p_name, s_name, n_name,
+        |       round(ps_price, 5) AS best_price
+        |FROM best JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE rn = 1 AND p_type = 'STANDARD' AND p_size <= 10
+        |ORDER BY best_price, p_partkey LIMIT 100""".stripMargin,
+    "q8_market_share" ->
+      """WITH eu AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |sn AS (
+        |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT year(o_orderdate) AS o_year,
+        |       round(sum(CASE WHEN supp_nation = 'NATION_7'
+        |                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+        |         AS nation_revenue,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+        |       round(round(sum(CASE WHEN supp_nation = 'NATION_7'
+        |                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+        |             / round(sum(l_extendedprice * (1 - l_discount)), 2), 5)
+        |         AS mkt_share
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN sn ON l_suppkey = s_suppkey
+        |WHERE o_custkey IN (SELECT c_custkey FROM eu)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation, year(l_shipdate) AS o_year,
+        |       round(sum(l_extendedprice * (1 - l_discount)
+        |                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "q11_important_parts" ->
+      """WITH tot AS (
+        |  SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_value
+        |  FROM lineitem)
+        |SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+        |FROM lineitem, tot
+        |GROUP BY 1, tot.total_value
+        |HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > total_value * 0.00075
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q12_priority_late" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE date_diff('day', o_orderdate, l_shipdate) > 30
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-07-01'
+        |  GROUP BY 1)
+        |SELECT l_suppkey AS s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = supplier.s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY 1""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, CAST(p_size // 10 AS BIGINT) AS size_bucket,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, size_bucket""".stripMargin,
+    "q17_small_qty" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#7' GROUP BY 1)
+        |SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN pa ON l_partkey = a_partkey
+        |WHERE p_brand = 'Brand#7' AND l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q20_dominant_supp" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%red%' AND year(l_shipdate) = 1997
+        |  GROUP BY 1, 2),
+        |dom AS (
+        |  SELECT DISTINCT l_suppkey FROM (
+        |    SELECT l_suppkey, qty,
+        |           avg(qty) OVER (PARTITION BY l_partkey) AS part_avg
+        |    FROM ps)
+        |  WHERE qty > 1.5 * part_avg)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+        |ORDER BY 1""".stripMargin,
+    "q21_sole_late" ->
+      """WITH os AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         max(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+        |             THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT l_suppkey FROM (
+        |    SELECT l_suppkey, late,
+        |           count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+        |           sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+        |    FROM os)
+        |  WHERE late = 1 AND n_supp > 1 AND n_late = 1)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 50""".stripMargin,
     "events_funnel" ->
       """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         |       round(avg(value), 4) AS avg_value, round(sum(value), 2) AS total_value

@@ -925,4 +925,269 @@ object Analytics {
         round(sum(col("c_acctbal")), 2).as("total_acctbal"))
       .orderBy(col("c_mktsegment"))
   }
+
+  /** TPC-H Q2-style min-cost supplier: for each qualifying part, the
+    * supplier with the lowest observed unit price (reference schema
+    * has no partsupp, so the price book derives from lineitem
+    * history: unit = extendedprice/quantity, an EXACT IEEE division
+    * both engines reproduce bit-for-bit). The correlated-subquery
+    * shape becomes one (part,supp) rollup + a per-part ranking window
+    * with a suppkey tiebreak; part/supplier/nation dims broadcast.
+    * Rounding happens ONLY on output — selection compares exact
+    * doubles, so no boundary drift.
+    */
+  def q2MinPriceSupp(spark: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    val perPS = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_price")).as("ps_price"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("ps_price"), col("l_suppkey"))
+    val p = Tables.part(spark, dir)
+      .where(col("p_type") === "STANDARD" && col("p_size") <= 10)
+    perPS.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        round(col("ps_price"), 5).as("best_price"))
+      .orderBy(col("best_price"), col("p_partkey"))
+      .limit(topN)
+  }
+
+  /** TPC-H Q8-style market share: of all revenue sold to one region's
+    * customers per order year, the fraction supplied by one nation.
+    * Both nation attributions resolve through broadcast dims BEFORE
+    * the fact join (the q7 trick: the region filter cuts the customer
+    * side 1/5 ahead of the orderkey shuffle); the share is a ratio of
+    * two same-ordered rounded sums, rounded once.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String,
+                    region: String = "EUROPE", nation: String = "NATION_7"): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).where(col("r_name") === region)
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === nation, rev).otherwise(lit(0.0))), 2)
+          .as("nation_revenue"),
+        round(sum(rev), 2).as("total_revenue"))
+      .withColumn("mkt_share", round(col("nation_revenue") / col("total_revenue"), 5))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9-style product-line profit by supplier nation and ship
+    * year, restricted to parts whose name carries one token. Profit
+    * uses a retail-cost proxy (no partsupp supplycost in this
+    * schema): rev − 0.6·retailprice·quantity. The part filter cuts
+    * the broadcast build side before the fact join; nation rides the
+    * supplier broadcast.
+    */
+  def q9Profit(spark: SparkSession, dir: String, nameToken: String = "red"): DataFrame = {
+    val p = Tables.part(spark, dir).where(col("p_name").contains(nameToken))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val profit = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+      lit(0.6) * col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(round(sum(profit), 2).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11-style important-part concentration: parts whose
+    * revenue exceeds a fraction of the corpus total. The scalar total
+    * is a one-row broadcast (the q22 shape); both sides of the
+    * threshold compare ROUNDED sums so the cross-engine float-sum
+    * epsilon cannot flip membership.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String,
+                        fraction: Double = 0.00075): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val l = Tables.lineitem(spark, dir)
+    val total = l.agg(round(sum(rev), 2).as("total_value"))
+    l.groupBy(col("l_partkey"))
+      .agg(round(sum(rev), 2).as("part_value"))
+      .crossJoin(broadcast(total))
+      .where(col("part_value") > col("total_value") * fraction)
+      .select(col("l_partkey"), col("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q12-style late-shipment priority audit: per returnflag,
+    * how many lines shipped >30 days after the order date split by
+    * high vs low order priority — the conditional-aggregate shape
+    * (CASE inside SUM, one shuffle on the natural orderkey join).
+    */
+  def q12PriorityLate(spark: SparkSession, dir: String, lateDays: Int = 30): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .where(datediff(col("l_shipdate"), col("o_orderdate")) > lateDays)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q15-style top supplier: the supplier(s) whose revenue over
+    * a ship-date window equals the maximum. The max is a one-row
+    * broadcast over the per-supplier rollup (which is itself
+    * |suppliers| rows); equality compares the SAME rounded values on
+    * both engines, so ties surface identically.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String,
+                     from: String = "1997-01-01", until: String = "1997-07-01"): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val best = perSupp.agg(max(col("total_revenue")).as("max_revenue"))
+    perSupp.crossJoin(broadcast(best))
+      .where(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_suppkey").as("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q16-style supplier-variety report: distinct suppliers able
+    * to ship each (brand, type, size-bucket) part family, excluding
+    * one brand and a "complaints" supplier denylist (negative account
+    * balance here) via broadcast LEFT ANTI — NOT IN at scale. The
+    * distinct agg shuffles once on the family key.
+    */
+  def q16SupplierVariety(spark: SparkSession, dir: String,
+                         excludeBrand: String = "Brand#5"): DataFrame = {
+    val bad = Tables.supplier(spark, dir).where(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val p = Tables.part(spark, dir).where(col("p_brand") =!= excludeBrand)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        (col("p_size").cast("long") / 10).cast("long").as("size_bucket"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("size_bucket"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("size_bucket"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: lines of one brand
+    * shipped at under 20% of that part's average quantity. The
+    * correlated scalar subquery becomes a one-row-per-partkey
+    * average join (AQE broadcasts the ~|parts/brand| build side).
+    * l_quantity is integer-valued, so sum/count — and therefore the
+    * 0.2·avg boundary — is EXACT and identical on both engines; no
+    * rounding enters the filter.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String, brand: String = "Brand#7"): DataFrame = {
+    val p = Tables.part(spark, dir).where(col("p_brand") === brand)
+      .select(col("p_partkey"))
+    val l = Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQty = l.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    l.join(avgQty, col("l_partkey") === col("a_partkey"))
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19-style disjunctive-predicate revenue: three OR'd
+    * (brand × size band × quantity band) branches evaluated in ONE
+    * pass — the part attributes broadcast in, the disjunction stays a
+    * single codegen'd predicate, no union of three scans.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val branch1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+      col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+      col("l_quantity").between(20, 30)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(branch1 || branch2 || branch3)
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /** TPC-H Q20-style dominant-supplier detection: suppliers who in
+    * one year shipped >1.5× the per-supplier average quantity of some
+    * token-named part — the nested-aggregate + semi-join shape (no
+    * partsupp availqty in this schema, so dominance is measured
+    * against the part's own supplier field). The per-part average is
+    * a window over the (part,supp) rollup — |parts| keys, no second
+    * shuffle — and qualifying suppkeys drive a LEFT SEMI into the
+    * supplier dim. Quantity sums are integer-exact, so the 1.5×
+    * boundary cannot drift cross-engine.
+    */
+  def q20DominantSupp(spark: SparkSession, dir: String, nameToken: String = "red",
+                      year_ : Int = 1997): DataFrame = {
+    val p = Tables.part(spark, dir).where(col("p_name").contains(nameToken))
+      .select(col("p_partkey"))
+    val perPS = Tables.lineitem(spark, dir)
+      .where(year(col("l_shipdate")) === year_)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val w = Window.partitionBy(col("l_partkey"))
+    val dominant = perPS
+      .withColumn("part_avg", avg(col("qty")).over(w))
+      .where(col("qty") > lit(1.5) * col("part_avg"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q21-style sole-late-supplier audit: suppliers who were the
+    * ONLY late shipper (>60 days after the order date) in a
+    * multi-supplier order. The EXISTS/NOT-EXISTS pair becomes one
+    * (order,supp) rollup + two order-partitioned window counts — a
+    * single orderkey shuffle instead of three correlated self-joins;
+    * the final per-supplier count is |suppliers| rows.
+    */
+  def q21SoleLate(spark: SparkSession, dir: String, lateDays: Int = 60,
+                  topN: Int = 50): DataFrame = {
+    val perOS = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(datediff(col("l_shipdate"), col("o_orderdate")) > lateDays, 1L)
+        .otherwise(0L)).as("late"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    perOS
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("late")).over(w))
+      .where(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(topN)
+  }
 }

@@ -57,6 +57,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-N must not global-sort")
   }
 
+  test("q21 resolves the EXISTS/NOT-EXISTS pair with windows, not self-joins") {
+    val p = plan(Analytics.q21SoleLate(spark, TestSpark.sf))
+    // one orderkey-join of the two facts; the supplier-count and
+    // late-count existence tests must NOT add lineitem self-joins
+    assert(p.linesIterator.count(_.contains("Scan parquet")) <= 3, p.take(1200))
+    assert(p.contains("Window"), "per-order counts must be windowed")
+    assert(p.contains("TakeOrderedAndProject"), "top-N must not global-sort")
+  }
+
+  test("q16 supplier denylist plans a broadcast LEFT ANTI (NOT IN at scale)") {
+    val p = plan(Analytics.q16SupplierVariety(spark, TestSpark.sf))
+    assert(p.contains("LeftAnti"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), "denylist must broadcast")
+  }
+
+  test("q19 disjunctive predicates evaluate in one lineitem pass (no union of scans)") {
+    val p = plan(Analytics.q19Disjunctive(spark, TestSpark.sf))
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 2, p.take(1200))
+    assert(!p.contains("Union"), "OR branches must not union three scans")
+  }
+
+  test("q15 scalar max broadcasts over the supplier rollup (no global sort)") {
+    val p = plan(Analytics.q15TopSupplier(spark, TestSpark.sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      "ship-date window must reach the lineitem scan")
+  }
+
   test("knn ranking uses WindowGroupLimit (partial per-partition top-k)") {
     val p = plan(VectorSearch.knnJoin(spark, TestSpark.sf, 100, 5))
     assert(p.contains("WindowGroupLimit"))
