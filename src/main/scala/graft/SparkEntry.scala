@@ -140,6 +140,16 @@ object SparkEntry {
     "q20_dominant_supp" -> ((s, d) => Analytics.q20DominantSupp(s, d)),
     // TPC-H Q21-style sole-late-supplier audit (windowed EXISTS pair)
     "q21_sole_late" -> ((s, d) => Analytics.q21SoleLate(s, d)),
+    // Markov next-event transition matrix (lead window + bounded agg)
+    "event_transitions" -> ((s, d) => Analytics.eventTransitions(s, d)),
+    // Gini concentration of per-user activity (histogram fold, no global rank)
+    "engagement_gini" -> ((s, d) => Analytics.engagementGini(s, d)),
+    // week-over-week retained-active fraction
+    "user_stickiness" -> ((s, d) => Analytics.userStickiness(s, d)),
+    // inter-event cadence profile per type (lag window + exact percentiles)
+    "interevent_gaps" -> ((s, d) => Analytics.intereventGaps(s, d)),
+    // fixed-width value histogram per event type
+    "value_histogram" -> ((s, d) => Analytics.valueHistogram(s, d)),
     "events_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "events_props_parse" -> ((s, d) => Analytics.propsParse(s, d)),
     // behavioral item-item recommender (co-engagement counts)
@@ -1033,6 +1043,60 @@ object SparkEntry {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
         |ORDER BY 1""".stripMargin,
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+        |t AS (SELECT event_type AS from_type,
+        |             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS to_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n_transitions
+        |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |       round(n_transitions / (sum(n_transitions) OVER (PARTITION BY from_type)), 5)
+        |         AS p_transition
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "engagement_gini" ->
+      """WITH per AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |hist AS (SELECT cnt, count(*) AS m FROM per GROUP BY 1),
+        |h AS (SELECT cnt, m,
+        |             coalesce(sum(m) OVER (ORDER BY cnt
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |      FROM hist)
+        |SELECT CAST(sum(m) AS BIGINT) AS n_users,
+        |       CAST(sum(cnt * m) AS BIGINT) AS total_events,
+        |       round(2.0 * sum(cnt * (m * before + (m * (m + 1)) // 2))
+        |               / (sum(m) * sum(cnt * m))
+        |             - (sum(m) + 1.0) / sum(m), 5) AS gini
+        |FROM h""".stripMargin,
+    "user_stickiness" ->
+      """WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week FROM events),
+        |active AS (SELECT week, count(*) AS n_active FROM d GROUP BY 1),
+        |ret AS (SELECT a.week, count(*) AS n_retained
+        |        FROM d a JOIN d b ON a.user_id = b.user_id AND b.week = a.week + 1
+        |        GROUP BY 1)
+        |SELECT active.week, n_active,
+        |       CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+        |       round(coalesce(n_retained, 0) / CAST(n_active AS DOUBLE), 5) AS stickiness
+        |FROM active LEFT JOIN ret ON active.week = ret.week
+        |ORDER BY active.week""".stripMargin,
+    "interevent_gaps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events),
+        |g AS (SELECT event_type,
+        |             ts_ms - lag(ts_ms, 1) OVER (PARTITION BY user_id, event_type
+        |                                         ORDER BY ts_ms, event_id) AS gap_ms
+        |      FROM e)
+        |SELECT event_type, count(*) AS n_gaps,
+        |       CAST(sum(gap_ms) AS BIGINT) AS sum_gap_ms,
+        |       round(quantile_cont(gap_ms, 0.5) / 1000.0, 3) AS median_gap_s,
+        |       round(quantile_cont(gap_ms, 0.9) / 1000.0, 3) AS p90_gap_s,
+        |       round(max(gap_ms) / 1000.0, 3) AS max_gap_s,
+        |       round(sum(gap_ms) / count(*) / 1000.0, 3) AS mean_gap_s
+        |FROM g WHERE gap_ms IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "value_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value,
+        |       round(CAST(floor(value / 50.0) AS BIGINT) * 50.0, 2) AS bin_low
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q21_sole_late" ->
       """WITH os AS (
         |  SELECT l_orderkey, l_suppkey,

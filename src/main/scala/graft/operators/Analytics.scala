@@ -926,6 +926,120 @@ object Analytics {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Markov event-transition matrix: P(next event type | event type)
+    * from each user's timeline — the behavioral flow model behind
+    * next-action prediction and funnel-leak diagnosis. One lead()
+    * window pass per user (the events_paths shape), then a
+    * |types|²-row aggregate; the probability normalizes inside a
+    * window over that bounded frame only. Counts are exact integers;
+    * the one division rounds once.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val t = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    t.withColumn("p_transition",
+        round(col("n_transitions") /
+          sum(col("n_transitions")).over(Window.partitionBy(col("from_type"))), 5))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Engagement concentration (Gini coefficient) over per-user event
+    * counts — the inequality number behind "10% of users generate 90%
+    * of traffic" that sizes hot-key risk before it bites a shuffle.
+    * NEVER ranks users globally: per-user counts collapse to a
+    * (count value, multiplicity) histogram — at most |distinct
+    * activity levels| rows — and the rank-weighted sum folds tie
+    * blocks in closed form (Σ ranks of a tie block = m·before +
+    * m(m+1)/2), so the only window runs over the bounded histogram.
+    * All terms are exact BIGINT sums; the one division rounds once.
+    */
+  def engagementGini(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cnt")).agg(count(lit(1)).as("m"))
+    val w = Window.orderBy(col("cnt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("before", coalesce(sum(col("m")).over(w), lit(0L)))
+      .agg(
+        sum(col("m")).as("n_users"),
+        sum(col("cnt") * col("m")).as("total_events"),
+        sum(expr("cnt * (m * before + (m * (m + 1)) div 2)")).as("s2"))
+      .select(col("n_users"), col("total_events"),
+        round(lit(2.0) * col("s2") / (col("n_users") * col("total_events")) -
+          (col("n_users") + lit(1.0)) / col("n_users"), 5).as("gini"))
+  }
+
+  /** Week-over-week stickiness: of each epoch-week's active users,
+    * the fraction still active the following week — the retention
+    * curve's operational cousin. Weeks are integer `ts_ms div 7d`
+    * (cross-engine exact, no calendar surface); the distinct
+    * (user, week) frame reduces once and both the active count and
+    * the retained LEFT SEMI reuse it; output is |weeks| rows.
+    */
+  def userStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.ScratchCache.materialize(
+      Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts_ms div 604800000").as("week"))
+        .distinct())
+    val active = d.groupBy(col("week")).agg(count(lit(1)).as("n_active"))
+    val retained = d.alias("a")
+      .join(d.alias("b"),
+        col("a.user_id") === col("b.user_id") && col("b.week") === col("a.week") + 1,
+        "left_semi")
+      .groupBy(col("week")).agg(count(lit(1)).as("n_retained"))
+    active.join(retained, Seq("week"), "left_outer")
+      .withColumn("n_retained", coalesce(col("n_retained"), lit(0L)))
+      .withColumn("stickiness", round(col("n_retained") / col("n_active").cast("double"), 5))
+      .orderBy(col("week"))
+  }
+
+  /** Inter-event time profile per event type: gaps between a user's
+    * consecutive events of the same type — the cadence distribution
+    * that calibrates session gaps and streaming watermarks. One
+    * (user,type)-partitioned lag() pass; mean from exact integer ms
+    * sums, median/p90 via the exact interpolated percentile
+    * (`approx_percentile` is the documented 100 TB drop-in).
+    */
+  def intereventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .where(col("gap_ms").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap_ms")).as("sum_gap_ms"),
+        round(expr("percentile(gap_ms, 0.5D)") / 1000.0, 3).as("median_gap_s"),
+        round(expr("percentile(gap_ms, 0.9D)") / 1000.0, 3).as("p90_gap_s"),
+        (max(col("gap_ms")) / lit(1000.0)).as("max_gap_s"))
+      .withColumn("mean_gap_s", round(col("sum_gap_ms") / col("n_gaps") / 1000.0, 3))
+      .withColumn("max_gap_s", round(col("max_gap_s"), 3))
+      .orderBy(col("event_type"))
+  }
+
+  /** Fixed-width value histogram per event type — the money-amount
+    * distribution dashboards bin before plotting. The bin key is
+    * `floor(value / width)` (one IEEE division + floor, bit-identical
+    * cross-engine); one map-side-combined aggregate, |types|×|bins|
+    * rows out, no data-row shuffle beyond it.
+    */
+  def valueHistogram(spark: SparkSession, dir: String, width: Double = 50.0): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(col("value") / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("bin_low", round(col("bin") * width, 2))
+      .orderBy(col("event_type"), col("bin"))
+
   /** TPC-H Q2-style min-cost supplier: for each qualifying part, the
     * supplier with the lowest observed unit price (reference schema
     * has no partsupp, so the price book derives from lineitem

@@ -86,6 +86,31 @@ class PlanSpec extends AnyFunSuite {
       "ship-date window must reach the lineitem scan")
   }
 
+  test("gini concentration never ranks users globally — one window over the bounded histogram") {
+    val df = Analytics.engagementGini(spark, TestSpark.sf)
+    val p = plan(df)
+    // per-user counts collapse to the (cnt, multiplicity) histogram
+    // BEFORE any window: two aggregate pairs precede the single window
+    assert(p.linesIterator.count(_.contains("Window")) >= 1, p.take(800))
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p.take(1200))
+    assert(df.head().getAs[Double]("gini") > 0.0)
+  }
+
+  test("stickiness reuses one materialized (user,week) frame for both legs") {
+    val df = Analytics.userStickiness(spark, TestSpark.sf)
+    df.collect()
+    val nodes = allExecNodes(df.queryExecution.executedPlan)
+    // both the active count and the retained semi-join must read the
+    // ScratchCache'd distinct frame — the events parquet scan lives
+    // only inside the cached relation's one-time build
+    assert(nodes.forall(
+      !_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+      df.queryExecution.executedPlan.toString.take(1000))
+    assert(nodes.count(_.getClass.getSimpleName.startsWith("InMemoryTableScan")) >= 2,
+      df.queryExecution.executedPlan.toString.take(1000))
+    assert(df.queryExecution.executedPlan.toString.contains("LeftSemi"))
+  }
+
   test("knn ranking uses WindowGroupLimit (partial per-partition top-k)") {
     val p = plan(VectorSearch.knnJoin(spark, TestSpark.sf, 100, 5))
     assert(p.contains("WindowGroupLimit"))
