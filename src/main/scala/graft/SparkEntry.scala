@@ -150,6 +150,12 @@ object SparkEntry {
     "interevent_gaps" -> ((s, d) => Analytics.intereventGaps(s, d)),
     // fixed-width value histogram per event type
     "value_histogram" -> ((s, d) => Analytics.valueHistogram(s, d)),
+    // gap sessions via Spark's NATIVE session_window operator
+    "events_session_window" -> ((s, d) => Analytics.sessionWindowAgg(s, d)),
+    // range join as a bin-blocked broadcast hash join (no NLJ)
+    "events_band_join" -> ((s, d) => Analytics.bandJoin(s, d)),
+    // triangle census + global clustering coefficient (oriented count)
+    "item_triangles" -> ((s, d) => Graph.itemTriangles(s, d)),
     "events_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "events_props_parse" -> ((s, d) => Analytics.propsParse(s, d)),
     // behavioral item-item recommender (co-engagement counts)
@@ -1043,6 +1049,53 @@ object SparkEntry {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
         |ORDER BY 1""".stripMargin,
+    "events_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |m AS (SELECT user_id, ts_ms, value,
+        |             CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+        |                       >= 1800000 OR lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+        |                       IS NULL THEN 1 ELSE 0 END AS new_sess
+        |      FROM e),
+        |s AS (SELECT user_id, ts_ms, value,
+        |             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |      FROM m)
+        |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) + 1800000 AS end_ms,
+        |       count(*) AS n_events, round(sum(value), 2) AS sess_value
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, start_ms""".stripMargin,
+    "events_band_join" ->
+      """WITH bands(band_low, band_high, band) AS (
+        |  VALUES (0.0, 45.0, 'low'), (45.0, 120.0, 'mid'),
+        |         (120.0, 260.0, 'high'), (260.0, 1000.0, 'extreme'))
+        |SELECT band, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events JOIN bands ON value >= band_low AND value < band_high
+        |GROUP BY band, band_low ORDER BY band_low""".stripMargin,
+    "item_triangles" ->
+      """WITH ui AS (SELECT DISTINCT user_id,
+        |                   json_extract_string(props, '$.k')::BIGINT AS item_id
+        |            FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')
+        |              AND json_extract_string(props, '$.k') IS NOT NULL),
+        |bk AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+        |capped AS (SELECT ui.user_id, ui.item_id FROM ui
+        |           JOIN bk USING (user_id) WHERE bk.basket <= 500),
+        |e AS (SELECT DISTINCT a.item_id AS src, b.item_id AS dst
+        |      FROM capped a JOIN capped b USING (user_id)
+        |      WHERE a.item_id < b.item_id),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        |        WHERE EXISTS (SELECT 1 FROM e e3
+        |                      WHERE e3.src = e1.src AND e3.dst = e2.dst)),
+        |deg AS (SELECT v, count(*) AS d FROM (
+        |          SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)
+        |        GROUP BY 1)
+        |SELECT count(*) AS n_items, CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+        |       CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges,
+        |       (SELECT n_triangles FROM tri) AS n_triangles,
+        |       round(3.0 * (SELECT n_triangles FROM tri)
+        |             / sum((d * (d - 1)) // 2), 5) AS clustering_coeff
+        |FROM deg""".stripMargin,
     "event_transitions" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
         |t AS (SELECT event_type AS from_type,

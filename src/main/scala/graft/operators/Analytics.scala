@@ -1040,6 +1040,61 @@ object Analytics {
       .withColumn("bin_low", round(col("bin") * width, 2))
       .orderBy(col("event_type"), col("bin"))
 
+  /** Gap-based sessions via Spark's NATIVE session_window operator —
+    * the declarative twin of [[sessionize]] (which hand-rolls the
+    * island detection with lag/cumsum windows). Same 30-minute gap,
+    * same aggregates; the session end is the exclusive
+    * last-event + gap bound the built-in emits. At 100 TB the native
+    * operator is the one that also runs under Structured Streaming
+    * with state eviction, so both doors exercise identical semantics.
+    */
+  def sessionWindowAgg(spark: SparkSession, dir: String, gapMs: Long = 1800000L): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("tsx", timestamp_millis(col("ts_ms")))
+      .groupBy(col("user_id"), session_window(col("tsx"), s"$gapMs milliseconds"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sess_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("n_events"), col("sess_value"))
+      .orderBy(col("user_id"), col("start_ms"))
+
+  /** Range join as a bin-blocked equi-join: events classified into
+    * value bands whose bounds do NOT align to any fixed grid — the
+    * general interval-lookup shape (price tiers, SLA buckets, grade
+    * bands). A naive `low <= v < high` join plans
+    * BroadcastNestedLoopJoin (every row × every band); instead each
+    * band pre-expands into the fixed-width bins it overlaps and the
+    * join becomes a broadcast HASH join on the bin key with the range
+    * test as residual — the standard blocking rewrite that stays
+    * O(rows), plan-asserted. Band table expansion is driver-side and
+    * tiny (|bands| × bins-per-band rows).
+    */
+  def bandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bands = Seq((0.0, 45.0, "low"), (45.0, 120.0, "mid"),
+      (120.0, 260.0, "high"), (260.0, 1000.0, "extreme"))
+    val binW = 10.0
+    val expanded = bands.flatMap { case (lo, hi, name) =>
+      val b0 = math.floor(lo / binW).toLong
+      val b1 = math.floor((hi - 1e-9) / binW).toLong
+      (b0 to b1).map(b => (b, lo, hi, name))
+    }
+    val bandDf = spark.createDataFrame(expanded)
+      .toDF("bin", "band_low", "band_high", "band")
+    Tables.events(spark, dir)
+      .withColumn("ebin", floor(col("value") / binW).cast("long"))
+      .join(broadcast(bandDf),
+        col("ebin") === col("bin") &&
+          col("value") >= col("band_low") && col("value") < col("band_high"))
+      .groupBy(col("band"), col("band_low"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("band_low"))
+      .select(col("band"), col("n_events"), col("sum_value"), col("n_users"))
+  }
+
   /** TPC-H Q2-style min-cost supplier: for each qualifying part, the
     * supplier with the lowest observed unit price (reference schema
     * has no partsupp, so the price book derives from lineitem

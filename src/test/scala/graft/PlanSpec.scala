@@ -111,6 +111,30 @@ class PlanSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("LeftSemi"))
   }
 
+  test("band join plans a broadcast HASH join on the bin key, never a nested loop") {
+    val p = plan(Analytics.bandJoin(spark, TestSpark.sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range test must ride the bin equi-join as residual:\n" + p.take(1000))
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+  }
+
+  test("native session_window aggregates without a hand-rolled island pass") {
+    val p = plan(Analytics.sessionWindowAgg(spark, TestSpark.sf))
+    assert(p.contains("session_window"), p.take(1000))
+  }
+
+  test("triangle census reuses one cached oriented edge list for all three roles") {
+    val df = graft.operators.Graph.itemTriangles(spark, TestSpark.sf)
+    df.collect()
+    val nodes = allExecNodes(df.queryExecution.executedPlan)
+    assert(nodes.count(_.getClass.getSimpleName.startsWith("InMemoryTableScan")) >= 3,
+      df.queryExecution.executedPlan.toString.take(1000))
+    assert(df.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    val r = df.head()
+    assert(r.getAs[Long]("n_triangles") > 0L)
+    assert(r.getAs[Double]("clustering_coeff") > 0.0)
+  }
+
   test("knn ranking uses WindowGroupLimit (partial per-partition top-k)") {
     val p = plan(VectorSearch.knnJoin(spark, TestSpark.sf, 100, 5))
     assert(p.contains("WindowGroupLimit"))
