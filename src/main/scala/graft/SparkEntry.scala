@@ -156,6 +156,14 @@ object SparkEntry {
     "events_band_join" -> ((s, d) => Analytics.bandJoin(s, d)),
     // triangle census + global clustering coefficient (oriented count)
     "item_triangles" -> ((s, d) => Graph.itemTriangles(s, d)),
+    // did-you-mean: edit-distance vocab match off the persisted model
+    "fuzzy_term_match" -> ((s, d) => TextRetrieval.fuzzyTermMatch(s, d)),
+    // query-aware KWIC snippets for the top TF-IDF hits
+    "search_snippets" -> ((s, d) => TextRetrieval.searchSnippets(s, d)),
+    // Rocchio pseudo-relevance-feedback expanded retrieval
+    "vs_prf_topk" -> ((s, d) => VectorSearch.prfTopK(s, d, demoQueryVec)),
+    // hour-of-day x day-of-week activity matrix
+    "events_heatmap" -> ((s, d) => Analytics.activityHeatmap(s, d)),
     "events_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "events_props_parse" -> ((s, d) => Analytics.propsParse(s, d)),
     // behavioral item-item recommender (co-engagement counts)
@@ -1049,6 +1057,53 @@ object SparkEntry {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
         |ORDER BY 1""".stripMargin,
+    "fuzzy_term_match" ->
+      s"""WITH $tfidfCtes
+         |SELECT term, df, CAST(levenshtein(term, 'vectr') AS INTEGER) AS dist
+         |FROM dfv
+         |WHERE abs(length(term) - 5) <= 2
+         |  AND levenshtein(term, 'vectr') BETWEEN 1 AND 2
+         |ORDER BY dist, df DESC, term LIMIT 10""".stripMargin,
+    "search_snippets" ->
+      s"""WITH $tfidfCtes,
+         |q AS (SELECT DISTINCT unnest(list_filter(regexp_extract_all(lower('Spark JOIN, vector-search! spark'), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term),
+         |qw AS (SELECT q.term, ln((nn.n + 1) / (dfv.df + 1)) + 1 AS qw FROM q JOIN dfv USING (term), nn),
+         |qn AS (SELECT sqrt(sum(qw * qw)) AS qn FROM qw),
+         |hits AS (SELECT w.doc_id, round(sum(w.w / nrm.nrm * qw.qw / qn.qn), 5) AS score
+         |         FROM w JOIN qw USING (term) JOIN nrm USING (doc_id), qn
+         |         GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 5),
+         |pos AS (SELECT h.doc_id, h.score, d.text,
+         |               least(CASE WHEN strpos(lower(d.text), 'spark') > 0
+         |                          THEN strpos(lower(d.text), 'spark') ELSE 2147483647 END,
+         |                     CASE WHEN strpos(lower(d.text), 'join') > 0
+         |                          THEN strpos(lower(d.text), 'join') ELSE 2147483647 END,
+         |                     CASE WHEN strpos(lower(d.text), 'vector') > 0
+         |                          THEN strpos(lower(d.text), 'vector') ELSE 2147483647 END,
+         |                     CASE WHEN strpos(lower(d.text), 'search') > 0
+         |                          THEN strpos(lower(d.text), 'search') ELSE 2147483647 END) AS pos
+         |        FROM hits h JOIN documents d USING (doc_id))
+         |SELECT doc_id, score, substr(text, greatest(1, pos - 40), 120) AS snippet
+         |FROM pos ORDER BY score DESC, doc_id""".stripMargin,
+    "vs_prf_topk" ->
+      s"""WITH q AS (SELECT $qvSqlList::DOUBLE[] AS qv),
+         |fb AS (SELECT e.vec_id FROM embeddings e, q
+         |       ORDER BY ${cos5("e.embedding", "q.qv")} DESC, e.vec_id LIMIT 5),
+         |fbd AS (SELECT generate_subscripts(e.embedding, 1) AS pos,
+         |               unnest(e.embedding)::DOUBLE AS x
+         |        FROM embeddings e WHERE e.vec_id IN (SELECT vec_id FROM fb)),
+         |sums AS (SELECT pos, sum(x) AS sx FROM fbd GROUP BY 1),
+         |qd AS (SELECT generate_subscripts(qv, 1) AS pos, unnest(qv) AS qx FROM q),
+         |q2 AS (SELECT list(5 * qd.qx + sums.sx ORDER BY pos) AS q2v
+         |       FROM qd JOIN sums USING (pos))
+         |SELECT e.vec_id, ${cos5("e.embedding", "q2.q2v")} AS score
+         |FROM embeddings e, q2
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "events_heatmap" ->
+      """SELECT (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+        |       (epoch_ms(ts) // 3600000) % 24 AS hour,
+        |       count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_session_window" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
         |m AS (SELECT user_id, ts_ms, value,

@@ -1040,6 +1040,21 @@ object Analytics {
       .withColumn("bin_low", round(col("bin") * width, 2))
       .orderBy(col("event_type"), col("bin"))
 
+  /** Hour-of-day × day-of-week activity heatmap — the canonical
+    * engagement dashboard matrix. Keys are pure integer epoch
+    * arithmetic on ts_ms (epoch day 0 was a Thursday, hence the +4
+    * Monday shift) — no calendar/timezone surface to drift
+    * cross-engine; one map-side-combined aggregate, ≤168 rows out.
+    */
+  def activityHeatmap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(expr("(ts_ms div 86400000 + 4) % 7").as("dow"),
+        expr("(ts_ms div 3600000) % 24").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("dow"), col("hour"))
+
   /** Gap-based sessions via Spark's NATIVE session_window operator —
     * the declarative twin of [[sessionize]] (which hand-rolls the
     * island detection with lag/cumsum windows). Same 30-minute gap,

@@ -533,4 +533,56 @@ object TextRetrieval {
       .join(tscore, Seq("doc_id"), "left")
       .withColumn("ts", coalesce(col("ts"), lit(0.0)))
   }
+
+  /** "Did you mean": closest vocabulary terms to a (possibly
+    * misspelled) query term by edit distance, frequency-ranked — the
+    * spell-correction leg every keyword search front end needs. Runs
+    * against the persisted model's df table (the fitted vocabulary
+    * artifact, never a corpus re-tokenization); a length-band
+    * prefilter (`|len(term) − len(q)| ≤ maxDist`, a necessary
+    * condition for edit distance) prunes the vocabulary before the
+    * O(len²) levenshtein evaluates — at 100 TB the vocabulary table is
+    * the bounded artifact, not the corpus. Exact-match (dist 0) rows
+    * are excluded: the caller only asks when the term missed.
+    */
+  def fuzzyTermMatch(spark: SparkSession, dir: String, query: String = "vectr",
+                     maxDist: Int = 2, topN: Int = 10): DataFrame = {
+    val m = ensureModel(spark, dir)
+    m.dfT
+      .where(abs(length(col("term")) - lit(query.length)) <= maxDist)
+      .withColumn("dist", levenshtein(col("term"), lit(query)))
+      .where(col("dist") <= maxDist && col("dist") > 0)
+      .select(col("term"), col("df"), col("dist"))
+      .orderBy(col("dist"), col("df").desc, col("term"))
+      .limit(topN)
+  }
+
+  /** Query-aware result snippets (KWIC): for each top TF-IDF hit, a
+    * fixed window of the document centered on the FIRST occurrence of
+    * any query term — the "why did this match" excerpt next to every
+    * search result (the reference renders example_text previews,
+    * app.py:255; this is the query-conditioned version). The top-k
+    * frame broadcasts into the documents join (k rows vs corpus);
+    * position/extraction are pure string ops identical on both
+    * engines. Terms come from the SAME sklearn tokenizer as scoring,
+    * so every hit is guaranteed a window.
+    */
+  def searchSnippets(spark: SparkSession, dir: String,
+                     query: String = "Spark JOIN, vector-search! spark",
+                     k: Int = 5, radius: Int = 40): DataFrame = {
+    val hits = tfidfTopK(spark, dir, query, k)
+    val terms = sklearnTokenize(query).distinct
+    val posCols = terms.map(t =>
+      when(instr(lower(col("text")), t) > 0, instr(lower(col("text")), t))
+        .otherwise(lit(Int.MaxValue)))
+    val pos = if (posCols.size == 1) posCols.head else least(posCols: _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .join(broadcast(hits), Seq("doc_id"))
+      .withColumn("pos", pos)
+      .withColumn("snippet",
+        expr(s"substring(text, greatest(1, pos - $radius), ${3 * radius})"))
+      .select(col("doc_id"), col("score"), col("snippet"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
 }

@@ -483,4 +483,41 @@ object VectorSearch {
         BigDecimal(s).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
   }
+
+  /** Rocchio pseudo-relevance feedback (the classic two-pass query
+    * expansion): retrieve top-`fbK` for the raw query, fold their
+    * embeddings into an expanded query, re-retrieve. With α=β the
+    * expanded query q+centroid(top) is a positive scalar multiple of
+    * `fbK·q + Σ top`, and cosine ranking is scale-invariant — so the
+    * engine uses the INTEGER-WEIGHTED sum directly (no /fbK division
+    * to drift cross-engine). Like every post-retrieval stage only
+    * `fbK` id+vector rows touch the driver (bounded, the MMR
+    * contract); both passes are the same broadcast-literal corpus
+    * scan as [[topKVec]]. Feedback docs stay eligible in pass two —
+    * standard PRF, and the rank boost they get IS the relevance
+    * signal propagating.
+    */
+  def prfTopK(spark: SparkSession, dir: String, qv: Array[Float],
+              fbK: Int = 5, k: Int = 10): DataFrame = {
+    val fbIds = topKVec(spark, dir, qv, fbK)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    val fbVecs = Tables.embeddings(spark, dir)
+      .where(col("vec_id").isin(fbIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1))
+    // q2 in double: fbK·q + Σ feedback (summed in ascending vec_id
+    // order — deterministic; the oracle's per-dim sum differs only at
+    // the ulp the score rounding absorbs)
+    val q2: Array[Double] = Array.tabulate(qv.length) { i =>
+      fbK.toDouble * qv(i) + fbVecs.iterator.map(_(i).toDouble).sum
+    }
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
+    val q = typedlit(q2)
+    e.select(col("vec_id"),
+        round(dotd(col("embedding"), q) / (col("nrm") * l2norm(q)), 5).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
 }
