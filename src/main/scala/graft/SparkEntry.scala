@@ -164,6 +164,12 @@ object SparkEntry {
     "vs_prf_topk" -> ((s, d) => VectorSearch.prfTopK(s, d, demoQueryVec)),
     // hour-of-day x day-of-week activity matrix
     "events_heatmap" -> ((s, d) => Analytics.activityHeatmap(s, d)),
+    // passage-level retrieval: best chunk per doc, max-pool doc score
+    "chunk_passage_topk" -> ((s, d) => TextRetrieval.chunkPassageTopK(s, d)),
+    // order-to-first-ship latency percentiles per priority
+    "ship_latency" -> ((s, d) => Analytics.shipLatency(s, d)),
+    // per-source centroid drift vs the corpus centroid
+    "source_embed_drift" -> ((s, d) => VectorSearch.sourceEmbedDrift(s, d)),
     "events_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "events_props_parse" -> ((s, d) => Analytics.propsParse(s, d)),
     // behavioral item-item recommender (co-engagement counts)
@@ -1057,6 +1063,53 @@ object SparkEntry {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
         |ORDER BY 1""".stripMargin,
+    "chunk_passage_topk" ->
+      """WITH ch AS (SELECT doc_id, i::BIGINT AS chunk_id, substr(text, i * 150 + 1, 200) AS chunk_text
+        |            FROM (SELECT doc_id, text,
+        |                         unnest(range(greatest((length(text) - 200 + 149) // 150, 0) + 1)) AS i
+        |                  FROM documents WHERE length(text) > 0)),
+        |ct AS (SELECT doc_id, chunk_id,
+        |              unnest(list_filter(regexp_extract_all(lower(chunk_text), '[a-z0-9_]+'),
+        |                                 t -> length(t) >= 2)) AS term
+        |       FROM ch),
+        |ctf AS (SELECT doc_id, chunk_id, term, count(*) AS tf FROM ct GROUP BY 1, 2, 3),
+        |cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM ch),
+        |q AS (SELECT term FROM (VALUES ('spark'), ('join'), ('vector')) t(term)),
+        |qw AS (SELECT q.term, ln((nn.n + 1) / (cdf.df + 1)) + 1 AS w
+        |       FROM q JOIN cdf USING (term), nn),
+        |cs AS (SELECT doc_id, chunk_id, round(sum(tf * w), 5) AS chunk_score
+        |       FROM ctf JOIN qw USING (term) GROUP BY 1, 2),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                    ORDER BY chunk_score DESC, chunk_id) AS rn FROM cs)
+        |SELECT doc_id, chunk_id, chunk_score FROM best WHERE rn = 1
+        |ORDER BY chunk_score DESC, doc_id LIMIT 10""".stripMargin,
+    "ship_latency" ->
+      """WITH fs AS (SELECT l_orderkey, min(l_shipdate) AS first_ship
+        |            FROM lineitem GROUP BY 1),
+        |lat AS (SELECT o_orderpriority,
+        |               date_diff('day', o_orderdate, first_ship) AS days
+        |        FROM fs JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(days) AS BIGINT) AS sum_days,
+        |       round(quantile_cont(days, 0.5), 3) AS median_days,
+        |       round(quantile_cont(days, 0.9), 3) AS p90_days,
+        |       CAST(max(days) AS BIGINT) AS max_days,
+        |       round(sum(days) / count(*), 3) AS mean_days
+        |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin,
+    "source_embed_drift" ->
+      """WITH dims AS (SELECT d.source, generate_subscripts(e.embedding, 1) AS pos,
+        |                     unnest(e.embedding)::DOUBLE AS v
+        |              FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        |sp AS (SELECT source, pos, sum(v) AS sx, count(*) AS n
+        |       FROM dims GROUP BY 1, 2),
+        |corpus AS (SELECT pos, sum(sx) AS tx, sum(n) AS tn FROM sp GROUP BY 1),
+        |j AS (SELECT source, n, sx / n AS sc, tx / tn AS cc
+        |      FROM sp JOIN corpus USING (pos))
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_vecs,
+        |       round(sum(sc * cc) / (sqrt(sum(sc * sc)) * sqrt(sum(cc * cc))), 5)
+        |         AS centroid_cos
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "fuzzy_term_match" ->
       s"""WITH $tfidfCtes
          |SELECT term, df, CAST(levenshtein(term, 'vectr') AS INTEGER) AS dist

@@ -1040,6 +1040,32 @@ object Analytics {
       .withColumn("bin_low", round(col("bin") * width, 2))
       .orderBy(col("event_type"), col("bin"))
 
+  /** Order-to-first-ship latency profile per order priority — the
+    * fulfilment SLA dashboard. The per-order min(shipdate) rolls up
+    * map-side BEFORE the orders join (one row per orderkey crosses the
+    * shuffle, not line fan-out); day latency is exact date arithmetic;
+    * mean from exact integer sums, median/p90 via the exact
+    * interpolated percentile (`approx_percentile` is the documented
+    * 100 TB drop-in).
+    */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val firstShip = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("l_shipdate")).as("first_ship"))
+    firstShip
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("first_ship"), col("o_orderdate")).cast("long").as("days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("days")).as("sum_days"),
+        round(expr("percentile(days, 0.5D)"), 3).as("median_days"),
+        round(expr("percentile(days, 0.9D)"), 3).as("p90_days"),
+        max(col("days")).as("max_days"))
+      .withColumn("mean_days", round(col("sum_days") / col("n_orders"), 3))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Hour-of-day × day-of-week activity heatmap — the canonical
     * engagement dashboard matrix. Keys are pure integer epoch
     * arithmetic on ts_ms (epoch day 0 was a Thursday, hence the +4

@@ -406,9 +406,10 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
-  /** The unordered chunk stream [[chunk]] and [[dedupChunks]] share —
-    * a narrow explode, no shuffle. */
-  private def chunkFrame(spark: SparkSession, dir: String,
+  /** The unordered chunk stream [[chunk]], [[dedupChunks]] and
+    * [[TextRetrieval.chunkPassageTopK]] share — a narrow explode, no
+    * shuffle. */
+  private[operators] def chunkFrame(spark: SparkSession, dir: String,
                          size: Int, step: Int): DataFrame =
     Tables.documents(spark, dir)
       .where(length(col("text")) > 0)

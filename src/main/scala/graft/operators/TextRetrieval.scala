@@ -534,6 +534,48 @@ object TextRetrieval {
       .withColumn("ts", coalesce(col("ts"), lit(0.0)))
   }
 
+  /** Passage-level retrieval with max-pool document scoring — the RAG
+    * pattern where the retrieval unit is a chunk but the deliverable
+    * is (document, best passage): chunk every document with the SAME
+    * deterministic splitter as [[TextAnalysis.chunk]], score chunks
+    * against the query with chunk-level tf·idf (sklearn smooth-idf
+    * over the CHUNK corpus — passage statistics, not document
+    * statistics), and keep each document's best chunk as its score
+    * and evidence. The chunk term triples materialize once
+    * (ScratchCache) and serve both the df pass and the scoring pass;
+    * per-doc max is a WindowGroupLimit-bounded ranking, global top-k
+    * a TakeOrdered. At 100 TB the chunk stream is a narrow explode —
+    * the quadratic-free passage index every long-context pipeline
+    * needs.
+    */
+  def chunkPassageTopK(spark: SparkSession, dir: String,
+                       queryTerms: Seq[String] = Seq("spark", "join", "vector"),
+                       size: Int = 200, overlap: Int = 50, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val step = size - overlap
+    val chunks = TextAnalysis.chunkFrame(spark, dir, size, step)
+    val ctf = graft.sources.ScratchCache.materialize(
+      chunks.select(col("doc_id"), col("chunk_id"),
+          explode(sklearnTokens(col("chunk_text"))).as("term"))
+        .groupBy(col("doc_id"), col("chunk_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val cdf = ctf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = chunks.agg(count(lit(1)).as("n"))
+    val qw = queryTerms.distinct.toDF("term")
+      .join(cdf, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), (log((col("n") + 1) / (col("df") + 1)) + 1).as("w"))
+    val cs = ctf.join(broadcast(qw), Seq("term"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(round(sum(col("tf") * col("w")), 5).as("chunk_score"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("chunk_score").desc, col("chunk_id"))
+    cs.withColumn("rn", row_number().over(byDoc)).where(col("rn") === 1)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_score"))
+      .orderBy(col("chunk_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** "Did you mean": closest vocabulary terms to a (possibly
     * misspelled) query term by edit distance, frequency-ranked — the
     * spell-correction leg every keyword search front end needs. Runs

@@ -484,6 +484,38 @@ object VectorSearch {
     }.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
   }
 
+  /** Per-source embedding drift: how far each source's centroid points
+    * from the corpus centroid (cosine alignment) — the data-drift
+    * detector that catches a re-crawled or mistranslated source whose
+    * vectors moved even though its metadata didn't. One posexplode
+    * pass aggregates (source, dim) sums (map-side combined,
+    * |sources|×dim rows); the corpus centroid derives by RE-AGGREGATING
+    * those sums (the source_kl shape — no second corpus scan, and the
+    * oracle replays the same two-level summation); the cosine folds
+    * over the bounded per-source frame.
+    */
+  def sourceEmbedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.embeddings(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select(col("source"), posexplode(col("embedding")))
+      .toDF("source", "pos", "v")
+    val perSP = graft.sources.ScratchCache.materialize(
+      dims.groupBy(col("source"), col("pos"))
+        .agg(sum(col("v").cast("double")).as("sx"), count(lit(1)).as("n")))
+    val corpus = perSP.groupBy(col("pos"))
+      .agg(sum(col("sx")).as("tx"), sum(col("n")).as("tn"))
+    perSP.join(corpus, "pos")
+      .select(col("source"), col("n"),
+        (col("sx") / col("n")).as("sc"), (col("tx") / col("tn")).as("cc"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_vecs"),
+        round(sum(col("sc") * col("cc")) /
+          (sqrt(sum(col("sc") * col("sc"))) * sqrt(sum(col("cc") * col("cc")))), 5)
+          .as("centroid_cos"))
+      .orderBy(col("source"))
+  }
+
   /** Rocchio pseudo-relevance feedback (the classic two-pass query
     * expansion): retrieve top-`fbK` for the raw query, fold their
     * embeddings into an expanded query, re-retrieve. With α=β the
