@@ -170,6 +170,16 @@ object SparkEntry {
     "ship_latency" -> ((s, d) => Analytics.shipLatency(s, d)),
     // per-source centroid drift vs the corpus centroid
     "source_embed_drift" -> ((s, d) => VectorSearch.sourceEmbedDrift(s, d)),
+    // trimmed mean per event type (broadcast percentile band)
+    "value_robust_stats" -> ((s, d) => Analytics.valueRobustStats(s, d)),
+    // conversion rate by first-touch event type
+    "first_touch_conversion" -> ((s, d) => Analytics.firstTouchConversion(s, d)),
+    // language x source Pearson chi-square independence test
+    "lang_source_chi2" -> ((s, d) => TextAnalysis.langSourceChi2(s, d)),
+    // top discriminative terms per source (smoothed log-odds)
+    "source_log_odds" -> ((s, d) => TextAnalysis.sourceLogOdds(s, d)),
+    // per-label own-vs-other centroid cosine margins
+    "label_separation" -> ((s, d) => VectorSearch.labelSeparation(s, d)),
     "events_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "events_props_parse" -> ((s, d) => Analytics.propsParse(s, d)),
     // behavioral item-item recommender (co-engagement counts)
@@ -1063,6 +1073,79 @@ object SparkEntry {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
         |ORDER BY 1""".stripMargin,
+    "value_robust_stats" ->
+      """WITH cuts AS (SELECT event_type,
+        |                     round(quantile_cont(value, 0.05), 5) AS lo,
+        |                     round(quantile_cont(value, 0.95), 5) AS hi
+        |              FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |       round(avg(value), 4) AS mean_value,
+        |       round(avg(CASE WHEN value BETWEEN lo AND hi THEN value END), 4)
+        |         AS trimmed_mean,
+        |       max(lo) AS p05, max(hi) AS p95
+        |FROM events e JOIN cuts USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "first_touch_conversion" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+        |r AS (SELECT user_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS rn,
+        |             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY user_id) AS converted
+        |      FROM e),
+        |per AS (SELECT user_id, event_type AS first_type, converted FROM r WHERE rn = 1)
+        |SELECT first_type, count(*) AS n_users,
+        |       CAST(sum(converted) AS BIGINT) AS n_converted,
+        |       round(sum(converted) / CAST(count(*) AS DOUBLE), 5) AS conversion_rate
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lang_source_chi2" ->
+      """WITH obs AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, sum(n) AS row_n FROM obs GROUP BY 1),
+        |ct AS (SELECT source, sum(n) AS col_n FROM obs GROUP BY 1),
+        |tot AS (SELECT sum(n) AS total, count(DISTINCT lang) AS n_langs,
+        |               count(DISTINCT source) AS n_sources FROM obs)
+        |SELECT CAST(max(n_langs) AS BIGINT) AS n_langs,
+        |       CAST(max(n_sources) AS BIGINT) AS n_sources,
+        |       CAST(max(total) AS BIGINT) AS n_docs,
+        |       CAST((max(n_langs) - 1) * (max(n_sources) - 1) AS BIGINT) AS dof,
+        |       round(sum(pow(n - row_n * col_n / CAST(total AS DOUBLE), 2)
+        |                 / (row_n * col_n / CAST(total AS DOUBLE))), 4) AS chi2
+        |FROM obs JOIN rt USING (lang) JOIN ct USING (source), tot""".stripMargin,
+    "source_log_odds" ->
+      s"""WITH $tfidfCtes,
+         |st AS (SELECT d.source, tf.term, sum(tf.tf) AS y
+         |       FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |srct AS (SELECT source, sum(y) AS ns FROM st GROUP BY 1),
+         |termt AS (SELECT term, sum(y) AS yw FROM st GROUP BY 1),
+         |tot AS (SELECT sum(y) AS nn FROM st),
+         |scored AS (SELECT st.source, st.term, st.y,
+         |                  round(ln((st.y + 0.5) / (srct.ns - st.y + 0.5))
+         |                        - ln((termt.yw - st.y + 0.5)
+         |                             / (tot.nn - srct.ns - (termt.yw - st.y) + 0.5)), 5)
+         |                    AS log_odds
+         |           FROM st JOIN srct USING (source) JOIN termt USING (term), tot),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+         |                  ORDER BY log_odds DESC, term) AS rk FROM scored)
+         |SELECT source, rk, term, CAST(y AS BIGINT) AS y, log_odds FROM rk
+         |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    "label_separation" ->
+      """WITH dims AS (SELECT label::BIGINT AS cl, generate_subscripts(embedding, 1) AS pos,
+        |                     unnest(embedding)::DOUBLE AS v FROM embeddings),
+        |cm AS (SELECT cl, pos, round(avg(v), 5) AS m FROM dims GROUP BY 1, 2),
+        |cents AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+        |scored AS (SELECT e.vec_id, e.label::BIGINT AS label, c.cl,
+        |                  round(list_dot_product(e.embedding::DOUBLE[], c.centroid)
+        |                        / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |                           * sqrt(list_dot_product(c.centroid, c.centroid))), 5) AS cos
+        |           FROM embeddings e CROSS JOIN cents c),
+        |per AS (SELECT vec_id, label,
+        |               max(CASE WHEN cl = label THEN cos END) AS own,
+        |               max(CASE WHEN cl <> label THEN cos END) AS other
+        |        FROM scored GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs,
+        |       round(avg(own), 4) AS mean_own_cos,
+        |       round(avg(other), 4) AS mean_other_cos,
+        |       round(avg(own - other), 4) AS margin
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "chunk_passage_topk" ->
       """WITH ch AS (SELECT doc_id, i::BIGINT AS chunk_id, substr(text, i * 150 + 1, 200) AS chunk_text
         |            FROM (SELECT doc_id, text,

@@ -1066,6 +1066,51 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Robust (trimmed) value statistics per event type: mean recomputed
+    * over the p05–p95 band — the outlier-resistant number dashboards
+    * should trend instead of the raw mean a single fat-finger order
+    * drags. Broadcast percentile cutoffs (the userRfm shape — no
+    * global sort), cutoffs rounded to 5 on BOTH engines so a value
+    * sitting exactly on one can't flip membership; one ScratchCache'd
+    * (type,value) frame serves the cutoff and scoring passes.
+    */
+  def valueRobustStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.ScratchCache.materialize(
+      Tables.events(spark, dir).select(col("event_type"), col("value")))
+    val cuts = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.05D, 0.95D))").as("pq"))
+      .select(col("event_type"),
+        round(element_at(col("pq"), 1), 5).as("lo"),
+        round(element_at(col("pq"), 2), 5).as("hi"))
+    e.join(broadcast(cuts), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("value")), 4).as("mean_value"),
+        round(avg(when(col("value").between(col("lo"), col("hi")), col("value"))), 4)
+          .as("trimmed_mean"),
+        max(col("lo")).as("p05"), max(col("hi")).as("p95"))
+      .orderBy(col("event_type"))
+  }
+
+  /** First-touch attribution: conversion rate by the event type that
+    * FIRST brought each user in. The per-user first event resolves as
+    * one `min(struct(ts, id, type))` aggregate — no window, no second
+    * scan — and the purchase flag rides the same rollup; output is
+    * |types| rows of exact integer counts and one rounded rate.
+    */
+  def firstTouchConversion(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(struct(col("ts_ms"), col("event_id"), col("event_type")))
+          .getField("event_type").as("first_type"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      .groupBy(col("first_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+      .withColumn("conversion_rate",
+        round(col("n_converted") / col("n_users").cast("double"), 5))
+      .orderBy(col("first_type"))
+
   /** Hour-of-day × day-of-week activity heatmap — the canonical
     * engagement dashboard matrix. Keys are pure integer epoch
     * arithmetic on ts_ms (epoch day 0 was a Thursday, hence the +4

@@ -683,4 +683,70 @@ object TextAnalysis {
       .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
       .orderBy(col("doc_id"))
   }
+
+  /** Language × source independence test (Pearson chi-square over the
+    * contingency table): the one-number answer to "is language
+    * composition uniform across sources, or does some source skew?" —
+    * the stratification check before per-language mixture weights are
+    * trusted. Observed cells come from ONE aggregate; margins and the
+    * grand total derive by RE-aggregating those cells (never a second
+    * corpus scan — the two-level summation the oracle replays).
+    * Everything is exact integers until the χ² fold over |cells| rows.
+    */
+  def langSourceChi2(spark: SparkSession, dir: String): DataFrame = {
+    val obs = graft.sources.ScratchCache.materialize(
+      Tables.documents(spark, dir)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n")))
+    val rowT = obs.groupBy(col("lang")).agg(sum(col("n")).as("row_n"))
+    val colT = obs.groupBy(col("source")).agg(sum(col("n")).as("col_n"))
+    val tot = obs.agg(sum(col("n")).as("total"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    obs.join(broadcast(rowT), "lang")
+      .join(broadcast(colT), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("n_langs"), col("n_sources"), col("total"),
+        (col("row_n") * col("col_n") / col("total").cast("double")).as("expected"))
+      .agg(
+        max(col("n_langs")).as("n_langs"),
+        max(col("n_sources")).as("n_sources"),
+        max(col("total")).as("n_docs"),
+        ((max(col("n_langs")) - 1) * (max(col("n_sources")) - 1)).as("dof"),
+        round(sum(pow(col("n") - col("expected"), 2) / col("expected")), 4).as("chi2"))
+  }
+
+  /** Top discriminative terms per source by smoothed log-odds ratio
+    * (the "fightin' words" report, Monroe et al. 2008 simplified to
+    * add-0.5 smoothing): which vocabulary does each source
+    * over-represent against the rest of the corpus — the content-mix
+    * explainer next to [[sourceKl]]'s one-number divergence. Term
+    * counts ride the persisted TF-IDF triples joined to the source
+    * map (one doc-keyed shuffle); corpus totals derive by re-agg;
+    * ranking is WindowGroupLimit-bounded per source.
+    */
+  def sourceLogOdds(spark: SparkSession, dir: String, topN: Int = 5): DataFrame = {
+    val m = TextRetrieval.ensureModel(spark, dir)
+    val st = graft.sources.ScratchCache.materialize(
+      m.tf.join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("source"), col("term")).agg(sum(col("tf")).as("y")))
+    val srcTot = st.groupBy(col("source")).agg(sum(col("y")).as("ns"))
+    val termTot = st.groupBy(col("term")).agg(sum(col("y")).as("yw"))
+    val tot = st.agg(sum(col("y")).as("nn"))
+    val scored = st.join(broadcast(srcTot), "source")
+      .join(termTot, "term")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("term"), col("y"),
+        round(
+          log((col("y") + 0.5) / (col("ns") - col("y") + 0.5)) -
+          log((col("yw") - col("y") + 0.5) /
+              (col("nn") - col("ns") - (col("yw") - col("y")) + 0.5)), 5)
+          .as("log_odds"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("log_odds").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= topN)
+      .select(col("source"), col("rk"), col("term"), col("y"), col("log_odds"))
+      .orderBy(col("source"), col("rk"))
+  }
 }

@@ -484,6 +484,43 @@ object VectorSearch {
     }.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
   }
 
+  /** Label-separation margins (silhouette-lite): per label, the mean
+    * cosine of members to their OWN centroid vs to the best OTHER
+    * centroid — the one-table answer to "are these classes actually
+    * separated in embedding space?" that gates classifier/cluster
+    * work before anyone trains. Centroids stay relational
+    * ([[labelOutliers]]' rounded-mean contract, broadcast as
+    * |labels| array rows); scoring is a broadcast cross join —
+    * |labels| codegen'd VecDots per corpus row, no shuffle of the
+    * embedding column; the per-vector own/best-other fold and the
+    * per-label aggregate are two bounded groupBys.
+    */
+  def labelSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("embedding"))
+    val cent = emb
+      .select(col("label").as("cl"), posexplode(col("embedding")))
+      .toDF("cl", "pos", "v")
+      .groupBy(col("cl"), col("pos"))
+      .agg(round(avg(col("v")), 5).as("m"))
+      .groupBy(col("cl"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cl"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+    val scored = emb.crossJoin(broadcast(cent))
+      .withColumn("cos", round(
+        dotd(col("embedding"), col("centroid")) /
+          (l2norm(col("embedding")) * l2norm(col("centroid"))), 5))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("cl") === col("label"), col("cos"))).as("own"),
+        max(when(col("cl") =!= col("label"), col("cos"))).as("other"))
+    scored.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("own")), 4).as("mean_own_cos"),
+        round(avg(col("other")), 4).as("mean_other_cos"),
+        round(avg(col("own") - col("other")), 4).as("margin"))
+      .orderBy(col("label"))
+  }
+
   /** Per-source embedding drift: how far each source's centroid points
     * from the corpus centroid (cosine alignment) — the data-drift
     * detector that catches a re-crawled or mistranslated source whose
