@@ -180,6 +180,14 @@ object SparkEntry {
     "source_log_odds" -> ((s, d) => TextAnalysis.sourceLogOdds(s, d)),
     // per-label own-vs-other centroid cosine margins
     "label_separation" -> ((s, d) => VectorSearch.labelSeparation(s, d)),
+    // session-level view->purchase conversion summary
+    "session_conversion" -> ((s, d) => Analytics.sessionConversion(s, d)),
+    // items-by-engagement-count histogram (long-tail inventory)
+    "item_engagement_hist" -> ((s, d) => Analytics.itemEngagementHist(s, d)),
+    // top-1/5/10% customer revenue concentration
+    "revenue_pareto" -> ((s, d) => Analytics.revenuePareto(s, d)),
+    // Heaps'-law vocabulary growth fit over md5-sharded prefixes
+    "vocab_heaps" -> ((s, d) => TextAnalysis.vocabHeaps(s, d)),
     "events_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "events_props_parse" -> ((s, d) => Analytics.propsParse(s, d)),
     // behavioral item-item recommender (co-engagement counts)
@@ -1073,6 +1081,66 @@ object SparkEntry {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
         |ORDER BY 1""".stripMargin,
+    "session_conversion" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+        |m AS (SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER uw > 1800000
+        |                       OR lag(ts_ms) OVER uw IS NULL THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW uw AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |      FROM m),
+        |sess AS (SELECT user_id, sess_id,
+        |                min(CASE WHEN event_type = 'view' THEN ts_ms END) AS v_ms,
+        |                min(CASE WHEN event_type = 'purchase' THEN ts_ms END) AS p_ms
+        |         FROM s GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        |       count(v_ms) AS n_with_view,
+        |       count(p_ms) AS n_with_purchase,
+        |       count(CASE WHEN p_ms > v_ms THEN 1 END) AS n_converted,
+        |       round(count(CASE WHEN p_ms > v_ms THEN 1 END)
+        |             / CAST(count(v_ms) AS DOUBLE), 5) AS session_cvr
+        |FROM sess""".stripMargin,
+    "item_engagement_hist" ->
+      """WITH ui AS (SELECT DISTINCT user_id,
+        |                   json_extract_string(props, '$.k')::BIGINT AS item_id
+        |            FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')
+        |              AND json_extract_string(props, '$.k') IS NOT NULL),
+        |per AS (SELECT item_id, count(*) AS n_users FROM ui GROUP BY 1)
+        |SELECT n_users, count(*) AS n_items FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "revenue_pareto" ->
+      """WITH per AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        |             FROM orders GROUP BY 1),
+        |cuts AS (SELECT round(quantile_cont(rev, 0.99), 5) AS p99,
+        |                round(quantile_cont(rev, 0.95), 5) AS p95,
+        |                round(quantile_cont(rev, 0.90), 5) AS p90 FROM per)
+        |SELECT count(*) AS n_customers, round(sum(rev), 2) AS total_rev,
+        |       round(round(sum(CASE WHEN rev > p99 THEN rev ELSE 0 END), 2)
+        |             / round(sum(rev), 2), 5) AS share_top1,
+        |       round(round(sum(CASE WHEN rev > p95 THEN rev ELSE 0 END), 2)
+        |             / round(sum(rev), 2), 5) AS share_top5,
+        |       round(round(sum(CASE WHEN rev > p90 THEN rev ELSE 0 END), 2)
+        |             / round(sum(rev), 2), 5) AS share_top10
+        |FROM per, cuts""".stripMargin,
+    "vocab_heaps" ->
+      """WITH toks AS (SELECT substr(md5(doc_id::VARCHAR), 1, 1) AS shard,
+        |                     unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+        |                                        t -> length(t) >= 2)) AS term
+        |              FROM documents),
+        |t AS (SELECT shard, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |pst AS (SELECT shard, sum(tf) AS toks FROM t GROUP BY 1),
+        |fs AS (SELECT shard, count(*) AS new_terms FROM (
+        |         SELECT term, min(shard) AS shard FROM t GROUP BY 1) GROUP BY 1),
+        |pts AS (SELECT ln(sum(toks) OVER cw) AS x, ln(sum(coalesce(new_terms, 0)) OVER cw) AS y,
+        |               sum(toks) OVER cw AS n, sum(coalesce(new_terms, 0)) OVER cw AS v
+        |        FROM pst LEFT JOIN fs USING (shard)
+        |        WINDOW cw AS (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT count(*) AS n_points,
+        |       CAST(max(n) AS BIGINT) AS total_tokens,
+        |       CAST(max(v) AS BIGINT) AS vocab_size,
+        |       round((count(*) * sum(x * y) - sum(x) * sum(y))
+        |             / (count(*) * sum(x * x) - sum(x) * sum(x)), 5) AS heaps_beta
+        |FROM pts""".stripMargin,
     "value_robust_stats" ->
       """WITH cuts AS (SELECT event_type,
         |                     round(quantile_cont(value, 0.05), 5) AS lo,

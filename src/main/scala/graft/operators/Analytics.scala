@@ -1066,6 +1066,82 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Session-level conversion summary: of all gap-sessions, how many
+    * contained a view, a purchase, or a view-then-purchase WITHIN the
+    * session — the session-grade funnel (user-grade is
+    * [[funnelOrdered]]). The island pass is [[sessionize]]'s window;
+    * the per-session flags ride the SAME rollup (first-view/
+    * first-purchase conditional mins), so no second scan; output is
+    * one row of exact integers and one rounded rate.
+    */
+  def sessionConversion(spark: SparkSession, dir: String, gapMs: Long = 1800000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"))
+      .withColumn("new_sess",
+        when(lag(col("ts_ms"), 1).over(w).isNull ||
+          col("ts_ms") - lag(col("ts_ms"), 1).over(w) > gapMs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(cum))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts_ms"))).as("v_ms"),
+        min(when(col("event_type") === "purchase", col("ts_ms"))).as("p_ms"))
+    sess.agg(
+      count(lit(1)).as("n_sessions"),
+      count(col("v_ms")).as("n_with_view"),
+      count(col("p_ms")).as("n_with_purchase"),
+      count(when(col("p_ms") > col("v_ms"), 1)).as("n_converted"))
+      .withColumn("session_cvr",
+        round(col("n_converted") / col("n_with_view").cast("double"), 5))
+  }
+
+  /** Item engagement histogram — the catalog-side twin of
+    * [[q13CustDist]]: how many items have k distinct engaged users,
+    * the long-tail/cold-start inventory shape. Two cascaded
+    * aggregates over the distinct (user,item) frame; the histogram
+    * agg runs over |distinct k| rows.
+    */
+  def itemEngagementHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .distinct()
+      .groupBy(col("item_id")).agg(count(lit(1)).as("n_users"))
+      .groupBy(col("n_users")).agg(count(lit(1)).as("n_items"))
+      .orderBy(col("n_users"))
+
+  /** Revenue concentration (Pareto report): the share of total order
+    * value held by the top 1/5/10% of customers — the "whales" number
+    * next to [[engagementGini]]'s one-coefficient view. Cutoffs are
+    * broadcast rounded percentiles over the |customers|-row rollup
+    * (no global sort); shares are ratios of rounded sums.
+    */
+  def revenuePareto(spark: SparkSession, dir: String): DataFrame = {
+    val per = graft.sources.ScratchCache.materialize(
+      Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev")))
+    val cuts = per.agg(
+      expr("percentile(rev, array(0.99D, 0.95D, 0.90D))").as("pq"))
+      .select(round(element_at(col("pq"), 1), 5).as("p99"),
+        round(element_at(col("pq"), 2), 5).as("p95"),
+        round(element_at(col("pq"), 3), 5).as("p90"))
+    per.crossJoin(broadcast(cuts))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("rev")), 2).as("total_rev"),
+        round(sum(when(col("rev") > col("p99"), col("rev")).otherwise(0.0)), 2).as("rev_top1"),
+        round(sum(when(col("rev") > col("p95"), col("rev")).otherwise(0.0)), 2).as("rev_top5"),
+        round(sum(when(col("rev") > col("p90"), col("rev")).otherwise(0.0)), 2).as("rev_top10"))
+      .select(col("n_customers"), col("total_rev"),
+        round(col("rev_top1") / col("total_rev"), 5).as("share_top1"),
+        round(col("rev_top5") / col("total_rev"), 5).as("share_top5"),
+        round(col("rev_top10") / col("total_rev"), 5).as("share_top10"))
+  }
+
   /** Robust (trimmed) value statistics per event type: mean recomputed
     * over the p05–p95 band — the outlier-resistant number dashboards
     * should trend instead of the raw mean a single fat-finger order

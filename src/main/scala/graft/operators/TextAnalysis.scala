@@ -684,6 +684,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β estimated from 16
+    * deterministic md5-sharded corpus prefixes — the companion
+    * distributional gate to [[vocabZipf]] (a generated or template
+    * corpus bends β away from the 0.4–0.6 natural-text band, and the
+    * fit predicts vocabulary size at the next corpus scale-up).
+    * ONE explode pass: per term the MIN shard it appears in, per
+    * shard its token count; prefix points then come from two
+    * 16-row cumulative folds, and the ln-ln least squares is closed
+    * form over those 16 points. Everything before the fit is exact
+    * integers.
+    */
+  def vocabHeaps(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+        explode(TextRetrieval.sklearnTokens(col("text"))).as("term"))
+    val t = graft.sources.ScratchCache.materialize(
+      toks.groupBy(col("shard"), col("term")).agg(count(lit(1)).as("tf")))
+    val perShardTokens = t.groupBy(col("shard")).agg(sum(col("tf")).as("toks"))
+    val firstShard = t.groupBy(col("term")).agg(min(col("shard")).as("shard"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("new_terms"))
+    val w = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perShardTokens.join(firstShard, Seq("shard"), "left_outer")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+      .withColumn("n", sum(col("toks")).over(w))
+      .withColumn("v", sum(col("new_terms")).over(w))
+      .select(log(col("n").cast("double")).as("x"), log(col("v").cast("double")).as("y"),
+        col("n"), col("v"))
+    pts.agg(count(lit(1)).as("n_points"),
+        max(col("n")).as("total_tokens"), max(col("v")).as("vocab_size"),
+        ((count(lit(1)) * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))) /
+          (count(lit(1)) * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))))
+          .as("beta_raw"))
+      .select(col("n_points"), col("total_tokens"), col("vocab_size"),
+        round(col("beta_raw"), 5).as("heaps_beta"))
+  }
+
   /** Language × source independence test (Pearson chi-square over the
     * contingency table): the one-number answer to "is language
     * composition uniform across sources, or does some source skew?" —
