@@ -188,6 +188,8 @@ object SparkEntry {
     "revenue_pareto" -> ((s, d) => Analytics.revenuePareto(s, d)),
     // Heaps'-law vocabulary growth fit over md5-sharded prefixes
     "vocab_heaps" -> ((s, d) => TextAnalysis.vocabHeaps(s, d)),
+    // null/blank/cross-field integrity audit (ingestion gate)
+    "data_quality_profile" -> ((s, d) => Curation.dataQualityProfile(s, d)),
     "events_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "events_props_parse" -> ((s, d) => Analytics.propsParse(s, d)),
     // behavioral item-item recommender (co-engagement counts)
@@ -1122,6 +1124,31 @@ object SparkEntry {
         |       round(round(sum(CASE WHEN rev > p90 THEN rev ELSE 0 END), 2)
         |             / round(sum(rev), 2), 5) AS share_top10
         |FROM per, cuts""".stripMargin,
+    "data_quality_profile" ->
+      """WITH d AS (SELECT count(*) AS rows_,
+        |                  count(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 END) AS blank_text,
+        |                  count(CASE WHEN lang IS NULL THEN 1 END) AS null_lang,
+        |                  count(CASE WHEN source IS NULL THEN 1 END) AS null_source,
+        |                  count(CASE WHEN n_chars <> length(text) THEN 1 END) AS n_chars_mismatch
+        |           FROM documents),
+        |e AS (SELECT count(*) AS rows_,
+        |             count(CASE WHEN user_id IS NULL THEN 1 END) AS null_user,
+        |             count(CASE WHEN value IS NULL OR value < 0 THEN 1 END) AS bad_value,
+        |             count(CASE WHEN props IS NULL
+        |                        OR json_extract_string(props, '$.k') IS NULL THEN 1 END)
+        |               AS missing_item_ref
+        |      FROM events)
+        |SELECT * FROM (
+        |  SELECT 'documents' AS tbl, 'rows' AS metric, rows_ AS n FROM d
+        |  UNION ALL SELECT 'documents', 'blank_text', blank_text FROM d
+        |  UNION ALL SELECT 'documents', 'null_lang', null_lang FROM d
+        |  UNION ALL SELECT 'documents', 'null_source', null_source FROM d
+        |  UNION ALL SELECT 'documents', 'n_chars_mismatch', n_chars_mismatch FROM d
+        |  UNION ALL SELECT 'events', 'rows', rows_ FROM e
+        |  UNION ALL SELECT 'events', 'null_user', null_user FROM e
+        |  UNION ALL SELECT 'events', 'bad_value', bad_value FROM e
+        |  UNION ALL SELECT 'events', 'missing_item_ref', missing_item_ref FROM e)
+        |ORDER BY tbl, metric""".stripMargin,
     "vocab_heaps" ->
       """WITH toks AS (SELECT substr(md5(doc_id::VARCHAR), 1, 1) AS shard,
         |                     unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),

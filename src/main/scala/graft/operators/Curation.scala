@@ -330,4 +330,38 @@ object Curation {
         expr("n_chars * 17592186044416 div u").as("priority"))
       .orderBy(col("priority").desc, col("doc_id"))
       .limit(n)
+
+  /** Data-integrity profile — the ingestion gate's null/blank/
+    * consistency audit over the two content tables, as one skinny
+    * (table, metric, n) frame: null and blank fractions per column,
+    * plus CROSS-FIELD invariants (documents.n_chars must equal
+    * length(text); events.props must parse and carry the item ref the
+    * recommender paths read). Each table contributes ONE conditional-
+    * aggregate scan (no shuffle beyond the final 1-row partials), and
+    * the stacked output is bounded by the metric count — the shape a
+    * daily pipeline health check appends to a history table.
+    */
+  def dataQualityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).agg(
+      count(lit(1)).as("rows"),
+      count(when(col("text").isNull || length(col("text")) === 0, 1)).as("blank_text"),
+      count(when(col("lang").isNull, 1)).as("null_lang"),
+      count(when(col("source").isNull, 1)).as("null_source"),
+      count(when(col("n_chars") =!= length(col("text")), 1)).as("n_chars_mismatch"))
+    val e = Tables.events(spark, dir).agg(
+      count(lit(1)).as("rows"),
+      count(when(col("user_id").isNull, 1)).as("null_user"),
+      count(when(col("value").isNull || col("value") < 0, 1)).as("bad_value"),
+      count(when(col("props").isNull ||
+        get_json_object(col("props"), "$.k").isNull, 1)).as("missing_item_ref"))
+    val dm = d.select(expr(
+      "stack(5, 'documents', 'rows', rows, 'documents', 'blank_text', blank_text, " +
+        "'documents', 'null_lang', null_lang, 'documents', 'null_source', null_source, " +
+        "'documents', 'n_chars_mismatch', n_chars_mismatch) AS (tbl, metric, n)"))
+    val em = e.select(expr(
+      "stack(4, 'events', 'rows', rows, 'events', 'null_user', null_user, " +
+        "'events', 'bad_value', bad_value, 'events', 'missing_item_ref', missing_item_ref) " +
+        "AS (tbl, metric, n)"))
+    dm.unionAll(em).orderBy(col("tbl"), col("metric"))
+  }
 }
