@@ -357,6 +357,26 @@ object SparkEntry {
     "minhash_recall_eval" -> ((s, d) => Dedup.minhashRecallEval(s, d)),
     // embedding-space train/eval contamination with witness
     "decontaminate_semantic" -> ((s, d) => Dedup.decontaminateSemantic(s, d)),
+    // binary sign-quantized search (hamming shortlist + exact rerank)
+    "ann_binary_topk" -> ((s, d) => Quantized.binaryTopK(s, d, queryId = 0, c = 50, k = 10)),
+    // Gopher long-n repetition battery (top-3gram share, dup-5/10gram)
+    "doc_ngram_coverage" -> ((s, d) => TextAnalysis.ngramCoverage(s, d)),
+    // per-type daily-count OLS slope (exact integer moments)
+    "events_trend" -> ((s, d) => Analytics.eventsTrend(s, d)),
+    // hourly-count autocorrelation at 1 h / 24 h (seasonality gate)
+    "events_acf" -> ((s, d) => Analytics.eventsAcf(s, d)),
+    // neighborhood-Jaccard item similarity (popularity-normalized CF)
+    "item_jaccard" -> ((s, d) => Analytics.itemJaccard(s, d)),
+    // FAISS range_search analog: every neighbor above a cosine radius
+    "vs_range_search" -> ((s, d) => VectorSearch.rangeSearch(s, d, queryId = 0, minScore = 0.25)),
+    // Matryoshka truncated-dim shortlist + full-dim rerank
+    "vs_matryoshka_topk" -> ((s, d) => VectorSearch.matryoshkaTopK(s, d, queryId = 0)),
+    // PMI item-association matrix (independence-normalized CF)
+    "item_pmi" -> ((s, d) => Analytics.itemPmi(s, d)),
+    // 7x24 weekly-seasonality load profile per event type
+    "events_seasonality" -> ((s, d) => Analytics.eventsSeasonality(s, d)),
+    // weekly new/retained/resurrected/churned growth accounting
+    "user_lifecycle" -> ((s, d) => Analytics.userLifecycle(s, d)),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free
@@ -2818,6 +2838,166 @@ object SparkEntry {
          |             row_number() OVER (PARTITION BY eval_id ORDER BY score DESC, train_id) AS rk
          |      FROM f)
          |SELECT eval_id, train_id, score FROM r WHERE rk = 1 ORDER BY eval_id""".stripMargin,
+    // sign signatures assembled like the simhash oracle (per-bit
+    // HUGEINT sum with the bit-63 two's-complement arm), hamming
+    // shortlist cut at (hamming, vec_id), exact-cosine rerank — the
+    // whole binary-flat search replayed end-to-end
+    "ann_binary_topk" ->
+      s"""WITH sig AS (SELECT vec_id, CAST(sum(CASE WHEN embedding[b + 1] > 0 THEN
+         |         CASE WHEN b = 63 THEN -9223372036854775808::HUGEINT ELSE (1::BIGINT << b)::HUGEINT END
+         |       ELSE 0::HUGEINT END) AS BIGINT) AS sig
+         |     FROM embeddings, range(64) r(b) GROUP BY 1),
+         |q AS (SELECT sig AS qsig FROM sig WHERE vec_id = 0),
+         |sh AS (SELECT s.vec_id, bit_count(xor(s.sig, q.qsig))::BIGINT AS hamming
+         |       FROM sig s, q WHERE s.vec_id <> 0
+         |       ORDER BY hamming, s.vec_id LIMIT 50),
+         |qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT sh.vec_id, sh.hamming, ${cos5("e.embedding", "qe.qv")} AS score
+         |FROM sh JOIN embeddings e ON e.vec_id = sh.vec_id, qe
+         |ORDER BY score DESC, sh.vec_id LIMIT 10""".stripMargin,
+    // list-comprehension n-grams exactly like the doc_repetition
+    // oracle; dup fractions are pure list arithmetic, only the
+    // top-trigram count aggregates
+    "doc_ngram_coverage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |             CASE WHEN len(toks) >= 3 THEN [array_to_string(toks[i+1:i+3], ' ') for i in range(len(toks) - 2)] ELSE []::VARCHAR[] END AS g3,
+        |             CASE WHEN len(toks) >= 5 THEN [array_to_string(toks[i+1:i+5], ' ') for i in range(len(toks) - 4)] ELSE []::VARCHAR[] END AS g5,
+        |             CASE WHEN len(toks) >= 10 THEN [array_to_string(toks[i+1:i+10], ' ') for i in range(len(toks) - 9)] ELSE []::VARCHAR[] END AS g10
+        |      FROM t),
+        |base AS (SELECT doc_id, len(g3)::BIGINT AS n_3grams,
+        |                CASE WHEN len(g5) > 0 THEN (len(g5) - len(list_distinct(g5)))::BIGINT / len(g5)::BIGINT ELSE 0.0 END AS dup_5gram_frac,
+        |                CASE WHEN len(g10) > 0 THEN (len(g10) - len(list_distinct(g10)))::BIGINT / len(g10)::BIGINT ELSE 0.0 END AS dup_10gram_frac
+        |         FROM g),
+        |ex AS (SELECT doc_id, unnest(g3) AS g FROM g),
+        |cnt AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_3gram_n FROM cnt GROUP BY 1)
+        |SELECT b.doc_id, n_3grams, coalesce(top_3gram_n, 0)::BIGINT AS top_3gram_n,
+        |       CASE WHEN n_3grams > 0 THEN coalesce(top_3gram_n, 0) / n_3grams ELSE 0.0 END AS top_3gram_share,
+        |       dup_5gram_frac, dup_10gram_frac
+        |FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // exact BIGINT regression moments over recentered day offsets;
+    // the one float op is the final slope division
+    "events_trend" ->
+      """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS n
+        |               FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT min(day) AS day0 FROM daily),
+        |p AS (SELECT event_type, day - day0 AS x, n AS y FROM daily, d0)
+        |SELECT event_type, count(*) AS n_days, sum(y)::BIGINT AS total,
+        |       round((count(*) * sum(x * y) - sum(x) * sum(y)) /
+        |             (count(*) * sum(x * x) - sum(x) * sum(x)), 5) AS slope_per_day
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // lagged pairs via integer-keyed self-equi-join of the hourly
+    // rollup (gaps make no pair); Pearson r from exact BIGINT moments
+    "events_acf" ->
+      """WITH h AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hour, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, l.lag, a.n AS x, b.n AS y
+        |      FROM h a CROSS JOIN (SELECT unnest([1, 24])::BIGINT AS lag) l
+        |      JOIN h b ON b.event_type = a.event_type AND b.hour = a.hour + l.lag)
+        |SELECT event_type, lag, count(*) AS n_pairs,
+        |       round((count(*) * sum(x * y) - sum(x) * sum(y)) /
+        |             sqrt((count(*) * sum(x * x) - sum(x) * sum(x)) *
+        |                  (count(*) * sum(y * y) - sum(y) * sum(y))), 5) AS acf
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same capped baskets as item_cooc; jaccard = co/(sa+sb−co) from
+    // exact counts, rounded once; per-item rank cut
+    "item_jaccard" ->
+      """WITH ui AS (SELECT DISTINCT user_id,
+        |                   json_extract_string(props, '$.k')::BIGINT AS item_id
+        |            FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')
+        |              AND json_extract_string(props, '$.k') IS NOT NULL),
+        |deg AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+        |capped AS (SELECT ui.user_id, ui.item_id FROM ui
+        |           JOIN deg USING (user_id) WHERE deg.basket <= 500),
+        |supp AS (SELECT item_id, count(*) AS supp FROM capped GROUP BY 1),
+        |pairs AS (SELECT a.item_id, b.item_id AS rec_item_id, count(*) AS co
+        |          FROM capped a JOIN capped b USING (user_id)
+        |          WHERE a.item_id <> b.item_id GROUP BY 1, 2
+        |          HAVING count(*) >= 2),
+        |sc AS (SELECT p.item_id, p.rec_item_id, p.co,
+        |              round(p.co / (sa.supp + sb.supp - p.co), 5) AS jaccard
+        |       FROM pairs p JOIN supp sa ON sa.item_id = p.item_id
+        |                    JOIN supp sb ON sb.item_id = p.rec_item_id)
+        |SELECT item_id, rec_item_id, co, jaccard,
+        |       row_number() OVER (PARTITION BY item_id
+        |                          ORDER BY jaccard DESC, rec_item_id) AS rk
+        |FROM sc QUALIFY rk <= 5 ORDER BY item_id, rk""".stripMargin,
+    // the radius cut applies to the ROUNDED score, so the boundary
+    // replays bit-for-bit; result ordered, unbounded by design
+    "vs_range_search" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score
+         |      FROM embeddings e, q WHERE e.vec_id <> 0)
+         |SELECT vec_id, score FROM s WHERE score >= 0.25
+         |ORDER BY score DESC, vec_id""".stripMargin,
+    // prefix-16 shortlist then full-dim rerank, both cuts tie-broken
+    // on vec_id — the cascade replayed end-to-end
+    "vs_matryoshka_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding, embedding[1:16] AS pre FROM embeddings),
+         |q AS (SELECT pre AS qp, embedding AS qv FROM e WHERE vec_id = 0),
+         |sh AS (SELECT e.vec_id, ${cos5("e.pre", "q.qp")} AS pre_score
+         |       FROM e, q WHERE e.vec_id <> 0
+         |       ORDER BY pre_score DESC, e.vec_id LIMIT 50)
+         |SELECT sh.vec_id, sh.pre_score, ${cos5("e.embedding", "q.qv")} AS score
+         |FROM sh JOIN e ON e.vec_id = sh.vec_id, q
+         |ORDER BY score DESC, sh.vec_id LIMIT 10""".stripMargin,
+    // same capped baskets as item_jaccard; PMI = ln(co*N/(sa*sb))
+    // with every count exact and ln the single float op
+    "item_pmi" ->
+      """WITH ui AS (SELECT DISTINCT user_id,
+        |                   json_extract_string(props, '$.k')::BIGINT AS item_id
+        |            FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')
+        |              AND json_extract_string(props, '$.k') IS NOT NULL),
+        |deg AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+        |capped AS (SELECT ui.user_id, ui.item_id FROM ui
+        |           JOIN deg USING (user_id) WHERE deg.basket <= 500),
+        |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM capped),
+        |supp AS (SELECT item_id, count(*) AS supp FROM capped GROUP BY 1),
+        |pairs AS (SELECT a.item_id, b.item_id AS rec_item_id, count(*) AS co
+        |          FROM capped a JOIN capped b USING (user_id)
+        |          WHERE a.item_id <> b.item_id GROUP BY 1, 2
+        |          HAVING count(*) >= 2),
+        |sc AS (SELECT p.item_id, p.rec_item_id, p.co,
+        |              round(ln(p.co * nu.n_users / (sa.supp * sb.supp)::DOUBLE), 5) AS pmi
+        |       FROM pairs p JOIN supp sa ON sa.item_id = p.item_id
+        |                    JOIN supp sb ON sb.item_id = p.rec_item_id, nu)
+        |SELECT item_id, rec_item_id, co, pmi,
+        |       row_number() OVER (PARTITION BY item_id
+        |                          ORDER BY pmi DESC, rec_item_id) AS rk
+        |FROM sc QUALIFY rk <= 5 ORDER BY item_id, rk""".stripMargin,
+    // integer calendar keys: dow = (epoch_day + 3) mod 7 (Monday = 0),
+    // hod = epoch_hour mod 24 — no timezone surface
+    "events_seasonality" ->
+      """WITH c AS (SELECT event_type,
+        |                  (epoch_ms(ts) // 86400000 + 3) % 7 AS dow,
+        |                  (epoch_ms(ts) // 3600000) % 24 AS hod,
+        |                  count(*) AS n_events
+        |           FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, dow, hod, n_events,
+        |       round(n_events / sum(n_events) OVER (PARTITION BY event_type), 5) AS share
+        |FROM c ORDER BY event_type, dow, hod""".stripMargin,
+    // one distinct (user,week) frame feeds first-seen, prior-week
+    // presence (equi-join on week-1) and the churn anti-join
+    "user_lifecycle" ->
+      """WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS first_week FROM d GROUP BY 1),
+        |c AS (SELECT d.user_id, d.week, f.first_week, p.user_id AS prev_u
+        |      FROM d JOIN f USING (user_id)
+        |      LEFT JOIN d p ON p.user_id = d.user_id AND p.week = d.week - 1),
+        |fl AS (SELECT week, count(*) AS n_active,
+        |              count(*) FILTER (week = first_week) AS n_new,
+        |              count(*) FILTER (week <> first_week AND prev_u IS NOT NULL) AS n_retained,
+        |              count(*) FILTER (week <> first_week AND prev_u IS NULL) AS n_resurrected
+        |       FROM c GROUP BY 1),
+        |ch AS (SELECT a.week + 1 AS week, count(*) AS n_churned
+        |       FROM d a ANTI JOIN d b ON b.user_id = a.user_id AND b.week = a.week + 1
+        |       GROUP BY 1)
+        |SELECT fl.week * 604800000 AS week_ms, n_active, n_new, n_retained,
+        |       n_resurrected, coalesce(ch.n_churned, 0) AS n_churned
+        |FROM fl LEFT JOIN ch USING (week) ORDER BY week_ms""".stripMargin,
   )
 
   /** The signed-BIGINT reading of DuckDB's `md5_number_upper` — the

@@ -1521,4 +1521,231 @@ object Analytics {
       .orderBy(col("numwait").desc, col("s_suppkey"))
       .limit(topN)
   }
+
+  /** Per-type daily activity trend: closed-form least-squares slope of
+    * events-per-day over integer day keys — the "is this event type
+    * growing or dying" number the ops dashboard plots next to
+    * [[dailyActive]]. All regression moments (Σx, Σy, Σxy, Σx²) are
+    * EXACT BIGINT sums over the |types|×|days| daily rollup — day keys
+    * are recentered to offsets from the corpus's first day so the
+    * squared terms stay far from overflow at any horizon — and the one
+    * float op is the final slope division, rounded once. Shape: one
+    * map-side-combined (type, day) count, a 1-row min-day broadcast,
+    * then a per-type fold over the bounded daily frame — the events
+    * table is scanned once.
+    */
+  def eventsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts_ms div 86400000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val d0 = daily.agg(min(col("day")).as("day0"))
+    daily.crossJoin(broadcast(d0))
+      .select(col("event_type"), (col("day") - col("day0")).as("x"), col("n").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("y")).as("total"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        round((col("n_days") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")), 5).as("slope_per_day"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Hourly-count autocorrelation at fixed lags (1 h and 24 h) per
+    * event type — the seasonality detector that decides whether the
+    * anomaly baseline ([[anomalyHours]]) needs a daily-period term.
+    * Lagged pairs come from an EQUI-join of the hourly rollup to
+    * itself on `hour = hour + lag` (integer keys — gaps in the series
+    * simply produce no pair, never a misaligned one), and the Pearson
+    * r folds from exact BIGINT moment sums with the float math
+    * confined to the final round-5 expression. Shape: one events scan
+    * → |types|×|hours| rollup, self-join on bounded integer keys, one
+    * small agg per (type, lag); the raw stream is never self-joined.
+    */
+  def eventsAcf(spark: SparkSession, dir: String, lags: Seq[Int] = Seq(1, 24)): DataFrame = {
+    // ScratchCache: both lag joins read the hourly rollup — one events
+    // scan, bounded LRU lifecycle (never a bare persist)
+    val hourly = graft.sources.ScratchCache.materialize(
+      Tables.events(spark, dir)
+        .select(col("event_type"), expr("ts_ms div 3600000").as("hour"))
+        .groupBy(col("event_type"), col("hour")).agg(count(lit(1)).as("n")))
+    val perLag = lags.map { l =>
+      hourly.as("a")
+        .join(hourly.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("b.hour") === col("a.hour") + lit(l.toLong))
+        .select(col("a.event_type").as("event_type"), lit(l.toLong).as("lag"),
+          col("a.n").as("x"), col("b.n").as("y"))
+    }.reduce(_ unionAll _)
+    perLag.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        // each variance factor is an exact BIGINT < 2^53, so the
+        // double×double product rounds the exact product — identical
+        // to the oracle's HUGEINT-exact-then-cast value — while the
+        // BIGINT×BIGINT product would overflow at ~sf1
+        round((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")), 5).as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** Item-neighborhood Jaccard similarity — the set-overlap refinement
+    * of [[itemCooccurrence]]: raw co-engagement counts favor popular
+    * items (everything co-occurs with a bestseller), while
+    * |A∩B| / |A∪B| normalizes by both items' audiences and surfaces
+    * genuinely coupled items. Same basket-capped distinct (user, item)
+    * frame and per-user pair join as the co-occurrence operator (the
+    * cap bounds the pair explode at maxBasket² per user); item
+    * supports join in with one row per item (AQE/broadcast); Jaccard
+    * is the exact integer ratio co/(sa+sb−co) rounded once, and the
+    * per-item top-N is a WindowGroupLimit ranking — no global sort.
+    */
+  def itemJaccard(spark: SparkSession, dir: String, topN: Int = 5,
+                  minCo: Long = 2L, maxBasket: Int = 500): DataFrame = {
+    val ui = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .distinct()
+    val deg = ui.groupBy(col("user_id")).agg(count(lit(1)).as("basket"))
+    val capped = ui.join(deg.where(col("basket") <= maxBasket), Seq("user_id"))
+      .select(col("user_id"), col("item_id"))
+    val supp = capped.groupBy(col("item_id")).agg(count(lit(1)).as("supp"))
+    val pairs = capped
+      .join(capped.select(col("user_id"), col("item_id").as("rec_item_id")), Seq("user_id"))
+      .where(col("item_id") =!= col("rec_item_id"))
+      .groupBy(col("item_id"), col("rec_item_id"))
+      .agg(count(lit(1)).as("co"))
+      .where(col("co") >= minCo)
+    val scored = pairs
+      .join(supp.select(col("item_id"), col("supp").as("supp_a")), Seq("item_id"))
+      .join(supp.select(col("item_id").as("rec_item_id"), col("supp").as("supp_b")), Seq("rec_item_id"))
+      .select(col("item_id"), col("rec_item_id"), col("co"),
+        round(col("co") / (col("supp_a") + col("supp_b") - col("co")), 5).as("jaccard"))
+    val w = Window.partitionBy(col("item_id"))
+      .orderBy(col("jaccard").desc, col("rec_item_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= topN)
+      .orderBy(col("item_id"), col("rk"))
+  }
+
+  /** PMI item-association matrix — the word2vec-SGNS-factorized object
+    * (Levy & Goldberg 2014: SGNS implicitly factorizes the shifted PMI
+    * matrix), built from user co-engagement: PMI(a,b) =
+    * ln(co·N / (sa·sb)) over the capped distinct (user, item) baskets,
+    * where N is the number of capped users. Jaccard
+    * ([[itemJaccard]]) normalizes by audience SIZE; PMI normalizes by
+    * audience INDEPENDENCE — it surfaces pairs that co-occur more than
+    * popularity alone predicts, the statistical footing for "bought
+    * together". Every count is exact BIGINT from the same bounded pair
+    * join as [[itemCooccurrence]] (maxBasket² cap per user); supports
+    * and the 1-row N broadcast join in; ln is the single float op,
+    * rounded once. Per-item top-N via WindowGroupLimit.
+    */
+  def itemPmi(spark: SparkSession, dir: String, topN: Int = 5,
+              minCo: Long = 2L, maxBasket: Int = 500): DataFrame = {
+    val ui = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .distinct()
+    val deg = ui.groupBy(col("user_id")).agg(count(lit(1)).as("basket"))
+    val capped = graft.sources.ScratchCache.materialize(
+      ui.join(deg.where(col("basket") <= maxBasket), Seq("user_id"))
+        .select(col("user_id"), col("item_id")))
+    val nUsers = capped.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val supp = capped.groupBy(col("item_id")).agg(count(lit(1)).as("supp"))
+    val pairs = capped
+      .join(capped.select(col("user_id"), col("item_id").as("rec_item_id")), Seq("user_id"))
+      .where(col("item_id") =!= col("rec_item_id"))
+      .groupBy(col("item_id"), col("rec_item_id"))
+      .agg(count(lit(1)).as("co"))
+      .where(col("co") >= minCo)
+    val scored = pairs
+      .join(supp.select(col("item_id"), col("supp").as("supp_a")), Seq("item_id"))
+      .join(supp.select(col("item_id").as("rec_item_id"), col("supp").as("supp_b")), Seq("rec_item_id"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("item_id"), col("rec_item_id"), col("co"),
+        round(log(col("co") * col("n_users") /
+          (col("supp_a") * col("supp_b")).cast("double")), 5).as("pmi"))
+    val w = Window.partitionBy(col("item_id"))
+      .orderBy(col("pmi").desc, col("rec_item_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= topN)
+      .orderBy(col("item_id"), col("rk"))
+  }
+
+  /** Weekly-seasonality load profile: events per (type, day-of-week,
+    * hour-of-day) plus each cell's share of the type's total — the
+    * 7×24 heat-grid that capacity planning and the anomaly baseline's
+    * period term read. Calendar keys are pure integer arithmetic on
+    * epoch ms (`dow = (day + 3) mod 7`, Monday = 0 — 1970-01-01 was a
+    * Thursday; `hod = hour mod 24`) — no timezone/calendar surface to
+    * drift cross-engine. One map-side-combined aggregate over a
+    * |types|×168-cell key space; the share normalizes in a window over
+    * that bounded frame, never the stream.
+    */
+  def eventsSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        ((expr("ts_ms div 86400000") + 3) % 7).as("dow"),
+        (expr("ts_ms div 3600000") % 24).as("hod"))
+      .groupBy(col("event_type"), col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+    cells
+      .withColumn("share", round(col("n_events") / sum(col("n_events")).over(w), 5))
+      .orderBy(col("event_type"), col("dow"), col("hod"))
+  }
+
+  /** User-lifecycle growth accounting (the Reforge/"growth accounting"
+    * state machine): per epoch week, actives split into NEW (first
+    * week ever), RETAINED (also active the prior week), RESURRECTED
+    * (returning after a gap), plus CHURNED (active the prior week,
+    * absent this one) — the four flows whose sum explains every DAU
+    * delta; [[dailyActive]] gives levels, this gives the flows.
+    * Everything derives from ONE distinct (user, week) frame
+    * (ScratchCache'd): first-seen is a per-user min, prior-week
+    * presence is a self-equi-join on (user, week−1) — integer keys,
+    * gaps drop out — and churn is the anti-join counted into the week
+    * the user went missing. Output is |weeks| rows; the event log is
+    * scanned once.
+    */
+  def userLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val weekMs = 604800000L
+    val d = graft.sources.ScratchCache.materialize(
+      Tables.events(spark, dir)
+        .select(col("user_id"), expr(s"ts_ms div $weekMs").as("week"))
+        .distinct())
+    val first = d.groupBy(col("user_id")).agg(min(col("week")).as("first_week"))
+    val withPrev = d.join(first, Seq("user_id"))
+      .join(d.select(col("user_id"), (col("week") + 1).as("week"), lit(1).as("had_prev")),
+        Seq("user_id", "week"), "left_outer")
+    val flows = withPrev.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("week") === col("first_week"), 1)).as("n_new"),
+        count(when(col("week") =!= col("first_week") && col("had_prev").isNotNull, 1))
+          .as("n_retained"),
+        count(when(col("week") =!= col("first_week") && col("had_prev").isNull, 1))
+          .as("n_resurrected"))
+    val churned = d.alias("a")
+      .join(d.alias("b"),
+        col("a.user_id") === col("b.user_id") && col("b.week") === col("a.week") + 1,
+        "left_anti")
+      .groupBy((col("week") + 1).as("week"))
+      .agg(count(lit(1)).as("n_churned"))
+    flows.join(churned, Seq("week"), "left_outer")
+      .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+      .select((col("week") * weekMs).as("week_ms"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"), col("n_churned"))
+      .orderBy(col("week_ms"))
+  }
 }

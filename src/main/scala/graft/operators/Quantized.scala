@@ -558,4 +558,42 @@ object Quantized {
       .select(col("vec_id") +: cols: _*)
       .orderBy(col("vec_id"))
   }
+
+  /** Binary (sign) quantization search — the FAISS IndexBinaryFlat
+    * shape: each vector compresses to ONE 64-bit word (bit i set iff
+    * component i > 0 — 256 B → 8 B, the most aggressive compression in
+    * the family), candidates rank by Hamming distance to the query
+    * signature (a single XOR + popcount per row — the cheapest
+    * whole-corpus scan possible), and the `c`-row Hamming shortlist is
+    * re-scored with exact cosine. Training-free like LSH, so there is
+    * no fit artifact; the signature map is a narrow codegen projection
+    * that fuses into the scan (persist via IndexStore only when the
+    * raw vectors are cold storage). Both stages are TakeOrdered
+    * (bounded heaps, no global sort); ties break on vec_id at both
+    * cuts, so the whole operator replays bit-for-bit in SQL.
+    */
+  def binaryTopK(spark: SparkSession, dir: String, queryId: Long,
+                 c: Int = 50, k: Int = 10): DataFrame = {
+    val sig = (0 until 64)
+      .map(i => when(element_at(col("embedding"), i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val e = Tables.embeddings(spark, dir)
+    val sigs = e.select(col("vec_id"), sig.as("sig"))
+    val qs = sigs.where(col("vec_id") === queryId).select(col("sig").as("qsig"))
+    val short = sigs.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qs))
+      .select(col("vec_id"),
+        bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("long").as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(c)
+    val qe = e.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), l2norm(col("embedding")).as("qn"))
+    e.join(broadcast(short), Seq("vec_id"))
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"), col("hamming"),
+        round(dotd(col("embedding"), col("qv")) / (l2norm(col("embedding")) * col("qn")), 5)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
 }

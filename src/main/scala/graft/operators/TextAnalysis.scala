@@ -786,4 +786,47 @@ object TextAnalysis {
       .select(col("source"), col("rk"), col("term"), col("y"), col("log_odds"))
       .orderBy(col("source"), col("rk"))
   }
+
+  /** Longer-n repetition coverage — the rest of the Gopher repetition
+    * battery ([[docRepetition]] covers n=2; Rae et al. 2021 Table A1
+    * runs top-n-gram share for small n and duplicate-n-gram fraction
+    * for large n, because the two catch different failure modes: a
+    * high TOP share at n=3 is a stuck phrase, a high DUPLICATE
+    * fraction at n=5/10 is wholesale block repetition that a single
+    * hot trigram never shows). Duplicate fractions are pure per-row
+    * array arithmetic (size − size∘distinct — narrow, zero shuffle);
+    * only the top-trigram count needs a (doc, gram) aggregate, and
+    * that explode is doc-blocked exactly like [[docRepetition]]'s.
+    * Ratios are exact-integer divisions (SURVEY §4).
+    */
+  def ngramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def grams(n: Int): Column = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    def dupFrac(c: Column): Column =
+      when(size(c) > 0,
+        (size(c) - size(array_distinct(c))).cast("long") / size(c).cast("long"))
+        .otherwise(lit(0.0))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), grams(3).as("g3"),
+        dupFrac(grams(5)).as("dup_5gram_frac"),
+        dupFrac(grams(10)).as("dup_10gram_frac"))
+      .select(col("doc_id"), size(col("g3")).cast("long").as("n_3grams"),
+        col("g3"), col("dup_5gram_frac"), col("dup_10gram_frac"))
+    val top = base.where(col("n_3grams") > 0)
+      .select(col("doc_id"), explode(col("g3")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_3gram_n"))
+    base.drop("g3")
+      .join(top, Seq("doc_id"), "left")
+      .withColumn("top_3gram_n", coalesce(col("top_3gram_n"), lit(0L)))
+      .withColumn("top_3gram_share",
+        when(col("n_3grams") > 0, col("top_3gram_n") / col("n_3grams"))
+          .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("n_3grams"), col("top_3gram_n"), col("top_3gram_share"),
+        col("dup_5gram_frac"), col("dup_10gram_frac"))
+      .orderBy(col("doc_id"))
+  }
 }

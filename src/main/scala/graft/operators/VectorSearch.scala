@@ -589,4 +589,64 @@ object VectorSearch {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Range search — FAISS `range_search`'s shape (every neighbor whose
+    * similarity clears a radius, not a fixed k): all corpus vectors
+    * with cosine ≥ `minScore` against the query row, self excluded.
+    * The "how many are THIS close" door that top-k cannot answer —
+    * dedup radii, recall floors, alerting on embedding collapse. The
+    * threshold is applied to the ROUNDED score so the cut replays
+    * bit-for-bit cross-engine. Scale shape: the same single broadcast
+    * scan as [[topK]] with the filter fused before the sort, so the
+    * ORDER BY ranks only the rows inside the radius (a meaningful
+    * radius admits a vanishing corpus fraction — the sort volume is
+    * the RESULT size, never the corpus).
+    */
+  def rangeSearch(spark: SparkSession, dir: String, queryId: Long,
+                  minScore: Double): DataFrame = {
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
+    val q = e.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    e.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
+      .where(col("score") >= minScore)
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  /** Matryoshka (truncated-dimension) search — the MRL serving trick
+    * (Kusupati et al. 2022): embeddings trained front-loaded let a
+    * PREFIX of the dimensions stand in for the whole vector, so stage
+    * one ranks by cosine over the first `prefixDims` coordinates (a
+    * 4× cheaper scan at 16/64 — same win as SQ8/PQ but with zero
+    * codebook, zero training, zero extra artifact) and stage two
+    * rescores only the `c`-row shortlist at full precision. Both cuts
+    * are TakeOrdered with (score, vec_id) ties, so the whole cascade
+    * replays in SQL; the prefix slice is a narrow codegen projection
+    * fused into the scan. The flat-family cousin of
+    * [[graft.operators.Quantized.binaryTopK]] on the compression axis.
+    */
+  def matryoshkaTopK(spark: SparkSession, dir: String, queryId: Long,
+                     prefixDims: Int = 16, c: Int = 50, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val pre = slice(col("embedding"), 1, prefixDims)
+    val qp = e.where(col("vec_id") === queryId)
+      .select(pre.as("qp"), col("embedding").as("qv"))
+      .withColumn("qpn", l2norm(col("qp")))
+      .withColumn("qn", l2norm(col("qv")))
+    val short = e.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qp.select(col("qp"), col("qpn"))))
+      .select(col("vec_id"),
+        round(dotd(pre, col("qp")) / (l2norm(pre) * col("qpn")), 5).as("pre_score"))
+      .orderBy(col("pre_score").desc, col("vec_id"))
+      .limit(c)
+    e.join(broadcast(short), Seq("vec_id"))
+      .crossJoin(broadcast(qp.select(col("qv"), col("qn"))))
+      .select(col("vec_id"), col("pre_score"),
+        round(dotd(col("embedding"), col("qv")) / (l2norm(col("embedding")) * col("qn")), 5)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -378,4 +378,151 @@ class OperatorSpec extends AnyFunSuite {
     // descending by fused score — rank arithmetic, not raw scores
     assert(rows.map(_.getDouble(1)).toSeq == rows.map(_.getDouble(1)).sortBy(-_).toSeq)
   }
+
+  test("events trend slope matches a driver-side OLS over daily counts") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("event_type"), col("ts_ms")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400000L))
+    val day0 = ev.map(_._2).min
+    val want = ev.groupBy(_._1).map { case (t, es) =>
+      val pts = es.groupBy(_._2).map { case (d, g) => (d - day0, g.size.toLong) }.toSeq
+      val n = pts.size.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = BigDecimal((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble)
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+      t -> ((n, es.size.toLong, slope))
+    }
+    val got = graft.operators.Analytics.eventsTrend(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want)
+  }
+
+  test("acf recounts from an hourly driver series and stays in [-1, 1]") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("event_type"), col("ts_ms")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600000L))
+    val hourly = ev.groupBy(identity).map { case ((t, h), g) => ((t, h), g.size.toLong) }
+    val want = (for {
+      lag <- Seq(1L, 24L)
+      t <- ev.map(_._1).distinct
+    } yield {
+      val series = hourly.collect { case ((`t`, h), n) => (h, n) }.toMap
+      val pairs = series.toSeq.flatMap { case (h, x) => series.get(h + lag).map(y => (x, y)) }
+      val n = pairs.size.toLong
+      if (n == 0) None else {
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum; val syy = pairs.map(p => p._2 * p._2).sum
+        val r = BigDecimal((n * sxy - sx * sy).toDouble /
+          math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble))
+          .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some((t, lag) -> ((n, r)))
+      }
+    }).flatten.toMap
+    val got = graft.operators.Analytics.eventsAcf(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (n, r)) =>
+      assert(got(k)._1 == n, s"$k n_pairs")
+      assert(math.abs(got(k)._2 - r) <= 1e-5, s"$k acf ${got(k)._2} vs $r")
+      assert(got(k)._2 >= -1.0 && got(k)._2 <= 1.0, s"$k out of range")
+    }
+  }
+
+  test("item jaccard matches a driver-side basket recount") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val ui = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull)
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = ui.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).toSet }
+      .filter(_._2.size <= 500)
+    val supp = baskets.values.toSeq.flatten.groupBy(identity).map { case (i, g) => i -> g.size.toLong }
+    val co = baskets.values.toSeq.flatMap(b =>
+      for (a <- b; x <- b if a != x) yield (a, x))
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+      .filter(_._2 >= 2L)
+    val want = co.toSeq.map { case ((a, b), c) =>
+      val j = BigDecimal(c.toDouble / (supp(a) + supp(b) - c).toDouble)
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, c, j)
+    }.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._4, r._2)).take(5).zipWithIndex
+        .map { case ((a, b, c, j), i) => (a, b) -> ((c, j, (i + 1).toLong)) }
+    }
+    val got = graft.operators.Analytics.itemJaccard(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("rec_item_id")) ->
+        ((r.getAs[Long]("co"), r.getAs[Double]("jaccard"), r.getAs[Long]("rk")))).toMap
+    assert(got == want)
+  }
+
+  test("item PMI matches a driver-side basket recount") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val ui = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull)
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = ui.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).toSet }
+      .filter(_._2.size <= 500)
+    val nUsers = baskets.size.toLong
+    val supp = baskets.values.toSeq.flatten.groupBy(identity).map { case (i, g) => i -> g.size.toLong }
+    val co = baskets.values.toSeq.flatMap(b =>
+      for (a <- b; x <- b if a != x) yield (a, x))
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+      .filter(_._2 >= 2L)
+    val want = co.toSeq.map { case ((a, b), c) =>
+      val pmi = BigDecimal(math.log(c * nUsers / (supp(a) * supp(b)).toDouble))
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, c, pmi)
+    }.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._4, r._2)).take(5).zipWithIndex
+        .map { case ((a, b, c, p), i) => (a, b) -> ((c, p, (i + 1).toLong)) }
+    }
+    val got = graft.operators.Analytics.itemPmi(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("rec_item_id")) ->
+        ((r.getAs[Long]("co"), r.getAs[Double]("pmi"), r.getAs[Long]("rk")))).toMap
+    assert(got == want)
+  }
+
+  test("seasonality cells partition each type's events and shares sum to 1") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Analytics.eventsSeasonality(spark, TestSpark.sf).collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 6))
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 23))
+    val byType = rows.groupBy(_.getString(0))
+    val totals = Tables.events(spark, TestSpark.sf)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.foreach { case (t, cells) =>
+      assert(cells.map(_.getLong(3)).sum == totals(t), s"$t cell counts")
+      assert(math.abs(cells.map(_.getDouble(4)).sum - 1.0) < 1e-3, s"$t share sum")
+    }
+  }
+
+  test("lifecycle flows are conserved: active = new+retained+resurrected, churn balances") {
+    val rows = graft.operators.Analytics.userLifecycle(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0) / 604800000L, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, active, nw, ret, res, _) =>
+      assert(active == nw + ret + res, s"week $w partition")
+    }
+    // churn into week w = last week's actives who didn't return =
+    // active(w-1) − retained(w), for consecutive weeks
+    val byWeek = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (w, _, _, ret, _, churned) =>
+      byWeek.get(w - 1).foreach { case (_, prevActive, _, _, _, _) =>
+        assert(churned == prevActive - ret, s"week $w churn balance")
+      }
+    }
+    // every user is new exactly once
+    val totalUsers = Tables.events(spark, TestSpark.sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == totalUsers)
+  }
 }

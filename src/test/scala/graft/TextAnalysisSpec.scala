@@ -7,6 +7,32 @@ import graft.operators.{TextAnalysis, TextRetrieval}
 class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("ngram coverage matches a driver-side recount on a sample") {
+    val sample = Tables.documents(spark, TestSpark.sf).limit(20)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String, n: Int): Seq[String] = {
+      val toks = t.split(' ')
+      if (toks.length < n) Seq.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    val got = TextAnalysis.ngramCoverage(spark, TestSpark.sf)
+      .where(col("doc_id") < 20).collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      val t = sample(r.getLong(0))
+      val g3 = grams(t, 3); val g5 = grams(t, 5); val g10 = grams(t, 10)
+      assert(r.getLong(1) == g3.length.toLong)
+      val top3 = if (g3.isEmpty) 0L else g3.groupBy(identity).values.map(_.size).max.toLong
+      assert(r.getLong(2) == top3)
+      val dup5 = if (g5.isEmpty) 0.0 else (g5.length - g5.distinct.length).toDouble / g5.length
+      val dup10 = if (g10.isEmpty) 0.0 else (g10.length - g10.distinct.length).toDouble / g10.length
+      assert(r.getDouble(3) == (if (g3.isEmpty) 0.0 else top3.toDouble / g3.length))
+      assert(r.getDouble(4) == dup5)
+      assert(r.getDouble(5) == dup10)
+    }
+  }
+
   test("token counts match a driver-side recount on a sample") {
     val sample = Tables.documents(spark, TestSpark.sf).limit(20)
       .select("doc_id", "text").collect()

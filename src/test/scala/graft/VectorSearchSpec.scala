@@ -589,4 +589,73 @@ class VectorSearchSpec extends AnyFunSuite {
       assert(row.getDouble(4) <= row.getDouble(2) && row.getDouble(2) <= row.getDouble(5))
     }
   }
+
+  test("binary sign search replays from driver-side signatures and exact rerank") {
+    val vecs = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sig(v: Array[Float]): Long =
+      (0 until 64).foldLeft(0L)((acc, i) => if (v(i) > 0f) acc | (1L << i) else acc)
+    val qv = vecs(0L); val qsig = sig(qv)
+    val short = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, java.lang.Long.bitCount(sig(v) ^ qsig).toLong) }
+      .sortBy { case (id, h) => (h, id) }.take(50)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map(p => p._1.toDouble * p._2.toDouble).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(d / (na * nb)).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = short.map { case (id, h) => (id, h, cos(vecs(id), qv)) }
+      .sortBy { case (id, _, s) => (-s, id) }.take(10)
+    val got = graft.operators.Quantized.binaryTopK(spark, TestSpark.sf, queryId = 0, c = 50, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
+  test("range search returns exactly the neighbors inside the radius, ordered") {
+    def cos5(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map(p => p._1.toDouble * p._2.toDouble).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(d / (na * nb)).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val vecs = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val tau = 0.25
+    val want = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos5(v, vecs(0L))) }
+      .filter(_._2 >= tau)
+      .sortBy { case (id, s) => (-s, id) }
+    val got = VectorSearch.rangeSearch(spark, TestSpark.sf, queryId = 0, minScore = tau)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("matryoshka cascade replays from a driver-side prefix shortlist and rerank") {
+    def cos5(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map(p => p._1.toDouble * p._2.toDouble).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(d / (na * nb)).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val vecs = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qp = vecs(0L).take(16); val qv = vecs(0L)
+    val short = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos5(v.take(16), qp)) }
+      .sortBy { case (id, s) => (-s, id) }.take(50)
+    val want = short.map { case (id, ps) => (id, ps, cos5(vecs(id), qv)) }
+      .sortBy { case (id, _, s) => (-s, id) }.take(10)
+    val got = VectorSearch.matryoshkaTopK(spark, TestSpark.sf, queryId = 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == want)
+    // final ranking is by the FULL-dim score (the rerank actually
+    // reorders the prefix shortlist), descending
+    val scores = got.map(_._3)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // NOTE: no recall-vs-exact assertion here — the synthetic corpus
+    // is not Matryoshka-trained, so the prefix is not front-loaded;
+    // on MRL embeddings the 16-dim stage is the documented scale path
+  }
 }
