@@ -377,6 +377,14 @@ object SparkEntry {
     "events_seasonality" -> ((s, d) => Analytics.eventsSeasonality(s, d)),
     // weekly new/retained/resurrected/churned growth accounting
     "user_lifecycle" -> ((s, d) => Analytics.userLifecycle(s, d)),
+    // leave-last-out hit-rate@K of the co-visitation recommender
+    "rec_holdout_eval" -> ((s, d) => Rec.recHoldoutEval(s, d)),
+    // Welch t-test A/B readout over exact-cents revenue moments
+    "experiment_ttest" -> ((s, d) => Analytics.experimentTtest(s, d)),
+    // tokenizer-fertility budgeting per (lang, source)
+    "token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(s, d)),
+    // personalized PageRank from the highest-support seed item
+    "item_ppr" -> ((s, d) => Graph.itemPpr(s, d)),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free
@@ -2998,6 +3006,108 @@ object SparkEntry {
         |SELECT fl.week * 604800000 AS week_ms, n_active, n_new, n_retained,
         |       n_resurrected, coalesce(ch.n_churned, 0) AS n_churned
         |FROM fl LEFT JOIN ch USING (week) ORDER BY week_ms""".stripMargin,
+    // leave-last-out: holdout = rk1 by (last_ts DESC, item DESC), co
+    // fit on train only, the holdout's rank among candidates counted
+    // directly (strictly-better + tie-smaller-id), hit@K = rank<=K
+    "rec_holdout_eval" ->
+      """WITH ev AS (SELECT user_id,
+        |                   json_extract_string(props, '$.k')::BIGINT AS item_id,
+        |                   epoch_ms(ts) AS ts_ms
+        |            FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')
+        |              AND json_extract_string(props, '$.k') IS NOT NULL),
+        |ui AS (SELECT user_id, item_id, max(ts_ms) AS last_ts FROM ev GROUP BY 1, 2),
+        |bk AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+        |capped AS (SELECT ui.* FROM ui JOIN bk USING (user_id)
+        |           WHERE bk.basket BETWEEN 2 AND 500),
+        |rkd AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                  ORDER BY last_ts DESC, item_id DESC) AS rk FROM capped),
+        |hold AS (SELECT user_id, item_id AS h FROM rkd WHERE rk = 1),
+        |train AS (SELECT user_id, item_id FROM rkd WHERE rk > 1),
+        |co AS (SELECT a.item_id AS src, b.item_id AS dst, count(*) AS co
+        |       FROM train a JOIN train b USING (user_id)
+        |       WHERE a.item_id <> b.item_id GROUP BY 1, 2),
+        |sc0 AS (SELECT t.user_id, c.dst, sum(c.co) AS score
+        |        FROM train t JOIN co c ON c.src = t.item_id GROUP BY 1, 2),
+        |sc AS (SELECT sc0.* FROM sc0 ANTI JOIN train t
+        |       ON t.user_id = sc0.user_id AND t.item_id = sc0.dst),
+        |sh AS (SELECT h.user_id, h.h, s.score AS s_h FROM hold h
+        |       LEFT JOIN sc s ON s.user_id = h.user_id AND s.dst = h.h),
+        |rnk AS (SELECT sh.user_id,
+        |               1 + count(*) FILTER (s.score > sh.s_h OR
+        |                   (s.score = sh.s_h AND s.dst < sh.h)) AS rnk
+        |        FROM sh JOIN sc s ON s.user_id = sh.user_id
+        |        WHERE sh.s_h IS NOT NULL GROUP BY 1),
+        |ks AS (SELECT unnest([1, 5, 10])::BIGINT AS k),
+        |nu AS (SELECT count(*) AS n_users FROM hold),
+        |hits AS (SELECT ks.k, count(*) FILTER (r.rnk <= ks.k) AS n_hits
+        |         FROM ks LEFT JOIN rnk r ON TRUE GROUP BY 1)
+        |SELECT k, nu.n_users, hits.n_hits,
+        |       round(hits.n_hits / nu.n_users, 5) AS hit_rate
+        |FROM hits, nu ORDER BY k""".stripMargin,
+    // exact-cents per-user revenue moments, Welch t + df in the one
+    // final double expression — same operation order as the engine
+    "experiment_ttest" ->
+      """WITH pu AS (SELECT user_id,
+        |                   sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |m AS (SELECT count(*) FILTER (user_id % 2 = 0) AS n_a,
+        |             count(*) FILTER (user_id % 2 = 1) AS n_b,
+        |             coalesce(sum(cents) FILTER (user_id % 2 = 0), 0) AS sx_a,
+        |             coalesce(sum(cents) FILTER (user_id % 2 = 1), 0) AS sx_b,
+        |             coalesce(sum(cents * cents) FILTER (user_id % 2 = 0), 0) AS sxx_a,
+        |             coalesce(sum(cents * cents) FILTER (user_id % 2 = 1), 0) AS sxx_b
+        |      FROM pu),
+        |s AS (SELECT n_a, n_b,
+        |             sx_a / 100.0 / n_a AS mu_a, sx_b / 100.0 / n_b AS mu_b,
+        |             (sxx_a::DOUBLE - sx_a::DOUBLE * sx_a::DOUBLE / n_a) / (n_a - 1) / 10000.0 / n_a AS se2_a,
+        |             (sxx_b::DOUBLE - sx_b::DOUBLE * sx_b::DOUBLE / n_b) / (n_b - 1) / 10000.0 / n_b AS se2_b
+        |      FROM m)
+        |SELECT n_a, n_b, round(mu_a, 5) AS mean_a, round(mu_b, 5) AS mean_b,
+        |       round((mu_a - mu_b) / sqrt(se2_a + se2_b), 5) AS t_stat,
+        |       round((se2_a + se2_b) * (se2_a + se2_b) /
+        |             (se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1)), 3) AS df
+        |FROM s""".stripMargin,
+    // whitespace words / chars / strlen bytes / ceil(len/4) subtokens,
+    // all exact integer sums; the three rates divide once
+    "token_fertility" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       sum(len(string_split(text, ' ')))::BIGINT AS n_words,
+        |       sum(length(text))::BIGINT AS n_chars,
+        |       sum(strlen(text))::BIGINT AS n_bytes,
+        |       sum(ceil(length(text) / 4.0)::BIGINT)::BIGINT AS est_subtokens,
+        |       round(sum(ceil(length(text) / 4.0)::BIGINT) /
+        |             sum(len(string_split(text, ' '))), 5) AS fertility,
+        |       round(sum(length(text)) / sum(len(string_split(text, ' '))), 5) AS chars_per_word,
+        |       round(sum(strlen(text)) / sum(length(text)), 5) AS bytes_per_char
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same integer fixed-point as item_pagerank, restart mass pinned
+    // to the max-support seed; 6 unrolled rounds
+    "item_ppr" ->
+      s"""WITH ui AS (SELECT DISTINCT user_id,
+         |                   json_extract_string(props, '$$.k')::BIGINT AS item_id
+         |            FROM events
+         |            WHERE event_type IN ('view', 'click', 'purchase')
+         |              AND json_extract_string(props, '$$.k') IS NOT NULL),
+         |bk AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+         |capped AS (SELECT ui.user_id, ui.item_id FROM ui
+         |           JOIN bk USING (user_id) WHERE bk.basket <= 500),
+         |edges AS (SELECT DISTINCT a.item_id AS src, b.item_id AS dst
+         |          FROM capped a JOIN capped b USING (user_id)
+         |          WHERE a.item_id <> b.item_id),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT item_id FROM capped),
+         |seed AS (SELECT item_id FROM (SELECT item_id, count(*) AS supp
+         |         FROM capped GROUP BY 1 ORDER BY supp DESC, item_id LIMIT 1)),
+         |r0 AS (SELECT n.item_id,
+         |       CASE WHEN n.item_id = s.item_id THEN 17179869184::BIGINT
+         |            ELSE 0::BIGINT END AS r
+         |       FROM nodes n CROSS JOIN seed s),
+         |${pprSteps(6)}
+         |SELECT s.item_id AS seed_item, r.item_id, r.r AS rank_scaled,
+         |       round(r.r / 17179869184.0, 6) AS rank
+         |FROM r6 r CROSS JOIN seed s WHERE r.r > 0
+         |ORDER BY rank_scaled DESC, r.item_id LIMIT 25""".stripMargin,
   )
 
   /** The signed-BIGINT reading of DuckDB's `md5_number_upper` — the
@@ -3030,6 +3140,22 @@ object SparkEntry {
     * [[graft.operators.Graph.itemPagerank]], floor division on both
     * engines.
     */
+  /** PPR rounds: identical hop/damping arithmetic to [[pagerankSteps]]
+    * except the 15% restart mass returns ONLY to the seed row.
+    */
+  private def pprSteps(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.item_id,
+         |  (CASE WHEN n.item_id = s.item_id THEN (15 * 17179869184) // 100
+         |        ELSE 0 END)
+         |    + (85 * coalesce(c.contrib, 0)) // 100 AS r
+         |  FROM nodes n CROSS JOIN seed s LEFT JOIN (
+         |    SELECT e.dst AS item_id, sum(r.r // d.deg)::BIGINT AS contrib
+         |    FROM edges e JOIN deg d USING (src)
+         |    JOIN r${i - 1} r ON r.item_id = e.src
+         |    GROUP BY 1) c ON c.item_id = n.item_id)""".stripMargin
+    }.mkString(",\n")
+
   private def pagerankSteps(iters: Int): String =
     (1 to iters).map { i =>
       s"""r$i AS (SELECT n.item_id,

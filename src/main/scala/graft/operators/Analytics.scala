@@ -1748,4 +1748,49 @@ object Analytics {
         col("n_retained"), col("n_resurrected"), col("n_churned"))
       .orderBy(col("week_ms"))
   }
+
+  /** A/B experiment readout: Welch's unequal-variance t-test on
+    * per-user purchase revenue between two deterministic variants
+    * (`user_id mod 2` — the replayable stand-in for an assignment
+    * column; swap the variant expression when the log carries one).
+    * Money is summed in EXACT integer cents (`round(value·100)` per
+    * event), so the per-variant moments (n, Σx, Σx²) are
+    * order-independent BIGINTs and the whole stream reduces in one
+    * map-side-combined pass; sample variance, t, and the
+    * Welch–Satterthwaite df convert to double only in the final
+    * 1-row expression (Σx² of cents² stays under 2^63 to ~10^8 users
+    * at this value scale). Output: one row — the dashboard number.
+    */
+  def experimentTtest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("variant", col("user_id") % 2)
+    def m(v: Int, c: Column) = sum(when(col("variant") === v, c))
+    val mom = perUser.agg(
+      count(when(col("variant") === 0, 1)).as("n_a"),
+      count(when(col("variant") === 1, 1)).as("n_b"),
+      coalesce(m(0, col("cents")), lit(0L)).as("sx_a"),
+      coalesce(m(1, col("cents")), lit(0L)).as("sx_b"),
+      coalesce(m(0, col("cents") * col("cents")), lit(0L)).as("sxx_a"),
+      coalesce(m(1, col("cents") * col("cents")), lit(0L)).as("sxx_b"))
+    // sample variances in dollars²: var = (Σx² − (Σx)²/n) / (n−1) / 100²
+    // ((Σx)² in double — the BIGINT square would overflow first)
+    def va(sx: Column, sxx: Column, n: Column): Column =
+      (sxx.cast("double") - sx.cast("double") * sx.cast("double") / n) /
+        (n - 1) / lit(10000.0)
+    mom.select(col("n_a"), col("n_b"),
+        (col("sx_a") / lit(100.0) / col("n_a")).as("mu_a"),
+        (col("sx_b") / lit(100.0) / col("n_b")).as("mu_b"),
+        (va(col("sx_a"), col("sxx_a"), col("n_a")) / col("n_a")).as("se2_a"),
+        (va(col("sx_b"), col("sxx_b"), col("n_b")) / col("n_b")).as("se2_b"))
+      .select(col("n_a"), col("n_b"),
+        round(col("mu_a"), 5).as("mean_a"), round(col("mu_b"), 5).as("mean_b"),
+        round((col("mu_a") - col("mu_b")) / sqrt(col("se2_a") + col("se2_b")), 5)
+          .as("t_stat"),
+        round((col("se2_a") + col("se2_b")) * (col("se2_a") + col("se2_b")) /
+          (col("se2_a") * col("se2_a") / (col("n_a") - 1) +
+            col("se2_b") * col("se2_b") / (col("n_b") - 1)), 3).as("df"))
+  }
 }

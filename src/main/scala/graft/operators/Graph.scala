@@ -227,4 +227,67 @@ object Graph {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 5)
           .as("clustering_coeff"))
   }
+
+  /** Personalized PageRank from a single seed item — "related to THIS
+    * item through the whole graph", the multi-hop generalization of
+    * [[Analytics.itemCooccurrence]]'s one-hop counts (two items never
+    * co-engaged by any one user still rank if they share neighbors;
+    * random-walk-with-restart is the classic item-graph recommender,
+    * e.g. Pixie). Same exact-integer fixed-point as [[itemPagerank]]
+    * — 2^34-scaled BIGINT mass, `r div deg` hops, floor-divided 85/15
+    * damping — except ALL restart mass returns to the seed (the
+    * personalization vector is e_seed), so the stationary mass decays
+    * with graph distance from the seed. The seed is the
+    * highest-support item (ties to the smaller id) — deterministic
+    * and replayable; pass `seedItem` to pin one. Per round: ONE
+    * item-keyed join of the |V|-row rank state against the cached
+    * edges + a map-side-combined sum; DuckDB unrolls the same rounds.
+    */
+  def itemPpr(spark: SparkSession, dir: String, iters: Int = 6,
+              topN: Int = 25, maxBasket: Int = 500,
+              seedItem: Option[Long] = None): DataFrame = {
+    val ui = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .distinct()
+    val deg0 = ui.groupBy(col("user_id")).agg(count(lit(1)).as("basket"))
+    val capped = ScratchCache.materialize(
+      ui.join(deg0.where(col("basket") <= maxBasket), Seq("user_id"))
+        .select(col("user_id"), col("item_id")))
+    val edges = ScratchCache.materialize(
+      capped.join(capped.select(col("user_id"), col("item_id").as("dst")), Seq("user_id"))
+        .where(col("item_id") =!= col("dst"))
+        .select(col("item_id").as("src"), col("dst"))
+        .distinct())
+    val withDeg = ScratchCache.materialize(
+      edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"))
+    val nodes = ScratchCache.materialize(capped.select(col("item_id")).distinct())
+    val seed: Long = seedItem.getOrElse {
+      capped.groupBy(col("item_id")).agg(count(lit(1)).as("supp"))
+        .orderBy(col("supp").desc, col("item_id")).limit(1)
+        .collect().head.getLong(0)
+    }
+    val Scale = 1L << 34
+    val base = (15L * Scale) / 100L
+    var ranks = nodes.select(col("item_id"),
+      when(col("item_id") === seed, lit(Scale)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks.select(col("item_id").as("src"), col("r")), "src")
+        .select(col("dst").as("item_id"), expr("r div deg").as("c"))
+        .groupBy(col("item_id")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contrib, Seq("item_id"), "left")
+        .select(col("item_id"),
+          (when(col("item_id") === seed, lit(base)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(contrib, 0)) div 100")).as("r"))
+    }
+    ranks
+      .select(lit(seed).as("seed_item"), col("item_id"), col("r").as("rank_scaled"),
+        round(col("r") / lit(Scale.toDouble), 6).as("rank"))
+      .where(col("rank_scaled") > 0)
+      .orderBy(col("rank_scaled").desc, col("item_id"))
+      .limit(topN)
+  }
 }

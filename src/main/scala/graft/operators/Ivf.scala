@@ -469,7 +469,13 @@ object Ivf {
       // residual encoding (FAISS by_residual=true): finer quantization
       // at the same m — the recall gap vs ivfpq_nprobe is the point
       eval(s"ivfpq_res_nprobe$nprobe", q =>
-        ids(Quantized.ivfPqResidualTopK(spark, dir, q, nCells, nprobe, k))))
+        ids(Quantized.ivfPqResidualTopK(spark, dir, q, nCells, nprobe, k))),
+      // 1-bit sign quantization + exact rerank (IndexBinaryFlat shape)
+      eval("binary_c50", q =>
+        ids(Quantized.binaryTopK(spark, dir, q, c = 50, k = k))),
+      // truncated-dim prefix shortlist + exact rerank (MRL serving)
+      eval("matryoshka16_c50", q =>
+        ids(VectorSearch.matryoshkaTopK(spark, dir, q, prefixDims = 16, c = 50, k = k))))
       .toDF("family", "Precision@K", "MRR", "AvgQueryTime_ms", "QueriesUsed")
       .orderBy(col("family"))
   }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.ScratchCache
+
+/** Offline recommender evaluation — the measurement loop the reference
+  * implies but never ships (app.py recommends by embedding similarity
+  * and shows ANN trade-offs in ann_tradeoff_table.csv, yet has no way
+  * to ask "do users actually pick what we recommend?"). This is the
+  * standard answer: leave-last-out holdout over the behavioral log.
+  */
+object Rec {
+
+  /** Leave-last-out hit-rate@K for the item-based co-visitation
+    * recommender: each eligible user's LAST interacted item (by last
+    * interaction time, ties toward the larger item id) is held out,
+    * co-occurrence counts are fit on the REMAINING train interactions
+    * only (no leakage — the holdout contributes zero edges), every
+    * user is scored by summed co-visitation between their train items
+    * and each candidate (train items excluded as candidates), and
+    * hit@K asks whether the holdout ranks in the top K.
+    *
+    * Instead of materializing top-K lists, the eval computes the
+    * HOLDOUT'S RANK among the user's candidates — 1 + the count of
+    * candidates scoring strictly higher (ties toward the smaller item
+    * id, the engine's standard order) — and reads hit@K as rank ≤ K
+    * for every K in one pass. Users whose holdout receives no score
+    * (no train neighbor co-occurred with it) count as misses.
+    *
+    * Scale shape: baskets are capped at `maxBasket` before the pair
+    * join (the [[Analytics.itemCooccurrence]] bound, so no user emits
+    * more than maxBasket² pairs); the co matrix, candidate scores and
+    * ranks are all item/user-keyed aggregates; output is |ks| rows.
+    * Every count is exact BIGINT; the single float op is the final
+    * hit-rate division.
+    */
+  def recHoldoutEval(spark: SparkSession, dir: String,
+                     ks: Seq[Int] = Seq(1, 5, 10),
+                     maxBasket: Int = 500): DataFrame = {
+    val ui = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"),
+        col("ts_ms"))
+      .where(col("item_id").isNotNull)
+      .groupBy(col("user_id"), col("item_id"))
+      .agg(max(col("ts_ms")).as("last_ts"))
+    val bk = ui.groupBy(col("user_id")).agg(count(lit(1)).as("basket"))
+    val capped = ui.join(
+      bk.where(col("basket") >= 2 && col("basket") <= maxBasket), Seq("user_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("last_ts").desc, col("item_id").desc)
+    val ranked = capped.withColumn("rk", row_number().over(w))
+    val holdout = ScratchCache.materialize(
+      ranked.where(col("rk") === 1).select(col("user_id"), col("item_id").as("h")))
+    val train = ScratchCache.materialize(
+      ranked.where(col("rk") > 1).select(col("user_id"), col("item_id")))
+    val co = train
+      .join(train.select(col("user_id"), col("item_id").as("dst")), Seq("user_id"))
+      .where(col("item_id") =!= col("dst"))
+      .groupBy(col("item_id").as("src"), col("dst"))
+      .agg(count(lit(1)).as("co"))
+    val scores = ScratchCache.materialize(train
+      .join(co, col("item_id") === col("src"))
+      .groupBy(col("user_id"), col("dst"))
+      .agg(sum(col("co")).as("score"))
+      .join(train.select(col("user_id"), col("item_id").as("dst")),
+        Seq("user_id", "dst"), "left_anti"))
+    val sh = holdout.join(
+      scores.select(col("user_id"), col("dst").as("h"), col("score").as("s_h")),
+      Seq("user_id", "h"), "left_outer")
+    val ranks = sh.where(col("s_h").isNotNull)
+      .join(scores, Seq("user_id"), "left_outer")
+      .groupBy(col("user_id"), col("h"))
+      .agg((count(when(col("score") > col("s_h") ||
+        (col("score") === col("s_h") && col("dst") < col("h")), 1)) + 1).as("rank"))
+    val nUsers = holdout.agg(count(lit(1)).as("n_users"))
+    ranks
+      .select(explode(typedlit(ks.map(_.toLong))).as("k"), col("rank"))
+      .groupBy(col("k"))
+      .agg(count(when(col("rank") <= col("k"), 1)).as("n_hits"))
+      // keep every requested K even when no user hits (or no user
+      // was rankable at all): the K axis comes from a literal frame
+      .join(spark.createDataFrame(ks.map(k => Tuple1(k.toLong)))
+        .toDF("k"), Seq("k"), "right_outer")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .crossJoin(broadcast(nUsers))
+      .select(col("k"), col("n_users"), col("n_hits"),
+        round(col("n_hits") / col("n_users"), 5).as("hit_rate"))
+      .orderBy(col("k"))
+  }
+}

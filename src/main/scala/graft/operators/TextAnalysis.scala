@@ -799,6 +799,37 @@ object TextAnalysis {
     * that explode is doc-blocked exactly like [[docRepetition]]'s.
     * Ratios are exact-integer divisions (SURVEY §4).
     */
+  /** Tokenizer-fertility budgeting per (lang, source) — the
+    * multilingual sampling table (how many subword tokens a corpus
+    * slice costs per word/char decides its mixture weight and its
+    * context-window footprint): docs, exact word/char/byte/estimated-
+    * subtoken sums ([[tokenCount]]'s conventions: whitespace words,
+    * ceil(len/4) subtokens), and the three derived rates — subtokens
+    * per word (fertility), chars per word, bytes per char (>1 flags
+    * non-ASCII scripts, where byte-level BPE fertility explodes). One
+    * narrow codegen scan + map-side agg to |langs|×|sources| rows;
+    * integer sums exact, divisions rounded once.
+    */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        size(toks).cast("long").as("w"),
+        length(col("text")).cast("long").as("c"),
+        octet_length(col("text")).cast("long").as("b"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("st"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"), sum(col("c")).as("n_chars"),
+        sum(col("b")).as("n_bytes"), sum(col("st")).as("est_subtokens"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_words"),
+        col("n_chars"), col("n_bytes"), col("est_subtokens"),
+        round(col("est_subtokens") / col("n_words"), 5).as("fertility"),
+        round(col("n_chars") / col("n_words"), 5).as("chars_per_word"),
+        round(col("n_bytes") / col("n_chars"), 5).as("bytes_per_char"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   def ngramCoverage(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     def grams(n: Int): Column = when(size(toks) >= n,

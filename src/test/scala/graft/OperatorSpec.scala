@@ -525,4 +525,72 @@ class OperatorSpec extends AnyFunSuite {
       .select("user_id").distinct().count()
     assert(rows.map(_._3).sum == totalUsers)
   }
+
+  test("Welch t-test replays from a driver-side exact-cents recount") {
+    import org.apache.spark.sql.functions.col
+    val cents = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).map { case (u, g) => (u, g.map(_._2).sum) }
+    val (a, b) = cents.partition(_._1 % 2 == 0)
+    def mom(xs: Iterable[Long]) = {
+      val n = xs.size.toLong
+      (n, xs.sum, xs.map(x => x * x).sum)
+    }
+    val (na, sxa, sxxa) = mom(a.values); val (nb, sxb, sxxb) = mom(b.values)
+    def r(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val muA = sxa / 100.0 / na; val muB = sxb / 100.0 / nb
+    val se2a = (sxxa.toDouble - sxa.toDouble * sxa.toDouble / na) / (na - 1) / 10000.0 / na
+    val se2b = (sxxb.toDouble - sxb.toDouble * sxb.toDouble / nb) / (nb - 1) / 10000.0 / nb
+    val row = graft.operators.Analytics.experimentTtest(spark, TestSpark.sf).collect().head
+    assert(row.getLong(0) == na && row.getLong(1) == nb)
+    assert(row.getDouble(2) == r(muA, 5) && row.getDouble(3) == r(muB, 5))
+    assert(math.abs(row.getDouble(4) - (muA - muB) / math.sqrt(se2a + se2b)) < 1e-4)
+    val df = (se2a + se2b) * (se2a + se2b) /
+      (se2a * se2a / (na - 1) + se2b * se2b / (nb - 1))
+    assert(math.abs(row.getDouble(5) - df) < 1e-2)
+    // Welch df lives between min(n)-1 and n_a+n_b-2
+    assert(row.getDouble(5) >= math.min(na, nb) - 1 && row.getDouble(5) <= na + nb - 2)
+  }
+
+  test("personalized pagerank concentrates mass at the seed and conserves it") {
+    val rows = graft.operators.Graph.itemPpr(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val seed = rows.head._1
+    assert(rows.forall(_._1 == seed))
+    // the seed itself must carry the max mass (restart pins 15% there)
+    assert(rows.head._2 == seed, s"top row ${rows.head} is not the seed")
+    assert(rows.head._3 == rows.map(_._3).max)
+    // floor division only LEAKS mass: total ≤ 2^34, and the seed keeps
+    // at least the restart share
+    assert(rows.map(_._3).sum <= (1L << 34))
+    assert(rows.head._3 >= (15L * (1L << 34)) / 100L)
+    // ranks strictly positive and sorted descending (ties by item id)
+    assert(rows.forall(_._3 > 0))
+    val rs = rows.map(_._3)
+    assert(rs.zip(rs.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("rec holdout eval: hit rate is monotone in K and bounded by eligibility") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val rows = graft.operators.Rec.recHoldoutEval(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 5L, 10L))
+    val eligible = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull).distinct()
+      .groupBy("user_id").count()
+      .where(col("count") >= 2 && col("count") <= 500).count()
+    rows.foreach { case (_, nUsers, nHits, rate) =>
+      assert(nUsers == eligible)
+      assert(nHits >= 0 && nHits <= nUsers)
+      assert(math.abs(rate - nHits.toDouble / nUsers) < 1e-5)
+    }
+    // more slots can only add hits
+    val hits = rows.sortBy(_._1).map(_._3)
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b })
+  }
 }

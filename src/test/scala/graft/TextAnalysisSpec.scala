@@ -299,6 +299,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(5) <= chars(r.getLong(0))))
   }
 
+  test("token fertility replays against a driver-side per-slice recount") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("lang"), col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val want = docs.groupBy(t => (t._1, t._2)).map { case (k, g) =>
+      val words = g.map(_._3.split(" ", -1).length.toLong).sum
+      val chars = g.map(_._3.length.toLong).sum
+      val bytes = g.map(_._3.getBytes("UTF-8").length.toLong).sum
+      val st = g.map(t => (t._3.length + 3) / 4L).sum
+      def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+      k -> ((g.size.toLong, words, chars, bytes, st,
+        r5(st.toDouble / words), r5(chars.toDouble / words), r5(bytes.toDouble / chars)))
+    }
+    val got = TextAnalysis.tokenFertility(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getDouble(7), r.getDouble(8), r.getDouble(9)))).toMap
+    assert(got == want)
+  }
+
   test("BPE piece stats replay against a driver-side Java-regex recount") {
     val pat = "[a-z]+|[0-9]|[^a-z0-9 \t\n\r]".r
     val docs = Tables.documents(spark, TestSpark.sf)

@@ -371,7 +371,8 @@ class VectorSearchSpec extends AnyFunSuite {
     val byF = Ivf.familyEval(spark, TestSpark.sf, queryMod = 100, k = 10).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(byF.keySet == Set("flat", "ivf_nprobe4", "lsh_multiprobe", "sq8", "pq_adc",
-      "ivfpq_nprobe4", "ivfpq_rerank_c50", "ivfpq_res_nprobe4"))
+      "ivfpq_nprobe4", "ivfpq_rerank_c50", "ivfpq_res_nprobe4",
+      "binary_c50", "matryoshka16_c50"))
     assert(byF("flat") == ((1.0, 1.0)), "exact search must match its own ground truth")
     byF.values.foreach { case (p, mrr) =>
       assert(p >= 0.0 && p <= 1.0 && mrr >= 0.0 && mrr <= 1.0)
