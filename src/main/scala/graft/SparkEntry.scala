@@ -385,6 +385,16 @@ object SparkEntry {
     "token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(s, d)),
     // personalized PageRank from the highest-support seed item
     "item_ppr" -> ((s, d) => Graph.itemPpr(s, d)),
+    // cohort-week x age revenue triangle with running LTV per user
+    "user_cohort_ltv" -> ((s, d) => Analytics.userCohortLtv(s, d)),
+    // event-type audience-overlap Jaccard matrix
+    "events_type_overlap" -> ((s, d) => Analytics.eventsTypeOverlap(s, d)),
+    // Kaplan-Meier time-to-repeat-purchase with right-censoring
+    "events_survival" -> ((s, d) => Analytics.eventsSurvival(s, d)),
+    // temperature-scaled (alpha-sampling) source mixture plan
+    "corpus_mixture_plan" -> ((s, d) => Curation.mixturePlan(s, d)),
+    // BM25 with pseudo-relevance-feedback term expansion (RM3 shape)
+    "bm25_prf_topk" -> ((s, d) => TextRetrieval.bm25PrfTopK(s, d, Seq("spark", "join", "vector"))),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free
@@ -3108,6 +3118,105 @@ object SparkEntry {
          |       round(r.r / 17179869184.0, 6) AS rank
          |FROM r6 r CROSS JOIN seed s WHERE r.r > 0
          |ORDER BY rank_scaled DESC, r.item_id LIMIT 25""".stripMargin,
+    // exact-cents revenue laid over (first-seen cohort week, age);
+    // the cumulative window runs per cohort over the bounded triangle
+    "user_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) // 604800000 AS week,
+        |                   event_type, value FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort FROM ev GROUP BY 1),
+        |rev AS (SELECT user_id, week, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |        FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |sz AS (SELECT cohort, count(*) AS n_users FROM f GROUP BY 1),
+        |tri AS (SELECT f.cohort, r.week - f.cohort AS age_weeks, sum(r.cents) AS cents
+        |        FROM rev r JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT tri.cohort * 604800000 AS cohort_week_ms, age_weeks, sz.n_users,
+        |       round(cents / 100.0, 2) AS revenue,
+        |       round(sum(cents) OVER (PARTITION BY tri.cohort ORDER BY age_weeks
+        |             ROWS UNBOUNDED PRECEDING) / 100.0 / sz.n_users, 5) AS cum_ltv_per_user
+        |FROM tri JOIN sz USING (cohort)
+        |ORDER BY cohort_week_ms, age_weeks""".stripMargin,
+    // one distinct (user,type) frame: self-join on user for the pair
+    // counts, one row per type for supports; exact integer jaccard
+    "events_type_overlap" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+        |s AS (SELECT event_type, count(*) AS supp FROM d GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+        |      FROM d a JOIN d b USING (user_id)
+        |      WHERE a.event_type < b.event_type GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.supp AS supp_a, sb.supp AS supp_b, n_both,
+        |       round(n_both / (sa.supp + sb.supp - n_both), 5) AS jaccard
+        |FROM p JOIN s sa ON sa.event_type = p.type_a
+        |       JOIN s sb ON sb.event_type = p.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+    // exact day histograms of repeat gaps and censor exits, risk set
+    // by cumulative window, KM survivor = exp(running sum of ln(1-h))
+    "events_survival" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+        |           WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(ts_ms) AS max_ts FROM p),
+        |bu AS (SELECT user_id, min(ts_ms) AS t1, count(*) AS n FROM p GROUP BY 1),
+        |sec AS (SELECT p.user_id, bu.t1, min(p.ts_ms) AS t2
+        |        FROM p JOIN bu USING (user_id)
+        |        WHERE bu.n >= 2 AND p.ts_ms > bu.t1 GROUP BY 1, 2),
+        |ed AS (SELECT (t2 - t1) // 86400000 AS day, count(*) AS e FROM sec GROUP BY 1),
+        |cd AS (SELECT (mx.max_ts - t1) // 86400000 AS day, count(*) AS c
+        |       FROM bu, mx WHERE n = 1 GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM bu),
+        |days AS (SELECT coalesce(ed.day, cd.day) AS day, coalesce(e, 0) AS e,
+        |                coalesce(c, 0) AS c
+        |         FROM ed FULL OUTER JOIN cd ON ed.day = cd.day),
+        |rs AS (SELECT day, e, c,
+        |              (tot.n_total - coalesce(sum(e + c) OVER (ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS r
+        |       FROM days, tot),
+        |tm AS (SELECT day, e, c, r,
+        |              CASE WHEN e < r THEN ln(1 - e / r) END AS term
+        |       FROM rs)
+        |SELECT day, r AS n_risk, e AS n_repeat, c AS n_censored,
+        |       round(e / r, 5) AS hazard,
+        |       CASE WHEN e = r THEN 0.0
+        |            ELSE round(exp(sum(term) OVER (ORDER BY day
+        |                 ROWS UNBOUNDED PRECEDING)), 5) END AS survival
+        |FROM tm ORDER BY day""".stripMargin,
+    // exact token shares, alpha-scaled weights, allocation from the
+    // ROUNDED weight so the printed plan is the shipped plan
+    "corpus_mixture_plan" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |                  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_tokens) AS t, sum(pow(n_tokens, 0.5)) AS z FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |       round(n_tokens / t.t, 5) AS p,
+        |       round(pow(n_tokens, 0.5) / t.z, 5) AS weight,
+        |       CAST(round(round(pow(n_tokens, 0.5) / t.z, 5) * 1000000) AS BIGINT)
+        |         AS alloc_tokens
+        |FROM s, t ORDER BY source""".stripMargin,
+    // both passes + the expansion cut replayed: top-5 feedback docs,
+    // top-3 new terms by rounded summed tf-idf weight, half-weight
+    // expansion in the second scoring pass
+    "bm25_prf_topk" ->
+      s"""WITH $tfidfCtes,
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+         |q0 AS (SELECT term FROM (VALUES ('spark'), ('join'), ('vector')) t(term)),
+         |qi0 AS (SELECT term, ln((nn.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1) AS qidf
+         |        FROM q0 JOIN dfv USING (term), nn),
+         |fb AS (SELECT tf.doc_id,
+         |              round(sum(qi0.qidf * tf.tf * (1.2 + 1.0) /
+         |                        (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))), 5) AS score
+         |       FROM tf JOIN qi0 USING (term) JOIN dl USING (doc_id), ad
+         |       GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 5),
+         |ex AS (SELECT w.term FROM w JOIN fb USING (doc_id)
+         |       WHERE w.term NOT IN (SELECT term FROM q0)
+         |       GROUP BY w.term ORDER BY round(sum(w.w), 5) DESC, w.term LIMIT 3),
+         |q AS (SELECT term, 1.0 AS qw FROM q0 UNION ALL SELECT term, 0.5 AS qw FROM ex),
+         |qi AS (SELECT q.term, q.qw, ln((nn.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1) AS qidf
+         |       FROM q JOIN dfv USING (term), nn)
+         |SELECT tf.doc_id,
+         |       round(sum(qi.qw * qi.qidf * tf.tf * (1.2 + 1.0) /
+         |                 (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))), 5) AS score
+         |FROM tf JOIN qi USING (term) JOIN dl USING (doc_id), ad
+         |GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
   )
 
   /** The signed-BIGINT reading of DuckDB's `md5_number_upper` — the

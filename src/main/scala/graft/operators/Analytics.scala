@@ -1793,4 +1793,120 @@ object Analytics {
           (col("se2_a") * col("se2_a") / (col("n_a") - 1) +
             col("se2_b") * col("se2_b") / (col("n_b") - 1)), 3).as("df"))
   }
+
+  /** Cohort-LTV triangle: users grouped by their FIRST-seen epoch week
+    * (the signup proxy), purchase revenue laid out by cohort age in
+    * weeks, with the running revenue-per-cohort-user — the "how much
+    * is a week-W user worth after A weeks" curve every growth model
+    * fits, and the longitudinal refinement of [[userLtv]]'s flat
+    * totals. Money sums in exact integer cents ([[experimentTtest]]'s
+    * convention); the cumulative window runs per cohort over the
+    * bounded |weeks|²/2 triangle, never the stream. One events scan:
+    * first-seen is a per-user min over the distinct (user, week)
+    * frame, revenue a (user, week) rollup, both joined user-keyed.
+    */
+  def userCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val weekMs = 604800000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts_ms div $weekMs").as("week"),
+        col("event_type"), col("value"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    val rev = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("week"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+    val tri = rev.join(first, Seq("user_id"))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("age_weeks"))
+      .agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age_weeks"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tri.join(sizes, Seq("cohort"))
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .select((col("cohort") * weekMs).as("cohort_week_ms"), col("age_weeks"),
+        col("n_users"),
+        round(col("cents") / lit(100.0), 2).as("revenue"),
+        round(col("cum_cents") / lit(100.0) / col("n_users"), 5).as("cum_ltv_per_user"))
+      .orderBy(col("cohort_week_ms"), col("age_weeks"))
+  }
+
+  /** Event-type audience overlap: user-set Jaccard for every ordered
+    * type pair — "do the people who click also purchase", the
+    * cross-sell / funnel-independence matrix. One distinct
+    * (user, type) frame self-joined on user (|types|-bounded fan-out
+    * per user — no cap needed), supports joined in one row per type;
+    * the Jaccard is the exact integer ratio rounded once. Output is
+    * |types|² rows.
+    */
+  def eventsTypeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.ScratchCache.materialize(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type")).distinct())
+    val supp = d.groupBy(col("event_type")).agg(count(lit(1)).as("supp"))
+    d.join(d.select(col("user_id"), col("event_type").as("type_b")), Seq("user_id"))
+      .where(col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(supp.select(col("event_type").as("type_a"), col("supp").as("supp_a")), Seq("type_a"))
+      .join(supp.select(col("event_type").as("type_b"), col("supp").as("supp_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("supp_a"), col("supp_b"), col("n_both"),
+        round(col("n_both") / (col("supp_a") + col("supp_b") - col("n_both")), 5)
+          .as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Discrete Kaplan–Meier survival for repeat purchase: per whole-day
+    * gap d since a user's FIRST purchase, the risk set (users still
+    * unconverted and uncensored entering day d), second-purchase
+    * events at d, right-censoring at d (one-purchase users exit at
+    * their last observed day — ignoring censoring would bias the
+    * curve down), the hazard e/r, and the KM survivor
+    * Π(1−hazard) — "how long until a customer repeats", the number
+    * behind win-back timing. All counts are exact integers built from
+    * two bounded day histograms with cumulative windows over the
+    * |days| frame; the survivor product is exp(Σ ln(1−h)) over that
+    * same frame — float only in the last two expressions. One events
+    * scan.
+    */
+  def eventsSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val dayMs = 86400000L
+    val p = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms"))
+    val maxTs = p.agg(max(col("ts_ms")).as("max_ts"))
+    val byUser = p.groupBy(col("user_id"))
+      .agg(min(col("ts_ms")).as("t1"), count(lit(1)).as("n"))
+    val second = p.join(byUser.where(col("n") >= 2), Seq("user_id"))
+      .where(col("ts_ms") > col("t1"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("ts_ms")).as("t2"))
+    val eventDays = second
+      .select(expr(s"(t2 - t1) div $dayMs").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("e"))
+    val censorDays = byUser.where(col("n") === 1)
+      .crossJoin(broadcast(maxTs))
+      .select(expr(s"(max_ts - t1) div $dayMs").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val total = byUser.agg(count(lit(1)).as("n_total"))
+    val days = eventDays.join(censorDays, Seq("day"), "full_outer")
+      .select(col("day"), coalesce(col("e"), lit(0L)).as("e"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wPrev = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    days.crossJoin(broadcast(total))
+      // risk set entering day d: everyone not yet converted/censored
+      .withColumn("r", col("n_total") - coalesce(sum(col("e") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("hazard", round(col("e") / col("r"), 5))
+      // an absorbing day (e = r: every remaining user converts) is
+      // necessarily the LAST row — guard it explicitly, because
+      // ln(0) errors in DuckDB and nulls (≠ −∞) in Spark
+      .withColumn("term",
+        when(col("e") < col("r"), log(lit(1.0) - col("e") / col("r"))))
+      .withColumn("survival",
+        when(col("e") === col("r"), lit(0.0))
+          .otherwise(round(exp(sum(col("term")).over(wCum)), 5)))
+      .select(col("day"), col("r").as("n_risk"), col("e").as("n_repeat"),
+        col("c").as("n_censored"), col("hazard"), col("survival"))
+      .orderBy(col("day"))
+  }
 }

@@ -364,4 +364,34 @@ object Curation {
         "AS (tbl, metric, n)"))
     dm.unionAll(em).orderBy(col("tbl"), col("metric"))
   }
+
+  /** Temperature-scaled mixture plan: per-source sampling weights
+    * w_s = p_s^α / Σ p_s^α over exact token shares p_s, plus the token
+    * allocation of a fixed training budget — the α-sampling table
+    * (multilingual-BERT / XLM-R convention: α < 1 upsamples the tail,
+    * α = 1 is proportional, α = 0 uniform) that [[mixtureSample]]'s
+    * per-source rates get REFILLED from when the corpus drifts.
+    * Token counts are exact whitespace-word BIGINTs from one narrow
+    * scan; p, the pow(), and the final allocation are the only float
+    * ops and the weight normalizer is a 1-row broadcast. Output is
+    * |sources| rows. Allocations round from the ROUNDED weights, so
+    * the plan a user reads is exactly the plan downstream tooling
+    * gets.
+    */
+  def mixturePlan(spark: SparkSession, dir: String, alpha: Double = 0.5,
+                  budgetTokens: Long = 1000000L): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_tokens"))
+    val tot = perSource.agg(sum(col("n_tokens")).as("t"),
+      sum(pow(col("n_tokens"), lit(alpha))).as("z"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("t"), 5).as("p"),
+        round(pow(col("n_tokens"), lit(alpha)) / col("z"), 5).as("weight"))
+      .withColumn("alloc_tokens",
+        round(col("weight") * budgetTokens).cast("long"))
+      .orderBy(col("source"))
+  }
 }

@@ -234,6 +234,49 @@ object TextRetrieval {
   def bm25TopK(spark: SparkSession, dir: String, query: String, k: Int): DataFrame =
     bm25TopK(spark, dir, sklearnTokenize(query), k)
 
+  /** BM25 with pseudo-relevance feedback (the RM3-shaped lexical twin
+    * of [[VectorSearch.prfTopK]]): pass one retrieves the top `fbK`
+    * docs for the raw terms, the top `expandK` NEW terms by summed
+    * TF-IDF weight across those docs (the persisted `m.w` triples —
+    * no re-tokenization; ties toward the lexicographically smaller
+    * term, sums rounded before the cut per SURVEY §4) join the query
+    * at half weight, and pass two scores the weighted union. Like
+    * every PRF stage only fbK ids + expandK terms touch the driver
+    * (bounded); both passes are the same artifact-backed BM25 join,
+    * so the whole cascade replays in SQL.
+    */
+  def bm25PrfTopK(spark: SparkSession, dir: String, queryTerms: Seq[String],
+                  fbK: Int = 5, expandK: Int = 3, k: Int = 10,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val m = ensureModel(spark, dir)
+    val fbIds = bm25TopK(spark, dir, queryTerms, fbK, k1, b)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val expanded = m.w
+      .where(col("doc_id").isin(fbIds: _*))
+      .where(!col("term").isin(queryTerms.distinct: _*))
+      .groupBy(col("term")).agg(round(sum(col("w")), 5).as("sw"))
+      .orderBy(col("sw").desc, col("term"))
+      .limit(expandK)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    val (dl, avgdl) = ensureBm25(spark, dir, m)
+    import spark.implicits._
+    val q = (queryTerms.distinct.map(t => (t, 1.0)) ++ expanded.map(t => (t, 0.5)))
+      .toDF("term", "qw")
+    val qidf = q.join(m.dfT, Seq("term"), "inner").crossJoin(broadcast(m.n))
+      .withColumn("qidf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .select(col("term"), col("qw"), col("qidf"))
+    m.tf.join(broadcast(qidf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(avgdl))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("qw") * col("qidf") * col("tf") * (lit(k1) + lit(1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+        .as("ts"))
+      .select(col("doc_id"), round(col("ts"), 5).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-document keyword extraction: the top-N TF-IDF-weighted terms
     * of every document, straight from the persisted sparse triples —
     * the "why did this match" explainer and the cheap tag generator.

@@ -593,4 +593,82 @@ class OperatorSpec extends AnyFunSuite {
     val hits = rows.sortBy(_._1).map(_._3)
     assert(hits.zip(hits.tail).forall { case (a, b) => a <= b })
   }
+
+  test("cohort LTV conserves revenue and accumulates monotonically") {
+    import org.apache.spark.sql.functions.{col, round => rnd, sum => ssum}
+    val rows = graft.operators.Analytics.userCohortLtv(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // total cents across the triangle = total purchase revenue cents
+    val totalCents = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type") === "purchase")
+      .agg(ssum(rnd(col("value") * 100).cast("long"))).collect().head.getLong(0)
+    assert(math.round(rows.map(_._4).sum * 100) == totalCents)
+    // per cohort: ages strictly increase and cum LTV never decreases
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val byAge = g.sortBy(_._2)
+      assert(byAge.map(_._2).distinct.length == byAge.length)
+      val ltv = byAge.map(_._5)
+      assert(ltv.zip(ltv.tail).forall { case (a, b) => a <= b + 1e-9 })
+    }
+    // cohort sizes partition the full user base
+    val users = Tables.events(spark, TestSpark.sf).select("user_id").distinct().count()
+    assert(rows.groupBy(_._1).map(_._2.head._3).sum == users)
+  }
+
+  test("type overlap matches a driver-side audience recount") {
+    import org.apache.spark.sql.functions.col
+    val d = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_type")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byType = d.groupBy(_._2).map { case (t, g) => t -> g.map(_._1).toSet }
+    val types = byType.keys.toSeq.sorted
+    val want = (for {
+      a <- types; b <- types if a < b
+      both = (byType(a) & byType(b)).size.toLong if both > 0
+    } yield {
+      val j = BigDecimal(both.toDouble / (byType(a).size + byType(b).size - both))
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b) -> ((byType(a).size.toLong, byType(b).size.toLong, both, j))
+    }).toMap
+    val got = graft.operators.Analytics.eventsTypeOverlap(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == want)
+  }
+
+  test("survival curve telescopes its risk set and never increases") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Analytics.eventsSurvival(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val buyers = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(rows.head._2 == buyers, "day-0 risk set = all first-purchasers")
+    // consecutive rows: next risk set = this one minus exits
+    rows.zip(rows.tail).foreach { case ((_, r1, e1, c1, _, _), (_, r2, _, _, _, _)) =>
+      assert(r2 == r1 - e1 - c1, "risk telescope")
+    }
+    val s = rows.map(_._6)
+    assert(s.zip(s.tail).forall { case (a, b) => a >= b - 1e-9 }, "S non-increasing")
+    assert(s.forall(x => x >= 0.0 && x <= 1.0))
+    // exits are fully accounted: everyone converts or censors
+    assert(rows.map(r => r._3 + r._4).sum == buyers)
+  }
+
+  test("mixture plan: weights normalize and alpha=1 reduces to proportional") {
+    val rows = graft.operators.Curation.mixturePlan(spark, TestSpark.sf).collect()
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_.getLong(5)).sum - 1000000L) < 1000L)
+    // alpha < 1 upsamples the tail: min weight rises vs proportional p
+    val minW = rows.map(r => r.getDouble(4)).min
+    val minP = rows.map(r => r.getDouble(3)).min
+    assert(minW >= minP - 1e-9)
+    val prop = graft.operators.Curation.mixturePlan(spark, TestSpark.sf, alpha = 1.0)
+      .collect()
+    prop.foreach(r => assert(math.abs(r.getDouble(4) - r.getDouble(3)) <= 2e-5,
+      s"alpha=1 weight ${r.getDouble(4)} vs p ${r.getDouble(3)}"))
+  }
 }

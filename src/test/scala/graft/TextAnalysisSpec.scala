@@ -199,6 +199,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scores == scores.sortBy(-_))
   }
 
+  test("bm25 PRF with zero expansion terms reduces exactly to plain bm25") {
+    val terms = Seq("spark", "join", "vector")
+    val plain = TextRetrieval.bm25TopK(spark, TestSpark.sf, terms, 10)
+      .collect().map(_.toSeq).toSeq
+    val prf0 = TextRetrieval.bm25PrfTopK(spark, TestSpark.sf, terms, expandK = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(prf0 == plain)
+    // with expansion on, the result is still a valid descending top-10
+    // and the expansion actually moves at least one score or rank
+    val prf = TextRetrieval.bm25PrfTopK(spark, TestSpark.sf, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(prf.size == 10)
+    val s = prf.map(_._2)
+    assert(s == s.sortBy((x: Double) => -x) && s.forall(_ > 0.0))
+    assert(prf != plain.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Double])),
+      "expansion terms must perturb the ranking on this corpus")
+  }
+
   test("bm25 penalizes document length where tfidf cosine does not reward it") {
     // two docs with the same query-term tf: BM25 must score the longer
     // one strictly lower (the b·dl/avgdl length normalization)
