@@ -395,6 +395,14 @@ object SparkEntry {
     "corpus_mixture_plan" -> ((s, d) => Curation.mixturePlan(s, d)),
     // BM25 with pseudo-relevance-feedback term expansion (RM3 shape)
     "bm25_prf_topk" -> ((s, d) => TextRetrieval.bm25PrfTopK(s, d, Seq("spark", "join", "vector"))),
+    // top-N bigram collocations by PMI with support floor
+    "collocation_pmi" -> ((s, d) => TextAnalysis.collocationPmi(s, d)),
+    // OOV occurrence share per (lang, source) vs the top-V vocab
+    "vocab_oov_rate" -> ((s, d) => TextAnalysis.vocabOovRate(s, d)),
+    // kNN classifier confusion matrix (which clusters overlap)
+    "knn_confusion" -> ((s, d) => VectorSearch.knnConfusion(s, d)),
+    // kNN length regression RMSE/MAE (distances-carry-signal probe)
+    "knn_regress_eval" -> ((s, d) => VectorSearch.knnRegressEval(s, d)),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free
@@ -3217,6 +3225,71 @@ object SparkEntry {
          |                 (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))), 5) AS score
          |FROM tf JOIN qi USING (term) JOIN dl USING (doc_id), ad
          |GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // PMI as ln(c12*U/T * U/(c1*c2)) — the overflow-safe association
+    // order both engines evaluate identically; support floor 5
+    "collocation_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |wd AS (SELECT unnest(toks) AS w FROM t),
+        |uni AS (SELECT w, count(*) AS c FROM wd GROUP BY 1),
+        |uu AS (SELECT count(*) AS u FROM wd),
+        |bg0 AS (SELECT unnest([array_to_string(toks[i+1:i+2], ' ')
+        |               for i in range(len(toks) - 1)]) AS bigram FROM t),
+        |tt AS (SELECT count(*) AS t FROM bg0),
+        |bg AS (SELECT bigram, count(*) AS c12 FROM bg0 GROUP BY 1
+        |       HAVING count(*) >= 5),
+        |sp AS (SELECT bigram, c12, string_split(bigram, ' ')[1] AS w1,
+        |              string_split(bigram, ' ')[2] AS w2 FROM bg)
+        |SELECT sp.bigram, sp.c12, u1.c AS c1, u2.c AS c2,
+        |       round(ln(sp.c12::DOUBLE * uu.u / tt.t * uu.u / u1.c / u2.c), 5) AS pmi
+        |FROM sp JOIN uni u1 ON u1.w = sp.w1 JOIN uni u2 ON u2.w = sp.w2, uu, tt
+        |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
+    // deterministic vocab: top-V terms by corpus tf, ties
+    // lexicographic; rate = exact integer ratio
+    "vocab_oov_rate" ->
+      """WITH tok AS (SELECT lang, source, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        |voc AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 2000)
+        |SELECT lang, source, count(*) AS n_tokens,
+        |       count(*) FILTER (v.w IS NULL) AS n_oov,
+        |       round(count(*) FILTER (v.w IS NULL) / count(*), 5) AS oov_rate
+        |FROM tok LEFT JOIN voc v USING (w)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the knn_classify pipeline at queryMod=20, aggregated to the
+    // (true, predicted) matrix
+    "knn_confusion" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 20 = 0
+         |           ORDER BY vec_id LIMIT 64),
+         |s AS (SELECT q.q_id, q.q_label, e.vec_id AS n_id, e.label AS n_label,
+         |             ${cos5("e.embedding", "q.qv")} AS score
+         |      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+         |      FROM s QUALIFY rk <= 10),
+         |v AS (SELECT q_id, q_label, n_label, count(*) AS n_votes FROM r GROUP BY 1, 2, 3),
+         |p AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, n_label) AS vr
+         |      FROM v QUALIFY vr = 1)
+         |SELECT q_label::BIGINT AS q_label, n_label::BIGINT AS pred_label,
+         |       count(*) AS n
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same exact top-k window, n_chars target joined by id; the
+    // prediction is an exact k-row integer sum divided once
+    "knn_regress_eval" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 20 = 0
+         |           ORDER BY vec_id LIMIT 64),
+         |s AS (SELECT q.q_id, e.vec_id AS n_id,
+         |             ${cos5("e.embedding", "q.qv")} AS score
+         |      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+         |      FROM s QUALIFY rk <= 10),
+         |p AS (SELECT r.q_id, sum(d.n_chars) / 10.0 AS pred
+         |      FROM r JOIN documents d ON d.doc_id = r.n_id GROUP BY 1)
+         |SELECT count(*) AS n_queries,
+         |       round(sqrt(avg(pow(p.pred - d.n_chars, 2))), 4) AS rmse,
+         |       round(avg(abs(p.pred - d.n_chars)), 4) AS mae,
+         |       round(avg(d.n_chars), 4) AS mean_actual
+         |FROM p JOIN documents d ON d.doc_id = p.q_id""".stripMargin,
   )
 
   /** The signed-BIGINT reading of DuckDB's `md5_number_upper` — the

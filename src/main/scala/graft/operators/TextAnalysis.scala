@@ -799,6 +799,75 @@ object TextAnalysis {
     * that explode is doc-blocked exactly like [[docRepetition]]'s.
     * Ratios are exact-integer divisions (SURVEY §4).
     */
+  /** Bigram collocations ranked by pointwise mutual information — the
+    * classic "strongly associated word pair" extractor (Church & Hanks
+    * 1990): PMI = ln(P(w1w2) / (P(w1)P(w2))) with bigram probability
+    * over the corpus's T adjacent pairs and unigram probabilities over
+    * its U tokens, computed as ln(c12·U/T · U/(c1·c2)) so no integer
+    * product can overflow at any corpus size (the BIGINT c12·U² would
+    * at ~sf1) — raw frequency ([[graft.operators.Curation.bigramFreq]])
+    * surfaces "of the"; PMI surfaces names and technical terms. The
+    * `minCount` support floor drops the unstable hapax pairs PMI is
+    * notorious for. One token explode feeds the unigram counts, one
+    * adjacency explode the bigrams; both joins carry one row per
+    * distinct word (AQE-broadcast); the final cut is TakeOrdered on
+    * (rounded pmi, bigram).
+    */
+  def collocationPmi(spark: SparkSession, dir: String, topN: Int = 50,
+                     minCount: Long = 5L): DataFrame = {
+    val toks = split(col("text"), " ")
+    val docs = Tables.documents(spark, dir).select(toks.as("toks"))
+    val words = docs.select(explode(col("toks")).as("w"))
+    val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totU = words.agg(count(lit(1)).as("u"))
+    val pairs = docs.select(explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(2)))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+    val totT = pairs.agg(count(lit(1)).as("t"))
+    pairs.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totU)).crossJoin(broadcast(totT))
+      .select(col("bigram"), col("c12"), col("c1"), col("c2"),
+        round(log(col("c12").cast("double") * col("u") / col("t") *
+          col("u") / col("c1") / col("c2")), 5).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topN)
+  }
+
+  /** Out-of-vocabulary pressure per (lang, source): the share of token
+    * occurrences falling outside the corpus's top-`vocabSize`
+    * vocabulary — the number that predicts how a fixed-vocab tokenizer
+    * will shatter each slice (high OOV ⇒ long byte-fallback token
+    * sequences ⇒ the fertility blowup [[tokenFertility]] measures
+    * after the fact). The vocabulary is the top terms by corpus
+    * frequency (ties lexicographic — deterministic), cut with
+    * TakeOrdered and broadcast back (vocabSize rows); the rate is an
+    * exact integer ratio. Two token-explode scans (count + probe) —
+    * the explode is never cached because at corpus scale it must not
+    * be.
+    */
+  def vocabOovRate(spark: SparkSession, dir: String,
+                   vocabSize: Int = 2000): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(vocabSize)
+      .select(col("w"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("w"), "left_outer")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 5))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Tokenizer-fertility budgeting per (lang, source) — the
     * multilingual sampling table (how many subword tokens a corpus
     * slice costs per word/char decides its mixture weight and its

@@ -104,12 +104,16 @@ object VectorSearch {
     * [[knnClassify]] MUST rank from this one definition — their
     * oracles assume the identical top-k.
     */
-  private def knnTopKByLabel(spark: SparkSession, dir: String,
-                             queryMod: Int, k: Int): DataFrame = {
+  private def knnTopKByLabel(spark: SparkSession, dir: String, queryMod: Int,
+                             k: Int, maxQueries: Int = Int.MaxValue): DataFrame = {
     val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
-    val q = e.where(col("vec_id") % queryMod === 0)
+    val q0 = e.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("embedding").as("qv"), col("nrm").as("qn"))
+    // bounded sample (lowest ids, a TakeOrdered cut the oracle
+    // replays): keeps the broadcast batch O(1) in the corpus size
+    val q = if (maxQueries == Int.MaxValue) q0
+            else q0.orderBy(col("q_id")).limit(maxQueries)
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("q_label"), col("label").as("n_label"), col("vec_id").as("n_id"),
         round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
@@ -137,8 +141,9 @@ object VectorSearch {
     * query batch, one corpus scan, per-query window top-k — plus one
     * extra aggregate over k rows per query (negligible).
     */
-  def knnClassify(spark: SparkSession, dir: String, queryMod: Int, k: Int): DataFrame = {
-    val votes = knnTopKByLabel(spark, dir, queryMod, k)
+  def knnClassify(spark: SparkSession, dir: String, queryMod: Int, k: Int,
+                  maxQueries: Int = Int.MaxValue): DataFrame = {
+    val votes = knnTopKByLabel(spark, dir, queryMod, k, maxQueries)
       .groupBy(col("q_id"), col("q_label"), col("n_label"))
       .agg(count(lit(1)).as("n_votes"))
     val vw = Window.partitionBy(col("q_id")).orderBy(col("n_votes").desc, col("n_label"))
@@ -147,6 +152,48 @@ object VectorSearch {
         col("n_label").cast("long").as("pred_label"), col("n_votes"),
         (col("q_label") === col("n_label")).as("correct"))
       .orderBy(col("q_id"))
+  }
+
+  /** Confusion matrix of the kNN classifier ([[knnClassify]] at a
+    * denser query sample): counts per (true label, predicted label) —
+    * the table that turns a single accuracy number into "label 3 is
+    * absorbed by label 1", i.e. which embedding clusters actually
+    * overlap. Same broadcast batch/scan/window as the classifier; the
+    * matrix aggregate adds |labels|² bounded rows. The sample is
+    * BOUNDED (lowest `maxQueries` mod-selected ids — a TakeOrdered cut
+    * the oracle replays): an unbounded mod-sample grows with the
+    * corpus and turns the broadcast batch×scan into O(corpus²/mod) —
+    * the familyEval lesson (BASELINE.md sf1 series).
+    */
+  def knnConfusion(spark: SparkSession, dir: String, queryMod: Int = 20,
+                   k: Int = 10, maxQueries: Int = 64): DataFrame =
+    knnClassify(spark, dir, queryMod, k, maxQueries)
+      .groupBy(col("q_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("q_label"), col("pred_label"))
+
+  /** kNN regression evaluation: predict each sampled query document's
+    * length (`n_chars`, the one numeric target the corpus carries per
+    * vector id) as the MEAN of its k nearest neighbors' lengths, and
+    * report RMSE/MAE against truth — the standard "do distances in
+    * this embedding space carry the signal" probe, and the regression
+    * twin of [[knnLabelPrecision]]. Neighbor lists are the same exact
+    * top-k window; the target joins in by id (vec_id = doc_id,
+    * SURVEY §2's data model); the prediction is an exact integer sum
+    * over exactly k rows divided once. Output is one summary row.
+    */
+  def knnRegressEval(spark: SparkSession, dir: String, queryMod: Int = 20,
+                     k: Int = 10, maxQueries: Int = 64): DataFrame = {
+    val chars = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val pred = knnTopKByLabel(spark, dir, queryMod, k, maxQueries)
+      .join(chars.select(col("doc_id").as("n_id"), col("n_chars")), Seq("n_id"))
+      .groupBy(col("q_id"))
+      .agg((sum(col("n_chars")) / lit(k.toDouble)).as("pred"))
+    pred.join(chars.select(col("doc_id").as("q_id"), col("n_chars").as("actual")), Seq("q_id"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sqrt(avg(pow(col("pred") - col("actual"), 2))), 4).as("rmse"),
+        round(avg(abs(col("pred") - col("actual"))), 4).as("mae"),
+        round(avg(col("actual")), 4).as("mean_actual"))
   }
 
   /** Embedding-corpus sanity stats: per-label vector count and L2-norm

@@ -58,6 +58,31 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n_events"), col("sess_value"))
 
+  /** Sliding-window item engagement counts — the always-on feed under
+    * a trending dashboard (the streaming building block behind
+    * Analytics.itemTrending's batch ratios): each event votes into
+    * every `windowDur` window that contains it, advancing every
+    * `slideDur`, so the newest window is at most one slide stale. The
+    * item key comes out of the JSON props exactly like the batch
+    * operators'. Ranking/thresholding happens downstream of the sink
+    * (a top-k over a sliding window is not expressible in append mode
+    * — the window's membership keeps changing until the watermark
+    * closes it); the state store holds |open windows|×|active items|
+    * rows, bounded by the watermark horizon.
+    */
+  def trendingCounts(events: DataFrame, windowDur: String = "1 hour",
+                     slideDur: String = "15 minutes",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .groupBy(window(col("ts"), windowDur, slideDur), col("item_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("item_id"), col("n"))
+
   /** Stream-stream interval join — the online twin of
     * Analytics.eventsAsOf's attribution question: every purchase is
     * matched to the same user's views in the lookback window

@@ -15,6 +15,9 @@ case class NewVec(vec_id: Long, embedding: Array[Float])
 
 case class DocRow(doc_id: Long, text: String)
 
+case class PropsEvent(event_id: Long, ts: Timestamp, user_id: Long,
+                      event_type: String, props: String)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -43,6 +46,40 @@ class StreamingSpec extends AnyFunSuite {
         .toSet
       assert(got == batch)
       assert(got.contains((0L, "view", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sliding trending counts vote each event into every containing window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    case object Ignore
+    val events = Seq(
+      PropsEvent(1, t(45), 1, "view", """{"k":7}"""),
+      PropsEvent(2, t(50), 2, "view", """{"k":7}"""),
+      PropsEvent(3, t(95), 3, "view", """{"k":9}"""),
+      PropsEvent(4, t(100), 4, "view", null),
+      PropsEvent(5, t(400), 1, "view", """{"k":7}"""))
+    val stream = MemoryStream[PropsEvent]
+    val q = graft.streaming.EventStreams
+      .trendingCounts(stream.toDF(), "1 hour", "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("trend").outputMode("complete").start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.table("trend").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(2), r.getLong(3))).toSet
+      // the minute-45/50 pair belongs to BOTH the window starting at 0
+      // and the one starting at 30 — sliding membership
+      assert(got.contains((0L, 7L, 2L)))
+      assert(got.contains((30L, 7L, 2L)))
+      // null-props rows are dropped, not hashed to an item
+      assert(!got.exists(_._2 == 0L))
+      // identical transform over the bounded frame — backfill parity
+      val batch = graft.streaming.EventStreams
+        .trendingCounts(events.toDF(), "1 hour", "30 minutes", "2 hours")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == batch)
     } finally q.stop()
   }
 

@@ -199,6 +199,51 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scores == scores.sortBy(-_))
   }
 
+  test("collocation PMI matches a driver-side count recount") {
+    val texts = Tables.documents(spark, TestSpark.sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val toks = texts.map(_.split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val u = toks.map(_.size).sum.toLong
+    val bgs = toks.flatMap(t => t.zip(t.tail).map { case (a, b) => s"$a $b" })
+    val tTot = bgs.size.toLong
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = bgs.groupBy(identity).map { case (bg, g) => bg -> g.size.toLong }
+      .filter(_._2 >= 5L).toSeq
+      .map { case (bg, c12) =>
+        val Array(w1, w2) = bg.split(" ", -1) match {
+          case a if a.length == 2 => a
+          case a => Array(a.head, a.tail.mkString(" ")) // not reachable for space-split tokens
+        }
+        (bg, c12, uni(w1), uni(w2),
+          r5(math.log(c12.toDouble * u / tTot * u / uni(w1) / uni(w2))))
+      }
+      .sortBy { case (bg, _, _, _, pmi) => (-pmi, bg) }.take(50)
+    val got = TextAnalysis.collocationPmi(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(got == want)
+  }
+
+  test("OOV rate recounts against a driver-built top-V vocabulary") {
+    val rows = Tables.documents(spark, TestSpark.sf)
+      .select(col("lang"), col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val counts = rows.flatMap(_._3).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(2000).map(_._1).toSet
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = rows.groupBy(t => (t._1, t._2)).map { case (k, g) =>
+      val ws = g.flatMap(_._3)
+      val oov = ws.count(!vocab.contains(_)).toLong
+      k -> ((ws.size.toLong, oov, r5(oov.toDouble / ws.size)))
+    }
+    val got = TextAnalysis.vocabOovRate(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == want)
+  }
+
   test("bm25 PRF with zero expansion terms reduces exactly to plain bm25") {
     val terms = Seq("spark", "join", "vector")
     val plain = TextRetrieval.bm25TopK(spark, TestSpark.sf, terms, 10)

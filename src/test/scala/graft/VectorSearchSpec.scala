@@ -613,6 +613,33 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("knn confusion matrix partitions the classifier's query sample") {
+    val cls = VectorSearch.knnClassify(spark, TestSpark.sf, queryMod = 20, k = 10,
+        maxQueries = 64)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val want = cls.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val got = VectorSearch.knnConfusion(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(got.values.sum == cls.length)
+    // diagonal mass = classifier accuracy count
+    val diag = got.collect { case ((a, b), n) if a == b => n }.sum
+    assert(diag == cls.count(t => t._1 == t._2))
+  }
+
+  test("knn regression eval reports coherent error metrics") {
+    val row = VectorSearch.knnRegressEval(spark, TestSpark.sf).collect().head
+    val nQ = math.min(Tables.embeddings(spark, TestSpark.sf)
+      .where(col("vec_id") % 20 === 0).count(), 64L)
+    assert(row.getLong(0) == nQ)
+    val (rmse, mae, mean) = (row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    assert(rmse >= mae - 1e-9, "RMSE dominates MAE by Jensen")
+    assert(mae >= 0.0 && rmse >= 0.0)
+    // the mean-length predictor is only useful if its error is small
+    // relative to the target scale — sanity, not a quality gate
+    assert(mean > 0.0 && rmse < 10 * mean)
+  }
+
   test("range search returns exactly the neighbors inside the radius, ordered") {
     def cos5(a: Array[Float], b: Array[Float]): Double = {
       val d = a.zip(b).map(p => p._1.toDouble * p._2.toDouble).sum
