@@ -403,6 +403,18 @@ object SparkEntry {
     "knn_confusion" -> ((s, d) => VectorSearch.knnConfusion(s, d)),
     // kNN length regression RMSE/MAE (distances-carry-signal probe)
     "knn_regress_eval" -> ((s, d) => VectorSearch.knnRegressEval(s, d)),
+    // linear multi-touch revenue attribution to viewed items
+    "attribution_linear" -> ((s, d) => Analytics.attributionLinear(s, d)),
+    // aggregate-diversity report of the co-visitation recommender
+    "rec_coverage" -> ((s, d) => Rec.recCoverage(s, d)),
+    // per-minute rate percentiles per type (stream sizing table)
+    "events_peak_load" -> ((s, d) => Analytics.eventsPeakLoad(s, d)),
+    // occurrence coverage at doubling vocab cuts (tokenizer sizing)
+    "vocab_coverage_curve" -> ((s, d) => TextAnalysis.vocabCoverageCurve(s, d)),
+    // avg quantity + lift per discount level (pricing read)
+    "discount_lift" -> ((s, d) => Analytics.discountLift(s, d)),
+    // deterministic T5-style span-corruption (input, target) pairs
+    "span_corruption_prep" -> ((s, d) => TextAnalysis.spanCorruptionPrep(s, d)),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free
@@ -3290,6 +3302,110 @@ object SparkEntry {
          |       round(avg(abs(p.pred - d.n_chars)), 4) AS mae,
          |       round(avg(d.n_chars), 4) AS mean_actual
          |FROM p JOIN documents d ON d.doc_id = p.q_id""".stripMargin,
+    // user-keyed interval match, per-purchase touch count by window,
+    // equal cents/n splits summed per item
+    "attribution_linear" ->
+      """WITH v AS (SELECT user_id,
+        |                  json_extract_string(props, '$.k')::BIGINT AS item_id,
+        |                  epoch_ms(ts) AS v_ts
+        |           FROM events WHERE event_type = 'view'
+        |             AND json_extract_string(props, '$.k') IS NOT NULL),
+        |p AS (SELECT user_id, event_id AS p_id, epoch_ms(ts) AS p_ts,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT p.p_id, v.item_id, p.cents FROM p JOIN v
+        |      ON v.user_id = p.user_id AND v.v_ts < p.p_ts
+        |     AND v.v_ts >= p.p_ts - 604800000),
+        |t AS (SELECT *, count(*) OVER (PARTITION BY p_id) AS n_touch FROM m)
+        |SELECT item_id, count(*) AS n_touches,
+        |       count(DISTINCT p_id) AS n_purchases,
+        |       round(sum(cents / n_touch) / 100.0, 2) AS attributed_revenue
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // item_cooc's top-N lists aggregated to the coverage /
+    // concentration report; decile cut by (slots, item id)
+    "rec_coverage" ->
+      """WITH ui AS (SELECT DISTINCT user_id,
+        |                   json_extract_string(props, '$.k')::BIGINT AS item_id
+        |            FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')
+        |              AND json_extract_string(props, '$.k') IS NOT NULL),
+        |bk AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+        |capped AS (SELECT ui.user_id, ui.item_id FROM ui
+        |           JOIN bk USING (user_id) WHERE bk.basket <= 500),
+        |pairs AS (SELECT a.item_id, b.item_id AS rec_item_id, count(*) AS n_users
+        |          FROM capped a JOIN capped b USING (user_id)
+        |          WHERE a.item_id <> b.item_id GROUP BY 1, 2),
+        |recs AS (SELECT item_id, rec_item_id,
+        |                row_number() OVER (PARTITION BY item_id
+        |                  ORDER BY n_users DESC, rec_item_id) AS rk
+        |         FROM pairs QUALIFY rk <= 5),
+        |cat AS (SELECT count(DISTINCT item_id) AS n_catalog FROM recs),
+        |slots AS (SELECT rec_item_id, count(*) AS n_slots FROM recs GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_recommended, sum(n_slots)::BIGINT AS total_slots,
+        |               max(n_slots) AS max_slots FROM slots),
+        |rkd AS (SELECT *, row_number() OVER (ORDER BY n_slots DESC, rec_item_id) AS rk
+        |        FROM slots),
+        |dec AS (SELECT sum(n_slots)::BIGINT AS decile_slots FROM rkd, tot
+        |        WHERE rkd.rk <= ceil(tot.n_recommended / 10.0))
+        |SELECT cat.n_catalog, tot.n_recommended,
+        |       round(tot.n_recommended / cat.n_catalog, 5) AS coverage,
+        |       tot.total_slots,
+        |       round(tot.max_slots / tot.total_slots, 5) AS max_item_share,
+        |       round(dec.decile_slots / tot.total_slots, 5) AS top_decile_share
+        |FROM tot, dec, cat""".stripMargin,
+    // exact interpolated quantiles over the bounded (type, minute)
+    // rollup — the interevent_gaps convention
+    "events_peak_load" ->
+      """WITH m AS (SELECT event_type, epoch_ms(ts) // 60000 AS minute, count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_minutes, sum(n)::BIGINT AS n_events,
+        |       round(quantile_cont(n, 0.5), 3) AS p50_per_min,
+        |       round(quantile_cont(n, 0.95), 3) AS p95_per_min,
+        |       round(quantile_cont(n, 0.99), 3) AS p99_per_min,
+        |       max(n) AS max_per_min,
+        |       round(sum(n) / count(*), 3) AS mean_per_min
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // one TakeOrdered top-8000 cut, rank window over those rows only,
+    // conditional sums per doubling cut
+    "vocab_coverage_curve" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |tt AS (SELECT count(*) AS total_tokens FROM tok),
+        |top AS (SELECT w, count(*) AS c FROM tok GROUP BY 1
+        |        ORDER BY c DESC, w LIMIT 8000),
+        |rkd AS (SELECT *, row_number() OVER (ORDER BY c DESC, w) AS rk FROM top),
+        |ks AS (SELECT unnest([1000, 2000, 4000, 8000])::BIGINT AS vocab_size)
+        |SELECT ks.vocab_size, sum(rkd.c)::BIGINT AS covered_tokens, tt.total_tokens,
+        |       round(sum(rkd.c) / tt.total_tokens, 5) AS coverage
+        |FROM ks JOIN rkd ON rkd.rk <= ks.vocab_size, tt
+        |GROUP BY 1, tt.total_tokens ORDER BY 1""".stripMargin,
+    // exact cent-valued discount keys, integer quantity sums, one
+    // division at the end; baseline is the 1-row zero-discount level
+    "discount_lift" ->
+      """WITH l AS (SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+        |                  CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+        |per AS (SELECT discount_pct, count(*) AS n_lines, sum(q)::BIGINT AS sum_qty
+        |        FROM l GROUP BY 1),
+        |b AS (SELECT sum_qty / n_lines AS base_avg FROM per WHERE discount_pct = 0)
+        |SELECT discount_pct, n_lines, round(sum_qty / n_lines, 5) AS avg_qty,
+        |       round(sum_qty / n_lines / b.base_avg, 5) AS lift_vs_no_discount
+        |FROM per, b ORDER BY 1""".stripMargin,
+    // the deterministic group schedule replayed with list
+    // comprehensions: every 6th 3-token group masked
+    "span_corruption_prep" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 3.0) AS INT) AS ng
+        |      FROM t WHERE len(toks) >= 3),
+        |b AS (SELECT doc_id,
+        |  flatten([CASE WHEN g % 6 = 0 THEN ['<extra_id>']
+        |                ELSE toks[g*3+1 : g*3+3] END for g in range(ng)]) AS inp,
+        |  flatten([['<extra_id>'] || toks[g*3+1 : g*3+3]
+        |           for g in range(ng) if g % 6 = 0]) AS tgt
+        |  FROM g)
+        |SELECT doc_id, array_to_string(inp, ' ') AS input_text,
+        |       array_to_string(tgt, ' ') AS target_text,
+        |       (len(tgt) - len(list_filter(tgt, x -> x = '<extra_id>')))::BIGINT
+        |         AS n_masked_tokens
+        |FROM b ORDER BY doc_id""".stripMargin,
   )
 
   /** The signed-BIGINT reading of DuckDB's `md5_number_upper` — the

@@ -1909,4 +1909,95 @@ object Analytics {
         col("c").as("n_censored"), col("hazard"), col("survival"))
       .orderBy(col("day"))
   }
+
+  /** Linear multi-touch attribution: each purchase's revenue splits
+    * EQUALLY across the items the user viewed in the preceding
+    * `lookbackDays` — the fairness-baseline model between
+    * [[firstTouchConversion]] (all credit to the first touch) and
+    * last-touch; per item the attributed revenue is what merchandising
+    * reads as "this item's influence". Money in exact cents; the
+    * per-purchase touch count is a window over the matched touches
+    * (never the stream), the only floats are the per-touch
+    * cents/n_touch splits summed per item and rounded once.
+    * Purchases with no qualifying view carry no attributable signal
+    * and drop out (documented, standard for position-free models).
+    * Scale shape: a user-keyed interval join (the
+    * [[eventsAsOf]]/band-join family), one window keyed by purchase
+    * id, one item-keyed aggregate.
+    */
+  def attributionLinear(spark: SparkSession, dir: String,
+                        lookbackDays: Int = 7): DataFrame = {
+    val lookMs = lookbackDays * 86400000L
+    val v = Tables.events(spark, dir)
+      .where(col("event_type") === "view")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"),
+        col("ts_ms").as("v_ts"))
+      .where(col("item_id").isNotNull)
+    val p = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts_ms").as("p_ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val matched = p.join(v, p("user_id") === v("user_id") &&
+        col("v_ts") < col("p_ts") && col("v_ts") >= col("p_ts") - lookMs)
+      .select(col("p_id"), col("item_id"), col("cents"))
+    val wp = Window.partitionBy(col("p_id"))
+    matched
+      .withColumn("n_touch", count(lit(1)).over(wp))
+      .groupBy(col("item_id"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        round(sum(col("cents") / col("n_touch")) / 100.0, 2).as("attributed_revenue"))
+      .orderBy(col("item_id"))
+  }
+
+  /** Peak-load sizing table: the distribution of per-MINUTE event
+    * rates per type (mean / p50 / p95 / p99 / max) — the number that
+    * sizes stream executors and alert thresholds, where
+    * [[hourlyRollup]] averages the bursts away. One map-side-combined
+    * (type, minute) rollup; the percentiles run over that bounded
+    * |types|×|minutes| frame with the exact interpolated `percentile`
+    * (`approx_percentile` is the documented 100 TB drop-in, same as
+    * [[intereventGaps]]); mean is an exact-integer division rounded
+    * once.
+    */
+  def eventsPeakLoad(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_ms div 60000").as("minute"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_minutes"),
+        sum(col("n")).as("n_events"),
+        round(expr("percentile(n, 0.5D)"), 3).as("p50_per_min"),
+        round(expr("percentile(n, 0.95D)"), 3).as("p95_per_min"),
+        round(expr("percentile(n, 0.99D)"), 3).as("p99_per_min"),
+        max(col("n")).as("max_per_min"))
+      .withColumn("mean_per_min", round(col("n_events") / col("n_minutes"), 3))
+      .orderBy(col("event_type"))
+
+  /** Discount-lift table: average line quantity per discount level and
+    * its lift over the zero-discount baseline — the first-order "does
+    * discounting move volume" read a pricing team pulls from the
+    * order history (TPC-H Q6 asks the revenue version; this asks the
+    * behavioral one). Discount levels are the exact cent values
+    * already in the data (`round(l_discount·100)` — no float keys);
+    * quantities sum as exact integers; the averages and lift divide
+    * once at the end. One lineitem scan, |discount levels| rows, the
+    * 1-row baseline broadcast back.
+    */
+  def discountLift(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(round(col("l_discount") * 100).cast("long").as("discount_pct"),
+        col("l_quantity"))
+    val per = l.groupBy(col("discount_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+    val base = per.where(col("discount_pct") === 0)
+      .select((col("sum_qty") / col("n_lines")).as("base_avg"))
+    per.crossJoin(broadcast(base))
+      .select(col("discount_pct"), col("n_lines"),
+        round(col("sum_qty") / col("n_lines"), 5).as("avg_qty"),
+        round(col("sum_qty") / col("n_lines") / col("base_avg"), 5).as("lift_vs_no_discount"))
+      .orderBy(col("discount_pct"))
+  }
 }

@@ -92,4 +92,41 @@ object Rec {
         round(col("n_hits") / col("n_users"), 5).as("hit_rate"))
       .orderBy(col("k"))
   }
+
+  /** Aggregate-diversity report for the co-visitation recommender:
+    * what fraction of the catalog ever appears in a top-N list
+    * (coverage), and how concentrated the slots are — the
+    * most-recommended item's share and the top-decile share (Adomavicius
+    * & Kwon 2012's aggregate-diversity lens; a recommender can score
+    * high hit-rate while only ever surfacing bestsellers, which
+    * [[recHoldoutEval]] alone would never show). Inputs are
+    * [[Analytics.itemCooccurrence]]'s top-N lists; every metric is an
+    * exact integer ratio over the bounded |items|×N slot frame,
+    * rounded once. The decile cut is ceil(|distinct recs|/10) items by
+    * (slot count, item id) — deterministic, WindowGroupLimit-bounded.
+    */
+  def recCoverage(spark: SparkSession, dir: String, topN: Int = 5): DataFrame = {
+    val recs = Analytics.itemCooccurrence(spark, dir, topN)
+      .select(col("item_id"), col("rec_item_id"))
+    val catalog = recs.select(col("item_id")).distinct()
+      .agg(count(lit(1)).as("n_catalog"))
+    val slots = recs.groupBy(col("rec_item_id")).agg(count(lit(1)).as("n_slots"))
+    val totals = slots.agg(count(lit(1)).as("n_recommended"),
+      sum(col("n_slots")).as("total_slots"),
+      max(col("n_slots")).as("max_slots"))
+    val w = Window.orderBy(col("n_slots").desc, col("rec_item_id"))
+    val ranked = slots.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(totals))
+    val decile = ranked
+      .where(col("rk") <= ceil(col("n_recommended") / 10.0))
+      .agg(sum(col("n_slots")).as("decile_slots"))
+    totals
+      .crossJoin(broadcast(decile))
+      .crossJoin(broadcast(catalog))
+      .select(col("n_catalog"), col("n_recommended"),
+        round(col("n_recommended") / col("n_catalog"), 5).as("coverage"),
+        col("total_slots"),
+        round(col("max_slots") / col("total_slots"), 5).as("max_item_share"),
+        round(col("decile_slots") / col("total_slots"), 5).as("top_decile_share"))
+  }
 }

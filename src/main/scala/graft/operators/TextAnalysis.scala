@@ -839,6 +839,71 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Vocabulary coverage curve: what fraction of all token
+    * OCCURRENCES the top-K corpus terms cover, at the standard
+    * doubling cuts — the "how big must the vocab be" sizing curve a
+    * tokenizer budget reads before [[vocabOovRate]] audits the chosen
+    * size per slice. One token count, ONE TakeOrdered cut at the
+    * largest K (bounded — the ranking window then runs over those
+    * maxK rows only, never the vocabulary), conditional sums per cut;
+    * coverage is an exact integer ratio.
+    */
+  def vocabCoverageCurve(spark: SparkSession, dir: String,
+                         cuts: Seq[Int] = Seq(1000, 2000, 4000, 8000)): DataFrame = {
+    val maxK = cuts.max
+    val tok = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val total = tok.agg(count(lit(1)).as("total_tokens"))
+    val top = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("w"))))
+    top.select(explode(typedlit(cuts.map(_.toLong))).as("vocab_size"),
+        col("rk"), col("c"))
+      .where(col("rk") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(sum(col("c")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("covered_tokens"), col("total_tokens"),
+        round(col("covered_tokens") / col("total_tokens"), 5).as("coverage"))
+      .orderBy(col("vocab_size"))
+  }
+
+  /** T5-style span-corruption pair prep (Raffel et al. 2020 §3.1.4,
+    * made DETERMINISTIC: instead of random 15% spans, every
+    * `period`-th group of `spanLen` tokens is masked — the same
+    * groups on every engine and every run, so the pairs are
+    * reproducible and the DuckDB oracle replays them; swap the group
+    * predicate for a salted hash when production wants randomness).
+    * `input_text` replaces each masked span with the sentinel,
+    * `target_text` is the sentinel-prefixed concatenation of the
+    * dropped spans — the (inputs, targets) shape a denoising trainer
+    * consumes, next to [[graft.operators.Curation.packSequences]] in
+    * the prep pipeline. Pure per-row array arithmetic (group
+    * slicing via transform/flatten) — zero shuffle, one narrow scan.
+    */
+  def spanCorruptionPrep(spark: SparkSession, dir: String, spanLen: Int = 3,
+                         period: Int = 6, sentinel: String = "<extra_id>"): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nGroups = ceil(size(toks) / lit(spanLen.toDouble)).cast("int")
+    val masked = (g: Column) => g % period === 0
+    val inputArr = flatten(transform(sequence(lit(0), nGroups - 1),
+      g => when(masked(g), array(lit(sentinel)))
+        .otherwise(slice(toks, g * spanLen + 1, lit(spanLen)))))
+    val targetArr = flatten(transform(
+      filter(sequence(lit(0), nGroups - 1), g => masked(g)),
+      g => concat(array(lit(sentinel)), slice(toks, g * spanLen + 1, lit(spanLen)))))
+    Tables.documents(spark, dir)
+      .where(size(toks) >= spanLen)
+      .select(col("doc_id"),
+        concat_ws(" ", inputArr).as("input_text"),
+        concat_ws(" ", targetArr).as("target_text"),
+        (size(targetArr) - size(filter(targetArr, t => t === sentinel)))
+          .cast("long").as("n_masked_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Out-of-vocabulary pressure per (lang, source): the share of token
     * occurrences falling outside the corpus's top-`vocabSize`
     * vocabulary — the number that predicts how a fixed-vocab tokenizer

@@ -112,6 +112,30 @@ object EventStreams {
         col("view_id"), col("v_ts"), col("value"))
   }
 
+  /** Streaming anomaly flagger: windowed per-type counts z-scored
+    * against a STATIC baseline frame (event_type, mean, std — built
+    * offline by the batch seasonality/anomaly operators and refreshed
+    * on whatever cadence the ops team trusts). Stream-static joins
+    * need no watermark on the static side and never grow state, so
+    * this is the cheapest online detector shape: the heavy statistics
+    * stay in batch, the stream pays one broadcast join per
+    * micro-batch. Windows whose |z| clears `zThreshold` carry
+    * `anomaly = true`; rows with no baseline (new event type) flag
+    * NULL — surfaced, not dropped, because an unknown type IS an
+    * anomaly signal.
+    */
+  def anomalyFlags(events: DataFrame, baseline: DataFrame,
+                   windowDur: String = "1 hour", watermark: String = "2 hours",
+                   zThreshold: Double = 3.0): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(baseline), Seq("event_type"), "left_outer")
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"),
+        round((col("n") - col("mean")) / col("std"), 5).as("z"),
+        (abs((col("n") - col("mean")) / col("std")) >= zThreshold).as("anomaly"))
+
   /** Custom stateful sessionizer via flatMapGroupsWithState — the
     * fully-controlled variant of sessionWindows for semantics
     * session_window can't express (per-session running payloads,

@@ -526,6 +526,80 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == totalUsers)
   }
 
+  test("linear attribution conserves exactly the touched purchases' revenue") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"),
+        col("value"), get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .collect()
+    val views = ev.filter(r => r.getString(1) == "view" && !r.isNullAt(5))
+      .map(r => (r.getLong(0), r.getLong(5), r.getLong(2)))
+    val purchases = ev.filter(_.getString(1) == "purchase")
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(2), math.round(r.getDouble(4) * 100)))
+    val touched = purchases.map { case (u, pid, pts, cents) =>
+      (pid, cents, views.count(v => v._1 == u && v._3 < pts && v._3 >= pts - 7L * 86400000L))
+    }.filter(_._3 > 0)
+    val rows = graft.operators.Analytics.attributionLinear(spark, TestSpark.sf).collect()
+    val totalAttr = math.round(rows.map(_.getDouble(3)).sum * 100)
+    // split-and-sum conserves the touched purchases' cents up to the
+    // per-item round-2 (|items| half-cent worst case)
+    assert(math.abs(totalAttr - touched.map(_._2).sum) <= rows.length,
+      s"attributed $totalAttr vs touched ${touched.map(_._2).sum}")
+    assert(rows.map(_.getLong(1)).sum == touched.map(_._3.toLong).sum, "touch count")
+  }
+
+  test("peak load percentiles are ordered and totals recount") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Analytics.eventsPeakLoad(spark, TestSpark.sf).collect()
+    val totals = Tables.events(spark, TestSpark.sf)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet == totals.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(2) == totals(r.getString(0)), "event totals")
+      val (p50, p95, p99, mx) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))
+      assert(p50 <= p95 && p95 <= p99 && p99 <= mx, "quantile order")
+      assert(r.getDouble(7) >= 1.0, "a counted minute has >= 1 event")
+    }
+  }
+
+  test("rec coverage recounts from the co-occurrence top lists") {
+    val recs = graft.operators.Analytics.itemCooccurrence(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nCat = recs.map(_._1).distinct.length.toLong
+    val slots = recs.groupBy(_._2).map { case (i, g) => i -> g.size.toLong }
+    val nRec = slots.size.toLong
+    val total = slots.values.sum
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val decile = slots.toSeq.sortBy { case (i, n) => (-n, i) }
+      .take(math.ceil(nRec / 10.0).toInt).map(_._2).sum
+    val row = graft.operators.Rec.recCoverage(spark, TestSpark.sf).collect().head
+    assert(row.getLong(0) == nCat && row.getLong(1) == nRec)
+    assert(row.getDouble(2) == r5(nRec.toDouble / nCat))
+    assert(row.getLong(3) == total)
+    assert(row.getDouble(4) == r5(slots.values.max.toDouble / total))
+    assert(row.getDouble(5) == r5(decile.toDouble / total))
+  }
+
+  test("discount lift anchors at 1.0 for zero discount and recounts a level") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Analytics.discountLift(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val zero = rows.find(_._1 == 0L).get
+    assert(zero._4 == 1.0, "zero-discount lift is the anchor")
+    // recount one nonzero level from the raw table
+    val some = rows.find(_._1 > 0L).get
+    val li = Tables.lineitem(spark, TestSpark.sf)
+      .select((col("l_discount") * 100).cast("long").as("d"), col("l_quantity"))
+      .where(col("d") === some._1).collect()
+    assert(some._2 == li.length)
+    val avg = li.map(_.getDouble(1).toLong).sum.toDouble / li.length
+    assert(math.abs(some._3 - avg) < 1e-4)
+    // every line lands in exactly one level
+    assert(rows.map(_._2).sum == Tables.lineitem(spark, TestSpark.sf).count())
+  }
+
   test("Welch t-test replays from a driver-side exact-cents recount") {
     import org.apache.spark.sql.functions.col
     val cents = Tables.events(spark, TestSpark.sf)

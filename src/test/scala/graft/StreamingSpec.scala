@@ -83,6 +83,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("anomaly flags z-score windows against the static baseline") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val baseline = Seq(("view", 2.0, 1.0)).toDF("event_type", "mean", "std")
+    val events = Seq(
+      TestEvent(1, t(5), 1, "view", 1.0), TestEvent(2, t(10), 2, "view", 1.0),
+      // hour 1: a 6-event burst — z = (6-2)/1 = 4 >= 3
+      TestEvent(3, t(61), 1, "view", 1.0), TestEvent(4, t(62), 2, "view", 1.0),
+      TestEvent(5, t(63), 3, "view", 1.0), TestEvent(6, t(64), 4, "view", 1.0),
+      TestEvent(7, t(65), 5, "view", 1.0), TestEvent(8, t(66), 6, "view", 1.0),
+      // an event type with no baseline row
+      TestEvent(9, t(70), 1, "signup", 1.0))
+    val stream = MemoryStream[TestEvent]
+    val q = graft.streaming.EventStreams
+      .anomalyFlags(stream.toDF(), baseline, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("anom").outputMode("complete").start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.table("anom").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1),
+          r.getLong(2), if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toSet
+      assert(got.contains((0L, "view", 2L, Some(false))), "baseline-normal hour")
+      assert(got.contains((60L, "view", 6L, Some(true))), "burst flagged")
+      // unknown type surfaces with a NULL flag, is not dropped
+      assert(got.contains((60L, "signup", 1L, None)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event ids within the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -199,6 +199,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scores == scores.sortBy(-_))
   }
 
+  test("vocab coverage curve recounts and is monotone in vocab size") {
+    val words = Tables.documents(spark, TestSpark.sf)
+      .select(col("text")).collect().flatMap(_.getString(0).split(" ", -1))
+    val counts = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val ranked = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val total = words.length.toLong
+    val got = TextAnalysis.vocabCoverageCurve(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    got.foreach { case (k, covered, tot, cov) =>
+      val want = ranked.take(k.toInt).map(_._2).sum
+      assert(tot == total && covered == want && cov == r5(want.toDouble / total), s"cut $k")
+    }
+    val covs = got.sortBy(_._1).map(_._4)
+    assert(covs.zip(covs.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("span corruption masks the deterministic groups and conserves tokens") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val rows = TextAnalysis.spanCorruptionPrep(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(20).foreach { r =>
+      val toks = docs(r.getLong(0))
+      val ng = math.ceil(toks.length / 3.0).toInt
+      val groups = (0 until ng).map(g => toks.slice(g * 3, g * 3 + 3))
+      val maskedIdx = (0 until ng).filter(_ % 6 == 0)
+      val input = (0 until ng).flatMap(g =>
+        if (g % 6 == 0) Seq("<extra_id>") else groups(g)).mkString(" ")
+      val target = maskedIdx.flatMap(g => "<extra_id>" +: groups(g)).mkString(" ")
+      assert(r.getString(1) == input, s"doc ${r.getLong(0)} input")
+      assert(r.getString(2) == target, s"doc ${r.getLong(0)} target")
+      assert(r.getLong(3) == maskedIdx.map(g => groups(g).length).sum)
+      // nothing is lost: masked + kept = all tokens
+      val kept = (0 until ng).filterNot(_ % 6 == 0).map(g => groups(g).length).sum
+      assert(kept + r.getLong(3) == toks.length)
+    }
+  }
+
   test("collocation PMI matches a driver-side count recount") {
     val texts = Tables.documents(spark, TestSpark.sf)
       .select(col("text")).collect().map(_.getString(0))
