@@ -415,6 +415,12 @@ object SparkEntry {
     "discount_lift" -> ((s, d) => Analytics.discountLift(s, d)),
     // deterministic T5-style span-corruption (input, target) pairs
     "span_corruption_prep" -> ((s, d) => TextAnalysis.spanCorruptionPrep(s, d)),
+    // IVF coarse-quantizer compactness/separation per cell
+    "ann_cluster_quality" -> ((s, d) => Ivf.clusterQuality(s, d)),
+    // word2vec-style vector-arithmetic analogy probe
+    "vs_analogy_topk" -> ((s, d) => VectorSearch.analogyTopK(s, d, a = 1, b = 2, c = 3)),
+    // day-boundary train/val/test manifest with user-leakage audit
+    "temporal_split_prep" -> ((s, d) => Curation.temporalSplitPrep(s, d)),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free
@@ -3406,6 +3412,57 @@ object SparkEntry {
         |       (len(tgt) - len(list_filter(tgt, x -> x = '<extra_id>')))::BIGINT
         |         AS n_masked_tokens
         |FROM b ORDER BY doc_id""".stripMargin,
+    // the fit's exact left-to-right sum-of-squares against every
+    // centroid; own/best-other folded per vector, means per cell
+    "ann_cluster_quality" ->
+      s"""WITH RECURSIVE
+         |$ivfFitCtes,
+         |d AS (SELECT a.vec_id, a.cell, c.cell AS c2,
+         |             list_sum(list_transform(range(1, 65), i ->
+         |               (a.embedding[i]::DOUBLE - c.centroid[i]) *
+         |               (a.embedding[i]::DOUBLE - c.centroid[i]))) AS d2
+         |      FROM asg a, cent c),
+         |p AS (SELECT vec_id, cell, max(CASE WHEN c2 = cell THEN d2 END) AS own,
+         |             min(CASE WHEN c2 <> cell THEN d2 END) AS best_other
+         |      FROM d GROUP BY 1, 2)
+         |SELECT cell::BIGINT AS cell, count(*) AS n_vecs,
+         |       round(avg(own), 4) AS mean_d2_own,
+         |       round(avg(best_other - own), 4) AS mean_margin
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // elementwise a - b + c composed as a list, then the standard
+    // cosine scan with the three sources excluded
+    "vs_analogy_topk" ->
+      s"""WITH va AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 1),
+         |vb AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 2),
+         |vc AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 3),
+         |q AS (SELECT list_transform(range(1, 65), i ->
+         |        va.v[i]::DOUBLE - vb.v[i]::DOUBLE + vc.v[i]::DOUBLE) AS qv
+         |      FROM va, vb, vc)
+         |SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score
+         |FROM embeddings e, q WHERE e.vec_id NOT IN (1, 2, 3)
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    // integer day-boundary split, distinct (user, split) frame feeds
+    // the counts and the train-overlap SEMI join
+    "temporal_split_prep" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |bb AS (SELECT d0, d1, d0 + (d1 - d0 + 1) * 80 // 100 AS t1,
+        |              d0 + (d1 - d0 + 1) * 90 // 100 AS t2 FROM b),
+        |tg AS (SELECT user_id, day,
+        |              CASE WHEN day < t1 THEN 'train' WHEN day < t2 THEN 'val'
+        |                   ELSE 'test' END AS split FROM ev, bb),
+        |us AS (SELECT DISTINCT user_id, split FROM tg),
+        |tu AS (SELECT user_id FROM us WHERE split = 'train'),
+        |ov AS (SELECT split, count(*) AS n_users_in_train FROM us
+        |       SEMI JOIN tu USING (user_id)
+        |       WHERE split <> 'train' GROUP BY 1),
+        |ag AS (SELECT split, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |              min(day) * 86400000 AS day_from_ms,
+        |              max(day) * 86400000 AS day_to_ms
+        |       FROM tg GROUP BY 1)
+        |SELECT ag.split, n_events, n_users, day_from_ms, day_to_ms,
+        |       coalesce(ov.n_users_in_train, 0) AS n_users_in_train
+        |FROM ag LEFT JOIN ov USING (split) ORDER BY day_from_ms""".stripMargin,
   )
 
   /** The signed-BIGINT reading of DuckDB's `md5_number_upper` — the

@@ -378,6 +378,48 @@ object Curation {
     * the plan a user reads is exactly the plan downstream tooling
     * gets.
     */
+  /** Time-based train/val/test split manifest with a leakage audit:
+    * the event stream splits at integer DAY boundaries (train gets the
+    * first ⌊span·80%⌋ days, val the next tenth, test the rest — exact
+    * integer arithmetic on epoch days, no row-rank quantile and
+    * therefore no global sort), and each eval split reports how many
+    * of its users also appear in train — the user-overlap number that
+    * says whether a per-user model will leak across the boundary.
+    * One (user, split) distinct frame feeds the counts and the
+    * LEFT SEMI overlap; 3 rows out.
+    */
+  def temporalSplitPrep(spark: SparkSession, dir: String,
+                        trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val dayMs = 86400000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts_ms div $dayMs").as("day"))
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("d0"), col("d1"),
+        (col("d0") + (col("d1") - col("d0") + 1) * trainPct / 100).as("t1"),
+        (col("d0") + (col("d1") - col("d0") + 1) * (trainPct + valPct) / 100).as("t2"))
+    val tagged = graft.sources.ScratchCache.materialize(
+      ev.crossJoin(broadcast(bounds))
+        .select(col("user_id"), col("day"),
+          when(col("day") < col("t1"), "train")
+            .when(col("day") < col("t2"), "val")
+            .otherwise("test").as("split")))
+    val users = tagged.select(col("user_id"), col("split")).distinct()
+    val trainUsers = users.where(col("split") === "train").select(col("user_id"))
+    val overlap = users.where(col("split") =!= "train")
+      .join(trainUsers, Seq("user_id"), "left_semi")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_users_in_train"))
+    tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        (min(col("day")) * dayMs).as("day_from_ms"),
+        (max(col("day")) * dayMs).as("day_to_ms"))
+      .join(overlap, Seq("split"), "left_outer")
+      // 0 for the train row itself (overlap-with-train is defined for
+      // the eval splits; a NULL here would wobble dtypes cross-engine)
+      .withColumn("n_users_in_train", coalesce(col("n_users_in_train"), lit(0L)))
+      .orderBy(col("day_from_ms"))
+  }
+
   def mixturePlan(spark: SparkSession, dir: String, alpha: Double = 0.5,
                   budgetTokens: Long = 1000000L): DataFrame = {
     val perSource = Tables.documents(spark, dir)

@@ -548,4 +548,39 @@ object Ivf {
       ("occupancy_skew_x", occ.getLong(3).toDouble / (occ.getLong(1).toDouble / cells)))
       .toDF("metric", "value")
   }
+
+  /** Cluster-quality diagnostic for the IVF coarse quantizer: per
+    * cell, the mean squared-L2 distance of members to their OWN
+    * centroid (compactness) and the mean margin to the best OTHER
+    * centroid (separation — near-zero margins mean probe spill:
+    * nprobe must rise to hold recall; this is the number that says
+    * whether nCells fits the corpus before a recall sweep spends
+    * compute). Distances reuse the fit's EXACT left-to-right
+    * Σ(aᵢ−bᵢ)² expression against the k-row centroid artifact (plan
+    * literals — no join, no shuffle; the corpus is scanned once), so
+    * the DuckDB oracle replays bit-for-bit; the per-vector margin is
+    * ≥ 0 by the assignment's argmin. Means round to 4 (summation-
+    * order drift absorbed).
+    */
+  def clusterQuality(spark: SparkSession, dir: String, nCells: Int = 16): DataFrame = {
+    val (assigned, centroids) = ensureIndex(spark, dir, nCells)
+    val cents = centroids.orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val ds = array(cents.map { c =>
+      aggregate(
+        zip_with(col("embedding"), typedlit(c),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+    assigned
+      .withColumn("ds", ds)
+      .withColumn("own", element_at(col("ds"), col("cell") + 1))
+      .withColumn("best_other",
+        array_min(filter(col("ds"), (_, i) => i =!= col("cell"))))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("own")), 4).as("mean_d2_own"),
+        round(avg(col("best_other") - col("own")), 4).as("mean_margin"))
+      .orderBy(col("cell"))
+  }
 }

@@ -637,6 +637,33 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Vector-arithmetic analogy search (the word2vec "king − man +
+    * woman" probe): the query is v(a) − v(b) + v(c) composed on the
+    * driver in double, per-dimension left-to-right so the oracle's
+    * elementwise list arithmetic lands on the identical literal; the
+    * three source rows are excluded and the scan is the standard
+    * broadcast-literal cosine top-k. The cheap structure probe for
+    * whether the embedding space carries linear relations.
+    */
+  def analogyTopK(spark: SparkSession, dir: String, a: Long, b: Long, c: Long,
+                  k: Int = 10): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .where(col("vec_id").isin(a, b, c))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    require(vecs.keySet == Set(a, b, c), s"analogy ids missing from corpus")
+    val qv: Array[Double] = Array.tabulate(vecs(a).length) { i =>
+      vecs(a)(i).toDouble - vecs(b)(i).toDouble + vecs(c)(i).toDouble
+    }
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
+    val q = typedlit(qv)
+    e.where(!col("vec_id").isin(a, b, c))
+      .select(col("vec_id"),
+        round(dotd(col("embedding"), q) / (col("nrm") * l2norm(q)), 5).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Range search — FAISS `range_search`'s shape (every neighbor whose
     * similarity clears a radius, not a fixed k): all corpus vectors
     * with cosine ≥ `minScore` against the query row, self excluded.

@@ -582,6 +582,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(row.getDouble(5) == r5(decile.toDouble / total))
   }
 
+  test("temporal split partitions the stream and audits train leakage") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Curation.temporalSplitPrep(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSet == Set("train", "val", "test"))
+    assert(rows.map(_._2).sum == Tables.events(spark, TestSpark.sf).count())
+    // boundaries are ordered and disjoint: each split starts after the
+    // previous one ends
+    val byStart = rows.sortBy(_._4)
+    assert(byStart.map(_._1).toSeq == Seq("train", "val", "test"))
+    byStart.zip(byStart.tail).foreach { case (a, b) => assert(a._5 < b._4) }
+    // leakage audit recount at this SF
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), (col("ts_ms") / 86400000L).cast("long").as("day")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (d0, d1) = (ev.map(_._2).min, ev.map(_._2).max)
+    val t1 = d0 + (d1 - d0 + 1) * 80 / 100
+    val trainU = ev.filter(_._2 < t1).map(_._1).toSet
+    rows.filter(_._1 != "train").foreach { case (s, _, _, from, to, inTrain) =>
+      val us = ev.filter(e => e._2 * 86400000L >= from && e._2 * 86400000L <= to)
+        .map(_._1).toSet
+      assert(inTrain == us.count(trainU.contains), s"$s leakage")
+    }
+  }
+
   test("discount lift anchors at 1.0 for zero discount and recounts a level") {
     import org.apache.spark.sql.functions.col
     val rows = graft.operators.Analytics.discountLift(spark, TestSpark.sf).collect()

@@ -602,4 +602,38 @@ class PlanSpec extends AnyFunSuite {
       s"both join sides must read the scratch triples, got ${memScans.size}:\n" +
         df.queryExecution.executedPlan.toString.take(800))
   }
+
+  test("range search sorts only the inside-radius rows, never the corpus") {
+    val p = plan(VectorSearch.rangeSearch(spark, TestSpark.sf, 0, 0.25))
+    // the radius predicate runs BELOW the sort (Catalyst fuses it into
+    // the broadcast join condition), so the Sort ranks result-sized
+    // input — never the corpus
+    val lines = p.linesIterator.toSeq
+    val sortIdx = lines.indexWhere(_.contains("Sort "))
+    val predIdx = lines.indexWhere(_.contains(">= 0.25"))
+    assert(sortIdx >= 0 && predIdx > sortIdx,
+      s"radius predicate must run below the sort:\n${p.take(800)}")
+    assert(p.contains("BroadcastExchange"), "query row must broadcast")
+  }
+
+  test("matryoshka cascade broadcasts both stages and take-orders both cuts") {
+    val p = plan(VectorSearch.matryoshkaTopK(spark, TestSpark.sf, 0))
+    assert(p.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 2,
+      s"both cuts must be bounded heaps:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), "no corpus-shuffling join in the cascade")
+  }
+
+  test("item PMI ranks per item with WindowGroupLimit, not a global sort") {
+    val p = plan(Analytics.itemPmi(spark, TestSpark.sf))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("cluster quality assigns via plan literals — no join against centroids") {
+    val df = Ivf.clusterQuality(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the k centroid rows ride as literals in the distance projection:
+    // exactly one embeddings scan feeds one aggregate, no join at all
+    assert(!p.contains("Join"), s"centroids must not join:\n${p.take(800)}")
+  }
 }

@@ -613,6 +613,36 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("analogy with a = b degenerates to plain similarity from c") {
+    def cos5(a: Array[Float], qv: Array[Double]): Double = {
+      val d = a.zip(qv).map(p => p._1.toDouble * p._2).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nq = math.sqrt(qv.map(x => x * x).sum)
+      BigDecimal(d / (na * nq)).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val vecs = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qv = vecs(7L).map(_.toDouble) // v(5) - v(5) + v(7)
+    val want = vecs.toSeq.filterNot(t => Set(5L, 7L).contains(t._1))
+      .map { case (id, v) => (id, cos5(v, qv)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = VectorSearch.analogyTopK(spark, TestSpark.sf, a = 5, b = 5, c = 7)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
+  test("cluster quality: margins are non-negative and cells partition the corpus") {
+    val rows = Ivf.clusterQuality(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._2).sum == Tables.embeddings(spark, TestSpark.sf).count())
+    rows.foreach { case (cell, n, own, margin) =>
+      assert(n > 0 || own == 0.0)
+      assert(own >= 0.0, s"cell $cell compactness")
+      // argmin assignment: no member is closer to a foreign centroid
+      assert(margin >= -1e-4, s"cell $cell margin $margin")
+    }
+  }
+
   test("knn confusion matrix partitions the classifier's query sample") {
     val cls = VectorSearch.knnClassify(spark, TestSpark.sf, queryMod = 20, k = 10,
         maxQueries = 64)
