@@ -3311,14 +3311,22 @@ object SparkEntry {
     // user-keyed interval match, per-purchase touch count by window,
     // equal cents/n splits summed per item
     "attribution_linear" ->
-      """WITH v AS (SELECT user_id,
-        |                  json_extract_string(props, '$.k')::BIGINT AS item_id,
-        |                  epoch_ms(ts) AS v_ts
-        |           FROM events WHERE event_type = 'view'
-        |             AND json_extract_string(props, '$.k') IS NOT NULL),
-        |p AS (SELECT user_id, event_id AS p_id, epoch_ms(ts) AS p_ts,
-        |             CAST(round(value * 100) AS BIGINT) AS cents
-        |      FROM events WHERE event_type = 'purchase'),
+      """WITH v0 AS (SELECT user_id,
+        |                   json_extract_string(props, '$.k')::BIGINT AS item_id,
+        |                   epoch_ms(ts) AS v_ts
+        |            FROM events WHERE event_type = 'view'
+        |              AND json_extract_string(props, '$.k') IS NOT NULL),
+        |p0 AS (SELECT user_id, event_id AS p_id, epoch_ms(ts) AS p_ts,
+        |              CAST(round(value * 100) AS BIGINT) AS cents
+        |       FROM events WHERE event_type = 'purchase'),
+        |hu AS (SELECT user_id FROM
+        |         (SELECT user_id, count(*) AS nv FROM v0 GROUP BY 1) vd
+        |         FULL OUTER JOIN
+        |         (SELECT user_id, count(*) AS np FROM p0 GROUP BY 1) pd
+        |         USING (user_id)
+        |       WHERE coalesce(nv, 0) <= 1000 AND coalesce(np, 0) <= 100),
+        |v AS (SELECT v0.* FROM v0 SEMI JOIN hu USING (user_id)),
+        |p AS (SELECT p0.* FROM p0 SEMI JOIN hu USING (user_id)),
         |m AS (SELECT p.p_id, v.item_id, p.cents FROM p JOIN v
         |      ON v.user_id = p.user_id AND v.v_ts < p.p_ts
         |     AND v.v_ts >= p.p_ts - 604800000),

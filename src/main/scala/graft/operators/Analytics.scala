@@ -1922,22 +1922,36 @@ object Analytics {
     * Purchases with no qualifying view carry no attributable signal
     * and drop out (documented, standard for position-free models).
     * Scale shape: a user-keyed interval join (the
-    * [[eventsAsOf]]/band-join family), one window keyed by purchase
-    * id, one item-keyed aggregate.
+    * [[eventsAsOf]]/band-join family) whose per-user volume is
+    * views(u)·purchases(u) — QUADRATIC in one user's activity, so
+    * users above `maxViews` item-views OR `maxPurchases` purchases
+    * are dropped before the join (the [[itemCooccurrence]] bot-cap
+    * convention, applied to BOTH join sides: the zipf scale point
+    * measured 7.3× skew cost with no cap, and its hot "users" carry
+    * ~850 views AND ~750 purchases — bots pay all of the quadratic
+    * cost and carry none of the signal). Then one window keyed by
+    * purchase id, one item-keyed aggregate.
     */
-  def attributionLinear(spark: SparkSession, dir: String,
-                        lookbackDays: Int = 7): DataFrame = {
+  def attributionLinear(spark: SparkSession, dir: String, lookbackDays: Int = 7,
+                        maxViews: Int = 1000, maxPurchases: Int = 100): DataFrame = {
     val lookMs = lookbackDays * 86400000L
-    val v = Tables.events(spark, dir)
+    val v0 = Tables.events(spark, dir)
       .where(col("event_type") === "view")
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("item_id"),
         col("ts_ms").as("v_ts"))
       .where(col("item_id").isNotNull)
-    val p = Tables.events(spark, dir)
+    val p0 = Tables.events(spark, dir)
       .where(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("ts_ms").as("p_ts"),
         round(col("value") * 100).cast("long").as("cents"))
+    val human = v0.groupBy(col("user_id")).agg(count(lit(1)).as("nv"))
+      .join(p0.groupBy(col("user_id")).agg(count(lit(1)).as("np")), Seq("user_id"), "full_outer")
+      .where(coalesce(col("nv"), lit(0L)) <= maxViews &&
+        coalesce(col("np"), lit(0L)) <= maxPurchases)
+      .select(col("user_id"))
+    val v = v0.join(human, Seq("user_id"), "left_semi")
+    val p = p0.join(human, Seq("user_id"), "left_semi")
     val matched = p.join(v, p("user_id") === v("user_id") &&
         col("v_ts") < col("p_ts") && col("v_ts") >= col("p_ts") - lookMs)
       .select(col("p_id"), col("item_id"), col("cents"))

@@ -532,10 +532,15 @@ class OperatorSpec extends AnyFunSuite {
       .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"),
         col("value"), get_json_object(col("props"), "$.k").cast("long").as("item"))
       .collect()
-    val views = ev.filter(r => r.getString(1) == "view" && !r.isNullAt(5))
+    val views0 = ev.filter(r => r.getString(1) == "view" && !r.isNullAt(5))
       .map(r => (r.getLong(0), r.getLong(5), r.getLong(2)))
-    val purchases = ev.filter(_.getString(1) == "purchase")
+    val purchases0 = ev.filter(_.getString(1) == "purchase")
       .map(r => (r.getLong(0), r.getLong(3), r.getLong(2), math.round(r.getDouble(4) * 100)))
+    val vDeg = views0.groupBy(_._1).map { case (u, g) => u -> g.length }
+    val pDeg = purchases0.groupBy(_._1).map { case (u, g) => u -> g.length }
+    def human(u: Long) = vDeg.getOrElse(u, 0) <= 1000 && pDeg.getOrElse(u, 0) <= 100
+    val views = views0.filter(v => human(v._1))
+    val purchases = purchases0.filter(p => human(p._1))
     val touched = purchases.map { case (u, pid, pts, cents) =>
       (pid, cents, views.count(v => v._1 == u && v._3 < pts && v._3 >= pts - 7L * 86400000L))
     }.filter(_._3 > 0)
