@@ -421,6 +421,8 @@ object SparkEntry {
     "vs_analogy_topk" -> ((s, d) => VectorSearch.analogyTopK(s, d, a = 1, b = 2, c = 3)),
     // day-boundary train/val/test manifest with user-leakage audit
     "temporal_split_prep" -> ((s, d) => Curation.temporalSplitPrep(s, d)),
+    // leave-last-out eval of the embedding-profile recommender
+    "rec_content_holdout" -> ((s, d) => Rec.recContentHoldout(s, d)),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free
@@ -3471,6 +3473,53 @@ object SparkEntry {
         |SELECT ag.split, n_events, n_users, day_from_ms, day_to_ms,
         |       coalesce(ov.n_users_in_train, 0) AS n_users_in_train
         |FROM ag LEFT JOIN ov USING (split) ORDER BY day_from_ms""".stripMargin,
+    // same split as rec_holdout_eval; per-user profile = 5-decimal
+    // per-dim means over train embeddings (the label_centroids
+    // contract), catalog-scored cosine, holdout rank counted directly
+    "rec_content_holdout" ->
+      s"""WITH ev AS (SELECT user_id,
+         |                   json_extract_string(props, '$$.k')::BIGINT AS item_id,
+         |                   epoch_ms(ts) AS ts_ms
+         |            FROM events
+         |            WHERE event_type IN ('view', 'click', 'purchase')
+         |              AND json_extract_string(props, '$$.k') IS NOT NULL),
+         |ui AS (SELECT user_id, item_id, max(ts_ms) AS last_ts FROM ev GROUP BY 1, 2),
+         |bk AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+         |capped AS (SELECT ui.* FROM ui JOIN bk USING (user_id)
+         |           WHERE bk.basket BETWEEN 2 AND 500),
+         |rkd AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |                  ORDER BY last_ts DESC, item_id DESC) AS rk FROM capped),
+         |hold AS (SELECT user_id, item_id AS h FROM rkd WHERE rk = 1),
+         |train AS (SELECT user_id, item_id FROM rkd WHERE rk > 1),
+         |pe AS (SELECT t.user_id, generate_subscripts(e.embedding, 1) AS pos,
+         |              unnest(e.embedding::DOUBLE[]) AS v
+         |       FROM train t JOIN embeddings e ON e.vec_id = t.item_id),
+         |pm AS (SELECT user_id, pos, round(avg(v), 5) AS m FROM pe GROUP BY 1, 2),
+         |prof AS (SELECT user_id, list(m ORDER BY pos) AS p FROM pm GROUP BY 1),
+         |items AS (SELECT i.item_id, e.embedding
+         |          FROM (SELECT DISTINCT item_id FROM capped) i
+         |          JOIN embeddings e ON e.vec_id = i.item_id),
+         |sc0 AS (SELECT pr.user_id, i.item_id,
+         |               round(list_dot_product(i.embedding::DOUBLE[], pr.p) /
+         |                     (sqrt(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])) *
+         |                      sqrt(list_dot_product(pr.p, pr.p))), 5) AS score
+         |        FROM prof pr CROSS JOIN items i),
+         |sc AS (SELECT sc0.* FROM sc0 ANTI JOIN train t
+         |       ON t.user_id = sc0.user_id AND t.item_id = sc0.item_id),
+         |sh AS (SELECT h.user_id, h.h, s.score AS s_h FROM hold h
+         |       LEFT JOIN sc s ON s.user_id = h.user_id AND s.item_id = h.h),
+         |rnk AS (SELECT sh.user_id,
+         |               1 + count(*) FILTER (s.score > sh.s_h OR
+         |                   (s.score = sh.s_h AND s.item_id < sh.h)) AS rnk
+         |        FROM sh JOIN sc s ON s.user_id = sh.user_id
+         |        WHERE sh.s_h IS NOT NULL GROUP BY 1),
+         |ks AS (SELECT unnest([1, 5, 10])::BIGINT AS k),
+         |nu AS (SELECT count(*) AS n_users FROM hold),
+         |hits AS (SELECT ks.k, count(*) FILTER (r.rnk <= ks.k) AS n_hits
+         |         FROM ks LEFT JOIN rnk r ON TRUE GROUP BY 1)
+         |SELECT k, nu.n_users, hits.n_hits,
+         |       round(hits.n_hits / nu.n_users, 5) AS hit_rate
+         |FROM hits, nu ORDER BY k""".stripMargin,
   )
 
   /** The signed-BIGINT reading of DuckDB's `md5_number_upper` — the

@@ -93,6 +93,88 @@ object Rec {
       .orderBy(col("k"))
   }
 
+  /** Leave-last-out hit-rate@K for the CONTENT (embedding-profile)
+    * recommender — the evaluation of the reference's actual
+    * recommendation path ([[VectorSearch.recommendForUser]]'s
+    * mean-of-engaged-items profile, scored by cosine over the item
+    * catalog), where [[recHoldoutEval]] evaluates the behavioral
+    * co-visitation path; running both on the same holdout split is
+    * the content-vs-collaborative bake-off. Same eligible users /
+    * last-item holdout / train split; per-user profiles are
+    * per-dimension means over the TRAIN items' embeddings with
+    * components rounded to 5 decimals ([[VectorSearch.labelCentroids]]'
+    * oracle-proven contract, so summation order can't drift the
+    * scores); candidates are the engaged-item catalog minus the
+    * user's train items, and the holdout's rank is counted directly.
+    *
+    * Scale shape: profiles are a (user, dim) aggregate collapsed to
+    * one array row per user; the catalog is |items| rows BROADCAST;
+    * scoring is |users|·|items| bounded fan-out (the catalog is the
+    * small dimension by construction), never corpus×corpus.
+    */
+  def recContentHoldout(spark: SparkSession, dir: String,
+                        ks: Seq[Int] = Seq(1, 5, 10),
+                        maxBasket: Int = 500): DataFrame = {
+    val ui = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"),
+        col("ts_ms"))
+      .where(col("item_id").isNotNull)
+      .groupBy(col("user_id"), col("item_id"))
+      .agg(max(col("ts_ms")).as("last_ts"))
+    val bk = ui.groupBy(col("user_id")).agg(count(lit(1)).as("basket"))
+    val capped = ui.join(
+      bk.where(col("basket") >= 2 && col("basket") <= maxBasket), Seq("user_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("last_ts").desc, col("item_id").desc)
+    val ranked = capped.withColumn("rk", row_number().over(w))
+    val holdout = ScratchCache.materialize(
+      ranked.where(col("rk") === 1).select(col("user_id"), col("item_id").as("h")))
+    val train = ScratchCache.materialize(
+      ranked.where(col("rk") > 1).select(col("user_id"), col("item_id")))
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val prof = train
+      .join(emb, col("item_id") === col("vec_id"))
+      .select(col("user_id"), posexplode(col("embedding")))
+      .toDF("user_id", "pos", "v")
+      .groupBy(col("user_id"), col("pos"))
+      .agg(round(avg(col("v")), 5).as("m"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("user_id"), transform(col("pm"), x => x.getField("m")).as("p"))
+    val items = capped.select(col("item_id")).distinct()
+      .join(emb, col("item_id") === col("vec_id"))
+      .select(col("item_id"), col("embedding"))
+    import graft.functions.VectorFunctions._
+    val scored = ScratchCache.materialize(prof
+      .crossJoin(broadcast(items))
+      .select(col("user_id"), col("item_id"),
+        round(dotd(col("embedding"), col("p")) /
+          (l2norm(col("embedding")) * l2norm(col("p"))), 5).as("score"))
+      .join(train, Seq("user_id", "item_id"), "left_anti"))
+    val sh = holdout.join(
+      scored.select(col("user_id"), col("item_id").as("h"), col("score").as("s_h")),
+      Seq("user_id", "h"), "left_outer")
+    val ranks = sh.where(col("s_h").isNotNull)
+      .join(scored, Seq("user_id"), "left_outer")
+      .groupBy(col("user_id"), col("h"))
+      .agg((count(when(col("score") > col("s_h") ||
+        (col("score") === col("s_h") && col("item_id") < col("h")), 1)) + 1).as("rank"))
+    val nUsers = holdout.agg(count(lit(1)).as("n_users"))
+    ranks
+      .select(explode(typedlit(ks.map(_.toLong))).as("k"), col("rank"))
+      .groupBy(col("k"))
+      .agg(count(when(col("rank") <= col("k"), 1)).as("n_hits"))
+      .join(spark.createDataFrame(ks.map(k => Tuple1(k.toLong)))
+        .toDF("k"), Seq("k"), "right_outer")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .crossJoin(broadcast(nUsers))
+      .select(col("k"), col("n_users"), col("n_hits"),
+        round(col("n_hits") / col("n_users"), 5).as("hit_rate"))
+      .orderBy(col("k"))
+  }
+
   /** Aggregate-diversity report for the co-visitation recommender:
     * what fraction of the catalog ever appears in a top-N list
     * (coverage), and how concentrated the slots are — the

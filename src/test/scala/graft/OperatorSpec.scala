@@ -699,6 +699,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(hits.zip(hits.tail).forall { case (a, b) => a <= b })
   }
 
+  test("content holdout eval shares the split with the behavioral eval") {
+    val content = graft.operators.Rec.recContentHoldout(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val behavioral = graft.operators.Rec.recHoldoutEval(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(content.map(_._1).toSeq == Seq(1L, 5L, 10L))
+    // identical eligibility: both evals rank the same holdout users
+    assert(content.map(_._2).toSet == behavioral.map(_._2).toSet)
+    content.foreach { case (_, nUsers, nHits, rate) =>
+      assert(nHits >= 0 && nHits <= nUsers)
+      assert(math.abs(rate - nHits.toDouble / nUsers) < 1e-5)
+    }
+    val hits = content.sortBy(_._1).map(_._3)
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b })
+  }
+
   test("cohort LTV conserves revenue and accumulates monotonically") {
     import org.apache.spark.sql.functions.{col, round => rnd, sum => ssum}
     val rows = graft.operators.Analytics.userCohortLtv(spark, TestSpark.sf).collect()
