@@ -423,6 +423,10 @@ object SparkEntry {
     "temporal_split_prep" -> ((s, d) => Curation.temporalSplitPrep(s, d)),
     // leave-last-out eval of the embedding-profile recommender
     "rec_content_holdout" -> ((s, d) => Rec.recContentHoldout(s, d)),
+    // user x item interaction-matrix shape report (CF feasibility)
+    "ui_matrix_stats" -> ((s, d) => Rec.uiMatrixStats(s, d)),
+    // mean pairwise cosine via the ||sum v||^2 identity (cone check)
+    "embed_isotropy" -> ((s, d) => VectorSearch.embedIsotropy(s, d)),
   )
 
   /** Deterministic external query vector for the *_qvec / *_free
@@ -3520,6 +3524,43 @@ object SparkEntry {
          |SELECT k, nu.n_users, hits.n_hits,
          |       round(hits.n_hits / nu.n_users, 5) AS hit_rate
          |FROM hits, nu ORDER BY k""".stripMargin,
+    // one distinct (user,item) frame feeds every number; decile cut
+    // over the item-degree frame
+    "ui_matrix_stats" ->
+      """WITH ui AS (SELECT DISTINCT user_id,
+        |                   json_extract_string(props, '$.k')::BIGINT AS item_id
+        |            FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')
+        |              AND json_extract_string(props, '$.k') IS NOT NULL),
+        |deg AS (SELECT item_id, count(*) AS d FROM ui GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT user_id) AS n_users,
+        |               count(DISTINCT item_id) AS n_items, count(*) AS nnz FROM ui),
+        |ni AS (SELECT count(*) AS ni FROM deg),
+        |rkd AS (SELECT d, row_number() OVER (ORDER BY d DESC, item_id) AS rk FROM deg),
+        |dec AS (SELECT sum(d)::BIGINT AS decile_nnz FROM rkd, ni
+        |        WHERE rk <= ceil(ni.ni / 10.0))
+        |SELECT n_users, n_items, nnz,
+        |       round(nnz / (n_users * n_items), 5) AS density,
+        |       round(nnz / n_users, 5) AS mean_user_degree,
+        |       round(nnz / n_items, 5) AS mean_item_degree,
+        |       round(dec.decile_nnz / nnz, 5) AS top_decile_item_share
+        |FROM tot, dec""".stripMargin,
+    // mean pairwise dot = (||sum v||^2 - sum ||v||^2) / (n(n-1)) —
+    // per-dim sums and per-row norms rounded to 5 before the algebra
+    "embed_isotropy" ->
+      """WITH pe AS (SELECT generate_subscripts(embedding, 1) AS pos,
+        |                   unnest(embedding::DOUBLE[]) AS v FROM embeddings),
+        |ds AS (SELECT pos, round(sum(v), 5) AS s FROM pe GROUP BY 1),
+        |sq AS (SELECT round(sum(s * s), 5) AS sum_sq FROM ds),
+        |rw AS (SELECT count(*) AS n,
+        |              round(sum(round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 5)), 5) AS sum_self,
+        |              round(avg(round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 5)), 5) AS mean_norm
+        |       FROM embeddings)
+        |SELECT n, mean_norm,
+        |       round((sum_sq - sum_self) / (n * (n - 1)), 5) AS mean_pairwise_dot,
+        |       round((sum_sq - sum_self) / (n * (n - 1)) / (mean_norm * mean_norm), 5)
+        |         AS anisotropy
+        |FROM rw, sq""".stripMargin,
   )
 
   /** The signed-BIGINT reading of DuckDB's `md5_number_upper` — the

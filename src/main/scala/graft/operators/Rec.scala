@@ -93,6 +93,41 @@ object Rec {
       .orderBy(col("k"))
   }
 
+  /** Interaction-matrix shape report — the "can collaborative
+    * filtering work here" numbers read before anyone trains on the
+    * user×item matrix: distinct users/items, non-zeros, density,
+    * mean degree on both sides, and the share of interactions held
+    * by the top-decile items (cold-start pressure: a matrix whose
+    * mass sits in a few head items starves the tail of signal). One
+    * distinct (user, item) frame feeds every number; the decile cut
+    * is a TakeOrdered over the |items|-row degree frame; exact
+    * integer ratios rounded once. Output is one row.
+    */
+  def uiMatrixStats(spark: SparkSession, dir: String): DataFrame = {
+    val ui = ScratchCache.materialize(Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .distinct())
+    val deg = ScratchCache.materialize(
+      ui.groupBy(col("item_id")).agg(count(lit(1)).as("d")))
+    val tot = ui.agg(countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("item_id")).as("n_items"),
+      count(lit(1)).as("nnz"))
+    val w = Window.orderBy(col("d").desc, col("item_id"))
+    val decile = deg.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("ni"))))
+      .where(col("rk") <= ceil(col("ni") / 10.0))
+      .agg(sum(col("d")).as("decile_nnz"))
+    tot.crossJoin(broadcast(decile))
+      .select(col("n_users"), col("n_items"), col("nnz"),
+        round(col("nnz") / (col("n_users") * col("n_items")), 5).as("density"),
+        round(col("nnz") / col("n_users"), 5).as("mean_user_degree"),
+        round(col("nnz") / col("n_items"), 5).as("mean_item_degree"),
+        round(col("decile_nnz") / col("nnz"), 5).as("top_decile_item_share"))
+  }
+
   /** Leave-last-out hit-rate@K for the CONTENT (embedding-profile)
     * recommender — the evaluation of the reference's actual
     * recommendation path ([[VectorSearch.recommendForUser]]'s

@@ -637,6 +637,36 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Embedding anisotropy report (Ethayarajh 2019's diagnosis:
+    * contextual embedding spaces collapse into a narrow cone, and a
+    * high MEAN PAIRWISE COSINE means raw cosine similarity carries
+    * little contrast until the common component is removed). The mean
+    * pairwise dot over all n(n−1) ordered pairs has the closed form
+    * (‖Σv‖² − Σ‖v‖²) / (n(n−1)) — ONE corpus scan, no pair join ever:
+    * Σv comes from per-dimension sums (rounded to 5 decimals so
+    * summation order can't drift the oracle — the
+    * [[labelCentroids]]/profile contract), Σ‖v‖² from per-row
+    * rounded norms. Reported against the mean norm so the reader
+    * gets the cone angle, not just a raw dot.
+    */
+  def embedIsotropy(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dimSums = e.select(posexplode(col("embedding")))
+      .toDF("pos", "v")
+      .groupBy(col("pos")).agg(round(sum(col("v")), 5).as("s"))
+      .agg(round(sum(col("s") * col("s")), 5).as("sum_sq"))
+    val rows = e.select(round(dotd(col("embedding"), col("embedding")), 5).as("sq"),
+        round(l2norm(col("embedding")), 5).as("nrm"))
+      .agg(count(lit(1)).as("n"), round(sum(col("sq")), 5).as("sum_self"),
+        round(avg(col("nrm")), 5).as("mean_norm"))
+    rows.crossJoin(broadcast(dimSums))
+      .select(col("n"), col("mean_norm"),
+        round((col("sum_sq") - col("sum_self")) / (col("n") * (col("n") - 1)), 5)
+          .as("mean_pairwise_dot"),
+        round((col("sum_sq") - col("sum_self")) / (col("n") * (col("n") - 1)) /
+          (col("mean_norm") * col("mean_norm")), 5).as("anisotropy"))
+  }
+
   /** Vector-arithmetic analogy search (the word2vec "king − man +
     * woman" probe): the query is v(a) − v(b) + v(c) composed on the
     * driver in double, per-dimension left-to-right so the oracle's

@@ -699,6 +699,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(hits.zip(hits.tail).forall { case (a, b) => a <= b })
   }
 
+  test("interaction-matrix stats recount from the distinct pair frame") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val ui = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (nU, nI, nnz) = (ui.map(_._1).distinct.length.toLong,
+      ui.map(_._2).distinct.length.toLong, ui.length.toLong)
+    val deg = ui.groupBy(_._2).map { case (i, g) => i -> g.size.toLong }
+    val decile = deg.toSeq.sortBy { case (i, d) => (-d, i) }
+      .take(math.ceil(deg.size / 10.0).toInt).map(_._2).sum
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = graft.operators.Rec.uiMatrixStats(spark, TestSpark.sf).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((nU, nI, nnz)))
+    assert(row.getDouble(3) == r5(nnz.toDouble / (nU * nI)))
+    assert(row.getDouble(4) == r5(nnz.toDouble / nU))
+    assert(row.getDouble(5) == r5(nnz.toDouble / nI))
+    assert(row.getDouble(6) == r5(decile.toDouble / nnz))
+  }
+
   test("content holdout eval shares the split with the behavioral eval") {
     val content = graft.operators.Rec.recContentHoldout(spark, TestSpark.sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

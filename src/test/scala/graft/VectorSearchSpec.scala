@@ -613,6 +613,25 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("isotropy closed form agrees with the direct pairwise mean") {
+    val vecs = Tables.embeddings(spark, TestSpark.sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val n = vecs.length
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map(p => p._1 * p._2).sum
+    // direct O(n^2) mean over ordered pairs — feasible at this SF
+    val direct = (for (i <- vecs.indices; j <- vecs.indices if i != j)
+      yield dot(vecs(i), vecs(j))).sum / (n.toLong * (n - 1))
+    val row = VectorSearch.embedIsotropy(spark, TestSpark.sf).collect().head
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(2) - direct) < 1e-3,
+      s"closed form ${row.getDouble(2)} vs direct $direct")
+    // unit-norm corpus: mean norm 1, anisotropy ~ mean pairwise dot
+    assert(math.abs(row.getDouble(1) - 1.0) < 0.01)
+    assert(math.abs(row.getDouble(3) - row.getDouble(2) /
+      (row.getDouble(1) * row.getDouble(1))) < 1e-4)
+  }
+
   test("analogy with a = b degenerates to plain similarity from c") {
     def cos5(a: Array[Float], qv: Array[Double]): Double = {
       val d = a.zip(qv).map(p => p._1.toDouble * p._2).sum
