@@ -2934,8 +2934,9 @@ object SparkEntry {
         |d0 AS (SELECT min(day) AS day0 FROM daily),
         |p AS (SELECT event_type, day - day0 AS x, n AS y FROM daily, d0)
         |SELECT event_type, count(*) AS n_days, sum(y)::BIGINT AS total,
-        |       round((count(*) * sum(x * y) - sum(x) * sum(y)) /
-        |             (count(*) * sum(x * x) - sum(x) * sum(x)), 5) AS slope_per_day
+        |       CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) = 0 THEN NULL
+        |            ELSE round((count(*) * sum(x * y) - sum(x) * sum(y)) /
+        |                       (count(*) * sum(x * x) - sum(x) * sum(x)), 5) END AS slope_per_day
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // lagged pairs via integer-keyed self-equi-join of the hourly
     // rollup (gaps make no pair); Pearson r from exact BIGINT moments
@@ -2946,9 +2947,11 @@ object SparkEntry {
         |      FROM h a CROSS JOIN (SELECT unnest([1, 24])::BIGINT AS lag) l
         |      JOIN h b ON b.event_type = a.event_type AND b.hour = a.hour + l.lag)
         |SELECT event_type, lag, count(*) AS n_pairs,
-        |       round((count(*) * sum(x * y) - sum(x) * sum(y)) /
-        |             sqrt((count(*) * sum(x * x) - sum(x) * sum(x)) *
-        |                  (count(*) * sum(y * y) - sum(y) * sum(y))), 5) AS acf
+        |       CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) = 0
+        |              OR count(*) * sum(y * y) - sum(y) * sum(y) = 0 THEN NULL
+        |            ELSE round((count(*) * sum(x * y) - sum(x) * sum(y)) /
+        |                       sqrt((count(*) * sum(x * x) - sum(x) * sum(x)) *
+        |                            (count(*) * sum(y * y) - sum(y) * sum(y))), 5) END AS acf
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // same capped baskets as item_cooc; jaccard = co/(sa+sb−co) from
     // exact counts, rounded once; per-item rank cut

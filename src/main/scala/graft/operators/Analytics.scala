@@ -1547,8 +1547,14 @@ object Analytics {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
       .select(col("event_type"), col("n_days"), col("total"),
-        round((col("n_days") * col("sxy") - col("sx") * col("sy")) /
-          (col("n_days") * col("sxx") - col("sx") * col("sx")), 5).as("slope_per_day"))
+        // single-active-day degenerate case (n·Σx² = (Σx)²): Spark's
+        // Divide yields NULL on /0 while DuckDB's IEEE double division
+        // yields NaN — guard explicitly so both engines emit NULL
+        when(col("n_days") * col("sxx") - col("sx") * col("sx") === 0,
+          lit(null).cast("double"))
+          .otherwise(round((col("n_days") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_days") * col("sxx") - col("sx") * col("sx")), 5))
+          .as("slope_per_day"))
       .orderBy(col("event_type"))
   }
 
@@ -1587,10 +1593,16 @@ object Analytics {
         // each variance factor is an exact BIGINT < 2^53, so the
         // double×double product rounds the exact product — identical
         // to the oracle's HUGEINT-exact-then-cast value — while the
-        // BIGINT×BIGINT product would overflow at ~sf1
-        round((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
-          sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double") *
-            (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")), 5).as("acf"))
+        // BIGINT×BIGINT product would overflow at ~sf1; a zero
+        // variance factor (constant series) is guarded to NULL on
+        // both engines (Spark /0 → NULL, DuckDB /0 → NaN otherwise)
+        when(col("n_pairs") * col("sxx") - col("sx") * col("sx") === 0 ||
+          col("n_pairs") * col("syy") - col("sy") * col("sy") === 0,
+          lit(null).cast("double"))
+          .otherwise(round((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")), 5))
+          .as("acf"))
       .orderBy(col("event_type"), col("lag"))
   }
 

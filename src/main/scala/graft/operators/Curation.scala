@@ -365,19 +365,6 @@ object Curation {
     dm.unionAll(em).orderBy(col("tbl"), col("metric"))
   }
 
-  /** Temperature-scaled mixture plan: per-source sampling weights
-    * w_s = p_s^α / Σ p_s^α over exact token shares p_s, plus the token
-    * allocation of a fixed training budget — the α-sampling table
-    * (multilingual-BERT / XLM-R convention: α < 1 upsamples the tail,
-    * α = 1 is proportional, α = 0 uniform) that [[mixtureSample]]'s
-    * per-source rates get REFILLED from when the corpus drifts.
-    * Token counts are exact whitespace-word BIGINTs from one narrow
-    * scan; p, the pow(), and the final allocation are the only float
-    * ops and the weight normalizer is a 1-row broadcast. Output is
-    * |sources| rows. Allocations round from the ROUNDED weights, so
-    * the plan a user reads is exactly the plan downstream tooling
-    * gets.
-    */
   /** Time-based train/val/test split manifest with a leakage audit:
     * the event stream splits at integer DAY boundaries (train gets the
     * first ⌊span·80%⌋ days, val the next tenth, test the rest — exact
@@ -394,9 +381,12 @@ object Curation {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), expr(s"ts_ms div $dayMs").as("day"))
     val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      // integer floor division (`div`, matching the oracle's `//`): a
+      // double `/` here would classify the boundary day differently
+      // from the oracle whenever the span isn't a multiple of 10
       .select(col("d0"), col("d1"),
-        (col("d0") + (col("d1") - col("d0") + 1) * trainPct / 100).as("t1"),
-        (col("d0") + (col("d1") - col("d0") + 1) * (trainPct + valPct) / 100).as("t2"))
+        expr(s"d0 + (d1 - d0 + 1) * $trainPct div 100").as("t1"),
+        expr(s"d0 + (d1 - d0 + 1) * ${trainPct + valPct} div 100").as("t2"))
     val tagged = graft.sources.ScratchCache.materialize(
       ev.crossJoin(broadcast(bounds))
         .select(col("user_id"), col("day"),
@@ -420,6 +410,19 @@ object Curation {
       .orderBy(col("day_from_ms"))
   }
 
+  /** Temperature-scaled mixture plan: per-source sampling weights
+    * w_s = p_s^α / Σ p_s^α over exact token shares p_s, plus the token
+    * allocation of a fixed training budget — the α-sampling table
+    * (multilingual-BERT / XLM-R convention: α < 1 upsamples the tail,
+    * α = 1 is proportional, α = 0 uniform) that [[mixtureSample]]'s
+    * per-source rates get REFILLED from when the corpus drifts.
+    * Token counts are exact whitespace-word BIGINTs from one narrow
+    * scan; p, the pow(), and the final allocation are the only float
+    * ops and the weight normalizer is a 1-row broadcast. Output is
+    * |sources| rows. Allocations round from the ROUNDED weights, so
+    * the plan a user reads is exactly the plan downstream tooling
+    * gets.
+    */
   def mixturePlan(spark: SparkSession, dir: String, alpha: Double = 0.5,
                   budgetTokens: Long = 1000000L): DataFrame = {
     val perSource = Tables.documents(spark, dir)

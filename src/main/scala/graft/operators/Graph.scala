@@ -264,11 +264,24 @@ object Graph {
     val withDeg = ScratchCache.materialize(
       edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"))
     val nodes = ScratchCache.materialize(capped.select(col("item_id")).distinct())
-    val seed: Long = seedItem.getOrElse {
+    val seedOpt: Option[Long] = seedItem.orElse {
       capped.groupBy(col("item_id")).agg(count(lit(1)).as("supp"))
         .orderBy(col("supp").desc, col("item_id")).limit(1)
-        .collect().head.getLong(0)
+        .collect().headOption.map(_.getLong(0))
     }
+    if (seedOpt.isEmpty) {
+      // no view/click/purchase event carries an item ref: match the
+      // SQL oracle's empty result instead of throwing on .head
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("seed_item", LongType, nullable = false),
+          StructField("item_id", LongType, nullable = true),
+          StructField("rank_scaled", LongType, nullable = true),
+          StructField("rank", DoubleType, nullable = true))))
+    }
+    val seed: Long = seedOpt.get
     val Scale = 1L << 34
     val base = (15L * Scale) / 100L
     var ranks = nodes.select(col("item_id"),

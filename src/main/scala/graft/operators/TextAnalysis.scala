@@ -787,18 +787,6 @@ object TextAnalysis {
       .orderBy(col("source"), col("rk"))
   }
 
-  /** Longer-n repetition coverage — the rest of the Gopher repetition
-    * battery ([[docRepetition]] covers n=2; Rae et al. 2021 Table A1
-    * runs top-n-gram share for small n and duplicate-n-gram fraction
-    * for large n, because the two catch different failure modes: a
-    * high TOP share at n=3 is a stuck phrase, a high DUPLICATE
-    * fraction at n=5/10 is wholesale block repetition that a single
-    * hot trigram never shows). Duplicate fractions are pure per-row
-    * array arithmetic (size − size∘distinct — narrow, zero shuffle);
-    * only the top-trigram count needs a (doc, gram) aggregate, and
-    * that explode is doc-blocked exactly like [[docRepetition]]'s.
-    * Ratios are exact-integer divisions (SURVEY §4).
-    */
   /** Bigram collocations ranked by pointwise mutual information — the
     * classic "strongly associated word pair" extractor (Church & Hanks
     * 1990): PMI = ln(P(w1w2) / (P(w1)P(w2))) with bigram probability
@@ -964,6 +952,18 @@ object TextAnalysis {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Longer-n repetition coverage — the rest of the Gopher repetition
+    * battery ([[docRepetition]] covers n=2; Rae et al. 2021 Table A1
+    * runs top-n-gram share for small n and duplicate-n-gram fraction
+    * for large n, because the two catch different failure modes: a
+    * high TOP share at n=3 is a stuck phrase, a high DUPLICATE
+    * fraction at n=5/10 is wholesale block repetition that a single
+    * hot trigram never shows). Duplicate fractions are pure per-row
+    * array arithmetic (size − size∘distinct — narrow, zero shuffle);
+    * only the top-trigram count needs a (doc, gram) aggregate, and
+    * that explode is doc-blocked exactly like [[docRepetition]]'s.
+    * Ratios are exact-integer divisions (SURVEY §4).
+    */
   def ngramCoverage(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     def grams(n: Int): Column = when(size(toks) >= n,
