@@ -80,7 +80,16 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retimed":$rt,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retimed":$rt,"errors":$errs,"sf":"$sfDir"}"""
+    // the full per-query map also lands on disk: the driver's
+    // stdout-tail capture truncates long lines (round 9 parsed as
+    // null at 214 queries), but a file is read whole
+    val outFile = new java.io.File("target/bench.json")
+    outFile.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
+    try w.println(json) finally w.close()
+    System.err.println(s"BENCH JSON written to ${outFile.getAbsolutePath}")
+    println(json)
     spark.stop()
   }
 }

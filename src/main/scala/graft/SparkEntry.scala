@@ -19,6 +19,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- vector search (reference core) ---
     "vs_topk" -> ((s, d) => VectorSearch.topK(s, d, queryId = 0, k = 10)),
+    // reference-artifact end-to-end: the engine answering the
+    // reference's OWN corpus (its .npy matrix and its FAISS flat
+    // index, byte-identical payloads) — dir-independent on purpose
+    "vs_topk_reference" -> ((s, _) => VectorSearch.topKOf(
+      graft.sources.NpySource.readNpy(s, "/root/reference/product_embeddings.npy"), 0, 10)),
+    "vs_topk_faiss" -> ((s, _) => VectorSearch.topKOf(
+      graft.sources.FaissSource.readFlat(s, "/root/reference/faiss_products_flat.index"), 0, 10)),
     // raw text through the LEARNED corpus-lexical encoder (the
     // reference's model.encode seam) — lexicon induction, driver-side
     // encode, and the cosine scan all replayed by the oracle
@@ -597,6 +604,40 @@ object SparkEntry {
       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
       |         FROM capped a JOIN capped b ON a.bbkey = b.bbkey AND a.vec_id < b.vec_id)""".stripMargin
 
+  /** Cosine top-10 (query = row 0) over a reference embedding artifact,
+    * decoded from raw bytes entirely in SQL: hex the blob, reassemble
+    * each float32's 4 little-endian bytes into a u32, and evaluate the
+    * IEEE 754 value (sign · (1 + m·2⁻²³) · 2^(e−127), subnormals as
+    * m·2⁻¹⁴⁹) — exact in double, and an independent decode path from
+    * the engine's ByteBuffer read, so a byte-order or offset bug on
+    * either side fails the hash. Constants are the reference artifact's
+    * published shape: 66 vectors × 384 dims (all-MiniLM-L6-v2) = 25344
+    * floats, at `off` = 128 (.npy v1 preamble) or 45 (FAISS IndexFlat
+    * header).
+    */
+  private def refFlatTopKSql(path: String, off: Int): String =
+    s"""WITH raw AS (SELECT hex(content) AS h FROM read_blob('$path')),
+       |fl AS (SELECT r.i AS fi,
+       |              ('0x' || h[2*($off + 4*r.i + 3)+1 : 2*($off + 4*r.i + 3)+2]
+       |                    || h[2*($off + 4*r.i + 2)+1 : 2*($off + 4*r.i + 2)+2]
+       |                    || h[2*($off + 4*r.i + 1)+1 : 2*($off + 4*r.i + 1)+2]
+       |                    || h[2*($off + 4*r.i)+1 : 2*($off + 4*r.i)+2])::UBIGINT AS u
+       |       FROM raw, range(0, 25344) r(i)),
+       |fv AS (SELECT fi,
+       |              (CASE WHEN u >= 2147483648 THEN -1.0 ELSE 1.0 END) *
+       |              (CASE WHEN ((u >> 23) & 255) = 0
+       |                    THEN (u & 8388607) * power(2.0, -149)
+       |                    ELSE (1.0 + (u & 8388607) * power(2.0, -23)) *
+       |                         power(2.0, (((u >> 23) & 255))::INTEGER - 127) END) AS v
+       |       FROM fl),
+       |emb AS (SELECT fi // 384 AS vec_id, list(v ORDER BY fi) AS e
+       |        FROM fv GROUP BY 1),
+       |q AS (SELECT e AS qv FROM emb WHERE vec_id = 0)
+       |SELECT m.vec_id, round(list_dot_product(m.e, q.qv) /
+       |       (sqrt(list_dot_product(m.e, m.e)) * sqrt(list_dot_product(q.qv, q.qv))), 5) AS score
+       |FROM emb m, q WHERE m.vec_id <> 0
+       |ORDER BY score DESC, m.vec_id LIMIT 10""".stripMargin
+
   private def langCase(prefix: String): String = {
     val langs = TextAnalysis.markers.map(_._1)
     val whens = langs.map { l =>
@@ -617,6 +658,15 @@ object SparkEntry {
          |SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score
          |FROM embeddings e, q WHERE e.vec_id <> 0
          |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    // the reference's own 66×384 product matrix, decoded from raw
+    // bytes IN SQL (IEEE 754 float32 from hex — an independent decode
+    // path from the engine's ByteBuffer read), then the same top-k
+    "vs_topk_reference" ->
+      refFlatTopKSql("/root/reference/product_embeddings.npy", 128),
+    // the FAISS IndexFlatIP artifact: same payload at offset 45
+    // (fourcc + d + ntotal + 2 reserved + is_trained + metric + count)
+    "vs_topk_faiss" ->
+      refFlatTopKSql("/root/reference/faiss_products_flat.index", 45),
     "vs_topk_qvec" ->
       s"""WITH q AS (SELECT $qvSqlList::DOUBLE[] AS qv)
          |SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score
@@ -3482,7 +3532,12 @@ object SparkEntry {
         |FROM ag LEFT JOIN ov USING (split) ORDER BY day_from_ms""".stripMargin,
     // same split as rec_holdout_eval; per-user profile = 5-decimal
     // per-dim means over train embeddings (the label_centroids
-    // contract), catalog-scored cosine, holdout rank counted directly
+    // contract); candidates from the banded sign-LSH blocking replayed
+    // exactly (the dedup_embedding planes; 32 bands × the 6-bit floor —
+    // the adaptive width stays at its floor for any catalog < 2048
+    // items, which every verify scale is), occupancy cap, exact-cosine
+    // scoring of candidates only, holdout rank counted directly —
+    // deterministic, so blocking misses reproduce too
     "rec_content_holdout" ->
       s"""WITH ev AS (SELECT user_id,
          |                   json_extract_string(props, '$$.k')::BIGINT AS item_id,
@@ -3506,11 +3561,30 @@ object SparkEntry {
          |items AS (SELECT i.item_id, e.embedding
          |          FROM (SELECT DISTINCT item_id FROM capped) i
          |          JOIN embeddings e ON e.vec_id = i.item_id),
-         |sc0 AS (SELECT pr.user_id, i.item_id,
+         |pl AS (SELECT b, j, list_transform(range(0, 64), i ->
+         |         CASE WHEN (md5_number_upper(b::VARCHAR || ':' || j::VARCHAR || ':' || i::VARCHAR) & 1) = 1
+         |              THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS plane
+         |       FROM range(32) rb(b), range(6) rj(j)),
+         |ib AS (SELECT it.item_id, p.b,
+         |              sum(CASE WHEN list_dot_product(it.embedding::DOUBLE[], p.plane) >= 0
+         |                       THEN (1::BIGINT << p.j) ELSE 0 END) AS bucket
+         |       FROM items it, pl p GROUP BY 1, 2),
+         |ibk AS (SELECT item_id, b * 64 + bucket AS bb FROM ib),
+         |hotb AS (SELECT bb FROM ibk GROUP BY 1 HAVING count(*) > 1000),
+         |ibc AS (SELECT * FROM ibk ANTI JOIN hotb USING (bb)),
+         |pb AS (SELECT pr.user_id, p.b,
+         |              sum(CASE WHEN list_dot_product(pr.p, p.plane) >= 0
+         |                       THEN (1::BIGINT << p.j) ELSE 0 END) AS bucket
+         |       FROM prof pr, pl p GROUP BY 1, 2),
+         |pbk AS (SELECT user_id, b * 64 + bucket AS bb FROM pb),
+         |cnd AS (SELECT DISTINCT pbk.user_id, ibc.item_id
+         |        FROM pbk JOIN ibc USING (bb)),
+         |sc0 AS (SELECT c.user_id, c.item_id,
          |               round(list_dot_product(i.embedding::DOUBLE[], pr.p) /
          |                     (sqrt(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])) *
          |                      sqrt(list_dot_product(pr.p, pr.p))), 5) AS score
-         |        FROM prof pr CROSS JOIN items i),
+         |        FROM cnd c JOIN prof pr ON pr.user_id = c.user_id
+         |                   JOIN items i ON i.item_id = c.item_id),
          |sc AS (SELECT sc0.* FROM sc0 ANTI JOIN train t
          |       ON t.user_id = sc0.user_id AND t.item_id = sc0.item_id),
          |sh AS (SELECT h.user_id, h.h, s.score AS s_h FROM hold h

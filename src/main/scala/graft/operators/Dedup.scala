@@ -83,7 +83,7 @@ object Dedup {
     * subtracts nothing. Callers pass distinct-per-doc frames, so the
     * count IS document frequency.
     */
-  private def dfCapped(frame: DataFrame, key: String, maxDf: Long): DataFrame = {
+  private[graft] def dfCapped(frame: DataFrame, key: String, maxDf: Long): DataFrame = {
     val hot = frame.groupBy(col(key)).agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select(col(key))
     frame.join(broadcast(hot), Seq(key), "left_anti")

@@ -100,8 +100,12 @@ object Rec {
     * by the top-decile items (cold-start pressure: a matrix whose
     * mass sits in a few head items starves the tail of signal). One
     * distinct (user, item) frame feeds every number; the decile cut
-    * is a TakeOrdered over the |items|-row degree frame; exact
-    * integer ratios rounded once. Output is one row.
+    * folds over the (degree, multiplicity) HISTOGRAM — the
+    * [[Analytics.engagementGini]] shape — so the only window runs
+    * over the bounded distinct-degree frame, never a global
+    * |items|-row rank (tied items share a degree, so the top-K sum
+    * is identical to the ranked cut); exact integer ratios rounded
+    * once. Output is one row.
     */
   def uiMatrixStats(spark: SparkSession, dir: String): DataFrame = {
     val ui = ScratchCache.materialize(Tables.events(spark, dir)
@@ -115,11 +119,15 @@ object Rec {
     val tot = ui.agg(countDistinct(col("user_id")).as("n_users"),
       countDistinct(col("item_id")).as("n_items"),
       count(lit(1)).as("nnz"))
-    val w = Window.orderBy(col("d").desc, col("item_id"))
-    val decile = deg.withColumn("rk", row_number().over(w))
+    val hist = deg.groupBy(col("d")).agg(count(lit(1)).as("m"))
+    val wh = Window.orderBy(col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val decile = hist
+      .withColumn("before", coalesce(sum(col("m")).over(wh), lit(0L)))
       .crossJoin(broadcast(deg.agg(count(lit(1)).as("ni"))))
-      .where(col("rk") <= ceil(col("ni") / 10.0))
-      .agg(sum(col("d")).as("decile_nnz"))
+      .select(col("d"), expr(
+        "greatest(0L, least(m, cast(ceil(ni / 10.0) AS BIGINT) - before))").as("take"))
+      .agg(sum(col("d") * col("take")).as("decile_nnz"))
     tot.crossJoin(broadcast(decile))
       .select(col("n_users"), col("n_items"), col("nnz"),
         round(col("nnz") / (col("n_users") * col("n_items")), 5).as("density"),
@@ -128,28 +136,14 @@ object Rec {
         round(col("decile_nnz") / col("nnz"), 5).as("top_decile_item_share"))
   }
 
-  /** Leave-last-out hit-rate@K for the CONTENT (embedding-profile)
-    * recommender — the evaluation of the reference's actual
-    * recommendation path ([[VectorSearch.recommendForUser]]'s
-    * mean-of-engaged-items profile, scored by cosine over the item
-    * catalog), where [[recHoldoutEval]] evaluates the behavioral
-    * co-visitation path; running both on the same holdout split is
-    * the content-vs-collaborative bake-off. Same eligible users /
-    * last-item holdout / train split; per-user profiles are
-    * per-dimension means over the TRAIN items' embeddings with
-    * components rounded to 5 decimals ([[VectorSearch.labelCentroids]]'
-    * oracle-proven contract, so summation order can't drift the
-    * scores); candidates are the engaged-item catalog minus the
-    * user's train items, and the holdout's rank is counted directly.
-    *
-    * Scale shape: profiles are a (user, dim) aggregate collapsed to
-    * one array row per user; the catalog is |items| rows BROADCAST;
-    * scoring is |users|·|items| bounded fan-out (the catalog is the
-    * small dimension by construction), never corpus×corpus.
+  /** Shared leave-last-out split for the content-recommender evals:
+    * (holdout, train, capped) frames, all ScratchCache'd — the same
+    * eligible-user / last-item-by-(last_ts, item_id) split
+    * [[recHoldoutEval]] uses, so content and collaborative rows are
+    * the same bake-off.
     */
-  def recContentHoldout(spark: SparkSession, dir: String,
-                        ks: Seq[Int] = Seq(1, 5, 10),
-                        maxBasket: Int = 500): DataFrame = {
+  private def lastItemSplit(spark: SparkSession, dir: String, maxBasket: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val ui = Tables.events(spark, dir)
       .where(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"),
@@ -159,8 +153,8 @@ object Rec {
       .groupBy(col("user_id"), col("item_id"))
       .agg(max(col("ts_ms")).as("last_ts"))
     val bk = ui.groupBy(col("user_id")).agg(count(lit(1)).as("basket"))
-    val capped = ui.join(
-      bk.where(col("basket") >= 2 && col("basket") <= maxBasket), Seq("user_id"))
+    val capped = ScratchCache.materialize(ui.join(
+      bk.where(col("basket") >= 2 && col("basket") <= maxBasket), Seq("user_id")))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("last_ts").desc, col("item_id").desc)
     val ranked = capped.withColumn("rk", row_number().over(w))
@@ -168,9 +162,18 @@ object Rec {
       ranked.where(col("rk") === 1).select(col("user_id"), col("item_id").as("h")))
     val train = ScratchCache.materialize(
       ranked.where(col("rk") > 1).select(col("user_id"), col("item_id")))
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val prof = train
-      .join(emb, col("item_id") === col("vec_id"))
+    (holdout, train, capped)
+  }
+
+  /** Per-user embedding profiles over the train split: per-dimension
+    * means rounded to 5 decimals ([[VectorSearch.labelCentroids]]'
+    * oracle-proven contract, so summation order can't drift anything
+    * downstream), collapsed to one array row per user.
+    */
+  private def userProfiles(spark: SparkSession, dir: String, train: DataFrame): DataFrame =
+    train
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        col("item_id") === col("vec_id"))
       .select(col("user_id"), posexplode(col("embedding")))
       .toDF("user_id", "pos", "v")
       .groupBy(col("user_id"), col("pos"))
@@ -178,24 +181,28 @@ object Rec {
       .groupBy(col("user_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("user_id"), transform(col("pm"), x => x.getField("m")).as("p"))
-    val items = capped.select(col("item_id")).distinct()
-      .join(emb, col("item_id") === col("vec_id"))
-      .select(col("item_id"), col("embedding"))
-    import graft.functions.VectorFunctions._
-    val scored = ScratchCache.materialize(prof
-      .crossJoin(broadcast(items))
-      .select(col("user_id"), col("item_id"),
-        round(dotd(col("embedding"), col("p")) /
-          (l2norm(col("embedding")) * l2norm(col("p"))), 5).as("score"))
-      .join(train, Seq("user_id", "item_id"), "left_anti"))
+
+  /** Holdout ranks from a (user_id, item_id, score) candidate frame:
+    * the holdout's rank = 1 + count of candidates scoring strictly
+    * higher (ties toward the smaller item id). Users whose holdout
+    * received no score are absent (counted as misses downstream).
+    */
+  private def ranksOf(holdout: DataFrame, scored: DataFrame): DataFrame = {
     val sh = holdout.join(
       scored.select(col("user_id"), col("item_id").as("h"), col("score").as("s_h")),
       Seq("user_id", "h"), "left_outer")
-    val ranks = sh.where(col("s_h").isNotNull)
+    sh.where(col("s_h").isNotNull)
       .join(scored, Seq("user_id"), "left_outer")
-      .groupBy(col("user_id"), col("h"))
+      .groupBy(col("user_id"), col("h"), col("s_h"))
       .agg((count(when(col("score") > col("s_h") ||
         (col("score") === col("s_h") && col("item_id") < col("h")), 1)) + 1).as("rank"))
+  }
+
+  /** hit@K table from a rank frame: every requested K kept even when
+    * no user hits; the single float op is the final hit-rate division.
+    */
+  private def hitsOf(spark: SparkSession, ranks: DataFrame, holdout: DataFrame,
+                     ks: Seq[Int]): DataFrame = {
     val nUsers = holdout.agg(count(lit(1)).as("n_users"))
     ranks
       .select(explode(typedlit(ks.map(_.toLong))).as("k"), col("rank"))
@@ -210,6 +217,129 @@ object Rec {
       .orderBy(col("k"))
   }
 
+  /** Exact full-catalog scoring — every (profile, engaged item) pair
+    * via a catalog broadcast. The SPEC GROUND TRUTH twin of
+    * [[shortlistScores]] (the [[Dedup.embeddingNearDup]] /
+    * [[Dedup.embeddingNearDupLsh]] relationship): fine at test scale,
+    * but the |users|×|items| fan-out and the full-catalog broadcast
+    * are exactly what the surfaced query must NOT do at 100 TB.
+    */
+  private[graft] def exactScores(spark: SparkSession, dir: String, prof: DataFrame,
+                                 items: DataFrame, train: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions._
+    prof
+      .crossJoin(broadcast(items))
+      .select(col("user_id"), col("item_id"),
+        round(dotd(col("embedding"), col("p")) /
+          (l2norm(col("embedding")) * l2norm(col("p"))), 5).as("score"))
+      .join(train, Seq("user_id", "item_id"), "left_anti")
+  }
+
+  /** LSH-blocked candidate scoring — the 100 TB shape: profiles and
+    * catalog items hash into `nBands` banded sign-LSH tables over the
+    * same hash-derived ±1 planes as [[Dedup]]'s near-dup blocking
+    * ([[Dedup.rademacherPlane]] — deterministic, so the DuckDB oracle
+    * replays the blocking exactly, misses included), candidates are
+    * any-band bucket collisions, and only candidates get the exact
+    * cosine. The catalog is never broadcast whole: buckets join on
+    * their (band, bucket) key and per-user candidate volume is
+    * bounded by bucket occupancy × bands. Band width grows with the
+    * catalog as ceil(log2(n/32)) above the `bitsFloor` (the
+    * [[Dedup.embeddingNearDupLsh]] occupancy rule) and hot buckets
+    * beyond `bucketCap` items are dropped ([[Dedup.dfCapped]]) — a
+    * dense uninformative region never floods a reducer.
+    */
+  private[graft] def shortlistScores(spark: SparkSession, dir: String, prof: DataFrame,
+                                     items: DataFrame, train: DataFrame,
+                                     nBands: Int = 32, bitsFloor: Int = 6,
+                                     bucketCap: Long = 1000L): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    val nItems = items.count()
+    val bits = math.max(bitsFloor,
+      math.ceil(math.log(math.max(nItems, 32L).toDouble / 32.0) / math.log(2.0)).toInt)
+    val dim = Lsh.embeddingDim(spark, dir)
+    val planes = (for (b <- 0 until nBands; j <- 0 until bits) yield
+      (b, 1L << j, Dedup.rademacherPlane(b, j, dim))).toDF("band", "weight", "plane")
+    def buckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.crossJoin(broadcast(planes))
+        .groupBy(col(idCol), col("band"))
+        .agg(sum(when(dotd(col(vecCol), col("plane")) >= 0, col("weight"))
+          .otherwise(lit(0L))).as("bucket"))
+        .withColumn("bb", col("band") * lit(1L << bits) + col("bucket"))
+        .select(col(idCol), col("bb"))
+    val itemBuckets = Dedup.dfCapped(buckets(items, "item_id", "embedding"), "bb", bucketCap)
+    val profBuckets = buckets(prof, "user_id", "p")
+    val cand = profBuckets.join(itemBuckets, Seq("bb"))
+      .select(col("user_id"), col("item_id")).distinct()
+    cand
+      .join(prof, Seq("user_id"))
+      .join(items, Seq("item_id"))
+      .select(col("user_id"), col("item_id"),
+        round(dotd(col("embedding"), col("p")) /
+          (l2norm(col("embedding")) * l2norm(col("p"))), 5).as("score"))
+      .join(train, Seq("user_id", "item_id"), "left_anti")
+  }
+
+  /** Per-user holdout ranks for the content recommender, by path —
+    * `shortlist = true` is the surfaced LSH-blocked eval,
+    * `shortlist = false` the exact full-catalog twin specs compare
+    * against (shortlist ranks must never beat exact ranks and scores
+    * must agree wherever both paths scored the holdout).
+    */
+  private[graft] def contentRanks(spark: SparkSession, dir: String,
+                                  maxBasket: Int = 500,
+                                  shortlist: Boolean = true): DataFrame = {
+    val (holdout, train, capped) = lastItemSplit(spark, dir, maxBasket)
+    val prof = userProfiles(spark, dir, train)
+    val items = ScratchCache.materialize(capped.select(col("item_id")).distinct()
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        col("item_id") === col("vec_id"))
+      .select(col("item_id"), col("embedding")))
+    val scored = ScratchCache.materialize(
+      if (shortlist) shortlistScores(spark, dir, prof, items, train)
+      else exactScores(spark, dir, prof, items, train))
+    ranksOf(holdout, scored)
+  }
+
+  /** Leave-last-out hit-rate@K for the CONTENT (embedding-profile)
+    * recommender — the evaluation of the reference's actual
+    * recommendation path ([[VectorSearch.recommendForUser]]'s
+    * mean-of-engaged-items profile, scored by cosine over the
+    * engaged-item catalog), where [[recHoldoutEval]] evaluates the
+    * behavioral co-visitation path; running both on the same holdout
+    * split is the content-vs-collaborative bake-off.
+    *
+    * This measures the recommender AS SERVED: candidates come from
+    * the banded sign-LSH shortlist ([[shortlistScores]] — the same
+    * blocking an online profile→item ANN lookup would use), so a
+    * holdout the blocking misses counts as a miss, exactly as it
+    * would in production. [[exactScores]] remains the spec twin
+    * measuring the idealized exhaustive recommender.
+    *
+    * Scale shape: profiles are a (user, dim) aggregate collapsed to
+    * one array row per user; candidate volume is bucket-occupancy ×
+    * bands per user, never |users|·|items|; no full-catalog
+    * broadcast anywhere.
+    */
+  def recContentHoldout(spark: SparkSession, dir: String,
+                        ks: Seq[Int] = Seq(1, 5, 10),
+                        maxBasket: Int = 500): DataFrame = {
+    val (holdout, _, _) = lastItemSplit(spark, dir, maxBasket)
+    hitsOf(spark, contentRanks(spark, dir, maxBasket, shortlist = true), holdout, ks)
+  }
+
+  /** The exact full-catalog twin of [[recContentHoldout]] (spec-only,
+    * not surfaced as a query — its broadcast cross-score is the shape
+    * the engine refuses to ship at scale).
+    */
+  private[graft] def recContentHoldoutExact(spark: SparkSession, dir: String,
+                                            ks: Seq[Int] = Seq(1, 5, 10),
+                                            maxBasket: Int = 500): DataFrame = {
+    val (holdout, _, _) = lastItemSplit(spark, dir, maxBasket)
+    hitsOf(spark, contentRanks(spark, dir, maxBasket, shortlist = false), holdout, ks)
+  }
+
   /** Aggregate-diversity report for the co-visitation recommender:
     * what fraction of the catalog ever appears in a top-N list
     * (coverage), and how concentrated the slots are — the
@@ -220,7 +350,10 @@ object Rec {
     * [[Analytics.itemCooccurrence]]'s top-N lists; every metric is an
     * exact integer ratio over the bounded |items|×N slot frame,
     * rounded once. The decile cut is ceil(|distinct recs|/10) items by
-    * (slot count, item id) — deterministic, WindowGroupLimit-bounded.
+    * slot count, folded over the (slot-count, multiplicity) histogram
+    * (the [[Analytics.engagementGini]] shape) so the only window runs
+    * over the bounded distinct-count frame — tied items share a slot
+    * count, so the top-K sum is identical to a ranked cut.
     */
   def recCoverage(spark: SparkSession, dir: String, topN: Int = 5): DataFrame = {
     val recs = Analytics.itemCooccurrence(spark, dir, topN)
@@ -231,12 +364,15 @@ object Rec {
     val totals = slots.agg(count(lit(1)).as("n_recommended"),
       sum(col("n_slots")).as("total_slots"),
       max(col("n_slots")).as("max_slots"))
-    val w = Window.orderBy(col("n_slots").desc, col("rec_item_id"))
-    val ranked = slots.withColumn("rk", row_number().over(w))
+    val hist = slots.groupBy(col("n_slots")).agg(count(lit(1)).as("m"))
+    val wh = Window.orderBy(col("n_slots").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val decile = hist
+      .withColumn("before", coalesce(sum(col("m")).over(wh), lit(0L)))
       .crossJoin(broadcast(totals))
-    val decile = ranked
-      .where(col("rk") <= ceil(col("n_recommended") / 10.0))
-      .agg(sum(col("n_slots")).as("decile_slots"))
+      .select(col("n_slots"), expr(
+        "greatest(0L, least(m, cast(ceil(n_recommended / 10.0) AS BIGINT) - before))").as("take"))
+      .agg(sum(col("n_slots") * col("take")).as("decile_slots"))
     totals
       .crossJoin(broadcast(decile))
       .crossJoin(broadcast(catalog))

@@ -37,6 +37,25 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** [[topK]] over an EXTERNAL (vec_id, embedding) frame — the door
+    * the reference-artifact sources walk through
+    * ([[graft.sources.NpySource]], [[graft.sources.FaissSource]]):
+    * same broadcast-query / single-corpus-scan / TakeOrdered shape,
+    * corpus-agnostic, so the engine answers the reference's OWN
+    * matrices (app.py:68-80) and not just the parquet twin.
+    */
+  def topKOf(frame: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val e = frame.withColumn("nrm", l2norm(col("embedding")))
+    val q = e.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    e.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Two-stage retrieval (reference app.py:156-188): metadata filter
     * builds the candidate set, vector search runs inside it. The filter
     * is pushed into the parquet scan by Catalyst.

@@ -736,6 +736,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(hits.zip(hits.tail).forall { case (a, b) => a <= b })
   }
 
+  test("content shortlist scores match exact rescoring; ranks never beat the exhaustive twin") {
+    def byUser(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val lsh = byUser(graft.operators.Rec.contentRanks(spark, TestSpark.sf, shortlist = true))
+    val ex = byUser(graft.operators.Rec.contentRanks(spark, TestSpark.sf, shortlist = false))
+    assert(lsh.nonEmpty, "the LSH blocking must shortlist at least one holdout at test scale")
+    // a shortlisted holdout is by definition scorable by the exhaustive path
+    assert(lsh.keySet.subsetOf(ex.keySet))
+    lsh.foreach { case (u, (h, sH, rank)) =>
+      val (hE, sE, rankE) = ex(u)
+      assert(h == hE)
+      assert(sH == sE, s"user $u: the shortlist path must score the holdout with the same exact cosine")
+      assert(rank <= rankE, s"user $u: rank among a candidate SUBSET can only improve ($rank vs $rankE)")
+    }
+  }
+
   test("cohort LTV conserves revenue and accumulates monotonically") {
     import org.apache.spark.sql.functions.{col, round => rnd, sum => ssum}
     val rows = graft.operators.Analytics.userCohortLtv(spark, TestSpark.sf).collect()

@@ -636,4 +636,33 @@ class PlanSpec extends AnyFunSuite {
     // exactly one embeddings scan feeds one aggregate, no join at all
     assert(!p.contains("Join"), s"centroids must not join:\n${p.take(800)}")
   }
+
+  test("no query plans an unpartitioned window outside the documented bounded-frame folds") {
+    // An unpartitioned window funnels its whole input into ONE task,
+    // so it is allowed only where the windowed frame is provably
+    // bounded — a histogram or rollup whose row count is independent
+    // of corpus size (degree histograms, |weeks|/|days|/|types|
+    // calendars, top-K cuts). Every allowlisted query names its
+    // bounded frame; adding a query here requires the same argument.
+    val boundedFrameFolds = Set(
+      "engagement_gini",      // (event-count, multiplicity) histogram
+      "ui_matrix_stats",      // (item-degree, multiplicity) histogram
+      "rec_coverage",         // (slot-count, multiplicity) histogram
+      "events_survival",      // per-day gap/censor histogram (|days| rows)
+      "events_daily_active",  // cumulative over the |days|-row calendar
+      "vocab_zipf",           // rank over the top-100 TakeOrdered cut
+      "vocab_coverage_curve", // rank over the top-8k TakeOrdered cut
+      "vocab_heaps",          // two 16-row shard folds
+      "hybrid_rrf")           // rank over each leg's top-100 list
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = fn(spark, TestSpark.sf).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) Seq(name) else Nil
+    }
+    val undocumented = offenders.toSet -- boundedFrameFolds
+    assert(undocumented.isEmpty,
+      s"unpartitioned windows outside the bounded-frame allowlist: ${undocumented.toSeq.sorted.mkString(", ")}")
+  }
 }

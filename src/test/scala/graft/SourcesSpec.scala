@@ -259,6 +259,39 @@ class SourcesSpec extends AnyFunSuite {
       a.getSeq[Float](1) == b.getSeq[Float](1) })
   }
 
+  test("faiss flat reader byte-matches the npy matrix (same vectors, same order)") {
+    import graft.sources.{FaissSource, NpySource}
+    // the reference builds faiss_products_flat.index FROM
+    // product_embeddings.npy (app.py:75-80), so the two artifacts must
+    // decode to bit-identical float rows in the same insertion order
+    val faiss = FaissSource.readFlat(spark, "/root/reference/faiss_products_flat.index")
+      .orderBy("vec_id").collect()
+    val npy = NpySource.readNpy(spark, "/root/reference/product_embeddings.npy")
+      .orderBy("vec_id").collect()
+    assert(faiss.length == 66 && faiss.length == npy.length)
+    faiss.zip(npy).foreach { case (f, n) =>
+      assert(f.getLong(0) == n.getLong(0))
+      assert(f.getSeq[Float](1) == n.getSeq[Float](1),
+        s"row ${f.getLong(0)} differs between faiss and npy decode")
+    }
+    // sharded read must not change the result
+    val sharded = FaissSource.readFlat(spark,
+      "/root/reference/faiss_products_flat.index", batchRows = 7)
+      .orderBy("vec_id").collect()
+    assert(sharded.zip(faiss).forall { case (a, b) =>
+      a.getLong(0) == b.getLong(0) && a.getSeq[Float](1) == b.getSeq[Float](1) })
+  }
+
+  test("faiss reader rejects non-flat families with a clear message") {
+    import graft.sources.FaissSource
+    // faiss_reviews_ivf.index is an IndexIVFFlat ("IwFl") — trained
+    // state the flat reader must refuse, not misparse
+    val e = intercept[IllegalArgumentException] {
+      FaissSource.readFlat(spark, "/root/reference/faiss_reviews_ivf.index")
+    }
+    assert(e.getMessage.contains("IwFl") && e.getMessage.contains("IndexFlat"))
+  }
+
   test("npy write/read round-trips the engine's embedding frame bit-for-bit") {
     import graft.sources.NpySource
     val dir = Files.createTempDirectory("graft-npy").toString
