@@ -442,12 +442,13 @@ object Analytics {
     * the aggregation buffer — right for oracle-parity and for
     * low-cardinality value domains; at 100 TB with unbounded domains
     * the drop-in scale path is `approx_percentile` (t-digest, bounded
-    * memory), the same trade len_deciles documents.
+    * memory), the same trade len_deciles documents — wired for real
+    * by [[Scale.pct]] under `spark.graft.scale.approx=true`.
     */
   def quantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))").as("qs"),
+      .agg(Scale.pctArray(spark, "value", "array(0.25D, 0.5D, 0.75D, 0.95D)").as("qs"),
         count(lit(1)).as("n_events"))
       .select(col("event_type"),
         round(element_at(col("qs"), 1), 5).as("q25"),
@@ -1004,7 +1005,8 @@ object Analytics {
     * that calibrates session gaps and streaming watermarks. One
     * (user,type)-partitioned lag() pass; mean from exact integer ms
     * sums, median/p90 via the exact interpolated percentile
-    * (`approx_percentile` is the documented 100 TB drop-in).
+    * (`approx_percentile` is the 100 TB drop-in, wired by
+    * [[Scale.pct]] under `spark.graft.scale.approx=true`).
     */
   def intereventGaps(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -1017,8 +1019,8 @@ object Analytics {
       .agg(
         count(lit(1)).as("n_gaps"),
         sum(col("gap_ms")).as("sum_gap_ms"),
-        round(expr("percentile(gap_ms, 0.5D)") / 1000.0, 3).as("median_gap_s"),
-        round(expr("percentile(gap_ms, 0.9D)") / 1000.0, 3).as("p90_gap_s"),
+        round(Scale.pct(spark, "gap_ms", "0.5D") / 1000.0, 3).as("median_gap_s"),
+        round(Scale.pct(spark, "gap_ms", "0.9D") / 1000.0, 3).as("p90_gap_s"),
         (max(col("gap_ms")) / lit(1000.0)).as("max_gap_s"))
       .withColumn("mean_gap_s", round(col("sum_gap_ms") / col("n_gaps") / 1000.0, 3))
       .withColumn("max_gap_s", round(col("max_gap_s"), 3))
@@ -1045,8 +1047,9 @@ object Analytics {
     * map-side BEFORE the orders join (one row per orderkey crosses the
     * shuffle, not line fan-out); day latency is exact date arithmetic;
     * mean from exact integer sums, median/p90 via the exact
-    * interpolated percentile (`approx_percentile` is the documented
-    * 100 TB drop-in).
+    * interpolated percentile (`approx_percentile` is the 100 TB
+    * drop-in, wired by [[Scale.pct]] under
+    * `spark.graft.scale.approx=true`).
     */
   def shipLatency(spark: SparkSession, dir: String): DataFrame = {
     val firstShip = Tables.lineitem(spark, dir)
@@ -1059,8 +1062,8 @@ object Analytics {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("days")).as("sum_days"),
-        round(expr("percentile(days, 0.5D)"), 3).as("median_days"),
-        round(expr("percentile(days, 0.9D)"), 3).as("p90_days"),
+        round(Scale.pct(spark, "days", "0.5D"), 3).as("median_days"),
+        round(Scale.pct(spark, "days", "0.9D"), 3).as("p90_days"),
         max(col("days")).as("max_days"))
       .withColumn("mean_days", round(col("sum_days") / col("n_orders"), 3))
       .orderBy(col("o_orderpriority"))
@@ -1983,7 +1986,8 @@ object Analytics {
     * [[hourlyRollup]] averages the bursts away. One map-side-combined
     * (type, minute) rollup; the percentiles run over that bounded
     * |types|×|minutes| frame with the exact interpolated `percentile`
-    * (`approx_percentile` is the documented 100 TB drop-in, same as
+    * (`approx_percentile` is the 100 TB drop-in, wired by
+    * [[Scale.pct]] under `spark.graft.scale.approx=true`, same as
     * [[intereventGaps]]); mean is an exact-integer division rounded
     * once.
     */
@@ -1994,9 +1998,9 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_minutes"),
         sum(col("n")).as("n_events"),
-        round(expr("percentile(n, 0.5D)"), 3).as("p50_per_min"),
-        round(expr("percentile(n, 0.95D)"), 3).as("p95_per_min"),
-        round(expr("percentile(n, 0.99D)"), 3).as("p99_per_min"),
+        round(Scale.pct(spark, "n", "0.5D"), 3).as("p50_per_min"),
+        round(Scale.pct(spark, "n", "0.95D"), 3).as("p95_per_min"),
+        round(Scale.pct(spark, "n", "0.99D"), 3).as("p99_per_min"),
         max(col("n")).as("max_per_min"))
       .withColumn("mean_per_min", round(col("n_events") / col("n_minutes"), 3))
       .orderBy(col("event_type"))

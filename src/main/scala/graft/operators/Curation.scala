@@ -158,6 +158,22 @@ object Curation {
     */
   def lengthDecilesOf(docs0: DataFrame, maxDistinct: Long = 100000L): DataFrame = {
     val docs = docs0.select(col("doc_id"), col("n_chars"))
+    def approxPath: DataFrame = {
+      val bounds = docs.agg(expr(
+        "approx_percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)"))
+        .head.getSeq[Long](0)
+      val tile = bounds.foldLeft(lit(1L))((acc, b) =>
+        acc + when(col("n_chars") > b, 1L).otherwise(0L))
+      docs.withColumn("tile", tile)
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("tile"))
+    }
+    // scale mode skips even the capped histogram collect — the sketch
+    // path is the point of the flag
+    if (Scale.approxOn(docs.sparkSession)) return approxPath
     // ONE aggregation decides the path AND feeds the exact path: the
     // histogram collect is capped at maxDistinct+1 rows (driver memory
     // bounded by the cap, not the cardinality); overflowing the cap
@@ -165,19 +181,7 @@ object Curation {
     // scan the corpus twice for no extra safety.
     val histCapped = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
       .orderBy(col("n_chars")).limit(maxDistinct.toInt + 1).collect()
-    if (histCapped.length > maxDistinct) {
-      val bounds = docs.agg(expr(
-        "approx_percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)"))
-        .head.getSeq[Long](0)
-      val tile = bounds.foldLeft(lit(1L))((acc, b) =>
-        acc + when(col("n_chars") > b, 1L).otherwise(0L))
-      return docs.withColumn("tile", tile)
-        .groupBy(col("tile"))
-        .agg(count(lit(1)).as("n_docs"),
-          min(col("n_chars")).as("min_chars"),
-          max(col("n_chars")).as("max_chars"))
-        .orderBy(col("tile"))
-    }
+    if (histCapped.length > maxDistinct) return approxPath
     val hist = histCapped // complete: cardinality is under the cap
     val n = hist.map(_.getLong(1)).sum
     var cum = 0L

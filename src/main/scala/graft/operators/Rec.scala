@@ -116,8 +116,10 @@ object Rec {
       .distinct())
     val deg = ScratchCache.materialize(
       ui.groupBy(col("item_id")).agg(count(lit(1)).as("d")))
-    val tot = ui.agg(countDistinct(col("user_id")).as("n_users"),
-      countDistinct(col("item_id")).as("n_items"),
+    // scale mode swaps the exact distincts for HLL++ sketches
+    // (constant memory, mergeable) — the nnz count stays exact
+    val tot = ui.agg(Scale.distinctCount(spark, col("user_id")).as("n_users"),
+      Scale.distinctCount(spark, col("item_id")).as("n_items"),
       count(lit(1)).as("nnz"))
     val hist = deg.groupBy(col("d")).agg(count(lit(1)).as("m"))
     val wh = Window.orderBy(col("d").desc)

@@ -736,6 +736,78 @@ class OperatorSpec extends AnyFunSuite {
     assert(hits.zip(hits.tail).forall { case (a, b) => a <= b })
   }
 
+  test("scale-approx mode: sketch paths agree with exact within their documented bounds") {
+    val names = Seq("events_quantiles", "interevent_gaps", "ship_latency",
+      "events_peak_load", "len_deciles", "ui_matrix_stats")
+    def runAll() = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, TestSpark.sf)).toMap
+    val exactDf = runAll()
+    val exact = exactDf.map { case (n, df) => n -> df.collect() }
+    spark.conf.set("spark.graft.scale.approx", "true")
+    val (approxDf, approx) = try {
+      val dfs = runAll()
+      (dfs, dfs.map { case (n, df) => n -> df.collect() })
+    } finally spark.conf.unset("spark.graft.scale.approx")
+    // identical column names and types on both paths (nullability may
+    // differ — a literal-derived column loses its not-null mark) —
+    // the flag must never change the query's contract
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    names.foreach { n =>
+      assert(shape(approxDf(n)) == shape(exactDf(n)),
+        s"$n: approx schema drifted: ${shape(approxDf(n))} vs ${shape(exactDf(n))}")
+    }
+    // per-type rows align and the exact (non-sketch) columns agree
+    for (n <- Seq("events_quantiles", "interevent_gaps", "ship_latency", "events_peak_load")) {
+      val (e, a) = (exact(n), approx(n))
+      assert(a.map(_.get(0)).toSeq == e.map(_.get(0)).toSeq, s"$n: key rows differ")
+      val counts = exactDf(n).schema.fieldNames.zipWithIndex
+        .filter { case (f, _) => f.startsWith("n_") || f.startsWith("sum_") || f.startsWith("max_") }
+      counts.foreach { case (f, i) =>
+        assert(a.map(_.get(i)).toSeq == e.map(_.get(i)).toSeq, s"$n.$f must stay exact") }
+    }
+    // the sketch's guarantee is on RANK, not value: the approx median
+    // must be an actual order statistic bracketing the target rank
+    // (rank error ≤ n/10000 < 1 at this scale → ±1 index)
+    {
+      import org.apache.spark.sql.functions.{col, min => smin, datediff}
+      val days = Tables.lineitem(spark, TestSpark.sf)
+        .groupBy(col("l_orderkey")).agg(smin(col("l_shipdate")).as("fs"))
+        .join(Tables.orders(spark, TestSpark.sf), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"), datediff(col("fs"), col("o_orderdate")).cast("long").as("d"))
+        .collect().groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted }
+      approx("ship_latency").foreach { r =>
+        val sorted = days(r.getString(0))
+        val m = r.getDouble(3) // median_days, 3-decimal round of a true sample
+        val v = math.round(m * 1000).toDouble / 1000
+        val first = sorted.indexWhere(_.toDouble == v)
+        assert(first >= 0, s"${r.getString(0)}: approx median $v is not an actual latency value")
+        val last = sorted.lastIndexWhere(_.toDouble == v)
+        val target = 0.5 * (sorted.length - 1)
+        assert(target >= first - 1 && target <= last + 1,
+          s"${r.getString(0)}: approx median rank [$first,$last] misses target $target beyond the bound")
+      }
+    }
+    // len_deciles approx path: tile populations may shift on boundary
+    // ties (documented) but mass and the overall range are conserved
+    locally {
+      val (e, a) = (exact("len_deciles"), approx("len_deciles"))
+      def l(r: org.apache.spark.sql.Row, i: Int) = r.getAs[Number](i).longValue
+      assert(a.map(l(_, 1)).sum == e.map(l(_, 1)).sum, "len_deciles mass")
+      assert(a.map(l(_, 2)).min == e.map(l(_, 2)).min, "global min length")
+      assert(a.map(l(_, 3)).max == e.map(l(_, 3)).max, "global max length")
+    }
+    // ui_matrix_stats: nnz stays exact; HLL distincts within 5%
+    locally {
+      val (e, a) = (exact("ui_matrix_stats").head, approx("ui_matrix_stats").head)
+      assert(a.getLong(2) == e.getLong(2), "nnz must stay exact")
+      Seq(0, 1).foreach { i =>
+        val (ev, av) = (e.getLong(i).toDouble, a.getLong(i).toDouble)
+        assert(math.abs(av - ev) / ev <= 0.05, s"HLL col $i off by >5%: $av vs $ev")
+      }
+    }
+  }
+
   test("content shortlist scores match exact rescoring; ranks never beat the exhaustive twin") {
     def byUser(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
