@@ -26,6 +26,16 @@ object SparkEntry {
       graft.sources.NpySource.readNpy(s, "/root/reference/product_embeddings.npy"), 0, 10)),
     "vs_topk_faiss" -> ((s, _) => VectorSearch.topKOf(
       graft.sources.FaissSource.readFlat(s, "/root/reference/faiss_products_flat.index"), 0, 10)),
+    // free text against the reference's REAL MiniLM space: the lexicon
+    // induced from (reviews.csv, review_embeddings.npy) encodes the
+    // typed query, product_embeddings.npy answers it — app.py's
+    // search box end-to-end on the reference's own data, zero egress
+    "vs_topk_reference_text" -> ((s, _) => VectorSearch.topKVecOf(
+      graft.sources.NpySource.readNpy(s, "/root/reference/product_embeddings.npy"),
+      graft.functions.CorpusLexicalEncoder.encodeWithVocab(
+        graft.functions.CorpusLexicalQueryEncoder.referenceVocabulary(s,
+          "/root/reference/reviews.csv", "/root/reference/review_embeddings.npy"),
+        "kindle tablet battery"), 10)),
     // raw text through the LEARNED corpus-lexical encoder (the
     // reference's model.encode seam) — lexicon induction, driver-side
     // encode, and the cosine scan all replayed by the oracle
@@ -604,6 +614,32 @@ object SparkEntry {
       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
       |         FROM capped a JOIN capped b ON a.bbkey = b.bbkey AND a.vec_id < b.vec_id)""".stripMargin
 
+  /** The IEEE 754 float32 evaluation of a u32 bit pattern `u` — exact
+    * in double; shared by every reference-artifact byte-decode oracle.
+    */
+  private val f32FromU32: String =
+    """(CASE WHEN u >= 2147483648 THEN -1.0 ELSE 1.0 END) *
+      |(CASE WHEN ((u >> 23) & 255) = 0
+      |      THEN (u & 8388607) * power(2.0, -149)
+      |      ELSE (1.0 + (u & 8388607) * power(2.0, -23)) *
+      |           power(2.0, (((u >> 23) & 255))::INTEGER - 127) END)""".stripMargin
+
+  /** CTEs decoding a reference `.npy` f4 matrix into `name`(vec_id, p,
+    * v): hex the blob ONCE, slice each vector's 3072 hex chars (never
+    * the float-level cross against the whole string — that
+    * materializes GBs), then reassemble little-endian u32s and
+    * evaluate them. 384-dim rows at the standard 128-byte v1 preamble.
+    */
+  private def npyDecodeCtes(name: String, path: String, nRows: Int): String =
+    s"""${name}w AS (SELECT hex(content) AS hw FROM read_blob('$path')),
+       |${name}s AS (SELECT v.i AS vec_id, substring(hw, 2 * (128 + 1536 * v.i) + 1, 3072) AS hh
+       |             FROM ${name}w, range(0, $nRows) v(i)),
+       |${name}u AS (SELECT vec_id, r.p,
+       |               ('0x' || hh[8*r.p+7 : 8*r.p+8] || hh[8*r.p+5 : 8*r.p+6] ||
+       |                hh[8*r.p+3 : 8*r.p+4] || hh[8*r.p+1 : 8*r.p+2])::UBIGINT AS u
+       |             FROM ${name}s, range(0, 384) r(p)),
+       |$name AS (SELECT vec_id, p, $f32FromU32 AS v FROM ${name}u)""".stripMargin
+
   /** Cosine top-10 (query = row 0) over a reference embedding artifact,
     * decoded from raw bytes entirely in SQL: hex the blob, reassemble
     * each float32's 4 little-endian bytes into a u32, and evaluate the
@@ -667,6 +703,30 @@ object SparkEntry {
     // (fourcc + d + ntotal + 2 reserved + is_trained + metric + count)
     "vs_topk_faiss" ->
       refFlatTopKSql("/root/reference/faiss_products_flat.index", 45),
+    // the whole reference free-text path replayed: file-order CSV row
+    // ids, independent re-tokenization, per-term float32 centroids
+    // over the byte-decoded review matrix, token-order mean +
+    // normalize, cosine over the byte-decoded product matrix
+    "vs_topk_reference_text" ->
+      s"""WITH rev AS (SELECT row_number() OVER () - 1 AS doc_id, combined_text AS text
+         |             FROM read_csv('/root/reference/reviews.csv', header=true)),
+         |toks AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+         |                                           t -> length(t) >= 2)) AS term FROM rev),
+         |dt AS (SELECT DISTINCT doc_id, term FROM toks WHERE term IN ('kindle', 'tablet', 'battery')),
+         |${npyDecodeCtes("rfl", "/root/reference/review_embeddings.npy", 1578)},
+         |dims AS (SELECT dt.term, f.p, CAST(avg(f.v) AS FLOAT) AS v
+         |         FROM dt JOIN rfl f ON f.vec_id = dt.doc_id GROUP BY 1, 2),
+         |m AS (SELECT a.p, (a.v::DOUBLE + b.v::DOUBLE + c.v::DOUBLE) / 3 AS mv
+         |      FROM dims a JOIN dims b USING (p) JOIN dims c USING (p)
+         |      WHERE a.term = 'kindle' AND b.term = 'tablet' AND c.term = 'battery'),
+         |nrm AS (SELECT list_sum(list_transform(list(mv ORDER BY p), x -> x * x)) AS n2 FROM m),
+         |qvf AS (SELECT list(CAST(mv * (1 / sqrt(n2)) AS FLOAT) ORDER BY p) AS q FROM m, nrm),
+         |qv AS (SELECT list_transform(q, x -> x::DOUBLE) AS q FROM qvf),
+         |${npyDecodeCtes("pfl", "/root/reference/product_embeddings.npy", 66)},
+         |pemb AS (SELECT vec_id, list(v ORDER BY p) AS e FROM pfl GROUP BY 1)
+         |SELECT p.vec_id, round(list_dot_product(p.e, qv.q) /
+         |       (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(qv.q, qv.q))), 5) AS score
+         |FROM pemb p, qv ORDER BY score DESC, p.vec_id LIMIT 10""".stripMargin,
     "vs_topk_qvec" ->
       s"""WITH q AS (SELECT $qvSqlList::DOUBLE[] AS qv)
          |SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score

@@ -42,12 +42,22 @@ object CorpusLexicalEncoder {
     * is collected, so the build scales with the corpus like the TF-IDF
     * build does.
     */
-  def buildLexicon(spark: SparkSession, dir: String): DataFrame = {
-    val terms = Tables.documents(spark, dir)
+  def buildLexicon(spark: SparkSession, dir: String): DataFrame =
+    buildLexiconOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+
+  /** [[buildLexicon]] over ARBITRARY (doc_id, text) × (vec_id,
+    * embedding) frames — the door the reference-artifact corpus walks
+    * through (reviews.csv rows paired positionally with
+    * review_embeddings.npy rows). Dimension-agnostic.
+    */
+  def buildLexiconOf(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val terms = docs
       .select(col("doc_id"), explode(TextRetrieval.sklearnTokens(col("text"))).as("term"))
       .distinct()
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id"), col("embedding"))
-    val joined = terms.join(emb, "doc_id")
+    val joined = terms.join(
+      emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
     val byDim = joined
       .select(col("term"), col("doc_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("term"), col("pos"))
@@ -71,6 +81,54 @@ object CorpusLexicalEncoder {
         buildLexicon(spark, dir).write.parquet(staging)
       }
     IndexStore.open(spark, path)
+  }
+
+  /** The REFERENCE-corpus lexicon: reviews.csv's combined_text rows
+    * (file-order ids — [[graft.sources.Sources.readCsvRowIndexed]])
+    * paired positionally with review_embeddings.npy rows, exactly the
+    * pairing the reference's own loaders establish (app.py:63-102
+    * read_csv + np.load). The induced term vectors live in the
+    * reference's REAL MiniLM space, so a typed query retrieves actual
+    * products — the closest zero-egress stand-in for loading the
+    * MiniLM weights themselves (environment-blocked: no weights, no
+    * ONNX runtime, no egress — SURVEY §7). Build-once artifact
+    * fingerprinted by the npy matrix.
+    */
+  def ensureReferenceLexicon(spark: SparkSession, csvPath: String,
+                             npyPath: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = IndexStore.indexPath(spark, "lexenc-ref", npyPath, "v1")
+    if (!IndexStore.isComplete(spark, path))
+      IndexStore.publish(spark, path) { staging =>
+        val schema = StructType(Seq("id", "asins", "brand", "categories",
+          "reviews.title", "reviews.text", "reviews.rating", "combined_text")
+          .map(f => StructField(f, StringType)))
+        val docs = graft.sources.Sources.readCsvRowIndexed(spark, csvPath, schema)
+          .select(col("row_id").as("doc_id"), col("combined_text").as("text"))
+        buildLexiconOf(docs, graft.sources.NpySource.readNpy(spark, npyPath))
+          .write.parquet(staging)
+      }
+    IndexStore.open(spark, path)
+  }
+
+  /** Driver-side encode over a resolved vocabulary: mean of the known
+    * terms' vectors (double accumulation in token order), L2-normalized
+    * — the mean-of-token-embeddings composition sentence encoders
+    * reduce to for short queries. Unknown-only queries fail loudly.
+    */
+  private[graft] def encodeWithVocab(vocab: Map[String, Array[Float]],
+                                     text: String): Array[Float] = {
+    val hits = TextRetrieval.sklearnTokenize(text).flatMap(vocab.get)
+    require(hits.nonEmpty,
+      s"no query term is in the corpus lexicon (query: '$text')")
+    val dim = hits.head.length
+    val sum = new Array[Double](dim)
+    hits.foreach { v => var i = 0; while (i < dim) { sum(i) += v(i); i += 1 } }
+    var nrm = 0.0
+    var i = 0
+    while (i < dim) { sum(i) /= hits.length; nrm += sum(i) * sum(i); i += 1 }
+    val inv = if (nrm > 0) 1.0 / math.sqrt(nrm) else 1.0
+    Array.tabulate(dim)(j => (sum(j) * inv).toFloat)
   }
 }
 
@@ -101,18 +159,8 @@ class CorpusLexicalQueryEncoder extends QueryEncoder {
     val dir = spark.conf.getOption(DirKey).getOrElse(
       throw new IllegalStateException(s"$DirKey not set: the corpus-lexical encoder " +
         "needs the corpus dir it learns from"))
-    val vocab = CorpusLexicalQueryEncoder.vocabulary(spark, dir)
-    val hits = TextRetrieval.sklearnTokenize(text).flatMap(vocab.get)
-    require(hits.nonEmpty,
-      s"no query term is in the corpus lexicon (query: '$text')")
-    val dim = hits.head.length
-    val sum = new Array[Double](dim)
-    hits.foreach { v => var i = 0; while (i < dim) { sum(i) += v(i); i += 1 } }
-    var nrm = 0.0
-    var i = 0
-    while (i < dim) { sum(i) /= hits.length; nrm += sum(i) * sum(i); i += 1 }
-    val inv = if (nrm > 0) 1.0 / math.sqrt(nrm) else 1.0
-    Array.tabulate(dim)(j => (sum(j) * inv).toFloat)
+    CorpusLexicalEncoder.encodeWithVocab(
+      CorpusLexicalQueryEncoder.vocabulary(spark, dir), text)
   }
 }
 
@@ -127,6 +175,22 @@ object CorpusLexicalQueryEncoder {
     cache.computeIfAbsent((spark, dir), { _ =>
       val maxVocab = spark.conf.getOption(VocabKey).map(_.toInt).getOrElse(65536)
       ensureLexicon(spark, dir)
+        .orderBy(col("df").desc, col("term"))
+        .limit(maxVocab)
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Float](2).toArray)
+        .toMap
+    })
+
+  /** The reference-corpus vocabulary, loaded once per (session, npy)
+    * from the [[CorpusLexicalEncoder.ensureReferenceLexicon]] artifact
+    * — same top-`maxVocab`-by-df bound as the parquet-corpus path.
+    */
+  private[graft] def referenceVocabulary(spark: SparkSession, csvPath: String,
+                                         npyPath: String): Map[String, Array[Float]] =
+    cache.computeIfAbsent((spark, s"ref|$csvPath|$npyPath"), { _ =>
+      val maxVocab = spark.conf.getOption(VocabKey).map(_.toInt).getOrElse(65536)
+      ensureReferenceLexicon(spark, csvPath, npyPath)
         .orderBy(col("df").desc, col("term"))
         .limit(maxVocab)
         .collect()

@@ -56,6 +56,22 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** [[topKVec]] over an EXTERNAL frame: external query vector (a plan
+    * literal, no self-exclusion) against an external (vec_id,
+    * embedding) corpus — raw-text search over the reference's own
+    * matrices composes [[graft.functions.CorpusLexicalEncoder]] with
+    * this.
+    */
+  def topKVecOf(frame: DataFrame, qv: Array[Float], k: Int): DataFrame = {
+    val q = typedlit(qv)
+    frame
+      .select(col("vec_id"),
+        round(dotd(col("embedding"), q) / (l2norm(col("embedding")) * l2norm(q)), 5)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Two-stage retrieval (reference app.py:156-188): metadata filter
     * builds the candidate set, vector search runs inside it. The filter
     * is pushed into the parquet scan by Catalyst.

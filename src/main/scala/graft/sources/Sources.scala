@@ -24,6 +24,28 @@ object Sources {
       .schema(schema)
       .csv(path)
 
+  /** CSV with FILE-ORDER row ids — the positional-alignment door for
+    * reference artifacts whose side-car matrices address rows by
+    * position (reviews.csv row i ↔ review_embeddings.npy row i,
+    * exactly how the reference pairs `read_csv` with `np.load`).
+    * `multiLine` forces whole-file parsing, so a single input file is
+    * ONE task and `zipWithIndex` is file order by construction; the
+    * reader asserts that precondition instead of silently mis-indexing
+    * a multi-file input. This is a bounded-artifact interop reader —
+    * corpus-scale data belongs in parquet, where ids are columns.
+    */
+  def readCsvRowIndexed(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val df = readCsv(spark, path, schema)
+    require(df.rdd.getNumPartitions == 1,
+      s"row-indexed CSV read needs a single input file (got ${df.rdd.getNumPartitions} " +
+        s"partitions for $path) — positional ids are only defined by one file's order")
+    val indexed = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
+    spark.createDataFrame(indexed,
+      StructType(StructField("row_id", LongType, nullable = false) +: df.schema.fields))
+  }
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("header", "true")

@@ -292,6 +292,50 @@ class SourcesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("IwFl") && e.getMessage.contains("IndexFlat"))
   }
 
+  test("row-indexed csv assigns file-order ids and refuses multi-file inputs") {
+    import graft.sources.Sources
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq("id", "asins", "brand", "categories",
+      "reviews.title", "reviews.text", "reviews.rating", "combined_text")
+      .map(f => StructField(f, StringType)))
+    val df = Sources.readCsvRowIndexed(spark, "/root/reference/reviews.csv", schema)
+    val rows = df.select("row_id", "combined_text").orderBy("row_id").collect()
+    assert(rows.length == 1578)
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 1578L))
+    // file-order spot checks against the raw file's first data row
+    assert(rows.head.getString(1).startsWith("paperwhite voyage, no regrets!"))
+    // deterministic across reads
+    val again = Sources.readCsvRowIndexed(spark, "/root/reference/reviews.csv", schema)
+      .select("row_id", "combined_text").orderBy("row_id").collect()
+    assert(again.map(_.getString(1)).toSeq == rows.map(_.getString(1)).toSeq)
+    // positional ids are undefined over several files — must refuse
+    val dir = Files.createTempDirectory("graft-csv2").toString
+    val two = StructType(Seq(StructField("a", StringType)))
+    Seq("a\nx", "a\ny").zipWithIndex.foreach { case (s, i) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/f$i.csv"), s.getBytes) }
+    val e = intercept[IllegalArgumentException] {
+      Sources.readCsvRowIndexed(spark, dir, two).collect()
+    }
+    assert(e.getMessage.contains("single input file"))
+  }
+
+  test("reference lexical encoder serves free text in the real MiniLM space") {
+    import graft.functions.{CorpusLexicalEncoder, CorpusLexicalQueryEncoder}
+    val vocab = CorpusLexicalQueryEncoder.referenceVocabulary(spark,
+      "/root/reference/reviews.csv", "/root/reference/review_embeddings.npy")
+    assert(vocab.size > 5000, s"reference lexicon too small: ${vocab.size}")
+    val qv = CorpusLexicalEncoder.encodeWithVocab(vocab, "kindle tablet battery")
+    assert(qv.length == 384)
+    val n2 = qv.map(x => x.toDouble * x).sum
+    assert(math.abs(n2 - 1.0) < 1e-6, s"encode must L2-normalize (|q|² = $n2)")
+    // the e2e search over the reference's own product matrix ranks a
+    // kindle-family product first (oracle-verified id 34)
+    val top = graft.SparkEntry.queries("vs_topk_reference_text")(spark, TestSpark.sf)
+      .collect()
+    assert(top.length == 10 && top.head.getLong(0) == 34L,
+      s"unexpected top product: ${top.head}")
+  }
+
   test("npy write/read round-trips the engine's embedding frame bit-for-bit") {
     import graft.sources.NpySource
     val dir = Files.createTempDirectory("graft-npy").toString
