@@ -30,6 +30,11 @@ object SparkEntry {
     // induced from (reviews.csv, review_embeddings.npy) encodes the
     // typed query, product_embeddings.npy answers it — app.py's
     // search box end-to-end on the reference's own data, zero egress
+    // the reference's build pipeline re-run on its real input:
+    // products.csv's rollup columns rebuilt from reviews.csv and
+    // reconciled row-by-row against the published artifact
+    "reference_product_rollup" -> ((s, _) => ReferenceInterop.productRollupAudit(s)),
+    "reference_brand_facets" -> ((s, _) => ReferenceInterop.brandFacets(s)),
     "vs_topk_reference_text" -> ((s, _) => VectorSearch.topKVecOf(
       graft.sources.NpySource.readNpy(s, "/root/reference/product_embeddings.npy"),
       graft.functions.CorpusLexicalEncoder.encodeWithVocab(
@@ -703,6 +708,25 @@ object SparkEntry {
     // (fourcc + d + ntotal + 2 reserved + is_trained + metric + count)
     "vs_topk_faiss" ->
       refFlatTopKSql("/root/reference/faiss_products_flat.index", 45),
+    // the reference build pipeline replayed from the same CSVs: blank
+    // ratings → NULL on both engines, ratings are exact dyadic halves
+    // so the mean replays bit-for-bit
+    "reference_product_rollup" ->
+      """WITH rev AS (SELECT id, "reviews.rating" AS rating
+        |             FROM read_csv('/root/reference/reviews.csv', header=true)),
+        |agg AS (SELECT id, count(*) AS n_reviews, round(avg(rating), 5) AS avg_rating
+        |        FROM rev GROUP BY 1),
+        |prod AS (SELECT id, n_reviews::BIGINT AS pub_n_reviews,
+        |                round(avg_rating, 5) AS pub_avg_rating
+        |         FROM read_csv('/root/reference/products.csv', header=true))
+        |SELECT a.id, a.n_reviews, a.avg_rating, p.pub_n_reviews, p.pub_avg_rating,
+        |       a.n_reviews = p.pub_n_reviews AS n_reviews_match,
+        |       a.avg_rating = p.pub_avg_rating AS avg_rating_match
+        |FROM agg a JOIN prod p USING (id) ORDER BY id""".stripMargin,
+    "reference_brand_facets" ->
+      """SELECT brand, count(*) AS n_products, sum(n_reviews)::BIGINT AS n_reviews
+        |FROM read_csv('/root/reference/products.csv', header=true)
+        |GROUP BY 1 ORDER BY n_products DESC, brand""".stripMargin,
     // the whole reference free-text path replayed: file-order CSV row
     // ids, independent re-tokenization, per-term float32 centroids
     // over the byte-decoded review matrix, token-order mean +

@@ -454,28 +454,43 @@ object Ivf {
         math.rint(avgMs * 1e3) / 1e3, nq.toLong)
     }
     def ids(df: DataFrame): Seq[Long] = df.collect().map(_.getLong(0)).toSeq
-    Seq(
-      eval("flat", q => ids(VectorSearch.topK(spark, dir, q, k))),
-      eval(s"ivf_nprobe$nprobe", q => ids(ivfTopK(spark, dir, q, nCells, nprobe, k))),
-      eval("lsh_multiprobe", q => ids(Lsh.lshTopK(spark, dir, q, lshBits, k))),
-      eval("sq8", q => ids(Quantized.sq8TopK(spark, dir, q, k))),
-      eval("pq_adc", q => ids(Quantized.pqTopK(spark, dir, q, k))),
-      eval(s"ivfpq_nprobe$nprobe", q =>
+    val families: Seq[(String, Long => Seq[Long])] = Seq(
+      ("flat", (q: Long) => ids(VectorSearch.topK(spark, dir, q, k))),
+      (s"ivf_nprobe$nprobe", (q: Long) => ids(ivfTopK(spark, dir, q, nCells, nprobe, k))),
+      ("lsh_multiprobe", (q: Long) => ids(Lsh.lshTopK(spark, dir, q, lshBits, k))),
+      ("sq8", (q: Long) => ids(Quantized.sq8TopK(spark, dir, q, k))),
+      ("pq_adc", (q: Long) => ids(Quantized.pqTopK(spark, dir, q, k))),
+      (s"ivfpq_nprobe$nprobe", (q: Long) =>
         ids(Quantized.ivfPqTopK(spark, dir, q, nCells, nprobe, k))),
       // rerank: the production answer to quantization recall loss —
       // this row quantifies the recall recovered per extra shortlist c
-      eval(s"ivfpq_rerank_c50", q =>
+      (s"ivfpq_rerank_c50", (q: Long) =>
         ids(Quantized.ivfPqRerankTopK(spark, dir, q, nCells, nprobe, c = 50, k))),
       // residual encoding (FAISS by_residual=true): finer quantization
       // at the same m — the recall gap vs ivfpq_nprobe is the point
-      eval(s"ivfpq_res_nprobe$nprobe", q =>
+      (s"ivfpq_res_nprobe$nprobe", (q: Long) =>
         ids(Quantized.ivfPqResidualTopK(spark, dir, q, nCells, nprobe, k))),
       // 1-bit sign quantization + exact rerank (IndexBinaryFlat shape)
-      eval("binary_c50", q =>
+      ("binary_c50", (q: Long) =>
         ids(Quantized.binaryTopK(spark, dir, q, c = 50, k = k))),
       // truncated-dim prefix shortlist + exact rerank (MRL serving)
-      eval("matryoshka16_c50", q =>
+      ("matryoshka16_c50", (q: Long) =>
         ids(VectorSearch.matryoshkaTopK(spark, dir, q, prefixDims = 16, c = 50, k = k))))
+    // warm every family CONCURRENTLY first: the one-time artifact
+    // builds (PQ fit/encode, IVF/LSH publication) dominate a cold
+    // sweep and overlap safely — IndexStore's staged-rename publish
+    // makes racing builds of a shared artifact settle on one winner.
+    // The TIMED loops below stay sequential: per-family latency must
+    // measure the index family, never 10-way job contention.
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val warm: Future[Seq[Unit]] =
+        Future.traverse(families) { case (_, run) => Future { run(qIds.head); () } }
+      Await.result(warm, 30.minutes)
+    }
+    families.map { case (name, run) => eval(name, run) }
       .toDF("family", "Precision@K", "MRR", "AvgQueryTime_ms", "QueriesUsed")
       .orderBy(col("family"))
   }
