@@ -30,6 +30,13 @@ object SparkEntry {
     // induced from (reviews.csv, review_embeddings.npy) encodes the
     // typed query, product_embeddings.npy answers it — app.py's
     // search box end-to-end on the reference's own data, zero egress
+    // served from the reference's OWN trained IVF index: its coarse
+    // quantizer ranks the probe, only the nprobe winning inverted
+    // lists' byte ranges are read, exact cosine over the members
+    "ann_ivf_topk_reference" -> ((s, _) => ReferenceInterop.ivfTopK(s,
+      ReferenceInterop.ReviewsIvfIndex,
+      ReferenceInterop.npyRow(s, ReferenceInterop.ReviewsNpy, 0L),
+      nprobe = 4, k = 10, excludeId = Some(0L))),
     // the reference's build pipeline re-run on its real input:
     // products.csv's rollup columns rebuilt from reviews.csv and
     // reconciled row-by-row against the published artifact
@@ -645,6 +652,14 @@ object SparkEntry {
        |             FROM ${name}s, range(0, 384) r(p)),
        |$name AS (SELECT vec_id, p, $f32FromU32 AS v FROM ${name}u)""".stripMargin
 
+  /** 8 little-endian bytes at byte offset `off` (an SQL expression over
+    * hex column `src`) as a u64 — ids and list sizes in the FAISS IVF
+    * replay.
+    */
+  private def u64At(src: String, off: String): String =
+    "('0x' || " + (7 to 0 by -1).map(i =>
+      s"$src[2*(($off)+$i)+1 : 2*(($off)+$i)+2]").mkString(" || ") + ")::UBIGINT"
+
   /** Cosine top-10 (query = row 0) over a reference embedding artifact,
     * decoded from raw bytes entirely in SQL: hex the blob, reassemble
     * each float32's 4 little-endian bytes into a u32, and evaluate the
@@ -708,6 +723,46 @@ object SparkEntry {
     // (fourcc + d + ntotal + 2 reserved + is_trained + metric + count)
     "vs_topk_faiss" ->
       refFlatTopKSql("/root/reference/faiss_products_flat.index", 45),
+    // the reference's IVF artifact replayed from its bytes: the
+    // embedded quantizer's 39 centroids (offset 98), the list-size
+    // directory (offset 60043) and the codes-then-ids inverted lists
+    // (offset 60355) all hex-decoded; inner-product probe of 4 cells,
+    // exact cosine over exactly those lists' members, self excluded —
+    // the constants are this artifact's parsed layout (d=384,
+    // nlist=39, per-list stride = size * (1536 + 8))
+    "ann_ivf_topk_reference" -> {
+      val dec = f32FromU32.replace("\n", " ")
+      s"""WITH rawh AS MATERIALIZED (SELECT hex(content) AS H FROM read_blob('/root/reference/faiss_reviews_ivf.index')),
+         |qw AS (SELECT substring(hex(content), 2*128+1, 3072) AS hh FROM read_blob('/root/reference/review_embeddings.npy')),
+         |qu AS (SELECT r.p, ('0x' || hh[8*r.p+7:8*r.p+8] || hh[8*r.p+5:8*r.p+6] ||
+         |       hh[8*r.p+3:8*r.p+4] || hh[8*r.p+1:8*r.p+2])::UBIGINT AS u
+         |       FROM qw, range(0, 384) r(p)),
+         |qv AS (SELECT list($dec ORDER BY p) AS q FROM qu),
+         |cshh AS (SELECT v.i AS cell, substring(H, 2*(98 + 1536*v.i)+1, 3072) AS hh
+         |         FROM rawh, range(0, 39) v(i)),
+         |cu AS (SELECT cell, r.p, ('0x' || hh[8*r.p+7:8*r.p+8] || hh[8*r.p+5:8*r.p+6] ||
+         |       hh[8*r.p+3:8*r.p+4] || hh[8*r.p+1:8*r.p+2])::UBIGINT AS u
+         |       FROM cshh, range(0, 384) r(p)),
+         |cent AS (SELECT cell, list($dec ORDER BY p) AS c FROM cu GROUP BY 1),
+         |probe AS (SELECT cell FROM cent, qv ORDER BY list_dot_product(c, q) DESC, cell LIMIT 4),
+         |sz AS (SELECT v.i AS cell, ${u64At("H", "60043 + 8*v.i")}::BIGINT AS sz
+         |       FROM rawh, range(0, 39) v(i)),
+         |cum AS (SELECT cell, sz, coalesce(sum(sz * 1544) OVER (ORDER BY cell
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS bef FROM sz),
+         |mem AS (SELECT c.cell, c.sz, c.bef, unnest(range(c.sz)) AS j
+         |        FROM cum c SEMI JOIN probe USING (cell)),
+         |mrow AS (SELECT ${u64At("H", "60355 + m.bef + m.sz*1536 + 8*m.j")}::BIGINT AS vec_id,
+         |                substring(H, 2*(60355 + m.bef + 1536*m.j)+1, 3072) AS hh
+         |         FROM mem m, rawh),
+         |mu AS (SELECT vec_id, r.p, ('0x' || hh[8*r.p+7:8*r.p+8] || hh[8*r.p+5:8*r.p+6] ||
+         |       hh[8*r.p+3:8*r.p+4] || hh[8*r.p+1:8*r.p+2])::UBIGINT AS u
+         |       FROM mrow, range(0, 384) r(p)),
+         |memb AS (SELECT vec_id, list($dec ORDER BY p) AS e FROM mu GROUP BY 1)
+         |SELECT m.vec_id, round(list_dot_product(m.e, qv.q) /
+         |       (sqrt(list_dot_product(m.e, m.e)) * sqrt(list_dot_product(qv.q, qv.q))), 5) AS score
+         |FROM memb m, qv WHERE m.vec_id <> 0
+         |ORDER BY score DESC, m.vec_id LIMIT 10""".stripMargin
+    },
     // the reference build pipeline replayed from the same CSVs: blank
     // ratings → NULL on both engines, ratings are exact dyadic halves
     // so the mean replays bit-for-bit

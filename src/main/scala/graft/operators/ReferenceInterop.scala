@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.Sources
+import graft.functions.VectorFunctions._
+import graft.sources.{FaissSource, NpySource, Sources}
 
 /** Operators that run against the reference's OWN artifacts (the CSVs
   * and embedding matrices under /root/reference) rather than the
@@ -66,6 +67,46 @@ object ReferenceInterop {
         (col("avg_rating") === col("pub_avg_rating")).as("avg_rating_match"))
       .orderBy(col("id"))
   }
+
+  val ReviewsIvfIndex = "/root/reference/faiss_reviews_ivf.index"
+  val ReviewsNpy = "/root/reference/review_embeddings.npy"
+
+  /** nprobe search SERVED FROM the reference's own trained IVF index
+    * (faiss_reviews_ivf.index — the artifact app.py:75-80 loads and
+    * app.py:383-414 probes): the coarse ranking runs on the driver
+    * against the file's OWN trained centroids (nlist × dim scalar
+    * work, inner-product metric — the embedded quantizer's fourcc),
+    * and only the nprobe winning lists' byte ranges are read
+    * ([[FaissSource.readIvfLists]] — the byte-level analog of the
+    * engine's cell-partition pruning: the scan touches nprobe/nlist
+    * of the file). Exact cosine + TakeOrdered over the probed
+    * members, self excluded when the query is a corpus row.
+    */
+  def ivfTopK(spark: SparkSession, ivfPath: String, queryVec: Array[Float],
+              nprobe: Int, k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val h = FaissSource.readIvfHeader(spark, ivfPath)
+    val probed = h.centroids.zipWithIndex.map { case (c, i) =>
+      var s = 0.0
+      var j = 0; while (j < c.length) { s += c(j).toDouble * queryVec(j); j += 1 }
+      (s, i)
+    }.sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2).toSeq
+    val lists = FaissSource.readIvfLists(spark, ivfPath, Some(probed))
+    val q = typedlit(queryVec)
+    lists
+      .where(excludeId.map(col("vec_id") =!= _).getOrElse(lit(true)))
+      .select(col("vec_id"),
+        round(dotd(col("embedding"), q) / (l2norm(col("embedding")) * l2norm(q)), 5)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** One row of a reference `.npy` matrix as a driver-side query
+    * vector (the app loop's `embeddings[idx]` lookup).
+    */
+  def npyRow(spark: SparkSession, path: String, rowId: Long): Array[Float] =
+    NpySource.readNpy(spark, path)
+      .where(col("vec_id") === rowId).collect().head.getSeq[Float](1).toArray
 
   /** Facet counts over the reference's real product metadata
     * (app.py:138 builds the brand selectbox from products.csv) —

@@ -282,6 +282,55 @@ class SourcesSpec extends AnyFunSuite {
       a.getLong(0) == b.getLong(0) && a.getSeq[Float](1) == b.getSeq[Float](1) })
   }
 
+  test("faiss ivf reader reconstructs the review matrix; cell selection reads only those lists") {
+    import graft.sources.{FaissSource, NpySource}
+    val h = FaissSource.readIvfHeader(spark, "/root/reference/faiss_reviews_ivf.index")
+    assert(h.dim == 384 && h.nlist == 39 && h.rows == 1578L)
+    assert(h.listSizes.sum == 1578L)
+    // every (id, vector) pair across all lists equals the npy row —
+    // the IVF artifact is a re-bucketing of the same matrix
+    val npy = NpySource.readNpy(spark, "/root/reference/review_embeddings.npy")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val all = FaissSource.readIvfLists(spark, "/root/reference/faiss_reviews_ivf.index")
+      .collect()
+    assert(all.length == 1578)
+    assert(all.map(_.getLong(1)).sorted.toSeq == (0L until 1578L))
+    all.foreach { r =>
+      assert(r.getSeq[Float](2) == npy(r.getLong(1)),
+        s"vec ${r.getLong(1)} differs between ivf list and npy") }
+    // selecting cells returns exactly those lists' members
+    val some = FaissSource.readIvfLists(spark,
+      "/root/reference/faiss_reviews_ivf.index", Some(Seq(0, 3)))
+      .collect()
+    assert(some.length == (h.listSizes(0) + h.listSizes(3)).toInt)
+    assert(some.map(_.getInt(0)).toSet == Set(0, 3))
+  }
+
+  test("ivf search over the reference index matches brute force on the probed members") {
+    import graft.operators.ReferenceInterop
+    val qv = ReferenceInterop.npyRow(spark, ReferenceInterop.ReviewsNpy, 0L)
+    val got = ReferenceInterop.ivfTopK(spark, ReferenceInterop.ReviewsIvfIndex,
+      qv, nprobe = 4, k = 10, excludeId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 10)
+    // brute force the same probed members with driver double math
+    val h = graft.sources.FaissSource.readIvfHeader(spark, ReferenceInterop.ReviewsIvfIndex)
+    val probed = h.centroids.zipWithIndex.map { case (c, i) =>
+      (c.zip(qv).map { case (a, b) => a.toDouble * b }.sum, i)
+    }.sortBy { case (s, i) => (-s, i) }.take(4).map(_._2)
+    val members = graft.sources.FaissSource.readIvfLists(spark,
+      ReferenceInterop.ReviewsIvfIndex, Some(probed.toSeq)).collect()
+    val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = members.filter(_.getLong(1) != 0L).map { r =>
+      val v = r.getSeq[Float](2)
+      val dot = v.zip(qv).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val vn = math.sqrt(v.map(x => x.toDouble * x).sum)
+      (r.getLong(1), r5(dot / (vn * qn)))
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("faiss reader rejects non-flat families with a clear message") {
     import graft.sources.FaissSource
     // faiss_reviews_ivf.index is an IndexIVFFlat ("IwFl") — trained
