@@ -48,6 +48,15 @@ object SparkEntry {
         graft.functions.CorpusLexicalQueryEncoder.referenceVocabulary(s,
           "/root/reference/reviews.csv", "/root/reference/review_embeddings.npy"),
         "kindle tablet battery"), 10)),
+    // the reference's FITTED sklearn model served as-is: the typed
+    // query transformed by the joblib vectorizer's own vocabulary+idf,
+    // cosine over the joblib document matrix (app.py:76-78, 201-203)
+    "tfidf_sklearn_topk" -> ((s, _) =>
+      SklearnTfidf.tfidfTopK(s, "kindle tablet battery", k = 10)),
+    // app.py's hybrid search end-to-end on reference artifacts only:
+    // α·(MiniLM-space vector dot) + (1-α)·minmax(fitted-tfidf cosine)
+    "hybrid_topk_sklearn" -> ((s, _) =>
+      SklearnTfidf.hybridTopK(s, "kindle tablet battery", k = 10)),
     // raw text through the LEARNED corpus-lexical encoder (the
     // reference's model.encode seam) — lexicon induction, driver-side
     // encode, and the cosine scan all replayed by the oracle
@@ -652,6 +661,74 @@ object SparkEntry {
        |             FROM ${name}s, range(0, 384) r(p)),
        |$name AS (SELECT vec_id, p, $f32FromU32 AS v FROM ${name}u)""".stripMargin
 
+  /** sklearn's ENGLISH_STOP_WORDS (a fixed public constant,
+    * sklearn/feature_extraction/_stop_words.py) restricted to the
+    * reference corpus' token set — the 223 members the fitted
+    * vectorizer actually removed (SklearnJoblibSpec proves the
+    * artifact's vocabulary is exactly the corpus tokens minus these).
+    * Embedded so the sklearn oracles can REFIT the model from
+    * products.csv alone — the SQL replay never touches the joblib
+    * bytes the engine decodes, making the two paths fully independent.
+    */
+  private val sklearnStopSql: String =
+    """'about', 'across', 'after', 'afterwards', 'again', 'all', 'almost',
+      |'along', 'already', 'also', 'although', 'always', 'am', 'amount', 'an',
+      |'and', 'another', 'any', 'anyone', 'anything', 'anyway', 'anywhere',
+      |'are', 'around', 'as', 'at', 'back', 'be', 'became', 'because', 'becomes',
+      |'been', 'before', 'being', 'below', 'besides', 'between', 'beyond',
+      |'both', 'bottom', 'but', 'by', 'call', 'can', 'cannot', 'could',
+      |'describe', 'do', 'down', 'due', 'during', 'each', 'eight', 'either',
+      |'else', 'elsewhere', 'enough', 'etc', 'even', 'ever', 'every', 'everyone',
+      |'everything', 'except', 'few', 'fifty', 'fill', 'find', 'fire', 'first',
+      |'five', 'for', 'found', 'four', 'from', 'front', 'full', 'further', 'get',
+      |'give', 'go', 'had', 'has', 'have', 'he', 'her', 'here', 'him', 'his',
+      |'how', 'however', 'if', 'in', 'into', 'is', 'it', 'its', 'itself', 'keep',
+      |'last', 'least', 'less', 'made', 'many', 'may', 'me', 'might', 'mine',
+      |'more', 'most', 'mostly', 'move', 'much', 'must', 'my', 'myself', 'name',
+      |'namely', 'never', 'next', 'no', 'none', 'nor', 'not', 'nothing', 'now',
+      |'of', 'off', 'often', 'on', 'once', 'one', 'only', 'or', 'other',
+      |'others', 'otherwise', 'our', 'out', 'over', 'own', 'part', 'per',
+      |'perhaps', 'please', 'put', 'rather', 're', 'same', 'see', 'seem',
+      |'seemed', 'seems', 'several', 'she', 'should', 'show', 'side', 'since',
+      |'so', 'some', 'someone', 'something', 'sometimes', 'somewhere', 'still',
+      |'such', 'system', 'take', 'than', 'that', 'the', 'their', 'them',
+      |'themselves', 'then', 'there', 'these', 'they', 'thin', 'third', 'this',
+      |'those', 'though', 'three', 'through', 'throughout', 'thus', 'to',
+      |'together', 'too', 'top', 'two', 'under', 'until', 'up', 'upon', 'us',
+      |'very', 'was', 'we', 'well', 'were', 'what', 'when', 'where', 'whereas',
+      |'whether', 'which', 'while', 'who', 'whole', 'whose', 'why', 'will',
+      |'with', 'within', 'without', 'would', 'yet', 'you', 'your', 'yourself'""".stripMargin
+
+  /** CTEs refitting the reference's TfidfVectorizer from products.csv
+    * entirely in SQL — vocabulary = tokens minus the english stop
+    * list, smooth idf ln((1+n)/(1+df))+1, raw-tf rows L2-normalized —
+    * and scoring `queryTerms` against the refit rows. Produces
+    * `skp`(doc_id, id, brand), and `sksc`(doc_id, s) = the cosine of
+    * the normalized query against each document (docs sharing no
+    * query term are absent → coalesce to 0 downstream, app.py's
+    * zero-cosine rows).
+    */
+  private def sklearnTfidfCtes(queryTerms: Seq[String]): String = {
+    val qvals = queryTerms.map(t => s"('$t')").mkString(", ")
+    s"""skp AS (SELECT row_number() OVER () - 1 AS doc_id, id, brand, example_text
+       |        FROM read_csv('/root/reference/products.csv', header=true)),
+       |sktk AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(example_text), '[a-z0-9_]+'),
+       |                                           t -> length(t) >= 2)) AS term FROM skp),
+       |sknn AS (SELECT count(*) AS n FROM skp),
+       |skidf AS (SELECT term, ln((1 + sknn.n) / (1 + count(DISTINCT doc_id))) + 1 AS idf
+       |          FROM sktk, sknn WHERE term NOT IN ($sklearnStopSql)
+       |          GROUP BY term, sknn.n),
+       |sktf AS (SELECT doc_id, term, count(*) AS c FROM sktk GROUP BY 1, 2),
+       |skw AS (SELECT t.doc_id, t.term, t.c * i.idf AS v FROM sktf t JOIN skidf i USING (term)),
+       |sknrm AS (SELECT doc_id, sqrt(sum(v * v)) AS dn FROM skw GROUP BY 1),
+       |skq AS (SELECT q.term, count(*) * any_value(i.idf) AS v
+       |        FROM (VALUES $qvals) q(term) JOIN skidf i USING (term) GROUP BY q.term),
+       |skqn AS (SELECT sqrt(sum(v * v)) AS qq FROM skq),
+       |sksc AS (SELECT w.doc_id, sum(w.v / n.dn * q.v / skqn.qq) AS s
+       |         FROM skw w JOIN sknrm n USING (doc_id) JOIN skq q USING (term), skqn
+       |         GROUP BY 1)""".stripMargin
+  }
+
   /** 8 little-endian bytes at byte offset `off` (an SQL expression over
     * hex column `src`) as a u64 — ids and list sizes in the FAISS IVF
     * replay.
@@ -806,6 +883,50 @@ object SparkEntry {
          |SELECT p.vec_id, round(list_dot_product(p.e, qv.q) /
          |       (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(qv.q, qv.q))), 5) AS score
          |FROM pemb p, qv ORDER BY score DESC, p.vec_id LIMIT 10""".stripMargin,
+    // the reference's fitted sklearn model REFIT from products.csv in
+    // SQL (vocabulary/idf/rows re-derived from the corpus + the
+    // public english stop list) — fully independent of the joblib
+    // bytes the engine decodes, so a hash match proves the pickled
+    // artifact IS that fit and the transform path replays it exactly
+    "tfidf_sklearn_topk" ->
+      s"""WITH ${sklearnTfidfCtes(Seq("kindle", "tablet", "battery"))}
+         |SELECT p.doc_id, p.id, p.brand, round(coalesce(sksc.s, 0), 5) AS score
+         |FROM skp p LEFT JOIN sksc USING (doc_id)
+         |ORDER BY score DESC, p.doc_id LIMIT 10""".stripMargin,
+    // app.py:188-218 whole: the MiniLM-space lexical encode + raw-dot
+    // vector leg (the vs_topk_reference_text block), the refit-tfidf
+    // keyword leg, min-max normalized and α-blended
+    "hybrid_topk_sklearn" ->
+      s"""WITH rev AS (SELECT row_number() OVER () - 1 AS doc_id, combined_text AS text
+         |             FROM read_csv('/root/reference/reviews.csv', header=true)),
+         |rtk AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+         |                                          t -> length(t) >= 2)) AS term FROM rev),
+         |dt AS (SELECT DISTINCT doc_id, term FROM rtk WHERE term IN ('kindle', 'tablet', 'battery')),
+         |${npyDecodeCtes("rfl", "/root/reference/review_embeddings.npy", 1578)},
+         |dims AS (SELECT dt.term, f.p, CAST(avg(f.v) AS FLOAT) AS v
+         |         FROM dt JOIN rfl f ON f.vec_id = dt.doc_id GROUP BY 1, 2),
+         |m AS (SELECT a.p, (a.v::DOUBLE + b.v::DOUBLE + c.v::DOUBLE) / 3 AS mv
+         |      FROM dims a JOIN dims b USING (p) JOIN dims c USING (p)
+         |      WHERE a.term = 'kindle' AND b.term = 'tablet' AND c.term = 'battery'),
+         |mnrm AS (SELECT list_sum(list_transform(list(mv ORDER BY p), x -> x * x)) AS n2 FROM m),
+         |qvf AS (SELECT list(CAST(mv * (1 / sqrt(n2)) AS FLOAT) ORDER BY p) AS q FROM m, mnrm),
+         |qv AS (SELECT list_transform(q, x -> x::DOUBLE) AS q FROM qvf),
+         |${npyDecodeCtes("pfl", "/root/reference/product_embeddings.npy", 66)},
+         |pemb AS (SELECT vec_id, list(v ORDER BY p) AS e FROM pfl GROUP BY 1),
+         |vsc AS (SELECT p.vec_id AS doc_id, list_dot_product(p.e, qv.q) AS vs FROM pemb p, qv),
+         |${sklearnTfidfCtes(Seq("kindle", "tablet", "battery"))},
+         |cand AS (SELECT v.doc_id, v.vs, coalesce(sksc.s, 0.0) AS ts
+         |         FROM vsc v LEFT JOIN sksc USING (doc_id)),
+         |sts AS (SELECT min(ts) AS mn, max(ts) AS mx FROM cand),
+         |fin AS (SELECT doc_id, vs,
+         |               CASE WHEN sts.mx > sts.mn THEN (ts - sts.mn) / (sts.mx - sts.mn + 1e-12)
+         |                    ELSE ts END AS tn
+         |        FROM cand, sts)
+         |SELECT p.doc_id, p.id, p.brand,
+         |       round(fin.vs * 0.7 + fin.tn * (1 - 0.7), 5) AS hybrid_score,
+         |       round(fin.vs, 5) AS vector_score, round(fin.tn, 5) AS tfidf_score
+         |FROM fin JOIN skp p USING (doc_id)
+         |ORDER BY hybrid_score DESC, p.doc_id LIMIT 10""".stripMargin,
     "vs_topk_qvec" ->
       s"""WITH q AS (SELECT $qvSqlList::DOUBLE[] AS qv)
          |SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score

@@ -30,7 +30,7 @@ object ReferenceInterop {
     StructField("rating", DoubleType),
     StructField("combined_text", StringType)))
 
-  private val productsSchema = StructType(Seq(
+  private[graft] val productsSchema = StructType(Seq(
     StructField("id", StringType),
     StructField("brand", StringType),
     StructField("categories", StringType),
