@@ -57,6 +57,16 @@ object SparkEntry {
     // α·(MiniLM-space vector dot) + (1-α)·minmax(fitted-tfidf cosine)
     "hybrid_topk_sklearn" -> ((s, _) =>
       SklearnTfidf.hybridTopK(s, "kindle tablet battery", k = 10)),
+    // the same blend inside candidate_indices() (app.py:156-164):
+    // brand + rating + review-count filters scope the blend AND its
+    // min-max to the candidate set, exactly as app.py slices tf_full
+    "hybrid_filtered_sklearn" -> ((s, _) =>
+      SklearnTfidf.hybridTopK(s, "kindle tablet battery", k = 10,
+        brand = Some("Amazon"), minRating = Some(4.0), minReviews = Some(5L))),
+    // app.py's search_by_product_id on the real catalog: typed id →
+    // its npy row → raw-dot over every other product
+    "vs_item_similar_reference" -> ((s, _) =>
+      ReferenceInterop.itemSimilarReference(s, "AV1T09fyvKc47QAVgf2R", k = 10)),
     // raw text through the LEARNED corpus-lexical encoder (the
     // reference's model.encode seam) — lexicon induction, driver-side
     // encode, and the cosine scan all replayed by the oracle
@@ -710,7 +720,8 @@ object SparkEntry {
     */
   private def sklearnTfidfCtes(queryTerms: Seq[String]): String = {
     val qvals = queryTerms.map(t => s"('$t')").mkString(", ")
-    s"""skp AS (SELECT row_number() OVER () - 1 AS doc_id, id, brand, example_text
+    s"""skp AS (SELECT row_number() OVER () - 1 AS doc_id, id, brand, example_text,
+       |               avg_rating, n_reviews
        |        FROM read_csv('/root/reference/products.csv', header=true)),
        |sktk AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(example_text), '[a-z0-9_]+'),
        |                                           t -> length(t) >= 2)) AS term FROM skp),
@@ -927,6 +938,57 @@ object SparkEntry {
          |       round(fin.vs, 5) AS vector_score, round(fin.tn, 5) AS tfidf_score
          |FROM fin JOIN skp p USING (doc_id)
          |ORDER BY hybrid_score DESC, p.doc_id LIMIT 10""".stripMargin,
+    // candidate_indices() composed with the blend: the candidate cut
+    // runs BEFORE the min-max, exactly as app.py slices tf_full[cand]
+    "hybrid_filtered_sklearn" ->
+      s"""WITH rev AS (SELECT row_number() OVER () - 1 AS doc_id, combined_text AS text
+         |             FROM read_csv('/root/reference/reviews.csv', header=true)),
+         |rtk AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+         |                                          t -> length(t) >= 2)) AS term FROM rev),
+         |dt AS (SELECT DISTINCT doc_id, term FROM rtk WHERE term IN ('kindle', 'tablet', 'battery')),
+         |${npyDecodeCtes("rfl", "/root/reference/review_embeddings.npy", 1578)},
+         |dims AS (SELECT dt.term, f.p, CAST(avg(f.v) AS FLOAT) AS v
+         |         FROM dt JOIN rfl f ON f.vec_id = dt.doc_id GROUP BY 1, 2),
+         |m AS (SELECT a.p, (a.v::DOUBLE + b.v::DOUBLE + c.v::DOUBLE) / 3 AS mv
+         |      FROM dims a JOIN dims b USING (p) JOIN dims c USING (p)
+         |      WHERE a.term = 'kindle' AND b.term = 'tablet' AND c.term = 'battery'),
+         |mnrm AS (SELECT list_sum(list_transform(list(mv ORDER BY p), x -> x * x)) AS n2 FROM m),
+         |qvf AS (SELECT list(CAST(mv * (1 / sqrt(n2)) AS FLOAT) ORDER BY p) AS q FROM m, mnrm),
+         |qv AS (SELECT list_transform(q, x -> x::DOUBLE) AS q FROM qvf),
+         |${npyDecodeCtes("pfl", "/root/reference/product_embeddings.npy", 66)},
+         |pemb AS (SELECT vec_id, list(v ORDER BY p) AS e FROM pfl GROUP BY 1),
+         |${sklearnTfidfCtes(Seq("kindle", "tablet", "battery"))},
+         |cf AS (SELECT doc_id FROM skp
+         |       WHERE lower(brand) = 'amazon' AND coalesce(avg_rating, -1) >= 4.0
+         |         AND coalesce(n_reviews, 0) >= 5),
+         |vsc AS (SELECT p.vec_id AS doc_id, list_dot_product(p.e, qv.q) AS vs
+         |        FROM pemb p SEMI JOIN cf ON cf.doc_id = p.vec_id, qv),
+         |cand AS (SELECT v.doc_id, v.vs, coalesce(sksc.s, 0.0) AS ts
+         |         FROM vsc v LEFT JOIN sksc USING (doc_id)),
+         |sts AS (SELECT min(ts) AS mn, max(ts) AS mx FROM cand),
+         |fin AS (SELECT doc_id, vs,
+         |               CASE WHEN sts.mx > sts.mn THEN (ts - sts.mn) / (sts.mx - sts.mn + 1e-12)
+         |                    ELSE ts END AS tn
+         |        FROM cand, sts)
+         |SELECT p.doc_id, p.id, p.brand,
+         |       round(fin.vs * 0.7 + fin.tn * (1 - 0.7), 5) AS hybrid_score,
+         |       round(fin.vs, 5) AS vector_score, round(fin.tn, 5) AS tfidf_score
+         |FROM fin JOIN skp p USING (doc_id)
+         |ORDER BY hybrid_score DESC, p.doc_id LIMIT 10""".stripMargin,
+    // search_by_product_id replayed from the bytes: the typed id's
+    // file-order row becomes the query, raw dot, self excluded
+    "vs_item_similar_reference" ->
+      s"""WITH prod AS (SELECT row_number() OVER () - 1 AS doc_id, id, brand
+         |              FROM read_csv('/root/reference/products.csv', header=true)),
+         |${npyDecodeCtes("pfl", "/root/reference/product_embeddings.npy", 66)},
+         |pemb AS (SELECT vec_id, list(v ORDER BY p) AS e FROM pfl GROUP BY 1),
+         |qi AS (SELECT doc_id FROM prod WHERE id = 'AV1T09fyvKc47QAVgf2R'),
+         |qv AS (SELECT e AS q FROM pemb, qi WHERE vec_id = qi.doc_id)
+         |SELECT p.vec_id AS doc_id, pr.id, pr.brand,
+         |       round(list_dot_product(p.e, qv.q), 5) AS score
+         |FROM pemb p JOIN prod pr ON pr.doc_id = p.vec_id, qv, qi
+         |WHERE p.vec_id <> qi.doc_id
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "vs_topk_qvec" ->
       s"""WITH q AS (SELECT $qvSqlList::DOUBLE[] AS qv)
          |SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score

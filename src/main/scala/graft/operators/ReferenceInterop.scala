@@ -108,6 +108,33 @@ object ReferenceInterop {
     NpySource.readNpy(spark, path)
       .where(col("vec_id") === rowId).collect().head.getSeq[Float](1).toArray
 
+  /** app.py:221-241 `search_by_product_id` on the reference's own
+    * artifacts: the typed product id resolves to its catalog row
+    * (app.py's `pid_to_idx` — file-order CSV ids), that row of
+    * product_embeddings.npy becomes the query, and every OTHER
+    * product scores by raw dot (app.py:233 `prod_emb[cand] @ qv[0]`;
+    * rows are unit-normalized so this is the app's cosine), top-k
+    * with metadata, ties toward the lower row id (stable argsort).
+    */
+  def itemSimilarReference(spark: SparkSession, pid: String, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val meta = Sources.readCsvRowIndexed(spark, ProductsCsv, productsSchema)
+      .select(col("row_id").as("doc_id"), col("id"), col("brand"))
+    val qidx = meta.where(col("id") === pid).select(col("doc_id"))
+      .collect().headOption
+      .getOrElse(throw new NoSuchElementException(s"unknown product id '$pid'"))
+      .getLong(0)
+    val qv = npyRow(spark, "/root/reference/product_embeddings.npy", qidx)
+    NpySource.readNpy(spark, "/root/reference/product_embeddings.npy")
+      .where(col("vec_id") =!= qidx)
+      .select(col("vec_id").as("doc_id"),
+        round(dotd(col("embedding"), typedlit(qv)), 5).as("score"))
+      .join(broadcast(meta), Seq("doc_id"))
+      .select(col("doc_id"), col("id"), col("brand"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Facet counts over the reference's real product metadata
     * (app.py:138 builds the brand selectbox from products.csv) —
     * the brand facet panel answered from the actual artifact.

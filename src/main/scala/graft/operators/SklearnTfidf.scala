@@ -79,7 +79,8 @@ object SklearnTfidf {
   private def productMeta(spark: SparkSession): DataFrame =
     Sources.readCsvRowIndexed(spark, ReferenceInterop.ProductsCsv,
         ReferenceInterop.productsSchema)
-      .select(col("row_id").as("doc_id"), col("id"), col("brand"))
+      .select(col("row_id").as("doc_id"), col("id"), col("brand"),
+        col("avg_rating"), col("n_reviews"))
 
   /** Per-document tfidf cosine against the encoded query, over the
     * FITTED matrix: Σ (row_val/‖row‖)·q̂[col] via a COO × broadcast
@@ -129,17 +130,35 @@ object SklearnTfidf {
     * to 0..1 across the candidates (app.py:206-208, the `+1e-12`
     * denominator guard included, normalization skipped when all
     * scores tie), blended `α·vec + (1-α)·tfidf` with the app's
-    * default α. Unfiltered candidates = the whole catalog
-    * (app.py:156-164 with every filter at "All").
+    * default α. With no filters, candidates = the whole catalog
+    * (app.py:156-164 with every filter at "All"); the
+    * brand/minRating/minReviews filters replay `candidate_indices()`
+    * and scope the blend (and its min-max) to the candidate set.
     */
   def hybridTopK(spark: SparkSession, query: String, k: Int = 10,
-                 alpha: Double = 0.7): DataFrame = {
+                 alpha: Double = 0.7,
+                 brand: Option[String] = None,
+                 minRating: Option[Double] = None,
+                 minReviews: Option[Long] = None): DataFrame = {
     val qvec = CorpusLexicalEncoder.encodeWithVocab(
       CorpusLexicalQueryEncoder.referenceVocabulary(spark,
         ReferenceInterop.ReviewsCsv, ReferenceInterop.ReviewsNpy), query)
+    // candidate_indices() (app.py:156-164): lower-cased brand equality,
+    // NULL rating treated as -1, NULL review count as 0 — applied
+    // BEFORE the blend so the min-max normalization runs over the
+    // candidates, exactly as app.py slices tf_full[cand]
+    val candIds = productMeta(spark)
+      .where(brand.map(b => lower(col("brand")) === b.toLowerCase(java.util.Locale.ROOT))
+        .getOrElse(lit(true)))
+      .where(minRating.map(r => coalesce(col("avg_rating"), lit(-1.0)) >= r)
+        .getOrElse(lit(true)))
+      .where(minReviews.map(n => coalesce(col("n_reviews"), lit(0L)) >= n)
+        .getOrElse(lit(true)))
+      .select(col("doc_id"))
     val vec = NpySource.readNpy(spark, "/root/reference/product_embeddings.npy")
       .select(col("vec_id").as("doc_id"),
         dotd(col("embedding"), typedlit(qvec)).as("vscore"))
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
     val cand = vec.join(tfidfScores(spark, query), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("vscore"), coalesce(col("tscore"), lit(0.0)).as("ts"))
     val st = cand.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))

@@ -140,4 +140,31 @@ class SklearnJoblibSpec extends AnyFunSuite {
       assert(math.abs(want - r.getDouble(3)) < 2e-5)
     }
   }
+
+  test("filtered hybrid scopes the blend to candidate_indices()") {
+    val out = SklearnTfidf.hybridTopK(spark, "kindle tablet battery", k = 10,
+      brand = Some("Amazon"), minRating = Some(4.0), minReviews = Some(5L)).collect()
+    assert(out.length == 10)
+    // every hit passed the brand filter (ratings/counts are not in the
+    // output contract; the oracle hash pins them)
+    assert(out.forall(_.getString(2) == "Amazon"))
+    // min-max ran over the CANDIDATES: some candidate hits the 0 and
+    // some the 1 of the rescaled keyword leg within the top-k or not —
+    // but every reported value stays in [0, 1]
+    out.foreach { r => assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0) }
+  }
+
+  test("item-similar by product id excludes the query row and ranks by raw dot") {
+    val pid = "AV1T09fyvKc47QAVgf2R"
+    val out = ReferenceInterop.itemSimilarReference(spark, pid, k = 10).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getString(1) != pid))
+    val scores = out.map(_.getDouble(3))
+    assert(scores.sameElements(scores.sorted.reverse))
+    // unknown ids fail loudly (app.py returns an empty frame only for
+    // known-but-filtered-out ids; a typo'd id is a caller bug)
+    assertThrows[NoSuchElementException] {
+      ReferenceInterop.itemSimilarReference(spark, "nope", k = 10)
+    }
+  }
 }
