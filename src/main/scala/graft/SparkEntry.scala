@@ -67,6 +67,15 @@ object SparkEntry {
     // its npy row → raw-dot over every other product
     "vs_item_similar_reference" -> ((s, _) =>
       ReferenceInterop.itemSimilarReference(s, "AV1T09fyvKc47QAVgf2R", k = 10)),
+    // Tab-3 Compare: the V @ V.T similarity matrix over selected
+    // catalog products (app.py:326-360), diagonal included
+    "vs_compare_reference" -> ((s, _) => ReferenceInterop.compareProductsReference(s,
+      Seq("AV000tWuGV-KLJ3ac2-b", "AV00l7jV-jtxr-f30lnX", "AV1T09fyvKc47QAVgf2R"))),
+    // Tab-3 ANN demo: the same query review through BOTH review
+    // indexes — exhaustive flat vs nprobe=5 IVF, self removed, side
+    // by side (app.py:365-447); the flat\ivf delta IS the probe's
+    // recall loss
+    "ann_demo_reference" -> ((s, _) => ReferenceInterop.annDemoReference(s)),
     // raw text through the LEARNED corpus-lexical encoder (the
     // reference's model.encode seam) — lexicon induction, driver-side
     // encode, and the cosine scan all replayed by the oracle
@@ -989,6 +998,53 @@ object SparkEntry {
          |FROM pemb p JOIN prod pr ON pr.doc_id = p.vec_id, qv, qi
          |WHERE p.vec_id <> qi.doc_id
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // the compare matrix replayed: selected ids resolve through the
+    // CSV, vectors decode from bytes, V @ V.T as pairs
+    "vs_compare_reference" ->
+      s"""WITH prod AS (SELECT row_number() OVER () - 1 AS doc_id, id
+         |              FROM read_csv('/root/reference/products.csv', header=true)),
+         |${npyDecodeCtes("pfl", "/root/reference/product_embeddings.npy", 66)},
+         |pemb AS (SELECT vec_id, list(v ORDER BY p) AS e FROM pfl GROUP BY 1),
+         |sel AS (SELECT p.id, e.e FROM prod p JOIN pemb e ON e.vec_id = p.doc_id
+         |        WHERE p.id IN ('AV000tWuGV-KLJ3ac2-b', 'AV00l7jV-jtxr-f30lnX',
+         |                       'AV1T09fyvKc47QAVgf2R'))
+         |SELECT a.id AS a_id, b.id AS b_id,
+         |       round(list_dot_product(a.e, b.e), 5) AS score
+         |FROM sel a, sel b ORDER BY a_id, b_id""".stripMargin,
+    // flat leg: exhaustive IP over the byte-decoded review matrix;
+    // ivf leg: the probed member IDS hex-decoded from the IVF
+    // artifact (centroid rank → winning lists → codes-then-ids
+    // layout), vectors from the byte-identical npy rows
+    "ann_demo_reference" -> {
+      val dec = f32FromU32.replace("\n", " ")
+      s"""WITH rawh AS MATERIALIZED (SELECT hex(content) AS H FROM read_blob('/root/reference/faiss_reviews_ivf.index')),
+         |${npyDecodeCtes("rfl", "/root/reference/review_embeddings.npy", 1578)},
+         |remb AS (SELECT vec_id, list(v ORDER BY p) AS e FROM rfl GROUP BY 1),
+         |qv AS (SELECT e AS q FROM remb WHERE vec_id = 0),
+         |cshh AS (SELECT v.i AS cell, substring(H, 2*(98 + 1536*v.i)+1, 3072) AS hh
+         |         FROM rawh, range(0, 39) v(i)),
+         |cu AS (SELECT cell, r.p, ('0x' || hh[8*r.p+7:8*r.p+8] || hh[8*r.p+5:8*r.p+6] ||
+         |       hh[8*r.p+3:8*r.p+4] || hh[8*r.p+1:8*r.p+2])::UBIGINT AS u
+         |       FROM cshh, range(0, 384) r(p)),
+         |cent AS (SELECT cell, list($dec ORDER BY p) AS c FROM cu GROUP BY 1),
+         |probe AS (SELECT cell FROM cent, qv ORDER BY list_dot_product(c, q) DESC, cell LIMIT 5),
+         |sz AS (SELECT v.i AS cell, ${u64At("H", "60043 + 8*v.i")}::BIGINT AS sz
+         |       FROM rawh, range(0, 39) v(i)),
+         |cum AS (SELECT cell, sz, coalesce(sum(sz * 1544) OVER (ORDER BY cell
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS bef FROM sz),
+         |mem AS (SELECT c.cell, c.sz, c.bef, unnest(range(c.sz)) AS j
+         |        FROM cum c SEMI JOIN probe USING (cell)),
+         |mids AS (SELECT ${u64At("H", "60355 + m.bef + m.sz*1536 + 8*m.j")}::BIGINT AS vec_id
+         |         FROM mem m, rawh),
+         |flatk AS (SELECT 'flat' AS method, r.vec_id, round(list_dot_product(r.e, qv.q), 5) AS score
+         |          FROM remb r, qv WHERE r.vec_id <> 0
+         |          ORDER BY score DESC, r.vec_id LIMIT 10),
+         |ivfk AS (SELECT 'ivf' AS method, r.vec_id, round(list_dot_product(r.e, qv.q), 5) AS score
+         |         FROM remb r SEMI JOIN mids USING (vec_id), qv WHERE r.vec_id <> 0
+         |         ORDER BY score DESC, r.vec_id LIMIT 10)
+         |SELECT * FROM flatk UNION ALL SELECT * FROM ivfk
+         |ORDER BY method, score DESC, vec_id""".stripMargin
+    },
     "vs_topk_qvec" ->
       s"""WITH q AS (SELECT $qvSqlList::DOUBLE[] AS qv)
          |SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score

@@ -135,6 +135,68 @@ object ReferenceInterop {
       .limit(k)
   }
 
+  /** Tab-3 Compare (app.py:326-360): the pairwise similarity matrix
+    * `V @ V.T` over 2-4 selected catalog products — typed ids resolve
+    * to file-order rows, raw dot over unit-normalized embeddings (the
+    * app's cosine), emitted as (a_id, b_id, score) pairs with the
+    * full matrix including the 1.0 diagonal, exactly the frame the
+    * app renders. Bounded driver contract: |ids|² ≤ 16 pairs.
+    */
+  def compareProductsReference(spark: SparkSession, pids: Seq[String]): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(pids.size >= 2 && pids.size <= 4,
+      s"compare takes 2-4 product ids (got ${pids.size})") // app.py:333-336
+    val meta = Sources.readCsvRowIndexed(spark, ProductsCsv, productsSchema)
+      .select(col("row_id").as("doc_id"), col("id"))
+      .where(col("id").isin(pids: _*))
+    val emb = NpySource.readNpy(spark, "/root/reference/product_embeddings.npy")
+      .join(broadcast(meta), col("vec_id") === col("doc_id"))
+      .select(col("id"), col("embedding"))
+    val a = emb.select(col("id").as("a_id"), col("embedding").as("av"))
+    val b = emb.select(col("id").as("b_id"), col("embedding").as("bv"))
+    a.crossJoin(broadcast(b))
+      .select(col("a_id"), col("b_id"),
+        round(dotd(col("av"), col("bv")), 5).as("score"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val ReviewsFlatIndex = "/root/reference/faiss_reviews_flat.index"
+
+  /** Tab-3 ANN demo (app.py:365-447): the SAME query review searched
+    * through BOTH of the reference's review indexes — the flat
+    * IndexFlatIP exhaustively, the trained IVF at `nprobe` — with the
+    * self row removed and each leg's top-k reported side by side
+    * (method, vec_id, score; raw inner-product scores, the IxFI
+    * metric both files declare). The engine-served twin of the app's
+    * flat-vs-IVF agreement panel: rows present under 'flat' but not
+    * 'ivf' are exactly the recall the probe gave up.
+    */
+  def annDemoReference(spark: SparkSession, qIdx: Long = 0L, nprobe: Int = 5,
+                       k: Int = 10): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val qv = npyRow(spark, ReviewsNpy, qIdx)
+    val q = typedlit(qv)
+    val flat = FaissSource.readFlat(spark, ReviewsFlatIndex)
+      .where(col("vec_id") =!= qIdx)
+      .select(lit("flat").as("method"), col("vec_id"),
+        round(dotd(col("embedding"), q), 5).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+    val h = FaissSource.readIvfHeader(spark, ReviewsIvfIndex)
+    val probed = h.centroids.zipWithIndex.map { case (c, i) =>
+      var s = 0.0
+      var j = 0; while (j < c.length) { s += c(j).toDouble * qv(j); j += 1 }
+      (s, i)
+    }.sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2).toSeq
+    val ivf = FaissSource.readIvfLists(spark, ReviewsIvfIndex, Some(probed))
+      .where(col("vec_id") =!= qIdx)
+      .select(lit("ivf").as("method"), col("vec_id"),
+        round(dotd(col("embedding"), q), 5).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+    flat.unionAll(ivf).orderBy(col("method"), col("score").desc, col("vec_id"))
+  }
+
   /** Facet counts over the reference's real product metadata
     * (app.py:138 builds the brand selectbox from products.csv) —
     * the brand facet panel answered from the actual artifact.

@@ -331,6 +331,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("ann demo: the ivf leg never beats the exhaustive flat leg at any rank") {
+    import graft.operators.ReferenceInterop
+    val rows = ReferenceInterop.annDemoReference(spark).collect()
+    val flat = rows.filter(_.getString(0) == "flat").map(_.getDouble(2))
+    val ivf = rows.filter(_.getString(0) == "ivf").map(_.getDouble(2))
+    assert(flat.length == 10 && ivf.length == 10)
+    // both legs are sorted descending, and flat (exhaustive over the
+    // whole corpus) dominates ivf (a 5-cell subset) rank for rank
+    assert(flat.sameElements(flat.sorted.reverse) && ivf.sameElements(ivf.sorted.reverse))
+    flat.zip(ivf).foreach { case (f, i) => assert(f >= i, s"flat $f < ivf $i") }
+    // the self row is removed from both legs
+    assert(rows.forall(_.getLong(1) != 0L))
+  }
+
+  test("compare matrix is symmetric with a unit diagonal") {
+    import graft.operators.ReferenceInterop
+    val ids = Seq("AV000tWuGV-KLJ3ac2-b", "AV00l7jV-jtxr-f30lnX", "AV1T09fyvKc47QAVgf2R")
+    val m = ReferenceInterop.compareProductsReference(spark, ids).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m.size == 9)
+    ids.foreach { i => assert(math.abs(m((i, i)) - 1.0) < 1e-4, s"diag($i)") }
+    for (a <- ids; b <- ids) assert(m((a, b)) == m((b, a)), s"asymmetry at ($a,$b)")
+    // 2-4 ids enforced (app.py:333-336)
+    assertThrows[IllegalArgumentException] {
+      ReferenceInterop.compareProductsReference(spark, ids.take(1))
+    }
+  }
+
   test("faiss reader rejects non-flat families with a clear message") {
     import graft.sources.FaissSource
     // faiss_reviews_ivf.index is an IndexIVFFlat ("IwFl") — trained
