@@ -84,6 +84,10 @@ object SparkEntry {
       s.conf.set(graft.functions.CorpusLexicalEncoder.DirKey, d)
       VectorSearch.topKText(s, d, "the data", k = 10)
     }),
+    // the published ANN trade-off table served as-is (the last
+    // artifact app.py loads; the engine's measured analog is
+    // ann_recall_eval / ann_family_eval)
+    "reference_ann_table" -> ((s, _) => ReferenceInterop.annTradeoffTable(s)),
     "vs_topk_qvec" -> ((s, d) => VectorSearch.topKVec(s, d, demoQueryVec, k = 10)),
     "vs_item_similar" -> ((s, d) => VectorSearch.topK(s, d, queryId = 7, k = 10)),
     "vs_filtered_topk" -> ((s, d) => VectorSearch.filteredTopK(s, d, queryId = 0, k = 10, labels = Seq(1, 2, 3))),
@@ -1045,6 +1049,11 @@ object SparkEntry {
          |SELECT * FROM flatk UNION ALL SELECT * FROM ivfk
          |ORDER BY method, score DESC, vec_id""".stripMargin
     },
+    "reference_ann_table" ->
+      """SELECT nprobe, "Precision@K" AS precision_at_k, MRR AS mrr,
+        |       AvgQueryTime_ms AS avg_query_time_ms, QueriesUsed AS queries_used
+        |FROM read_csv('/root/reference/ann_tradeoff_table.csv', header=true)
+        |ORDER BY nprobe""".stripMargin,
     "vs_topk_qvec" ->
       s"""WITH q AS (SELECT $qvSqlList::DOUBLE[] AS qv)
          |SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score

@@ -197,6 +197,28 @@ object ReferenceInterop {
     flat.unionAll(ivf).orderBy(col("method"), col("score").desc, col("vec_id"))
   }
 
+  val AnnTableCsv = "/root/reference/ann_tradeoff_table.csv"
+
+  /** The reference's published ANN trade-off table served as-is
+    * (app.py:65-67 `load_ann_table`, rendered at app.py:369-371) —
+    * the last artifact the app loads; column names normalized to the
+    * engine's snake_case contract. The engine's own measured analog
+    * is `ann_recall_eval` / `ann_family_eval`.
+    */
+  def annTradeoffTable(spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("nprobe", LongType),
+      StructField("Precision@K", DoubleType),
+      StructField("MRR", DoubleType),
+      StructField("AvgQueryTime_ms", DoubleType),
+      StructField("QueriesUsed", LongType)))
+    Sources.readCsv(spark, AnnTableCsv, schema)
+      .select(col("nprobe"), col("`Precision@K`").as("precision_at_k"),
+        col("MRR").as("mrr"), col("AvgQueryTime_ms").as("avg_query_time_ms"),
+        col("QueriesUsed").as("queries_used"))
+      .orderBy(col("nprobe"))
+  }
+
   /** Facet counts over the reference's real product metadata
     * (app.py:138 builds the brand selectbox from products.csv) —
     * the brand facet panel answered from the actual artifact.
