@@ -446,6 +446,8 @@ object SparkEntry {
     "token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(s, d)),
     // personalized PageRank from the highest-support seed item
     "item_ppr" -> ((s, d) => Graph.itemPpr(s, d)),
+    // hash-deterministic DeepWalk corpus (skip-gram training rows)
+    "graph_walks" -> ((s, d) => Graph.graphWalks(s, d)),
     // cohort-week x age revenue triangle with running LTV per user
     "user_cohort_ltv" -> ((s, d) => Analytics.userCohortLtv(s, d)),
     // event-type audience-overlap Jaccard matrix
@@ -3565,6 +3567,34 @@ object SparkEntry {
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // same integer fixed-point as item_pagerank, restart mass pinned
     // to the max-support seed; 6 unrolled rounds
+    // the walk corpus replays exactly: hash-selected steps over the
+    // dense-ranked neighbor lists, unrolled like the PPR rounds
+    "graph_walks" ->
+      s"""WITH ui AS (SELECT DISTINCT user_id,
+         |                   json_extract_string(props, '$$.k')::BIGINT AS item_id
+         |            FROM events
+         |            WHERE event_type IN ('view', 'click', 'purchase')
+         |              AND json_extract_string(props, '$$.k') IS NOT NULL),
+         |bk AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+         |capped AS (SELECT ui.user_id, ui.item_id FROM ui
+         |           JOIN bk USING (user_id) WHERE bk.basket <= 500),
+         |edges AS (SELECT DISTINCT a.item_id AS src, b.item_id AS dst
+         |          FROM capped a JOIN capped b USING (user_id)
+         |          WHERE a.item_id <> b.item_id),
+         |nbr AS (SELECT src, dst,
+         |               row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         |               count(*) OVER (PARTITION BY src) AS deg FROM edges),
+         |nodes AS (SELECT DISTINCT item_id FROM capped),
+         |s0 AS (SELECT n.item_id AS seed_item, w.walk_no, n.item_id AS cur
+         |       FROM nodes n CROSS JOIN
+         |         (SELECT range AS walk_no FROM range(2)) w),
+         |${walkSteps(4)}
+         |SELECT seed_item, walk_no, 0::BIGINT AS pos, cur AS item_id FROM s0
+         |UNION ALL SELECT seed_item, walk_no, 1::BIGINT, cur FROM s1
+         |UNION ALL SELECT seed_item, walk_no, 2::BIGINT, cur FROM s2
+         |UNION ALL SELECT seed_item, walk_no, 3::BIGINT, cur FROM s3
+         |UNION ALL SELECT seed_item, walk_no, 4::BIGINT, cur FROM s4
+         |ORDER BY seed_item, walk_no, pos""".stripMargin,
     "item_ppr" ->
       s"""WITH ui AS (SELECT DISTINCT user_id,
          |                   json_extract_string(props, '$$.k')::BIGINT AS item_id
@@ -4060,6 +4090,21 @@ object SparkEntry {
   /** PPR rounds: identical hop/damping arithmetic to [[pagerankSteps]]
     * except the 15% restart mass returns ONLY to the seed row.
     */
+  /** Unrolled walk-step CTEs for the `graph_walks` oracle: step i
+    * hops every walk from its `cur` node to the neighbor whose dense
+    * rank equals u32(md5(seed:walk:t:cur)) mod degree — the same
+    * hash-selection the Spark operator computes via conv/md5.
+    */
+  private def walkSteps(steps: Int): String =
+    (1 to steps).map { i =>
+      val t = i - 1
+      s"""s$i AS (SELECT s.seed_item, s.walk_no, n.dst AS cur
+         |  FROM s${i - 1} s JOIN nbr n ON n.src = s.cur
+         |   AND n.idx = (('0x' || substr(md5(s.seed_item::VARCHAR || ':' ||
+         |     s.walk_no::VARCHAR || ':$t:' || s.cur::VARCHAR), 1, 8))::UBIGINT
+         |     % n.deg)::BIGINT)""".stripMargin
+    }.mkString(",\n")
+
   private def pprSteps(iters: Int): String =
     (1 to iters).map { i =>
       s"""r$i AS (SELECT n.item_id,

@@ -303,4 +303,70 @@ object Graph {
       .orderBy(col("rank_scaled").desc, col("item_id"))
       .limit(topN)
   }
+
+  /** Deterministic random-walk corpus over the item co-engagement
+    * graph — the DeepWalk/node2vec training-data generator (Perozzi et
+    * al., KDD'14): `walksPerNode` truncated walks of `steps` hops from
+    * every node, emitted long-form as (seed_item, walk_no, pos,
+    * item_id) rows ready for a skip-gram trainer. The "random" step is
+    * a HASH, not an RNG: at position t the walk at node v takes the
+    * neighbor whose dense rank (by dst id) equals
+    * `u32(md5(seed:walk:t:v)) mod deg(v)` — every engine replays the
+    * exact same walks, so the corpus carries a hard SQL oracle (the
+    * unrolled-join pattern of [[itemPpr]]) AND a re-run of the 100 TB
+    * job is reproducible shard-by-shard, which a sampling RNG seeded
+    * per-task is not.
+    *
+    * Scale shape: the neighbor table builds once (two windows over the
+    * same src partition — one shuffle — bounded by per-node degree,
+    * never |V|); each hop is ONE item-keyed equi-join of the walk
+    * state (|V|·walksPerNode rows, constant across hops) against the
+    * cached neighbor list, with the mod-hash selection as a post-join
+    * one-in-deg filter. Cost is `steps` sequential joins, volume
+    * |V|·W·deg map-side, |V|·W reduce-side — linear in nodes, never
+    * corpus-sized. Nodes whose only engagements sit in singleton
+    * baskets have no out-edges: their walks end at pos 0 (truncated,
+    * not padded), the standard DeepWalk convention for sinks.
+    */
+  def graphWalks(spark: SparkSession, dir: String, steps: Int = 4,
+                 walksPerNode: Int = 2, maxBasket: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ui = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .distinct()
+    val deg0 = ui.groupBy(col("user_id")).agg(count(lit(1)).as("basket"))
+    val capped = ui.join(deg0.where(col("basket") <= maxBasket), Seq("user_id"))
+      .select(col("user_id"), col("item_id"))
+    val edges = capped
+      .join(capped.select(col("user_id"), col("item_id").as("dst")), Seq("user_id"))
+      .where(col("item_id") =!= col("dst"))
+      .select(col("item_id").as("src"), col("dst"))
+      .distinct()
+    val wSrc = Window.partitionBy(col("src"))
+    val nbr = ScratchCache.materialize(edges
+      .withColumn("idx", row_number().over(wSrc.orderBy(col("dst"))).cast("long") - 1)
+      .withColumn("deg", count(lit(1)).over(wSrc)))
+    val nodes = capped.select(col("item_id")).distinct()
+    val state0 = nodes
+      .crossJoin(broadcast(spark.range(walksPerNode.toLong).toDF("walk_no")))
+      .select(col("item_id").as("seed_item"), col("walk_no"),
+        col("item_id").as("cur"))
+    var state = state0
+    var out = state0.select(col("seed_item"), col("walk_no"),
+      lit(0L).as("pos"), col("cur").as("item_id"))
+    for (t <- 0 until steps) {
+      val h = conv(substring(md5(concat_ws(":",
+        col("seed_item"), col("walk_no"), lit(t), col("cur"))), 1, 8), 16, 10)
+        .cast("long")
+      state = state
+        .join(nbr, col("cur") === col("src") && col("idx") === h % col("deg"))
+        .select(col("seed_item"), col("walk_no"), col("dst").as("cur"))
+      out = out.unionByName(state.select(col("seed_item"), col("walk_no"),
+        lit(t + 1L).as("pos"), col("cur").as("item_id")))
+    }
+    out.orderBy(col("seed_item"), col("walk_no"), col("pos"))
+  }
 }

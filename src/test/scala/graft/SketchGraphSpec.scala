@@ -45,6 +45,47 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(a.map(_.getLong(1)).sum <= a.length * scale)
   }
 
+  test("graph walks: deterministic, edge-valid, contiguous, hash-selected") {
+    val a = Graph.graphWalks(spark, TestSpark.sf).collect()
+    val b = Graph.graphWalks(spark, TestSpark.sf).collect()
+    assert(a.toSeq == b.toSeq, "hash-driven walks must be bit-deterministic")
+    assert(a.nonEmpty)
+    // rebuild the neighbor lists the operator walked over
+    val ui = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull).distinct()
+    val edges = ui.as("a").join(ui.as("b"), "user_id")
+      .where(col("a.item_id") =!= col("b.item_id"))
+      .select(col("a.item_id").as("src"), col("b.item_id").as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nbrs = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._2).toSeq.sorted }
+    val walks = a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(t => (t._1, t._2))
+    walks.foreach { case ((seed, w), rows) =>
+      val path = rows.sortBy(_._3)
+      // positions contiguous from 0; step 0 sits at the seed
+      assert(path.map(_._3).toSeq == path.indices.map(_.toLong))
+      assert(path.head._4 == seed)
+      // every hop is a real edge AND the md5-selected neighbor
+      path.sliding(2).foreach {
+        case Array((_, _, t, u), (_, _, _, v)) =>
+          assert(edges.contains((u, v)), s"walk used a non-edge $u->$v")
+          val ns = nbrs(u)
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$seed:$w:$t:$u".getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString
+          assert(v == ns((java.lang.Long.parseLong(hex, 16) % ns.length).toInt),
+            s"hop at ($seed,$w,$t) picked the wrong neighbor")
+        case _ => ()
+      }
+      // a truncated walk is only legal at a sink
+      if (path.length < 5) assert(!nbrs.contains(path.last._4))
+    }
+  }
+
   test("pagerank ranks a hub above a leaf") {
     // the item co-engaged with the most others should outrank the
     // bottom of the list strictly (sanity that iteration moved mass)
