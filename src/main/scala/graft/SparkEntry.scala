@@ -456,6 +456,8 @@ object SparkEntry {
     "events_survival" -> ((s, d) => Analytics.eventsSurvival(s, d)),
     // temperature-scaled (alpha-sampling) source mixture plan
     "corpus_mixture_plan" -> ((s, d) => Curation.mixturePlan(s, d)),
+    // DSIR importance resampling toward the target-domain source
+    "dsir_select" -> ((s, d) => Curation.dsirSelect(s, d)),
     // BM25 with pseudo-relevance-feedback term expansion (RM3 shape)
     "bm25_prf_topk" -> ((s, d) => TextRetrieval.bm25PrfTopK(s, d, Seq("spark", "join", "vector"))),
     // top-N bigram collocations by PMI with support floor
@@ -3680,6 +3682,33 @@ object SparkEntry {
         |            ELSE round(exp(sum(term) OVER (ORDER BY day
         |                 ROWS UNBOUNDED PRECEDING)), 5) END AS survival
         |FROM tm ORDER BY day""".stripMargin,
+    // DSIR replay: md5-hashed unigram buckets, add-1 smoothed target
+    // vs raw LMs, Gumbel noise from md5 — score ranks on the ROUNDED
+    // logw + exactly-replayable noise, so both engines cut the same K
+    "dsir_select" ->
+      """WITH terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |termb AS (SELECT term, ('0x' || substr(md5(term), 1, 8))::UBIGINT::BIGINT % 256 AS b
+        |          FROM (SELECT DISTINCT term FROM tf)),
+        |docb AS (SELECT doc_id, b, sum(tf)::BIGINT AS cb
+        |         FROM tf JOIN termb USING (term) GROUP BY 1, 2),
+        |ws AS (SELECT docb.doc_id, docb.b, docb.cb, d.source
+        |       FROM docb JOIN documents d USING (doc_id)),
+        |rawc AS (SELECT b, sum(cb)::BIGINT AS cr FROM ws GROUP BY 1),
+        |tgtc AS (SELECT b, sum(cb)::BIGINT AS ct FROM ws WHERE source = 'src0' GROUP BY 1),
+        |tots AS (SELECT (SELECT sum(cr) FROM rawc)::BIGINT AS tr,
+        |                (SELECT sum(ct) FROM tgtc)::BIGINT AS tt),
+        |lr AS (SELECT rawc.b,
+        |              ln((coalesce(tgtc.ct, 0) + 1.0) / (tots.tt + 256)) -
+        |                ln((rawc.cr + 1.0) / (tots.tr + 256)) AS lr
+        |       FROM rawc LEFT JOIN tgtc USING (b), tots),
+        |w AS (SELECT doc_id, sum(cb)::BIGINT AS n_tokens,
+        |             round(sum(cb * lr.lr), 5) AS logw
+        |      FROM docb JOIN lr USING (b) GROUP BY 1)
+        |SELECT w.doc_id, d.source, w.n_tokens, w.logw,
+        |       round(w.logw + -ln(-ln((('0x' || substr(md5('dsir:' || w.doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT + 0.5) / 4294967296.0)), 5) AS score
+        |FROM w JOIN documents d USING (doc_id)
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
     // exact token shares, alpha-scaled weights, allocation from the
     // ROUNDED weight so the printed plan is the shipped plan
     "corpus_mixture_plan" ->

@@ -443,4 +443,64 @@ object Curation {
         round(col("weight") * budgetTokens).cast("long"))
       .orderBy(col("source"))
   }
+
+  /** DSIR data selection — importance resampling toward a target
+    * domain (Xie et al., NeurIPS 2023 "Data Selection for Language
+    * Models via Importance Resampling"): fit hashed bag-of-words
+    * models over the target corpus (here: the docs of `targetSource`,
+    * the pipeline's Wikipedia stand-in) and the raw pool, weight every
+    * pool document by its log importance ratio
+    * `Σ_b c_b·(ln p_target(b) − ln p_raw(b))` over `buckets` hashed
+    * unigram buckets (add-1 smoothing), and select `topK` docs by
+    * Gumbel-top-k — sampling WITHOUT replacement ∝ softmax(logw),
+    * the paper's resampling step. Both the feature hash
+    * (u32(md5(term)) mod B) and the Gumbel noise
+    * (−ln(−ln((u32(md5('dsir:'||doc_id))+0.5)/2^32))) are md5-derived,
+    * so the draw is reproducible and the whole selection replays in
+    * SQL. Selection ranks on the 5-decimal-rounded score (ties →
+    * doc_id) so both engines cut the same K.
+    *
+    * Scale shape: the term→bucket map is vocab-sized and built from
+    * the shared [[TextRetrieval.ensureModel]] tf table (one term-keyed
+    * equi-join, the only corpus-scale shuffle); per-doc bucket counts
+    * collapse to ≤B rows per doc map-side; both LM tables are B rows →
+    * broadcast; the final cut is a TakeOrdered top-K, never a global
+    * sort. Docs with zero ≥2-char tokens carry no features and are
+    * not candidates (they score −∞ under any bag model).
+    */
+  def dsirSelect(spark: SparkSession, dir: String, targetSource: String = "src0",
+                 buckets: Int = 256, topK: Int = 50): DataFrame = {
+    val m = TextRetrieval.ensureModel(spark, dir)
+    val termB = m.tf.select(col("term")).distinct()
+      .withColumn("b",
+        conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long") % buckets)
+    val docb = graft.sources.ScratchCache.materialize(
+      m.tf.join(termB, "term")
+        .groupBy(col("doc_id"), col("b")).agg(sum(col("tf")).as("cb")))
+    val srcs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val withSrc = docb.join(srcs, "doc_id")
+    val rawC = withSrc.groupBy(col("b")).agg(sum(col("cb")).as("cr"))
+    val tgtC = withSrc.where(col("source") === targetSource)
+      .groupBy(col("b")).agg(sum(col("cb")).as("ct"))
+    val tots = rawC.agg(sum(col("cr")).as("tr"))
+      .crossJoin(tgtC.agg(sum(col("ct")).as("tt")))
+    val lr = rawC.join(tgtC, Seq("b"), "left_outer")
+      .crossJoin(broadcast(tots))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + buckets)) -
+          log((col("cr") + 1.0) / (col("tr") + buckets))).as("lr"))
+    val g = -log(-log((conv(substring(md5(
+      concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") + 0.5) / 4294967296.0))
+    docb.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cb")).as("n_tokens"),
+        round(sum(col("cb") * col("lr")), 5).as("logw"))
+      .withColumn("score", round(col("logw") + g, 5))
+      .join(srcs, "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("logw"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

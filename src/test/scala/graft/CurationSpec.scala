@@ -146,4 +146,32 @@ class CurationSpec extends AnyFunSuite {
     val corpusMean = lens.values.sum.toDouble / lens.size
     assert(sampleMean > corpusMean, f"weighting must favor long docs: $sampleMean%.1f vs $corpusMean%.1f")
   }
+
+  test("dsir selection: deterministic, score = logw + replayable gumbel, sorted cut") {
+    val a = Curation.dsirSelect(spark, TestSpark.sf).collect()
+    val b = Curation.dsirSelect(spark, TestSpark.sf).collect()
+    assert(a.toSeq == b.toSeq, "md5-driven selection must be bit-deterministic")
+    assert(a.length == 50)
+    // the emitted score must be the emitted logw plus THIS doc's
+    // md5-Gumbel draw — the noise is a pure function of doc_id, so a
+    // driver recount catches any drift in the hashed-LM weighting
+    a.foreach { r =>
+      val (doc, logw, score) = (r.getLong(0), r.getDouble(3), r.getDouble(4))
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dsir:$doc".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      val g = -math.log(-math.log(u))
+      assert(math.abs(score - (logw + g)) < 1e-5 + 1e-9,
+        s"doc $doc: score $score != logw $logw + gumbel $g")
+      assert(r.getLong(2) > 0, "a selected doc must carry features")
+    }
+    // rows arrive as the ranked cut: score non-increasing, ties by id
+    a.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(x.getDouble(4) > y.getDouble(4) ||
+          (x.getDouble(4) == y.getDouble(4) && x.getLong(0) < y.getLong(0)))
+      case _ => ()
+    }
+  }
 }
