@@ -118,6 +118,8 @@ object SparkEntry {
     // FAISS IndexIVFPQ's by_residual=true default — per-probed-cell LUTs
     "ann_ivfpq_res_topk" -> ((s, d) => Quantized.ivfPqResidualTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
     "ann_lsh_topk" -> ((s, d) => Lsh.lshTopK(s, d, queryId = 0, nBits = 8, k = 10)),
+    // NSW-style greedy graph descent + exact rerank of the visited set
+    "ann_graph_topk" -> ((s, d) => GraphAnn.graphTopK(s, d, queryId = 0, g = 8, hops = 6, k = 10)),
     "ann_recall_eval" -> ((s, d) => Ivf.recallEval(s, d, nCells = 16, queryMod = 100, k = 10, nprobes = Seq(1, 2, 4))),
     // queryMod 500: the per-family loop times interactive single-query
     // latency, so the sample stays small (4 queries at sf0.1)
@@ -2770,6 +2772,30 @@ object SparkEntry {
          |WHERE bb.vec_id <> 0
          |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
     },
+    // the NSW walk replays exactly: top-8 rounded-cosine neighbor
+    // lists, 6 unrolled beam steps (top-4 of frontier ∪ neighbors by
+    // score DESC, id — keeping the frontier makes the walk monotone),
+    // then an exact rerank of everything the walk visited
+    "ann_graph_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |es AS (SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS s
+         |       FROM embeddings e, q),
+         |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |                 ${cos5("a.embedding", "b.embedding")} AS s
+         |          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         |nbr AS (SELECT src, dst FROM (
+         |          SELECT src, dst,
+         |                 row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rk
+         |          FROM pairs) WHERE rk <= 8),
+         |f0 AS (SELECT min(vec_id) AS v FROM embeddings WHERE vec_id <> 0),
+         |${graphAnnSteps(6, 4)},
+         |visited AS (SELECT v FROM f0
+         |${(0 until 6).map(i => s"            UNION SELECT v FROM u$i").mkString("\n")}),
+         |fin AS (SELECT v FROM visited WHERE v <> 0)
+         |SELECT v AS n_id, es.s AS score,
+         |       row_number() OVER (ORDER BY es.s DESC, v) AS rk
+         |FROM fin JOIN es ON es.vec_id = fin.v
+         |QUALIFY rk <= 10 ORDER BY rk""".stripMargin,
     // SemDeDup replayed over the same deterministic IVF assignment:
     // within-cell exact-cosine pairs at threshold 0.4, transitive
     // closure, keep the component-minimum id
@@ -4119,6 +4145,19 @@ object SparkEntry {
   /** PPR rounds: identical hop/damping arithmetic to [[pagerankSteps]]
     * except the 15% restart mass returns ONLY to the seed row.
     */
+  /** Unrolled beam-step CTEs for the `ann_graph_topk` oracle: step i
+    * inspects the frontier's neighbor lists (u{i} = frontier ∪
+    * neighbors) and keeps the top-`beam` by rounded query-cosine,
+    * ties to the lower id — NSW ef-search with ef = beam.
+    */
+  private def graphAnnSteps(hops: Int, beam: Int): String =
+    (0 until hops).map { i =>
+      s"""u$i AS (SELECT f$i.v FROM f$i
+         |  UNION SELECT n.dst AS v FROM f$i JOIN nbr n ON n.src = f$i.v),
+         |f${i + 1} AS (SELECT u$i.v FROM u$i JOIN es ON es.vec_id = u$i.v
+         |  ORDER BY es.s DESC, u$i.v LIMIT $beam)""".stripMargin
+    }.mkString(",\n")
+
   /** Unrolled walk-step CTEs for the `graph_walks` oracle: step i
     * hops every walk from its `cur` node to the neighbor whose dense
     * rank equals u32(md5(seed:walk:t:cur)) mod degree — the same

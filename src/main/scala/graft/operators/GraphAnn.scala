@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.sources.IndexStore
+
+/** Graph-based approximate nearest-neighbor search — the NSW/HNSW
+  * index family (Malkov & Yashunin 2018) the quantization families
+  * ([[Ivf]], [[Lsh]], [[Quantized]]) don't cover: a build-once
+  * neighbor GRAPH artifact plus a greedy best-first descent at query
+  * time. The engine's variant is deliberately deterministic so the
+  * whole search carries a hard SQL oracle (no RNG level assignment,
+  * no insertion-order dependence — the two things that make stock
+  * HNSW non-replayable):
+  *
+  *   - the graph is the exact top-`g` cosine neighbor list per node
+  *     (ties on the 5-decimal-rounded score break to the lower id),
+  *     persisted once per (corpus, g) via [[IndexStore]] like every
+  *     other index artifact;
+  *   - search enters at the lowest vec id and runs `hops` beam steps
+  *     (NSW ef-search): the next frontier is the top-`beam` of
+  *     frontier ∪ neighbors(frontier) by rounded query-cosine (ties →
+  *     lower id). Keeping the frontier inside its own candidate set
+  *     makes the frontier's best score non-decreasing, so the walk
+  *     CONVERGES instead of oscillating;
+  *   - the answer is an exact rerank of the VISITED set (entry +
+  *     every neighbor list inspected) — standard beam-search output.
+  *
+  * Scale shape: the shipped build is the exact all-pairs top-g
+  * (one self-join + a per-src WindowGroupLimit — the
+  * [[VectorSearch.knnJoin]] shape), right for serving-scale corpora;
+  * at 100 TB the build swaps to LSH-blocked candidates or NN-descent
+  * (the [[Dedup.embeddingNearDupLsh]] blocking pattern) — a build-side
+  * policy swap that leaves the artifact schema and the search
+  * untouched. The walk itself is driver-side probe PLANNING over
+  * O(g)-row lookups (the [[Ivf.rankCells]] precedent — FAISS also
+  * walks its graph in the coordinator); the final rerank is a
+  * distributed scan of the ≤ 1+hops·g visited ids.
+  */
+object GraphAnn {
+
+  /** The corpus's fingerprint-addressed graph path for (dir, g). */
+  def indexPath(spark: SparkSession, dir: String, g: Int): String =
+    IndexStore.indexPath(spark, "nsw_v1", s"$dir/embeddings.parquet", g.toString)
+
+  /** Build the top-g neighbor graph: (src, dst, score, rk) with
+    * score = round(cos, 5) and rk 1..g by (score DESC, dst).
+    */
+  def buildGraph(spark: SparkSession, dir: String, g: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val wk = Window.partitionBy(col("src")).orderBy(col("score").desc, col("dst"))
+    e.select(col("vec_id").as("src"), col("embedding").as("ea"), col("nrm").as("na"))
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("eb"), col("nrm").as("nb")),
+        col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(dotd(col("ea"), col("eb")) / (col("na") * col("nb")), 5).as("score"))
+      .withColumn("rk", row_number().over(wk).cast("long"))
+      .where(col("rk") <= g)
+  }
+
+  /** The persisted graph, building it first if absent. */
+  def ensureGraph(spark: SparkSession, dir: String, g: Int): DataFrame = {
+    val path = indexPath(spark, dir, g)
+    IndexStore.publish(spark, path) { tmp =>
+      buildGraph(spark, dir, g).repartition(1)
+        .write.mode("overwrite").parquet(s"$tmp/edges")
+    }
+    IndexStore.open(spark, s"$path/edges")
+  }
+
+  /** HALF_UP at 5 decimals — the engines' shared round() convention,
+    * applied to the driver-side walk scores so the greedy decisions
+    * match the SQL replay bit-for-bit.
+    */
+  private def r5(x: Double): Double =
+    BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Beam graph descent + exact rerank of the visited set. */
+  def graphTopK(spark: SparkSession, dir: String, queryId: Long,
+                g: Int = 8, hops: Int = 6, beam: Int = 4,
+                k: Int = 10): DataFrame = {
+    val graph = ensureGraph(spark, dir, g)
+    val emb = Tables.embeddings(spark, dir)
+    val qv = emb.where(col("vec_id") === queryId)
+      .select(col("embedding")).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"query vector $queryId not found in $dir/embeddings.parquet"))
+      .getSeq[Float](0).toArray
+    // left-to-right double accumulation — bit-identical to VecDot
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val qn = math.sqrt(dot(qv, qv))
+    def qcos(v: Array[Float]): Double =
+      r5(dot(qv, v) / (math.sqrt(dot(v, v)) * qn))
+    val entry = emb.where(col("vec_id") =!= queryId)
+      .agg(min(col("vec_id"))).head.getLong(0)
+    val entryScore = qcos(emb.where(col("vec_id") === entry)
+      .select(col("embedding")).head.getSeq[Float](0).toArray)
+    var frontier = Vector((entry, entryScore))
+    val visited = scala.collection.mutable.LinkedHashSet(entry)
+    var hop = 0
+    var converged = false
+    while (hop < hops && !converged) {
+      // one O(beam·g)-row lookup: the frontier's neighbor lists with
+      // their embeddings
+      val nbrs = graph.where(col("src").isin(frontier.map(_._1): _*))
+        .join(emb.select(col("vec_id").as("dst"), col("embedding")), "dst")
+        .select(col("dst"), col("embedding")).distinct().collect()
+        .map(r => (r.getLong(0), qcos(r.getSeq[Float](1).toArray)))
+      visited ++= nbrs.map(_._1)
+      // next frontier: top-beam of frontier ∪ neighbors by rounded
+      // score DESC, id ASC (the frontier stays a candidate, so its
+      // best score never decreases)
+      val next = (frontier ++ nbrs).distinctBy(_._1)
+        .sortBy { case (id, s) => (-s, id) }.take(beam)
+      converged = next.map(_._1).toSet == frontier.map(_._1).toSet
+      frontier = next
+      hop += 1
+    }
+    // distributed exact rerank of the visited set, query excluded
+    import spark.implicits._
+    val qid = broadcast(Seq(queryId).toDF("q_id"))
+    val wk = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    emb.where(col("vec_id").isin(visited.toSeq: _*))
+      .where(col("vec_id") =!= queryId)
+      .crossJoin(qid)
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(dotd(col("embedding"), typedlit(qv)) /
+          (l2norm(col("embedding")) * lit(qn)), 5).as("score"))
+      .withColumn("rk", row_number().over(wk).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("n_id"), col("score"), col("rk"))
+      .orderBy(col("rk"))
+  }
+}

@@ -735,4 +735,42 @@ class VectorSearchSpec extends AnyFunSuite {
     // is not Matryoshka-trained, so the prefix is not front-loaded;
     // on MRL embeddings the 16-dim stage is the documented scale path
   }
+
+  test("graph-ANN: neighbor lists exact, beam search deterministic, recall floor") {
+    import graft.operators.GraphAnn
+    def cos5(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map(p => p._1.toDouble * p._2.toDouble).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(d / (na * nb)).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val vecs = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // the persisted graph's list for one src must be the exact top-8
+    // by (rounded cosine DESC, id) — the artifact IS the index
+    val g = GraphAnn.ensureGraph(spark, TestSpark.sf, 8)
+      .where(col("src") === 7).orderBy(col("rk")).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    val want = vecs.toSeq.filter(_._1 != 7L)
+      .map { case (id, v) => (id, cos5(v, vecs(7L))) }
+      .sortBy { case (id, s) => (-s, id) }.take(8)
+    assert(g.toSeq == want, s"graph list for src 7:\n${g.toSeq}\nvs\n$want")
+    // search: deterministic, ranked, query-free, scores recomputable
+    val a = GraphAnn.graphTopK(spark, TestSpark.sf, queryId = 0).collect()
+    val b = GraphAnn.graphTopK(spark, TestSpark.sf, queryId = 0).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 10 && a.map(_.getLong(2)).toSeq == (1L to 10L))
+    a.foreach { r =>
+      assert(r.getLong(0) != 0L, "query must not answer itself")
+      assert(r.getDouble(1) == cos5(vecs(r.getLong(0)), vecs(0L)), r.toString)
+    }
+    // beam ef-search must find most of the exact top-10 on the test
+    // corpus (measured 8/10 at sf0.001; floor leaves jitter margin —
+    // the walk itself is deterministic, the floor guards refactors)
+    val exact = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos5(v, vecs(0L))) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    assert(a.map(_.getLong(0)).count(exact) >= 6,
+      s"recall collapsed: ${a.map(_.getLong(0)).toSeq} vs $exact")
+  }
 }
