@@ -2773,20 +2773,24 @@ object SparkEntry {
          |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
     },
     // the NSW walk replays exactly: top-8 rounded-cosine neighbor
-    // lists, 6 unrolled beam steps (top-4 of frontier ∪ neighbors by
-    // score DESC, id — keeping the frontier makes the walk monotone),
-    // then an exact rerank of everything the walk visited
+    // lists over the SAME banded-LSH candidate blocking as
+    // dedup_embedding_lsh, 6 unrolled beam steps (top-4 of frontier ∪
+    // neighbors by score DESC, id — keeping the frontier makes the
+    // walk monotone), then an exact rerank of everything visited
     "ann_graph_topk" ->
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      s"""WITH $lshBlockCtes,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |es AS (SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS s
          |       FROM embeddings e, q),
-         |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-         |                 ${cos5("a.embedding", "b.embedding")} AS s
-         |          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         |spairs AS (SELECT a_id AS src, b_id AS dst FROM cand
+         |           UNION ALL SELECT b_id, a_id FROM cand),
+         |scored AS (SELECT s.src, s.dst, ${cos5("a.embedding", "b.embedding")} AS s
+         |           FROM spairs s JOIN embeddings a ON a.vec_id = s.src
+         |                         JOIN embeddings b ON b.vec_id = s.dst),
          |nbr AS (SELECT src, dst FROM (
          |          SELECT src, dst,
          |                 row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rk
-         |          FROM pairs) WHERE rk <= 8),
+         |          FROM scored) WHERE rk <= 8),
          |f0 AS (SELECT min(vec_id) AS v FROM embeddings WHERE vec_id <> 0),
          |${graphAnnSteps(6, 4)},
          |visited AS (SELECT v FROM f0

@@ -783,7 +783,7 @@ object Dedup {
     * with both labels, unthresholded — callers apply their own
     * threshold/label policy.
     */
-  private def lshVerifiedPairs(spark: SparkSession, dir: String, nBands: Int,
+  private[graft] def lshVerifiedPairs(spark: SparkSession, dir: String, nBands: Int,
                                bitsPerBand: Int, bucketCap: Long): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     val bits = math.max(bitsPerBand,

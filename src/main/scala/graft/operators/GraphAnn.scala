@@ -29,36 +29,38 @@ import graft.sources.IndexStore
   *   - the answer is an exact rerank of the VISITED set (entry +
   *     every neighbor list inspected) — standard beam-search output.
   *
-  * Scale shape: the shipped build is the exact all-pairs top-g
-  * (one self-join + a per-src WindowGroupLimit — the
-  * [[VectorSearch.knnJoin]] shape), right for serving-scale corpora;
-  * at 100 TB the build swaps to LSH-blocked candidates or NN-descent
-  * (the [[Dedup.embeddingNearDupLsh]] blocking pattern) — a build-side
-  * policy swap that leaves the artifact schema and the search
-  * untouched. The walk itself is driver-side probe PLANNING over
-  * O(g)-row lookups (the [[Ivf.rankCells]] precedent — FAISS also
-  * walks its graph in the coordinator); the final rerank is a
-  * distributed scan of the ≤ 1+hops·g visited ids.
+  * Scale shape: the build takes its candidate pairs from the SAME
+  * banded-LSH blocking as [[Dedup.embeddingNearDupLsh]] (adaptive
+  * band width keeps bucket occupancy ~constant, so candidate volume
+  * is linear in the corpus, never n²), verifies them with one exact
+  * cosine pass, and keeps top-g per node via a per-src
+  * WindowGroupLimit — the NSW insert loop re-expressed as one
+  * deterministic bulk job. Isolated nodes (no bucket collision under
+  * the occupancy cap) get no out-edges — the same documented-miss
+  * contract as the LSH searcher. The walk itself is driver-side probe
+  * PLANNING over O(beam·g)-row lookups (the [[Ivf.rankCells]]
+  * precedent — FAISS also walks its graph in the coordinator); the
+  * final rerank is a distributed scan of the ≤ 1+hops·beam·g visited
+  * ids.
   */
 object GraphAnn {
 
   /** The corpus's fingerprint-addressed graph path for (dir, g). */
   def indexPath(spark: SparkSession, dir: String, g: Int): String =
-    IndexStore.indexPath(spark, "nsw_v1", s"$dir/embeddings.parquet", g.toString)
+    IndexStore.indexPath(spark, "nsw_v2", s"$dir/embeddings.parquet", g.toString)
 
-  /** Build the top-g neighbor graph: (src, dst, score, rk) with
-    * score = round(cos, 5) and rk 1..g by (score DESC, dst).
+  /** Build the top-g neighbor graph from LSH-blocked candidates:
+    * (src, dst, score, rk) with score = round(cos, 5) and rk 1..g by
+    * (score DESC, dst), candidates symmetrized from the banded-LSH
+    * verified pairs (linear candidate volume — the 100 TB shape).
     */
   def buildGraph(spark: SparkSession, dir: String, g: Int): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val vp = Dedup.lshVerifiedPairs(spark, dir, nBands = 32,
+      bitsPerBand = 6, bucketCap = 1000L)
+    val sym = vp.select(col("a_id").as("src"), col("b_id").as("dst"), col("score"))
+      .unionByName(vp.select(col("b_id").as("src"), col("a_id").as("dst"), col("score")))
     val wk = Window.partitionBy(col("src")).orderBy(col("score").desc, col("dst"))
-    e.select(col("vec_id").as("src"), col("embedding").as("ea"), col("nrm").as("na"))
-      .join(e.select(col("vec_id").as("dst"), col("embedding").as("eb"), col("nrm").as("nb")),
-        col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        round(dotd(col("ea"), col("eb")) / (col("na") * col("nb")), 5).as("score"))
-      .withColumn("rk", row_number().over(wk).cast("long"))
+    sym.withColumn("rk", row_number().over(wk).cast("long"))
       .where(col("rk") <= g)
   }
 

@@ -746,15 +746,25 @@ class VectorSearchSpec extends AnyFunSuite {
     }
     val vecs = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    // the persisted graph's list for one src must be the exact top-8
-    // by (rounded cosine DESC, id) — the artifact IS the index
-    val g = GraphAnn.ensureGraph(spark, TestSpark.sf, 8)
-      .where(col("src") === 7).orderBy(col("rk")).collect()
-      .map(r => (r.getLong(1), r.getDouble(2)))
-    val want = vecs.toSeq.filter(_._1 != 7L)
-      .map { case (id, v) => (id, cos5(v, vecs(7L))) }
-      .sortBy { case (id, s) => (-s, id) }.take(8)
-    assert(g.toSeq == want, s"graph list for src 7:\n${g.toSeq}\nvs\n$want")
+    // every node's persisted list must be the top-8 of its LSH-blocked
+    // verified candidate set by (rounded cosine DESC, id) — the
+    // artifact IS the NSW insert loop run as one bulk job
+    val cands = graft.operators.Dedup
+      .lshVerifiedPairs(spark, TestSpark.sf, 32, 6, 1000L)
+      .select("a_id", "b_id").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).toSet }
+    val g = GraphAnn.ensureGraph(spark, TestSpark.sf, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(g.keySet == cands.keySet.filter(cands(_).nonEmpty))
+    g.foreach { case (src, rows) =>
+      val want = cands(src).toSeq
+        .map(id => (id, cos5(vecs(id), vecs(src))))
+        .sortBy { case (id, s) => (-s, id) }.take(8)
+      val got = rows.sortBy(_._4).map(r => (r._2, r._3)).toSeq
+      assert(got == want, s"graph list for src $src:\n$got\nvs\n$want")
+    }
     // search: deterministic, ranked, query-free, scores recomputable
     val a = GraphAnn.graphTopK(spark, TestSpark.sf, queryId = 0).collect()
     val b = GraphAnn.graphTopK(spark, TestSpark.sf, queryId = 0).collect()
