@@ -450,6 +450,8 @@ object SparkEntry {
     "item_ppr" -> ((s, d) => Graph.itemPpr(s, d)),
     // hash-deterministic DeepWalk corpus (skip-gram training rows)
     "graph_walks" -> ((s, d) => Graph.graphWalks(s, d)),
+    // word2vec (center, context) pairs from the walk corpus
+    "walk_skipgrams" -> ((s, d) => Graph.walkSkipgrams(s, d)),
     // cohort-week x age revenue triangle with running LTV per user
     "user_cohort_ltv" -> ((s, d) => Analytics.userCohortLtv(s, d)),
     // event-type audience-overlap Jaccard matrix
@@ -3602,31 +3604,19 @@ object SparkEntry {
     // the walk corpus replays exactly: hash-selected steps over the
     // dense-ranked neighbor lists, unrolled like the PPR rounds
     "graph_walks" ->
-      s"""WITH ui AS (SELECT DISTINCT user_id,
-         |                   json_extract_string(props, '$$.k')::BIGINT AS item_id
-         |            FROM events
-         |            WHERE event_type IN ('view', 'click', 'purchase')
-         |              AND json_extract_string(props, '$$.k') IS NOT NULL),
-         |bk AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
-         |capped AS (SELECT ui.user_id, ui.item_id FROM ui
-         |           JOIN bk USING (user_id) WHERE bk.basket <= 500),
-         |edges AS (SELECT DISTINCT a.item_id AS src, b.item_id AS dst
-         |          FROM capped a JOIN capped b USING (user_id)
-         |          WHERE a.item_id <> b.item_id),
-         |nbr AS (SELECT src, dst,
-         |               row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
-         |               count(*) OVER (PARTITION BY src) AS deg FROM edges),
-         |nodes AS (SELECT DISTINCT item_id FROM capped),
-         |s0 AS (SELECT n.item_id AS seed_item, w.walk_no, n.item_id AS cur
-         |       FROM nodes n CROSS JOIN
-         |         (SELECT range AS walk_no FROM range(2)) w),
-         |${walkSteps(4)}
-         |SELECT seed_item, walk_no, 0::BIGINT AS pos, cur AS item_id FROM s0
-         |UNION ALL SELECT seed_item, walk_no, 1::BIGINT, cur FROM s1
-         |UNION ALL SELECT seed_item, walk_no, 2::BIGINT, cur FROM s2
-         |UNION ALL SELECT seed_item, walk_no, 3::BIGINT, cur FROM s3
-         |UNION ALL SELECT seed_item, walk_no, 4::BIGINT, cur FROM s4
+      s"""WITH $walkCorpusCtes
+         |SELECT seed_item, walk_no, pos, item_id FROM walks
          |ORDER BY seed_item, walk_no, pos""".stripMargin,
+    // the skip-gram extraction is one walk-id-keyed self-join of the
+    // same replayed corpus
+    "walk_skipgrams" ->
+      s"""WITH $walkCorpusCtes
+         |SELECT a.item_id AS center, b.item_id AS context,
+         |       abs(a.pos - b.pos) AS dist, count(*) AS n_pairs
+         |FROM walks a JOIN walks b
+         |  ON a.seed_item = b.seed_item AND a.walk_no = b.walk_no
+         |WHERE a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "item_ppr" ->
       s"""WITH ui AS (SELECT DISTINCT user_id,
          |                   json_extract_string(props, '$$.k')::BIGINT AS item_id
@@ -4161,6 +4151,37 @@ object SparkEntry {
          |f${i + 1} AS (SELECT u$i.v FROM u$i JOIN es ON es.vec_id = u$i.v
          |  ORDER BY es.s DESC, u$i.v LIMIT $beam)""".stripMargin
     }.mkString(",\n")
+
+  /** The full replayed walk corpus (see `graph_walks`) as a CTE
+    * block ending in `walks`(seed_item, walk_no, pos, item_id) —
+    * shared by the walk dump and the skip-gram extraction.
+    */
+  private lazy val walkCorpusCtes: String =
+    s"""ui AS (SELECT DISTINCT user_id,
+       |              json_extract_string(props, '$$.k')::BIGINT AS item_id
+       |       FROM events
+       |       WHERE event_type IN ('view', 'click', 'purchase')
+       |         AND json_extract_string(props, '$$.k') IS NOT NULL),
+       |bk AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+       |capped AS (SELECT ui.user_id, ui.item_id FROM ui
+       |           JOIN bk USING (user_id) WHERE bk.basket <= 500),
+       |edges AS (SELECT DISTINCT a.item_id AS src, b.item_id AS dst
+       |          FROM capped a JOIN capped b USING (user_id)
+       |          WHERE a.item_id <> b.item_id),
+       |nbr AS (SELECT src, dst,
+       |               row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+       |               count(*) OVER (PARTITION BY src) AS deg FROM edges),
+       |nodes AS (SELECT DISTINCT item_id FROM capped),
+       |s0 AS (SELECT n.item_id AS seed_item, w.walk_no, n.item_id AS cur
+       |       FROM nodes n CROSS JOIN
+       |         (SELECT range AS walk_no FROM range(2)) w),
+       |${walkSteps(4)},
+       |walks AS (
+       |  SELECT seed_item, walk_no, 0::BIGINT AS pos, cur AS item_id FROM s0
+       |  UNION ALL SELECT seed_item, walk_no, 1::BIGINT, cur FROM s1
+       |  UNION ALL SELECT seed_item, walk_no, 2::BIGINT, cur FROM s2
+       |  UNION ALL SELECT seed_item, walk_no, 3::BIGINT, cur FROM s3
+       |  UNION ALL SELECT seed_item, walk_no, 4::BIGINT, cur FROM s4)""".stripMargin
 
   /** Unrolled walk-step CTEs for the `graph_walks` oracle: step i
     * hops every walk from its `cur` node to the neighbor whose dense

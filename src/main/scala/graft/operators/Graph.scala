@@ -369,4 +369,37 @@ object Graph {
     }
     out.orderBy(col("seed_item"), col("walk_no"), col("pos"))
   }
+
+  /** Skip-gram pairs from the walk corpus — the last mile of the
+    * DeepWalk pipeline (Perozzi et al. KDD'14 §4.2; word2vec's
+    * (center, context) extraction with window `window` applied to
+    * [[graphWalks]]' paths): every ordered pair of walk positions at
+    * distance 1..window becomes one training row, weighted nothing —
+    * the trainer downweights by distance if it wants to (the emitted
+    * `dist` column carries |pos−pos'|). Self-pairs (the walk revisits
+    * a node inside the window) are kept: that IS the distributional
+    * signal of a tight cluster.
+    *
+    * Scale shape: one self-join of the walk corpus keyed by
+    * (seed, walk) — each side is |V|·W·(L+1) rows and the join key is
+    * a walk id, so fan-out per key is (L+1)·window ≤ a constant; the
+    * output aggregate (center, context, dist) → n_pairs is
+    * map-side-combinable. No windows, no global order.
+    */
+  def walkSkipgrams(spark: SparkSession, dir: String, window: Int = 2,
+                    steps: Int = 4, walksPerNode: Int = 2,
+                    maxBasket: Int = 500): DataFrame = {
+    val walks = graphWalks(spark, dir, steps, walksPerNode, maxBasket)
+    val a = walks.select(col("seed_item"), col("walk_no"),
+      col("pos"), col("item_id").as("center"))
+    val b = walks.select(col("seed_item"), col("walk_no"),
+      col("pos").as("pos2"), col("item_id").as("context"))
+    a.join(b, Seq("seed_item", "walk_no"))
+      .where(col("pos") =!= col("pos2") &&
+        abs(col("pos") - col("pos2")) <= window)
+      .groupBy(col("center"), col("context"),
+        abs(col("pos") - col("pos2")).as("dist"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("center"), col("context"), col("dist"))
+  }
 }

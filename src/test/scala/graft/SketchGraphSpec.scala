@@ -86,6 +86,26 @@ class SketchGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("skip-gram pairs conserve the walk corpus exactly") {
+    val walks = Graph.graphWalks(spark, TestSpark.sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    // driver recount: every ordered within-window pair, by (center,
+    // context, dist) — the operator's aggregate must match exactly
+    val want = walks.values.toSeq.flatMap { rows =>
+      val path = rows.sortBy(_._2).toSeq
+      for {
+        a <- path; b <- path
+        if a._2 != b._2 && math.abs(a._2 - b._2) <= 2
+      } yield (a._3, b._3, math.abs(a._2 - b._2))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Graph.walkSkipgrams(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got == want)
+    // symmetric window ⇒ the pair multiset is direction-symmetric
+    got.foreach { case ((c, x, d), n) => assert(got((x, c, d)) == n) }
+  }
+
   test("pagerank ranks a hub above a leaf") {
     // the item co-engaged with the most others should outrank the
     // bottom of the list strictly (sanity that iteration moved mass)
