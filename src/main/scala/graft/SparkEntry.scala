@@ -100,6 +100,8 @@ object SparkEntry {
     // app.py:221-241): "more like product 7, but only en/long docs"
     "vs_item_similar_filtered" -> ((s, d) => VectorSearch.metaFilteredTopK(s, d, queryId = 7, k = 10, lang = "en", minChars = 200L)),
     "knn_label_precision" -> ((s, d) => VectorSearch.knnLabelPrecision(s, d, queryMod = 100, k = 10)),
+    // position-discounted retrieval quality next to flat precision
+    "knn_ndcg" -> ((s, d) => VectorSearch.knnNdcg(s, d, queryMod = 100, k = 10)),
     // kNN majority-vote label prediction over the same query batch
     "knn_classify" -> ((s, d) => VectorSearch.knnClassify(s, d, queryMod = 100, k = 10)),
     // per-label embedding L2-norm distribution (encoder sanity check)
@@ -1256,6 +1258,30 @@ object SparkEntry {
          |       count(*) FILTER (WHERE n_label = q_label) AS n_match,
          |       count(*) FILTER (WHERE n_label = q_label) / 10.0 AS precision
          |FROM r GROUP BY 1, 2 ORDER BY q_id""".stripMargin,
+    // same top-k CTEs as the precision eval; the ln(x)/ln(2) discount
+    // and the range-fold IDCG are the exact expressions Spark builds
+    "knn_ndcg" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |s AS (SELECT q.q_id, q.q_label, e.vec_id AS n_id, e.label AS n_label,
+         |             ${cos5("e.embedding", "q.qv")} AS score
+         |      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+         |      FROM s QUALIFY rk <= 10),
+         |per AS (SELECT q_id, q_label::BIGINT AS q_label,
+         |               count(*) FILTER (WHERE n_label = q_label) AS n_rel,
+         |               sum(CASE WHEN n_label = q_label
+         |                        THEN 1.0 / (ln(rk + 1.0) / ln(2.0)) ELSE 0.0 END) AS dcg
+         |        FROM r GROUP BY 1, 2),
+         |lc AS (SELECT label::BIGINT AS q_label, count(*) AS n_lab FROM embeddings GROUP BY 1),
+         |j AS (SELECT per.*, least(lc.n_lab - 1, 10) AS rr FROM per JOIN lc USING (q_label)),
+         |i AS (SELECT *, CASE WHEN rr > 0
+         |                     THEN list_sum(list_transform(range(1, rr + 1),
+         |                          x -> 1.0 / (ln(x + 1.0) / ln(2.0))))
+         |                     ELSE 0.0 END AS idcg FROM j)
+         |SELECT q_id, q_label, n_rel, round(dcg, 5) AS dcg,
+         |       CASE WHEN idcg > 0 THEN round(dcg / idcg, 5) ELSE 0.0 END AS ndcg
+         |FROM i ORDER BY q_id""".stripMargin,
     "knn_classify" ->
       s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv
          |           FROM embeddings WHERE vec_id % 100 = 0),

@@ -165,6 +165,49 @@ object VectorSearch {
       .orderBy(col("q_id"))
   }
 
+  /** nDCG@k of the label-relevance retrieval — the position-aware
+    * retrieval-quality metric next to [[knnLabelPrecision]]'s flat
+    * Precision@K (same sampled query batch, same exact top-k): a
+    * relevant hit at rank 1 is worth 1, at rank i only 1/log2(i+1)
+    * (Järvelin & Kekäläinen 2002), so ranking improvements INSIDE the
+    * top-k move this number while precision is blind to them. Binary
+    * relevance (neighbor shares the query's label); the ideal DCG
+    * places all R same-label corpus docs (minus the query itself,
+    * capped at k) at the top. Queries whose label has no other member
+    * (IDCG = 0) score 0 by convention. Every log is written
+    * ln(x)/ln(2) so both engines build the identical float
+    * expression; the per-rank discount folds left-to-right in both.
+    *
+    * Scale shape: [[knnLabelPrecision]]'s broadcast-batch scan plus
+    * one |labels|-row broadcast join and a per-query fold over ≤ k
+    * terms — nothing new shuffles.
+    */
+  def knnNdcg(spark: SparkSession, dir: String, queryMod: Int = 100,
+              k: Int = 10): DataFrame = {
+    val per = knnTopKByLabel(spark, dir, queryMod, k)
+      .groupBy(col("q_id"), col("q_label").cast("long").as("q_label"))
+      .agg(
+        count(when(col("n_label") === col("q_label"), 1)).as("n_rel"),
+        sum(when(col("n_label") === col("q_label"),
+          lit(1.0) / (log(col("rk") + lit(1.0)) / log(lit(2.0))))
+          .otherwise(lit(0.0))).as("dcg"))
+    val labCnt = Tables.embeddings(spark, dir)
+      .groupBy(col("label").cast("long").as("q_label"))
+      .agg(count(lit(1)).as("n_lab"))
+    per.join(broadcast(labCnt), "q_label")
+      .withColumn("r", least(col("n_lab") - 1, lit(k.toLong)))
+      .withColumn("idcg", when(col("r") > 0,
+        aggregate(sequence(lit(1L), col("r")), lit(0.0),
+          (acc, i) => acc + lit(1.0) /
+            (log(i.cast("double") + lit(1.0)) / log(lit(2.0)))))
+        .otherwise(lit(0.0)))
+      .select(col("q_id"), col("q_label"), col("n_rel"),
+        round(col("dcg"), 5).as("dcg"),
+        when(col("idcg") > 0, round(col("dcg") / col("idcg"), 5))
+          .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy(col("q_id"))
+  }
+
   /** kNN majority-vote classification over the embedding space — the
     * label-prediction twin of [[knnLabelPrecision]] (same sampled
     * query batch, same exact top-k): each query's predicted label is

@@ -736,6 +736,37 @@ class VectorSearchSpec extends AnyFunSuite {
     // on MRL embeddings the 16-dim stage is the documented scale path
   }
 
+  test("knn ndcg matches a driver recount and sits in [0,1]") {
+    def cos5(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map(p => p._1.toDouble * p._2.toDouble).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(d / (na * nb)).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rows = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    val labN = rows.groupBy(_._3).map { case (l, rs) => l -> rs.length }
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val got = VectorSearch.knnNdcg(spark, TestSpark.sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (qid, qlab) = (r.getLong(0), r.getLong(1))
+      val top = rows.filter(_._1 != qid)
+        .map(t => (t._1, cos5(t._2, byId(qid)._2), t._3))
+        .sortBy { case (id, s, _) => (-s, id) }.take(10)
+      val dcg = top.zipWithIndex.collect {
+        case ((_, _, l), i) if l == qlab => 1.0 / log2(i + 2.0) }.sum
+      val rr = math.min(labN(qlab.toInt) - 1, 10)
+      val idcg = (1 to rr).map(i => 1.0 / log2(i + 1.0)).sum
+      val want = if (idcg > 0) dcg / idcg else 0.0
+      assert(math.abs(r.getDouble(4) - want) < 2e-5, s"q $qid: ${r.getDouble(4)} vs $want")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getLong(2) == top.count(_._3 == qlab.toInt))
+    }
+  }
+
   test("graph-ANN: neighbor lists exact, beam search deterministic, recall floor") {
     import graft.operators.GraphAnn
     def cos5(a: Array[Float], b: Array[Float]): Double = {
