@@ -464,6 +464,9 @@ object SparkEntry {
     "corpus_mixture_plan" -> ((s, d) => Curation.mixturePlan(s, d)),
     // DSIR importance resampling toward the target-domain source
     "dsir_select" -> ((s, d) => Curation.dsirSelect(s, d)),
+    // write-side shard sizing (64 KiB target at test scale; the
+    // production default is 128 MiB)
+    "output_shard_plan" -> ((s, d) => Curation.outputShardPlan(s, d, targetBytes = 64L * 1024)),
     // BM25 with pseudo-relevance-feedback term expansion (RM3 shape)
     "bm25_prf_topk" -> ((s, d) => TextRetrieval.bm25PrfTopK(s, d, Seq("spark", "join", "vector"))),
     // top-N bigram collocations by PMI with support floor
@@ -3728,6 +3731,14 @@ object SparkEntry {
         |            ELSE round(exp(sum(term) OVER (ORDER BY day
         |                 ROWS UNBOUNDED PRECEDING)), 5) END AS survival
         |FROM tm ORDER BY day""".stripMargin,
+    // exact-integer ceil division on both engines
+    "output_shard_plan" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS est_bytes,
+        |       greatest(1, (sum(n_chars)::BIGINT + 65535) // 65536) AS n_shards,
+        |       (count(*) + greatest(1, (sum(n_chars)::BIGINT + 65535) // 65536) - 1)
+        |         // greatest(1, (sum(n_chars)::BIGINT + 65535) // 65536) AS docs_per_shard,
+        |       sum(n_chars)::BIGINT // greatest(1, (sum(n_chars)::BIGINT + 65535) // 65536) AS shard_bytes
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
     // DSIR replay: md5-hashed unigram buckets, add-1 smoothed target
     // vs raw LMs, Gumbel noise from md5 — score ranks on the ROUNDED
     // logw + exactly-replayable noise, so both engines cut the same K

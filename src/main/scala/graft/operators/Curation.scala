@@ -444,6 +444,36 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Output shard plan — the write-side sizing pass a 100 TB corpus
+    * job runs before `repartition(n, key).write`: per source, the
+    * estimated payload bytes (Σ n_chars — the text column dominates
+    * this corpus; swap the estimator per schema), the shard count
+    * that lands each output file near `targetBytes`
+    * (`greatest(1, ceil(bytes/target))`), and the resulting per-shard
+    * doc count and size. Too few shards → unsplittable multi-GB
+    * files and straggler writers; too many → the small-files problem
+    * that kills the NEXT job's scan planning. Exact integer
+    * arithmetic throughout (ceil via `(a + b - 1) div b`), so the
+    * printed plan is the shipped plan on every engine.
+    *
+    * Scale shape: one map-side-combined aggregate over the corpus,
+    * |sources| output rows — the plan costs one scan regardless of
+    * corpus size.
+    */
+  def outputShardPlan(spark: SparkSession, dir: String,
+                      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("est_bytes"))
+      .withColumn("n_shards",
+        greatest(lit(1L), expr(s"(est_bytes + $targetBytes - 1) div $targetBytes")))
+      .withColumn("docs_per_shard",
+        expr("(n_docs + n_shards - 1) div n_shards"))
+      .withColumn("shard_bytes", expr("est_bytes div n_shards"))
+      .orderBy(col("source"))
+  }
+
   /** DSIR data selection — importance resampling toward a target
     * domain (Xie et al., NeurIPS 2023 "Data Selection for Language
     * Models via Importance Resampling"): fit hashed bag-of-words

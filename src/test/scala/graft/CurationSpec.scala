@@ -147,6 +147,26 @@ class CurationSpec extends AnyFunSuite {
     assert(sampleMean > corpusMean, f"weighting must favor long docs: $sampleMean%.1f vs $corpusMean%.1f")
   }
 
+  test("shard plan: ceil-division identities hold at a multi-shard target") {
+    val rows = Curation.outputShardPlan(spark, TestSpark.sf, targetBytes = 1024L)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getLong(3) > 1), "target must force multi-shard sources")
+    rows.foreach { r =>
+      val (n, bytes, shards, dps, sb) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // shards is the least count with every shard under target
+      // (ceil), except the floor of one shard minimum
+      assert(shards >= 1)
+      if (shards > 1) assert((shards - 1) * 1024 < bytes)
+      assert(shards * 1024 >= bytes || shards == 1)
+      // docs_per_shard covers all docs, and not wastefully
+      assert(dps * shards >= n)
+      assert((dps - 1) * shards < n)
+      assert(sb == bytes / shards)
+    }
+  }
+
   test("dsir selection: deterministic, score = logw + replayable gumbel, sorted cut") {
     val a = Curation.dsirSelect(spark, TestSpark.sf).collect()
     val b = Curation.dsirSelect(spark, TestSpark.sf).collect()
