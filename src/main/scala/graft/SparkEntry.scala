@@ -128,6 +128,8 @@ object SparkEntry {
     "ann_family_eval" -> ((s, d) => Ivf.familyEval(s, d, queryMod = 500, k = 10)),
     // --- text retrieval (reference core) ---
     "tfidf_topk" -> ((s, d) => TextRetrieval.tfidfTopK(s, d, Seq("spark", "join", "vector"), k = 10)),
+    // ColBERT-shape MaxSim rerank over the TF-IDF shortlist
+    "maxsim_rerank" -> ((s, d) => TextRetrieval.maxsimRerank(s, d, Seq("spark", "join", "vector"))),
     // the raw-text front door: input is the string a user typed
     // (app.py:173 search takes `query: str`); tokenization happens
     // inside the engine, and the oracle re-tokenizes INDEPENDENTLY in
@@ -1315,6 +1317,32 @@ object SparkEntry {
          |SELECT w.doc_id, round(sum(w.w / nrm.nrm * qw.qw / qn.qn), 5) AS score
          |FROM w JOIN qw USING (term) JOIN nrm USING (doc_id), qn
          |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // ColBERT MaxSim replay: the tf-idf shortlist CTEs plus the
+    // lexicon centroids assembled into term vectors; max and sum are
+    // order-independent, the single round lands after the sum
+    "maxsim_rerank" ->
+      s"""WITH $tfidfCtes,
+         |q AS (SELECT term FROM (VALUES ('spark'), ('join'), ('vector')) t(term)),
+         |qw AS (SELECT q.term, ln((nn.n + 1) / (dfv.df + 1)) + 1 AS qw FROM q JOIN dfv USING (term), nn),
+         |qn AS (SELECT sqrt(sum(qw * qw)) AS qn FROM qw),
+         |short AS (SELECT w.doc_id, round(sum(w.w / nrm.nrm * qw.qw / qn.qn), 5) AS tfidf_score
+         |          FROM w JOIN qw USING (term) JOIN nrm USING (doc_id), qn
+         |          GROUP BY 1 ORDER BY tfidf_score DESC, doc_id LIMIT 30),
+         |dt AS (SELECT DISTINCT doc_id, term FROM terms),
+         |dims AS (SELECT dt.term, r.p, CAST(avg(e.embedding[r.p + 1]::DOUBLE) AS FLOAT) AS v
+         |         FROM dt JOIN embeddings e ON e.vec_id = dt.doc_id, range(64) r(p)
+         |         GROUP BY dt.term, r.p),
+         |tv AS (SELECT term, list(v ORDER BY p) AS vec FROM dims GROUP BY term),
+         |qv2 AS (SELECT term AS q_term, vec AS q_vec FROM tv
+         |        WHERE term IN ('spark', 'join', 'vector')),
+         |per AS (SELECT s.doc_id, s.tfidf_score, qv2.q_term,
+         |               max(${cosRaw("tv.vec", "qv2.q_vec")}) AS ms
+         |        FROM short s JOIN dt ON dt.doc_id = s.doc_id
+         |                     JOIN tv ON tv.term = dt.term, qv2
+         |        GROUP BY 1, 2, 3)
+         |SELECT doc_id, tfidf_score, round(sum(ms), 5) AS maxsim_score
+         |FROM per GROUP BY 1, 2
+         |ORDER BY maxsim_score DESC, doc_id LIMIT 10""".stripMargin,
     // the oracle tokenizes the raw string ITSELF (DuckDB regexp, not a
     // Scala-side token list), so driver-tokenizer drift breaks parity
     "tfidf_topk_text" ->

@@ -670,4 +670,49 @@ object TextRetrieval {
       .select(col("doc_id"), col("score"), col("snippet"))
       .orderBy(col("score").desc, col("doc_id"))
   }
+
+  /** Late-interaction rerank — the ColBERT scoring shape (Khattab &
+    * Zaharia, SIGIR 2020) over the engine's corpus-lexical term
+    * vectors: score(q, d) = Σ_{t∈q} max_{t'∈d} cos(v(t), v(t')),
+    * where v(·) is the [[graft.functions.CorpusLexicalEncoder]]
+    * centroid lexicon (the zero-egress stand-in for per-token
+    * transformer output embeddings). MaxSim rewards a document that
+    * has a STRONG match for every query term where the single-vector
+    * cosine averages matches away — the precision lever of the
+    * late-interaction stack, here as the rerank stage over a TF-IDF
+    * shortlist (retrieve-then-rerank, the production topology: the
+    * cheap stage bounds the candidate set, MaxSim only ever scores
+    * c docs).
+    *
+    * Query terms absent from the lexicon contribute nothing (no
+    * corpus evidence to match against — the honest OOV convention).
+    *
+    * Scale shape: the shortlist is the existing TakeOrdered TF-IDF
+    * top-c; MaxSim joins the c-doc shortlist's (doc, term) rows to
+    * the vocab-keyed lexicon and cross-scores against the ≤|q|-row
+    * broadcast query side — cost c·|terms(d)|·|q| cosines, bounded
+    * by the shortlist, never corpus-sized. The max and the sum are
+    * both map-side-combinable aggregates.
+    */
+  def maxsimRerank(spark: SparkSession, dir: String, queryTerms: Seq[String],
+                   c: Int = 30, k: Int = 10): DataFrame = {
+    val m = ensureModel(spark, dir)
+    val shortlist = tfidfTopK(spark, dir, queryTerms, c)
+      .select(col("doc_id"), col("score").as("tfidf_score"))
+    val lex = graft.functions.CorpusLexicalEncoder.ensureLexicon(spark, dir)
+      .select(col("term"), col("vector"))
+    val qv = lex.where(col("term").isin(queryTerms.distinct: _*))
+      .select(col("term").as("q_term"), col("vector").as("q_vec"))
+    shortlist
+      .join(m.tf.select(col("doc_id"), col("term")), "doc_id")
+      .join(lex, "term")
+      .crossJoin(broadcast(qv))
+      .groupBy(col("doc_id"), col("tfidf_score"), col("q_term"))
+      .agg(max(dotd(col("vector"), col("q_vec")) /
+        (l2norm(col("vector")) * l2norm(col("q_vec")))).as("ms"))
+      .groupBy(col("doc_id"), col("tfidf_score"))
+      .agg(round(sum(col("ms")), 5).as("maxsim_score"))
+      .orderBy(col("maxsim_score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

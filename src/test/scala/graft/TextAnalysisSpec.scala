@@ -435,4 +435,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(r.getLong(5) == ps.map(p => (p.length + 5) / 6).sum)
     }
   }
+
+  test("maxsim rerank: bounded by |q|, exact 3.0 on full-coverage docs, deterministic") {
+    import graft.operators.TextRetrieval
+    val q = Seq("spark", "join", "vector")
+    val a = TextRetrieval.maxsimRerank(spark, TestSpark.sf, q).collect()
+    val b = TextRetrieval.maxsimRerank(spark, TestSpark.sf, q).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty && a.length <= 10)
+    val texts = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    a.foreach { r =>
+      val score = r.getDouble(2)
+      // each query term contributes max-cos ≤ 1
+      assert(score <= 3.0 + 1e-9, r.toString)
+      // a doc containing every query term hits cos(v(t), v(t)) = 1
+      // per term — MaxSim is exactly |q| there, the ColBERT identity
+      val toks = texts(r.getLong(0)).toLowerCase.split("[^a-z0-9_]+").toSet
+      if (q.forall(toks)) assert(math.abs(score - 3.0) < 1e-9, r.toString)
+    }
+    // ranking is by maxsim descending with id ties
+    a.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(x.getDouble(2) > y.getDouble(2) ||
+          (x.getDouble(2) == y.getDouble(2) && x.getLong(0) < y.getLong(0)))
+      case _ => ()
+    }
+  }
 }
