@@ -102,6 +102,8 @@ object SparkEntry {
     "knn_label_precision" -> ((s, d) => VectorSearch.knnLabelPrecision(s, d, queryMod = 100, k = 10)),
     // position-discounted retrieval quality next to flat precision
     "knn_ndcg" -> ((s, d) => VectorSearch.knnNdcg(s, d, queryMod = 100, k = 10)),
+    // FaceNet batch-hard triplets: hardest positive + hardest negative
+    "triplet_mine" -> ((s, d) => VectorSearch.tripletMine(s, d, queryMod = 100)),
     // kNN majority-vote label prediction over the same query batch
     "knn_classify" -> ((s, d) => VectorSearch.knnClassify(s, d, queryMod = 100, k = 10)),
     // per-label embedding L2-norm distribution (encoder sanity check)
@@ -1263,6 +1265,26 @@ object SparkEntry {
          |       count(*) FILTER (WHERE n_label = q_label) AS n_match,
          |       count(*) FILTER (WHERE n_label = q_label) / 10.0 AS precision
          |FROM r GROUP BY 1, 2 ORDER BY q_id""".stripMargin,
+    // both legs replayed with the engine's tie orders: hardest
+    // positive = (score ASC, id), hardest negative = (score DESC, id)
+    "triplet_mine" ->
+      s"""WITH q AS (SELECT vec_id AS a_id, label AS a_label, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |s AS (SELECT q.a_id, q.a_label, e.vec_id AS n_id, e.label AS n_label,
+         |             ${cos5("e.embedding", "q.qv")} AS score
+         |      FROM embeddings e, q WHERE e.vec_id <> q.a_id),
+         |p AS (SELECT a_id, a_label, n_id AS pos_id, score AS pos_score,
+         |             row_number() OVER (PARTITION BY a_id ORDER BY score ASC, n_id) AS rk
+         |      FROM s WHERE n_label = a_label QUALIFY rk = 1),
+         |n AS (SELECT a_id, n_id AS neg_id, score AS neg_score,
+         |             row_number() OVER (PARTITION BY a_id ORDER BY score DESC, n_id) AS rk
+         |      FROM s WHERE n_label <> a_label QUALIFY rk = 1)
+         |SELECT p.a_id, p.a_label::BIGINT AS a_label, p.pos_id, p.pos_score,
+         |       n.neg_id, n.neg_score,
+         |       round(p.pos_score - n.neg_score, 5) AS margin,
+         |       (n.neg_score < p.pos_score AND
+         |        round(p.pos_score - n.neg_score, 5) < 0.2) AS semi_hard
+         |FROM p JOIN n USING (a_id) ORDER BY a_id""".stripMargin,
     // same top-k CTEs as the precision eval; the ln(x)/ln(2) discount
     // and the range-fold IDCG are the exact expressions Spark builds
     "knn_ndcg" ->

@@ -481,6 +481,53 @@ object VectorSearch {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Triplet mining for metric-learning training data — the FaceNet
+    * batch-hard convention (Schroff et al., CVPR 2015) over the
+    * labeled embedding corpus: per anchor, the HARDEST positive (the
+    * same-label vector it is least similar to — the pair the
+    * embedding must pull together) and the HARDEST negative (the
+    * different-label vector it is most similar to — the pair it must
+    * push apart), plus the margin between them and the semi-hard flag
+    * (negative still inside the `alpha` band — the triplets FaceNet
+    * actually trains on; a mined set with few semi-hards means the
+    * margin is learned and mining should move on). The complement of
+    * [[hardNegatives]], which mines only the negative leg.
+    *
+    * Scale shape: two broadcast-batch scans of the corpus (one per
+    * leg) with per-anchor WindowGroupLimit argmins/argmaxes — the
+    * [[knnLabelPrecision]] cost envelope, anchors bounded by the mod
+    * sample.
+    */
+  def tripletMine(spark: SparkSession, dir: String, queryMod: Int = 100,
+                  alpha: Double = 0.2): DataFrame = {
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
+    val q = e.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+    def leg(cond: Column, asc: Boolean, idName: String, scName: String) = {
+      val scored = e.join(broadcast(q), cond && col("vec_id") =!= col("a_id"))
+        .select(col("a_id"), col("a_label"), col("vec_id").as(idName),
+          round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5)
+            .as(scName))
+      val ord = if (asc) Window.partitionBy(col("a_id"))
+        .orderBy(col(scName).asc, col(idName))
+      else Window.partitionBy(col("a_id"))
+        .orderBy(col(scName).desc, col(idName))
+      scored.withColumn("rk", row_number().over(ord)).where(col("rk") === 1)
+        .drop("rk")
+    }
+    val pos = leg(col("label") === col("a_label"), asc = true, "pos_id", "pos_score")
+    val neg = leg(col("label") =!= col("a_label"), asc = false, "neg_id", "neg_score")
+      .drop("a_label")
+    pos.join(neg, "a_id")
+      .select(col("a_id"), col("a_label").cast("long").as("a_label"),
+        col("pos_id"), col("pos_score"), col("neg_id"), col("neg_score"),
+        round(col("pos_score") - col("neg_score"), 5).as("margin"))
+      .withColumn("semi_hard",
+        col("neg_score") < col("pos_score") && col("margin") < alpha)
+      .orderBy(col("a_id"))
+  }
+
   /** Per-label centroid table — class prototypes over the embedding
     * corpus (the prototype-classifier / cluster-seeding building
     * block, and the per-class analog of recommend_user's profile

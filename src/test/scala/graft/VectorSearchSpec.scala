@@ -767,6 +767,34 @@ class VectorSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("triplet mining matches a driver recount of both legs") {
+    def cos5(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map(p => p._1.toDouble * p._2.toDouble).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(d / (na * nb)).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rows = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    val got = VectorSearch.tripletMine(spark, TestSpark.sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (aid, alab) = (r.getLong(0), r.getLong(1))
+      val scored = rows.filter(_._1 != aid)
+        .map(t => (t._1, cos5(t._2, byId(aid)._2), t._3))
+      val (pid, ps, _) = scored.filter(_._3 == alab.toInt)
+        .minBy { case (id, s, _) => (s, id) }
+      val (nid, ns, _) = scored.filter(_._3 != alab.toInt)
+        .minBy { case (id, s, _) => (-s, id) }
+      assert(r.getLong(2) == pid && r.getDouble(3) == ps, s"pos leg: $r")
+      assert(r.getLong(4) == nid && r.getDouble(5) == ns, s"neg leg: $r")
+      // the semi-hard flag is exactly the FaceNet band predicate
+      assert(r.getBoolean(7) == (ns < ps && r.getDouble(6) < 0.2), r.toString)
+    }
+  }
+
   test("graph-ANN: neighbor lists exact, beam search deterministic, recall floor") {
     import graft.operators.GraphAnn
     def cos5(a: Array[Float], b: Array[Float]): Double = {
