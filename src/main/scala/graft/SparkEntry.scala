@@ -458,6 +458,8 @@ object SparkEntry {
     "graph_walks" -> ((s, d) => Graph.graphWalks(s, d)),
     // word2vec (center, context) pairs from the walk corpus
     "walk_skipgrams" -> ((s, d) => Graph.walkSkipgrams(s, d)),
+    // second-order biased walks (return/common/far = 1/2/1, p=q=2)
+    "node2vec_walks" -> ((s, d) => Graph.node2vecWalks(s, d)),
     // cohort-week x age revenue triangle with running LTV per user
     "user_cohort_ltv" -> ((s, d) => Analytics.userCohortLtv(s, d)),
     // event-type audience-overlap Jaccard matrix
@@ -3686,6 +3688,32 @@ object SparkEntry {
       s"""WITH $walkCorpusCtes
          |SELECT seed_item, walk_no, pos, item_id FROM walks
          |ORDER BY seed_item, walk_no, pos""".stripMargin,
+    // second-order biased walks: same graph CTEs, cumulative-weight
+    // hash draw per step
+    "node2vec_walks" ->
+      s"""WITH ui AS (SELECT DISTINCT user_id,
+         |              json_extract_string(props, '$$.k')::BIGINT AS item_id
+         |       FROM events
+         |       WHERE event_type IN ('view', 'click', 'purchase')
+         |         AND json_extract_string(props, '$$.k') IS NOT NULL),
+         |bk AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+         |capped AS (SELECT ui.user_id, ui.item_id FROM ui
+         |           JOIN bk USING (user_id) WHERE bk.basket <= 500),
+         |edges AS (SELECT DISTINCT a.item_id AS src, b.item_id AS dst
+         |          FROM capped a JOIN capped b USING (user_id)
+         |          WHERE a.item_id <> b.item_id),
+         |nodes AS (SELECT DISTINCT item_id FROM capped),
+         |t0 AS (SELECT n.item_id AS seed_item, w.walk_no,
+         |              -1::BIGINT AS prev, n.item_id AS cur
+         |       FROM nodes n CROSS JOIN
+         |         (SELECT range AS walk_no FROM range(2)) w),
+         |${n2vSteps(4)}
+         |SELECT seed_item, walk_no, 0::BIGINT AS pos, cur AS item_id FROM t0
+         |UNION ALL SELECT seed_item, walk_no, 1::BIGINT, cur FROM t1
+         |UNION ALL SELECT seed_item, walk_no, 2::BIGINT, cur FROM t2
+         |UNION ALL SELECT seed_item, walk_no, 3::BIGINT, cur FROM t3
+         |UNION ALL SELECT seed_item, walk_no, 4::BIGINT, cur FROM t4
+         |ORDER BY seed_item, walk_no, pos""".stripMargin,
     // the skip-gram extraction is one walk-id-keyed self-join of the
     // same replayed corpus
     "walk_skipgrams" ->
@@ -4269,6 +4297,31 @@ object SparkEntry {
        |  UNION ALL SELECT seed_item, walk_no, 2::BIGINT, cur FROM s2
        |  UNION ALL SELECT seed_item, walk_no, 3::BIGINT, cur FROM s3
        |  UNION ALL SELECT seed_item, walk_no, 4::BIGINT, cur FROM s4)""".stripMargin
+
+  /** Unrolled node2vec-step CTEs: step t weights every candidate out
+    * of `cur` by the search bias (return=1, common-neighbor=2,
+    * far=1 ≡ p=q=2), then lands r = u32(md5(...)) mod Σw on the
+    * candidate whose cumulative-weight interval (in dst order)
+    * contains it — the second-order draw, exactly replayable.
+    */
+  private def n2vSteps(steps: Int): String =
+    (0 until steps).map { t =>
+      s"""c$t AS (SELECT s.seed_item, s.walk_no, s.prev, s.cur, n.dst,
+         |  CASE WHEN n.dst = s.prev THEN 1
+         |       WHEN e2.src IS NOT NULL THEN 2
+         |       ELSE 1 END AS w
+         |  FROM t$t s JOIN edges n ON n.src = s.cur
+         |  LEFT JOIN edges e2 ON e2.src = s.prev AND e2.dst = n.dst),
+         |w$t AS (SELECT seed_item, walk_no, cur, dst, w,
+         |  sum(w) OVER (PARTITION BY seed_item, walk_no
+         |               ORDER BY dst ROWS UNBOUNDED PRECEDING) AS cum,
+         |  (('0x' || substr(md5(seed_item::VARCHAR || ':' ||
+         |    walk_no::VARCHAR || ':$t:' || cur::VARCHAR), 1, 8))::UBIGINT
+         |    % sum(w) OVER (PARTITION BY seed_item, walk_no))::BIGINT AS r
+         |  FROM c$t),
+         |t${t + 1} AS (SELECT seed_item, walk_no, cur AS prev, dst AS cur
+         |  FROM w$t WHERE cum - w <= r AND r < cum)""".stripMargin
+    }.mkString(",\n")
 
   /** Unrolled walk-step CTEs for the `graph_walks` oracle: step i
     * hops every walk from its `cur` node to the neighbor whose dense

@@ -370,6 +370,80 @@ object Graph {
     out.orderBy(col("seed_item"), col("walk_no"), col("pos"))
   }
 
+  /** node2vec biased walks — the second-order upgrade of
+    * [[graphWalks]] (Grover & Leskovec, KDD 2016): the step out of
+    * `cur` remembers `prev` and weights each candidate x by the
+    * search bias α — return (x = prev), common neighbor
+    * (edge prev→x exists), or far — before drawing. The weights are
+    * INTEGERS (defaults 1/2/1 ≡ p = q = 2, the BFS-leaning "local
+    * view" setting; any positive integers plug in), and the draw is
+    * the hash r = u32(md5(seed:walk:t:cur)) mod Σw landed on the
+    * candidate whose cumulative-weight interval contains r, candidates
+    * in dst order — so the biased sampling is exactly replayable, and
+    * the FIRST step (no prev, sentinel −1 matches nothing → all
+    * weights wFar) degenerates to [[graphWalks]]' uniform draw.
+    *
+    * Scale shape: per hop ONE item-keyed join of the constant-size
+    * walk state against the cached neighbor table plus a left join
+    * against the edge set for the dist-1 test — both keyed, both
+    * bounded by capped degree; the cumulative window partitions by
+    * (seed, walk), never globally. Like DeepWalk's, the corpus
+    * regenerates reproducibly shard-by-shard.
+    */
+  def node2vecWalks(spark: SparkSession, dir: String, steps: Int = 4,
+                    walksPerNode: Int = 2, maxBasket: Int = 500,
+                    wReturn: Int = 1, wCommon: Int = 2,
+                    wFar: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(wReturn > 0 && wCommon > 0 && wFar > 0, "weights must be positive")
+    val ui = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .distinct()
+    val deg0 = ui.groupBy(col("user_id")).agg(count(lit(1)).as("basket"))
+    val capped = ui.join(deg0.where(col("basket") <= maxBasket), Seq("user_id"))
+      .select(col("user_id"), col("item_id"))
+    val edges = ScratchCache.materialize(capped
+      .join(capped.select(col("user_id"), col("item_id").as("dst")), Seq("user_id"))
+      .where(col("item_id") =!= col("dst"))
+      .select(col("item_id").as("src"), col("dst"))
+      .distinct())
+    val nodes = capped.select(col("item_id")).distinct()
+    val state0 = nodes
+      .crossJoin(broadcast(spark.range(walksPerNode.toLong).toDF("walk_no")))
+      .select(col("item_id").as("seed_item"), col("walk_no"),
+        lit(-1L).as("prev"), col("item_id").as("cur"))
+    var state = state0
+    var out = state0.select(col("seed_item"), col("walk_no"),
+      lit(0L).as("pos"), col("cur").as("item_id"))
+    val wp = Window.partitionBy(col("seed_item"), col("walk_no"))
+    for (t <- 0 until steps) {
+      val cands = state
+        .join(edges, col("cur") === col("src"))
+        .join(edges.select(col("src").as("p2"), col("dst").as("d2"), lit(1).as("comm")),
+          col("prev") === col("p2") && col("dst") === col("d2"), "left_outer")
+        .withColumn("w",
+          when(col("dst") === col("prev"), lit(wReturn.toLong))
+            .when(col("comm").isNotNull, lit(wCommon.toLong))
+            .otherwise(lit(wFar.toLong)))
+      val h = conv(substring(md5(concat_ws(":",
+        col("seed_item"), col("walk_no"), lit(t), col("cur"))), 1, 8), 16, 10)
+        .cast("long")
+      state = cands
+        .withColumn("cum", sum(col("w")).over(wp.orderBy(col("dst"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("r", h % sum(col("w")).over(wp))
+        .where(col("cum") - col("w") <= col("r") && col("r") < col("cum"))
+        .select(col("seed_item"), col("walk_no"),
+          col("cur").as("prev"), col("dst").as("cur"))
+      out = out.unionByName(state.select(col("seed_item"), col("walk_no"),
+        lit(t + 1L).as("pos"), col("cur").as("item_id")))
+    }
+    out.orderBy(col("seed_item"), col("walk_no"), col("pos"))
+  }
+
   /** Skip-gram pairs from the walk corpus — the last mile of the
     * DeepWalk pipeline (Perozzi et al. KDD'14 §4.2; word2vec's
     * (center, context) extraction with window `window` applied to

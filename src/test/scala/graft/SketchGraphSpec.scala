@@ -86,6 +86,55 @@ class SketchGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("node2vec walks: deterministic, first step uniform-degenerate, biased draws recount") {
+    val a = Graph.node2vecWalks(spark, TestSpark.sf).collect()
+    val b = Graph.node2vecWalks(spark, TestSpark.sf).collect()
+    assert(a.toSeq == b.toSeq)
+    // first hop has no prev → all weights wFar → the draw degenerates
+    // to graphWalks' uniform hash choice: pos-1 nodes must agree
+    val dw = Graph.graphWalks(spark, TestSpark.sf).collect()
+      .filter(_.getLong(2) <= 1)
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    a.filter(_.getLong(2) <= 1).foreach { r =>
+      assert(dw((r.getLong(0), r.getLong(1), r.getLong(2))) == r.getLong(3),
+        s"first-step divergence at $r")
+    }
+    // full recount of every biased hop: weights 1/2/1 over dst-sorted
+    // candidates, cumulative intervals, r = u32(md5) mod total
+    val ui = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull).distinct()
+    val edges = ui.as("a").join(ui.as("b"), "user_id")
+      .where(col("a.item_id") =!= col("b.item_id"))
+      .select(col("a.item_id").as("src"), col("b.item_id").as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nbrs = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSeq.sorted }
+    def u32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(t => (t._1, t._2)).foreach { case ((seed, w), rows) =>
+        val path = rows.sortBy(_._3).map(_._4).toSeq
+        path.indices.drop(1).foreach { t =>
+          val (prev, cur) = (if (t >= 2) path(t - 2) else -1L, path(t - 1))
+          val cands = nbrs(cur).map { x =>
+            val wt = if (x == prev) 1L
+                     else if (edges.contains((prev, x))) 2L else 1L
+            (x, wt)
+          }
+          val tot = cands.map(_._2).sum
+          val r = u32(s"$seed:$w:${t - 1}:$cur") % tot
+          val pick = cands.scanLeft((-1L, 0L)) { case ((_, c), (x, wt)) => (x, c + wt) }
+            .drop(1).find(_._2 > r).get._1
+          assert(path(t) == pick, s"hop $t of walk ($seed,$w): ${path(t)} vs $pick")
+        }
+      }
+  }
+
   test("skip-gram pairs conserve the walk corpus exactly") {
     val walks = Graph.graphWalks(spark, TestSpark.sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
