@@ -47,7 +47,7 @@ object GraphAnn {
 
   /** The corpus's fingerprint-addressed graph path for (dir, g). */
   def indexPath(spark: SparkSession, dir: String, g: Int): String =
-    IndexStore.indexPath(spark, "nsw_v2", s"$dir/embeddings.parquet", g.toString)
+    IndexStore.indexPath(spark, "nsw_v3", s"$dir/embeddings.parquet", g.toString)
 
   /** Build the top-g neighbor graph from LSH-blocked candidates:
     * (src, dst, score, rk) with score = round(cos, 5) and rk 1..g by
@@ -64,14 +64,71 @@ object GraphAnn {
       .where(col("rk") <= g)
   }
 
-  /** The persisted graph, building it first if absent. */
+  /** The persisted graph, building it first if absent. Edges live
+    * under `edges/epoch=base` so maintenance batches
+    * ([[appendToGraph]]) commit as sibling epoch dirs with one atomic
+    * rename — the [[Ivf.appendToIndex]] layout.
+    */
   def ensureGraph(spark: SparkSession, dir: String, g: Int): DataFrame = {
     val path = indexPath(spark, dir, g)
     IndexStore.publish(spark, path) { tmp =>
       buildGraph(spark, dir, g).repartition(1)
-        .write.mode("overwrite").parquet(s"$tmp/edges")
+        .write.mode("overwrite").parquet(s"$tmp/edges/epoch=base")
     }
     IndexStore.open(spark, s"$path/edges")
+  }
+
+  /** The searchable vector set: the base corpus plus every appended
+    * batch (id-deduped — re-appending an id must not double it in a
+    * rerank).
+    */
+  def vectors(spark: SparkSession, dir: String, g: Int): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val vdir = s"${indexPath(spark, dir, g)}/vectors"
+    if (IndexStore.exists(spark, vdir))
+      base.unionByName(IndexStore.open(spark, vdir)
+        .select(col("vec_id"), col("label"), col("embedding")))
+        .dropDuplicates("vec_id")
+    else base
+  }
+
+  /** Incremental NSW insert — FAISS `index.add()` for the graph
+    * family: each new vector gets its top-g list against the CURRENT
+    * searchable set (one broadcast batch×corpus scan — volume ∝
+    * batch, never corpus², the [[Dedup]] incremental shape), and each
+    * of its edges also commits REVERSED as a backlink, which is what
+    * makes the new node reachable by a beam entering from the old
+    * graph (stock NSW's bidirectional insert). Both the edge batch
+    * and the vector batch commit as atomic epoch dirs. Old nodes'
+    * top-g lists are not re-trimmed — degrees grow with appends until
+    * a rebuild, the standard graph-index maintenance trade (rebuild
+    * cadence is policy, not an operator constraint).
+    */
+  def appendToGraph(spark: SparkSession, dir: String, g: Int,
+                    newVectors: DataFrame): Unit = {
+    val path = indexPath(spark, dir, g)
+    ensureGraph(spark, dir, g)
+    val ex = vectors(spark, dir, g).withColumn("nrm", l2norm(col("embedding")))
+    val nv = newVectors
+      .select(col("vec_id").as("n_vid"), col("embedding").as("n_emb"),
+        l2norm(col("embedding")).as("n_nrm"))
+    val wk = Window.partitionBy(col("src")).orderBy(col("score").desc, col("dst"))
+    val newEdges = ex.join(broadcast(nv), col("vec_id") =!= col("n_vid"))
+      .select(col("n_vid").as("src"), col("vec_id").as("dst"),
+        round(dotd(col("embedding"), col("n_emb")) /
+          (col("nrm") * col("n_nrm")), 5).as("score"))
+      .withColumn("rk", row_number().over(wk).cast("long"))
+      .where(col("rk") <= g)
+    val back = newEdges.select(col("dst").as("src"), col("src").as("dst"),
+      col("score"), lit(0L).as("rk"))
+    val eStage = IndexStore.stageEpochPath(s"$path/edges", "add")
+    newEdges.unionByName(back).repartition(1).write.parquet(eStage)
+    IndexStore.commitEpoch(spark, s"$path/edges", eStage)
+    val vStage = IndexStore.stageEpochPath(s"$path/vectors", "add")
+    newVectors.select(col("vec_id"), col("label"), col("embedding"))
+      .repartition(1).write.parquet(vStage)
+    IndexStore.commitEpoch(spark, s"$path/vectors", vStage)
   }
 
   /** HALF_UP at 5 decimals — the engines' shared round() convention,
@@ -86,7 +143,7 @@ object GraphAnn {
                 g: Int = 8, hops: Int = 6, beam: Int = 4,
                 k: Int = 10): DataFrame = {
     val graph = ensureGraph(spark, dir, g)
-    val emb = Tables.embeddings(spark, dir)
+    val emb = vectors(spark, dir, g)
     val qv = emb.where(col("vec_id") === queryId)
       .select(col("embedding")).collect().headOption
       .getOrElse(throw new IllegalArgumentException(

@@ -767,6 +767,38 @@ class VectorSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("graph append: new vectors get lists, backlinks make them reachable") {
+    import graft.operators.GraphAnn
+    // a scratch index root: the appended epochs must never leak into
+    // the shared fingerprint-addressed artifact the oracle-checked
+    // queries read (the oracle rebuilds from the raw corpus only)
+    val tmpRoot = java.nio.file.Files
+      .createTempDirectory("graft-append-spec").toString
+    spark.conf.set("spark.graft.index.root", tmpRoot)
+    try {
+      // append exact twins of two corpus vectors under fresh ids: the
+      // twin of vector 3 is the best possible answer (cos = 1) for
+      // query 3 — it can only be found if the backlinks actually wire
+      // the new node into the walkable graph
+      val twins = Tables.embeddings(spark, TestSpark.sf)
+        .where(col("vec_id").isin(3L, 4L))
+        .select((col("vec_id") + 9000L).as("vec_id"), col("label"), col("embedding"))
+      GraphAnn.appendToGraph(spark, TestSpark.sf, 8, twins)
+      // searchable set contains the appended ids exactly once
+      val ids = GraphAnn.vectors(spark, TestSpark.sf, 8)
+        .where(col("vec_id") >= 9000L).select("vec_id").collect().map(_.getLong(0))
+      assert(ids.sorted.toSeq == Seq(9003L, 9004L))
+      val res = GraphAnn.graphTopK(spark, TestSpark.sf, queryId = 3).collect()
+      assert(res.head.getLong(0) == 9003L && res.head.getDouble(1) == 1.0,
+        s"appended twin must be the top hit: ${res.map(_.toSeq).mkString(";")}")
+      // appending the same batch again must not duplicate results
+      GraphAnn.appendToGraph(spark, TestSpark.sf, 8, twins)
+      val res2 = GraphAnn.graphTopK(spark, TestSpark.sf, queryId = 3).collect()
+      assert(res2.map(_.getLong(0)).distinct.length == res2.length)
+      assert(res2.head.getLong(0) == 9003L)
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
+
   test("triplet mining matches a driver recount of both legs") {
     def cos5(a: Array[Float], b: Array[Float]): Double = {
       val d = a.zip(b).map(p => p._1.toDouble * p._2.toDouble).sum
@@ -813,7 +845,8 @@ class VectorSearchSpec extends AnyFunSuite {
       .select("a_id", "b_id").collect()
       .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
       .groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).toSet }
-    val g = GraphAnn.ensureGraph(spark, TestSpark.sf, 8).collect()
+    val g = GraphAnn.ensureGraph(spark, TestSpark.sf, 8)
+      .select("src", "dst", "score", "rk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
       .groupBy(_._1)
     assert(g.keySet == cands.keySet.filter(cands(_).nonEmpty))
