@@ -448,6 +448,8 @@ object SparkEntry {
     "user_lifecycle" -> ((s, d) => Analytics.userLifecycle(s, d)),
     // leave-last-out hit-rate@K of the co-visitation recommender
     "rec_holdout_eval" -> ((s, d) => Rec.recHoldoutEval(s, d)),
+    // sequential-recommender (context, target) training windows
+    "seq_prep" -> ((s, d) => Rec.seqPrep(s, d)),
     // Welch t-test A/B readout over exact-cents revenue moments
     "experiment_ttest" -> ((s, d) => Analytics.experimentTtest(s, d)),
     // tokenizer-fertility budgeting per (lang, source)
@@ -1267,6 +1269,26 @@ object SparkEntry {
          |       count(*) FILTER (WHERE n_label = q_label) AS n_match,
          |       count(*) FILTER (WHERE n_label = q_label) / 10.0 AS precision
          |FROM r GROUP BY 1, 2 ORDER BY q_id""".stripMargin,
+    // the (ts_ms, event_id) order key is unique, so the windows
+    // replay row-for-row; context serializes as ':'-joined text
+    "seq_prep" ->
+      """WITH ev AS (SELECT user_id,
+        |                   json_extract_string(props, '$.k')::BIGINT AS item_id,
+        |                   epoch_ms(ts) AS ts_ms, event_id
+        |            FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')
+        |              AND json_extract_string(props, '$.k') IS NOT NULL),
+        |n AS (SELECT user_id, count(*) AS n FROM ev GROUP BY 1),
+        |capped AS (SELECT ev.* FROM ev JOIN n USING (user_id) WHERE n.n <= 200),
+        |w AS (SELECT user_id, item_id,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS pos,
+        |             list(item_id) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                                 ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS ctx_items
+        |      FROM capped)
+        |SELECT user_id, pos, item_id AS target_item,
+        |       array_to_string(ctx_items, ':') AS ctx,
+        |       len(ctx_items)::BIGINT AS ctx_len
+        |FROM w WHERE pos >= 2 ORDER BY user_id, pos""".stripMargin,
     // both legs replayed with the engine's tie orders: hardest
     // positive = (score ASC, id), hardest negative = (score DESC, id)
     "triplet_mine" ->

@@ -384,4 +384,45 @@ object Rec {
         round(col("max_slots") / col("total_slots"), 5).as("max_item_share"),
         round(col("decile_slots") / col("total_slots"), 5).as("top_decile_share"))
   }
+
+  /** Next-item training windows — the sequential-recommender data
+    * prep (GRU4Rec/SASRec convention: per user, every interaction
+    * from position 2 on becomes a (context, target) training row,
+    * context = the up-to-`window` items immediately before it in
+    * chronological order). Context ships as a ':'-joined string, the
+    * schema any engine compares byte-for-byte and a tokenizer splits
+    * trivially — no array column in the contract. The sequence order
+    * key is (ts_ms, event_id), unique by construction, so the corpus
+    * is deterministic; users with more than `maxSeq` item events are
+    * dropped whole (the bot cap — a 10k-event scraper would otherwise
+    * contribute 10k training rows of noise).
+    *
+    * Scale shape: one events scan, a per-user length aggregate for
+    * the cap, and two per-user windows (row_number + the bounded
+    * rows-between context frame) — all partitioned by user_id and
+    * bounded by maxSeq after the cap; output ∝ interactions, never
+    * users², and the windows never plan unpartitioned.
+    */
+  def seqPrep(spark: SparkSession, dir: String, window: Int = 5,
+              maxSeq: Int = 200): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"),
+        col("ts_ms"), col("event_id"))
+      .where(col("item_id").isNotNull)
+    val n = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val capped = ev.join(n.where(col("n") <= maxSeq), Seq("user_id"))
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    capped
+      .withColumn("pos", row_number().over(wu).cast("long"))
+      .withColumn("ctx_items", collect_list(col("item_id"))
+        .over(wu.rowsBetween(-window, -1)))
+      .where(col("pos") >= 2)
+      .select(col("user_id"), col("pos"), col("item_id").as("target_item"),
+        array_join(col("ctx_items"), ":").as("ctx"),
+        size(col("ctx_items")).cast("long").as("ctx_len"))
+      .orderBy(col("user_id"), col("pos"))
+  }
 }

@@ -678,6 +678,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(rs.zip(rs.tail).forall { case (x, y) => x >= y })
   }
 
+  test("seq prep windows match a driver replay of every user sequence") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val ev = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("ts_ms"), col("event_id")).where(col("item").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).filter(_._2.length <= 200).toSeq.flatMap {
+      case (u, rows) =>
+        val seq = rows.sortBy(r => (r._3, r._4)).map(_._2).toSeq
+        seq.indices.drop(1).map { i =>
+          val ctx = seq.slice(math.max(0, i - 5), i)
+          (u, (i + 1).toLong, seq(i), ctx.mkString(":"), ctx.length.toLong)
+        }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.operators.Rec.seqPrep(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got == want)
+    // every context is non-empty from position 2 on and never exceeds
+    // the window
+    got.foreach { case (_, pos, _, _, len) =>
+      assert(len >= 1 && len <= 5 && len == math.min(pos - 1, 5L))
+    }
+  }
+
   test("rec holdout eval: hit rate is monotone in K and bounded by eligibility") {
     import org.apache.spark.sql.functions.{col, get_json_object}
     val rows = graft.operators.Rec.recHoldoutEval(spark, TestSpark.sf).collect()
