@@ -462,6 +462,8 @@ object SparkEntry {
     "walk_skipgrams" -> ((s, d) => Graph.walkSkipgrams(s, d)),
     // second-order biased walks (return/common/far = 1/2/1, p=q=2)
     "node2vec_walks" -> ((s, d) => Graph.node2vecWalks(s, d)),
+    // unigram^0.75 SGNS negatives via the bucketized alias table
+    "sgns_negatives" -> ((s, d) => Graph.sgnsNegatives(s, d)),
     // cohort-week x age revenue triangle with running LTV per user
     "user_cohort_ltv" -> ((s, d) => Analytics.userCohortLtv(s, d)),
     // event-type audience-overlap Jaccard matrix
@@ -3710,6 +3712,41 @@ object SparkEntry {
       s"""WITH $walkCorpusCtes
          |SELECT seed_item, walk_no, pos, item_id FROM walks
          |ORDER BY seed_item, walk_no, pos""".stripMargin,
+    // pow-free unigram^0.75 weights (sqrt is correctly-rounded where
+    // pow is not), sharded exact-integer cums, disjoint bucket
+    // ranges, md5 draws equi-joined to buckets — all replayed
+    "sgns_negatives" ->
+      s"""WITH $walkCorpusCtes,
+         |pairsx AS (SELECT DISTINCT a.item_id AS center, b.item_id AS context
+         |           FROM walks a JOIN walks b
+         |             ON a.seed_item = b.seed_item AND a.walk_no = b.walk_no
+         |           WHERE a.pos <> b.pos AND abs(a.pos - b.pos) <= 2),
+         |wt AS (SELECT item_id,
+         |              floor(sqrt(count(*)) * sqrt(sqrt(count(*))) * 1024)::BIGINT AS w,
+         |              item_id % 64 AS shard
+         |       FROM capped GROUP BY item_id),
+         |ins AS (SELECT *, coalesce(sum(w) OVER (PARTITION BY shard ORDER BY item_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cb_shard
+         |        FROM wt),
+         |tots AS (SELECT shard, sum(w)::BIGINT AS tot FROM wt GROUP BY 1),
+         |offs AS (SELECT a.shard, coalesce(sum(b.tot), 0)::BIGINT AS off
+         |         FROM tots a LEFT JOIN tots b ON b.shard < a.shard GROUP BY a.shard),
+         |z AS (SELECT sum(w)::BIGINT AS z FROM wt),
+         |rng AS (SELECT i.item_id,
+         |               (i.cb_shard + o.off) * 4096 // z.z AS lo,
+         |               (i.cb_shard + o.off + i.w) * 4096 // z.z AS hi
+         |        FROM ins i JOIN offs o USING (shard), z),
+         |bt AS (SELECT item_id, unnest(range(lo, hi)) AS bucket
+         |       FROM rng WHERE hi > lo),
+         |dr AS (SELECT center, context, j.neg_no,
+         |              ('0x' || substr(md5(center::VARCHAR || ':' ||
+         |                context::VARCHAR || ':' || neg_no::VARCHAR), 1,
+         |                8))::UBIGINT::BIGINT % 4096 AS bucket
+         |       FROM pairsx CROSS JOIN
+         |         (SELECT range AS neg_no FROM range(1, 4)) j)
+         |SELECT center, context, neg_no, bt.item_id AS neg_item
+         |FROM dr JOIN bt USING (bucket)
+         |ORDER BY center, context, neg_no""".stripMargin,
     // second-order biased walks: same graph CTEs, cumulative-weight
     // hash draw per step
     "node2vec_walks" ->

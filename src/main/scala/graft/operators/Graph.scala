@@ -444,6 +444,83 @@ object Graph {
     out.orderBy(col("seed_item"), col("walk_no"), col("pos"))
   }
 
+  /** SGNS negative sampling — the third leg of the word2vec training
+    * stack (walks → skip-gram pairs → negatives): k negatives per
+    * (center, context) pair drawn from the unigram^0.75 distribution
+    * (Mikolov et al., NIPS 2013 §2.2), deterministically. Two design
+    * moves make it exact and scalable:
+    *
+    *   - the ¾-power weight is computed POW-FREE as
+    *     `floor(sqrt(c)·sqrt(sqrt(c))·1024)` — IEEE sqrt is
+    *     correctly-rounded in every engine where `pow` is not, so the
+    *     integer weights (and everything cumulated from them) are
+    *     bit-identical across engines;
+    *   - the draw goes through a BUCKETIZED alias table: items claim
+    *     disjoint bucket ranges [⌊cum·B/Z⌋, ⌊(cum+w)·B/Z⌋) of B=4096
+    *     buckets (consecutive floors — no gaps, no overlaps), and a
+    *     draw is `u32(md5(center:context:j)) mod B` EQUI-joined to
+    *     its bucket. Production samplers use alias tables for the
+    *     same reason: the per-draw cost must be a hash lookup, never
+    *     a cum-interval range probe (a broadcast range join is
+    *     O(pairs·items) — the scale-killer this avoids). Bucket
+    *     quantization skews tail probabilities by ≤ Z/B relative —
+    *     raise B if the tail matters.
+    *
+    * The cumulative sums shard by `item mod 64`: per-shard windows
+    * (partitioned, degree-bounded) plus a 64×64 triangle self-join
+    * for shard offsets — no unpartitioned window anywhere. Items
+    * whose quantized range is empty are simply never drawn
+    * (documented tail loss); accidental hits (negative = center or
+    * context) are kept, the word2vec convention.
+    */
+  def sgnsNegatives(spark: SparkSession, dir: String, kNeg: Int = 3,
+                    buckets: Int = 4096, steps: Int = 4,
+                    walksPerNode: Int = 2, window: Int = 2,
+                    maxBasket: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ui = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .distinct()
+    val deg0 = ui.groupBy(col("user_id")).agg(count(lit(1)).as("basket"))
+    val capped = ui.join(deg0.where(col("basket") <= maxBasket), Seq("user_id"))
+    val w = capped.groupBy(col("item_id"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("w", floor(sqrt(col("c")) * sqrt(sqrt(col("c"))) * 1024)
+        .cast("long"))
+      .withColumn("shard", col("item_id") % 64)
+    val ws = Window.partitionBy(col("shard")).orderBy(col("item_id"))
+    val inShard = w.withColumn("cb_shard",
+      coalesce(sum(col("w")).over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val totals = w.groupBy(col("shard")).agg(sum(col("w")).as("tot"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.shard") < col("a.shard"), "left_outer")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("b.tot")), lit(0L)).as("off"))
+    val z = w.agg(sum(col("w")).as("z"))
+    val ranges = inShard.join(broadcast(offsets), "shard")
+      .crossJoin(broadcast(z))
+      .select(col("item_id"),
+        expr(s"(cb_shard + off) * $buckets div z").as("lo"),
+        expr(s"(cb_shard + off + w) * $buckets div z").as("hi"))
+    val bucketTable = ranges.where(col("hi") > col("lo"))
+      .select(col("item_id"), explode(expr("sequence(lo, hi - 1)")).as("bucket"))
+    val pairs = walkSkipgrams(spark, dir, window, steps, walksPerNode, maxBasket)
+      .select(col("center"), col("context")).distinct()
+    val draws = pairs.crossJoin(
+      broadcast(spark.range(1, kNeg + 1L).toDF("neg_no")))
+      .withColumn("bucket", conv(substring(md5(concat_ws(":",
+        col("center"), col("context"), col("neg_no"))), 1, 8), 16, 10)
+        .cast("long") % buckets)
+    draws.join(broadcast(bucketTable), "bucket")
+      .select(col("center"), col("context"), col("neg_no"),
+        col("item_id").as("neg_item"))
+      .orderBy(col("center"), col("context"), col("neg_no"))
+  }
+
   /** Skip-gram pairs from the walk corpus — the last mile of the
     * DeepWalk pipeline (Perozzi et al. KDD'14 §4.2; word2vec's
     * (center, context) extraction with window `window` applied to

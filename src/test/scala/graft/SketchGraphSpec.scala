@@ -135,6 +135,47 @@ class SketchGraphSpec extends AnyFunSuite {
       }
   }
 
+  test("sgns negatives: k per pair, each draw matches the alias-table replay") {
+    val got = Graph.sgnsNegatives(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // exactly kNeg=3 rows per distinct pair
+    got.groupBy(t => (t._1, t._2)).foreach { case (p, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L), p.toString)
+    }
+    // driver replay of the whole sampler: pow-free weights, sharded
+    // cums, bucket ranges, md5 draw
+    val counts = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull).distinct()
+      .groupBy("item_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val w = counts.map { case (i, c) =>
+      i -> math.floor(math.sqrt(c.toDouble) * math.sqrt(math.sqrt(c.toDouble)) * 1024).toLong
+    }
+    // shard-major cum order: shard asc, then item asc within shard
+    val ordered = w.sortBy { case (i, _) => (i % 64, i) }
+    val z = w.map(_._2).sum
+    val bucketOf = new Array[Long](4096)
+    var cum = 0L
+    ordered.foreach { case (i, wi) =>
+      val (lo, hi) = (cum * 4096 / z, (cum + wi) * 4096 / z)
+      (lo until hi).foreach(b => bucketOf(b.toInt) = i)
+      cum += wi
+    }
+    def u32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    got.foreach { case (c, x, j, neg) =>
+      val b = (u32(s"$c:$x:$j") % 4096).toInt
+      assert(neg == bucketOf(b), s"pair ($c,$x) draw $j: $neg vs ${bucketOf(b)}")
+    }
+  }
+
   test("skip-gram pairs conserve the walk corpus exactly") {
     val walks = Graph.graphWalks(spark, TestSpark.sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
