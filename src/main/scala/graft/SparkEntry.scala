@@ -104,6 +104,8 @@ object SparkEntry {
     "knn_ndcg" -> ((s, d) => VectorSearch.knnNdcg(s, d, queryMod = 100, k = 10)),
     // FaceNet batch-hard triplets: hardest positive + hardest negative
     "triplet_mine" -> ((s, d) => VectorSearch.tripletMine(s, d, queryMod = 100)),
+    // MRL accuracy-vs-dims curve: the prefix-width sizing table
+    "matryoshka_eval" -> ((s, d) => VectorSearch.matryoshkaEval(s, d)),
     // kNN majority-vote label prediction over the same query batch
     "knn_classify" -> ((s, d) => VectorSearch.knnClassify(s, d, queryMod = 100, k = 10)),
     // per-label embedding L2-norm distribution (encoder sanity check)
@@ -1291,6 +1293,31 @@ object SparkEntry {
         |       array_to_string(ctx_items, ':') AS ctx,
         |       len(ctx_items)::BIGINT AS ctx_len
         |FROM w WHERE pos >= 2 ORDER BY user_id, pos""".stripMargin,
+    // per-prefix top-k replayed with list slices; full-dim [1:64]
+    // equals the unsliced ground truth on the 64-dim corpus
+    "matryoshka_eval" -> {
+      val dims = Seq(8, 16, 32, 64)
+      def leg(d: Int) =
+        s"""p$d AS (SELECT q.q_id, e.vec_id AS n_id,
+           |  row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |    ${cos5(s"e.embedding[1:$d]", s"q.qv[1:$d]")} DESC, e.vec_id) AS rk
+           |  FROM embeddings e, q WHERE e.vec_id <> q.q_id QUALIFY rk <= 10)""".stripMargin
+      def stat(d: Int) =
+        s"""s$d AS (SELECT $d::BIGINT AS prefix_dim,
+           |  round((SELECT count(*) FROM p$d JOIN gt USING (q_id, n_id)) / (nn.nq * 10.0), 5) AS recall_at_k,
+           |  round(coalesce((SELECT sum(1.0 / p$d.rk) FROM gt1 JOIN p$d USING (q_id, n_id)), 0) / nn.nq, 5) AS mrr,
+           |  nn.nq::BIGINT AS n_queries FROM nn)""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 100 = 0
+         |           ORDER BY vec_id LIMIT 64),
+         |nn AS (SELECT count(*) AS nq FROM q),
+         |${dims.map(leg).mkString(",\n")},
+         |gt AS (SELECT q_id, n_id, rk FROM p64),
+         |gt1 AS (SELECT q_id, n_id FROM gt WHERE rk = 1),
+         |${dims.map(stat).mkString(",\n")}
+         |${dims.map(d => s"SELECT * FROM s$d").mkString("\nUNION ALL ")}
+         |ORDER BY prefix_dim""".stripMargin
+    },
     // both legs replayed with the engine's tie orders: hardest
     // positive = (score ASC, id), hardest negative = (score DESC, id)
     "triplet_mine" ->

@@ -878,4 +878,58 @@ object VectorSearch {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Matryoshka truncation curve — the sizing read behind
+    * [[matryoshkaTopK]]'s single prefix choice (Kusupati et al. 2022
+    * §4's accuracy-vs-dims table, over this corpus): for each prefix
+    * width, Recall@K and MRR of the prefix-cosine top-k against the
+    * full-dim exact top-k, over the same mod-sampled query batch the
+    * other retrieval evals use. The knee of this curve IS the serving
+    * decision: everything right of it is paying full-dim scan cost
+    * for recall the prefix already had.
+    *
+    * Scale shape: one broadcast-batch scan per prefix width (the
+    * [[knnLabelPrecision]] envelope × |dims| sweep points), per-query
+    * WindowGroupLimit top-k, and a k-row-per-query join against the
+    * shared full-dim ground truth; output is |dims| rows.
+    */
+  def matryoshkaEval(spark: SparkSession, dir: String,
+                     dims: Seq[Int] = Seq(8, 16, 32, 64),
+                     queryMod: Int = 100, k: Int = 10,
+                     maxQueries: Int = 64): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // bounded sample (lowest maxQueries mod-selected ids): an
+    // unbounded mod-sample grows with the corpus and turns the
+    // broadcast batch × scan into O(corpus²/mod) — the familyEval
+    // lesson (BASELINE.md sf1 series)
+    val q = e.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .orderBy(col("q_id")).limit(maxQueries)
+    def topkAt(d: Option[Int]): DataFrame = {
+      def cut(c: Column) = d.map(slice(c, 1, _)).getOrElse(c)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(dotd(cut(col("embedding")), cut(col("qv"))) /
+            (l2norm(cut(col("embedding"))) * l2norm(cut(col("qv")))), 5).as("score"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= k)
+    }
+    val gt = graft.sources.ScratchCache.materialize(
+      topkAt(None).select(col("q_id"), col("n_id"), col("rk")))
+    val gt1 = gt.where(col("rk") === 1)
+    val nq = q.count().toDouble
+    import spark.implicits._
+    dims.map { d =>
+      val pre = topkAt(Some(d))
+      val hits = pre.join(gt, Seq("q_id", "n_id"), "left_semi").count()
+      val rrRow = gt1.select(col("q_id"), col("n_id"))
+        .join(pre, Seq("q_id", "n_id")).agg(sum(lit(1.0) / col("rk"))).head
+      val rr = if (rrRow.isNullAt(0)) 0.0 else rrRow.getDouble(0)
+      def r5(x: Double) =
+        BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (d.toLong, r5(hits / (nq * k)), r5(rr / nq), nq.toLong)
+    }.toDF("prefix_dim", "recall_at_k", "mrr", "n_queries")
+      .orderBy(col("prefix_dim"))
+  }
 }

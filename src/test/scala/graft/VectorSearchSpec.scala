@@ -799,6 +799,21 @@ class VectorSearchSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.index.root")
   }
 
+  test("matryoshka eval: full-width row is the 1.0/1.0 anchor, all metrics bounded") {
+    val a = VectorSearch.matryoshkaEval(spark, TestSpark.sf).collect()
+    val b = VectorSearch.matryoshkaEval(spark, TestSpark.sf).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_.getLong(0)).toSeq == Seq(8L, 16L, 32L, 64L))
+    a.foreach { r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0, r.toString)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0, r.toString)
+      assert(r.getLong(3) == a.head.getLong(3))
+    }
+    // the full 64-dim prefix IS the ground truth — exact 1.0 anchor
+    val full = a.last
+    assert(full.getDouble(1) == 1.0 && full.getDouble(2) == 1.0)
+  }
+
   test("triplet mining matches a driver recount of both legs") {
     def cos5(a: Array[Float], b: Array[Float]): Double = {
       val d = a.zip(b).map(p => p._1.toDouble * p._2.toDouble).sum
