@@ -106,6 +106,8 @@ object SparkEntry {
     "triplet_mine" -> ((s, d) => VectorSearch.tripletMine(s, d, queryMod = 100)),
     // MRL accuracy-vs-dims curve: the prefix-width sizing table
     "matryoshka_eval" -> ((s, d) => VectorSearch.matryoshkaEval(s, d)),
+    // LSH bucket-width tuning curve: recall/MRR per nBits
+    "lsh_bits_eval" -> ((s, d) => Lsh.lshBitsEval(s, d)),
     // kNN majority-vote label prediction over the same query batch
     "knn_classify" -> ((s, d) => VectorSearch.knnClassify(s, d, queryMod = 100, k = 10)),
     // per-label embedding L2-norm distribution (encoder sanity check)
@@ -382,6 +384,8 @@ object SparkEntry {
     "dedup_chunks" -> ((s, d) => TextAnalysis.dedupChunks(s, d)),
     // corpus-unigram mean NLL — the cheap perplexity-proxy quality gate
     "unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(s, d)),
+    // CCNet head/middle/tail perplexity terciles per source
+    "ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(s, d)),
     // interpolated bigram LM NLL — the word-salad detector unigrams miss
     "bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
     // char-level Shannon entropy — zero-shuffle gibberish detector
@@ -416,6 +420,8 @@ object SparkEntry {
     "weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
     // GPT-2-style regex pre-tokenization + subtoken estimate
     "bpe_token_stats" -> ((s, d) => TextAnalysis.bpeTokenStats(s, d)),
+    // BPE merge learning: 8 greedy rounds over the word-freq table
+    "bpe_learn_merges" -> ((s, d) => TextAnalysis.bpeLearnMerges(s, d)),
     // Count-Min sketch heavy hitters with exact-count error profile
     "cms_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
     // integer-exact fixed-iteration PageRank over item co-engagement
@@ -450,6 +456,8 @@ object SparkEntry {
     "user_lifecycle" -> ((s, d) => Analytics.userLifecycle(s, d)),
     // leave-last-out hit-rate@K of the co-visitation recommender
     "rec_holdout_eval" -> ((s, d) => Rec.recHoldoutEval(s, d)),
+    // user-user CF: integer-scaled cosine neighborhoods, top-k recs
+    "rec_usercf_topk" -> ((s, d) => Rec.recUserCfTopK(s, d)),
     // sequential-recommender (context, target) training windows
     "seq_prep" -> ((s, d) => Rec.seqPrep(s, d)),
     // Welch t-test A/B readout over exact-cents revenue moments
@@ -1293,6 +1301,54 @@ object SparkEntry {
         |       array_to_string(ctx_items, ':') AS ctx,
         |       len(ctx_items)::BIGINT AS ctx_len
         |FROM w WHERE pos >= 2 ORDER BY user_id, pos""".stripMargin,
+    // every width's planes, buckets, probe sets, candidate reranks
+    // and recall/MRR joins replayed; each vector owns ONE bucket per
+    // width, so probe candidates need no dedup on either engine
+    "lsh_bits_eval" -> {
+      def block(b: Int) = {
+        val planes = graft.operators.Lsh.hyperplaneArrays(b, 64)
+        val rows = planes.zipWithIndex.map { case (p, j) =>
+          s"($j, ${p.map(_.toString).mkString("[", ", ", "]")}::DOUBLE[])"
+        }.mkString(",\n        ")
+        s"""pl$b(j, plane) AS (VALUES
+           |        $rows),
+           |bb$b AS (SELECT e.vec_id,
+           |  CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+           |           THEN (1::BIGINT << p.j) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM embeddings e, pl$b p GROUP BY e.vec_id),
+           |qb$b AS (SELECT q.q_id,
+           |  CAST(sum(CASE WHEN list_dot_product(q.qv::DOUBLE[], p.plane) >= 0
+           |           THEN (1::BIGINT << p.j) ELSE 0 END) AS BIGINT) AS qb
+           |  FROM q, pl$b p GROUP BY q.q_id),
+           |pr$b AS (SELECT q_id, qb AS bucket FROM qb$b
+           |         UNION SELECT q_id, xor(qb, (1::BIGINT << r.j))
+           |               FROM qb$b, range($b) r(j)),
+           |top$b AS (SELECT pr.q_id, e.vec_id AS n_id,
+           |  row_number() OVER (PARTITION BY pr.q_id
+           |    ORDER BY ${cos5("e.embedding", "qq.qv")} DESC, e.vec_id) AS rk
+           |  FROM pr$b pr JOIN bb$b bb USING (bucket)
+           |       JOIN embeddings e ON e.vec_id = bb.vec_id
+           |       JOIN q qq ON qq.q_id = pr.q_id
+           |  WHERE e.vec_id <> pr.q_id QUALIFY rk <= 10),
+           |s$b AS (SELECT $b::BIGINT AS n_bits,
+           |  round((SELECT count(*) FROM top$b JOIN gt USING (q_id, n_id)) / (nn.nq * 10.0), 5) AS recall_at_k,
+           |  round(coalesce((SELECT sum(1.0 / top$b.rk) FROM gt1 JOIN top$b USING (q_id, n_id)), 0) / nn.nq, 5) AS mrr,
+           |  nn.nq::BIGINT AS n_queries FROM nn)""".stripMargin
+      }
+      val bitsSeq = Seq(4, 6, 8, 10)
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 100 = 0
+         |           ORDER BY vec_id LIMIT 64),
+         |nn AS (SELECT count(*) AS nq FROM q),
+         |gt AS (SELECT q.q_id, e.vec_id AS n_id,
+         |  row_number() OVER (PARTITION BY q.q_id
+         |    ORDER BY ${cos5("e.embedding", "q.qv")} DESC, e.vec_id) AS rk
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id QUALIFY rk <= 10),
+         |gt1 AS (SELECT q_id, n_id FROM gt WHERE rk = 1),
+         |${bitsSeq.map(block).mkString(",\n")}
+         |${bitsSeq.map(b => s"SELECT * FROM s$b").mkString("\nUNION ALL ")}
+         |ORDER BY n_bits""".stripMargin
+    },
     // per-prefix top-k replayed with list slices; full-dim [1:64]
     // equals the unsliced ground truth on the 64-dim corpus
     "matryoshka_eval" -> {
@@ -2646,6 +2702,27 @@ object SparkEntry {
         |       round(-sum(tf.tf * ln(ct.ct / tot.tot)) / sum(tf.tf), 5) AS avg_nll
         |FROM tf JOIN ct USING (term), tot
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-source terciles over the ROUNDED NLLs, cutoffs rounded to 5
+    // — bucket boundaries compare 5-decimal values on both engines
+    "ccnet_buckets" ->
+      """WITH terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |ct AS (SELECT term, sum(tf)::BIGINT AS ct FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(ct)::BIGINT AS tot FROM ct),
+        |nll AS (SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+        |          round(-sum(tf.tf * ln(ct.ct / tot.tot)) / sum(tf.tf), 5) AS avg_nll
+        |        FROM tf JOIN ct USING (term), tot GROUP BY 1),
+        |sn AS (SELECT n.doc_id, d.source, n.n_tokens, n.avg_nll
+        |       FROM nll n JOIN documents d USING (doc_id)),
+        |cuts AS (SELECT source,
+        |           round(quantile_cont(avg_nll, 1.0 / 3), 5) AS q1,
+        |           round(quantile_cont(avg_nll, 2.0 / 3), 5) AS q2
+        |         FROM sn GROUP BY 1)
+        |SELECT sn.doc_id, sn.source, sn.n_tokens, sn.avg_nll,
+        |       CASE WHEN sn.avg_nll <= c.q1 THEN 'head'
+        |            WHEN sn.avg_nll <= c.q2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM sn JOIN cuts c USING (source) ORDER BY sn.doc_id""".stripMargin,
     // bigrams via list_zip of the token list against its own tail —
     // the same adjacent-pairs construction as the Spark transform;
     // float literals cast ::DOUBLE so DuckDB doesn't run the
@@ -3319,6 +3396,24 @@ object SparkEntry {
         |   - len(list_filter(pieces, x -> x[1] BETWEEN '0' AND '9')))::BIGINT AS n_punct,
         |  coalesce(list_sum(list_transform(pieces, x -> (length(x) + 5) // 6)), 0)::BIGINT AS est_bpe
         |FROM p ORDER BY doc_id""".stripMargin,
+    // every merge round replays: pair counts (overlaps included,
+    // weighted by word count), the (n DESC, a, b) argmax, and the
+    // two-pass delimiter-string fuse — identical replace() consumption
+    // semantics on both engines by construction
+    "bpe_learn_merges" -> {
+      val rounds = 8
+      s"""WITH v0 AS (
+         |  SELECT w, cnt, array_to_string(string_split(w, ''), ' ') AS seq
+         |  FROM (SELECT w, count(*) AS cnt
+         |        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |              FROM documents)
+         |        GROUP BY 1 ORDER BY cnt DESC, w LIMIT 20000)),
+         |${bpeSteps(rounds)}
+         |${(1 to rounds).map(r =>
+             s"SELECT $r::BIGINT AS round, a AS lhs, b AS rhs, n::BIGINT AS pair_count, a||b AS merged FROM m$r")
+             .mkString("\nUNION ALL ")}
+         |ORDER BY round""".stripMargin
+    },
     // the whole sketch replays: same md5 buckets, same collision mass
     // d=4 row buckets are disjoint 10-bit fields of ONE signed
     // md5_number_upper digest per token (w=1024 → mask 1023)
@@ -3657,6 +3752,38 @@ object SparkEntry {
         |       n_resurrected, coalesce(ch.n_churned, 0) AS n_churned
         |FROM fl LEFT JOIN ch USING (week) ORDER BY week_ms""".stripMargin,
     // leave-last-out: holdout = rk1 by (last_ts DESC, item DESC), co
+    // integer-scaled cosine (floor(co*1e5/sqrt(na*nb)) — IEEE sqrt is
+    // correctly rounded on both engines, everything after the floor
+    // is BIGINT), df-capped similarity join, both windows replayed
+    "rec_usercf_topk" ->
+      """WITH ui AS (SELECT DISTINCT user_id,
+        |                   json_extract_string(props, '$.k')::BIGINT AS item_id
+        |            FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')
+        |              AND json_extract_string(props, '$.k') IS NOT NULL),
+        |bk AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+        |capped AS (SELECT ui.user_id, ui.item_id, bk.basket FROM ui
+        |           JOIN bk USING (user_id) WHERE bk.basket BETWEEN 2 AND 500),
+        |colditems AS (SELECT item_id FROM capped GROUP BY 1 HAVING count(*) <= 200),
+        |cold AS (SELECT c.* FROM capped c JOIN colditems USING (item_id)),
+        |sims AS (SELECT t.user_id AS u, o.user_id AS v,
+        |           floor(count(*) * 100000 / sqrt(t.basket * o.basket))::BIGINT AS sim_scaled
+        |         FROM cold t JOIN cold o USING (item_id)
+        |         WHERE t.user_id % 50 = 0 AND t.user_id <> o.user_id
+        |         GROUP BY t.user_id, o.user_id, t.basket, o.basket),
+        |nbrs AS (SELECT u, v, sim_scaled,
+        |           row_number() OVER (PARTITION BY u ORDER BY sim_scaled DESC, v) AS rk
+        |         FROM sims QUALIFY rk <= 20),
+        |sc AS (SELECT n.u, c.item_id AS rec_item,
+        |         sum(n.sim_scaled)::BIGINT AS score_scaled, count(*)::BIGINT AS n_nbrs
+        |       FROM nbrs n JOIN capped c ON c.user_id = n.v
+        |       WHERE NOT EXISTS (SELECT 1 FROM capped t
+        |                         WHERE t.user_id = n.u AND t.item_id = c.item_id)
+        |       GROUP BY 1, 2)
+        |SELECT u AS user_id,
+        |       row_number() OVER (PARTITION BY u ORDER BY score_scaled DESC, rec_item)::BIGINT AS rank,
+        |       rec_item, score_scaled, n_nbrs
+        |FROM sc QUALIFY rank <= 10 ORDER BY user_id, rank""".stripMargin,
     // fit on train only, the holdout's rank among candidates counted
     // directly (strictly-better + tie-smaller-id), hit@K = rank<=K
     "rec_holdout_eval" ->
@@ -4321,6 +4448,26 @@ object SparkEntry {
     * ties as [[graft.operators.Graph.itemCommunities]]; isolated
     * nodes keep their label via the LEFT JOIN coalesce.
     */
+  /** Unrolled BPE merge rounds pc{i}/m{i}/v{i} — the pair count
+    * (overlaps included, word-count-weighted), the (n DESC, a, b)
+    * argmax, and the two-pass delimiter-string fuse of
+    * [[graft.operators.TextAnalysis.bpeLearnMerges]], all replayed.
+    */
+  private def bpeSteps(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""pc$r AS (
+         |  SELECT z[1] AS a, z[2] AS b, sum(cnt) AS n
+         |  FROM (SELECT cnt, unnest(list_zip(syms, syms[2:])) AS z
+         |        FROM (SELECT cnt, string_split(seq, ' ') AS syms FROM v${r - 1})
+         |        WHERE len(syms) >= 2)
+         |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+         |m$r AS (SELECT a, b, n FROM pc$r ORDER BY n DESC, a, b LIMIT 1),
+         |v$r AS (SELECT w, cnt,
+         |  trim(replace(' ' || trim(replace(' '||seq||' ', ' '||m.a||' '||m.b||' ', ' '||m.a||m.b||' ')) || ' ',
+         |       ' '||m.a||' '||m.b||' ', ' '||m.a||m.b||' ')) AS seq
+         |  FROM v${r - 1}, m$r m)""".stripMargin
+    }.mkString(",\n")
+
   private def lpaSteps(iters: Int): String =
     (1 to iters).map { i =>
       s"""l$i AS (SELECT p.item_id, coalesce(b.new_lab, p.lab) AS lab

@@ -250,4 +250,74 @@ object Lsh {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** LSH bucket-width tuning curve — the [[Ivf.recallEval]] /
+    * [[VectorSearch.matryoshkaEval]] sibling for this family: for
+    * each bucket width, Recall@K and MRR of the hamming≤1 multiprobe
+    * search ([[lshTopK]]'s probe set) against the exact top-k, over
+    * the shared bounded query batch. More bits = smaller buckets =
+    * cheaper probes and lower recall; this table prices that trade
+    * per corpus, which is the number a tuning decision actually
+    * needs. Unlike the single-query serve path the whole batch runs
+    * IN-PLAN — query buckets via the same seed-fixed hyperplane
+    * assignment the index used, the probe set exploded to (q, bucket)
+    * rows and equi-joined to the bucket-partitioned index.
+    *
+    * Scale shape: per width, one broadcast-batch bucket assignment,
+    * one bucket-keyed equi-join (candidates bounded by probe-bucket
+    * occupancy), a per-query WindowGroupLimit rerank, and two k-row
+    * joins against the shared ground truth; output is |widths| rows.
+    */
+  def lshBitsEval(spark: SparkSession, dir: String,
+                  bitsSeq: Seq[Int] = Seq(4, 6, 8, 10),
+                  queryMod: Int = 100, k: Int = 10,
+                  maxQueries: Int = 64): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.sources.ScratchCache
+    val dim = embeddingDim(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val q = ScratchCache.materialize(e.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+      .orderBy(col("q_id")).limit(maxQueries))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    val gt = ScratchCache.materialize(
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5)
+            .as("score"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= k)
+        .select(col("q_id"), col("n_id"), col("rk")))
+    val gt1 = gt.where(col("rk") === 1).select(col("q_id"), col("n_id"))
+    val nq = q.count().toDouble
+    def r5(x: Double): Double =
+      BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    bitsSeq.map { bits =>
+      val idx = ensureIndex(spark, dir, bits)
+      val qb = assignBucketsOf(
+        q.select(col("q_id").as("vec_id"), col("qv").as("embedding")), bits, dim)
+        .select(col("vec_id").as("q_id"), col("bucket").as("qb"))
+      val probes = qb
+        .crossJoin(broadcast(spark.range(-1L, bits.toLong).toDF("j")))
+        .select(col("q_id"), when(col("j") < 0, col("qb"))
+          .otherwise(expr("qb ^ (1 << cast(j AS int))").cast("long")).as("bucket"))
+        .distinct()
+      val top = probes.join(idx, "bucket")
+        .where(col("vec_id") =!= col("q_id"))
+        .join(broadcast(q), "q_id")
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5)
+            .as("score"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= k)
+      val hits = top.join(gt, Seq("q_id", "n_id"), "left_semi").count()
+      val rrRow = gt1.join(top, Seq("q_id", "n_id"))
+        .agg(sum(lit(1.0) / col("rk"))).head
+      val rr = if (rrRow.isNullAt(0)) 0.0 else rrRow.getDouble(0)
+      (bits.toLong, r5(hits / (nq * k)), r5(rr / nq), nq.toLong)
+    }.toDF("n_bits", "recall_at_k", "mrr", "n_queries")
+      .orderBy(col("n_bits"))
+  }
 }

@@ -425,4 +425,75 @@ object Rec {
         size(col("ctx_items")).cast("long").as("ctx_len"))
       .orderBy(col("user_id"), col("pos"))
   }
+
+  /** User-user collaborative filtering (the classic GroupLens/
+    * Resnick-style neighborhood recommender, the memory-based
+    * counterpart of [[Analytics.itemCooccurrence]]'s item-item view):
+    * for each target user, the `nNbrs` most similar users by cosine
+    * over binary interaction vectors, then candidate items scored by
+    * the summed similarity of the neighbors who engaged them (the
+    * target's own items excluded), top `k` per target.
+    *
+    * Similarity is INTEGER-scaled — `⌊co·10⁵/√(na·nb)⌋` with co/na/nb
+    * exact interaction counts — so neighbor ranking and the
+    * summed-similarity item scores are exact BIGINT arithmetic end to
+    * end: no float-summation-order drift between engines (IEEE sqrt
+    * is correctly rounded on both; everything after the floor is
+    * integer). Ties break toward the smaller neighbor/item id.
+    *
+    * Scale shape: baskets capped to [2, maxBasket] on BOTH sides and
+    * items hotter than `maxItemDf` users dropped from the similarity
+    * join (df-capped blocking — a head item co-rated by everyone
+    * carries no neighborhood signal and would otherwise emit df²
+    * pairs), so per-user pair volume is ≤ basket·maxItemDf. The
+    * mod-sampled target batch stands in for the nightly full sweep,
+    * which shards the identical plan over all users. Neighbor lists
+    * and rec lists are WindowGroupLimit top-n per user — no global
+    * rank anywhere.
+    */
+  def recUserCfTopK(spark: SparkSession, dir: String, queryMod: Int = 50,
+                    nNbrs: Int = 20, k: Int = 10, maxBasket: Int = 500,
+                    maxItemDf: Int = 200): DataFrame = {
+    val ui = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .distinct()
+    val bk = ui.groupBy(col("user_id")).agg(count(lit(1)).as("basket"))
+    val capped = ScratchCache.materialize(ui.join(
+      bk.where(col("basket") >= 2 && col("basket") <= maxBasket), Seq("user_id")))
+    val cold = ScratchCache.materialize(
+      capped.join(
+        capped.groupBy(col("item_id")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxItemDf).select(col("item_id")),
+        Seq("item_id")))
+    val targets = cold.where(col("user_id") % queryMod === 0)
+      .select(col("user_id").as("u"), col("item_id"), col("basket").as("na"))
+    val sims = targets
+      .join(cold.select(col("item_id"), col("user_id").as("v"), col("basket").as("nb")),
+        Seq("item_id"))
+      .where(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("co"))
+      .select(col("u"), col("v"),
+        floor(col("co") * lit(100000L) / sqrt((col("na") * col("nb")).cast("double")))
+          .cast("long").as("sim_scaled"))
+    val wN = Window.partitionBy(col("u")).orderBy(col("sim_scaled").desc, col("v"))
+    val nbrs = ScratchCache.materialize(
+      sims.withColumn("rk", row_number().over(wN)).where(col("rk") <= nNbrs)
+        .select(col("u"), col("v"), col("sim_scaled")))
+    val wK = Window.partitionBy(col("u")).orderBy(col("score_scaled").desc, col("rec_item"))
+    nbrs
+      .join(capped.select(col("user_id").as("v"), col("item_id").as("rec_item")), Seq("v"))
+      .join(capped.select(col("user_id").as("u"), col("item_id").as("rec_item")),
+        Seq("u", "rec_item"), "left_anti")
+      .groupBy(col("u"), col("rec_item"))
+      .agg(sum(col("sim_scaled")).as("score_scaled"), count(lit(1)).as("n_nbrs"))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("u").as("user_id"), col("rank"), col("rec_item"),
+        col("score_scaled"), col("n_nbrs"))
+      .orderBy(col("user_id"), col("rank"))
+  }
 }

@@ -230,6 +230,78 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merge LEARNING (Sennrich et al. 2016 §3.2 — the train side
+    * of [[bpeTokenStats]]'s apply-side estimate): `rounds` greedy
+    * merge steps over the corpus word-frequency table. Each round
+    * counts every adjacent symbol pair (overlaps included, weighted
+    * by word count — the subword-nmt counting rule), takes the argmax
+    * with a fixed tie order (count DESC, then left/right symbol ASC),
+    * and rewrites every vocabulary entry with the winning pair fused.
+    * No end-of-word marker: merges are learned over in-word adjacency
+    * only (documented divergence from the paper's `</w>` variant; the
+    * learned table is equivalent modulo the final-position split).
+    *
+    * The merge rewrite is exactly TWO applications of
+    * `replace(' '||seq||' ', ' a b ', ' ab ')` on the space-joined
+    * symbol string. A single left-to-right non-overlapping replace
+    * consumes the matched segment's trailing delimiter, so back-to-
+    * back occurrences (`a b a b`) leave the second unfused; the
+    * second pass fuses those stragglers. Equal-symbol runs keep a
+    * deterministic mid-run singleton (five `a`s → `[aa, a, aa]`) —
+    * a documented divergence from textbook run-greedy BPE. Java's
+    * `String.replace` and DuckDB's `replace` implement the identical
+    * consumption rule, so engine and oracle fuse the same by
+    * construction; the spec re-derives rounds on the driver with
+    * `String.replace` as a third implementation.
+    *
+    * Scale shape: ONE corpus scan builds the word-frequency table;
+    * every round after that runs on the |V|-row vocabulary (capped at
+    * `maxVocab` by count-desc/word-asc — the cap any 100 TB tokenizer
+    * fit needs anyway), with a map-side-combined pair count, a 1-row
+    * TakeOrdered argmax, and a narrow rewrite. Driver traffic is one
+    * 3-column row per round. State is ScratchCache'd per round so the
+    * DAG stays linear across rounds.
+    */
+  def bpeLearnMerges(spark: SparkSession, dir: String, rounds: Int = 8,
+                     maxVocab: Int = 20000): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(maxVocab)
+    var vocab = graft.sources.ScratchCache.materialize(
+      words.select(col("w"), col("cnt"),
+        array_join(filter(split(col("w"), ""), x => x =!= ""), " ").as("seq")))
+    val merges = Seq.newBuilder[(Long, String, String, Long, String)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = vocab
+        .select(col("cnt"), split(col("seq"), " ").as("syms"))
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), (x, i) -> struct(x AS a, element_at(syms, i + 2) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, a, b, n, a + b))
+        val fuse1 = s"replace(concat(' ', seq, ' '), ' ${a} ${b} ', ' ${a}${b} ')"
+        val fuse2 = s"replace(concat(' ', trim($fuse1), ' '), ' ${a} ${b} ', ' ${a}${b} ')"
+        vocab = graft.sources.ScratchCache.materialize(
+          vocab.select(col("w"), col("cnt"), trim(expr(fuse2)).as("seq")))
+        r += 1
+      }
+    }
+    merges.result()
+      .toDF("round", "lhs", "rhs", "pair_count", "merged")
+      .orderBy(col("round"))
+  }
+
   /** Winnowing fingerprints (rolling-hash document signatures — the
     * MOSS scheme): hash every char k-gram, then keep each window-of-w
     * minimum. Near-identical documents share most selected
@@ -480,6 +552,36 @@ object TextAnalysis {
         sum(col("tf")).as("n_tokens"),
         round(-sum(col("tf") * log(col("ct") / col("tot"))) / sum(col("tf")), 5)
           .as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): each
+    * document lands in its SOURCE's head / middle / tail tercile by
+    * LM score — here [[unigramLogProb]]'s per-doc avg NLL, the same
+    * cheap-LM ladder rung CCNet's KenLM plays. Per-source cutoffs
+    * (docs within a source share a register; cross-source NLLs are
+    * not comparable) are exact interpolated terciles over the ROUNDED
+    * per-doc NLLs, themselves rounded to 5 — bucket membership then
+    * compares 5-decimal values on both engines, so the boundary is
+    * reproducible. Head = lowest NLL (most corpus-typical), the slice
+    * CCNet keeps at full weight.
+    *
+    * Scale shape: rides [[unigramLogProb]]'s shape (vocab-sized count
+    * table broadcast over one tf frame); the cutoff table is
+    * |sources|×2 and broadcasts back over one scored scan — the
+    * [[quality]] percentile-gate pattern, no global sort.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val nll = unigramLogProb(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+    val cuts = nll.groupBy(col("source")).agg(
+      round(expr("percentile(avg_nll, 1.0D / 3)"), 5).as("q1"),
+      round(expr("percentile(avg_nll, 2.0D / 3)"), 5).as("q2"))
+    nll.join(broadcast(cuts), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("avg_nll"),
+        when(col("avg_nll") <= col("q1"), lit("head"))
+          .when(col("avg_nll") <= col("q2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
       .orderBy(col("doc_id"))
   }
 

@@ -725,6 +725,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(hits.zip(hits.tail).forall { case (a, b) => a <= b })
   }
 
+  test("user-user CF recs: own items excluded, contiguous ranks, exact neighbor-sum scores") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val got = graft.operators.Rec.recUserCfTopK(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val own = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (u, _, item, score, nNbrs) =>
+      assert(u % 50 == 0)
+      assert(!own((u, item)), s"recommended own item: $u -> $item")
+      assert(score >= nNbrs, "each contributing neighbor has sim_scaled >= 1")
+      assert(nNbrs >= 1 && nNbrs <= 20)
+    }
+    // ranks are 1..n per user, scores non-increasing along the rank
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      val scores = sorted.map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(sorted.length <= 10)
+    }
+  }
+
   test("interaction-matrix stats recount from the distinct pair frame") {
     import org.apache.spark.sql.functions.{col, get_json_object}
     val ui = Tables.events(spark, TestSpark.sf)

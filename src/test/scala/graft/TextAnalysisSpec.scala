@@ -463,4 +463,54 @@ class TextAnalysisSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("ccnet buckets: per-source terciles are ordered, exhaustive, and roughly balanced") {
+    val rows = TextAnalysis.ccnetBuckets(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._4).toSet.subsetOf(Set("head", "middle", "tail")))
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      val byBucket = docs.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      // every NLL in head <= every NLL in middle <= every NLL in tail
+      for {
+        h <- byBucket.get("head"); m <- byBucket.get("middle")
+      } assert(h.max <= m.min, src)
+      for {
+        m <- byBucket.get("middle"); t <- byBucket.get("tail")
+      } assert(m.max <= t.min, src)
+      // terciles: no bucket may hold more than half the source (ties
+      // can unbalance exact thirds, but not this far)
+      if (docs.length >= 6)
+        byBucket.values.foreach(b => assert(b.size <= docs.length / 2 + 1, src))
+    }
+  }
+
+  test("bpe merge learning matches a full driver re-derivation (String.replace third impl)") {
+    // third implementation: word counts, weighted overlap-inclusive
+    // pair counts, (n DESC, a, b) argmax, two-pass delimiter fuse —
+    // all with plain JVM strings
+    val wordRe = "[a-z]+".r
+    var vocab: Map[String, (Long, String)] = Tables.documents(spark, TestSpark.sf)
+      .select("text").collect()
+      .flatMap(r => wordRe.findAllIn(r.getString(0).toLowerCase))
+      .groupBy(identity).map { case (w, ws) => w -> (ws.length.toLong, w.mkString(" ")) }
+    val rounds = 8
+    val expected = (1 to rounds).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.values.foreach { case (cnt, seq) =>
+        val syms = seq.split(" ")
+        syms.sliding(2).foreach {
+          case Array(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + cnt
+          case _ => ()
+        }
+      }
+      val ((a, b), n) = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+      def fuse(s: String) = (" " + s + " ").replace(s" $a $b ", s" $a$b ").trim
+      vocab = vocab.map { case (w, (cnt, seq)) => w -> (cnt, fuse(fuse(seq))) }
+      (r.toLong, a, b, n, a + b)
+    }
+    val got = TextAnalysis.bpeLearnMerges(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == expected)
+  }
 }

@@ -814,6 +814,22 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(full.getDouble(1) == 1.0 && full.getDouble(2) == 1.0)
   }
 
+  test("lsh bits eval: deterministic, bounded metrics, shared query batch") {
+    val a = Lsh.lshBitsEval(spark, TestSpark.sf).collect()
+    val b = Lsh.lshBitsEval(spark, TestSpark.sf).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_.getLong(0)).toSeq == Seq(4L, 6L, 8L, 10L))
+    a.foreach { r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0, r.toString)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0, r.toString)
+      assert(r.getLong(3) == a.head.getLong(3))
+    }
+    // sanity floor: the coarsest (4-bit) sweep on the 600-vector spec
+    // corpus recalls a meaningful share of the exact top-10 (0.5
+    // measured); a hash or probe-set regression would crater this
+    assert(a.head.getDouble(1) >= 0.4, a.head.toString)
+  }
+
   test("triplet mining matches a driver recount of both legs") {
     def cos5(a: Array[Float], b: Array[Float]): Double = {
       val d = a.zip(b).map(p => p._1.toDouble * p._2.toDouble).sum
