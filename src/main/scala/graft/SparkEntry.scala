@@ -4186,7 +4186,7 @@ object SparkEntry {
         |t AS (SELECT *, count(*) OVER (PARTITION BY p_id) AS n_touch FROM m)
         |SELECT item_id, count(*) AS n_touches,
         |       count(DISTINCT p_id) AS n_purchases,
-        |       round(sum(cents / n_touch) / 100.0, 2) AS attributed_revenue
+        |       ((sum((cents * 10000) // n_touch) + 5000) // 10000) / 100.0 AS attributed_revenue
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     // item_cooc's top-N lists aggregated to the coverage /
     // concentration report; decile cut by (slots, item id)

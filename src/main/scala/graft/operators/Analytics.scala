@@ -1932,8 +1932,13 @@ object Analytics {
     * last-touch; per item the attributed revenue is what merchandising
     * reads as "this item's influence". Money in exact cents; the
     * per-purchase touch count is a window over the matched touches
-    * (never the stream), the only floats are the per-touch
-    * cents/n_touch splits summed per item and rounded once.
+    * (never the stream). Each touch's share is floored to exact
+    * integer MICRO-cents (`cents·10⁴ div n_touch`) so the per-item
+    * sum is BIGINT — a double sum of the fractions is summation-
+    * order-sensitive and a 19.205-style boundary value rounds
+    * differently per engine (caught by the sf0.001 sweep); the
+    * ≤10⁻⁴-cent-per-touch floor bias is far below the 2-decimal
+    * output rounding.
     * Purchases with no qualifying view carry no attributable signal
     * and drop out (documented, standard for position-free models).
     * Scale shape: a user-keyed interval join (the
@@ -1976,7 +1981,14 @@ object Analytics {
       .groupBy(col("item_id"))
       .agg(count(lit(1)).as("n_touches"),
         countDistinct(col("p_id")).as("n_purchases"),
-        round(sum(col("cents") / col("n_touch")) / 100.0, 2).as("attributed_revenue"))
+        // each touch's share in exact integer MICRO-cents (floor) so
+        // the sum is BIGINT, and the 2-decimal rounding is integer
+        // half-up on that sum — Spark's round(double) goes through
+        // the shortest-decimal string while DuckDB rounds the binary
+        // value, so a x.xx5 boundary (exact here: micro-cents have 6
+        // decimals) flips between engines (caught at sf0.001)
+        (expr("(sum((cents * 10000) div n_touch) + 5000) div 10000") / 100.0)
+          .as("attributed_revenue"))
       .orderBy(col("item_id"))
   }
 
