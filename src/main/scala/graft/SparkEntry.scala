@@ -428,6 +428,8 @@ object SparkEntry {
     "item_pagerank" -> ((s, d) => Graph.itemPagerank(s, d)),
     // deterministic synchronous label-propagation communities
     "item_communities" -> ((s, d) => Graph.itemCommunities(s, d)),
+    // k-core backbone: synchronous peel to the k=8 fixpoint
+    "item_kcore" -> ((s, d) => Graph.itemKcore(s, d)),
     // top hubs by co-engagement degree (salting-decision report)
     "item_hubs" -> ((s, d) => Graph.itemHubs(s, d)),
     // band recall + estimate error of the MinHash blocking vs exact
@@ -3451,6 +3453,26 @@ object SparkEntry {
          |SELECT item_id, r AS rank_scaled,
          |       round(r / 17179869184.0, 6) AS rank
          |FROM r8 ORDER BY rank_scaled DESC, item_id LIMIT 25""".stripMargin,
+    // 8 unrolled synchronous peel rounds over the same capped
+    // co-engagement edges; final degrees within the surviving core
+    "item_kcore" ->
+      s"""WITH ui AS (SELECT DISTINCT user_id,
+         |                   json_extract_string(props, '$$.k')::BIGINT AS item_id
+         |            FROM events
+         |            WHERE event_type IN ('view', 'click', 'purchase')
+         |              AND json_extract_string(props, '$$.k') IS NOT NULL),
+         |bk AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+         |capped AS (SELECT ui.user_id, ui.item_id FROM ui
+         |           JOIN bk USING (user_id) WHERE bk.basket <= 500),
+         |edges AS (SELECT DISTINCT a.item_id AS src, b.item_id AS dst
+         |          FROM capped a JOIN capped b USING (user_id)
+         |          WHERE a.item_id <> b.item_id),
+         |a0 AS (SELECT DISTINCT item_id FROM capped),
+         |${kcoreSteps(8, 8)}
+         |SELECT e.src AS item_id, count(*) AS core_degree FROM edges e
+         |JOIN a8 t ON t.item_id = e.dst
+         |WHERE e.src IN (SELECT item_id FROM a8)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "item_communities" ->
       s"""WITH ui AS (SELECT DISTINCT user_id,
          |                   json_extract_string(props, '$$.k')::BIGINT AS item_id
@@ -4448,6 +4470,20 @@ object SparkEntry {
     * ties as [[graft.operators.Graph.itemCommunities]]; isolated
     * nodes keep their label via the LEFT JOIN coalesce.
     */
+  /** Unrolled synchronous k-core peel rounds d{i}/a{i}: degree
+    * against alive DST endpoints only (deg ≥ k already implies src
+    * membership — degrees against a shrinking set only fall), drop
+    * < k, all at once; monotone so fixed-round unrolling equals the
+    * converged fixpoint.
+    */
+  private def kcoreSteps(rounds: Int, k: Int): String =
+    (1 to rounds).map { i =>
+      s"""d$i AS (SELECT e.src AS item_id, count(*) AS cd FROM edges e
+         |  JOIN a${i - 1} t ON t.item_id = e.dst
+         |  GROUP BY 1),
+         |a$i AS (SELECT item_id FROM d$i WHERE cd >= $k)""".stripMargin
+    }.mkString(",\n")
+
   /** Unrolled BPE merge rounds pc{i}/m{i}/v{i} — the pair count
     * (overlaps included, word-count-weighted), the (n DESC, a, b)
     * argmax, and the two-pass delimiter-string fuse of

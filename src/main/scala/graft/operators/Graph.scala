@@ -228,6 +228,67 @@ object Graph {
           .as("clustering_coeff"))
   }
 
+  /** k-core of the item co-engagement graph (Seidman 1983): the
+    * maximal subgraph where every surviving item keeps ≥ k surviving
+    * neighbors — the standard "dense engagement backbone" cut that
+    * separates items embedded in real co-purchase structure from
+    * long-tail leaves, and the classic preprocessing step before
+    * community/embedding passes (peeling leaves first makes both
+    * cheaper and cleaner). Computed by synchronous iterative peeling:
+    * each round drops every node whose degree WITHIN the current
+    * survivor set is < k, all at once. Peeling is monotone (the
+    * survivor set only shrinks), so running a FIXED `rounds` count
+    * equals the converged fixpoint whenever convergence happens
+    * within them — extra rounds are no-ops — which is what lets the
+    * oracle unroll the same rounds; the spec asserts convergence at
+    * test scale (one extra round removes nothing).
+    *
+    * Each round references the previous survivor frame exactly ONCE
+    * — `deg_a(src) ≥ k` already implies `src ∈ a` (degrees against a
+    * shrinking set only fall, so a node dropped earlier can never
+    * reach k alive neighbors again), so the src-side membership
+    * semi-join is provably redundant and the round is one join + one
+    * aggregate. That single reference keeps the unrolled plan LINEAR
+    * in `rounds`; the naive both-endpoints formulation doubles the
+    * plan per round and at 8 rounds the 2⁸ logical-plan copies OOMed
+    * the driver at analysis time (measured). The [[itemPagerank]]
+    * lesson, as a rule: per-round state must appear once in the next
+    * round's plan. Scale shape: per round, one |V|-row-keyed join
+    * against the cached edge list + a map-side-combined count.
+    */
+  def itemKcore(spark: SparkSession, dir: String, k: Int = 8,
+                rounds: Int = 8, maxBasket: Int = 500): DataFrame = {
+    val ui = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .distinct()
+    val deg0 = ui.groupBy(col("user_id")).agg(count(lit(1)).as("basket"))
+    val capped = ui.join(deg0.where(col("basket") <= maxBasket), Seq("user_id"))
+      .select(col("user_id"), col("item_id"))
+    val edges = ScratchCache.materialize(
+      capped.join(capped.select(col("user_id"), col("item_id").as("dst")), Seq("user_id"))
+        .where(col("item_id") =!= col("dst"))
+        .select(col("item_id").as("src"), col("dst"))
+        .distinct())
+    var alive = capped.select(col("item_id")).distinct()
+    // degree against alive DST only — the single state reference
+    def aliveDeg(a: DataFrame): DataFrame = edges
+      .join(a.select(col("item_id").as("dst")), Seq("dst"))
+      .groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+    for (_ <- 1 to rounds)
+      alive = aliveDeg(alive).where(col("core_degree") >= k)
+        .select(col("src").as("item_id"))
+    // the final degree table restricts to survivors on BOTH ends —
+    // alive is referenced twice here, but only once in total
+    val fin = ScratchCache.materialize(alive)
+    aliveDeg(fin)
+      .join(fin.select(col("item_id").as("src")), Seq("src"), "left_semi")
+      .select(col("src").as("item_id"), col("core_degree"))
+      .orderBy(col("item_id"))
+  }
+
   /** Personalized PageRank from a single seed item — "related to THIS
     * item through the whole graph", the multi-hop generalization of
     * [[Analytics.itemCooccurrence]]'s one-hop counts (two items never

@@ -196,6 +196,38 @@ class SketchGraphSpec extends AnyFunSuite {
     got.foreach { case ((c, x, d), n) => assert(got((x, c, d)) == n) }
   }
 
+  test("k-core matches a driver peel to convergence and is a true core") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val k = 3
+    val got = Graph.itemKcore(spark, TestSpark.sf, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver third impl: peel to convergence (not fixed rounds) —
+    // agreement also proves 8 rounds sufficed at test scale
+    val ui = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = ui.groupBy(_._1).filter(_._2.length <= 500)
+    val edges: Set[(Long, Long)] = baskets.values.flatMap { g =>
+      val items = g.map(_._2).distinct.toSeq
+      for (a <- items; b <- items if a != b) yield (a, b)
+    }.toSet
+    var alive: Set[Long] = edges.map(_._1)
+    var changed = true
+    while (changed) {
+      val deg = edges.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).map { case (v, es) => v -> es.size }
+      val next = deg.filter(_._2 >= k).keySet
+      changed = next != alive
+      alive = next
+    }
+    val deg = edges.filter(e => alive(e._1) && alive(e._2))
+      .groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    assert(got.toMap == deg, s"spark=${got.length} driver=${deg.size}")
+    got.foreach { case (_, d) => assert(d >= k) }
+  }
+
   test("pagerank ranks a hub above a leaf") {
     // the item co-engaged with the most others should outrank the
     // bottom of the list strictly (sanity that iteration moved mass)
