@@ -114,6 +114,8 @@ object SparkEntry {
     "embed_norm_stats" -> ((s, d) => VectorSearch.embedNormStats(s, d)),
     // per-dimension corpus stats (dead dims / quantizer-symmetry QA)
     "embed_dim_stats" -> ((s, d) => VectorSearch.embedDimStats(s, d)),
+    // whitened-cosine retrieval: anisotropy-corrected top-k
+    "embed_whiten_topk" -> ((s, d) => VectorSearch.embedWhitenTopK(s, d)),
     "ann_knn_join_heap" -> ((s, d) => TopK.knnJoinHeap(s, d, queryMod = 100, k = 5)),
     "ann_sq8_topk" -> ((s, d) => Quantized.sq8TopK(s, d, queryId = 0, k = 10)),
     "embed_project" -> ((s, d) => Quantized.randomProject(s, d)),
@@ -3250,6 +3252,28 @@ object SparkEntry {
         |       round(0.39 * (n_words / n_sentences)
         |             + 11.8 * (n_syllables / n_words) - 15.59, 4) AS fk_grade
         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    // whitening replayed whole: per-dim rounded μ/σ lists, the
+    // indexed-lambda standardize (zero-variance dims → 0), then the
+    // plain cosine top-k in the whitened space
+    "embed_whiten_topk" ->
+      """WITH x AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+        |                  unnest(embedding)::DOUBLE AS v FROM embeddings),
+        |st AS (SELECT pos, round(sum(v) / count(*), 5) AS mu,
+        |         round(sqrt(greatest((sum(v * v) - sum(v) * sum(v) / count(*))
+        |               / (count(*) - 1), 0.0)), 5) AS sd
+        |       FROM x GROUP BY 1),
+        |ml AS (SELECT list(mu ORDER BY pos) AS mul, list(sd ORDER BY pos) AS sdl FROM st),
+        |w AS (SELECT e.vec_id,
+        |        list_transform(e.embedding::DOUBLE[],
+        |          (x, i) -> CASE WHEN ml.sdl[i] = 0 THEN 0.0
+        |                    ELSE (x - ml.mul[i]) / ml.sdl[i] END) AS wx
+        |      FROM embeddings e, ml),
+        |q AS (SELECT wx AS qv FROM w WHERE vec_id = 0)
+        |SELECT w.vec_id,
+        |       round(list_dot_product(w.wx, q.qv) /
+        |             (sqrt(list_dot_product(w.wx, w.wx)) * sqrt(list_dot_product(q.qv, q.qv))), 5) AS score
+        |FROM w, q WHERE w.vec_id <> 0
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
     "embed_dim_stats" ->
       """WITH x AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
         |                  unnest(embedding)::DOUBLE AS v FROM embeddings)

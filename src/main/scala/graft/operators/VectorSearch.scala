@@ -762,6 +762,46 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Whitened-cosine retrieval (Su et al. 2021, "Whitening Sentence
+    * Representations" — the diagonal variant): standardize every
+    * dimension to zero mean / unit variance with the corpus's own
+    * per-dim stats, then rank by cosine in the whitened space. The
+    * standard cheap fix for the anisotropy [[embedIsotropy]]
+    * measures — a dominant mean direction inflates every cosine and
+    * compresses the ranking; removing it re-spreads the scores.
+    *
+    * The per-dim μ/σ are [[embedDimStats]]'s 5-decimal ROUNDED values
+    * (the label-centroid contract, so summation order can't drift the
+    * oracle), assembled IN-PLAN into one (μ[], σ[]) row broadcast
+    * over a single corpus scan — never collected to the driver.
+    * Zero-variance dims contribute 0 on both engines. Scale shape:
+    * one dim-keyed aggregate (|dims| rows) + one narrow whiten-and-
+    * score scan + TakeOrdered — the [[topK]] plan plus a 64-row
+    * broadcast.
+    */
+  def embedWhitenTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+                      k: Int = 10): DataFrame = {
+    val statsRow = embedDimStats(spark, dir)
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v"), col("std_v"))))
+        .as("st"))
+      .select(expr("transform(st, s -> s.mean_v)").as("mul"),
+        expr("transform(st, s -> s.std_v)").as("sdl"))
+    val wExpr = "transform(embedding, (x, i) -> CASE WHEN element_at(sdl, i + 1) = 0D " +
+      "THEN 0D ELSE (cast(x AS double) - element_at(mul, i + 1)) / element_at(sdl, i + 1) END)"
+    val w = Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(statsRow))
+      .select(col("vec_id"), expr(wExpr).as("wx"))
+      .withColumn("nrm", l2norm(col("wx")))
+    val q = w.where(col("vec_id") === queryId)
+      .select(col("wx").as("qv"), col("nrm").as("qn"))
+    w.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotd(col("wx"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding anisotropy report (Ethayarajh 2019's diagnosis:
     * contextual embedding spaces collapse into a narrow cone, and a
     * high MEAN PAIRWISE COSINE means raw cosine similarity carries

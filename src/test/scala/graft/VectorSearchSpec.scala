@@ -830,6 +830,33 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(a.head.getDouble(1) >= 0.4, a.head.toString)
   }
 
+  test("whitened top-k matches a full driver re-derivation") {
+    def r5(x: Double): Double =
+      BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dims = rows.head._2.length
+    val n = rows.length
+    val mu = (0 until dims).map { j =>
+      r5(rows.map(_._2(j)).sum / n) }.toArray
+    val sd = (0 until dims).map { j =>
+      val s1 = rows.map(_._2(j)).sum; val s2 = rows.map(v => v._2(j) * v._2(j)).sum
+      r5(math.sqrt(math.max((s2 - s1 * s1 / n) / (n - 1), 0.0))) }.toArray
+    def whiten(v: Array[Double]): Array[Double] =
+      v.indices.map(j => if (sd(j) == 0) 0.0 else (v(j) - mu(j)) / sd(j)).toArray
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    val wq = whiten(rows.find(_._1 == 0L).get._2)
+    val expected = rows.filter(_._1 != 0L).map { case (id, v) =>
+      val w = whiten(v)
+      (id, r5(dot(w, wq) / (math.sqrt(dot(w, w)) * math.sqrt(dot(wq, wq)))))
+    }.sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    val got = VectorSearch.embedWhitenTopK(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+  }
+
   test("triplet mining matches a driver recount of both legs") {
     def cos5(a: Array[Float], b: Array[Float]): Double = {
       val d = a.zip(b).map(p => p._1.toDouble * p._2.toDouble).sum
