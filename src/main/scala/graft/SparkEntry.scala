@@ -424,6 +424,8 @@ object SparkEntry {
     "bpe_token_stats" -> ((s, d) => TextAnalysis.bpeTokenStats(s, d)),
     // BPE merge learning: 8 greedy rounds over the word-freq table
     "bpe_learn_merges" -> ((s, d) => TextAnalysis.bpeLearnMerges(s, d)),
+    // apply the learned merges: realized per-doc token budget
+    "bpe_apply_stats" -> ((s, d) => TextAnalysis.bpeApplyStats(s, d)),
     // Count-Min sketch heavy hitters with exact-count error profile
     "cms_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
     // integer-exact fixed-iteration PageRank over item co-engagement
@@ -3439,6 +3441,28 @@ object SparkEntry {
              s"SELECT $r::BIGINT AS round, a AS lhs, b AS rhs, n::BIGINT AS pair_count, a||b AS merged FROM m$r")
              .mkString("\nUNION ALL ")}
          |ORDER BY round""".stripMargin
+    },
+    // the learned vocab state v8 replayed, then tokenization is a
+    // word-keyed join: each word costs its fused symbol count, words
+    // outside the training cap fall back to character tokens
+    "bpe_apply_stats" -> {
+      val rounds = 8
+      s"""WITH v0 AS (
+         |  SELECT w, cnt, array_to_string(string_split(w, ''), ' ') AS seq
+         |  FROM (SELECT w, count(*) AS cnt
+         |        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |              FROM documents)
+         |        GROUP BY 1 ORDER BY cnt DESC, w LIMIT 20000)),
+         |${bpeSteps(rounds)},
+         |nsym AS (SELECT w, len(string_split(seq, ' '))::BIGINT AS n_sym FROM v$rounds),
+         |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |       FROM documents)
+         |SELECT dw.doc_id, count(*) AS n_words,
+         |       sum(coalesce(n.n_sym, length(dw.w)))::BIGINT AS n_tokens,
+         |       sum(length(dw.w))::BIGINT AS n_chars,
+         |       round(sum(length(dw.w)) / sum(coalesce(n.n_sym, length(dw.w))), 5) AS chars_per_token
+         |FROM dw LEFT JOIN nsym n USING (w)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     // the whole sketch replays: same md5 buckets, same collision mass
     // d=4 row buckets are disjoint 10-bit fields of ONE signed

@@ -265,6 +265,18 @@ object TextAnalysis {
   def bpeLearnMerges(spark: SparkSession, dir: String, rounds: Int = 8,
                      maxVocab: Int = 20000): DataFrame = {
     import spark.implicits._
+    bpeState(spark, dir, rounds, maxVocab)._1
+      .toDF("round", "lhs", "rhs", "pair_count", "merged")
+      .orderBy(col("round"))
+  }
+
+  /** The shared BPE train loop: runs `rounds` greedy merge rounds and
+    * returns (merge table, final (w, cnt, seq) vocabulary state) —
+    * [[bpeLearnMerges]] serves the former, [[bpeApplyStats]] the
+    * latter. Driver traffic is one 3-column argmax row per round.
+    */
+  private def bpeState(spark: SparkSession, dir: String, rounds: Int,
+                       maxVocab: Int): (Seq[(Long, String, String, Long, String)], DataFrame) = {
     val words = Tables.documents(spark, dir)
       .select(explode(regexp_extract_all(lower(col("text")),
         lit("[a-z]+"), lit(0))).as("w"))
@@ -297,9 +309,38 @@ object TextAnalysis {
         r += 1
       }
     }
-    merges.result()
-      .toDF("round", "lhs", "rhs", "pair_count", "merged")
-      .orderBy(col("round"))
+    (merges.result(), vocab)
+  }
+
+  /** The APPLY side of [[bpeLearnMerges]]: tokenize the corpus with
+    * the learned merge table and report the realized token budget —
+    * per doc, word/token/char counts and the chars-per-token
+    * compression the merges actually bought (vs [[bpeTokenStats]]'s
+    * `ceil(len/6)` estimate). Each vocabulary word's token count is
+    * just the symbol count of its final fused state, so application
+    * is a word-keyed join — no per-doc re-segmentation. Words outside
+    * the `maxVocab` training cap fall back to character tokens
+    * (length(w)), the untrained-word worst case, exactly mirrored in
+    * the oracle. Scale shape: the train loop's vocab-level rounds,
+    * then one corpus tokenize scan + one vocab-keyed join (AQE
+    * broadcast — the vocab is capped) + a per-doc map-side-combined
+    * sum.
+    */
+  def bpeApplyStats(spark: SparkSession, dir: String, rounds: Int = 8,
+                    maxVocab: Int = 20000): DataFrame = {
+    val vocab = bpeState(spark, dir, rounds, maxVocab)._2
+      .select(col("w"), size(split(col("seq"), " ")).cast("long").as("n_sym"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .join(vocab, Seq("w"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sym"), length(col("w")))).as("n_tokens"),
+        sum(length(col("w"))).as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_chars"),
+        round(col("n_chars") / col("n_tokens"), 5).as("chars_per_token"))
+      .orderBy(col("doc_id"))
   }
 
   /** Winnowing fingerprints (rolling-hash document signatures — the

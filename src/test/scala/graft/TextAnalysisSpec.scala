@@ -464,6 +464,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe apply: bounded counts, and each merge round strictly shrinks the token budget") {
+    val r8 = TextAnalysis.bpeApplyStats(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(r8.nonEmpty)
+    r8.foreach { case (_, nWords, nTokens, nChars) =>
+      assert(nTokens >= nWords, "a word is at least one token")
+      assert(nTokens <= nChars, "a token is at least one char")
+    }
+    // zero merges = pure character tokenization; the learned merges
+    // must buy real compression on the corpus they were fit on
+    val r0 = TextAnalysis.bpeApplyStats(spark, TestSpark.sf, rounds = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    r8.foreach { case (id, _, _, nChars) => assert(r0(id) == nChars) }
+    assert(r8.map(_._3).sum < r8.map(_._4).sum)
+  }
+
   test("ccnet buckets: per-source terciles are ordered, exhaustive, and roughly balanced") {
     val rows = TextAnalysis.ccnetBuckets(spark, TestSpark.sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getString(4)))
