@@ -369,6 +369,8 @@ object SparkEntry {
     "events_pivot" -> ((s, d) => Analytics.pivotUserCounts(s, d)),
     "pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "quality_gopher" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
+    // per-gate ablation: fail / unique-fail / pass-without counts
+    "gate_ablation" -> ((s, d) => TextAnalysis.gateAblation(s, d)),
     "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(s, d)),
     "pack_sequences" -> ((s, d) => Curation.packSequences(s, d)),
     "sample_mixture" -> ((s, d) => Curation.mixtureSample(s, d)),
@@ -2783,6 +2785,41 @@ object SparkEntry {
         |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |         '\d{6,}', '<NUM>', 'g') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // per-rule fail / unique-fail / pass-without counts from the same
+    // rule expressions, one row per rule via UNION ALL
+    "gate_ablation" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, len(toks)::BIGINT AS n_words,
+        |             list_sum(list_transform(toks, x -> length(x)))::BIGINT AS swl,
+        |             len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+        |             len(list_filter(toks, x -> x = 'the' OR x = 'a'))::BIGINT AS n_stop
+        |      FROM t),
+        |r AS (SELECT doc_id,
+        |       (n_words >= 10 AND n_words <= 100000) AS rule_words,
+        |       (swl / n_words >= 3.0 AND swl / n_words <= 10.0) AS rule_word_len,
+        |       (n_alpha / n_words >= 0.8) AS rule_alpha,
+        |       (n_stop >= 2) AS rule_stop
+        |      FROM s),
+        |c AS (SELECT count(*) AS n_docs,
+        |       count(CASE WHEN rule_words AND rule_word_len AND rule_alpha AND rule_stop THEN 1 END) AS n_pass_all,
+        |       count(CASE WHEN NOT rule_words THEN 1 END) AS f_words,
+        |       count(CASE WHEN NOT rule_words AND rule_word_len AND rule_alpha AND rule_stop THEN 1 END) AS u_words,
+        |       count(CASE WHEN NOT rule_word_len THEN 1 END) AS f_word_len,
+        |       count(CASE WHEN NOT rule_word_len AND rule_words AND rule_alpha AND rule_stop THEN 1 END) AS u_word_len,
+        |       count(CASE WHEN NOT rule_alpha THEN 1 END) AS f_alpha,
+        |       count(CASE WHEN NOT rule_alpha AND rule_words AND rule_word_len AND rule_stop THEN 1 END) AS u_alpha,
+        |       count(CASE WHEN NOT rule_stop THEN 1 END) AS f_stop,
+        |       count(CASE WHEN NOT rule_stop AND rule_words AND rule_word_len AND rule_alpha THEN 1 END) AS u_stop
+        |      FROM r)
+        |SELECT rule, n_fail, n_unique_fail, n_docs, n_pass_all,
+        |       n_pass_all + n_unique_fail AS n_pass_without,
+        |       round(n_fail / n_docs, 5) AS fail_rate
+        |FROM (
+        |  SELECT 'words' AS rule, f_words AS n_fail, u_words AS n_unique_fail, n_docs, n_pass_all FROM c
+        |  UNION ALL SELECT 'word_len', f_word_len, u_word_len, n_docs, n_pass_all FROM c
+        |  UNION ALL SELECT 'alpha', f_alpha, u_alpha, n_docs, n_pass_all FROM c
+        |  UNION ALL SELECT 'stop', f_stop, u_stop, n_docs, n_pass_all FROM c)
+        |ORDER BY rule""".stripMargin,
     "quality_gopher" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, len(toks)::BIGINT AS n_words,

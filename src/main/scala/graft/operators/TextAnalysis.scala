@@ -458,6 +458,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-gate ablation — the "which rule is doing the work"
+    * report a curation owner reads before tightening or dropping a
+    * gate: per [[gopherRules]] rule, how many documents fail it, how
+    * many fail ONLY it (its unique kill set — the docs you'd get
+    * back by removing just that rule), and the corpus pass count if
+    * it were removed. Rules whose kills are all shared with other
+    * rules are redundant; rules with a large unique kill set deserve
+    * individual review before they delete data at 100 TB. One narrow
+    * rule scan (the [[gopherRules]] shape) folded into a single
+    * 9-counter aggregate row, exploded to |rules| output rows — no
+    * shuffle beyond the one map-side-combined aggregate.
+    */
+  def gateAblation(spark: SparkSession, dir: String): DataFrame = {
+    val g = gopherRules(spark, dir)
+    val rules = Seq("rule_words", "rule_word_len", "rule_alpha", "rule_stop")
+    def others(r: String) =
+      rules.filter(_ != r).map(col).reduce(_ && _)
+    val aggCols: Seq[Column] =
+      count(when(col("pass_gopher"), 1)).as("n_pass_all") +:
+        rules.flatMap { r =>
+          Seq(count(when(!col(r), 1)).as(s"f_$r"),
+            count(when(!col(r) && others(r), 1)).as(s"u_$r"))
+        }
+    val counters = g.agg(count(lit(1)).as("n_docs"), aggCols: _*)
+    val rows = rules.map { r =>
+      s"struct('${r.stripPrefix("rule_")}' AS rule, f_$r AS n_fail, u_$r AS n_unique_fail)"
+    }.mkString("array(", ", ", ")")
+    counters
+      .select(col("n_docs"), col("n_pass_all"), explode(expr(rows)).as("x"))
+      .select(col("x.rule").as("rule"), col("x.n_fail").as("n_fail"),
+        col("x.n_unique_fail").as("n_unique_fail"),
+        col("n_docs"), col("n_pass_all"),
+        (col("n_pass_all") + col("x.n_unique_fail")).as("n_pass_without"),
+        round(col("x.n_fail") / col("n_docs"), 5).as("fail_rate"))
+      .orderBy(col("rule"))
+  }
+
   /** Intra-document repetition signals (the Gopher/Dolma repetition
     * family): duplicate-bigram fraction and the most frequent bigram's
     * share of the document. High values flag boilerplate and generated

@@ -464,6 +464,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("gate ablation recounts from the per-doc rule frame") {
+    val rules = Seq("words", "word_len", "alpha", "stop")
+    val g = TextAnalysis.gopherRules(spark, TestSpark.sf).collect()
+      .map(r => rules.map(n => r.getBoolean(r.fieldIndex(s"rule_$n"))))
+    val got = TextAnalysis.gateAblation(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val nPassAll = g.count(_.forall(identity)).toLong
+    rules.zipWithIndex.foreach { case (name, i) =>
+      val (nFail, nUnique, nDocs, passAll, passWithout) = got(name)
+      assert(nDocs == g.length.toLong)
+      assert(passAll == nPassAll)
+      assert(nFail == g.count(!_(i)).toLong, name)
+      assert(nUnique == g.count(row => !row(i) &&
+        row.indices.forall(j => j == i || row(j))).toLong, name)
+      assert(passWithout == passAll + nUnique)
+    }
+  }
+
   test("bpe apply: bounded counts, and each merge round strictly shrinks the token budget") {
     val r8 = TextAnalysis.bpeApplyStats(spark, TestSpark.sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
