@@ -507,6 +507,8 @@ object SparkEntry {
     "knn_regress_eval" -> ((s, d) => VectorSearch.knnRegressEval(s, d)),
     // linear multi-touch revenue attribution to viewed items
     "attribution_linear" -> ((s, d) => Analytics.attributionLinear(s, d)),
+    // Markov removal-effect attribution over the journey chain
+    "attribution_markov" -> ((s, d) => Analytics.attributionMarkov(s, d)),
     // aggregate-diversity report of the co-visitation recommender
     "rec_coverage" -> ((s, d) => Rec.recCoverage(s, d)),
     // per-minute rate percentiles per type (stream sizing table)
@@ -4270,6 +4272,50 @@ object SparkEntry {
          |FROM p JOIN documents d ON d.doc_id = p.q_id""".stripMargin,
     // user-keyed interval match, per-purchase touch count by window,
     // equal cents/n splits summed per item
+    // the whole chain replays: transition extraction (purchase hands
+    // off to start, first event seeded, last non-purchase absorbs to
+    // null), 2^30-scaled integer probabilities, and 12 unrolled
+    // mass-propagation rounds per variant (base + each channel
+    // removed) — every hop is mass*p div SCALE on both engines
+    "attribution_markov" -> {
+      val chans = Seq("click" -> "C", "error" -> "E", "signup" -> "S", "view" -> "V")
+      val all = chans.map(_._1)
+      val variants = markovSteps("B", all, 12) + ",\n" +
+        chans.map { case (ch, v) =>
+          markovSteps(v, all.filterNot(_ == ch), 12)
+        }.mkString(",\n")
+      val effRows = chans.map { case (ch, v) =>
+        s"SELECT '$ch' AS channel, (SELECT c FROM convB) - (SELECT c FROM conv$v) AS e"
+      }.mkString("\n  UNION ALL ")
+      // every CTE is AS MATERIALIZED: 60 unrolled round CTEs over 5
+      // variants would otherwise re-inline the windowed events scan
+      // exponentially and OOM DuckDB's planner
+      s"""WITH ev AS MATERIALIZED (SELECT user_id, event_type,
+         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS to_type,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+         |  FROM events),
+         |tr AS MATERIALIZED (SELECT CASE WHEN event_type = 'purchase' THEN 'start' ELSE event_type END AS s,
+         |              to_type AS t FROM ev WHERE to_type IS NOT NULL
+         |       UNION ALL SELECT 'start', event_type FROM ev WHERE rn = 1
+         |       UNION ALL SELECT event_type, 'null' FROM ev
+         |                 WHERE to_type IS NULL AND event_type <> 'purchase'),
+         |cm AS MATERIALIZED (SELECT s, t, count(*) AS n FROM tr GROUP BY 1, 2),
+         |rt AS MATERIALIZED (SELECT s, sum(n) AS tot FROM cm GROUP BY 1),
+         |pm AS MATERIALIZED (SELECT cm.s, cm.t, cm.n * 1073741824 // rt.tot AS p FROM cm JOIN rt USING (s)),
+         |cents AS MATERIALIZED (SELECT coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) AS total
+         |          FROM events WHERE event_type = 'purchase'),
+         |$variants,
+         |eff AS MATERIALIZED ($effRows),
+         |et AS MATERIALIZED (SELECT sum(e) AS tot FROM eff)
+         |SELECT eff.channel,
+         |  round((SELECT c FROM convB) / 1073741824.0, 5) AS p_conv,
+         |  round(((SELECT c FROM convB) - eff.e) / 1073741824.0, 5) AS p_conv_without,
+         |  CASE WHEN (SELECT c FROM convB) = 0 THEN 0.0
+         |       ELSE round(eff.e / (SELECT c FROM convB), 5) END AS removal_effect,
+         |  (CASE WHEN et.tot = 0 THEN 0
+         |        ELSE (SELECT total FROM cents) * eff.e // et.tot END) / 100.0 AS attributed_revenue
+         |FROM eff, et ORDER BY eff.channel""".stripMargin
+    },
     "attribution_linear" ->
       """WITH v0 AS (SELECT user_id,
         |                   json_extract_string(props, '$.k')::BIGINT AS item_id,
@@ -4550,11 +4596,27 @@ object SparkEntry {
        |     THEN md5_number_upper($arg)::HUGEINT - 18446744073709551616::HUGEINT
        |     ELSE md5_number_upper($arg)::HUGEINT END AS BIGINT)""".stripMargin
 
-  /** Unrolled synchronous label-propagation rounds l1..lN — the same
-    * most-frequent-neighbor-label update with (count DESC, label ASC)
-    * ties as [[graft.operators.Graph.itemCommunities]]; isolated
-    * nodes keep their label via the LEFT JOIN coalesce.
+  /** Unrolled Markov-chain propagation for one `attribution_markov`
+    * variant `v` (base or one removed channel): per round, the
+    * absorbed conversion mass cv{v}{r} and the next live-channel mass
+    * frame m{v}{r}, all `mass·p div SCALE` integer hops against the
+    * shared scaled transition matrix pm.
     */
+  private def markovSteps(v: String, live: Seq[String], rounds: Int): String = {
+    val liveIn = live.map(c => s"'$c'").mkString("(", ", ", ")")
+    val blocks = (1 to rounds).map { r =>
+      s"""cv$v$r AS MATERIALIZED (SELECT coalesce(sum(x.m * pm.p // 1073741824), 0) AS c
+         |  FROM m$v${r - 1} x JOIN pm ON pm.s = x.st AND pm.t = 'purchase'),
+         |m$v$r AS MATERIALIZED (SELECT pm.t AS st, sum(x.m * pm.p // 1073741824) AS m
+         |  FROM m$v${r - 1} x JOIN pm ON pm.s = x.st
+         |  WHERE pm.t IN $liveIn GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val convSum = (1 to rounds).map(r => s"(SELECT c FROM cv$v$r)").mkString(" + ")
+    s"""m${v}0 AS MATERIALIZED (SELECT 'start' AS st, 1073741824::BIGINT AS m),
+       |$blocks,
+       |conv$v AS MATERIALIZED (SELECT $convSum AS c)""".stripMargin
+  }
+
   /** Unrolled synchronous k-core peel rounds d{i}/a{i}: degree
     * against alive DST endpoints only (deg ≥ k already implies src
     * membership — degrees against a shrinking set only fall), drop
@@ -4589,6 +4651,11 @@ object SparkEntry {
          |  FROM v${r - 1}, m$r m)""".stripMargin
     }.mkString(",\n")
 
+  /** Unrolled synchronous label-propagation rounds l1..lN — the same
+    * most-frequent-neighbor-label update with (count DESC, label ASC)
+    * ties as [[graft.operators.Graph.itemCommunities]]; isolated
+    * nodes keep their label via the LEFT JOIN coalesce.
+    */
   private def lpaSteps(iters: Int): String =
     (1 to iters).map { i =>
       s"""l$i AS (SELECT p.item_id, coalesce(b.new_lab, p.lab) AS lab

@@ -1992,6 +1992,85 @@ object Analytics {
       .orderBy(col("item_id"))
   }
 
+  /** Markov removal-effect attribution (Anderl et al. 2014 — the
+    * data-driven upgrade of [[attributionLinear]]'s position-free
+    * split): model user journeys as a first-order Markov chain over
+    * event-type states with `purchase` absorbing, and credit each
+    * channel by its REMOVAL EFFECT — how much conversion probability
+    * disappears when journeys through that channel are cut. Journeys
+    * restart after each purchase; a user's final non-purchase event
+    * absorbs into null (loss). Channel shares are the normalized
+    * integer mass deltas, and attributed revenue splits the exact
+    * purchase-cents total by integer floor division — every number
+    * from transition count to attributed cents is BIGINT arithmetic
+    * (2³⁰-scaled probabilities, `mass·p div SCALE` hops, `rounds`
+    * fixed propagation rounds), so the oracle unrolls the identical
+    * chain.
+    *
+    * Scale shape: the 100 TB work is ONE windowed pass extracting
+    * transitions (user-keyed lag window, map-side-combined counts);
+    * the chain itself is a |channels|²-cell matrix — a bounded driver
+    * artifact by construction (event-type vocabularies are enums, not
+    * data-scale) — solved exactly on the driver like the IVF
+    * centroid probe ranking. Output is |channels| rows.
+    */
+  def attributionMarkov(spark: SparkSession, dir: String,
+                        rounds: Int = 12): DataFrame = {
+    import spark.implicits._
+    val Scale = 1L << 30
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    // pair transitions (a purchase hands off to a fresh start),
+    // plus start -> first event, plus last non-purchase -> null
+    val trans = ev.where(col("to_type").isNotNull)
+      .select(when(col("event_type") === "purchase", lit("start"))
+        .otherwise(col("event_type")).as("s"), col("to_type").as("t"))
+      .unionAll(ev.where(col("rn") === 1)
+        .select(lit("start").as("s"), col("event_type").as("t")))
+      .unionAll(ev.where(col("to_type").isNull && col("event_type") =!= "purchase")
+        .select(col("event_type").as("s"), lit("null").as("t")))
+      .groupBy(col("s"), col("t")).agg(count(lit(1)).as("n"))
+    val cents = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .agg(coalesce(sum(round(col("value") * 100).cast("long")), lit(0L)))
+      .head.getLong(0)
+    val c = trans.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val channels = Seq("click", "error", "signup", "view")
+    val rowTot = c.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    def p(s: String, t: String): Long = {
+      val tot = rowTot.getOrElse(s, 0L)
+      if (tot == 0) 0L else c.getOrElse((s, t), 0L) * Scale / tot
+    }
+    def convMass(removed: Option[String]): Long = {
+      val live = channels.filterNot(removed.contains)
+      var mass: Map[String, Long] = Map("start" -> Scale)
+      var conv = 0L
+      for (_ <- 1 to rounds) {
+        conv += mass.map { case (s, m) => m * p(s, "purchase") / Scale }.sum
+        mass = live.map { t =>
+          t -> mass.map { case (s, m) => m * p(s, t) / Scale }.sum
+        }.toMap.filter(_._2 > 0)
+      }
+      conv
+    }
+    val base = convMass(None)
+    val effects = channels.map(ch => ch -> math.max(base - convMass(Some(ch)), 0L))
+    val effTot = effects.map(_._2).sum
+    def r5(x: Double): Double =
+      BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    effects.map { case (ch, eff) =>
+      (ch, r5(base.toDouble / Scale), r5((base - eff).toDouble / Scale),
+        if (base == 0) 0.0 else r5(eff.toDouble / base),
+        (if (effTot == 0) 0L else cents * eff / effTot) / 100.0)
+    }.toDF("channel", "p_conv", "p_conv_without", "removal_effect",
+      "attributed_revenue")
+      .orderBy(col("channel"))
+  }
+
   /** Peak-load sizing table: the distribution of per-MINUTE event
     * rates per type (mean / p50 / p95 / p99 / max) — the number that
     * sizes stream executors and alert thresholds, where

@@ -553,6 +553,60 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == touched.map(_._3.toLong).sum, "touch count")
   }
 
+  test("markov attribution matches an independent chain replay") {
+    import org.apache.spark.sql.functions.col
+    val Scale = 1L << 30
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"),
+        col("value"))
+      .collect()
+    val byUser = ev.groupBy(_.getLong(0)).values.map(
+      _.sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getString(3)).toSeq)
+    val trans = scala.collection.mutable.Map.empty[(String, String), Long]
+    def bump(s: String, t: String): Unit = trans((s, t)) = trans.getOrElse((s, t), 0L) + 1
+    byUser.foreach { seq =>
+      bump("start", seq.head)
+      seq.sliding(2).filter(_.length == 2).foreach { case Seq(a, b) =>
+        bump(if (a == "purchase") "start" else a, b)
+      }
+      if (seq.last != "purchase") bump(seq.last, "null")
+    }
+    val rowTot = trans.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    def p(s: String, t: String): Long = {
+      val tot = rowTot.getOrElse(s, 0L)
+      if (tot == 0) 0L else trans.getOrElse((s, t), 0L) * Scale / tot
+    }
+    val channels = Seq("click", "error", "signup", "view")
+    def conv(removed: Option[String]): Long = {
+      val live = channels.filterNot(removed.contains)
+      var mass = Map("start" -> Scale); var c = 0L
+      for (_ <- 1 to 12) {
+        c += mass.map { case (s, m) => m * p(s, "purchase") / Scale }.sum
+        mass = live.map(t => t -> mass.map { case (s, m) => m * p(s, t) / Scale }.sum)
+          .toMap.filter(_._2 > 0)
+      }
+      c
+    }
+    val base = conv(None)
+    val effs = channels.map(ch => ch -> math.max(base - conv(Some(ch)), 0L)).toMap
+    val effTot = effs.values.sum
+    val cents = ev.filter(_.getString(3) == "purchase")
+      .map(r => math.round(r.getDouble(4) * 100)).sum
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.operators.Analytics.attributionMarkov(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == channels)
+    rows.foreach { r =>
+      val eff = effs(r.getString(0))
+      assert(r.getDouble(1) == r5(base.toDouble / Scale), "p_conv")
+      assert(r.getDouble(2) == r5((base - eff).toDouble / Scale), "p_conv_without")
+      assert(r.getDouble(3) == (if (base == 0) 0.0 else r5(eff.toDouble / base)), "effect")
+      assert(r.getDouble(4) ==
+        (if (effTot == 0) 0L else cents * eff / effTot) / 100.0, "revenue")
+    }
+    // floor-division credit never exceeds the exact purchase total
+    assert(rows.map(r => math.round(r.getDouble(4) * 100)).sum <= cents)
+  }
+
   test("peak load percentiles are ordered and totals recount") {
     import org.apache.spark.sql.functions.col
     val rows = graft.operators.Analytics.eventsPeakLoad(spark, TestSpark.sf).collect()
