@@ -217,6 +217,9 @@ object SparkEntry {
     "q21_sole_late" -> ((s, d) => Analytics.q21SoleLate(s, d)),
     // Markov next-event transition matrix (lead window + bounded agg)
     "event_transitions" -> ((s, d) => Analytics.eventTransitions(s, d)),
+    // next-event argmax model trained on the first 80% of days,
+    // hit rate per state on the eval days
+    "event_next_pred" -> ((s, d) => Analytics.eventNextPred(s, d)),
     // Gini concentration of per-user activity (histogram fold, no global rank)
     "engagement_gini" -> ((s, d) => Analytics.engagementGini(s, d)),
     // week-over-week retained-active fraction
@@ -492,6 +495,9 @@ object SparkEntry {
     "corpus_mixture_plan" -> ((s, d) => Curation.mixturePlan(s, d)),
     // DSIR importance resampling toward the target-domain source
     "dsir_select" -> ((s, d) => Curation.dsirSelect(s, d)),
+    // NB hashed-unigram source classifier: train on the 80% hash
+    // split, per-source precision/recall on the held-out 20%
+    "nb_source_classify" -> ((s, d) => Curation.nbSourceClassify(s, d)),
     // write-side shard sizing (64 KiB target at test scale; the
     // production default is 128 MiB)
     "output_shard_plan" -> ((s, d) => Curation.outputShardPlan(s, d, targetBytes = 64L * 1024)),
@@ -2095,6 +2101,23 @@ object SparkEntry {
         |       round(3.0 * (SELECT n_triangles FROM tri)
         |             / sum((d * (d - 1)) // 2), 5) AS clustering_coeff
         |FROM deg""".stripMargin,
+    // integer epoch-day 80% boundary, (n DESC, t) train argmax,
+    // eval pairs keyed to the SOURCE event's day
+    "event_next_pred" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+        |p AS MATERIALIZED (SELECT event_type AS s,
+        |        lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS t,
+        |        ts_ms // 86400000 AS day
+        |      FROM e QUALIFY t IS NOT NULL),
+        |b AS (SELECT min(day) + (max(day) - min(day) + 1) * 80 // 100 AS t1 FROM p),
+        |tc AS (SELECT s, t, count(*) AS n FROM p, b WHERE day < t1 GROUP BY 1, 2),
+        |m AS (SELECT s, t AS pred FROM tc
+        |      QUALIFY row_number() OVER (PARTITION BY s ORDER BY n DESC, t) = 1)
+        |SELECT p.s AS state, m.pred, count(*) AS n_eval,
+        |       count(CASE WHEN p.t = m.pred THEN 1 END) AS n_hit,
+        |       round(count(CASE WHEN p.t = m.pred THEN 1 END) / count(*), 5) AS hit_rate
+        |FROM p JOIN b ON p.day >= b.t1 JOIN m ON m.s = p.s
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "event_transitions" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
         |t AS (SELECT event_type AS from_type,
@@ -4166,6 +4189,45 @@ object SparkEntry {
         |       round(w.logw + -ln(-ln((('0x' || substr(md5('dsir:' || w.doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT + 0.5) / 4294967296.0)), 5) AS score
         |FROM w JOIN documents d USING (doc_id)
         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    // full NB replay: hashed buckets, 80% hash split, add-1 class
+    // LMs over the dense (class x vocab-bucket) grid, 5-decimal
+    // rounded per-class scores, (score DESC, cls) argmax, and the
+    // per-source precision/recall rollup
+    "nb_source_classify" ->
+      """WITH terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |termb AS (SELECT term, ('0x' || substr(md5(term), 1, 8))::UBIGINT::BIGINT % 256 AS b
+        |          FROM (SELECT DISTINCT term FROM tf)),
+        |docb AS MATERIALIZED (SELECT doc_id, b, sum(tf)::BIGINT AS cb
+        |         FROM tf JOIN termb USING (term) GROUP BY 1, 2),
+        |d AS MATERIALIZED (SELECT doc_id, source,
+        |         substr(md5(doc_id::VARCHAR), 1, 4) < 'cccc' AS is_train FROM documents),
+        |pri0 AS (SELECT source AS cls, count(*) AS nd FROM d WHERE is_train GROUP BY 1),
+        |pri AS (SELECT cls, ln(nd / (SELECT sum(nd) FROM pri0)) AS lp FROM pri0),
+        |clsb AS MATERIALIZED (SELECT d.source AS cls, docb.b, sum(cb)::BIGINT AS csb
+        |        FROM docb JOIN d USING (doc_id) WHERE d.is_train GROUP BY 1, 2),
+        |clst AS (SELECT cls, sum(csb)::BIGINT AS cst FROM clsb GROUP BY 1),
+        |grid AS (SELECT clst.cls, vb.b,
+        |                ln((coalesce(clsb.csb, 0) + 1.0) / (clst.cst + 256)) AS lw
+        |         FROM clst CROSS JOIN (SELECT DISTINCT b FROM termb) vb
+        |         LEFT JOIN clsb ON clsb.cls = clst.cls AND clsb.b = vb.b),
+        |sc AS (SELECT docb.doc_id, d.source, grid.cls, sum(docb.cb * grid.lw) AS ll
+        |       FROM docb JOIN d USING (doc_id) JOIN grid USING (b)
+        |       WHERE NOT d.is_train GROUP BY 1, 2, 3),
+        |pred AS MATERIALIZED (SELECT sc.doc_id, sc.source, sc.cls AS pred
+        |        FROM sc JOIN pri ON pri.cls = sc.cls
+        |        QUALIFY row_number() OVER (PARTITION BY sc.doc_id
+        |          ORDER BY round(sc.ll + pri.lp, 5) DESC, sc.cls) = 1),
+        |bt AS (SELECT source, count(*) AS n_docs,
+        |              count(CASE WHEN pred = source THEN 1 END) AS n_correct
+        |       FROM pred GROUP BY 1),
+        |bp AS (SELECT pred AS source, count(*) AS n_pred FROM pred GROUP BY 1)
+        |SELECT bt.source, bt.n_docs, bt.n_correct,
+        |       coalesce(bp.n_pred, 0) AS n_pred,
+        |       round(bt.n_correct / bt.n_docs, 5) AS recall,
+        |       CASE WHEN coalesce(bp.n_pred, 0) = 0 THEN 0.0
+        |            ELSE round(bt.n_correct / bp.n_pred, 5) END AS precision
+        |FROM bt LEFT JOIN bp USING (source) ORDER BY bt.source""".stripMargin,
     // exact token shares, alpha-scaled weights, allocation from the
     // ROUNDED weight so the printed plan is the shipped plan
     "corpus_mixture_plan" ->

@@ -949,6 +949,54 @@ object Analytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Next-event prediction eval — [[eventTransitions]] turned into a
+    * measured model: train the transition matrix on the temporally
+    * FIRST 80% of days (the [[Curation.temporalSplitPrep]] boundary,
+    * exact integer floor division on epoch days), predict each state's
+    * most frequent successor (count DESC, type ASC — deterministic
+    * argmax), and score it on eval-day transitions (a pair belongs to
+    * the day of its SOURCE event). The hit-rate-per-state table is the
+    * go/no-go for shipping a Markov next-action model: a state whose
+    * baseline is unbeatable by the chain shows up as a low row here
+    * before anyone builds the serving path.
+    *
+    * Determinism: counts are exact integers, the argmax ties
+    * deterministically, and hit_rate is the single rounded division.
+    * States never seen in training carry no prediction and are
+    * excluded (inner join), documented behavior.
+    *
+    * Scale shape: ONE lead() window pass per user (the
+    * [[eventTransitions]] shape) feeding two |types|²-bounded
+    * aggregates; the train argmax window runs over that bounded frame
+    * only. Output is |types| rows.
+    */
+  def eventNextPred(spark: SparkSession, dir: String): DataFrame = {
+    val dayMs = 86400000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val pairs = graft.sources.ScratchCache.materialize(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .select(col("event_type").as("s"), col("to_type").as("t"),
+          expr(s"ts_ms div $dayMs").as("day")))
+    val t1 = pairs.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(expr("d0 + (d1 - d0 + 1) * 80 div 100").as("t1"))
+    val split = pairs.crossJoin(broadcast(t1))
+    val trainCnt = split.where(col("day") < col("t1"))
+      .groupBy(col("s"), col("t")).agg(count(lit(1)).as("n"))
+    val wArg = Window.partitionBy(col("s")).orderBy(col("n").desc, col("t"))
+    val model = trainCnt.withColumn("rk", row_number().over(wArg))
+      .where(col("rk") === 1).select(col("s"), col("t").as("pred"))
+    split.where(col("day") >= col("t1"))
+      .join(broadcast(model), Seq("s"))
+      .groupBy(col("s").as("state"), col("pred"))
+      .agg(count(lit(1)).as("n_eval"),
+        count(when(col("t") === col("pred"), 1)).as("n_hit"))
+      .withColumn("hit_rate", round(col("n_hit") / col("n_eval"), 5))
+      .orderBy(col("state"))
+  }
+
   /** Engagement concentration (Gini coefficient) over per-user event
     * counts — the inequality number behind "10% of users generate 90%
     * of traffic" that sizes hot-key risk before it bites a shuffle.

@@ -474,6 +474,81 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Classifier-based quality filtering, the GPT-3/LLaMA curation
+    * archetype (Brown et al. 2020 §A trained a classifier to score
+    * CommonCrawl against a curated positive set): a multinomial Naive
+    * Bayes model over `buckets` hashed unigram buckets, trained on the
+    * deterministic 80% hash split (md5(doc_id) 4-hex prefix < 'cccc',
+    * [[hashSample]]'s convention) with `source` as the label, then
+    * evaluated on the held-out 20% — per-source test counts,
+    * correct-prediction counts, recall, and precision. The eval table
+    * is what decides whether a source-attribution classifier is good
+    * enough to gate admission at 100 TB.
+    *
+    * Determinism: integer token counts throughout; the only floats are
+    * ln() of count ratios, and per-(doc, class) scores round to 5
+    * decimals BEFORE the argmax (ties → class name ascending), so both
+    * engines pick the same prediction. Docs whose text has no ≥2-char
+    * token carry no features and are not classified (they score −∞
+    * under any bag model); the counts are over classified docs.
+    *
+    * Scale shape: rides [[TextRetrieval.ensureModel]]'s persisted tf
+    * triples (the only corpus-scale shuffle is the term→bucket
+    * equi-join); the model is a (|classes|·B)-row grid → broadcast;
+    * per-doc scoring is one map-side-combined aggregate over ≤B rows
+    * per doc; the argmax is a per-doc window, never a global sort.
+    */
+  def nbSourceClassify(spark: SparkSession, dir: String,
+                       buckets: Int = 256): DataFrame = {
+    val m = TextRetrieval.ensureModel(spark, dir)
+    val termB = m.tf.select(col("term")).distinct()
+      .withColumn("b",
+        conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long") % buckets)
+    val docb = graft.sources.ScratchCache.materialize(
+      m.tf.join(termB, "term")
+        .groupBy(col("doc_id"), col("b")).agg(sum(col("tf")).as("cb")))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (substring(md5(col("doc_id").cast("string")), 1, 4) < "cccc").as("is_train"))
+    val priors = docs.where(col("is_train"))
+      .groupBy(col("source").as("cls")).agg(count(lit(1)).as("nd"))
+    val pri = priors.crossJoin(broadcast(priors.agg(sum(col("nd")).as("ntot"))))
+      .select(col("cls"), log(col("nd") / col("ntot")).as("lp"))
+    val clsB = docb.join(docs.where(col("is_train")), "doc_id")
+      .groupBy(col("source").as("cls"), col("b")).agg(sum(col("cb")).as("csb"))
+    // dense (class × vocab-bucket) grid: a bucket unseen in a class's
+    // train split still contributes its add-1 floor to that class
+    val grid = clsB.groupBy(col("cls")).agg(sum(col("csb")).as("cst"))
+      .crossJoin(termB.select(col("b")).distinct())
+      .join(clsB, Seq("cls", "b"), "left_outer")
+      .select(col("cls"), col("b"),
+        log((coalesce(col("csb"), lit(0L)) + 1.0) / (col("cst") + buckets)).as("lw"))
+    val scored = docb.join(docs.where(col("is_train") === false), "doc_id")
+      .join(broadcast(grid), "b")
+      .groupBy(col("doc_id"), col("source"), col("cls"))
+      .agg(sum(col("cb") * col("lw")).as("ll"))
+      .join(broadcast(pri), "cls")
+      .select(col("doc_id"), col("source"), col("cls"),
+        round(col("ll") + col("lp"), 5).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls"))
+    val pred = scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("source"), col("cls").as("pred"))
+    val byTrue = pred.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("pred") === col("source"), 1)).as("n_correct"))
+    val byPred = pred.groupBy(col("pred").as("source"))
+      .agg(count(lit(1)).as("n_pred"))
+    byTrue.join(byPred, Seq("source"), "left_outer")
+      .withColumn("n_pred", coalesce(col("n_pred"), lit(0L)))
+      .select(col("source"), col("n_docs"), col("n_correct"), col("n_pred"),
+        round(col("n_correct") / col("n_docs"), 5).as("recall"),
+        when(col("n_pred") === 0, lit(0.0))
+          .otherwise(round(col("n_correct") / col("n_pred"), 5)).as("precision"))
+      .orderBy(col("source"))
+  }
+
   /** DSIR data selection — importance resampling toward a target
     * domain (Xie et al., NeurIPS 2023 "Data Selection for Language
     * Models via Importance Resampling"): fit hashed bag-of-words

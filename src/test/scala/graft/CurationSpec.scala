@@ -194,4 +194,29 @@ class CurationSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("nb classifier: classified set = featured eval docs, counts reconcile") {
+    val rows = Curation.nbSourceClassify(spark, TestSpark.sf).collect()
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the classified population is exactly the held-out docs that
+    // carry at least one >=2-char token (featureless docs score -inf
+    // under any bag model and are excluded, documented behavior)
+    val evalDocs = docs
+      .filter(r => !(md5hex(r.getLong(0).toString).take(4) < "cccc"))
+      .filter(r => "[a-z0-9_]{2,}".r.findFirstIn(r.getString(2).toLowerCase).isDefined)
+    assert(rows.map(_.getLong(1)).sum == evalDocs.length,
+      "sum of per-source test counts must equal the featured eval split")
+    // every prediction lands on exactly one true row: n_pred sums match
+    assert(rows.map(_.getLong(3)).sum == evalDocs.length)
+    val bySrc = evalDocs.groupBy(_.getString(1)).map { case (s, g) => s -> g.length }
+    rows.foreach { r =>
+      assert(r.getLong(1) == bySrc(r.getString(0)).toLong, s"n_docs for ${r.getString(0)}")
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(2) <= r.getLong(3))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
 }

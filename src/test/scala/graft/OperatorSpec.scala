@@ -553,6 +553,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == touched.map(_._3.toLong).sum, "touch count")
   }
 
+  test("next-event prediction matches an independent split-train-eval replay") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .collect()
+    val pairs = ev.groupBy(_.getLong(0)).values.flatMap { g =>
+      g.sortBy(r => (r.getLong(1), r.getLong(2))).sliding(2)
+        .filter(_.length == 2)
+        .map(p => (p(0).getString(3), p(1).getString(3), p(0).getLong(1) / 86400000L))
+    }.toSeq
+    val (d0, d1) = (pairs.map(_._3).min, pairs.map(_._3).max)
+    val t1 = d0 + (d1 - d0 + 1) * 80 / 100
+    val model = pairs.filter(_._3 < t1).groupBy(p => (p._1, p._2))
+      .map { case ((s, t), g) => (s, t, g.size) }.groupBy(_._1)
+      .map { case (s, g) => s -> g.toSeq.sortBy(x => (-x._3, x._2)).head._2 }
+    val evalP = pairs.filter(p => p._3 >= t1 && model.contains(p._1))
+    val rows = graft.operators.Analytics.eventNextPred(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val mine = evalP.filter(_._1 == s)
+      assert(r.getString(1) == model(s), s"pred for $s")
+      assert(r.getLong(2) == mine.size.toLong, s"n_eval for $s")
+      assert(r.getLong(3) == mine.count(_._2 == model(s)).toLong, s"n_hit for $s")
+    }
+    assert(rows.map(_.getLong(2)).sum == evalP.size.toLong)
+  }
+
   test("markov attribution matches an independent chain replay") {
     import org.apache.spark.sql.functions.col
     val Scale = 1L << 30
