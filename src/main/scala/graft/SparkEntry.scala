@@ -435,6 +435,9 @@ object SparkEntry {
     "cms_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
     // integer-exact fixed-iteration PageRank over item co-engagement
     "item_pagerank" -> ((s, d) => Graph.itemPagerank(s, d)),
+    // HITS hubs/authorities on the temporally-directed item-flow
+    // graph, 4 integer-exact max-normalized rounds
+    "item_flow_hits" -> ((s, d) => Graph.itemFlowHits(s, d)),
     // deterministic synchronous label-propagation communities
     "item_communities" -> ((s, d) => Graph.itemCommunities(s, d)),
     // k-core backbone: synchronous peel to the k=8 fixpoint
@@ -3544,6 +3547,29 @@ object SparkEntry {
          |SELECT tok, exact, est, (est - exact)::BIGINT AS overcount
          |FROM est ORDER BY exact DESC, tok""".stripMargin,
     // 8 unrolled integer-exact damping steps (floor div both engines)
+    // transition-weighted directed edges from per-user lead()
+    // timelines; 4 unrolled integer HITS rounds, max-normalized
+    "item_flow_hits" ->
+      s"""WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+         |                   json_extract_string(props, '$$.k')::BIGINT AS item_id
+         |            FROM events
+         |            WHERE event_type IN ('view', 'click', 'purchase')
+         |              AND json_extract_string(props, '$$.k') IS NOT NULL),
+         |cnt AS (SELECT user_id, count(*) AS c FROM ev GROUP BY 1),
+         |ordv AS (SELECT e.item_id,
+         |                lead(e.item_id) OVER (PARTITION BY e.user_id
+         |                  ORDER BY e.ts_ms, e.event_id) AS nxt
+         |         FROM ev e JOIN cnt USING (user_id) WHERE cnt.c <= 2000),
+         |edges AS MATERIALIZED (SELECT item_id AS src, nxt AS dst, count(*) AS n
+         |          FROM ordv WHERE nxt IS NOT NULL AND nxt <> item_id GROUP BY 1, 2),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |h0 AS MATERIALIZED (SELECT id, 1048576::BIGINT AS s FROM nodes),
+         |${hitsSteps(4)}
+         |SELECT a4.id AS item_id, a4.s AS authority_scaled,
+         |       round(a4.s / 1048576.0, 5) AS authority,
+         |       round(coalesce(h4.s, 0) / 1048576.0, 5) AS hub
+         |FROM a4 LEFT JOIN h4 USING (id)
+         |ORDER BY a4.s DESC, item_id LIMIT 20""".stripMargin,
     "item_pagerank" ->
       s"""WITH ui AS (SELECT DISTINCT user_id,
          |                   json_extract_string(props, '$$.k')::BIGINT AS item_id
@@ -4678,6 +4704,22 @@ object SparkEntry {
        |$blocks,
        |conv$v AS MATERIALIZED (SELECT $convSum AS c)""".stripMargin
   }
+
+  /** Unrolled integer HITS rounds for `item_flow_hits`: per round,
+    * the transition-weighted authority sum over incoming hub mass,
+    * max-normalized to 2^20 by floor division, then the hub sum over
+    * outgoing authority mass, same normalization — the exact halves
+    * of [[graft.operators.Graph.itemFlowHits]].
+    */
+  private def hitsSteps(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""ar$r AS MATERIALIZED (SELECT e.dst AS id, sum(e.n * h.s)::BIGINT AS v
+         |  FROM edges e JOIN h${r - 1} h ON h.id = e.src GROUP BY 1),
+         |a$r AS MATERIALIZED (SELECT id, (v * 1048576 // (SELECT max(v) FROM ar$r))::BIGINT AS s FROM ar$r),
+         |hr$r AS MATERIALIZED (SELECT e.src AS id, sum(e.n * a.s)::BIGINT AS v
+         |  FROM edges e JOIN a$r a ON a.id = e.dst GROUP BY 1),
+         |h$r AS MATERIALIZED (SELECT id, (v * 1048576 // (SELECT max(v) FROM hr$r))::BIGINT AS s FROM hr$r)""".stripMargin
+    }.mkString(",\n")
 
   /** Unrolled synchronous k-core peel rounds d{i}/a{i}: degree
     * against alive DST endpoints only (deg ≥ k already implies src

@@ -177,6 +177,92 @@ object Graph {
       .limit(topN)
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over the temporally
+    * DIRECTED item-flow graph — unlike [[itemPagerank]]'s symmetric
+    * co-engagement edges, an edge here is a user moving from item i to
+    * item j consecutively in time, weighted by how many transitions
+    * took it. Authorities are the items sessions converge ON,
+    * hubs the items sessions route THROUGH — the asymmetry a
+    * popularity prior misses (merchandising landing pages are hubs,
+    * checkout-adjacent items authorities).
+    *
+    * Exact integer fixed point, the [[itemPagerank]] convention:
+    * scores are 2^20-scaled BIGINTs; each half-round is the
+    * weighted-neighbor BIGINT sum followed by max-normalization via
+    * `v·2^20 div max(v)` (floor division, order-independent), so the
+    * DuckDB oracle unrolls the identical `iters` rounds. 2^20 keeps
+    * `Σ n·s` under 2^63 up to ~10^12 total transitions; a bigger
+    * corpus halves the scale, never the algorithm. Items without
+    * out-edges simply carry no hub mass into later rounds (hub 0 in
+    * the report), the standard convention.
+    *
+    * Scale shape: users over `maxEvents` item-events drop BEFORE the
+    * lead() window (bot sessions pay the window cost and carry no
+    * flow signal); the weighted edge list builds once (ScratchCache,
+    * one windowed scan); each round is two item-keyed joins against
+    * the cached edges with map-side-combined sums; score state is
+    * |items| rows and each round re-materializes so the plan stays
+    * linear in `iters`. Final cut is a TakeOrdered.
+    */
+  def itemFlowHits(spark: SparkSession, dir: String, iters: Int = 4,
+                   topN: Int = 20, maxEvents: Int = 2000): DataFrame = {
+    val HScale = 1L << 20
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+    val cnt = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val edges = ScratchCache.materialize(
+      ev.join(cnt.where(col("c") <= maxEvents), Seq("user_id"))
+        .withColumn("nxt", lead(col("item_id"), 1).over(w))
+        .where(col("nxt").isNotNull && col("nxt") =!= col("item_id"))
+        .groupBy(col("item_id").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("n")))
+    if (edges.limit(1).isEmpty) {
+      // no consecutive distinct-item transitions: empty result, the
+      // oracle's shape (seedless itemPpr precedent)
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("item_id", LongType, nullable = true),
+          StructField("authority_scaled", LongType, nullable = true),
+          StructField("authority", DoubleType, nullable = true),
+          StructField("hub", DoubleType, nullable = true))))
+    }
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    var h = nodes.select(col("id"), lit(HScale).as("s"))
+    var a: DataFrame = null
+    // the max-normalizer is collected per half-round: a 1-row driver
+    // artifact (the itemPpr-seed convention) used as a LITERAL, so
+    // each round references the previous state exactly ONCE and the
+    // unrolled plan stays linear — normalizing via a second reference
+    // (crossJoin(broadcast(agg))) doubles the logical plan per round
+    // and costs minutes of pure Catalyst time by round 8
+    for (_ <- 1 to iters) {
+      val araw = ScratchCache.materialize(
+        edges.join(h.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(sum(col("n") * col("s")).as("v")))
+      val amax = araw.agg(max(col("v"))).head.getLong(0)
+      a = araw.select(col("id"), expr(s"v * $HScale div $amax").as("s"))
+      val hraw = ScratchCache.materialize(
+        edges.join(a.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id")).agg(sum(col("n") * col("s")).as("v")))
+      val hmax = hraw.agg(max(col("v"))).head.getLong(0)
+      h = hraw.select(col("id"), expr(s"v * $HScale div $hmax").as("s"))
+    }
+    a.join(h.withColumnRenamed("s", "hs"), Seq("id"), "left_outer")
+      .select(col("id").as("item_id"), col("s").as("authority_scaled"),
+        round(col("s") / HScale.toDouble, 5).as("authority"),
+        round(coalesce(col("hs"), lit(0L)) / HScale.toDouble, 5).as("hub"))
+      .orderBy(col("authority_scaled").desc, col("item_id"))
+      .limit(topN)
+  }
+
   /** Global triangle census over the co-engagement graph: triangle
     * count, wedge count and the global clustering coefficient
     * 3·triangles/wedges — the cohesion number that separates

@@ -235,4 +235,46 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(rows.head.getLong(1) > rows.last.getLong(1),
       "a co-engagement graph with any structure must not be rank-uniform")
   }
+
+  test("flow-HITS matches an independent driver replay of the integer rounds") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val HScale = 1L << 20
+    val ev = graft.Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .collect()
+    val byUser = ev.groupBy(_.getLong(0)).values
+      .filter(_.length <= 2000)
+      .map(_.sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getLong(3)).toSeq)
+    val edges = byUser.flatMap(seq =>
+      seq.sliding(2).filter(p => p.length == 2 && p(0) != p(1)).map(p => (p(0), p(1))))
+      .toSeq.groupBy(identity).map { case ((s, d), g) => (s, d, g.size.toLong) }.toSeq
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var h = nodes.map(_ -> HScale).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 4) {
+      val araw = edges.groupBy(_._2).map { case (d, g) =>
+        d -> g.map(e => e._3 * h.getOrElse(e._1, 0L)).sum }
+      val amax = araw.values.max
+      a = araw.map { case (k, v) => k -> v * HScale / amax }
+      val hraw = edges.groupBy(_._1).map { case (s, g) =>
+        s -> g.map(e => e._3 * a.getOrElse(e._2, 0L)).sum }
+      val hmax = hraw.values.max
+      h = hraw.map { case (k, v) => k -> v * HScale / hmax }
+    }
+    val expect = a.toSeq.sortBy { case (id, s) => (-s, id) }.take(20)
+    val rows = graft.operators.Graph.itemFlowHits(spark, TestSpark.sf).collect()
+    assert(rows.length == expect.length.min(20))
+    rows.zip(expect).foreach { case (r, (id, s)) =>
+      assert(r.getLong(0) == id, s"item order: got ${r.getLong(0)} want $id")
+      assert(r.getLong(1) == s, s"authority_scaled for $id")
+      assert(r.getDouble(2) ==
+        BigDecimal(s.toDouble / HScale).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getDouble(3) ==
+        BigDecimal(h.getOrElse(id, 0L).toDouble / HScale)
+          .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble, s"hub for $id")
+    }
+  }
 }
