@@ -512,6 +512,9 @@ object SparkEntry {
     "vocab_oov_rate" -> ((s, d) => TextAnalysis.vocabOovRate(s, d)),
     // kNN classifier confusion matrix (which clusters overlap)
     "knn_confusion" -> ((s, d) => VectorSearch.knnConfusion(s, d)),
+    // kNN plurality-disagreement label-noise triage with suggested
+    // relabels, denser bounded sample
+    "label_noise_suspects" -> ((s, d) => VectorSearch.labelNoiseSuspects(s, d)),
     // kNN length regression RMSE/MAE (distances-carry-signal probe)
     "knn_regress_eval" -> ((s, d) => VectorSearch.knnRegressEval(s, d)),
     // linear multi-touch revenue attribution to viewed items
@@ -4340,6 +4343,28 @@ object SparkEntry {
          |SELECT q_label::BIGINT AS q_label, n_label::BIGINT AS pred_label,
          |       count(*) AS n
          |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same scan at mod-5/128; plurality vote + agree count per query,
+    // suspects are plurality-disagreeing vectors ranked by the
+    // rounded disagreement ratio
+    "label_noise_suspects" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 5 = 0
+         |           ORDER BY vec_id LIMIT 128),
+         |s AS (SELECT q.q_id, q.q_label, e.vec_id AS n_id, e.label AS n_label,
+         |             ${cos5("e.embedding", "q.qv")} AS score
+         |      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+         |      FROM s QUALIFY rk <= 10),
+         |v AS (SELECT q_id, q_label, n_label, count(*) AS n_votes FROM r GROUP BY 1, 2, 3),
+         |p AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, n_label) AS vr
+         |      FROM v QUALIFY vr = 1),
+         |ag AS (SELECT q_id, count(CASE WHEN n_label = q_label THEN 1 END) AS n_agree
+         |       FROM r GROUP BY 1)
+         |SELECT p.q_id AS vec_id, p.q_label::BIGINT AS label,
+         |       p.n_label::BIGINT AS suggested_label, p.n_votes, ag.n_agree,
+         |       round((10 - ag.n_agree) / 10.0, 5) AS disagreement
+         |FROM p JOIN ag USING (q_id) WHERE p.n_label <> p.q_label
+         |ORDER BY disagreement DESC, p.n_votes DESC, vec_id LIMIT 25""".stripMargin,
     // same exact top-k window, n_chars target joined by id; the
     // prediction is an exact k-row integer sum divided once
     "knn_regress_eval" ->

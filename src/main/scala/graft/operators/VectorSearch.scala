@@ -232,6 +232,40 @@ object VectorSearch {
       .orderBy(col("q_id"))
   }
 
+  /** Label-noise suspects (Confident Learning's kNN-lite, Northcutt
+    * et al. 2021's diagnostic shape): sampled vectors whose k nearest
+    * neighbors' PLURALITY label disagrees with their own — ranked by
+    * neighborhood disagreement, with the plurality vote as the
+    * suggested relabel. The triage list a labeling owner reads before
+    * a noisy class poisons a trained filter; at 100 TB label audits
+    * run exactly this way, sampled and ANN-assisted.
+    *
+    * Same bounded broadcast batch / corpus scan / per-query window as
+    * [[knnClassify]] (denser sample, mod 5 capped at 128); the vote
+    * and agree counts are exact integers over exactly k rows, the
+    * disagreement ratio is one rounded division, and the cut orders
+    * (disagreement DESC, n_votes DESC, vec_id) — fully deterministic.
+    */
+  def labelNoiseSuspects(spark: SparkSession, dir: String, queryMod: Int = 5,
+                         k: Int = 10, maxQueries: Int = 128,
+                         topN: Int = 25): DataFrame = {
+    val kn = knnTopKByLabel(spark, dir, queryMod, k, maxQueries)
+    val votes = kn.groupBy(col("q_id"), col("q_label"), col("n_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val vw = Window.partitionBy(col("q_id")).orderBy(col("n_votes").desc, col("n_label"))
+    val top = votes.withColumn("vr", row_number().over(vw)).where(col("vr") === 1)
+    val agree = kn.groupBy(col("q_id"))
+      .agg(count(when(col("n_label") === col("q_label"), 1)).as("n_agree"))
+    top.join(agree, "q_id")
+      .where(col("n_label") =!= col("q_label"))
+      .select(col("q_id").as("vec_id"), col("q_label").cast("long").as("label"),
+        col("n_label").cast("long").as("suggested_label"), col("n_votes"),
+        col("n_agree"),
+        round((lit(k) - col("n_agree")) / lit(k.toDouble), 5).as("disagreement"))
+      .orderBy(col("disagreement").desc, col("n_votes").desc, col("vec_id"))
+      .limit(topN)
+  }
+
   /** Confusion matrix of the kNN classifier ([[knnClassify]] at a
     * denser query sample): counts per (true label, predicted label) —
     * the table that turns a single accuracy number into "label 3 is

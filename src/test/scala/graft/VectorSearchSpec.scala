@@ -933,4 +933,27 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(a.map(_.getLong(0)).count(exact) >= 6,
       s"recall collapsed: ${a.map(_.getLong(0)).toSeq} vs $exact")
   }
+
+  test("label-noise suspects: plurality disagrees, counts reconcile, ranked cut") {
+    val rows = graft.operators.VectorSearch
+      .labelNoiseSuspects(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lab, sug, votes, agree, dis) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(sug != lab, "a suspect's plurality label must differ from its own")
+      // the plurality count can never lose to the own-label count
+      assert(votes >= agree, s"votes $votes < agree $agree")
+      assert(votes >= 1 && votes <= 10 && agree >= 0 && agree <= 10)
+      assert(dis == (10 - agree) / 10.0, s"disagreement recount for ${r.getLong(0)}")
+    }
+    // ranked cut: disagreement DESC, then votes DESC, then vec_id
+    rows.sliding(2).foreach {
+      case Array(x, y) =>
+        val k1 = (-x.getDouble(5), -x.getLong(3), x.getLong(0))
+        val k2 = (-y.getDouble(5), -y.getLong(3), y.getLong(0))
+        assert(Ordering[(Double, Long, Long)].lteq(k1, k2), s"order violated: $k1 > $k2")
+      case _ => ()
+    }
+  }
 }
