@@ -395,6 +395,9 @@ object SparkEntry {
     "ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(s, d)),
     // interpolated bigram LM NLL — the word-salad detector unigrams miss
     "bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
+    // bigram LM fit on the 80% hash split, per-source eval-train NLL
+    // gap — the perplexity-filter generalization report
+    "lm_holdout_ppl" -> ((s, d) => TextAnalysis.lmHoldoutPpl(s, d)),
     // char-level Shannon entropy — zero-shuffle gibberish detector
     "doc_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
     // time-decayed trending items (exact dyadic decay arithmetic)
@@ -2766,6 +2769,39 @@ object SparkEntry {
     // the same adjacent-pairs construction as the Spark transform;
     // float literals cast ::DOUBLE so DuckDB doesn't run the
     // interpolation in DECIMAL arithmetic
+    // bigram LM fit on the 80% hash split only, scored on both
+    // splits; add-1 train-unigram backoff floors eval-only words;
+    // the gap comes from the ROUNDED per-side NLLs
+    "lm_holdout_ppl" ->
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2) AS l FROM documents),
+        |bg AS (SELECT doc_id, struct_extract(z, 1) AS w1, struct_extract(z, 2) AS w2
+        |       FROM (SELECT doc_id, unnest(list_zip(l[1:len(l) - 1], l[2:])) AS z FROM toks WHERE len(l) >= 2)),
+        |d AS MATERIALIZED (SELECT doc_id, source,
+        |       substr(md5(doc_id::VARCHAR), 1, 4) < 'cccc' AS is_train FROM documents),
+        |tf12 AS MATERIALIZED (SELECT doc_id, w1, w2, count(*) AS tf12 FROM bg GROUP BY 1, 2, 3),
+        |c12t AS (SELECT w1, w2, sum(tf12)::BIGINT AS c12
+        |         FROM tf12 JOIN d USING (doc_id) WHERE d.is_train GROUP BY 1, 2),
+        |terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |ctt AS MATERIALIZED (SELECT term, sum(tf)::BIGINT AS ct
+        |        FROM tf JOIN d USING (doc_id) WHERE d.is_train GROUP BY 1),
+        |tv AS (SELECT sum(ct)::BIGINT AS tot, count(*)::BIGINT AS v FROM ctt),
+        |sc AS (SELECT d.source, d.is_train, tf12.tf12,
+        |              tf12.tf12 * ln(0.75::DOUBLE * coalesce(c12t.c12 / c1.ct, 0.0)
+        |                + 0.25::DOUBLE * (coalesce(c2.ct, 0) + 1.0) / (tv.tot + tv.v)) AS lp
+        |       FROM tf12 JOIN d USING (doc_id)
+        |       LEFT JOIN c12t USING (w1, w2)
+        |       LEFT JOIN ctt c1 ON tf12.w1 = c1.term
+        |       LEFT JOIN ctt c2 ON tf12.w2 = c2.term, tv)
+        |SELECT source,
+        |       coalesce(sum(CASE WHEN is_train THEN tf12 END), 0)::BIGINT AS train_bigrams,
+        |       coalesce(sum(CASE WHEN NOT is_train THEN tf12 END), 0)::BIGINT AS eval_bigrams,
+        |       round(-sum(CASE WHEN is_train THEN lp END)
+        |             / sum(CASE WHEN is_train THEN tf12 END), 5) AS train_nll,
+        |       round(-sum(CASE WHEN NOT is_train THEN lp END)
+        |             / sum(CASE WHEN NOT is_train THEN tf12 END), 5) AS eval_nll,
+        |       round(eval_nll - train_nll, 5) AS gap
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "bigram_logprob" ->
       """WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2) AS l FROM documents),
         |bg AS (SELECT doc_id, struct_extract(z, 1) AS w1, struct_extract(z, 2) AS w2

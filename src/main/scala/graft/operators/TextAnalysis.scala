@@ -712,6 +712,70 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Held-out LM generalization report — [[bigramLogProb]]'s model
+    * actually VALIDATED: the interpolated bigram LM is fit on the
+    * deterministic 80% hash split only ([[Curation.hashSample]]'s
+    * md5 convention) and scored on BOTH splits, per source. The
+    * eval−train NLL gap is the overfit number that decides whether a
+    * perplexity filter's thresholds transfer to unseen data — a
+    * filter tuned on in-sample NLL silently tightens on fresh crawl.
+    *
+    * Smoothing: Jelinek–Mercer λ·c12/c1 on train counts, backing off
+    * to ADD-1 train unigrams (c2+1)/(T+V) so eval-only words keep a
+    * finite floor (pure JM would hand them p=0 → infinite NLL).
+    * λ = 0.75, an exact binary fraction; both engines build the
+    * identical float expression and round once per cell; the gap is
+    * computed from the ROUNDED NLLs. Sources with no train (or no
+    * eval) bigrams report NULL on that side, both engines.
+    *
+    * Scale shape: the [[bigramLogProb]] plan plus one broadcast split
+    * flag — per-doc bigram triples collapse map-side, the one
+    * corpus-scale join is (w1,w2)-keyed, train unigram counts are
+    * vocab-sized broadcasts, and the report is |sources| rows from a
+    * single conditional aggregate (no second scoring pass per split).
+    */
+  def lmHoldoutPpl(spark: SparkSession, dir: String, lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    val m = TextRetrieval.ensureModel(spark, dir)
+    val split = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      (substring(md5(col("doc_id").cast("string")), 1, 4) < "cccc").as("is_train"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextRetrieval.sklearnTokens(col("text")).as("l"))
+      .where(size(col("l")) >= 2)
+    val bg = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(l, 1, size(l) - 1), (x, i) -> struct(x AS w1, element_at(l, i + 2) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tf12 = graft.sources.ScratchCache.materialize(
+      bg.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("tf12"))
+        .join(split, "doc_id"))
+    val c12t = tf12.where(col("is_train"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("tf12")).as("c12"))
+    val ctt = graft.sources.ScratchCache.materialize(
+      m.tf.join(split.where(col("is_train")).select(col("doc_id")), "doc_id")
+        .groupBy(col("term")).agg(sum(col("tf")).as("ct")))
+    val tv = ctt.agg(sum(col("ct")).as("tot"), count(lit(1)).as("v"))
+    val p = lit(lambda) * coalesce(col("c12") / col("c1"), lit(0.0)) +
+      lit(1 - lambda) * (coalesce(col("c2"), lit(0L)) + 1.0) / (col("tot") + col("v"))
+    tf12
+      .join(c12t, Seq("w1", "w2"), "left_outer")
+      .join(ctt.select(col("term").as("w1"), col("ct").as("c1")), Seq("w1"), "left_outer")
+      .join(ctt.select(col("term").as("w2"), col("ct").as("c2")), Seq("w2"), "left_outer")
+      .crossJoin(broadcast(tv))
+      .select(col("source"), col("is_train"), col("tf12"),
+        (col("tf12") * log(p)).as("lp"))
+      .groupBy(col("source"))
+      .agg(
+        coalesce(sum(when(col("is_train"), col("tf12"))), lit(0L)).as("train_bigrams"),
+        coalesce(sum(when(col("is_train") === false, col("tf12"))), lit(0L)).as("eval_bigrams"),
+        round(-sum(when(col("is_train"), col("lp"))) /
+          sum(when(col("is_train"), col("tf12"))), 5).as("train_nll"),
+        round(-sum(when(col("is_train") === false, col("lp"))) /
+          sum(when(col("is_train") === false, col("tf12"))), 5).as("eval_nll"))
+      .withColumn("gap", round(col("eval_nll") - col("train_nll"), 5))
+      .orderBy(col("source"))
+  }
+
   /** Alphabet for [[charEntropy]]: lowercase ASCII letters + digits.
     * Shared with the oracle builder so both engines count the exact
     * same symbol set.

@@ -549,4 +549,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
     assert(got.toSeq == expected)
   }
+
+  test("holdout LM report: bigram totals recount, gap is the rounded difference") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.TextAnalysis.lmHoldoutPpl(spark, TestSpark.sf).collect()
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tokRe = "[a-z0-9_]+".r
+    val counts = docs.map { r =>
+      val toks = tokRe.findAllIn(r.getString(2).toLowerCase).filter(_.length >= 2).toSeq
+      val train = md5hex(r.getLong(0).toString).take(4) < "cccc"
+      (r.getString(1), train, math.max(toks.length - 1, 0).toLong)
+    }.filter(_._3 > 0)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val tb = counts.filter(c => c._1 == src && c._2).map(_._3).sum
+      val eb = counts.filter(c => c._1 == src && !c._2).map(_._3).sum
+      assert(r.getLong(1) == tb, s"train bigrams for $src")
+      assert(r.getLong(2) == eb, s"eval bigrams for $src")
+      if (!r.isNullAt(3)) assert(r.getDouble(3) > 0, "NLL must be positive")
+      if (!r.isNullAt(3) && !r.isNullAt(4)) {
+        val gap = BigDecimal(r.getDouble(4) - r.getDouble(3))
+          .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(5) == gap, s"gap recount for $src")
+      }
+    }
+  }
 }
