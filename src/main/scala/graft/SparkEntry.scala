@@ -220,6 +220,9 @@ object SparkEntry {
     // next-event argmax model trained on the first 80% of days,
     // hit rate per state on the eval days
     "event_next_pred" -> ((s, d) => Analytics.eventNextPred(s, d)),
+    // first-touch -> first-purchase latency percentiles per entry
+    // event type
+    "conversion_lag" -> ((s, d) => Analytics.conversionLag(s, d)),
     // Gini concentration of per-user activity (histogram fold, no global rank)
     "engagement_gini" -> ((s, d) => Analytics.engagementGini(s, d)),
     // week-over-week retained-active fraction
@@ -2110,6 +2113,20 @@ object SparkEntry {
         |       round(3.0 * (SELECT n_triangles FROM tri)
         |             / sum((d * (d - 1)) // 2), 5) AS clustering_coeff
         |FROM deg""".stripMargin,
+    // rank-1 first event under the unique (ts_ms, event_id) order,
+    // integer ms lags, quantile_cont ≡ percentile, one rounded
+    // division to hours per cell
+    "conversion_lag" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+        |f AS (SELECT user_id, event_type AS first_event_type, ts_ms AS t0 FROM e
+        |      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) = 1),
+        |p AS (SELECT user_id, min(ts_ms) AS tp FROM e WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT first_event_type, count(*) AS n_users,
+        |       round(sum(tp - t0) / count(*) / 3600000.0, 5) AS mean_hours,
+        |       round(quantile_cont(tp - t0, 0.5) / 3600000.0, 5) AS p50_hours,
+        |       round(quantile_cont(tp - t0, 0.9) / 3600000.0, 5) AS p90_hours
+        |FROM f JOIN p USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // integer epoch-day 80% boundary, (n DESC, t) train argmax,
     // eval pairs keyed to the SOURCE event's day
     "event_next_pred" ->

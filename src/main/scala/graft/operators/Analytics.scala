@@ -997,6 +997,48 @@ object Analytics {
       .orderBy(col("state"))
   }
 
+  /** Time-to-convert profile by ENTRY event type: for each user whose
+    * history contains a purchase, the lag from their first-ever event
+    * to their first purchase, cohorted by what that first event WAS —
+    * the table that says which front door converts fastest (and which
+    * entry cohort a nurture campaign should target). Complements
+    * [[eventsSurvival]] (purchase→repeat) and [[interEventGaps]]
+    * (all-event cadence) with the acquisition-side latency.
+    *
+    * Determinism: the first event is the row_number=1 row under the
+    * unique (ts_ms, event_id) order; lags are exact ms BIGINTs;
+    * percentiles are Spark `percentile` ≡ DuckDB `quantile_cont`
+    * (rank (n−1)·p linear interpolation, the [[userRfm]] parity) over
+    * those integers, and every hour conversion is one rounded division
+    * at the end. First-event-is-purchase users convert at lag 0 and
+    * stay in their cohort.
+    *
+    * Scale shape: one per-user window pass (rank-1 row via
+    * WindowGroupLimit) + one purchase min — both user-keyed map-side
+    * shapes; percentiles aggregate the |converting users|-row lag
+    * frame per cohort (|types| groups). At a distinct-lag cardinality
+    * that outgrows executor memory the drop-in is `approx_percentile`
+    * ([[lenDeciles]]' argument). Output is ≤|types| rows.
+    */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+    val first = ev.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("first_event_type"),
+        col("ts_ms").as("t0"))
+    val firstPurchase = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("tp"))
+    first.join(firstPurchase, "user_id")
+      .select(col("first_event_type"), (col("tp") - col("t0")).as("lag_ms"))
+      .groupBy(col("first_event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("lag_ms")) / count(lit(1)) / lit(3600000.0), 5).as("mean_hours"),
+        round(expr("percentile(lag_ms, 0.5D)") / lit(3600000.0), 5).as("p50_hours"),
+        round(expr("percentile(lag_ms, 0.9D)") / lit(3600000.0), 5).as("p90_hours"))
+      .orderBy(col("first_event_type"))
+  }
+
   /** Engagement concentration (Gini coefficient) over per-user event
     * counts — the inequality number behind "10% of users generate 90%
     * of traffic" that sizes hot-key risk before it bites a shuffle.

@@ -581,6 +581,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == evalP.size.toLong)
   }
 
+  test("conversion lag matches a driver replay of first-touch to first-purchase") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .collect()
+    val byUser = ev.groupBy(_.getLong(0))
+    val lags = byUser.values.flatMap { g =>
+      val sorted = g.sortBy(r => (r.getLong(1), r.getLong(2)))
+      val fp = sorted.filter(_.getString(3) == "purchase")
+      if (fp.isEmpty) None
+      else Some((sorted.head.getString(3),
+        fp.map(_.getLong(1)).min - sorted.head.getLong(1)))
+    }.toSeq
+    def pct(xs: Seq[Long], p: Double): Double = {
+      val s = xs.sorted.map(_.toDouble)
+      val r = (s.length - 1) * p
+      val (lo, hi) = (s(r.toInt), s(math.ceil(r).toInt))
+      lo + (hi - lo) * (r - r.toInt)
+    }
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.operators.Analytics.conversionLag(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getLong(1)).sum == lags.size.toLong)
+    rows.foreach { r =>
+      val mine = lags.filter(_._1 == r.getString(0)).map(_._2)
+      assert(r.getLong(1) == mine.size.toLong, s"n_users ${r.getString(0)}")
+      assert(r.getDouble(2) == r5(mine.sum.toDouble / mine.size / 3600000.0), "mean")
+      assert(r.getDouble(3) == r5(pct(mine, 0.5) / 3600000.0), "p50")
+      assert(r.getDouble(4) == r5(pct(mine, 0.9) / 3600000.0), "p90")
+    }
+  }
+
   test("markov attribution matches an independent chain replay") {
     import org.apache.spark.sql.functions.col
     val Scale = 1L << 30
