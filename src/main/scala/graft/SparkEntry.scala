@@ -456,6 +456,9 @@ object SparkEntry {
     "decontaminate_semantic" -> ((s, d) => Dedup.decontaminateSemantic(s, d)),
     // binary sign-quantized search (hamming shortlist + exact rerank)
     "ann_binary_topk" -> ((s, d) => Quantized.binaryTopK(s, d, queryId = 0, c = 50, k = 10)),
+    // bytes/vector vs mean/max squared reconstruction error across
+    // the quantization families, float32 anchoring at zero
+    "quant_error_report" -> ((s, d) => Quantized.quantErrorReport(s, d)),
     // Gopher long-n repetition battery (top-3gram share, dup-5/10gram)
     "doc_ngram_coverage" -> ((s, d) => TextAnalysis.ngramCoverage(s, d)),
     // per-type daily-count OLS slope (exact integer moments)
@@ -3819,6 +3822,45 @@ object SparkEntry {
          |SELECT sh.vec_id, sh.hamming, ${cos5("e.embedding", "qe.qv")} AS score
          |FROM sh JOIN embeddings e ON e.vec_id = sh.vec_id, qe
          |ORDER BY score DESC, sh.vec_id LIMIT 10""".stripMargin,
+    // per-row reconstruction errors as term-for-term mirrored
+    // algebraic expansions (sq8 decode, pq assignment min-distance
+    // via the refit codebooks, alpha*sign binary), rounded per row
+    // before the avg/max fold; pq subspace minima fold in s order
+    "quant_error_report" ->
+      s"""WITH RECURSIVE
+         |$pqFitCtes,
+         |ed AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+         |stt AS (SELECT min(list_min(emb)) AS mn, max(list_max(emb)) AS mx FROM ed),
+         |al AS (SELECT round(sum(list_sum(list_transform(emb, x -> abs(x)))) / (count(*) * 64), 5) AS alpha FROM ed),
+         |pqe AS MATERIALIZED (
+         |  SELECT vec_id, round(list_sum(list(md ORDER BY s)), 5) AS e_pq FROM (
+         |    SELECT sv.vec_id, sv.s,
+         |           min(list_dot_product(sv.v, sv.v) + list_sum(list_transform(b.centroid, x -> x * x)) - 2.0 * list_dot_product(sv.v, b.centroid)) AS md
+         |    FROM sv JOIN books b ON b.s = sv.s GROUP BY 1, 2)
+         |  GROUP BY vec_id),
+         |rowe AS (SELECT ed.vec_id, emb,
+         |    list_dot_product(emb, emb) AS sxx,
+         |    list_sum(emb) AS sx,
+         |    list_sum(list_transform(emb, x -> abs(x))) AS sabs,
+         |    list_transform(emb, x -> CASE WHEN stt.mx > stt.mn
+         |      THEN least(floor((x - stt.mn) / (stt.mx - stt.mn) * 256), 255.0)
+         |      ELSE 0.0 END) AS codes
+         |  FROM ed, stt),
+         |sq8e AS MATERIALIZED (SELECT vec_id,
+         |    round(sxx
+         |      - 2.0 * (stt.mn * sx + ((stt.mx - stt.mn) / 256) * (list_dot_product(emb, codes) + 0.5 * sx))
+         |      + (64 * stt.mn * stt.mn
+         |         + 2 * stt.mn * ((stt.mx - stt.mn) / 256) * (list_sum(codes) + 32.0)
+         |         + ((stt.mx - stt.mn) / 256) * ((stt.mx - stt.mn) / 256) * (list_dot_product(codes, codes) + list_sum(codes) + 16.0)), 5) AS e_sq8,
+         |    round(sxx - 2.0 * al.alpha * sabs + 64 * al.alpha * al.alpha, 5) AS e_bin
+         |  FROM rowe, stt, al)
+         |SELECT * FROM (
+         |  SELECT 'binary' AS family, 8::BIGINT AS bytes_per_vec,
+         |         round(avg(e_bin), 5) AS mean_sq_err, max(e_bin) AS max_sq_err FROM sq8e
+         |  UNION ALL SELECT 'float32', 256::BIGINT, 0.0, 0.0
+         |  UNION ALL SELECT 'pq', 8::BIGINT, round(avg(e_pq), 5), max(e_pq) FROM pqe
+         |  UNION ALL SELECT 'sq8', 64::BIGINT, round(avg(e_sq8), 5), max(e_sq8) FROM sq8e
+         |) ORDER BY family""".stripMargin,
     // list-comprehension n-grams exactly like the doc_repetition
     // oracle; dup fractions are pure list arithmetic, only the
     // top-trigram count aggregates

@@ -559,6 +559,92 @@ object Quantized {
       .orderBy(col("vec_id"))
   }
 
+  /** Compression-quality trade table across the quantization
+    * families: per family, bytes per vector and the mean / max
+    * squared reconstruction error over the corpus — the sizing table
+    * read NEXT TO the recall sweep (`ann_family_eval` measures what a
+    * family retrieves; this measures what it remembers, which is what
+    * bounds rerank quality and any downstream arithmetic on decoded
+    * vectors). float32 anchors the table at zero error.
+    *
+    * Reconstructions follow each family's own serving convention:
+    * SQ8 decodes x̂ᵢ = mn + (cᵢ+0.5)·s ([[sq8TopK]]'s decode), PQ
+    * reconstructs each subvector as its assigned codebook centroid
+    * (the error is the assignment's own min distance, so no code
+    * lookup is needed), binary as α·sgn(x) with α the corpus mean
+    * |component| — the optimal scalar for sign quantization — rounded
+    * to 5 decimals before use (the whitening-stats contract).
+    *
+    * Determinism: every per-row error is an algebraic expansion over
+    * exact array folds (dot products, ordered sums) whose expression
+    * SHAPE the oracle mirrors term for term, rounded to 5 per row
+    * before the avg/max aggregate; PQ's per-subspace min is an exact
+    * double min and the 8 subspace minima fold in subspace order.
+    *
+    * Scale shape: ONE pass over the cached double-cast corpus
+    * computes all three per-row errors (plus two 1-row stat
+    * aggregates and the shared build-once PQ codebooks); output is 4
+    * rows. No window, no join against anything corpus-sized.
+    */
+  def quantErrorReport(spark: SparkSession, dir: String, m: Int = 8,
+                       kCents: Int = 16): DataFrame = {
+    val (_, books) = ensurePqIndex(spark, dir, m, kCents)
+    val ed = graft.sources.ScratchCache.materialize(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb")))
+    val dim = ed.select(size(col("emb"))).head.getInt(0)
+    val sub = dim / m
+    val st = ed.agg(min(array_min(col("emb"))).as("mn"),
+      max(array_max(col("emb"))).as("mx")).head
+    val (mn, mx) = (st.getDouble(0), st.getDouble(1))
+    val s = (mx - mn) / 256
+    val alpha = {
+      val r = ed.agg(
+        sum(aggregate(col("emb"), lit(0.0), (a, x) => a + abs(x))).as("sa"),
+        count(lit(1)).as("n")).head
+      BigDecimal(r.getDouble(0) / (r.getLong(1) * dim))
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val withCols = ed
+      .withColumn("codes", transform(col("emb"), x =>
+        if (mx > mn)
+          least(floor((x - lit(mn)) / (lit(mx) - lit(mn)) * 256), lit(255.0))
+        else lit(0.0)))
+      .withColumn("sxx", dotd(col("emb"), col("emb")))
+      .withColumn("sx", aggregate(col("emb"), lit(0.0), (a, x) => a + x))
+      .withColumn("sabs", aggregate(col("emb"), lit(0.0), (a, x) => a + abs(x)))
+      .withColumn("cC", aggregate(col("codes"), lit(0.0), (a, x) => a + x))
+      .withColumn("p", dotd(col("emb"), col("codes")))
+      .withColumn("cc2", dotd(col("codes"), col("codes")))
+    val errSq8 = round(col("sxx")
+      - lit(2.0) * (lit(mn) * col("sx") + lit(s) * (col("p") + lit(0.5) * col("sx")))
+      + (lit(dim * mn * mn) + lit(2 * mn * s) * (col("cC") + lit(32.0))
+        + lit(s * s) * (col("cc2") + col("cC") + lit(16.0))), 5)
+    val errBin = round(col("sxx") - lit(2.0) * lit(alpha) * col("sabs")
+      + lit(dim.toDouble) * lit(alpha) * lit(alpha), 5)
+    val errPq = round((0 until m).map { si =>
+      val slice = expr(s"slice(emb, ${si * sub + 1}, $sub)")
+      val ss = dotd(slice, slice)
+      array_min(array(books(si).map { c =>
+        val cc = c.map(x => x * x).sum
+        ss + lit(cc) - lit(2.0) * dotd(slice, typedlit(c))
+      }: _*))
+    }.reduce(_ + _), 5)
+    val aggd = withCols
+      .select(errSq8.as("e_sq8"), errPq.as("e_pq"), errBin.as("e_bin"))
+      .agg(round(avg(col("e_sq8")), 5).as("sq8_avg"), max(col("e_sq8")).as("sq8_max"),
+        round(avg(col("e_pq")), 5).as("pq_avg"), max(col("e_pq")).as("pq_max"),
+        round(avg(col("e_bin")), 5).as("bin_avg"), max(col("e_bin")).as("bin_max"))
+    aggd.selectExpr(
+      s"""stack(4,
+         |  'binary', ${dim / 8}L, bin_avg, bin_max,
+         |  'float32', ${4 * dim}L, 0.0D, 0.0D,
+         |  'pq', ${m}L, pq_avg, pq_max,
+         |  'sq8', ${dim}L, sq8_avg, sq8_max
+         |) AS (family, bytes_per_vec, mean_sq_err, max_sq_err)""".stripMargin)
+      .orderBy(col("family"))
+  }
+
   /** Binary (sign) quantization search — the FAISS IndexBinaryFlat
     * shape: each vector compresses to ONE 64-bit word (bit i set iff
     * component i > 0 — 256 B → 8 B, the most aggressive compression in

@@ -956,4 +956,51 @@ class VectorSearchSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("quantization error report matches a driver recount per family") {
+    import org.apache.spark.sql.functions.col
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = graft.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = vecs.head.length
+    val (mn, mx) = (vecs.map(_.min).min, vecs.map(_.max).max)
+    val s = (mx - mn) / 256
+    val eSq8 = vecs.map { v =>
+      r5(v.map { x =>
+        val c = if (mx > mn) math.min(math.floor((x - mn) / (mx - mn) * 256), 255.0) else 0.0
+        val xh = mn + s * (c + 0.5)
+        (x - xh) * (x - xh)
+      }.sum)
+    }
+    val alpha = r5(vecs.map(_.map(math.abs).sum).sum / (vecs.length.toLong * dim))
+    val eBin = vecs.map { v =>
+      r5(v.map { x => val xh = if (x > 0) alpha else -alpha; (x - xh) * (x - xh) }.sum)
+    }
+    val (_, books) = graft.operators.Quantized.ensurePqIndex(spark, TestSpark.sf, 8, 16)
+    val sub = dim / 8
+    val ePq = vecs.map { v =>
+      r5((0 until 8).map { si =>
+        val x = v.slice(si * sub, (si + 1) * sub)
+        books(si).map(c => x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      }.sum)
+    }
+    val rows = graft.operators.Quantized.quantErrorReport(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("binary", "float32", "pq", "sq8"))
+    def check(fam: String, errs: Array[Double], tol: Double): Unit = {
+      val r = rows(fam)
+      assert(math.abs(r.getDouble(2) - r5(errs.sum / errs.length)) <= tol, s"$fam mean")
+      assert(math.abs(r.getDouble(3) - errs.max) <= tol, s"$fam max")
+    }
+    // driver recount folds per-element; the engine folds algebraically
+    // expanded terms — agreement within a 1e-4 float-assoc tolerance
+    check("sq8", eSq8, 1e-4); check("binary", eBin, 1e-4); check("pq", ePq, 1e-4)
+    assert(rows("float32").getDouble(2) == 0.0 && rows("float32").getDouble(3) == 0.0)
+    assert(rows("sq8").getLong(1) == 64 && rows("pq").getLong(1) == 8 &&
+      rows("binary").getLong(1) == 8 && rows("float32").getLong(1) == 256)
+    // the families the table exists to rank: fewer bytes, more error
+    assert(rows("sq8").getDouble(2) < rows("pq").getDouble(2),
+      "sq8 at 64 B must reconstruct better than pq at 8 B")
+  }
 }
