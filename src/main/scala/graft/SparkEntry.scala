@@ -355,6 +355,10 @@ object SparkEntry {
       "Spark JOIN, vector-search! spark", alpha = 0.7, k = 10, metaFilter = None)),
     // rank-based fusion (RRF) — the other standard hybrid: no score
     // normalization, each leg contributes 1/(60+rank) from its top-100
+    // pairwise overlap/jaccard/rank-shift across bm25, rrf, tfidf
+    // top-10s on the shared demo query
+    "ranker_agreement" -> ((s, d) => TextRetrieval.rankerAgreement(s, d, demoQueryVec,
+      Seq("spark", "join", "vector"), k = 10)),
     "hybrid_rrf" -> ((s, d) => TextRetrieval.rrfTopK(s, d, demoQueryVec,
       Seq("spark", "join", "vector"), k = 10)),
     // exact phrase search over the persisted positional posting lists;
@@ -2647,6 +2651,56 @@ object SparkEntry {
     // RRF: ranks are deterministic ((score DESC, doc_id) over
     // bit-identical scores, SURVEY §4), so the fused score is exact
     // integer arithmetic in double — no normalization anywhere
+    // the three ranked legs replayed exactly as their own oracles,
+    // then integer set metrics over the full 3-pair grid (a pair with
+    // no shared docs keeps its row, NULL mean shift)
+    "ranker_agreement" ->
+      s"""WITH $tfidfCtes,
+         |qy AS (SELECT term FROM (VALUES ('spark'), ('join'), ('vector')) t(term)),
+         |qw AS (SELECT qy.term, ln((nn.n + 1) / (dfv.df + 1)) + 1 AS qw FROM qy JOIN dfv USING (term), nn),
+         |qn AS (SELECT sqrt(sum(qw * qw)) AS qn FROM qw),
+         |tft AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rk FROM (
+         |  SELECT w.doc_id, round(sum(w.w / nrm.nrm * qw.qw / qn.qn), 5) AS s
+         |  FROM w JOIN qw USING (term) JOIN nrm USING (doc_id), qn GROUP BY 1)
+         |  QUALIFY rk <= 10),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+         |qi AS (SELECT term, ln((nn.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1) AS qidf
+         |       FROM qy JOIN dfv USING (term), nn),
+         |bs AS (SELECT tf.doc_id, sum(qi.qidf * tf.tf * (1.2 + 1.0) /
+         |              (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))) AS ts
+         |       FROM tf JOIN qi USING (term) JOIN dl USING (doc_id), ad GROUP BY 1),
+         |bmt AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rk FROM (
+         |  SELECT doc_id, round(ts, 5) AS s FROM bs) QUALIFY rk <= 10),
+         |qv AS (SELECT $qvSqlList::DOUBLE[] AS qv),
+         |vsx AS (SELECT e.vec_id AS doc_id, ${cosRaw("e.embedding", "qv.qv")} AS vs
+         |        FROM embeddings e, qv),
+         |vr AS (SELECT doc_id, row_number() OVER (ORDER BY vs DESC, doc_id) AS rv
+         |       FROM vsx QUALIFY rv <= 100),
+         |br AS (SELECT doc_id, row_number() OVER (ORDER BY ts DESC, doc_id) AS rb
+         |       FROM bs QUALIFY rb <= 100),
+         |rrft AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rk FROM (
+         |  SELECT coalesce(vr.doc_id, br.doc_id) AS doc_id,
+         |         round(coalesce(1.0 / (60 + rv), 0) + coalesce(1.0 / (60 + rb), 0), 6) AS s
+         |  FROM vr FULL JOIN br ON vr.doc_id = br.doc_id)
+         |  QUALIFY rk <= 10),
+         |allr AS (SELECT 'bm25' AS rnk, doc_id, rk FROM bmt
+         |         UNION ALL SELECT 'rrf', doc_id, rk FROM rrft
+         |         UNION ALL SELECT 'tfidf', doc_id, rk FROM tft),
+         |pg AS (SELECT * FROM (VALUES ('bm25', 'rrf'), ('bm25', 'tfidf'), ('rrf', 'tfidf')) t(ra, rb)),
+         |ov AS (SELECT a.rnk AS ra, b.rnk AS rb,
+         |              count(CASE WHEN a.rk <= 5 AND b.rk <= 5 THEN 1 END)::BIGINT AS o5,
+         |              count(*)::BIGINT AS o10,
+         |              round(sum(abs(a.rk - b.rk)) / count(*), 5) AS shift
+         |       FROM allr a JOIN allr b ON a.doc_id = b.doc_id AND a.rnk < b.rnk
+         |       GROUP BY 1, 2)
+         |SELECT pg.ra AS ranker_a, pg.rb AS ranker_b,
+         |       coalesce(ov.o5, 0) AS overlap_at5,
+         |       coalesce(ov.o10, 0) AS overlap_at10,
+         |       round(coalesce(ov.o10, 0) / (20.0 - coalesce(ov.o10, 0)), 5) AS jaccard_at10,
+         |       ov.shift AS mean_rank_shift
+         |FROM pg LEFT JOIN ov ON ov.ra = pg.ra AND ov.rb = pg.rb
+         |ORDER BY 1, 2""".stripMargin,
     "hybrid_rrf" ->
       s"""WITH terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),

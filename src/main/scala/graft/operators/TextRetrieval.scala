@@ -715,4 +715,49 @@ object TextRetrieval {
       .orderBy(col("maxsim_score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Ranker-agreement diagnostic: pairwise overlap@5 / overlap@10 /
+    * Jaccard@10 and the mean rank displacement over the shared docs,
+    * across the three production rankers (BM25, RRF fusion, TF-IDF)
+    * on the same query — the system-comparison table an IR owner
+    * reads before swapping rankers (high agreement means a cheap
+    * ranker can serve; low agreement means the fusion is adding real
+    * signal, Webber et al.'s rank-similarity motivation at the
+    * fixed-k depth the serving path actually uses).
+    *
+    * Each leg is the already-deterministic top-k (rounded scores,
+    * doc_id ties); the k-row lists are bounded driver artifacts (the
+    * markov-matrix convention), so the pair metrics are exact integer
+    * set operations plus two rounded divisions. A pair with no shared
+    * docs reports NULL mean shift on both engines. Output is 3 rows.
+    */
+  def rankerAgreement(spark: SparkSession, dir: String, qv: Array[Float],
+                      queryTerms: Seq[String], k: Int = 10): DataFrame = {
+    import spark.implicits._
+    def ranked(df: DataFrame): Map[Long, Int] =
+      df.select(col("doc_id")).collect().map(_.getLong(0)).zipWithIndex
+        .map { case (d, i) => d -> (i + 1) }.toMap
+    val lists = Seq(
+      "bm25" -> ranked(bm25TopK(spark, dir, queryTerms, k)),
+      "rrf" -> ranked(rrfTopK(spark, dir, qv, queryTerms, k)),
+      "tfidf" -> ranked(tfidfTopK(spark, dir, queryTerms, k)))
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = for {
+      i <- lists.indices
+      j <- lists.indices if i < j
+    } yield {
+      val (na, a) = lists(i)
+      val (nb, b) = lists(j)
+      val inter = a.keySet & b.keySet
+      val o5 = (a.filter(_._2 <= 5).keySet & b.filter(_._2 <= 5).keySet).size.toLong
+      val jac = r5(inter.size.toDouble / (a.size + b.size - inter.size))
+      val shift: Option[Double] =
+        if (inter.isEmpty) None
+        else Some(r5(inter.toSeq.map(d => math.abs(a(d) - b(d))).sum.toDouble / inter.size))
+      (na, nb, o5, inter.size.toLong, jac, shift)
+    }
+    rows.toDF("ranker_a", "ranker_b", "overlap_at5", "overlap_at10",
+      "jaccard_at10", "mean_rank_shift")
+      .orderBy(col("ranker_a"), col("ranker_b"))
+  }
 }

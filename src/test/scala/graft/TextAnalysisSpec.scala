@@ -577,4 +577,34 @@ class TextAnalysisSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ranker agreement reconciles with the three ranked lists") {
+    import org.apache.spark.sql.functions.col
+    val terms = Seq("spark", "join", "vector")
+    val qv = graft.SparkEntry.demoQueryVec
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select(col("doc_id")).collect().map(_.getLong(0)).zipWithIndex
+        .map { case (d, i) => d -> (i + 1) }.toMap
+    val lists = Map(
+      "bm25" -> ranks(graft.operators.TextRetrieval.bm25TopK(spark, TestSpark.sf, terms, 10)),
+      "rrf" -> ranks(graft.operators.TextRetrieval.rrfTopK(spark, TestSpark.sf, qv, terms, 10)),
+      "tfidf" -> ranks(graft.operators.TextRetrieval.tfidfTopK(spark, TestSpark.sf, terms, 10)))
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.operators.TextRetrieval
+      .rankerAgreement(spark, TestSpark.sf, qv, terms).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("bm25", "rrf"), ("bm25", "tfidf"), ("rrf", "tfidf")))
+    rows.foreach { r =>
+      val (a, b) = (lists(r.getString(0)), lists(r.getString(1)))
+      val inter = a.keySet & b.keySet
+      assert(r.getLong(3) == inter.size.toLong, "overlap@10")
+      assert(r.getLong(2) ==
+        (a.filter(_._2 <= 5).keySet & b.filter(_._2 <= 5).keySet).size.toLong, "overlap@5")
+      assert(r.getDouble(4) == r5(inter.size.toDouble / (20 - inter.size)), "jaccard")
+      if (inter.nonEmpty)
+        assert(r.getDouble(5) ==
+          r5(inter.toSeq.map(d => math.abs(a(d) - b(d))).sum.toDouble / inter.size), "shift")
+      else assert(r.isNullAt(5))
+    }
+  }
 }
