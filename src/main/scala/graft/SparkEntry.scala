@@ -483,6 +483,8 @@ object SparkEntry {
     "user_lifecycle" -> ((s, d) => Analytics.userLifecycle(s, d)),
     // leave-last-out hit-rate@K of the co-visitation recommender
     "rec_holdout_eval" -> ((s, d) => Rec.recHoldoutEval(s, d)),
+    // leave-last-out eval of the first-order Markov next-item chain
+    "rec_markov_next" -> ((s, d) => Rec.recMarkovNext(s, d)),
     // user-user CF: integer-scaled cosine neighborhoods, top-k recs
     "rec_usercf_topk" -> ((s, d) => Rec.recUserCfTopK(s, d)),
     // sequential-recommender (context, target) training windows
@@ -4096,6 +4098,33 @@ object SparkEntry {
         |FROM sc QUALIFY rank <= 10 ORDER BY user_id, rank""".stripMargin,
     // fit on train only, the holdout's rank among candidates counted
     // directly (strictly-better + tie-smaller-id), hit@K = rank<=K
+    // sequence pairs from one lead()/row_number() pass; the final hop
+    // (rn = c-1) is the test case, strictly-earlier pairs train the
+    // argmax chain
+    "rec_markov_next" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+        |                  json_extract_string(props, '$.k')::BIGINT AS item_id
+        |           FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')
+        |             AND json_extract_string(props, '$.k') IS NOT NULL),
+        |cnt AS (SELECT user_id, count(*) AS c FROM ev GROUP BY 1),
+        |sq AS MATERIALIZED (SELECT e.user_id, e.item_id AS src,
+        |        lead(e.item_id) OVER (PARTITION BY e.user_id ORDER BY e.ts_ms, e.event_id) AS dst,
+        |        row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts_ms, e.event_id) AS rn,
+        |        cnt.c
+        |      FROM ev e JOIN cnt USING (user_id)
+        |      WHERE cnt.c BETWEEN 2 AND 2000 QUALIFY dst IS NOT NULL),
+        |m AS (SELECT src, dst, count(*) AS n FROM sq WHERE rn < c - 1 GROUP BY 1, 2),
+        |p AS (SELECT src, dst AS pred FROM m
+        |      QUALIFY row_number() OVER (PARTITION BY src ORDER BY n DESC, dst) = 1),
+        |t AS (SELECT user_id, src, dst FROM sq WHERE rn = c - 1)
+        |SELECT count(*) AS n_users,
+        |       count(p.pred) AS n_scored,
+        |       count(CASE WHEN p.pred = t.dst THEN 1 END) AS n_hits,
+        |       CASE WHEN count(p.pred) = 0 THEN 0.0
+        |            ELSE round(count(CASE WHEN p.pred = t.dst THEN 1 END) / count(p.pred), 5) END AS hit_rate,
+        |       round(count(p.pred) / count(*), 5) AS coverage
+        |FROM t LEFT JOIN p USING (src)""".stripMargin,
     "rec_holdout_eval" ->
       """WITH ev AS (SELECT user_id,
         |                   json_extract_string(props, '$.k')::BIGINT AS item_id,

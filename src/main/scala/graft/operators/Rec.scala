@@ -496,4 +496,61 @@ object Rec {
         col("score_scaled"), col("n_nbrs"))
       .orderBy(col("user_id"), col("rank"))
   }
+
+  /** Leave-last-out eval of the FIRST-ORDER MARKOV next-item
+    * recommender — the sequence-model baseline next to
+    * [[recHoldoutEval]]'s co-visitation and [[recContentHoldout]]'s
+    * content scoring (every sequential recommender paper benchmarks
+    * against exactly this chain; if GRU4Rec-shaped training data from
+    * [[seqPrep]] can't beat it, the model isn't learning order). Per
+    * user the SEQUENCE of item events (not the distinct basket) is
+    * ordered by the unique (ts_ms, event_id) key; the final
+    * transition (second-to-last item → last item) is the test case,
+    * the transition matrix trains on all consecutive pairs STRICTLY
+    * BEFORE it (the held-out hop contributes zero counts — no
+    * leakage), and the prediction is the trained argmax successor
+    * (count DESC, item ASC). One summary row reports eligible users,
+    * scored users (their previous item was seen as a train source —
+    * the model's coverage), hits, hit rate over scored, and coverage.
+    *
+    * Scale shape: users over `maxEvents` item-events drop before the
+    * window ([[Graph.itemFlowHits]]' bot cut); one lead()/row_number()
+    * window pass builds pairs and test hops, the matrix is an
+    * item-pair-keyed count aggregate, the argmax a window over that
+    * bounded frame, and the eval one broadcast-model join. All counts
+    * exact BIGINTs; the two ratios round once each.
+    */
+  def recMarkovNext(spark: SparkSession, dir: String,
+                    maxEvents: Int = 2000): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+    val cnt = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val seq = ScratchCache.materialize(
+      ev.join(cnt.where(col("c") >= 2 && col("c") <= maxEvents), Seq("user_id"))
+        .withColumn("nxt", lead(col("item_id"), 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .where(col("nxt").isNotNull)
+        .select(col("user_id"), col("item_id").as("src"), col("nxt").as("dst"),
+          col("rn"), col("c")))
+    // the user's final hop is rn = c - 1; everything before it trains
+    val model = seq.where(col("rn") < col("c") - 1)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val wArg = Window.partitionBy(col("src")).orderBy(col("n").desc, col("dst"))
+    val pred = model.withColumn("rk", row_number().over(wArg))
+      .where(col("rk") === 1).select(col("src"), col("dst").as("pred"))
+    val test = seq.where(col("rn") === col("c") - 1)
+      .select(col("user_id"), col("src"), col("dst"))
+    test.join(broadcast(pred), Seq("src"), "left_outer")
+      .agg(count(lit(1)).as("n_users"),
+        count(col("pred")).as("n_scored"),
+        count(when(col("pred") === col("dst"), 1)).as("n_hits"))
+      .select(col("n_users"), col("n_scored"), col("n_hits"),
+        when(col("n_scored") === 0, lit(0.0))
+          .otherwise(round(col("n_hits") / col("n_scored"), 5)).as("hit_rate"),
+        round(col("n_scored") / col("n_users"), 5).as("coverage"))
+  }
 }

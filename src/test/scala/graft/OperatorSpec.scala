@@ -581,6 +581,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == evalP.size.toLong)
   }
 
+  test("markov next-item eval matches a driver leave-last-out replay") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val ev = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .collect()
+    val seqs = ev.groupBy(_.getLong(0)).values
+      .map(_.sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getLong(3)).toSeq)
+      .filter(s => s.length >= 2 && s.length <= 2000).toSeq
+    val trainPairs = seqs.flatMap(s => s.dropRight(1).sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))))
+    val model = trainPairs.groupBy(_._1).map { case (src, g) =>
+      src -> g.groupBy(_._2).map { case (d, h) => (d, h.size) }.toSeq
+        .sortBy(x => (-x._2, x._1)).head._1
+    }
+    val tests = seqs.map(s => (s(s.length - 2), s.last))
+    val scored = tests.filter(t => model.contains(t._1))
+    val hits = scored.count(t => model(t._1) == t._2)
+    val r = graft.operators.Rec.recMarkovNext(spark, TestSpark.sf).collect().head
+    assert(r.getLong(0) == tests.size.toLong, "n_users")
+    assert(r.getLong(1) == scored.size.toLong, "n_scored")
+    assert(r.getLong(2) == hits.toLong, "n_hits")
+  }
+
   test("conversion lag matches a driver replay of first-touch to first-purchase") {
     import org.apache.spark.sql.functions.col
     val ev = Tables.events(spark, TestSpark.sf)
