@@ -223,6 +223,9 @@ object SparkEntry {
     // first-touch -> first-purchase latency percentiles per entry
     // event type
     "conversion_lag" -> ((s, d) => Analytics.conversionLag(s, d)),
+    // seasonal-naive vs naive daily-count forecast backtest (MAE over
+    // the last 7 days) per event type
+    "events_forecast" -> ((s, d) => Analytics.eventsForecast(s, d)),
     // Gini concentration of per-user activity (histogram fold, no global rank)
     "engagement_gini" -> ((s, d) => Analytics.engagementGini(s, d)),
     // week-over-week retained-active fraction
@@ -2122,6 +2125,26 @@ object SparkEntry {
         |       round(3.0 * (SELECT n_triangles FROM tri)
         |             / sum((d * (d - 1)) // 2), 5) AS clustering_coeff
         |FROM deg""".stripMargin,
+    // dense (type x day) grid zero-fills silent days; both forecasts
+    // are grid self-joins at day-7 / day-1; exact integer MAE sums,
+    // winner from the ROUNDED columns
+    "events_forecast" ->
+      """WITH daily AS MATERIALIZED (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |         count(*) AS n FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |days AS (SELECT unnest(range(d0, d1 + 1)) AS day, d1 FROM b WHERE d1 - d0 >= 14),
+        |g AS MATERIALIZED (SELECT t.event_type, days.day, days.d1, coalesce(daily.n, 0) AS n
+        |     FROM (SELECT DISTINCT event_type FROM daily) t
+        |     CROSS JOIN days
+        |     LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = days.day)
+        |SELECT g.event_type, count(*) AS n_days,
+        |       round(sum(abs(g.n - s.n)) / count(*), 5) AS mae_seasonal,
+        |       round(sum(abs(g.n - p.n)) / count(*), 5) AS mae_naive,
+        |       CASE WHEN mae_seasonal <= mae_naive THEN 'seasonal' ELSE 'naive' END AS winner
+        |FROM g JOIN g s ON s.event_type = g.event_type AND s.day = g.day - 7
+        |       JOIN g p ON p.event_type = g.event_type AND p.day = g.day - 1
+        |WHERE g.day > g.d1 - 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // rank-1 first event under the unique (ts_ms, event_id) order,
     // integer ms lags, quantile_cont ≡ percentile, one rounded
     // division to hours per cell

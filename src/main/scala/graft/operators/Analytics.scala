@@ -997,6 +997,56 @@ object Analytics {
       .orderBy(col("state"))
   }
 
+  /** Seasonal-naive forecast backtest over daily event counts — the
+    * capacity-planning sanity check behind [[eventsSeasonality]]'s
+    * load profile: on the LAST 7 days, compare the week-ago forecast
+    * (count(d−7), seasonal-naive) against the yesterday forecast
+    * (count(d−1), naive carry-forward) per event type, by MAE. If
+    * seasonal doesn't beat naive here, the weekly profile is noise
+    * and sizing from it over-provisions — the go/no-go read before
+    * anyone trusts a seasonality table.
+    *
+    * Determinism: days are exact integer epoch-day division; the
+    * dense (type × day) grid fills silent days with 0 so both
+    * forecasts are defined everywhere; MAE is an exact BIGINT sum of
+    * absolute differences with one rounded division. Output is
+    * |types| rows; needs ≥15 days of data (7 backtest days each with
+    * a d−7 lookback), else empty on both engines.
+    *
+    * Scale shape: ONE narrow count aggregate is the corpus-scale
+    * work; the grid, joins and MAE fold run on the bounded
+    * |types|·|days| frame.
+    */
+  def eventsForecast(spark: SparkSession, dir: String, horizon: Int = 7): DataFrame = {
+    val dayMs = 86400000L
+    val daily = graft.sources.ScratchCache.materialize(
+      Tables.events(spark, dir)
+        .select(col("event_type"), expr(s"ts_ms div $dayMs").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n")))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .where(col("d1") - col("d0") >= 2 * horizon)
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"),
+        col("d1"))
+      .join(daily, Seq("event_type", "day"), "left_outer")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val c = grid.select(col("event_type"), col("day"), col("n"), col("d1"))
+    c.where(col("day") > col("d1") - horizon)
+      .join(c.select(col("event_type"), (col("day") + horizon).as("day"),
+        col("n").as("f_seasonal")), Seq("event_type", "day"))
+      .join(c.select(col("event_type"), (col("day") + 1).as("day"),
+        col("n").as("f_naive")), Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(abs(col("n") - col("f_seasonal"))) / count(lit(1)), 5).as("mae_seasonal"),
+        round(sum(abs(col("n") - col("f_naive"))) / count(lit(1)), 5).as("mae_naive"))
+      .withColumn("winner",
+        when(col("mae_seasonal") <= col("mae_naive"), lit("seasonal"))
+          .otherwise(lit("naive")))
+      .orderBy(col("event_type"))
+  }
+
   /** Time-to-convert profile by ENTRY event type: for each user whose
     * history contains a purchase, the lag from their first-ever event
     * to their first purchase, cohorted by what that first event WAS —

@@ -581,6 +581,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == evalP.size.toLong)
   }
 
+  test("forecast backtest matches a driver seasonal/naive MAE recount") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("event_type"), col("ts_ms")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400000L))
+    val daily = ev.groupBy(identity).map { case ((t, d), g) => (t, d) -> g.size.toLong }
+    val (d0, d1) = (ev.map(_._2).min, ev.map(_._2).max)
+    assert(d1 - d0 >= 14, "test corpus must span 15+ days")
+    def n(t: String, d: Long) = daily.getOrElse((t, d), 0L)
+    val types = ev.map(_._1).distinct.sorted
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.operators.Analytics.eventsForecast(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == types.toSeq)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val days = (d1 - 6) to d1
+      assert(r.getLong(1) == 7L)
+      assert(r.getDouble(2) == r5(days.map(d => math.abs(n(t, d) - n(t, d - 7))).sum / 7.0))
+      assert(r.getDouble(3) == r5(days.map(d => math.abs(n(t, d) - n(t, d - 1))).sum / 7.0))
+      assert(r.getString(4) == (if (r.getDouble(2) <= r.getDouble(3)) "seasonal" else "naive"))
+    }
+  }
+
   test("markov next-item eval matches a driver leave-last-out replay") {
     import org.apache.spark.sql.functions.{col, get_json_object}
     val ev = Tables.events(spark, TestSpark.sf)
