@@ -295,6 +295,12 @@ object SparkEntry {
     // --- LLM-data-pipeline operators ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    // pair/doc-flag counts per candidate jaccard threshold from one
+    // scored pair frame — the dedup-knob sizing table
+    "dedup_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(s, d)),
+    // behavioral item refs vs embedding corpus vs document catalog,
+    // item- and event-weighted coverage
+    "item_coverage_audit" -> ((s, d) => Curation.itemCoverageAudit(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_cc" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
@@ -2386,6 +2392,58 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS hash,
         |       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the ngram-jaccard pair frame scored once with NO threshold
+    // filter, then a 5-row conditional aggregate over the grid;
+    // flagged docs are the pairs' larger ids (keep-smaller-id)
+    "dedup_threshold_sweep" ->
+      s"""WITH $cappedShingleCtes,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pr AS MATERIALIZED (SELECT b_id,
+         |        round(inter / (sa.sz + sb.sz - inter), 5) AS j
+         |      FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id),
+         |ph AS (SELECT j, count(*) AS np FROM pr GROUP BY 1),
+         |bh AS (SELECT mj, count(*) AS nb FROM (
+         |         SELECT b_id, max(j) AS mj FROM pr GROUP BY 1) GROUP BY 1),
+         |th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |npx AS (SELECT th.threshold,
+         |          coalesce(sum(CASE WHEN ph.j >= th.threshold THEN ph.np END), 0)::BIGINT AS n_pairs
+         |        FROM ph CROSS JOIN th GROUP BY 1),
+         |nbx AS (SELECT th.threshold,
+         |          coalesce(sum(CASE WHEN bh.mj >= th.threshold THEN bh.nb END), 0)::BIGINT AS n_docs_flagged
+         |        FROM bh CROSS JOIN th GROUP BY 1)
+         |SELECT npx.threshold, npx.n_pairs, nbx.n_docs_flagged,
+         |       round(nbx.n_docs_flagged / nd.n, 5) AS pct_corpus_flagged
+         |FROM npx JOIN nbx USING (threshold), nd
+         |ORDER BY npx.threshold""".stripMargin,
+    // existence joins from the distinct behavioral item frame; the
+    // event-weighted leg reuses the same per-item event counts
+    "item_coverage_audit" ->
+      """WITH refs AS (SELECT json_extract_string(props, '$.k')::BIGINT AS item_id,
+        |                     count(*) AS n_events
+        |              FROM events
+        |              WHERE event_type IN ('view', 'click', 'purchase')
+        |                AND json_extract_string(props, '$.k') IS NOT NULL
+        |              GROUP BY 1),
+        |f AS (SELECT refs.item_id, refs.n_events,
+        |             CASE WHEN e.vec_id IS NOT NULL THEN 1 END AS has_emb,
+        |             CASE WHEN d.doc_id IS NOT NULL THEN 1 END AS has_doc
+        |      FROM refs
+        |      LEFT JOIN embeddings e ON e.vec_id = refs.item_id
+        |      LEFT JOIN documents d ON d.doc_id = refs.item_id)
+        |SELECT count(*) AS n_items,
+        |       count(has_emb) AS n_with_embedding,
+        |       count(has_doc) AS n_with_doc,
+        |       round(count(has_emb) / count(*), 5) AS item_coverage,
+        |       sum(n_events)::BIGINT AS n_item_events,
+        |       coalesce(sum(CASE WHEN has_emb IS NOT NULL THEN n_events END), 0)::BIGINT
+        |         AS n_events_covered,
+        |       round(coalesce(sum(CASE WHEN has_emb IS NOT NULL THEN n_events END), 0)
+        |             / sum(n_events), 5) AS event_coverage
+        |FROM f""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $cappedShingleCtes,
          |sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),

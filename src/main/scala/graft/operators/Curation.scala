@@ -335,6 +335,44 @@ object Curation {
       .orderBy(col("priority").desc, col("doc_id"))
       .limit(n)
 
+  /** Referential-coverage audit across the three tables a
+    * vector-recommendation pipeline joins constantly: every item the
+    * BEHAVIORAL log references (view/click/purchase props) checked
+    * against the embedding corpus and the document catalog. The
+    * cold-start report — an item with events but no embedding can't
+    * be retrieved, one with no document can't be displayed — and the
+    * event-weighted coverage says whether the gaps are dead tail or
+    * live traffic (the number that decides if a backfill is urgent).
+    *
+    * One distinct-items frame, two left-semi-shaped existence joins,
+    * one event-weighted recount; all counts exact BIGINTs, the three
+    * ratios round once each. Output is one row.
+    */
+  def itemCoverageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val refs = graft.sources.ScratchCache.materialize(
+      Tables.events(spark, dir)
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .select(get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+        .where(col("item_id").isNotNull)
+        .groupBy(col("item_id")).agg(count(lit(1)).as("n_events")))
+    val flagged = refs
+      .join(Tables.embeddings(spark, dir).select(col("vec_id").as("item_id"))
+        .withColumn("has_emb", lit(1)), Seq("item_id"), "left_outer")
+      .join(Tables.documents(spark, dir).select(col("doc_id").as("item_id"))
+        .withColumn("has_doc", lit(1)), Seq("item_id"), "left_outer")
+    flagged.agg(
+      count(lit(1)).as("n_items"),
+      count(col("has_emb")).as("n_with_embedding"),
+      count(col("has_doc")).as("n_with_doc"),
+      sum(col("n_events")).as("n_item_events"),
+      coalesce(sum(when(col("has_emb").isNotNull, col("n_events"))), lit(0L))
+        .as("n_events_covered"))
+      .select(col("n_items"), col("n_with_embedding"), col("n_with_doc"),
+        round(col("n_with_embedding") / col("n_items"), 5).as("item_coverage"),
+        col("n_item_events"), col("n_events_covered"),
+        round(col("n_events_covered") / col("n_item_events"), 5).as("event_coverage"))
+  }
+
   /** Data-integrity profile — the ingestion gate's null/blank/
     * consistency audit over the two content tables, as one skinny
     * (table, metric, n) frame: null and blank fractions per column,

@@ -473,4 +473,40 @@ class DedupSpec extends AnyFunSuite {
       if (contaminated) assert(candidate, s"doc $doc contaminated but not a bloom candidate")
     }
   }
+
+  test("threshold sweep is monotone and agrees with ngramJaccard at 0.8") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Dedup.thresholdSweep(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    // tightening the threshold can only shrink pairs and flags
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(1) >= b.getLong(1), "pair count must fall with threshold")
+        assert(a.getLong(2) >= b.getLong(2), "flag count must fall with threshold")
+      case _ => ()
+    }
+    val at08 = rows.find(_.getDouble(0) == 0.8).get
+    val pairs08 = graft.operators.Dedup.ngramJaccard(spark, TestSpark.sf).collect()
+    assert(at08.getLong(1) == pairs08.length.toLong, "0.8 row must equal the dedup query")
+    assert(at08.getLong(2) == pairs08.map(_.getLong(1)).distinct.length.toLong)
+  }
+
+  test("item coverage audit recounts against the three tables") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val refs = graft.Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(get_json_object(col("props"), "$.k").cast("long").as("i"))
+      .where(col("i").isNotNull).collect().map(_.getLong(0))
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val items = refs.distinct
+    val r = graft.operators.Curation.itemCoverageAudit(spark, TestSpark.sf).collect().head
+    assert(r.getLong(0) == items.length.toLong)
+    assert(r.getLong(1) == items.count(emb).toLong)
+    assert(r.getLong(2) == items.count(docs).toLong)
+    assert(r.getLong(4) == refs.length.toLong)
+    assert(r.getLong(5) == refs.count(emb).toLong)
+  }
 }
