@@ -334,6 +334,9 @@ object SparkEntry {
     "doc_winnow" -> ((s, d) => TextAnalysis.winnowFingerprint(s, d)),
     "text_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
     "sample_hash" -> ((s, d) => Curation.hashSample(s, d)),
+    // chi-square of the 5% hash sample against corpus source
+    // proportions — the sample-skew audit
+    "sample_rep_check" -> ((s, d) => Curation.sampleRepCheck(s, d)),
     "bigram_freq" -> ((s, d) => Curation.bigramFreq(s, d)),
     "key_skew" -> ((s, d) => Curation.keySkew(s, d)),
     "sample_stratified" -> ((s, d) => Curation.stratifiedSample(s, d)),
@@ -1268,6 +1271,25 @@ object SparkEntry {
         |FROM documents
         |WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '0ccc'
         |ORDER BY doc_id""".stripMargin,
+    // per-source expected counts and chi-square contributions rounded
+    // per cell BEFORE the total; (x*x), never pow
+    "sample_rep_check" ->
+      """WITH per AS (SELECT source, count(*) AS n_corpus,
+        |       count(CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '0ccc' THEN 1 END) AS n_sample
+        |     FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n_corpus)::BIGINT AS nc, sum(n_sample)::BIGINT AS ns FROM per),
+        |rows0 AS (SELECT source, n_corpus, n_sample,
+        |            round(tot.ns * per.n_corpus / tot.nc, 5) AS expected
+        |          FROM per, tot),
+        |rows1 AS (SELECT *,
+        |            CASE WHEN expected > 0
+        |              THEN round((n_sample - expected) * (n_sample - expected) / expected, 5)
+        |              ELSE 0.0 END AS contrib
+        |          FROM rows0),
+        |t2 AS (SELECT round(sum(contrib), 5) AS chi2_total, count(*) - 1 AS df FROM rows1)
+        |SELECT rows1.source, rows1.n_corpus, rows1.n_sample, rows1.expected,
+        |       rows1.contrib, t2.chi2_total, t2.df
+        |FROM rows1, t2 ORDER BY rows1.source""".stripMargin,
     "bigram_freq" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |bg AS (SELECT unnest([array_to_string(toks[i+1:i+2], ' ') for i in range(len(toks) - 1)]) AS bigram FROM t)

@@ -27,6 +27,53 @@ object Curation {
       .select(col("doc_id"), col("bucket"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Sample-representativeness audit: chi-square goodness-of-fit of
+    * [[hashSample]]'s 5% draw against the corpus's own per-source
+    * proportions — the check that the "random" hash sample every eval
+    * reads is not silently source-skewed (a hash function correlated
+    * with id-assignment order would pass eyeballing and fail here).
+    * Per source: corpus count, sample count, the proportional
+    * expectation, and the chi-square contribution; the total statistic
+    * and df repeat on every row (the markov-report convention) so one
+    * row read against a chi-square table answers the question.
+    *
+    * Determinism: counts exact; expected = n_sample_total·N_s/N and
+    * each contribution rounds to 5 before the total sums the ROUNDED
+    * values; (x·x) instead of pow(x,2) (§4's pow-free rule). A source
+    * with zero expectation (impossible while it has corpus docs and
+    * the sample is nonempty) contributes 0 by guard on both engines.
+    *
+    * Scale shape: ONE conditional count aggregate over the narrow
+    * (source, md5-prefix) scan; everything after runs on the
+    * |sources|-row frame.
+    */
+  def sampleRepCheck(spark: SparkSession, dir: String,
+                     thresholdHex: String = "0ccc"): DataFrame = {
+    val per = graft.sources.ScratchCache.materialize(
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          (substring(md5(col("doc_id").cast("string")), 1, 4) < lit(thresholdHex))
+            .as("in_sample"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_corpus"),
+          count(when(col("in_sample"), 1)).as("n_sample")))
+    val tot = per.agg(sum(col("n_corpus")).as("nc"), sum(col("n_sample")).as("ns"))
+    val rows = graft.sources.ScratchCache.materialize(
+      per.crossJoin(broadcast(tot))
+        .withColumn("expected", round(col("ns") * col("n_corpus") / col("nc"), 5))
+        .withColumn("contrib",
+          when(col("expected") > 0,
+            round((col("n_sample") - col("expected")) * (col("n_sample") - col("expected"))
+              / col("expected"), 5))
+            .otherwise(lit(0.0)))
+        .select(col("source"), col("n_corpus"), col("n_sample"),
+          col("expected"), col("contrib")))
+    rows.crossJoin(broadcast(
+      rows.agg(round(sum(col("contrib")), 5).as("chi2_total"),
+        (count(lit(1)) - 1).as("df"))))
+      .orderBy(col("source"))
+  }
+
   /** Percentile-relative quality gate: instead of a fixed threshold
     * ([[curatePipeline]]'s 0.6), keep documents above the corpus's own
     * p-quantile of the quality score — the adaptive cut a pipeline

@@ -219,4 +219,32 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
     }
   }
+
+  test("sample representativeness chi2 recounts from the corpus") {
+    import org.apache.spark.sql.functions.col
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getString(1), md5hex(r.getLong(0).toString).take(4) < "0ccc"))
+    val bySrc = docs.groupBy(_._1)
+    val (nc, ns) = (docs.length.toLong, docs.count(_._2).toLong)
+    val rows = graft.operators.Curation.sampleRepCheck(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == bySrc.keys.toSeq.sorted)
+    var chi2 = 0.0
+    rows.foreach { r =>
+      val g = bySrc(r.getString(0))
+      assert(r.getLong(1) == g.length.toLong)
+      assert(r.getLong(2) == g.count(_._2).toLong)
+      val exp = r5(ns.toDouble * g.length / nc)
+      assert(r.getDouble(3) == exp, s"expected for ${r.getString(0)}")
+      val contrib = if (exp > 0)
+        r5((g.count(_._2) - exp) * (g.count(_._2) - exp) / exp) else 0.0
+      assert(r.getDouble(4) == contrib, s"contrib for ${r.getString(0)}")
+      chi2 += contrib
+      assert(r.getLong(6) == bySrc.size.toLong - 1, "df")
+    }
+    rows.foreach(r => assert(r.getDouble(5) == r5(chi2), "chi2 total"))
+  }
 }
