@@ -226,6 +226,10 @@ object SparkEntry {
     // seasonal-naive vs naive daily-count forecast backtest (MAE over
     // the last 7 days) per event type
     "events_forecast" -> ((s, d) => Analytics.eventsForecast(s, d)),
+    // Shannon entropy of each state's next-type distribution
+    "transition_entropy" -> ((s, d) => Analytics.transitionEntropy(s, d)),
+    // Goh-Barabasi burstiness of per-type inter-event gaps
+    "events_burstiness" -> ((s, d) => Analytics.eventsBurstiness(s, d)),
     // Gini concentration of per-user activity (histogram fold, no global rank)
     "engagement_gini" -> ((s, d) => Analytics.engagementGini(s, d)),
     // week-over-week retained-active fraction
@@ -2153,6 +2157,38 @@ object SparkEntry {
         |       round(3.0 * (SELECT n_triangles FROM tri)
         |             / sum((d * (d - 1)) // 2), 5) AS clustering_coeff
         |FROM deg""".stripMargin,
+    // the charEntropy identity H = ln(n) - sum(c ln c)/n over exact
+    // transition counts
+    "transition_entropy" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+        |t AS (SELECT event_type AS from_type,
+        |             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS to_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n
+        |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, sum(n)::BIGINT AS n_transitions,
+        |       count(*) AS n_next_types,
+        |       round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 5) AS entropy_nats,
+        |       round(ln(count(*)), 5) AS max_entropy
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact integer gap sums (n, sum g, sum g^2); sigma via the
+    // identical sqrt expression; degenerate streams report 0
+    "events_burstiness" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) AS ts_ms, event_id FROM events),
+        |g AS (SELECT event_type,
+        |             ts_ms - lag(ts_ms, 1) OVER (PARTITION BY event_type ORDER BY ts_ms, event_id) AS gap
+        |      FROM e QUALIFY gap IS NOT NULL),
+        |s AS (SELECT event_type, count(*) AS n, sum(gap)::BIGINT AS sg,
+        |             sum(gap * gap)::BIGINT AS sg2
+        |      FROM g GROUP BY 1)
+        |SELECT event_type, n,
+        |       round(sg / n / 1000, 3) AS mean_gap_s,
+        |       round(sqrt(sg2 / n - (sg / n) * (sg / n)) / 1000, 3) AS std_gap_s,
+        |       CASE WHEN sqrt(sg2 / n - (sg / n) * (sg / n)) + sg / n = 0 THEN 0.0
+        |            ELSE round((sqrt(sg2 / n - (sg / n) * (sg / n)) - sg / n)
+        |                       / (sqrt(sg2 / n - (sg / n) * (sg / n)) + sg / n), 5) END
+        |         AS burstiness
+        |FROM s ORDER BY event_type""".stripMargin,
     // dense (type x day) grid zero-fills silent days; both forecasts
     // are grid self-joins at day-7 / day-1; exact integer MAE sums,
     // winner from the ROUNDED columns

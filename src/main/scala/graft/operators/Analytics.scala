@@ -949,6 +949,64 @@ object Analytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Per-state transition entropy — how PREDICTABLE each event type's
+    * successor is: Shannon entropy (nats) of every state's next-type
+    * distribution from the [[eventTransitions]] matrix. H ≈ 0 means a
+    * deterministic flow a rules engine can serve; H near ln(|types|)
+    * means [[eventNextPred]]'s argmax is guessing and a richer model
+    * is not optional. Computed with the [[TextAnalysis.charEntropy]]
+    * identity H = ln(n) − Σ c·ln(c)/n over exact integer counts, so
+    * the float expression is identical on both engines; one round per
+    * cell. One lead() pass into a |types|²-bounded aggregate.
+    */
+  def transitionEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_transitions"),
+        count(lit(1)).as("n_next_types"),
+        round(log(sum(col("n"))) - sum(col("n") * log(col("n"))) / sum(col("n")), 5)
+          .as("entropy_nats"))
+      .withColumn("max_entropy", round(log(col("n_next_types")), 5))
+      .orderBy(col("from_type"))
+  }
+
+  /** Burstiness index per event type (Goh & Barabási 2008):
+    * B = (σ−μ)/(σ+μ) over the type's global inter-event gaps — −1 for
+    * a metronome, 0 for a Poisson stream, →1 for heavy bursts. The
+    * one number that says whether [[eventsPeakLoad]]'s p99 sizing can
+    * trust exponential arrivals or must provision for bursts.
+    *
+    * Gaps are exact ms BIGINTs from one per-type lag() window; μ and
+    * σ come from the exact integer sums (n, Σg, Σg²) via
+    * σ = √(Σg²/n − μ²), so both engines build the identical float
+    * expression and round once per cell. Degenerate streams (σ+μ = 0)
+    * report 0 on both engines.
+    */
+  def eventsBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_ms"), col("event_id"))
+    val g = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("gap", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .where(col("gap").isNotNull)
+    val mu = col("sg") / col("n")
+    val sig = sqrt(col("sg2") / col("n") - mu * mu)
+    g.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("gap")).as("sg"),
+        sum(col("gap") * col("gap")).as("sg2"))
+      .select(col("event_type"), col("n"),
+        round(mu / 1000, 3).as("mean_gap_s"),
+        round(sig / 1000, 3).as("std_gap_s"),
+        when(sig + mu === 0, lit(0.0))
+          .otherwise(round((sig - mu) / (sig + mu), 5)).as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
   /** Next-event prediction eval — [[eventTransitions]] turned into a
     * measured model: train the transition matrix on the temporally
     * FIRST 80% of days (the [[Curation.temporalSplitPrep]] boundary,

@@ -581,6 +581,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == evalP.size.toLong)
   }
 
+  test("transition entropy and burstiness recount from collected events") {
+    import org.apache.spark.sql.functions.col
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .collect()
+    // entropy: per-state next-type counts from per-user timelines
+    val pairs = ev.groupBy(_.getLong(0)).values.flatMap { g =>
+      g.sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getString(3))
+        .sliding(2).filter(_.length == 2).map(p => (p(0), p(1)))
+    }.toSeq
+    val hRows = graft.operators.Analytics.transitionEntropy(spark, TestSpark.sf).collect()
+    hRows.foreach { r =>
+      val cnts = pairs.filter(_._1 == r.getString(0)).groupBy(_._2).map(_._2.size.toLong)
+      val n = cnts.sum.toDouble
+      assert(r.getLong(1) == cnts.sum)
+      assert(r.getLong(2) == cnts.size.toLong)
+      val h = math.log(n) - cnts.map(c => c * math.log(c.toDouble)).sum / n
+      assert(math.abs(r.getDouble(3) - h) < 1e-4, s"entropy ${r.getString(0)}")
+      assert(r.getDouble(3) <= r.getDouble(4) + 1e-9, "H <= ln(k)")
+    }
+    // burstiness: per-type global gaps
+    val bRows = graft.operators.Analytics.eventsBurstiness(spark, TestSpark.sf).collect()
+    bRows.foreach { r =>
+      val ts = ev.filter(_.getString(3) == r.getString(0))
+        .map(x => (x.getLong(1), x.getLong(2))).sorted.map(_._1)
+      val gaps = ts.sliding(2).filter(_.length == 2).map(p => p(1) - p(0)).toSeq
+      assert(r.getLong(1) == gaps.size.toLong)
+      val mu = gaps.sum.toDouble / gaps.size
+      val sg2 = gaps.map(g => g.toDouble * g).sum
+      val sig = math.sqrt(sg2 / gaps.size - mu * mu)
+      assert(math.abs(r.getDouble(4) - (sig - mu) / (sig + mu)) < 1e-4,
+        s"burstiness ${r.getString(0)}")
+      assert(r.getDouble(4) > -1.0 && r.getDouble(4) < 1.0)
+    }
+  }
+
   test("forecast backtest matches a driver seasonal/naive MAE recount") {
     import org.apache.spark.sql.functions.col
     val ev = Tables.events(spark, TestSpark.sf)
