@@ -375,6 +375,9 @@ object SparkEntry {
     // top-10s on the shared demo query
     "ranker_agreement" -> ((s, d) => TextRetrieval.rankerAgreement(s, d, demoQueryVec,
       Seq("spark", "join", "vector"), k = 10)),
+    // top-10 overlap vs the (1.2, 0.75) default across a small
+    // Robertson-range (k1, b) grid
+    "bm25_param_sweep" -> ((s, d) => TextRetrieval.bm25ParamSweep(s, d)),
     "hybrid_rrf" -> ((s, d) => TextRetrieval.rrfTopK(s, d, demoQueryVec,
       Seq("spark", "join", "vector"), k = 10)),
     // exact phrase search over the persisted positional posting lists;
@@ -2792,6 +2795,40 @@ object SparkEntry {
     // RRF: ranks are deterministic ((score DESC, doc_id) over
     // bit-identical scores, SURVEY §4), so the fused score is exact
     // integer arithmetic in double — no normalization anywhere
+    // each grid leg scores the shared (tf, qidf, dl) frame with its
+    // own literal (k1, b), ranks the rounded sums, and the metrics
+    // are exact set ops against the default leg
+    "bm25_param_sweep" -> {
+      val grid = Seq((0.9, 0.4), (1.2, 0.0), (1.2, 0.75), (1.5, 0.75), (2.0, 1.0))
+      val legs = grid.zipWithIndex.map { case ((k1, b), i) =>
+        s"""t$i AS MATERIALIZED (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rk FROM (
+           |  SELECT doc_id, round(sum(qidf * tf * ($k1 + 1.0) /
+           |    (tf + $k1 * (1.0 - $b + $b * dl / avgdl))), 5) AS s
+           |  FROM sc GROUP BY 1) QUALIFY rk <= 10)""".stripMargin
+      }.mkString(",\n")
+      val di = grid.indexOf((1.2, 0.75))
+      val rows = grid.zipWithIndex.map { case ((k1, b), i) =>
+        s"""SELECT $k1 AS k1, $b AS b,
+           |  (SELECT doc_id FROM t$i WHERE rk = 1) AS top1_doc,
+           |  (SELECT count(*) FROM t$i x JOIN t$di y ON x.doc_id = y.doc_id)::BIGINT AS overlap_vs_default,
+           |  round((SELECT count(*) FROM t$i x JOIN t$di y ON x.doc_id = y.doc_id)
+           |    / (20.0 - (SELECT count(*) FROM t$i x JOIN t$di y ON x.doc_id = y.doc_id)), 5)
+           |    AS jaccard_vs_default""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+         |qy AS (SELECT term FROM (VALUES ('spark'), ('join'), ('vector')) t(term)),
+         |qi AS (SELECT term, ln((nn.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1) AS qidf
+         |       FROM qy JOIN dfv USING (term), nn),
+         |sc AS MATERIALIZED (SELECT tf.doc_id, tf.tf, qi.qidf, dl.dl, ad.avgdl
+         |      FROM tf JOIN qi USING (term) JOIN dl USING (doc_id), ad),
+         |$legs
+         |SELECT * FROM ($rows) ORDER BY k1, b""".stripMargin
+    },
     // the three ranked legs replayed exactly as their own oracles,
     // then integer set metrics over the full 3-pair grid (a pair with
     // no shared docs keeps its row, NULL mean shift)

@@ -760,4 +760,41 @@ object TextRetrieval {
       "jaccard_at10", "mean_rank_shift")
       .orderBy(col("ranker_a"), col("ranker_b"))
   }
+
+  /** BM25 parameter-sensitivity sweep: for a small (k1, b) grid, the
+    * top-10 under those parameters compared against the production
+    * default (1.2, 0.75) by overlap and Jaccard, with each leg's
+    * top-1 doc — the tuning table read before anyone "just tries"
+    * k1 = 2.0 in production (if every grid point overlaps 9/10, the
+    * ranking is parameter-insensitive on this corpus and tuning is a
+    * non-event; if b = 0 flips the list, length normalization is
+    * doing real work). Grid spans the Robertson-recommended ranges
+    * (k1 ∈ [0.9, 2.0], b ∈ [0, 1]).
+    *
+    * Each leg is the same deterministic rounded-score top-10 as
+    * [[bm25TopK]]; the k-row lists are bounded driver artifacts and
+    * the metrics exact set ops ([[rankerAgreement]]'s convention).
+    * Cost is |grid| passes over the persisted tf triples — each the
+    * bm25TopK shape, nothing quadratic.
+    */
+  def bm25ParamSweep(spark: SparkSession, dir: String,
+                     queryTerms: Seq[String] = Seq("spark", "join", "vector"),
+                     k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val grid = Seq((0.9, 0.4), (1.2, 0.0), (1.2, 0.75), (1.5, 0.75), (2.0, 1.0))
+    def topIds(k1: Double, b: Double): Seq[Long] =
+      bm25Scores(spark, dir, queryTerms, k1, b)
+        .select(col("doc_id"), round(col("ts"), 5).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).limit(k)
+        .collect().map(_.getLong(0)).toSeq
+    val default = topIds(1.2, 0.75)
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    grid.map { case (k1, b) =>
+      val ids = if (k1 == 1.2 && b == 0.75) default else topIds(k1, b)
+      val inter = ids.toSet & default.toSet
+      (k1, b, ids.head, inter.size.toLong,
+        r5(inter.size.toDouble / (ids.size + default.size - inter.size)))
+    }.toDF("k1", "b", "top1_doc", "overlap_vs_default", "jaccard_vs_default")
+      .orderBy(col("k1"), col("b"))
+  }
 }

@@ -607,4 +607,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       else assert(r.isNullAt(5))
     }
   }
+
+  test("bm25 param sweep: default row is exact self-agreement, grid reconciles") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.TextRetrieval.bm25ParamSweep(spark, TestSpark.sf).collect()
+    assert(rows.length == 5)
+    val default = rows.find(r => r.getDouble(0) == 1.2 && r.getDouble(1) == 0.75).get
+    assert(default.getLong(3) == 10L && default.getDouble(4) == 1.0,
+      "the default leg must agree with itself exactly")
+    // the default leg's top-1 must equal bm25TopK's head under the
+    // same rounded-score order
+    val top = graft.operators.TextRetrieval
+      .bm25TopK(spark, TestSpark.sf, Seq("spark", "join", "vector"), 10)
+      .collect().head.getLong(0)
+    assert(default.getLong(2) == top)
+    rows.foreach { r =>
+      val o = r.getLong(3)
+      assert(o >= 0 && o <= 10)
+      assert(r.getDouble(4) ==
+        BigDecimal(o.toDouble / (20 - o)).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
 }
