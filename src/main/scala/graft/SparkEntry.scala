@@ -341,6 +341,8 @@ object SparkEntry {
     // chi-square of the 5% hash sample against corpus source
     // proportions — the sample-skew audit
     "sample_rep_check" -> ((s, d) => Curation.sampleRepCheck(s, d)),
+    // bins / fill ratio / oversize docs per candidate packing budget
+    "pack_efficiency_sweep" -> ((s, d) => Curation.packEfficiencySweep(s, d)),
     "bigram_freq" -> ((s, d) => Curation.bigramFreq(s, d)),
     "key_skew" -> ((s, d) => Curation.keySkew(s, d)),
     "sample_stratified" -> ((s, d) => Curation.stratifiedSample(s, d)),
@@ -3173,6 +3175,24 @@ object SparkEntry {
         |FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
     // contiguous packing: bin = cum-before div budget, per-shard
     // window — all exact integer arithmetic
+    // the same per-shard cumulative pass shared by all budgets; bin =
+    // the identical integer floor division per budget
+    "pack_efficiency_sweep" ->
+      """WITH d AS (SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 1) AS shard,
+        |                  ceil(length(text) / 4.0)::BIGINT AS est_tok FROM documents),
+        |c AS MATERIALIZED (SELECT doc_id, shard, est_tok,
+        |             sum(est_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                                ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+        |b AS (SELECT unnest([1024, 2048, 4096])::BIGINT AS budget),
+        |x AS (SELECT b.budget, c.shard, c.est_tok,
+        |             (c.cum - c.est_tok) // b.budget AS bin
+        |      FROM c CROSS JOIN b)
+        |SELECT budget,
+        |       count(DISTINCT (shard, bin)) AS n_bins,
+        |       round(count(*) / count(DISTINCT (shard, bin)), 5) AS mean_docs_per_bin,
+        |       round(sum(est_tok) / (count(DISTINCT (shard, bin)) * budget), 5) AS fill_ratio,
+        |       count(CASE WHEN est_tok > budget THEN 1 END) AS n_oversize
+        |FROM x GROUP BY budget ORDER BY budget""".stripMargin,
     "pack_sequences" ->
       """WITH d AS (SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 1) AS shard,
         |                  ceil(length(text) / 4.0)::BIGINT AS est_tok FROM documents),

@@ -287,6 +287,48 @@ object Curation {
       .orderBy(col("shard"), col("bin"))
   }
 
+  /** Packing-efficiency sweep — [[packSequences]]' budget knob priced
+    * before a training run commits to a context length: for each
+    * candidate token budget, the bin count, mean docs per bin, fill
+    * ratio (token mass over allocated capacity — the fraction of the
+    * context window that is real text rather than padding), and the
+    * count of single docs that overflow the budget outright (the docs
+    * a chunker must split first). Fill climbing with budget says
+    * longer contexts waste less padding on THIS corpus; a high
+    * oversize count says the chunking pass is not optional.
+    *
+    * One per-shard cumulative pass (the exact [[packSequences]]
+    * arithmetic) shared by every budget; per budget the bin id is the
+    * same integer floor division, so each sweep row reconciles
+    * exactly with a packSequences run at that budget. Counts exact;
+    * two rounded divisions per row.
+    */
+  def packEfficiencySweep(spark: SparkSession, dir: String,
+                          budgets: Seq[Long] = Seq(1024L, 2048L, 4096L)): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = graft.sources.ScratchCache.materialize(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+          ceil(length(col("text")) / lit(4.0)).cast("long").as("est_tok"))
+        .withColumn("cum", sum(col("est_tok")).over(w)))
+    c.crossJoin(broadcast(budgets.toDF("budget")))
+      .select(col("budget"), col("shard"), col("est_tok"),
+        expr("(cum - est_tok) div budget").as("bin"))
+      .groupBy(col("budget"))
+      .agg(countDistinct(col("shard"), col("bin")).as("n_bins"),
+        count(lit(1)).as("n_docs"),
+        sum(col("est_tok")).as("total_tok"),
+        count(when(col("est_tok") > col("budget"), 1)).as("n_oversize"))
+      .select(col("budget"), col("n_bins"),
+        round(col("n_docs") / col("n_bins"), 5).as("mean_docs_per_bin"),
+        round(col("total_tok") / (col("n_bins") * col("budget")), 5).as("fill_ratio"),
+        col("n_oversize"))
+      .orderBy(col("budget"))
+  }
+
   /** Source-mixture sampling — the domain-weighting step of a training
     * mix (the Pile/Dolma "mixing proportions" table): each source gets
     * a deterministic hash-threshold keep rate, so the drawn subset is

@@ -247,4 +247,23 @@ class CurationSpec extends AnyFunSuite {
     }
     rows.foreach(r => assert(r.getDouble(5) == r5(chi2), "chi2 total"))
   }
+
+  test("pack efficiency sweep reconciles with packSequences at every budget") {
+    val rows = Curation.packEfficiencySweep(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1024L, 2048L, 4096L))
+    rows.foreach { r =>
+      val bins = Curation.packSequences(spark, TestSpark.sf, r.getLong(0)).collect()
+      assert(r.getLong(1) == bins.length.toLong, s"bin count at ${r.getLong(0)}")
+      val nDocs = bins.map(_.getAs[Long]("n_docs")).sum
+      val tok = bins.map(_.getAs[Long]("tok_sum")).sum
+      def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) == r5(nDocs.toDouble / bins.length))
+      assert(r.getDouble(3) == r5(tok.toDouble / (bins.length * r.getLong(0))))
+    }
+    // a bigger budget can only reduce bins
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(1) >= b.getLong(1))
+      case _ => ()
+    }
+  }
 }
