@@ -426,6 +426,8 @@ object SparkEntry {
     // bigram LM fit on the 80% hash split, per-source eval-train NLL
     // gap — the perplexity-filter generalization report
     "lm_holdout_ppl" -> ((s, d) => TextAnalysis.lmHoldoutPpl(s, d)),
+    // top-k term agreement between the hash splits
+    "vocab_stability" -> ((s, d) => TextAnalysis.vocabStability(s, d)),
     // char-level Shannon entropy — zero-shuffle gibberish detector
     "doc_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
     // time-decayed trending items (exact dyadic decay arithmetic)
@@ -3023,6 +3025,29 @@ object SparkEntry {
     // the same adjacent-pairs construction as the Spark transform;
     // float literals cast ::DOUBLE so DuckDB doesn't run the
     // interpolation in DECIMAL arithmetic
+    // both legs are (count DESC, term) top-k over exact split counts;
+    // set metrics over the bounded lists
+    "vocab_stability" ->
+      """WITH terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |d AS (SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 4) < 'cccc' AS is_train FROM documents),
+        |c AS MATERIALIZED (SELECT term,
+        |       sum(CASE WHEN is_train THEN tf END)::BIGINT AS ct,
+        |       sum(CASE WHEN NOT is_train THEN tf END)::BIGINT AS ce
+        |     FROM tf JOIN d USING (doc_id) GROUP BY 1),
+        |ta AS (SELECT term, row_number() OVER (ORDER BY ct DESC, term) - 1 AS r
+        |       FROM c WHERE ct IS NOT NULL QUALIFY r < 100),
+        |tb AS (SELECT term, row_number() OVER (ORDER BY ce DESC, term) - 1 AS r
+        |       FROM c WHERE ce IS NOT NULL QUALIFY r < 100),
+        |ov AS (SELECT count(*) AS n_shared,
+        |              sum(abs(ta.r - tb.r)) AS shift
+        |       FROM ta JOIN tb USING (term))
+        |SELECT 100::BIGINT AS k, ov.n_shared,
+        |       round(ov.n_shared / ((SELECT count(*) FROM ta) + (SELECT count(*) FROM tb)
+        |                            - ov.n_shared), 5) AS jaccard,
+        |       CASE WHEN ov.n_shared = 0 THEN 0.0
+        |            ELSE round(ov.shift / ov.n_shared, 5) END AS mean_rank_shift
+        |FROM ov""".stripMargin,
     // bigram LM fit on the 80% hash split only, scored on both
     // splits; add-1 train-unigram backoff floors eval-only words;
     // the gap comes from the ROUNDED per-side NLLs

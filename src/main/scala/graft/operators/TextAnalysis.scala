@@ -776,6 +776,45 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Vocabulary stability across the hash split — do the two halves
+    * of the corpus even agree on what the top terms ARE? The top-k
+    * term lists by occurrence count on the 80% and 20% md5 splits,
+    * compared by overlap, Jaccard, and mean rank displacement over
+    * the shared terms. A lexical model (TF-IDF, BM25, the NB filter)
+    * fit on one split transfers only as far as this table says the
+    * head vocabulary is stable; heavy displacement at the head is the
+    * cheap early warning [[lmHoldoutPpl]]'s NLL gap confirms.
+    *
+    * Each leg is a deterministic (count DESC, term ASC) top-k over
+    * exact integer counts; the k-row lists are bounded driver
+    * artifacts and the metrics exact set ops plus one rounded mean
+    * ([[TextRetrieval.rankerAgreement]]'s convention). One term-keyed
+    * conditional aggregate is the corpus-scale work. Output is 1 row.
+    */
+  def vocabStability(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import spark.implicits._
+    val m = TextRetrieval.ensureModel(spark, dir)
+    val split = Tables.documents(spark, dir).select(col("doc_id"),
+      (substring(md5(col("doc_id").cast("string")), 1, 4) < "cccc").as("is_train"))
+    val counts = m.tf.join(split, "doc_id")
+      .groupBy(col("term"))
+      .agg(sum(when(col("is_train"), col("tf"))).as("ct"),
+        sum(when(col("is_train") === false, col("tf"))).as("ce"))
+    def top(c: String): Seq[String] = counts.where(col(c).isNotNull)
+      .orderBy(col(c).desc, col("term")).limit(k)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    val (a, b) = (top("ct"), top("ce"))
+    val ra = a.zipWithIndex.toMap
+    val rb = b.zipWithIndex.toMap
+    val inter = a.toSet & b.toSet
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((k.toLong, inter.size.toLong,
+      r5(inter.size.toDouble / (a.size + b.size - inter.size)),
+      if (inter.isEmpty) 0.0
+      else r5(inter.toSeq.map(t => math.abs(ra(t) - rb(t))).sum.toDouble / inter.size)))
+      .toDF("k", "n_shared", "jaccard", "mean_rank_shift")
+  }
+
   /** Alphabet for [[charEntropy]]: lowercase ASCII letters + digits.
     * Shared with the oracle builder so both engines count the exact
     * same symbol set.

@@ -628,4 +628,32 @@ class TextAnalysisSpec extends AnyFunSuite {
         BigDecimal(o.toDouble / (20 - o)).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
+
+  test("vocab stability reconciles with a driver split-and-rank replay") {
+    import org.apache.spark.sql.functions.col
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tokRe = "[a-z0-9_]+".r
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text")).collect()
+    val counts = scala.collection.mutable.Map.empty[(Boolean, String), Long]
+    docs.foreach { r =>
+      val train = md5hex(r.getLong(0).toString).take(4) < "cccc"
+      tokRe.findAllIn(r.getString(1).toLowerCase).filter(_.length >= 2)
+        .foreach(t => counts((train, t)) = counts.getOrElse((train, t), 0L) + 1)
+    }
+    def top(train: Boolean): Seq[String] =
+      counts.collect { case ((s, t), n) if s == train => (t, n) }.toSeq
+        .sortBy { case (t, n) => (-n, t) }.take(100).map(_._1)
+    val (a, b) = (top(true), top(false))
+    val inter = a.toSet & b.toSet
+    val ra = a.zipWithIndex.toMap; val rb = b.zipWithIndex.toMap
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = graft.operators.TextAnalysis.vocabStability(spark, TestSpark.sf).collect().head
+    assert(r.getLong(0) == 100L)
+    assert(r.getLong(1) == inter.size.toLong, "shared count")
+    assert(r.getDouble(2) == r5(inter.size.toDouble / (a.size + b.size - inter.size)))
+    assert(r.getDouble(3) ==
+      r5(inter.toSeq.map(t => math.abs(ra(t) - rb(t))).sum.toDouble / inter.size))
+  }
 }
