@@ -553,6 +553,8 @@ object SparkEntry {
     // kNN plurality-disagreement label-noise triage with suggested
     // relabels, denser bounded sample
     "label_noise_suspects" -> ((s, d) => VectorSearch.labelNoiseSuspects(s, d)),
+    // kNN-graph in-degree skew + mutual-edge fraction (hubness)
+    "knn_hubness" -> ((s, d) => VectorSearch.knnHubness(s, d)),
     // kNN length regression RMSE/MAE (distances-carry-signal probe)
     "knn_regress_eval" -> ((s, d) => VectorSearch.knnRegressEval(s, d)),
     // linear multi-touch revenue attribution to viewed items
@@ -4742,6 +4744,34 @@ object SparkEntry {
          |SELECT q_label::BIGINT AS q_label, n_label::BIGINT AS pred_label,
          |       count(*) AS n
          |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the knn_confusion scan's edge frame; in-degree counts, the
+    // (d DESC, id) hub, and the reciprocal query-query pair join
+    "knn_hubness" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 20 = 0
+         |           ORDER BY vec_id LIMIT 64),
+         |s AS (SELECT q.q_id, e.vec_id AS n_id,
+         |             ${cos5("e.embedding", "q.qv")} AS score
+         |      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |r AS MATERIALIZED (SELECT q_id, n_id FROM (
+         |      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+         |      FROM s) WHERE rk <= 10),
+         |deg AS (SELECT n_id, count(*) AS d FROM r GROUP BY 1),
+         |hub AS (SELECT n_id AS hub_vec_id, d AS max_in_degree FROM deg
+         |        ORDER BY d DESC, n_id LIMIT 1),
+         |qq AS MATERIALIZED (SELECT r.q_id, r.n_id FROM r
+         |      JOIN (SELECT DISTINCT q_id FROM r) x ON x.q_id = r.n_id),
+         |mu AS (SELECT count(*) AS n_mutual FROM qq a
+         |       JOIN qq b ON a.q_id = b.n_id AND a.n_id = b.q_id),
+         |base AS (SELECT count(DISTINCT q_id) AS n_queries, count(*) AS n_edges,
+         |                count(DISTINCT n_id) AS n_distinct_neighbors FROM r),
+         |nq AS (SELECT count(*) AS n_qq FROM qq)
+         |SELECT base.n_queries, base.n_edges, base.n_distinct_neighbors,
+         |       round(base.n_edges / base.n_distinct_neighbors, 5) AS mean_in_degree,
+         |       hub.max_in_degree, hub.hub_vec_id, nq.n_qq, mu.n_mutual,
+         |       CASE WHEN nq.n_qq = 0 THEN 0.0
+         |            ELSE round(mu.n_mutual / nq.n_qq, 5) END AS mutual_fraction
+         |FROM base, hub, nq, mu""".stripMargin,
     // same scan at mod-5/128; plurality vote + agree count per query,
     // suspects are plurality-disagreeing vectors ranked by the
     // rounded disagreement ratio

@@ -232,6 +232,47 @@ object VectorSearch {
       .orderBy(col("q_id"))
   }
 
+  /** kNN-graph hubness diagnostic (Radovanović et al. 2010): the
+    * in-degree distribution of the sampled kNN graph — how often each
+    * corpus vector shows up in OTHER vectors' top-k — plus the
+    * mutual-edge fraction among query-query pairs. High-dimensional
+    * embedding spaces concentrate: a few hub vectors invade everyone's
+    * neighbor lists (max in-degree ≫ k·|Q|/|corpus|) and neighbor
+    * relations stop being symmetric, which silently degrades every
+    * kNN consumer ([[knnClassify]], [[labelNoiseSuspects]], graph-ANN
+    * recall). This is the one-row check run before trusting any of
+    * them on a new embedding model.
+    *
+    * Same bounded broadcast batch / exact top-k as [[knnClassify]];
+    * in-degree counts and the reciprocal-pair join are exact integer
+    * ops over the ≤|Q|·k edge frame; two rounded divisions. The hub
+    * id ties toward the smaller vec_id.
+    */
+  def knnHubness(spark: SparkSession, dir: String, queryMod: Int = 20,
+                 k: Int = 10, maxQueries: Int = 64): DataFrame = {
+    val kn = graft.sources.ScratchCache.materialize(
+      knnTopKByLabel(spark, dir, queryMod, k, maxQueries)
+        .select(col("q_id"), col("n_id")))
+    val deg = kn.groupBy(col("n_id")).agg(count(lit(1)).as("d"))
+    val hub = deg.orderBy(col("d").desc, col("n_id")).limit(1)
+      .select(col("n_id").as("hub_vec_id"), col("d").as("max_in_degree"))
+    val qq = kn.join(kn.select(col("q_id").as("n_id")).distinct(), Seq("n_id"))
+    val mutual = qq.as("a").join(qq.as("b"),
+      col("a.q_id") === col("b.n_id") && col("a.n_id") === col("b.q_id"))
+      .agg(count(lit(1)).as("n_mutual"))
+    val base = kn.agg(countDistinct(col("q_id")).as("n_queries"),
+      count(lit(1)).as("n_edges"),
+      countDistinct(col("n_id")).as("n_distinct_neighbors"))
+    base.crossJoin(broadcast(hub))
+      .crossJoin(broadcast(qq.agg(count(lit(1)).as("n_qq"))))
+      .crossJoin(broadcast(mutual))
+      .select(col("n_queries"), col("n_edges"), col("n_distinct_neighbors"),
+        round(col("n_edges") / col("n_distinct_neighbors"), 5).as("mean_in_degree"),
+        col("max_in_degree"), col("hub_vec_id"), col("n_qq"), col("n_mutual"),
+        when(col("n_qq") === 0, lit(0.0))
+          .otherwise(round(col("n_mutual") / col("n_qq"), 5)).as("mutual_fraction"))
+  }
+
   /** Label-noise suspects (Confident Learning's kNN-lite, Northcutt
     * et al. 2021's diagnostic shape): sampled vectors whose k nearest
     * neighbors' PLURALITY label disagrees with their own — ranked by

@@ -1003,4 +1003,35 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(rows("sq8").getDouble(2) < rows("pq").getDouble(2),
       "sq8 at 64 B must reconstruct better than pq at 8 B")
   }
+
+  test("knn hubness recounts from the exact edge frame") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      r5(dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+    }
+    val queries = e.keys.filter(_ % 20 == 0).toSeq.sorted.take(64)
+    val edges = queries.flatMap { q =>
+      e.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(e(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10)
+        .map { case (id, _) => (q, id) }
+    }
+    val deg = edges.groupBy(_._2).map { case (n, g) => n -> g.size }
+    val (hubId, hubD) = deg.toSeq.sortBy { case (n, d) => (-d, n) }.head
+    val qset = queries.toSet
+    val qq = edges.filter(p => qset(p._2))
+    val eset = edges.toSet
+    val mutual = qq.count(p => eset((p._2, p._1)))
+    val r = graft.operators.VectorSearch.knnHubness(spark, TestSpark.sf).collect().head
+    assert(r.getLong(0) == queries.size.toLong)
+    assert(r.getLong(1) == edges.size.toLong)
+    assert(r.getLong(2) == deg.size.toLong)
+    assert(r.getLong(4) == hubD.toLong && r.getLong(5) == hubId, "hub")
+    assert(r.getLong(6) == qq.size.toLong && r.getLong(7) == mutual.toLong)
+  }
 }
