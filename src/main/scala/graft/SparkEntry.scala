@@ -479,6 +479,9 @@ object SparkEntry {
     "item_hubs" -> ((s, d) => Graph.itemHubs(s, d)),
     // band recall + estimate error of the MinHash blocking vs exact
     "minhash_recall_eval" -> ((s, d) => Dedup.minhashRecallEval(s, d)),
+    // candidate volume vs recall across band layouts of the k=16
+    // signature — the S-curve knob measured
+    "minhash_band_sweep" -> ((s, d) => Dedup.minhashBandSweep(s, d)),
     // embedding-space train/eval contamination with witness
     "decontaminate_semantic" -> ((s, d) => Dedup.decontaminateSemantic(s, d)),
     // binary sign-quantized search (hamming shortlist + exact rerank)
@@ -4042,6 +4045,40 @@ object SparkEntry {
         |FROM b ORDER BY doc_id""".stripMargin,
     // truth = the df-capped exact-jaccard pairs; detection = the
     // UNverified any-band minhash candidates with their estimates
+    // one shared truth frame + signature build; per band width a
+    // blocked self-join and exact counts
+    "minhash_band_sweep" -> {
+      val widths = Seq(1, 2, 4, 8)
+      val legs = widths.map { r =>
+        s"""bands$r AS (SELECT doc_id, i // $r AS band, string_agg(mh, '' ORDER BY i) AS bv
+           |            FROM hs GROUP BY 1, 2),
+           |cand$r AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |         FROM bands$r a JOIN bands$r b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val rows = widths.map { r =>
+        s"""SELECT ${r}::BIGINT AS rows_per_band, ${16 / r}::BIGINT AS n_bands,
+           |  (SELECT count(*) FROM cand$r)::BIGINT AS n_candidates,
+           |  (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+           |  (SELECT count(*) FROM truth t JOIN cand$r c ON c.a_id = t.a_id AND c.b_id = t.b_id)::BIGINT AS n_found,
+           |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0
+           |       ELSE round((SELECT count(*) FROM truth t JOIN cand$r c ON c.a_id = t.a_id AND c.b_id = t.b_id)
+           |                  / (SELECT count(*) FROM truth), 5) END AS recall""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH $cappedShingleCtes,
+         |szc AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
+         |interc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |           FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |truth AS MATERIALIZED (SELECT a_id, b_id
+         |          FROM interc JOIN szc sa ON sa.doc_id = a_id
+         |                      JOIN szc sb ON sb.doc_id = b_id
+         |          WHERE round(inter / (sa.sz + sb.sz - inter), 5) >= 0.8),
+         |hs AS MATERIALIZED (SELECT doc_id, i,
+         |              min(substr(md5((i // 4)::VARCHAR || '|' || shingle), (i % 4) * 8 + 1, 8)) AS mh
+         |       FROM shd CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+         |$legs
+         |SELECT * FROM ($rows) ORDER BY rows_per_band""".stripMargin
+    },
     "minhash_recall_eval" ->
       s"""WITH $cappedShingleCtes,
          |szc AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),

@@ -1077,6 +1077,38 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** MinHash banding sweep — the S-curve knob measured instead of
+    * assumed: for each band layout of the k=16 signature (rows/band
+    * r ∈ {1,2,4,8} ↔ b = k/r bands, collision probability
+    * 1−(1−j^r)^b), the candidate-pair volume (the COST a narrower
+    * band buys recall with) and the recall against the exact-Jaccard
+    * ≥ threshold truth ([[minhashRecallEval]]'s ground-truth
+    * convention, one layout → a curve). The table that justifies
+    * r = 2 over r = 1 with this corpus's numbers: r = 1 finds
+    * everything and floods the verifier; r = 8 is cheap and blind.
+    *
+    * One cached signature build and ONE truth frame shared by every
+    * layout; per layout the band self-join is the bounded blocking
+    * every MinHash query uses. Counts exact; one rounded division.
+    */
+  def minhashBandSweep(spark: SparkSession, dir: String, n: Int = 5, k: Int = 16,
+                       widths: Seq[Int] = Seq(1, 2, 4, 8), threshold: Double = 0.8,
+                       maxDf: Long = 1000L): DataFrame = {
+    import spark.implicits._
+    val truth = graft.sources.ScratchCache.materialize(
+      ngramJaccard(spark, dir, n, threshold, maxDf).select(col("a_id"), col("b_id")))
+    val nTruth = truth.count()
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    widths.map { r =>
+      val cand = minhashCandEst(spark, dir, n, k, r).select(col("a_id"), col("b_id"))
+      val nc = cand.count()
+      val nf = truth.join(cand, Seq("a_id", "b_id"), "left_semi").count()
+      (r.toLong, (k / r).toLong, nc, nTruth, nf,
+        if (nTruth == 0) 0.0 else r5(nf.toDouble / nTruth))
+    }.toDF("rows_per_band", "n_bands", "n_candidates", "n_truth", "n_found", "recall")
+      .orderBy(col("rows_per_band"))
+  }
+
   /** Semantic train/eval decontamination — the embedding-space twin of
     * [[decontaminate]] (GPT-3/Dolma shingle overlap catches verbatim
     * leakage; this catches PARAPHRASED leakage the way modern corpus

@@ -509,4 +509,25 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getLong(4) == refs.length.toLong)
     assert(r.getLong(5) == refs.count(emb).toLong)
   }
+
+  test("band sweep: nested-band monotonicity, r=2 row equals the recall eval") {
+    val rows = graft.operators.Dedup.minhashBandSweep(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L))
+    // widths divide each other, so a coarse-band collision implies
+    // collisions in every sub-band: candidates and recall only fall
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) >= b.getLong(2), "candidates must be non-increasing")
+        assert(a.getDouble(5) >= b.getDouble(5), "recall must be non-increasing")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getLong(1) == 16 / r.getLong(0))
+      assert(r.getLong(4) <= r.getLong(3) && r.getLong(4) <= r.getLong(2))
+    }
+    val at2 = rows.find(_.getLong(0) == 2L).get
+    val eval2 = graft.operators.Dedup.minhashRecallEval(spark, TestSpark.sf).collect()
+    assert(at2.getLong(3) == eval2.length.toLong, "truth count")
+    assert(at2.getLong(4) == eval2.count(_.getBoolean(3)).toLong, "found count")
+  }
 }
