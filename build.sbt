@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print a machine-parsed JSON line as their LAST stdout
+// line; sbt's default LoggedOutput prefixes every forked line with
+// "[info] " and appends "[success] Total time…", both of which break
+// the driver's line-level JSON parse (parsed:null rounds 1-10).
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

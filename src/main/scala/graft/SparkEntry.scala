@@ -121,6 +121,9 @@ object SparkEntry {
     "embed_project" -> ((s, d) => Quantized.randomProject(s, d)),
     // learned twin of embed_project (rows-only: eigen not in SQL)
     "embed_pca" -> ((s, d) => Quantized.pcaProject(s, d)),
+    // what embed_pca's rows-only gap leaves open, closed as constants:
+    // orthonormality / centering / eigenvalue order / Parseval bound
+    "pca_invariants" -> ((s, d) => Quantized.pcaInvariants(s, d)),
     "ann_pq_topk" -> ((s, d) => Quantized.pqTopK(s, d, queryId = 0, k = 10)),
     "ann_ivf_topk" -> ((s, d) => Ivf.ivfTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
     "ann_ivfpq_topk" -> ((s, d) => Quantized.ivfPqTopK(s, d, queryId = 0, nCells = 16, nprobe = 4, k = 10)),
@@ -1276,6 +1279,16 @@ object SparkEntry {
          |       $cols
          |FROM embeddings ORDER BY vec_id""".stripMargin
     },
+    // a correct eigendecomposition collapses these to constants (the
+    // engine computes them from the fitted model + corpus; the oracle
+    // asserts what they MUST be — orthonormal directions, centered
+    // projections, non-ascending eigen variances, Parseval bound)
+    "pca_invariants" ->
+      """SELECT invariant, CAST(value AS DOUBLE) AS value FROM (VALUES
+        |  ('explained_le_total', 1.0), ('ortho_diag_max', 1.0),
+        |  ('ortho_diag_min', 1.0), ('ortho_max_offdiag', 0.0),
+        |  ('proj_mean_max', 0.0), ('var_descending', 1.0)
+        |) t(invariant, value) ORDER BY invariant""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm_text,
@@ -4146,8 +4159,9 @@ object SparkEntry {
       s"""WITH RECURSIVE
          |$pqFitCtes,
          |ed AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+         |dm AS (SELECT len(emb) AS dim FROM ed LIMIT 1),
          |stt AS (SELECT min(list_min(emb)) AS mn, max(list_max(emb)) AS mx FROM ed),
-         |al AS (SELECT round(sum(list_sum(list_transform(emb, x -> abs(x)))) / (count(*) * 64), 5) AS alpha FROM ed),
+         |al AS (SELECT round(sum(list_sum(list_transform(emb, x -> abs(x)))) / (count(*) * (SELECT dim FROM dm)), 5) AS alpha FROM ed),
          |pqe AS MATERIALIZED (
          |  SELECT vec_id, round(list_sum(list(md ORDER BY s)), 5) AS e_pq FROM (
          |    SELECT sv.vec_id, sv.s,
@@ -4165,17 +4179,17 @@ object SparkEntry {
          |sq8e AS MATERIALIZED (SELECT vec_id,
          |    round(sxx
          |      - 2.0 * (stt.mn * sx + ((stt.mx - stt.mn) / 256) * (list_dot_product(emb, codes) + 0.5 * sx))
-         |      + (64 * stt.mn * stt.mn
-         |         + 2 * stt.mn * ((stt.mx - stt.mn) / 256) * (list_sum(codes) + 32.0)
-         |         + ((stt.mx - stt.mn) / 256) * ((stt.mx - stt.mn) / 256) * (list_dot_product(codes, codes) + list_sum(codes) + 16.0)), 5) AS e_sq8,
-         |    round(sxx - 2.0 * al.alpha * sabs + 64 * al.alpha * al.alpha, 5) AS e_bin
-         |  FROM rowe, stt, al)
+         |      + (dm.dim * stt.mn * stt.mn
+         |         + 2 * stt.mn * ((stt.mx - stt.mn) / 256) * (list_sum(codes) + 0.5 * dm.dim)
+         |         + ((stt.mx - stt.mn) / 256) * ((stt.mx - stt.mn) / 256) * (list_dot_product(codes, codes) + list_sum(codes) + 0.25 * dm.dim)), 5) AS e_sq8,
+         |    round(sxx - 2.0 * al.alpha * sabs + dm.dim * al.alpha * al.alpha, 5) AS e_bin
+         |  FROM rowe, stt, al, dm)
          |SELECT * FROM (
-         |  SELECT 'binary' AS family, 8::BIGINT AS bytes_per_vec,
-         |         round(avg(e_bin), 5) AS mean_sq_err, max(e_bin) AS max_sq_err FROM sq8e
-         |  UNION ALL SELECT 'float32', 256::BIGINT, 0.0, 0.0
-         |  UNION ALL SELECT 'pq', 8::BIGINT, round(avg(e_pq), 5), max(e_pq) FROM pqe
-         |  UNION ALL SELECT 'sq8', 64::BIGINT, round(avg(e_sq8), 5), max(e_sq8) FROM sq8e
+         |  SELECT 'binary' AS family, (dim // 8)::BIGINT AS bytes_per_vec,
+         |         (SELECT round(avg(e_bin), 5) FROM sq8e) AS mean_sq_err, (SELECT max(e_bin) FROM sq8e) AS max_sq_err FROM dm
+         |  UNION ALL SELECT 'float32', (4 * dim)::BIGINT, 0.0, 0.0 FROM dm
+         |  UNION ALL SELECT 'pq', 8::BIGINT, (SELECT round(avg(e_pq), 5) FROM pqe), (SELECT max(e_pq) FROM pqe)
+         |  UNION ALL SELECT 'sq8', dim::BIGINT, (SELECT round(avg(e_sq8), 5) FROM sq8e), (SELECT max(e_sq8) FROM sq8e) FROM dm
          |) ORDER BY family""".stripMargin,
     // list-comprehension n-grams exactly like the doc_repetition
     // oracle; dup fractions are pure list arithmetic, only the

@@ -2237,7 +2237,13 @@ object Analytics {
       .head.getLong(0)
     val c = trans.collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val channels = Seq("click", "error", "signup", "view")
+    // channels = the observed non-absorbing states — hardcoding an
+    // enum here would silently drop transition mass for any event
+    // type outside it
+    val channels = c.keysIterator
+      .flatMap { case (s, t) => Iterator(s, t) }
+      .filterNot(x => x == "start" || x == "purchase" || x == "null")
+      .toSeq.distinct.sorted
     val rowTot = c.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
     def p(s: String, t: String): Long = {
       val tot = rowTot.getOrElse(s, 0L)

@@ -65,9 +65,17 @@ object FaissSource {
   private[graft] final case class IvfHeader(metric: String, dim: Int, rows: Long,
                                             nlist: Int, centroids: Array[Array[Float]],
                                             listSizes: Array[Long], listsBase: Long) {
+    // cumulative code-block offsets, built once — listOffset is called
+    // per list during task planning, and a per-call prefix sum would
+    // make planning O(nlist²) on the driver
+    private lazy val cumOffsets: Array[Long] = {
+      val a = new Array[Long](nlist + 1)
+      var i = 0
+      while (i < nlist) { a(i + 1) = a(i) + listSizes(i) * (dim.toLong * 4 + 8); i += 1 }
+      a
+    }
     /** Byte offset of list `i`'s code block. */
-    def listOffset(i: Int): Long =
-      listsBase + listSizes.take(i).map(_ * (dim.toLong * 4 + 8)).sum
+    def listOffset(i: Int): Long = listsBase + cumOffsets(i)
   }
 
   /** Parse an IndexIVFFlat ("IwFl") header + embedded quantizer +
@@ -178,7 +186,11 @@ object FaissSource {
           val p = new Path(pathStr)
           val fsx = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
           val in = fsx.open(p)
-          val out = it.flatMap { case (cell, codeOff, idOff, count) =>
+          // a downstream limit() can drop the iterator before exhaustion,
+          // so the handle must close on task completion, not on drain
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+          it.flatMap { case (cell, codeOff, idOff, count) =>
             val codes = new Array[Byte]((count * rowBytes).toInt)
             in.readFully(codeOff, codes)
             val ids = new Array[Byte](count * 8)
@@ -190,10 +202,6 @@ object FaissSource {
               var j = 0; while (j < dim) { row(j) = cb.getFloat; j += 1 }
               (cell, ib.getLong, row)
             }
-          }
-          new Iterator[(Int, Long, Array[Float])] {
-            def hasNext: Boolean = { val h2 = out.hasNext; if (!h2) in.close(); h2 }
-            def next(): (Int, Long, Array[Float]) = out.next()
           }
         }
       }
@@ -233,7 +241,10 @@ object FaissSource {
           val p = new Path(pathStr)
           val fsx = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
           val in = fsx.open(p)
-          val out = it.flatMap { case (start, count) =>
+          // close on task completion: a limit() may never drain the iterator
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+          it.flatMap { case (start, count) =>
             val bytes = new Array[Byte]((count * rowBytes).toInt)
             in.readFully(dataOffset + start * rowBytes, bytes)
             val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -242,10 +253,6 @@ object FaissSource {
               var j = 0; while (j < cols) { row(j) = bb.getFloat; j += 1 }
               (start + i, row)
             }
-          }
-          new Iterator[(Long, Array[Float])] {
-            def hasNext: Boolean = { val h = out.hasNext; if (!h) in.close(); h }
-            def next(): (Long, Array[Float]) = out.next()
           }
         }
       }

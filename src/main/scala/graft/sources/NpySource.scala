@@ -99,7 +99,11 @@ object NpySource {
           // reads one already-located file, no job-conf overrides needed
           val fsx = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
           val in = fsx.open(p)
-          val out = it.flatMap { case (start, count) =>
+          // close on task completion, not on drain — a downstream
+          // limit() can abandon the iterator and leak the handle
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+          it.flatMap { case (start, count) =>
             val bytes = new Array[Byte]((count * rowBytes).toInt)
             in.readFully(dataOffset + start * rowBytes, bytes)
             val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -109,11 +113,6 @@ object NpySource {
               else { var j = 0; while (j < cols) { row(j) = bb.getDouble.toFloat; j += 1 } }
               (start + i, row)
             }
-          }
-          // close the stream once the partition is exhausted
-          new Iterator[(Long, Array[Float])] {
-            def hasNext: Boolean = { val h = out.hasNext; if (!h) in.close(); h }
-            def next(): (Long, Array[Float]) = out.next()
           }
         }
       }

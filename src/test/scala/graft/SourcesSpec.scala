@@ -13,6 +13,38 @@ class FakeQueryEncoder extends graft.functions.QueryEncoder {
   override def encode(text: String): Array[Float] = SparkEntry.demoQueryVec
 }
 
+/** ONNX-shaped stub: the lifecycle a real inference-runtime encoder
+  * has — a no-arg constructor that "loads a model" (here: resolves a
+  * model id the way an ONNX session resolves its file path, from an
+  * external property) and a deterministic per-token encode over a
+  * fixed hidden width. The day real weights exist, only the conf line
+  * changes — this spec is the contract keeping that swap honest.
+  */
+class OnnxShapedStubEncoder extends graft.functions.QueryEncoder {
+  private val modelId: String =
+    sys.props.getOrElse("graft.test.onnx.model", "stub-minilm-l6")
+  // output width is model configuration (a real MiniLM emits 384; the
+  // engine corpus is 64) — resolved per encode like a session option
+  private def hidden: Int =
+    sys.props.getOrElse("graft.test.onnx.dim", "64").toInt
+  override def encode(text: String): Array[Float] = {
+    // mean-pool of per-token pseudo-embeddings, the MiniLM output shape
+    val toks = text.toLowerCase.split("\\W+").filter(_.length >= 2)
+    val out = new Array[Float](hidden)
+    toks.foreach { t =>
+      var h = (modelId + ":" + t).hashCode
+      var i = 0
+      while (i < hidden) {
+        h = h * 31 + i
+        out(i) += (h % 1000) / 1000.0f
+        i += 1
+      }
+    }
+    if (toks.nonEmpty) out.indices.foreach(i => out(i) /= toks.length)
+    out
+  }
+}
+
 class SourcesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -136,6 +168,39 @@ class SourcesSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSeq
       assert(viaText == viaVec && viaText.nonEmpty,
         "text front door must equal topKVec on the encoder's vector")
+    } finally spark.conf.unset("spark.graft.encoder.class")
+  }
+
+  test("encoder seam stays warm: an ONNX-shaped external encoder drops in as one config line") {
+    import graft.operators.VectorSearch
+    spark.conf.set("spark.graft.encoder.class", classOf[OnnxShapedStubEncoder].getName)
+    try {
+      val query = "kindle tablet battery"
+      // the engine-corpus front door routes through the configured class
+      val viaSeam = VectorSearch.topKText(spark, TestSpark.sf, query, k = 5)
+        .collect().map(_.toSeq).toSeq
+      val qv = new OnnxShapedStubEncoder().encode(query)
+      val direct = VectorSearch.topKVec(spark, TestSpark.sf, qv, k = 5)
+        .collect().map(_.toSeq).toSeq
+      assert(viaSeam == direct && viaSeam.nonEmpty,
+        "config-resolved encoder must flow through topKText unchanged")
+      // and the reference-artifact free-text shape (vs_topk_reference_text's
+      // plan: encoder output → topKVecOf over the real 384-dim npy corpus)
+      // serves the same seam-resolved vector — the swap is config, not code
+      sys.props("graft.test.onnx.dim") = "384"
+      try {
+        val corpus = graft.sources.NpySource.readNpy(
+          spark, "/root/reference/product_embeddings.npy")
+        val refQv = graft.functions.QueryEncoder.required(spark).encode(query)
+        assert(refQv.length == 384, "model-config width must reach the seam")
+        val a = VectorSearch.topKVecOf(corpus, refQv, 10).collect()
+        val b = VectorSearch.topKVecOf(corpus,
+          new OnnxShapedStubEncoder().encode(query), 10).collect()
+        assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq && a.length == 10,
+          "reference free-text shape must serve the seam-resolved vector")
+        // real scores, not the null a width-mismatched encoder would produce
+        assert(a.forall(r => !r.isNullAt(1)))
+      } finally sys.props.remove("graft.test.onnx.dim")
     } finally spark.conf.unset("spark.graft.encoder.class")
   }
 

@@ -1034,4 +1034,55 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(r.getLong(4) == hubD.toLong && r.getLong(5) == hubId, "hub")
     assert(r.getLong(6) == qq.size.toLong && r.getLong(7) == mutual.toLong)
   }
+
+  test("familyEval rows reconcile with the individually-oracled family entry points") {
+    // the harness's Precision@K / MRR become DERIVED facts: recount
+    // every family's metrics from the same single-query entry points
+    // the hard oracles check, against ground truth re-derived through
+    // the oracled flat search (familyEval itself uses knnJoin — an
+    // independent code path for the same exact top-k)
+    import graft.operators.Quantized
+    val dir = TestSpark.sf
+    val k = 10
+    val fe = Ivf.familyEval(spark, dir, queryMod = 500, k = k).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(4)))).toMap
+    val qIds = Tables.embeddings(spark, dir).where(col("vec_id") % 500 === 0)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted.take(8).toSeq
+    val gt = qIds.map(q => q -> VectorSearch.topK(spark, dir, q, k).collect()
+      .map(_.getLong(0)).toSeq).toMap
+    val nq = qIds.length.toDouble
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).toSeq
+    def recount(run: Long => Seq[Long]): (Double, Double) = {
+      val res = qIds.map(q => q -> run(q))
+      val p = res.map { case (q, ns) => ns.count(gt(q).contains).toLong }.sum / (nq * k)
+      val rr = res.map { case (q, ns) =>
+        val i = ns.indexOf(gt(q).head)
+        if (i >= 0) 1.0 / (i + 1) else 0.0
+      }.sum / nq
+      (math.rint(p * 1e5) / 1e5, math.rint(rr * 1e5) / 1e5)
+    }
+    val checks: Seq[(String, Long => Seq[Long])] = Seq(
+      "flat" -> ((q: Long) => ids(VectorSearch.topK(spark, dir, q, k))),
+      "ivf_nprobe4" -> ((q: Long) => ids(Ivf.ivfTopK(spark, dir, q, 16, 4, k))),
+      "lsh_multiprobe" -> ((q: Long) => ids(Lsh.lshTopK(spark, dir, q, 8, k))),
+      "sq8" -> ((q: Long) => ids(Quantized.sq8TopK(spark, dir, q, k))),
+      "pq_adc" -> ((q: Long) => ids(Quantized.pqTopK(spark, dir, q, k))),
+      "ivfpq_nprobe4" -> ((q: Long) => ids(Quantized.ivfPqTopK(spark, dir, q, 16, 4, k))),
+      "ivfpq_rerank_c50" -> ((q: Long) =>
+        ids(Quantized.ivfPqRerankTopK(spark, dir, q, 16, 4, 50, k))),
+      "ivfpq_res_nprobe4" -> ((q: Long) =>
+        ids(Quantized.ivfPqResidualTopK(spark, dir, q, 16, 4, k))),
+      "binary_c50" -> ((q: Long) => ids(Quantized.binaryTopK(spark, dir, q, 50, k))),
+      "matryoshka16_c50" -> ((q: Long) =>
+        ids(VectorSearch.matryoshkaTopK(spark, dir, q, 16, 50, k))))
+    assert(checks.map(_._1).toSet == fe.keySet, "family row set")
+    checks.foreach { case (fam, run) =>
+      val (p, rr) = recount(run)
+      val (hp, hrr, hn) = fe(fam)
+      assert(hn == qIds.length, s"$fam sample size")
+      assert(hp == p, s"$fam Precision@K: harness=$hp recount=$p")
+      assert(hrr == rr, s"$fam MRR: harness=$hrr recount=$rr")
+    }
+  }
 }
