@@ -21,6 +21,10 @@ for i in $(seq 1 "$N"); do
   java $ADD_OPENS -Xmx48g \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
-    2>/dev/null | tail -1 >> "$OUT"
+    >/dev/null 2>&1
+  # Bench's stdout now ends with the COMPACT headline line (driver
+  # tail contract); the full per-query map the series aggregation
+  # needs lives in target/bench.json — collect that per run
+  cat target/bench.json >> "$OUT"
 done
 echo "done: $(wc -l < "$OUT") runs in $OUT" >&2

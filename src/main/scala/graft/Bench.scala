@@ -12,16 +12,30 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional subset filter (comma-separated names) for targeted
+    // scale points — e.g. the sf10 hot-family run, where timing the
+    // full 268-query surface would spend hours re-measuring queries
+    // whose growth the sf1 points already pin. Unset = full surface
+    // (the driver's per-round contract).
+    val queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      sys.env.get("SPARK_GRAFT_QUERIES") match {
+        case Some(names) =>
+          val want = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          val missing = want -- SparkEntry.queries.keySet
+          require(missing.isEmpty, s"unknown queries in SPARK_GRAFT_QUERIES: ${missing.mkString(",")}")
+          SparkEntry.queries.filter { case (k, _) => want(k) }
+        case None => SparkEntry.queries
+      }
     // untimed warm-up pass: JIT-compile the generated code paths and
     // fault in the OS page cache so the timed pass measures the
     // engine, not first-run JVM noise
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       spark.catalog.clearCache()
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // a throwing query must surface as an error, never as a (fast,
     // bogus) timing — a regression would otherwise look like a speedup
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
@@ -39,9 +53,19 @@ object Bench {
       val f = new java.io.File("BASELINE.md")
       if (!f.exists) Map.empty
       else {
-        val re = """\|\s*`([a-z0-9_]+)`\s*\|\s*[0-9.]+\s*\|\s*([0-9.]+)\s*\|""".r
+        // full-line anchor: BASELINE.md's SCALE-POINT tables start with
+        // the same three columns (`query | sfA s | sfB s | ratio`), so
+        // an unanchored prefix match let those rows override the real
+        // budget-table rows via toMap's last-wins — queries were
+        // flagged over-budget against a scale-table cell. Budget rows
+        // are exactly `| name | baseline | budget |` and budget >=
+        // baseline by construction (2x ratchet, 0.5 s floor).
+        val re = """^\|\s*`([a-z0-9_]+)`\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|\s*$""".r
         val src = scala.io.Source.fromFile(f, "UTF-8")
-        try src.getLines().collect { case re(name, budget) => name -> budget.toDouble }.toMap
+        try src.getLines().collect {
+          case re(name, base, budget) if budget.toDouble >= base.toDouble =>
+            name -> budget.toDouble
+        }.toMap
         finally src.close()
       }
     }
@@ -53,7 +77,7 @@ object Bench {
         val extra = (1 to 2).flatMap { _ =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          try { SparkEntry.queries(name)(spark, sfDir).count()
+          try { queries(name)(spark, sfDir).count()
                 Some((System.nanoTime() - t0) / 1e9) }
           catch { case _: Throwable => None }
         }

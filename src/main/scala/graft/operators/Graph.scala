@@ -70,9 +70,12 @@ object Graph {
         .join(ranks.select(col("item_id").as("src"), col("r")), "src")
         .select(col("dst").as("item_id"), expr("r div deg").as("c"))
         .groupBy(col("item_id")).agg(sum(col("c")).as("contrib"))
-      ranks = nodes.join(contrib, Seq("item_id"), "left")
+      // cut per round: every later round re-references the rank state,
+      // so an uncut plan accretes one nodes+withDeg subtree per round
+      // and Catalyst planning dominates the loop (ScratchCache scaladoc)
+      ranks = ScratchCache.materializeCut(nodes.join(contrib, Seq("item_id"), "left")
         .select(col("item_id"),
-          (lit(base) + expr("(85 * coalesce(contrib, 0)) div 100")).as("r"))
+          (lit(base) + expr("(85 * coalesce(contrib, 0)) div 100")).as("r")))
     }
     ranks
       .select(col("item_id"), col("r").as("rank_scaled"),
@@ -127,12 +130,13 @@ object Graph {
         .withColumn("rk", row_number().over(w))
         .where(col("rk") === 1)
         .select(col("src").as("item_id"), col("lab").as("new_lab"))
-      // materialize each round: the update references the previous
-      // label state TWICE (neighbor vote + isolated-node carry), so an
-      // unmaterialized plan doubles per round — 2^iters subtree copies
-      // by the end. One |V|-row cache entry per round keeps the DAG
-      // linear, the same state-truncation move as the CC loop.
-      labels = ScratchCache.materialize(
+      // materialize + CUT each round: the update references the
+      // previous label state TWICE (neighbor vote + isolated-node
+      // carry), so an unmaterialized plan doubles per round; even
+      // materialized, the uncut LOGICAL plan grows per round and
+      // Catalyst planning dominates (ScratchCache scaladoc). One
+      // |V|-row cache entry per round keeps the DAG linear.
+      labels = ScratchCache.materializeCut(
         labels.join(best, Seq("item_id"), "left")
           .select(col("item_id"), coalesce(col("new_lab"), col("lab")).as("lab")))
     }
@@ -244,12 +248,15 @@ object Graph {
     // (crossJoin(broadcast(agg))) doubles the logical plan per round
     // and costs minutes of pure Catalyst time by round 8
     for (_ <- 1 to iters) {
-      val araw = ScratchCache.materialize(
+      // cut per half-round: the score state is re-referenced by every
+      // later round, and the uncut plan's per-round growth cost more
+      // than the actual |E|-row joins (ScratchCache scaladoc)
+      val araw = ScratchCache.materializeCut(
         edges.join(h.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id")).agg(sum(col("n") * col("s")).as("v")))
       val amax = araw.agg(max(col("v"))).head.getLong(0)
       a = araw.select(col("id"), expr(s"v * $HScale div $amax").as("s"))
-      val hraw = ScratchCache.materialize(
+      val hraw = ScratchCache.materializeCut(
         edges.join(a.withColumnRenamed("id", "dst"), "dst")
           .groupBy(col("src").as("id")).agg(sum(col("n") * col("s")).as("v")))
       val hmax = hraw.agg(max(col("v"))).head.getLong(0)
@@ -364,8 +371,12 @@ object Graph {
       .join(a.select(col("item_id").as("dst")), Seq("dst"))
       .groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
     for (_ <- 1 to rounds)
-      alive = aliveDeg(alive).where(col("core_degree") >= k)
-        .select(col("src").as("item_id"))
+      // single state reference keeps the plan linear; the CUT keeps it
+      // CONSTANT — without it each round's plan re-embeds the whole
+      // edge-build subtree and planning dominates (ScratchCache scaladoc)
+      alive = ScratchCache.materializeCut(
+        aliveDeg(alive).where(col("core_degree") >= k)
+          .select(col("src").as("item_id")))
     // the final degree table restricts to survivors on BOTH ends —
     // alive is referenced twice here, but only once in total
     val fin = ScratchCache.materialize(alive)
@@ -438,10 +449,11 @@ object Graph {
         .join(ranks.select(col("item_id").as("src"), col("r")), "src")
         .select(col("dst").as("item_id"), expr("r div deg").as("c"))
         .groupBy(col("item_id")).agg(sum(col("c")).as("contrib"))
-      ranks = nodes.join(contrib, Seq("item_id"), "left")
+      // cut per round — same planning-growth control as itemPagerank
+      ranks = ScratchCache.materializeCut(nodes.join(contrib, Seq("item_id"), "left")
         .select(col("item_id"),
           (when(col("item_id") === seed, lit(base)).otherwise(lit(0L)) +
-            expr("(85 * coalesce(contrib, 0)) div 100")).as("r"))
+            expr("(85 * coalesce(contrib, 0)) div 100")).as("r")))
     }
     ranks
       .select(lit(seed).as("seed_item"), col("item_id"), col("r").as("rank_scaled"),

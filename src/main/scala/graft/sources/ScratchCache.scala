@@ -21,8 +21,14 @@ import org.apache.spark.storage.StorageLevel
   * entry (memory + disk blocks) alive until `unpersist()` — a serving
   * session issuing thousands of distinct queries would accumulate one
   * scratch entry per query, forever. This cache bounds that: an LRU of
-  * at most `spark.graft.scratch.cache.size` (default 8) persisted
-  * frames per process; eviction unpersists. Storage is
+  * at most `spark.graft.scratch.cache.size` (default 24) persisted
+  * frames per process; eviction unpersists. The default leaves
+  * headroom for the iterative graph loops, which insert one (HITS:
+  * two) |V|-row state frame per round on top of their shared edge
+  * frame — at a cap of 8 the edge frame (whose LRU recency never
+  * refreshes: it is USED by every round's plan but materialize() is
+  * only CALLED on it once) was evicted mid-loop and the edge build
+  * re-ran for the remaining rounds. Storage is
   * MEMORY_AND_DISK, so lineage stays RECOMPUTABLE — a lost block is
   * recomputed from source, not a query failure, and an evicted frame
   * still referenced by an un-executed caller plan simply recomputes.
@@ -37,7 +43,7 @@ import org.apache.spark.storage.StorageLevel
 object ScratchCache {
 
   private def capacity(spark: SparkSession): Int =
-    spark.conf.get("spark.graft.scratch.cache.size", "8").toInt
+    spark.conf.get("spark.graft.scratch.cache.size", "24").toInt
 
   // access-ordered LinkedHashMap = LRU; guarded by this object's lock
   // (driver-side planning only — never on a per-row path).
@@ -62,7 +68,15 @@ object ScratchCache {
     val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized,
       df.schema.fieldNames.toSeq)
     val hit = lru.get(key)
-    if (hit != null) hit
+    if (hit != null) {
+      // an external spark.catalog.clearCache() strips the storage but
+      // leaves the LRU entry — without re-registering, every consumer
+      // of the hit silently runs UNCACHED and a two-pass caller
+      // executes its subtree twice (measured as the bench-cold 2×
+      // overshoot on the hybrid/rec queries in round 10)
+      if (hit.storageLevel == StorageLevel.NONE) hit.persist(StorageLevel.MEMORY_AND_DISK)
+      hit
+    }
     else {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       lru.put(key, p)
@@ -75,6 +89,21 @@ object ScratchCache {
       p
     }
   }
+
+  /** [[materialize]] behind a LogicalRDD plan barrier — for
+    * ITERATIVE-LOOP state frames (PageRank ranks, HITS scores, label
+    * propagation): every later round re-references the state, so an
+    * uncut logical plan grows by one subtree per round and
+    * Catalyst/AQE planning comes to dominate the loop (measured on
+    * itemFlowHits: rounds 4+ spent ~2.4 s planning over ~10k rows).
+    * The cut frame scans the SAME persisted blocks; under block loss
+    * the underlying RDD lineage recomputes from source, so executor
+    * churn still cannot fail the query — unlike localCheckpoint,
+    * whose blocks are unrecoverable. The Row→InternalRow re-encode at
+    * the barrier costs one narrow pass over the |state| rows.
+    */
+  def materializeCut(df: DataFrame): DataFrame =
+    materialize(df.sparkSession.createDataFrame(df.rdd, df.schema))
 
   /** Test/ops hook: drop and unpersist everything. */
   def clear(): Unit = synchronized {
