@@ -39,8 +39,15 @@ for r in runs:
 if len(sys.argv) > 2:
     with open(sys.argv[2]) as f:
         for line in f:
-            m = re.match(r"\|\s*`?(\w+)`?\s*\|\s*([\d.]+)\s*\|\s*[\d.]+", line)
-            if m and m.group(1) != "query":
+            # full-line anchor: only the budget table's exact
+            # `| name | baseline | budget |` shape — the scale-point
+            # tables share the same three leading columns and their
+            # cells are NOT sf0.1 baselines (same fix as graft.Bench's
+            # budget parser)
+            m = re.match(r"^\|\s*`?(\w+)`?\s*\|\s*([\d.]+)\s*\|\s*([\d.]+)\s*\|\s*$",
+                         line)
+            if m and m.group(1) != "query" and \
+                    float(m.group(3)) >= float(m.group(2)):
                 q = m.group(1)
                 # ratchet only queries the CURRENT series still runs —
                 # a renamed/removed query must not be resurrected from
