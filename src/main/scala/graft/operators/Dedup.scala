@@ -1067,10 +1067,26 @@ object Dedup {
     * deterministic coarse-quantizer fit ([[Ivf]]) the whole pass —
     * fit, assignment, within-cell pairs, transitive closure — replays
     * as a hard DuckDB oracle.
+    *
+    * `nCells = 0` (the default) derives the cell count from the
+    * corpus: max(16, 2^floor(log2 sqrt(n/2))) — candidate-pair volume
+    * n·occupancy/2 then grows ~n^1.5 instead of the n² a FIXED cell
+    * count degenerates to (the round-11 sf10 scale run caught the
+    * fixed default: 500k vectors in 16 cells is ~7.8e9 dot products).
+    * The floor collapses the derivation to 16 for any corpus under
+    * 2048 vectors, so the sf0.01 DuckDB oracle (500 vectors) replays
+    * the identical 16-cell fit. One metadata-only parquet count per
+    * call prices the derivation.
     */
-  def semanticDedup(spark: SparkSession, dir: String, nCells: Int = 16,
+  def semanticDedup(spark: SparkSession, dir: String, nCells: Int = 0,
                     threshold: Double = 0.4): DataFrame = {
-    val (assigned, _) = Ivf.ensureIndex(spark, dir, nCells)
+    val cells =
+      if (nCells > 0) nCells
+      else {
+        val n = Tables.embeddings(spark, dir).count()
+        math.max(16, Integer.highestOneBit(math.sqrt(n / 2.0).toInt.max(1)))
+      }
+    val (assigned, _) = Ivf.ensureIndex(spark, dir, cells)
     val e = assigned.select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
     val pairs = e.as("a").join(e.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
