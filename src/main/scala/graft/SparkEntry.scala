@@ -545,6 +545,26 @@ object SparkEntry {
     // NB hashed-unigram source classifier: train on the 80% hash
     // split, per-source precision/recall on the held-out 20%
     "nb_source_classify" -> ((s, d) => Curation.nbSourceClassify(s, d)),
+    // reliability diagram of the same classifier: softmax confidence
+    // over the rounded scores, 10 equal-width bins, ECE-style gaps
+    "nb_calibration" -> ((s, d) => Curation.nbCalibration(s, d)),
+    // topic cartography: IVF cells named by their top summed-tf-idf
+    // terms over the 1:1 vec_id = doc_id join
+    "doc_clusters" -> ((s, d) => Curation.docClusters(s, d)),
+    // diversity-preserving draw: md5-ranked cap per IVF cell
+    "sample_cluster_balanced" -> ((s, d) => Curation.clusterBalancedSample(s, d)),
+    // DoReMi one-step EG tilt of the token mixture toward sources
+    // with positive held-out NLL gap
+    "doremi_weights" -> ((s, d) => Curation.doremiWeights(s, d)),
+    // greedy k-center coreset: farthest-point traversal, exact-double
+    // argmax with lower-id ties, radius-vs-k curve out
+    "coreset_kcenter" -> ((s, d) => Curation.coresetKCenter(s, d)),
+    // offline max-|CUSUM| level-shift day per event type, integer-
+    // exact argmax
+    "events_changepoint" -> ((s, d) => Analytics.eventsChangepoint(s, d)),
+    // pre-retrieval QPP: df/cf/idf/SCQ per query term + query-level
+    // aggregates repeated per row
+    "query_difficulty" -> ((s, d) => TextRetrieval.queryDifficulty(s, d)),
     // write-side shard sizing (64 KiB target at test scale; the
     // production default is 128 MiB)
     "output_shard_plan" -> ((s, d) => Curation.outputShardPlan(s, d, targetBytes = 64L * 1024)),
@@ -622,6 +642,94 @@ object SparkEntry {
       |nn AS (SELECT count(*) AS n FROM documents),
       |w AS (SELECT tf.doc_id, tf.term, tf.tf * (ln((nn.n + 1) / (dfv.df + 1)) + 1) AS w FROM tf JOIN dfv USING (term), nn),
       |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1)""".stripMargin
+
+  /** Shared CTEs replaying [[graft.operators.Curation.nbScoredTest]]
+    * — the hashed-unigram NB model fit on the 80% md5 split and the
+    * held-out per-(doc, class) log-scores (`sc` = unrounded ll,
+    * `pri` = class log-priors; consumers round ll + lp to 5 decimals
+    * exactly as the engine does). ONE definition for both the
+    * classify and calibration oracles.
+    */
+  private val nbCtes: String =
+    """terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |termb AS (SELECT term, ('0x' || substr(md5(term), 1, 8))::UBIGINT::BIGINT % 256 AS b
+      |          FROM (SELECT DISTINCT term FROM tf)),
+      |docb AS MATERIALIZED (SELECT doc_id, b, sum(tf)::BIGINT AS cb
+      |         FROM tf JOIN termb USING (term) GROUP BY 1, 2),
+      |d AS MATERIALIZED (SELECT doc_id, source,
+      |         substr(md5(doc_id::VARCHAR), 1, 4) < 'cccc' AS is_train FROM documents),
+      |pri0 AS (SELECT source AS cls, count(*) AS nd FROM d WHERE is_train GROUP BY 1),
+      |pri AS (SELECT cls, ln(nd / (SELECT sum(nd) FROM pri0)) AS lp FROM pri0),
+      |clsb AS MATERIALIZED (SELECT d.source AS cls, docb.b, sum(cb)::BIGINT AS csb
+      |        FROM docb JOIN d USING (doc_id) WHERE d.is_train GROUP BY 1, 2),
+      |clst AS (SELECT cls, sum(csb)::BIGINT AS cst FROM clsb GROUP BY 1),
+      |grid AS (SELECT clst.cls, vb.b,
+      |                ln((coalesce(clsb.csb, 0) + 1.0) / (clst.cst + 256)) AS lw
+      |         FROM clst CROSS JOIN (SELECT DISTINCT b FROM termb) vb
+      |         LEFT JOIN clsb ON clsb.cls = clst.cls AND clsb.b = vb.b),
+      |sc AS (SELECT docb.doc_id, d.source, grid.cls, sum(docb.cb * grid.lw) AS ll
+      |       FROM docb JOIN d USING (doc_id) JOIN grid USING (b)
+      |       WHERE NOT d.is_train GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Shared CTEs replaying [[graft.operators.TextAnalysis.lmHoldoutPpl]]
+    * whole — the 80%-split interpolated bigram LM scored on both
+    * splits, folded to the per-source report as `ppl` (source,
+    * train/eval bigram counts, rounded NLLs, rounded gap). ONE
+    * definition for the ppl oracle and the DoReMi reweighting oracle
+    * built on its gap column.
+    */
+  private val lmHoldoutCtes: String =
+    """toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2) AS l FROM documents),
+      |bg AS (SELECT doc_id, struct_extract(z, 1) AS w1, struct_extract(z, 2) AS w2
+      |       FROM (SELECT doc_id, unnest(list_zip(l[1:len(l) - 1], l[2:])) AS z FROM toks WHERE len(l) >= 2)),
+      |d AS MATERIALIZED (SELECT doc_id, source,
+      |       substr(md5(doc_id::VARCHAR), 1, 4) < 'cccc' AS is_train FROM documents),
+      |tf12 AS MATERIALIZED (SELECT doc_id, w1, w2, count(*) AS tf12 FROM bg GROUP BY 1, 2, 3),
+      |c12t AS (SELECT w1, w2, sum(tf12)::BIGINT AS c12
+      |         FROM tf12 JOIN d USING (doc_id) WHERE d.is_train GROUP BY 1, 2),
+      |terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |ctt AS MATERIALIZED (SELECT term, sum(tf)::BIGINT AS ct
+      |        FROM tf JOIN d USING (doc_id) WHERE d.is_train GROUP BY 1),
+      |tv AS (SELECT sum(ct)::BIGINT AS tot, count(*)::BIGINT AS v FROM ctt),
+      |lsc AS (SELECT d.source, d.is_train, tf12.tf12,
+      |              tf12.tf12 * ln(0.75::DOUBLE * coalesce(c12t.c12 / c1.ct, 0.0)
+      |                + 0.25::DOUBLE * (coalesce(c2.ct, 0) + 1.0) / (tv.tot + tv.v)) AS lp
+      |       FROM tf12 JOIN d USING (doc_id)
+      |       LEFT JOIN c12t USING (w1, w2)
+      |       LEFT JOIN ctt c1 ON tf12.w1 = c1.term
+      |       LEFT JOIN ctt c2 ON tf12.w2 = c2.term, tv),
+      |ppl AS (SELECT source,
+      |       coalesce(sum(CASE WHEN is_train THEN tf12 END), 0)::BIGINT AS train_bigrams,
+      |       coalesce(sum(CASE WHEN NOT is_train THEN tf12 END), 0)::BIGINT AS eval_bigrams,
+      |       round(-sum(CASE WHEN is_train THEN lp END)
+      |             / sum(CASE WHEN is_train THEN tf12 END), 5) AS train_nll,
+      |       round(-sum(CASE WHEN NOT is_train THEN lp END)
+      |             / sum(CASE WHEN NOT is_train THEN tf12 END), 5) AS eval_nll,
+      |       round(eval_nll - train_nll, 5) AS gap
+      |FROM lsc GROUP BY 1)""".stripMargin
+
+  /** CTEs replaying [[graft.operators.Curation.coresetKCenter]]'s 8
+    * greedy farthest-point rounds, ASSEMBLED by the same loop shape
+    * the engine runs (the entropy-oracle convention): p1 = lowest id,
+    * mJ chains least(prev-min, d² to the round's pick), pJ+1 = the
+    * (md DESC, vec_id) argmax. Distances are the exact left-to-right
+    * Σ(aᵢ−bᵢ)² folds the IVF oracles already match bit-for-bit.
+    */
+  private val coresetCtes: String = {
+    def d2(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> ($a.v[i] - $b.v[i]) * ($a.v[i] - $b.v[i])))"
+    val sb = new StringBuilder
+    sb.append("e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),\n")
+    sb.append("p1 AS (SELECT vec_id, v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),\n")
+    sb.append(s"m1 AS (SELECT e.vec_id, e.v, ${d2("e", "p1")} AS md FROM e, p1),\n")
+    for (j <- 2 to 8) {
+      sb.append(s"p$j AS (SELECT vec_id, v, md FROM m${j - 1} ORDER BY md DESC, vec_id LIMIT 1)")
+      if (j < 8) sb.append(s",\nm$j AS (SELECT m.vec_id, m.v, least(m.md, ${d2("m", s"p$j")}) AS md FROM m${j - 1} m, p$j),\n")
+    }
+    sb.toString
+  }
 
   private val shingleCtes: String =
     """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -3070,35 +3178,26 @@ object SparkEntry {
     // splits; add-1 train-unigram backoff floors eval-only words;
     // the gap comes from the ROUNDED per-side NLLs
     "lm_holdout_ppl" ->
-      """WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2) AS l FROM documents),
-        |bg AS (SELECT doc_id, struct_extract(z, 1) AS w1, struct_extract(z, 2) AS w2
-        |       FROM (SELECT doc_id, unnest(list_zip(l[1:len(l) - 1], l[2:])) AS z FROM toks WHERE len(l) >= 2)),
-        |d AS MATERIALIZED (SELECT doc_id, source,
-        |       substr(md5(doc_id::VARCHAR), 1, 4) < 'cccc' AS is_train FROM documents),
-        |tf12 AS MATERIALIZED (SELECT doc_id, w1, w2, count(*) AS tf12 FROM bg GROUP BY 1, 2, 3),
-        |c12t AS (SELECT w1, w2, sum(tf12)::BIGINT AS c12
-        |         FROM tf12 JOIN d USING (doc_id) WHERE d.is_train GROUP BY 1, 2),
-        |terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
-        |ctt AS MATERIALIZED (SELECT term, sum(tf)::BIGINT AS ct
-        |        FROM tf JOIN d USING (doc_id) WHERE d.is_train GROUP BY 1),
-        |tv AS (SELECT sum(ct)::BIGINT AS tot, count(*)::BIGINT AS v FROM ctt),
-        |sc AS (SELECT d.source, d.is_train, tf12.tf12,
-        |              tf12.tf12 * ln(0.75::DOUBLE * coalesce(c12t.c12 / c1.ct, 0.0)
-        |                + 0.25::DOUBLE * (coalesce(c2.ct, 0) + 1.0) / (tv.tot + tv.v)) AS lp
-        |       FROM tf12 JOIN d USING (doc_id)
-        |       LEFT JOIN c12t USING (w1, w2)
-        |       LEFT JOIN ctt c1 ON tf12.w1 = c1.term
-        |       LEFT JOIN ctt c2 ON tf12.w2 = c2.term, tv)
-        |SELECT source,
-        |       coalesce(sum(CASE WHEN is_train THEN tf12 END), 0)::BIGINT AS train_bigrams,
-        |       coalesce(sum(CASE WHEN NOT is_train THEN tf12 END), 0)::BIGINT AS eval_bigrams,
-        |       round(-sum(CASE WHEN is_train THEN lp END)
-        |             / sum(CASE WHEN is_train THEN tf12 END), 5) AS train_nll,
-        |       round(-sum(CASE WHEN NOT is_train THEN lp END)
-        |             / sum(CASE WHEN NOT is_train THEN tf12 END), 5) AS eval_nll,
-        |       round(eval_nll - train_nll, 5) AS gap
-        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $lmHoldoutCtes
+         |SELECT * FROM ppl ORDER BY source""".stripMargin,
+    // the held-out gap (already rounded) tilts exact token shares by
+    // exp(eta*excess); weight rounds before the integer allocation
+    "doremi_weights" ->
+      s"""WITH $lmHoldoutCtes,
+         |tk AS (SELECT source, count(*) AS n_docs,
+         |              sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+         |       FROM documents GROUP BY 1),
+         |tt AS (SELECT sum(n_tokens) AS t FROM tk),
+         |tl AS (SELECT tk.source, tk.n_docs, tk.n_tokens,
+         |              round(tk.n_tokens / tt.t, 5) AS base_share,
+         |              greatest(coalesce(ppl.gap, 0.0), 0.0) AS excess,
+         |              tk.n_tokens * exp(1.0 * greatest(coalesce(ppl.gap, 0.0), 0.0)) AS tw
+         |       FROM tk LEFT JOIN ppl USING (source), tt),
+         |zz AS (SELECT sum(tw) AS z FROM tl)
+         |SELECT source, n_docs, n_tokens, base_share, excess,
+         |       round(tw / zz.z, 5) AS weight,
+         |       CAST(round(round(tw / zz.z, 5) * 1000000) AS BIGINT) AS alloc_tokens
+         |FROM tl, zz ORDER BY source""".stripMargin,
     "bigram_logprob" ->
       """WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2) AS l FROM documents),
         |bg AS (SELECT doc_id, struct_extract(z, 1) AS w1, struct_extract(z, 2) AS w2
@@ -4675,40 +4774,117 @@ object SparkEntry {
     // rounded per-class scores, (score DESC, cls) argmax, and the
     // per-source precision/recall rollup
     "nb_source_classify" ->
-      """WITH terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
-        |termb AS (SELECT term, ('0x' || substr(md5(term), 1, 8))::UBIGINT::BIGINT % 256 AS b
-        |          FROM (SELECT DISTINCT term FROM tf)),
-        |docb AS MATERIALIZED (SELECT doc_id, b, sum(tf)::BIGINT AS cb
-        |         FROM tf JOIN termb USING (term) GROUP BY 1, 2),
-        |d AS MATERIALIZED (SELECT doc_id, source,
-        |         substr(md5(doc_id::VARCHAR), 1, 4) < 'cccc' AS is_train FROM documents),
-        |pri0 AS (SELECT source AS cls, count(*) AS nd FROM d WHERE is_train GROUP BY 1),
-        |pri AS (SELECT cls, ln(nd / (SELECT sum(nd) FROM pri0)) AS lp FROM pri0),
-        |clsb AS MATERIALIZED (SELECT d.source AS cls, docb.b, sum(cb)::BIGINT AS csb
-        |        FROM docb JOIN d USING (doc_id) WHERE d.is_train GROUP BY 1, 2),
-        |clst AS (SELECT cls, sum(csb)::BIGINT AS cst FROM clsb GROUP BY 1),
-        |grid AS (SELECT clst.cls, vb.b,
-        |                ln((coalesce(clsb.csb, 0) + 1.0) / (clst.cst + 256)) AS lw
-        |         FROM clst CROSS JOIN (SELECT DISTINCT b FROM termb) vb
-        |         LEFT JOIN clsb ON clsb.cls = clst.cls AND clsb.b = vb.b),
-        |sc AS (SELECT docb.doc_id, d.source, grid.cls, sum(docb.cb * grid.lw) AS ll
-        |       FROM docb JOIN d USING (doc_id) JOIN grid USING (b)
-        |       WHERE NOT d.is_train GROUP BY 1, 2, 3),
-        |pred AS MATERIALIZED (SELECT sc.doc_id, sc.source, sc.cls AS pred
-        |        FROM sc JOIN pri ON pri.cls = sc.cls
-        |        QUALIFY row_number() OVER (PARTITION BY sc.doc_id
-        |          ORDER BY round(sc.ll + pri.lp, 5) DESC, sc.cls) = 1),
-        |bt AS (SELECT source, count(*) AS n_docs,
-        |              count(CASE WHEN pred = source THEN 1 END) AS n_correct
-        |       FROM pred GROUP BY 1),
-        |bp AS (SELECT pred AS source, count(*) AS n_pred FROM pred GROUP BY 1)
-        |SELECT bt.source, bt.n_docs, bt.n_correct,
-        |       coalesce(bp.n_pred, 0) AS n_pred,
-        |       round(bt.n_correct / bt.n_docs, 5) AS recall,
-        |       CASE WHEN coalesce(bp.n_pred, 0) = 0 THEN 0.0
-        |            ELSE round(bt.n_correct / bp.n_pred, 5) END AS precision
-        |FROM bt LEFT JOIN bp USING (source) ORDER BY bt.source""".stripMargin,
+      s"""WITH $nbCtes,
+         |pred AS MATERIALIZED (SELECT sc.doc_id, sc.source, sc.cls AS pred
+         |        FROM sc JOIN pri ON pri.cls = sc.cls
+         |        QUALIFY row_number() OVER (PARTITION BY sc.doc_id
+         |          ORDER BY round(sc.ll + pri.lp, 5) DESC, sc.cls) = 1),
+         |bt AS (SELECT source, count(*) AS n_docs,
+         |              count(CASE WHEN pred = source THEN 1 END) AS n_correct
+         |       FROM pred GROUP BY 1),
+         |bp AS (SELECT pred AS source, count(*) AS n_pred FROM pred GROUP BY 1)
+         |SELECT bt.source, bt.n_docs, bt.n_correct,
+         |       coalesce(bp.n_pred, 0) AS n_pred,
+         |       round(bt.n_correct / bt.n_docs, 5) AS recall,
+         |       CASE WHEN coalesce(bp.n_pred, 0) = 0 THEN 0.0
+         |            ELSE round(bt.n_correct / bp.n_pred, 5) END AS precision
+         |FROM bt LEFT JOIN bp USING (source) ORDER BY bt.source""".stripMargin,
+    // softmax over the ROUNDED per-class scores, conf rounded before
+    // the equal-width binning; argmax ties to the ascending class
+    "nb_calibration" ->
+      s"""WITH $nbCtes,
+         |sj AS (SELECT sc.doc_id, sc.source, sc.cls, round(sc.ll + pri.lp, 5) AS score
+         |       FROM sc JOIN pri ON pri.cls = sc.cls),
+         |mx AS (SELECT doc_id, max(score) AS smax FROM sj GROUP BY 1),
+         |fold AS (SELECT sj.doc_id, sj.source,
+         |                min(CASE WHEN sj.score = mx.smax THEN sj.cls END) AS pred,
+         |                round(1.0 / sum(exp(sj.score - mx.smax)), 5) AS conf
+         |         FROM sj JOIN mx USING (doc_id) GROUP BY 1, 2),
+         |agg AS (SELECT least(floor(conf * 10), 9)::BIGINT AS bin,
+         |               count(*) AS n_docs,
+         |               count(CASE WHEN pred = source THEN 1 END) AS n_correct,
+         |               round(avg(conf), 5) AS mean_conf
+         |        FROM fold GROUP BY 1)
+         |SELECT bin, n_docs, n_correct, mean_conf,
+         |       round(n_correct / n_docs, 5) AS accuracy,
+         |       round(mean_conf - round(n_correct / n_docs, 5), 5) AS gap
+         |FROM agg ORDER BY bin""".stripMargin,
+    // the IVF fit replayed, clusters named by top-3 summed-tf-idf
+    // terms; weight rounded BEFORE the rank window, ties term asc
+    "doc_clusters" ->
+      s"""WITH RECURSIVE
+         |$ivfFitCtes,
+         |$tfidfCtes,
+         |co AS (SELECT vec_id AS doc_id, cell FROM asg),
+         |nd AS (SELECT cell, count(*) AS n_docs FROM co GROUP BY 1),
+         |cw AS (SELECT co.cell, w.term, round(sum(w.w), 5) AS weight
+         |       FROM w JOIN co USING (doc_id) GROUP BY 1, 2),
+         |rkd AS (SELECT cell, term, weight, row_number() OVER
+         |          (PARTITION BY cell ORDER BY weight DESC, term) AS rk FROM cw)
+         |SELECT rkd.cell::BIGINT AS cluster, nd.n_docs, rkd.rk::BIGINT AS rk,
+         |       rkd.term, rkd.weight
+         |FROM rkd JOIN nd USING (cell) WHERE rkd.rk <= 3
+         |ORDER BY cluster, rk""".stripMargin,
+    // md5('cbal:'||id) rank within each replayed IVF cell, cap 8
+    "sample_cluster_balanced" ->
+      s"""WITH RECURSIVE
+         |$ivfFitCtes,
+         |cl AS (SELECT vec_id, cell,
+         |              substr(md5('cbal:' || vec_id::VARCHAR), 1, 8) AS hk FROM asg),
+         |occ AS (SELECT cell, count(*) AS n_cell FROM cl GROUP BY 1),
+         |r AS (SELECT vec_id, cell, hk, row_number() OVER
+         |        (PARTITION BY cell ORDER BY hk, vec_id) AS rk FROM cl)
+         |SELECT r.cell::BIGINT AS cluster, occ.n_cell, r.rk::BIGINT AS rk,
+         |       r.vec_id, r.hk
+         |FROM r JOIN occ USING (cell) WHERE r.rk <= 8
+         |ORDER BY cluster, rk""".stripMargin,
+    // all 8 greedy rounds unrolled; the seed row carries NULL dist,
+    // later rows round the selected min-distance (= coverage radius)
+    "coreset_kcenter" ->
+      (s"WITH $coresetCtes\n" +
+        "SELECT 1::BIGINT AS rk, vec_id, NULL::DOUBLE AS dist FROM p1\n" +
+        (2 to 8).map(j =>
+          s"UNION ALL SELECT $j, vec_id, round(md, 5) FROM p$j").mkString("\n") +
+        "\nORDER BY rk"),
+    // exact-integer CUSUM argmax: |prefix*D - t*T| peaks at the
+    // level-shift day, ties earlier day; NULL after-side on a
+    // last-day peak
+    "events_changepoint" ->
+      """WITH dly AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS n
+        |             FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, day, n,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |             sum(n) OVER (PARTITION BY event_type ORDER BY day) AS prefix FROM dly),
+        |tt AS (SELECT event_type, count(*) AS n_days, sum(n)::BIGINT AS total FROM dly GROUP BY 1),
+        |s AS (SELECT c.*, tt.n_days, tt.total,
+        |             c.prefix * tt.n_days - c.t * tt.total AS num
+        |      FROM c JOIN tt USING (event_type)),
+        |p AS (SELECT * FROM s QUALIFY row_number() OVER
+        |        (PARTITION BY event_type ORDER BY abs(num) DESC, day) = 1)
+        |SELECT event_type, n_days, total, day * 86400000 AS cp_day_ms,
+        |       round(abs(num) / n_days, 5) AS max_abs_cusum,
+        |       round(prefix / t, 5) AS mean_before,
+        |       CASE WHEN n_days = t THEN NULL
+        |            ELSE round((total - prefix) / (n_days - t), 5) END AS mean_after
+        |FROM p ORDER BY event_type""".stripMargin,
+    // OOV terms keep the df=0 smooth idf and a NULL SCQ; query-level
+    // aggregates repeat per row
+    "query_difficulty" ->
+      s"""WITH $tfidfCtes,
+         |cfv AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+         |q AS (SELECT unnest(['join', 'spark', 'vector']) AS term),
+         |per AS (SELECT q.term, coalesce(dfv.df, 0)::BIGINT AS df,
+         |               coalesce(cfv.cf, 0)::BIGINT AS cf,
+         |               ln((nn.n + 1) / (coalesce(dfv.df, 0) + 1)) + 1 AS idf0,
+         |               CASE WHEN coalesce(cfv.cf, 0) > 0
+         |                    THEN (1.0 + ln(cfv.cf)) *
+         |                         (ln((nn.n + 1) / (coalesce(dfv.df, 0) + 1)) + 1) END AS scq0
+         |        FROM q LEFT JOIN dfv USING (term) LEFT JOIN cfv USING (term), nn),
+         |ag AS (SELECT count(*) AS n_terms, round(avg(idf0), 5) AS avg_idf,
+         |              round(max(idf0), 5) AS max_idf, round(sum(scq0), 5) AS sum_scq FROM per)
+         |SELECT term, df, cf, round(idf0, 5) AS idf, round(scq0, 5) AS scq,
+         |       n_terms, avg_idf, max_idf, sum_scq
+         |FROM per, ag ORDER BY term""".stripMargin,
     // exact token shares, alpha-scaled weights, allocation from the
     // ROUNDED weight so the printed plan is the shipped plan
     "corpus_mixture_plan" ->

@@ -1759,6 +1759,52 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** CUSUM changepoint detection per event type — WHERE the daily
+    * level shifted, complementing [[eventsTrend]]'s "is it drifting"
+    * slope (Page 1954's cumulative-sum chart, the offline max-|CUSUM|
+    * form): over each type's observed-day series, the cumulative sum
+    * of deviations from the type's own mean peaks exactly at the
+    * step-change day; report that day, the peak magnitude, and the
+    * mean level on each side. The split-day audit a pipeline runs
+    * when a source's volume jumps — "did the crawler change on the
+    * 14th, and from what level to what".
+    *
+    * Determinism: the argmax is EXACT-INTEGER — |CUSUM_t| ∝
+    * |prefix_t·D − t·T| with D = n_days, T = total (the common
+    * denominator D never materializes until the final rounded
+    * report), ties → earlier day. A type whose peak lands on its
+    * last day has no "after" side → NULL mean_after on both engines.
+    *
+    * Scale shape: one events scan → |types|×|days| daily rollup;
+    * both windows partition by event_type (never global); the totals
+    * frame is |types| rows broadcast.
+    */
+  def eventsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.sources.ScratchCache.materialize(
+      Tables.events(spark, dir)
+        .select(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val cum = daily
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum(col("n")).over(w))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total"))
+    val scored = cum.join(broadcast(tot), "event_type")
+      .withColumn("num", col("prefix") * col("n_days") - col("t") * col("total"))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("num")).desc, col("day"))
+    scored.withColumn("rk", row_number().over(pick)).where(col("rk") === 1)
+      .select(col("event_type"), col("n_days"), col("total"),
+        (col("day") * 86400000L).as("cp_day_ms"),
+        round(abs(col("num")) / col("n_days"), 5).as("max_abs_cusum"),
+        round(col("prefix") / col("t"), 5).as("mean_before"),
+        when(col("n_days") === col("t"), lit(null).cast("double"))
+          .otherwise(round((col("total") - col("prefix")) /
+            (col("n_days") - col("t")), 5)).as("mean_after"))
+      .orderBy(col("event_type"))
+  }
+
   /** Hourly-count autocorrelation at fixed lags (1 h and 24 h) per
     * event type — the seasonality detector that decides whether the
     * anomaly baseline ([[anomalyHours]]) needs a daily-period term.

@@ -627,6 +627,35 @@ object Curation {
     */
   def nbSourceClassify(spark: SparkSession, dir: String,
                        buckets: Int = 256): DataFrame = {
+    val scored = nbScoredTest(spark, dir, buckets)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls"))
+    val pred = scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("source"), col("cls").as("pred"))
+    val byTrue = pred.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("pred") === col("source"), 1)).as("n_correct"))
+    val byPred = pred.groupBy(col("pred").as("source"))
+      .agg(count(lit(1)).as("n_pred"))
+    byTrue.join(byPred, Seq("source"), "left_outer")
+      .withColumn("n_pred", coalesce(col("n_pred"), lit(0L)))
+      .select(col("source"), col("n_docs"), col("n_correct"), col("n_pred"),
+        round(col("n_correct") / col("n_docs"), 5).as("recall"),
+        when(col("n_pred") === 0, lit(0.0))
+          .otherwise(round(col("n_correct") / col("n_pred"), 5)).as("precision"))
+      .orderBy(col("source"))
+  }
+
+  /** The held-out scored frame behind [[nbSourceClassify]] and
+    * [[nbCalibration]]: one row per (test doc, class) with the
+    * 5-decimal-rounded joint log-score `ll + ln prior` — rounding
+    * happens HERE, before any argmax or softmax, so every consumer
+    * (and every oracle) ranks and normalizes the exact same numbers.
+    * See [[nbSourceClassify]] for model conventions and scale shape.
+    */
+  private def nbScoredTest(spark: SparkSession, dir: String,
+                           buckets: Int): DataFrame = {
     val m = TextRetrieval.ensureModel(spark, dir)
     val termB = m.tf.select(col("term")).distinct()
       .withColumn("b",
@@ -650,30 +679,65 @@ object Curation {
       .join(clsB, Seq("cls", "b"), "left_outer")
       .select(col("cls"), col("b"),
         log((coalesce(col("csb"), lit(0L)) + 1.0) / (col("cst") + buckets)).as("lw"))
-    val scored = docb.join(docs.where(col("is_train") === false), "doc_id")
+    docb.join(docs.where(col("is_train") === false), "doc_id")
       .join(broadcast(grid), "b")
       .groupBy(col("doc_id"), col("source"), col("cls"))
       .agg(sum(col("cb") * col("lw")).as("ll"))
       .join(broadcast(pri), "cls")
       .select(col("doc_id"), col("source"), col("cls"),
         round(col("ll") + col("lp"), 5).as("score"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("cls"))
-    val pred = scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("doc_id"), col("source"), col("cls").as("pred"))
-    val byTrue = pred.groupBy(col("source"))
+  }
+
+  /** Classifier calibration (reliability diagram) for
+    * [[nbSourceClassify]]'s model — the table that decides whether the
+    * classifier's CONFIDENCE can gate admission, not just its argmax
+    * (Guo et al., ICML 2017 "On Calibration of Modern Neural
+    * Networks"): per-doc softmax confidence of the predicted class
+    * over the 5-decimal-rounded per-class log-scores, bucketed into
+    * ten equal-width bins; per bin, doc count, empirical accuracy,
+    * mean confidence, and the signed gap (confidence − accuracy, the
+    * per-bin term of expected calibration error). A well-calibrated
+    * gate lets "keep docs the classifier is ≥0.9 sure about" mean
+    * what it says; NB is famously overconfident, and this table
+    * measures by how much.
+    *
+    * Determinism: confidence = 1/Σ_j exp(score_j − score_max)
+    * computed from the ALREADY-ROUNDED scores, itself rounded to 5
+    * decimals before binning (bin = min(⌊10·conf⌋, 9)) — both
+    * engines bin identical numbers; ties in the argmax go to class
+    * name ascending as in [[nbSourceClassify]].
+    *
+    * Scale shape: [[nbScoredTest]]'s plan (broadcast model grid, one
+    * map-side-combined aggregate per doc) plus one |classes|-row
+    * per-doc fold and a 10-row final aggregate — no new shuffle
+    * beyond the scored frame's own.
+    */
+  def nbCalibration(spark: SparkSession, dir: String,
+                    buckets: Int = 256): DataFrame = {
+    val scored = nbScoredTest(spark, dir, buckets)
+    // smax via a doc-partitioned window (|classes| rows per doc, never
+    // a global sort), then one fold per doc: z for the softmax and the
+    // argmax as min(cls | score = smax) — ties to the ascending class
+    // name, the same rule nbSourceClassify's window applies
+    val folded = scored
+      .withColumn("smax", max(col("score"))
+        .over(Window.partitionBy(col("doc_id"))))
+      .groupBy(col("doc_id"), col("source"), col("smax"))
+      .agg(sum(exp(col("score") - col("smax"))).as("z"),
+        min(when(col("score") === col("smax"), col("cls"))).as("pred"))
+      .select(col("doc_id"), col("source"), col("pred"),
+        round(lit(1.0) / col("z"), 5).as("conf"))
+    folded
+      .withColumn("bin", least(floor(col("conf") * 10), lit(9L)).cast("long"))
+      .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
-        count(when(col("pred") === col("source"), 1)).as("n_correct"))
-    val byPred = pred.groupBy(col("pred").as("source"))
-      .agg(count(lit(1)).as("n_pred"))
-    byTrue.join(byPred, Seq("source"), "left_outer")
-      .withColumn("n_pred", coalesce(col("n_pred"), lit(0L)))
-      .select(col("source"), col("n_docs"), col("n_correct"), col("n_pred"),
-        round(col("n_correct") / col("n_docs"), 5).as("recall"),
-        when(col("n_pred") === 0, lit(0.0))
-          .otherwise(round(col("n_correct") / col("n_pred"), 5)).as("precision"))
-      .orderBy(col("source"))
+        count(when(col("pred") === col("source"), 1)).as("n_correct"),
+        round(avg(col("conf")), 5).as("mean_conf"))
+      .withColumn("accuracy", round(col("n_correct") / col("n_docs"), 5))
+      .withColumn("gap", round(col("mean_conf") - col("accuracy"), 5))
+      .select(col("bin"), col("n_docs"), col("n_correct"), col("mean_conf"),
+        col("accuracy"), col("gap"))
+      .orderBy(col("bin"))
   }
 
   /** DSIR data selection — importance resampling toward a target
@@ -734,5 +798,174 @@ object Curation {
         col("logw"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
+  }
+
+  /** Topic discovery — the corpus clustered in EMBEDDING space with a
+    * LEXICAL label per cluster: the deterministic IVF coarse-quantizer
+    * assignment ([[Ivf.ensureIndex]], the same persisted artifact the
+    * ANN family probes) joined to the documents on the 1:1
+    * vec_id = doc_id key, and each cluster named by its `topN` terms
+    * ranked by summed TF-IDF weight (the [[TextRetrieval.docKeywords]]
+    * weight, summed over the cluster's docs). This is the standard
+    * corpus-cartography pass a training-data pipeline runs before
+    * mixture decisions — "what IS in this crawl slice" — and the
+    * cluster ids are the blocking key [[clusterBalancedSample]] and
+    * SemDeDup already share.
+    *
+    * Determinism: the fit is the portable bit-reproducible recipe
+    * ([[Ivf.fitCentroidsPortable]]); term weights round to 5 decimals
+    * BEFORE the per-cluster rank window (ties → term ascending), so
+    * both engines cut the same top-N.
+    *
+    * Scale shape: the assignment is a narrow map over the persisted
+    * index (no corpus shuffle), the per-(cell, term) sum is one
+    * map-side-combined aggregate over the shared tf-idf model frame,
+    * and the rank window partitions by cell — nCells·topN output rows.
+    */
+  def docClusters(spark: SparkSession, dir: String, nCells: Int = 16,
+                  topN: Int = 3): DataFrame = {
+    val (assigned, _) = Ivf.ensureIndex(spark, dir, nCells)
+    val m = TextRetrieval.ensureModel(spark, dir)
+    val cellOf = assigned.select(col("vec_id").as("doc_id"), col("cell"))
+    val nd = cellOf.groupBy(col("cell")).agg(count(lit(1)).as("n_docs"))
+    val cw = m.w.join(cellOf, "doc_id")
+      .groupBy(col("cell"), col("term"))
+      .agg(round(sum(col("w")), 5).as("weight"))
+    val rw = Window.partitionBy(col("cell"))
+      .orderBy(col("weight").desc, col("term"))
+    cw.withColumn("rk", row_number().over(rw).cast("long"))
+      .where(col("rk") <= topN)
+      .join(broadcast(nd), "cell")
+      .select(col("cell").cast("long").as("cluster"), col("n_docs"),
+        col("rk"), col("term"), col("weight"))
+      .orderBy(col("cluster"), col("rk"))
+  }
+
+  /** Cluster-balanced subsampling — the diversity-preserving draw
+    * (DataComp/SemDeDup-era curation: cap each embedding cluster so
+    * head topics can't drown the tail; cf. Abbas et al. 2023 §5's
+    * cluster-balanced sampling): within each IVF cell, rank docs by
+    * the md5('cbal:'||vec_id) hash and keep the first `perCell`. The
+    * kept set is a pure function of (corpus, nCells, perCell) — no RNG
+    * state — and adding documents never flips an existing member's
+    * rank order hash, the same stability contract as
+    * [[hashSample]]. Output carries the cell occupancy so the table
+    * doubles as the coverage report: a cell with n_cell ≤ perCell is
+    * kept whole, a 10⁶-doc head cell contributes exactly perCell.
+    *
+    * Scale shape: assignment is the persisted-index narrow map; the
+    * rank is a cell-partitioned window (never global); output is
+    * ≤ nCells·perCell rows.
+    */
+  def clusterBalancedSample(spark: SparkSession, dir: String,
+                            nCells: Int = 16, perCell: Int = 8): DataFrame = {
+    val (assigned, _) = Ivf.ensureIndex(spark, dir, nCells)
+    val cells = assigned.select(col("vec_id"), col("cell"))
+      .withColumn("hk",
+        substring(md5(concat(lit("cbal:"), col("vec_id").cast("string"))), 1, 8))
+    val occ = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    val rw = Window.partitionBy(col("cell")).orderBy(col("hk"), col("vec_id"))
+    cells.withColumn("rk", row_number().over(rw).cast("long"))
+      .where(col("rk") <= perCell)
+      .join(broadcast(occ), "cell")
+      .select(col("cell").cast("long").as("cluster"), col("n_cell"),
+        col("rk"), col("vec_id"), col("hk"))
+      .orderBy(col("cluster"), col("rk"))
+  }
+
+  /** Greedy k-center coreset selection — farthest-point traversal
+    * over the embedding corpus (the classic 2-approximation of the
+    * k-center objective; Sener & Savarese, ICLR 2018 used it as the
+    * active-learning/data-selection coreset): seed at the lowest
+    * vec_id, then `k−1` rounds each selecting the point that
+    * MAXIMIZES the minimum squared-L2 distance to everything chosen
+    * so far (ties → lower vec_id). Each selected point's `dist` IS
+    * the coverage radius of the prefix before it, so the output
+    * doubles as the radius-vs-k sizing curve ("how many exemplars
+    * until every vector is within r of one").
+    *
+    * Determinism: distances are the exact left-to-right Σ(aᵢ−bᵢ)²
+    * folds every IVF/PQ oracle already replays bit-for-bit; the
+    * argmax compares those raw doubles with the lower-id tie rule,
+    * and only the REPORTED radius rounds (5 decimals).
+    *
+    * Scale shape: k bounded driver-side rounds; each is one narrow
+    * scan computing ≤k plan-literal distances per row and a
+    * TakeOrdered(1) — no shuffle of the corpus, ever. The scan frame
+    * is ScratchCache-materialized so the k passes re-read persisted
+    * blocks, not parquet.
+    */
+  def coresetKCenter(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1: $k")
+    val emb = graft.sources.ScratchCache.materialize(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+    def d2(sel: Seq[Double]) = aggregate(
+      zip_with(col("embedding"), typedlit(sel),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val seed = emb.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding")).head
+    var selected = Vector(seed.getSeq[Float](1).map(_.toDouble))
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1L, seed.getLong(0), Option.empty[Double]))
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (j <- 2 to k) {
+      val mind = array_min(array(selected.map(d2): _*))
+      val next = emb.select(col("vec_id"), col("embedding"), mind.as("md"))
+        .orderBy(col("md").desc, col("vec_id")).limit(1).head
+      picks += ((j.toLong, next.getLong(0), Some(r5(next.getDouble(2)))))
+      selected :+= next.getSeq[Float](1).map(_.toDouble)
+    }
+    picks.toSeq.toDF("rk", "vec_id", "dist").orderBy(col("rk"))
+  }
+
+  /** DoReMi-flavored mixture reweighting — domain weights tilted
+    * toward the sources a reference model generalizes WORST to (Xie
+    * et al., NeurIPS 2023 "DoReMi: Optimizing Data Mixtures Speeds Up
+    * Language Model Pretraining"; here the one-step exponentiated-
+    * gradient update with [[TextAnalysis.lmHoldoutPpl]]'s held-out
+    * bigram LM standing in for the proxy model): per source,
+    * weight ∝ token_share · exp(η · excess), where excess is the
+    * clamped eval−train NLL gap, normalized over sources, then an
+    * integer token allocation against `budgetTokens`. Sources the LM
+    * already fits (gap ≤ 0, or too little text to measure — NULL gap)
+    * keep their baseline share; hard-to-generalize sources are
+    * upweighted exactly as the EG step prescribes.
+    *
+    * Determinism: the gap arrives ALREADY rounded to 5 decimals from
+    * lmHoldoutPpl, token counts are exact integers, and the final
+    * weight rounds to 5 decimals before the allocation multiply —
+    * the printed plan is the shipped plan on every engine.
+    *
+    * Scale shape: lmHoldoutPpl's plan (the one corpus-scale join is
+    * (w1,w2)-keyed) plus one whitespace-token aggregate over the
+    * corpus; everything after is |sources| rows with one broadcast
+    * normalizer.
+    */
+  def doremiWeights(spark: SparkSession, dir: String, eta: Double = 1.0,
+                    budgetTokens: Long = 1000000L): DataFrame = {
+    require(eta > 0, s"eta must be positive: $eta")
+    val ppl = TextAnalysis.lmHoldoutPpl(spark, dir)
+      .select(col("source"), col("gap"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_tokens"))
+    val tot = toks.agg(sum(col("n_tokens")).as("t"))
+    val tilted = toks.join(ppl, Seq("source"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("t"), 5).as("base_share"),
+        greatest(coalesce(col("gap"), lit(0.0)), lit(0.0)).as("excess"))
+      .withColumn("tw", col("n_tokens") * exp(lit(eta) * col("excess")))
+    val z = tilted.agg(sum(col("tw")).as("z"))
+    tilted.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("base_share"), col("excess"),
+        round(col("tw") / col("z"), 5).as("weight"))
+      .withColumn("alloc_tokens",
+        round(col("weight") * budgetTokens).cast("long"))
+      .orderBy(col("source"))
   }
 }

@@ -125,6 +125,49 @@ object TextRetrieval {
       .orderBy(col("df").desc, col("term"))
   }
 
+  /** Pre-retrieval query-performance prediction — the difficulty
+    * signals a router computes BEFORE running a query (He & Ounis,
+    * SIGIR 2004 pre-retrieval predictors; SCQ from Zhao, Scholer &
+    * Tsegay, ECIR 2008): per query term, document frequency,
+    * collection frequency, the model's smooth idf, and
+    * SCQ = (1 + ln cf)·idf; plus the query-level aggregates (term
+    * count, avg/max idf, ΣSCQ) repeated on every row (the chi2-report
+    * convention — one row read answers "is this query specific enough
+    * to trust lexical retrieval or should it fall through to the
+    * vector leg"). Out-of-vocabulary terms keep the df=0 smooth idf
+    * (defined: ln(n+1)+1) and a NULL SCQ on both engines.
+    *
+    * Scale shape: one vocab-sized cf aggregate over the persisted tf
+    * triples; the |terms|-row probe joins broadcast against it;
+    * aggregates fold |terms| rows. No corpus scan beyond the model's
+    * own build.
+    */
+  def queryDifficulty(spark: SparkSession, dir: String,
+                      queryTerms: Seq[String] = Seq("spark", "join", "vector")): DataFrame = {
+    import spark.implicits._
+    val m = ensureModel(spark, dir)
+    val cf = m.tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val per = queryTerms.distinct.toDF("term")
+      .join(m.dfT, Seq("term"), "left_outer")
+      .join(cf, Seq("term"), "left_outer")
+      .crossJoin(broadcast(m.n))
+      .select(col("term"),
+        coalesce(col("df"), lit(0L)).as("df"),
+        coalesce(col("cf"), lit(0L)).as("cf"),
+        (log((col("n") + 1) / (coalesce(col("df"), lit(0L)) + 1)) + 1).as("idf0"))
+      .withColumn("scq0",
+        when(col("cf") > 0, (lit(1.0) + log(col("cf"))) * col("idf0")))
+    val agg = per.agg(count(lit(1)).as("n_terms"),
+      round(avg(col("idf0")), 5).as("avg_idf"),
+      round(max(col("idf0")), 5).as("max_idf"),
+      round(sum(col("scq0")), 5).as("sum_scq"))
+    per.crossJoin(broadcast(agg))
+      .select(col("term"), col("df"), col("cf"),
+        round(col("idf0"), 5).as("idf"), round(col("scq0"), 5).as("scq"),
+        col("n_terms"), col("avg_idf"), col("max_idf"), col("sum_scq"))
+      .orderBy(col("term"))
+  }
+
   /** Query-side TF-IDF weights for a free-text term list: tf=1 per
     * distinct term → weight = idf(term), exactly sklearn's transform
     * of a short query. Returns (term, qw) plus the query L2 norm

@@ -266,4 +266,137 @@ class CurationSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("nb calibration bins partition the classified set and reconcile with classify") {
+    val cal = Curation.nbCalibration(spark, TestSpark.sf).collect()
+    val cls = Curation.nbSourceClassify(spark, TestSpark.sf).collect()
+    assert(cal.nonEmpty)
+    // bins are a partition of exactly the docs classify scored, and
+    // per-bin corrects sum to classify's global correct count
+    assert(cal.map(_.getAs[Long]("n_docs")).sum == cls.map(_.getLong(1)).sum)
+    assert(cal.map(_.getAs[Long]("n_correct")).sum == cls.map(_.getLong(2)).sum)
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    cal.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0 && bin <= 9)
+      val conf = r.getAs[Double]("mean_conf")
+      // mean confidence lives inside its own bin's width (bin 9 also
+      // holds conf = 1.0 exactly)
+      assert(conf >= bin / 10.0 - 1e-9 && conf <= (bin + 1) / 10.0 + 1e-9,
+        s"bin $bin mean_conf $conf outside its width")
+      // softmax of the predicted (max) class is never below uniform
+      assert(conf >= 1.0 / 20 - 1e-9, "predicted-class softmax below uniform")
+      assert(r.getAs[Double]("accuracy") >= 0.0 && r.getAs[Double]("accuracy") <= 1.0)
+      assert(r.getAs[Double]("gap") ==
+        r5(r.getAs[Double]("mean_conf") - r.getAs[Double]("accuracy")))
+    }
+  }
+
+  test("doc clusters: top terms per cell reconcile with a driver recount of summed tf-idf") {
+    val rows = Curation.docClusters(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    // coverage: occupancy over distinct clusters = the whole corpus
+    val occ = rows.map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n_docs")).distinct
+    val n = Tables.documents(spark, TestSpark.sf).count()
+    assert(occ.map(_._2).sum == n, s"cluster occupancies ${occ.mkString(",")} != corpus $n")
+    rows.groupBy(_.getAs[Long]("cluster")).foreach { case (c, g) =>
+      val rks = g.map(_.getAs[Long]("rk")).sorted.toSeq
+      assert(rks == (1L to rks.length).toSeq, s"cluster $c ranks ${rks.mkString(",")}")
+      // weights arrive rank-ordered: descending, ties broken term asc
+      val byRk = g.sortBy(_.getAs[Long]("rk"))
+      byRk.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("weight") > b.getAs[Double]("weight") ||
+            (a.getAs[Double]("weight") == b.getAs[Double]("weight") &&
+              a.getAs[String]("term") < b.getAs[String]("term")))
+        case _ => ()
+      }
+    }
+  }
+
+  test("cluster-balanced sample keeps min(occupancy, cap) per cell with md5-exact ranks") {
+    val rows = Curation.clusterBalancedSample(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // every kept row's hash key is the driver-recomputed md5 prefix
+    rows.foreach { r =>
+      assert(r.getAs[String]("hk") ==
+        md5hex(s"cbal:${r.getAs[Long]("vec_id")}").take(8))
+    }
+    // per cell: exactly min(n_cell, 8) kept, ranks contiguous from 1
+    rows.groupBy(_.getAs[Long]("cluster")).foreach { case (c, g) =>
+      val expect = math.min(g.head.getAs[Long]("n_cell"), 8L)
+      assert(g.length.toLong == expect, s"cluster $c kept ${g.length}, expected $expect")
+      assert(g.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to expect).toSeq)
+    }
+    // no doc kept twice across cells (assignment is a partition)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length)
+    // occupancies cover the corpus
+    val occ = rows.map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n_cell")).distinct
+    assert(occ.map(_._2).sum == Tables.embeddings(spark, TestSpark.sf).count())
+  }
+
+  test("doremi weights replay the EG tilt from the ppl gap and exact token counts") {
+    val rows = Curation.doremiWeights(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gap = graft.operators.TextAnalysis.lmHoldoutPpl(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[String]("source") -> Option(r.get(5)).fold(0.0)(_ =>
+        r.getAs[Double]("gap"))).toMap
+    val tw = rows.map { r =>
+      r.getAs[String]("source") ->
+        r.getAs[Long]("n_tokens") * math.exp(math.max(gap.getOrElse(r.getAs[String]("source"), 0.0), 0.0))
+    }.toMap
+    val z = tw.values.sum
+    val totTok = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Double]("excess") ==
+        math.max(gap.getOrElse(s, 0.0), 0.0), s"excess for $s")
+      assert(math.abs(r.getAs[Double]("weight") - tw(s) / z) < 2e-5, s"weight for $s")
+      assert(r.getAs[Double]("base_share") == r5(r.getAs[Long]("n_tokens") / totTok))
+      assert(r.getAs[Long]("alloc_tokens") ==
+        math.round(r.getAs[Double]("weight") * 1000000L))
+      // the EG step never DOWN-weights below baseline share times the
+      // normalizer shrink: a zero-excess source's weight <= base_share
+      if (r.getAs[Double]("excess") == 0.0)
+        assert(r.getAs[Double]("weight") <= r.getAs[Double]("base_share") + 1e-9)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-3)
+  }
+
+  test("k-center coreset replays a driver greedy run exactly; radius curve non-increasing") {
+    val rows = Curation.coresetKCenter(spark, TestSpark.sf).collect()
+    assert(rows.length == 8)
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // driver replay of the greedy traversal
+    var sel = Vector(emb.head)
+    var expect = Vector[(Long, Option[Double])](emb.head._1 -> None)
+    (2 to 8).foreach { _ =>
+      val (id, v, md) = emb.map { case (id, v) =>
+        (id, v, sel.map(s => d2(v, s._2)).min)
+      }.maxBy { case (id, _, md) => (md, -id) }
+      sel :+= (id -> v)
+      expect :+= (id -> Some(r5(md)))
+    }
+    assert(rows.map(r => r.getLong(1) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq == expect)
+    // coverage radius can only shrink as exemplars accumulate
+    val ds = rows.flatMap(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    ds.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, s"radius grew: $a -> $b")
+      case _ => ()
+    }
+  }
 }

@@ -1152,4 +1152,33 @@ class OperatorSpec extends AnyFunSuite {
     prop.foreach(r => assert(math.abs(r.getDouble(4) - r.getDouble(3)) <= 2e-5,
       s"alpha=1 weight ${r.getDouble(4)} vs p ${r.getDouble(3)}"))
   }
+
+  test("events changepoint matches a driver CUSUM recount per type") {
+    val got = graft.operators.Analytics.eventsChangepoint(spark, TestSpark.sf).collect()
+    assert(got.nonEmpty)
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val daily = Tables.events(spark, TestSpark.sf)
+      .selectExpr("event_type", "ts_ms div 86400000 as day").collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case ((t, d), g) => (t, d, g.size.toLong) }.toSeq
+    got.foreach { r =>
+      val t = r.getString(0)
+      val series = daily.filter(_._1 == t).sortBy(_._2)
+      val total = series.map(_._3).sum
+      val nDays = series.length.toLong
+      assert(r.getLong(1) == nDays && r.getLong(2) == total)
+      // integer-exact argmax of |prefix*D - t*T|, ties to earlier day
+      val cands = series.zipWithIndex.map { case ((_, day, _), i) =>
+        val prefix = series.take(i + 1).map(_._3).sum
+        (day, i + 1L, prefix, (prefix * nDays - (i + 1) * total).abs)
+      }
+      val best = cands.maxBy { case (day, _, _, num) => (num, -day) }
+      assert(r.getLong(3) == best._1 * 86400000L, s"$t cp day")
+      assert(r.getDouble(4) == r5(best._4.toDouble / nDays), s"$t cusum")
+      assert(r.getDouble(5) == r5(best._3.toDouble / best._2), s"$t mean_before")
+      if (best._2 == nDays) assert(r.isNullAt(6), s"$t last-day peak must NULL after")
+      else assert(r.getDouble(6) ==
+        r5((total - best._3).toDouble / (nDays - best._2)), s"$t mean_after")
+    }
+  }
 }

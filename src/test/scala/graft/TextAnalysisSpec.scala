@@ -656,4 +656,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getDouble(3) ==
       r5(inter.toSeq.map(t => math.abs(ra(t) - rb(t))).sum.toDouble / inter.size))
   }
+
+  test("query difficulty replays df/cf/idf/SCQ from a driver tokenize") {
+    val rows = graft.operators.TextRetrieval.queryDifficulty(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("join", "spark", "vector"))
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(org.apache.spark.sql.functions.col("text")).collect().map(_.getString(0))
+    val n = docs.length
+    val tokRe = "[a-z0-9_]+".r
+    val perDoc = docs.map(t => tokRe.findAllIn(t.toLowerCase).filter(_.length >= 2).toSeq)
+    val idf0s = rows.map { r =>
+      val term = r.getString(0)
+      val df = perDoc.count(_.contains(term)).toLong
+      val cf = perDoc.map(_.count(_ == term)).sum.toLong
+      assert(r.getLong(1) == df, s"$term df")
+      assert(r.getLong(2) == cf, s"$term cf")
+      val idf0 = math.log((n + 1.0) / (df + 1.0)) + 1.0
+      assert(r.getDouble(3) == r5(idf0), s"$term idf")
+      if (cf > 0) assert(r.getDouble(4) == r5((1.0 + math.log(cf.toDouble)) * idf0), s"$term scq")
+      else assert(r.isNullAt(4), s"$term scq must be NULL at cf=0")
+      idf0
+    }
+    // repeated query-level columns reconcile
+    rows.foreach { r =>
+      assert(r.getLong(5) == rows.length.toLong)
+      assert(r.getDouble(6) == r5(idf0s.sum / idf0s.length))
+      assert(r.getDouble(7) == r5(idf0s.max))
+    }
+  }
 }
