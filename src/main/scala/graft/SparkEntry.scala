@@ -133,6 +133,9 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) => Lsh.lshTopK(s, d, queryId = 0, nBits = 8, k = 10)),
     // NSW-style greedy graph descent + exact rerank of the visited set
     "ann_graph_topk" -> ((s, d) => GraphAnn.graphTopK(s, d, queryId = 0, g = 8, hops = 6, k = 10)),
+    // true-HNSW topology: promoted-layer descent hands the base walk
+    // its entry; one rerank over both visited sets
+    "ann_hnsw_topk" -> ((s, d) => GraphAnn.hnswTopK(s, d, queryId = 0, g = 8, k = 10)),
     "ann_recall_eval" -> ((s, d) => Ivf.recallEval(s, d, nCells = 16, queryMod = 100, k = 10, nprobes = Seq(1, 2, 4))),
     // queryMod 500: the per-family loop times interactive single-query
     // latency, so the sample stays small (4 queries at sf0.1)
@@ -565,6 +568,9 @@ object SparkEntry {
     // pre-retrieval QPP: df/cf/idf/SCQ per query term + query-level
     // aggregates repeated per row
     "query_difficulty" -> ((s, d) => TextRetrieval.queryDifficulty(s, d)),
+    // popularity-floor recommender eval on the shared leave-last-out
+    // split; bounded global top-list, no catalog rank window
+    "rec_pop_baseline" -> ((s, d) => Rec.recPopularityBaseline(s, d)),
     // write-side shard sizing (64 KiB target at test scale; the
     // production default is 128 MiB)
     "output_shard_plan" -> ((s, d) => Curation.outputShardPlan(s, d, targetBytes = 64L * 1024)),
@@ -730,6 +736,29 @@ object SparkEntry {
     }
     sb.toString
   }
+
+  /** Shared CTEs replaying the leave-last-out split both recommender
+    * evals use ([[graft.operators.Rec.recHoldoutEval]]'s convention:
+    * distinct (user, item) with last-interaction time, 2..500 basket
+    * cap, holdout = (last_ts DESC, item DESC) first row, train = the
+    * rest). ONE definition for the co-visitation and popularity
+    * baselines.
+    */
+  private val recSplitCtes: String =
+    """ev AS (SELECT user_id,
+      |                   json_extract_string(props, '$.k')::BIGINT AS item_id,
+      |                   epoch_ms(ts) AS ts_ms
+      |            FROM events
+      |            WHERE event_type IN ('view', 'click', 'purchase')
+      |              AND json_extract_string(props, '$.k') IS NOT NULL),
+      |ui AS (SELECT user_id, item_id, max(ts_ms) AS last_ts FROM ev GROUP BY 1, 2),
+      |bk AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+      |capped AS (SELECT ui.* FROM ui JOIN bk USING (user_id)
+      |           WHERE bk.basket BETWEEN 2 AND 500),
+      |rkd AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                  ORDER BY last_ts DESC, item_id DESC) AS rk FROM capped),
+      |hold AS (SELECT user_id, item_id AS h FROM rkd WHERE rk = 1),
+      |train AS (SELECT user_id, item_id FROM rkd WHERE rk > 1)""".stripMargin
 
   private val shingleCtes: String =
     """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -3514,21 +3543,38 @@ object SparkEntry {
     // walk monotone), then an exact rerank of everything visited
     "ann_graph_topk" ->
       s"""WITH $lshBlockCtes,
-         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |es AS (SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS s
-         |       FROM embeddings e, q),
-         |spairs AS (SELECT a_id AS src, b_id AS dst FROM cand
-         |           UNION ALL SELECT b_id, a_id FROM cand),
-         |scored AS (SELECT s.src, s.dst, ${cos5("a.embedding", "b.embedding")} AS s
-         |           FROM spairs s JOIN embeddings a ON a.vec_id = s.src
-         |                         JOIN embeddings b ON b.vec_id = s.dst),
-         |nbr AS (SELECT src, dst FROM (
-         |          SELECT src, dst,
-         |                 row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rk
-         |          FROM scored) WHERE rk <= 8),
+         |$nswBaseCtes,
          |f0 AS (SELECT min(vec_id) AS v FROM embeddings WHERE vec_id <> 0),
          |${graphAnnSteps(6, 4)},
          |visited AS (SELECT v FROM f0
+         |${(0 until 6).map(i => s"            UNION SELECT v FROM u$i").mkString("\n")}),
+         |fin AS (SELECT v FROM visited WHERE v <> 0)
+         |SELECT v AS n_id, es.s AS score,
+         |       row_number() OVER (ORDER BY es.s DESC, v) AS rk
+         |FROM fin JOIN es ON es.vec_id = fin.v
+         |QUALIFY rk <= 10 ORDER BY rk""".stripMargin,
+    // the 2-level walk: promoted subgraph descent picks the base
+    // entry, base walk from there, ONE rerank over both visited sets
+    "ann_hnsw_topk" ->
+      s"""WITH $lshBlockCtes,
+         |$nswBaseCtes,
+         |prom AS MATERIALIZED (SELECT vec_id FROM embeddings
+         |         WHERE ('0x' || substr(md5('hnsw:' || vec_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 4 = 0),
+         |nbr1 AS MATERIALIZED (SELECT src, dst FROM (
+         |           SELECT s.src, s.dst,
+         |                  row_number() OVER (PARTITION BY s.src ORDER BY s.s DESC, s.dst) AS rk
+         |           FROM scored s
+         |           SEMI JOIN prom pa ON pa.vec_id = s.src
+         |           SEMI JOIN prom pb ON pb.vec_id = s.dst) WHERE rk <= 8),
+         |hf0 AS (SELECT min(vec_id) AS v FROM prom WHERE vec_id <> 0),
+         |${graphWalkSteps("h", "nbr1", 4, 2)},
+         |hvis AS (SELECT v FROM hf0
+         |${(0 until 4).map(i => s"         UNION SELECT v FROM hu$i").mkString("\n")}),
+         |f0 AS (SELECT u.v FROM hvis u JOIN es ON es.vec_id = u.v
+         |       ORDER BY es.s DESC, u.v LIMIT 1),
+         |${graphAnnSteps(6, 4)},
+         |visited AS (SELECT v FROM hvis
+         |            UNION SELECT v FROM f0
          |${(0 until 6).map(i => s"            UNION SELECT v FROM u$i").mkString("\n")}),
          |fin AS (SELECT v FROM visited WHERE v <> 0)
          |SELECT v AS n_id, es.s AS score,
@@ -4499,20 +4545,7 @@ object SparkEntry {
         |       round(count(p.pred) / count(*), 5) AS coverage
         |FROM t LEFT JOIN p USING (src)""".stripMargin,
     "rec_holdout_eval" ->
-      """WITH ev AS (SELECT user_id,
-        |                   json_extract_string(props, '$.k')::BIGINT AS item_id,
-        |                   epoch_ms(ts) AS ts_ms
-        |            FROM events
-        |            WHERE event_type IN ('view', 'click', 'purchase')
-        |              AND json_extract_string(props, '$.k') IS NOT NULL),
-        |ui AS (SELECT user_id, item_id, max(ts_ms) AS last_ts FROM ev GROUP BY 1, 2),
-        |bk AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
-        |capped AS (SELECT ui.* FROM ui JOIN bk USING (user_id)
-        |           WHERE bk.basket BETWEEN 2 AND 500),
-        |rkd AS (SELECT *, row_number() OVER (PARTITION BY user_id
-        |                  ORDER BY last_ts DESC, item_id DESC) AS rk FROM capped),
-        |hold AS (SELECT user_id, item_id AS h FROM rkd WHERE rk = 1),
-        |train AS (SELECT user_id, item_id FROM rkd WHERE rk > 1),
+      s"""WITH $recSplitCtes,
         |co AS (SELECT a.item_id AS src, b.item_id AS dst, count(*) AS co
         |       FROM train a JOIN train b USING (user_id)
         |       WHERE a.item_id <> b.item_id GROUP BY 1, 2),
@@ -4534,6 +4567,30 @@ object SparkEntry {
         |SELECT k, nu.n_users, hits.n_hits,
         |       round(hits.n_hits / nu.n_users, 5) AS hit_rate
         |FROM hits, nu ORDER BY k""".stripMargin,
+    // the global top-(K+cap) list replayed with the same (pop DESC,
+    // item) cut; per-user rank = global position minus own-above
+    "rec_pop_baseline" ->
+      s"""WITH $recSplitCtes,
+         |pop AS (SELECT item_id, count(*) AS pop FROM train GROUP BY 1),
+         |gl AS (SELECT item_id, row_number() OVER (ORDER BY pop DESC, item_id) AS gpos
+         |       FROM pop ORDER BY pop DESC, item_id LIMIT 510),
+         |hp AS (SELECT h.user_id, h.h, gl.gpos AS gpos_h
+         |       FROM hold h JOIN gl ON gl.item_id = h.h),
+         |own AS (SELECT hp.user_id, hp.gpos_h,
+         |               count(*) FILTER (g2.gpos < hp.gpos_h) AS own_above
+         |        FROM hp JOIN train t ON t.user_id = hp.user_id
+         |        JOIN gl g2 ON g2.item_id = t.item_id
+         |        GROUP BY 1, 2),
+         |rnk AS (SELECT hp.user_id, hp.gpos_h - coalesce(own.own_above, 0) AS rnk
+         |        FROM hp LEFT JOIN own ON own.user_id = hp.user_id
+         |                            AND own.gpos_h = hp.gpos_h),
+         |ks AS (SELECT unnest([1, 5, 10])::BIGINT AS k),
+         |nu AS (SELECT count(*) AS n_users FROM hold),
+         |hits AS (SELECT ks.k, count(*) FILTER (r.rnk <= ks.k) AS n_hits
+         |         FROM ks LEFT JOIN rnk r ON TRUE GROUP BY 1)
+         |SELECT k, nu.n_users, hits.n_hits,
+         |       round(hits.n_hits / nu.n_users, 5) AS hit_rate
+         |FROM hits, nu ORDER BY k""".stripMargin,
     // exact-cents per-user revenue moments, Welch t + df in the one
     // final double expression — same operation order as the engine
     "experiment_ttest" ->
@@ -5465,13 +5522,41 @@ object SparkEntry {
     * neighbors) and keeps the top-`beam` by rounded query-cosine,
     * ties to the lower id — NSW ef-search with ef = beam.
     */
-  private def graphAnnSteps(hops: Int, beam: Int): String =
+  /** One unrolled beam-walk CTE chain (u = visited expansion, f =
+    * next frontier), parameterized by a name prefix and the neighbor
+    * CTE so the flat-NSW and HNSW oracles share one generator.
+    */
+  private def graphWalkSteps(pfx: String, nbrCte: String,
+                             hops: Int, beam: Int): String =
     (0 until hops).map { i =>
-      s"""u$i AS (SELECT f$i.v FROM f$i
-         |  UNION SELECT n.dst AS v FROM f$i JOIN nbr n ON n.src = f$i.v),
-         |f${i + 1} AS (SELECT u$i.v FROM u$i JOIN es ON es.vec_id = u$i.v
-         |  ORDER BY es.s DESC, u$i.v LIMIT $beam)""".stripMargin
+      s"""${pfx}u$i AS (SELECT ${pfx}f$i.v FROM ${pfx}f$i
+         |  UNION SELECT n.dst AS v FROM ${pfx}f$i JOIN $nbrCte n ON n.src = ${pfx}f$i.v),
+         |${pfx}f${i + 1} AS (SELECT ${pfx}u$i.v FROM ${pfx}u$i JOIN es ON es.vec_id = ${pfx}u$i.v
+         |  ORDER BY es.s DESC, ${pfx}u$i.v LIMIT $beam)""".stripMargin
     }.mkString(",\n")
+
+  private def graphAnnSteps(hops: Int, beam: Int): String =
+    graphWalkSteps("", "nbr", hops, beam)
+
+  /** The NSW oracles' shared base: per-corpus query scores (`es`),
+    * the symmetrized LSH-blocked candidate pairs scored exactly
+    * (`scored`), and the base-layer top-8 neighbor lists (`nbr`) —
+    * the SQL mirror of [[graft.operators.GraphAnn.buildGraph]].
+    * Callers prepend `$lshBlockCtes`.
+    */
+  private lazy val nswBaseCtes: String =
+    s"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |es AS MATERIALIZED (SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS s
+       |       FROM embeddings e, q),
+       |spairs AS (SELECT a_id AS src, b_id AS dst FROM cand
+       |           UNION ALL SELECT b_id, a_id FROM cand),
+       |scored AS MATERIALIZED (SELECT s.src, s.dst, ${cos5("a.embedding", "b.embedding")} AS s
+       |           FROM spairs s JOIN embeddings a ON a.vec_id = s.src
+       |                         JOIN embeddings b ON b.vec_id = s.dst),
+       |nbr AS MATERIALIZED (SELECT src, dst FROM (
+       |          SELECT src, dst,
+       |                 row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rk
+       |          FROM scored) WHERE rk <= 8)""".stripMargin
 
   /** The full replayed walk corpus (see `graph_walks`) as a CTE
     * block ending in `walks`(seed_item, walk_no, pos, item_id) —

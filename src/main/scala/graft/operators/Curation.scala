@@ -679,13 +679,17 @@ object Curation {
       .join(clsB, Seq("cls", "b"), "left_outer")
       .select(col("cls"), col("b"),
         log((coalesce(col("csb"), lit(0L)) + 1.0) / (col("cst") + buckets)).as("lw"))
-    docb.join(docs.where(col("is_train") === false), "doc_id")
-      .join(broadcast(grid), "b")
-      .groupBy(col("doc_id"), col("source"), col("cls"))
-      .agg(sum(col("cb") * col("lw")).as("ll"))
-      .join(broadcast(pri), "cls")
-      .select(col("doc_id"), col("source"), col("cls"),
-        round(col("ll") + col("lp"), 5).as("score"))
+    // the scored frame is (eval docs × classes) rows — bounded, and
+    // built from a grid join both consumers (classify, calibration)
+    // would otherwise recompute: one ScratchCache entry serves both
+    graft.sources.ScratchCache.materialize(
+      docb.join(docs.where(col("is_train") === false), "doc_id")
+        .join(broadcast(grid), "b")
+        .groupBy(col("doc_id"), col("source"), col("cls"))
+        .agg(sum(col("cb") * col("lw")).as("ll"))
+        .join(broadcast(pri), "cls")
+        .select(col("doc_id"), col("source"), col("cls"),
+          round(col("ll") + col("lp"), 5).as("score")))
   }
 
   /** Classifier calibration (reliability diagram) for

@@ -138,6 +138,65 @@ object GraphAnn {
   private def r5(x: Double): Double =
     BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Left-to-right double accumulation — bit-identical to VecDot. */
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** The driver-side beam descent both [[graphTopK]] and [[hnswTopK]]
+    * run: `hops` rounds of "next frontier = top-`beam` of frontier ∪
+    * neighbors(frontier) by rounded query-cosine (ties → lower id)",
+    * early-exiting once the frontier is stable (equivalent to running
+    * the fixed round count — a stable frontier adds no new visits, so
+    * the SQL replay unrolls a constant `hops`). Returns every visited
+    * (id, score).
+    */
+  private def beamWalk(graph: DataFrame, emb: DataFrame,
+                       qcos: Array[Float] => Double,
+                       entry: (Long, Double), hops: Int,
+                       beam: Int): Seq[(Long, Double)] = {
+    var frontier = Vector(entry)
+    val visited = scala.collection.mutable.LinkedHashMap(entry)
+    var hop = 0
+    var converged = false
+    while (hop < hops && !converged) {
+      // one O(beam·g)-row lookup: the frontier's neighbor lists with
+      // their embeddings
+      val nbrs = graph.where(col("src").isin(frontier.map(_._1): _*))
+        .join(emb.select(col("vec_id").as("dst"), col("embedding")), "dst")
+        .select(col("dst"), col("embedding")).distinct().collect()
+        .map(r => (r.getLong(0), qcos(r.getSeq[Float](1).toArray)))
+      visited ++= nbrs
+      val next = (frontier ++ nbrs).distinctBy(_._1)
+        .sortBy { case (id, s) => (-s, id) }.take(beam)
+      converged = next.map(_._1).toSet == frontier.map(_._1).toSet
+      frontier = next
+      hop += 1
+    }
+    visited.toSeq
+  }
+
+  /** Exact distributed rerank of a visited set against the query. */
+  private def rerank(spark: SparkSession, emb: DataFrame, queryId: Long,
+                     qv: Array[Float], qn: Double, visited: Seq[Long],
+                     k: Int): DataFrame = {
+    import spark.implicits._
+    val qid = broadcast(Seq(queryId).toDF("q_id"))
+    val wk = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    emb.where(col("vec_id").isin(visited: _*))
+      .where(col("vec_id") =!= queryId)
+      .crossJoin(qid)
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(dotd(col("embedding"), typedlit(qv)) /
+          (l2norm(col("embedding")) * lit(qn)), 5).as("score"))
+      .withColumn("rk", row_number().over(wk).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("n_id"), col("score"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
   /** Beam graph descent + exact rerank of the visited set. */
   def graphTopK(spark: SparkSession, dir: String, queryId: Long,
                 g: Int = 8, hops: Int = 6, beam: Int = 4,
@@ -149,12 +208,6 @@ object GraphAnn {
       .getOrElse(throw new IllegalArgumentException(
         s"query vector $queryId not found in $dir/embeddings.parquet"))
       .getSeq[Float](0).toArray
-    // left-to-right double accumulation — bit-identical to VecDot
-    def dot(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
     val qn = math.sqrt(dot(qv, qv))
     def qcos(v: Array[Float]): Double =
       r5(dot(qv, v) / (math.sqrt(dot(v, v)) * qn))
@@ -162,40 +215,94 @@ object GraphAnn {
       .agg(min(col("vec_id"))).head.getLong(0)
     val entryScore = qcos(emb.where(col("vec_id") === entry)
       .select(col("embedding")).head.getSeq[Float](0).toArray)
-    var frontier = Vector((entry, entryScore))
-    val visited = scala.collection.mutable.LinkedHashSet(entry)
-    var hop = 0
-    var converged = false
-    while (hop < hops && !converged) {
-      // one O(beam·g)-row lookup: the frontier's neighbor lists with
-      // their embeddings
-      val nbrs = graph.where(col("src").isin(frontier.map(_._1): _*))
-        .join(emb.select(col("vec_id").as("dst"), col("embedding")), "dst")
-        .select(col("dst"), col("embedding")).distinct().collect()
-        .map(r => (r.getLong(0), qcos(r.getSeq[Float](1).toArray)))
-      visited ++= nbrs.map(_._1)
-      // next frontier: top-beam of frontier ∪ neighbors by rounded
-      // score DESC, id ASC (the frontier stays a candidate, so its
-      // best score never decreases)
-      val next = (frontier ++ nbrs).distinctBy(_._1)
-        .sortBy { case (id, s) => (-s, id) }.take(beam)
-      converged = next.map(_._1).toSet == frontier.map(_._1).toSet
-      frontier = next
-      hop += 1
+    val visited = beamWalk(graph, emb, qcos, (entry, entryScore), hops, beam)
+    rerank(spark, emb, queryId, qv, qn, visited.map(_._1), k)
+  }
+
+  /** Deterministic level-1 promotion — HNSW's geometric level draw
+    * (Malkov & Yashunin 2018 §4: node level ~ floor(-ln(U)·mL))
+    * re-expressed as a pure id-hash so membership is reproducible and
+    * growth-stable: promoted iff u32(md5('hnsw:'||id)) % levelMod = 0
+    * (~1/levelMod of the corpus, the 1/M expectation at M=4).
+    */
+  private[operators] def isPromoted(c: org.apache.spark.sql.Column,
+                                    levelMod: Int = 4): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("hnsw:"), c.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % levelMod === 0
+
+  /** The persisted LEVEL-1 graph: the same banded-LSH-blocked top-g
+    * construction as [[buildGraph]], restricted to promoted×promoted
+    * pairs — upper-layer candidate volume stays linear exactly like
+    * the base layer's.
+    */
+  def ensureLevel1(spark: SparkSession, dir: String, g: Int): DataFrame = {
+    val path = IndexStore.indexPath(
+      spark, "nsw_l1_v1", s"$dir/embeddings.parquet", g.toString)
+    IndexStore.publish(spark, path) { tmp =>
+      val vp = Dedup.lshVerifiedPairs(spark, dir, nBands = 32,
+        bitsPerBand = 6, bucketCap = 1000L)
+        .where(isPromoted(col("a_id")) && isPromoted(col("b_id")))
+      val sym = vp.select(col("a_id").as("src"), col("b_id").as("dst"), col("score"))
+        .unionByName(vp.select(col("b_id").as("src"), col("a_id").as("dst"), col("score")))
+      val wk = Window.partitionBy(col("src")).orderBy(col("score").desc, col("dst"))
+      sym.withColumn("rk", row_number().over(wk).cast("long"))
+        .where(col("rk") <= g)
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/edges/epoch=base")
     }
-    // distributed exact rerank of the visited set, query excluded
-    import spark.implicits._
-    val qid = broadcast(Seq(queryId).toDF("q_id"))
-    val wk = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
-    emb.where(col("vec_id").isin(visited.toSeq: _*))
-      .where(col("vec_id") =!= queryId)
-      .crossJoin(qid)
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        round(dotd(col("embedding"), typedlit(qv)) /
-          (l2norm(col("embedding")) * lit(qn)), 5).as("score"))
-      .withColumn("rk", row_number().over(wk).cast("long"))
-      .where(col("rk") <= k)
-      .select(col("n_id"), col("score"), col("rk"))
-      .orderBy(col("rk"))
+    IndexStore.open(spark, s"$path/edges")
+  }
+
+  /** Two-level hierarchical NSW search — the true-HNSW topology over
+    * the same deterministic machinery as [[graphTopK]] (Malkov &
+    * Yashunin 2018 §4 with 2 layers): a coarse beam descent over the
+    * promoted-node level-1 graph finds a NEAR entry point, and the
+    * base-layer walk starts THERE instead of at the global lowest id
+    * — at scale, the upper layer replaces O(diameter) base hops with
+    * O(diameter/levelMod) coarse hops, exactly why HNSW's hierarchy
+    * exists. Both walks' visited sets feed one exact rerank, so the
+    * hierarchy can only ADD candidates over the level-1 walk alone.
+    *
+    * Determinism: promotion is an id hash ([[isPromoted]]), both
+    * walks are the [[beamWalk]] greedy with rounded scores and
+    * lower-id ties, so the whole search — entries, both frontiers,
+    * the final top-k — replays in SQL. Falls back to the base entry
+    * when no promoted node exists besides the query (tiny corpora).
+    */
+  def hnswTopK(spark: SparkSession, dir: String, queryId: Long,
+               g: Int = 8, k: Int = 10): DataFrame = {
+    val graph0 = ensureGraph(spark, dir, g)
+    val graph1 = ensureLevel1(spark, dir, g)
+    val emb = vectors(spark, dir, g)
+    val qv = emb.where(col("vec_id") === queryId)
+      .select(col("embedding")).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"query vector $queryId not found in $dir/embeddings.parquet"))
+      .getSeq[Float](0).toArray
+    val qn = math.sqrt(dot(qv, qv))
+    def qcos(v: Array[Float]): Double =
+      r5(dot(qv, v) / (math.sqrt(dot(v, v)) * qn))
+    def scoreOf(id: Long): Double =
+      qcos(emb.where(col("vec_id") === id)
+        .select(col("embedding")).head.getSeq[Float](0).toArray)
+    val entry1 = emb.where(col("vec_id") =!= queryId && isPromoted(col("vec_id")))
+      .agg(min(col("vec_id"))).head
+    val visited1 =
+      if (entry1.isNullAt(0)) Seq.empty[(Long, Double)]
+      else {
+        val e1 = entry1.getLong(0)
+        beamWalk(graph1, emb, qcos, (e1, scoreOf(e1)), hops = 4, beam = 2)
+      }
+    // base-layer entry: the best node the coarse layer found (the
+    // HNSW layer hand-off), falling back to the global lowest id
+    val entry0 =
+      if (visited1.nonEmpty) visited1.minBy { case (id, s) => (-s, id) }
+      else {
+        val e0 = emb.where(col("vec_id") =!= queryId)
+          .agg(min(col("vec_id"))).head.getLong(0)
+        (e0, scoreOf(e0))
+      }
+    val visited0 = beamWalk(graph0, emb, qcos, entry0, hops = 6, beam = 4)
+    rerank(spark, emb, queryId, qv, qn,
+      (visited1 ++ visited0).map(_._1).distinct, k)
   }
 }

@@ -553,4 +553,86 @@ object Rec {
           .otherwise(round(col("n_hits") / col("n_scored"), 5)).as("hit_rate"),
         round(col("n_scored") / col("n_users"), 5).as("coverage"))
   }
+
+  /** Popularity-baseline hit-rate@K — the sanity FLOOR every
+    * recommender eval needs beside it (a personalized model that
+    * can't beat "recommend what's popular" isn't learning anything):
+    * the same leave-last-out split as [[recHoldoutEval]], items
+    * ranked by global train interaction count (ties → lower item id),
+    * each user's already-trained items excluded from their list.
+    *
+    * Scale design — the whole point of this formulation: the
+    * user-specific top-K provably lives inside the GLOBAL top
+    * (K + maxBasket) list (excluding a user's ≤ maxBasket train items
+    * pushes deeper items up by at most maxBasket positions), so the
+    * ranking is ONE TakeOrdered of (pop DESC, item) into a ≤510-row
+    * broadcast — never a global rank window over the catalog (the
+    * ui_matrix_stats lesson). Per user, the holdout's effective rank
+    * = its global position minus how many of the user's OWN train
+    * items sit above it — one broadcast join + one count. A holdout
+    * item outside the global list cannot be inside any user's top-K
+    * (K ≤ list − maxBasket) → a miss, exactly.
+    *
+    * Counts are exact integers; the only float is the final rounded
+    * hit rate. n_users counts every eligible holdout user, misses
+    * included, matching [[recHoldoutEval]]'s denominator convention.
+    */
+  def recPopularityBaseline(spark: SparkSession, dir: String,
+                            ks: Seq[Int] = Seq(1, 5, 10),
+                            maxBasket: Int = 500): DataFrame = {
+    require(ks.nonEmpty && ks.max <= 10, s"ks must be <= 10: $ks")
+    val ui = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"),
+        col("ts_ms"))
+      .where(col("item_id").isNotNull)
+      .groupBy(col("user_id"), col("item_id"))
+      .agg(max(col("ts_ms")).as("last_ts"))
+    val bk = ui.groupBy(col("user_id")).agg(count(lit(1)).as("basket"))
+    val capped = ui.join(
+      bk.where(col("basket") >= 2 && col("basket") <= maxBasket), Seq("user_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("last_ts").desc, col("item_id").desc)
+    val ranked = capped.withColumn("rk", row_number().over(w))
+    val holdout = ranked.where(col("rk") === 1)
+      .select(col("user_id"), col("item_id").as("h"))
+    val train = ScratchCache.materialize(
+      ranked.where(col("rk") > 1).select(col("user_id"), col("item_id")))
+    // global popularity list, cut at K_max + maxBasket via TakeOrdered;
+    // positions assigned on the driver (bounded rows — the
+    // label_centroids driver-literal convention, no rank window)
+    val listLen = ks.max + maxBasket
+    import spark.implicits._
+    val top = train.groupBy(col("item_id"))
+      .agg(count(lit(1)).as("pop"))
+      .orderBy(col("pop").desc, col("item_id"))
+      .limit(listLen)
+      .collect().map(_.getLong(0))
+    val glist = broadcast(
+      top.zipWithIndex.map { case (it, i) => (it, i + 1L) }.toSeq
+        .toDF("item_id", "gpos"))
+    // holdout's global position (absent => miss), minus the user's own
+    // train items ranked above it
+    val hpos = holdout.join(glist.withColumnRenamed("item_id", "h"), Seq("h"))
+      .select(col("user_id"), col("h"), col("gpos").as("gpos_h"))
+    val own = hpos.join(train, Seq("user_id"))
+      .join(glist, Seq("item_id"))
+      .groupBy(col("user_id"), col("gpos_h"))
+      .agg(count(when(col("gpos") < col("gpos_h"), 1)).as("own_above"))
+    val ranks = hpos.join(own, Seq("user_id", "gpos_h"), "left_outer")
+      .select(col("user_id"),
+        (col("gpos_h") - coalesce(col("own_above"), lit(0L))).as("rank"))
+    val nUsers = holdout.agg(count(lit(1)).as("n_users"))
+    ranks
+      .select(explode(typedlit(ks.map(_.toLong))).as("k"), col("rank"))
+      .groupBy(col("k"))
+      .agg(count(when(col("rank") <= col("k"), 1)).as("n_hits"))
+      .join(ks.map(_.toLong).toDF("k"), Seq("k"), "right_outer")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .crossJoin(broadcast(nUsers))
+      .select(col("k"), col("n_users"), col("n_hits"),
+        round(col("n_hits") / col("n_users"), 5).as("hit_rate"))
+      .orderBy(col("k"))
+  }
 }

@@ -1153,6 +1153,39 @@ class OperatorSpec extends AnyFunSuite {
       s"alpha=1 weight ${r.getDouble(4)} vs p ${r.getDouble(3)}"))
   }
 
+  test("popularity baseline replays a driver rank recount on the shared split") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Rec.recPopularityBaseline(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 5L, 10L))
+    // driver replay: same split, same popularity ranking, same
+    // own-items-above subtraction
+    val ui: Seq[(Long, Long, Long)] = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .selectExpr("user_id", "cast(get_json_object(props, '$.k') as long) as item_id", "ts_ms")
+      .where(col("item_id").isNotNull)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case ((u, i), g) => (u, i, g.map(_._3).max) }.toSeq
+    val byUser = ui.groupBy(_._1).filter { case (_, g) => g.size >= 2 && g.size <= 500 }
+    val holdTrain = byUser.map { case (u, g) =>
+      val sorted = g.toSeq.sortBy(t => (-t._3, -t._2))
+      (u, sorted.head._2, sorted.tail.map(_._2).toSet)
+    }.toSeq
+    val pop = holdTrain.flatMap(_._3).groupBy(identity).map { case (i, g) => i -> g.size }
+    val glist = pop.toSeq.sortBy { case (i, p) => (-p, i) }.take(510).map(_._1)
+    val gpos = glist.zipWithIndex.map { case (i, p) => i -> (p + 1L) }.toMap
+    val ranks = holdTrain.flatMap { case (_, h, train) =>
+      gpos.get(h).map(g => g - train.count(t => gpos.get(t).exists(_ < g)))
+    }
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(1) == holdTrain.length.toLong, "n_users")
+      assert(r.getLong(2) == ranks.count(_ <= k).toLong, s"n_hits@$k")
+    }
+    // the floor exists: hits monotone in K, bounded by users
+    assert(rows.map(_.getLong(2)).toSeq == rows.map(_.getLong(2)).sorted.toSeq)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
   test("events changepoint matches a driver CUSUM recount per type") {
     val got = graft.operators.Analytics.eventsChangepoint(spark, TestSpark.sf).collect()
     assert(got.nonEmpty)

@@ -1085,4 +1085,45 @@ class VectorSearchSpec extends AnyFunSuite {
       assert(hrr == rr, s"$fam MRR: harness=$hrr recount=$rr")
     }
   }
+
+  test("hnsw: 2-level search is deterministic, ranked, and holds the flat walk's recall") {
+    import graft.operators.GraphAnn
+    def cos5(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val vecs = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val a = GraphAnn.hnswTopK(spark, TestSpark.sf, queryId = 0).collect()
+    val b = GraphAnn.hnswTopK(spark, TestSpark.sf, queryId = 0).collect()
+    assert(a.toSeq == b.toSeq, "hnsw search must be deterministic")
+    assert(a.length == 10 && a.map(_.getLong(2)).toSeq == (1L to 10L))
+    a.foreach { r =>
+      assert(r.getLong(0) != 0L, "query must not answer itself")
+      assert(r.getDouble(1) == cos5(vecs(r.getLong(0)), vecs(0L)), r.toString)
+    }
+    // hierarchy hands the base walk a BETTER-or-equal entry than the
+    // fixed lowest-id one, so recall must not collapse below the flat
+    // walk's floor on the same corpus
+    val exact = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos5(v, vecs(0L))) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    assert(a.map(_.getLong(0)).count(exact) >= 6,
+      s"recall collapsed: ${a.map(_.getLong(0)).toSeq} vs $exact")
+    // the level-1 promotion is the documented id hash: the promoted
+    // set the engine walks is reproducible from ids alone
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val promoted = vecs.keySet.filter(id =>
+      java.lang.Long.parseLong(md5hex(s"hnsw:$id").take(8), 16) % 4 == 0)
+    assert(promoted.nonEmpty && promoted.size < vecs.size,
+      "promotion must select a strict non-empty subset at test scale")
+  }
 }
