@@ -571,6 +571,12 @@ object SparkEntry {
     // popularity-floor recommender eval on the shared leave-last-out
     // split; bounded global top-list, no catalog rank window
     "rec_pop_baseline" -> ((s, d) => Rec.recPopularityBaseline(s, d)),
+    // who-copies-from-whom: near-dup pairs folded to a (source_a <=
+    // source_b) affinity matrix
+    "dedup_source_matrix" -> ((s, d) => Dedup.dedupSourceMatrix(s, d)),
+    // word-level degeneracy gate: TTR / root-TTR / hapax share off
+    // the persisted tf triples
+    "doc_lexdiv" -> ((s, d) => TextAnalysis.docLexicalDiversity(s, d)),
     // write-side shard sizing (64 KiB target at test scale; the
     // production default is 128 MiB)
     "output_shard_plan" -> ((s, d) => Curation.outputShardPlan(s, d, targetBytes = 64L * 1024)),
@@ -2759,6 +2765,30 @@ object SparkEntry {
          |            JOIN embeddings b ON b.vec_id = c.b_id
          |WHERE ${cos5("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY a_id, b_id""".stripMargin,
+    // the same verified pairs at the same threshold, endpoints mapped
+    // to document sources, folded to the unordered affinity matrix
+    "dedup_source_matrix" ->
+      s"""WITH $lshBlockCtes,
+         |vp AS (SELECT c.a_id, c.b_id, ${cos5("a.embedding", "b.embedding")} AS score
+         |       FROM cand c JOIN embeddings a ON a.vec_id = c.a_id
+         |                   JOIN embeddings b ON b.vec_id = c.b_id
+         |       WHERE ${cos5("a.embedding", "b.embedding")} >= 0.4),
+         |sp AS (SELECT least(da.source, db.source) AS source_a,
+         |              greatest(da.source, db.source) AS source_b, vp.score
+         |       FROM vp JOIN documents da ON da.doc_id = vp.a_id
+         |               JOIN documents db ON db.doc_id = vp.b_id)
+         |SELECT source_a, source_b, count(*) AS n_pairs,
+         |       round(avg(score), 5) AS avg_score
+         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // types = triple rows per doc, tokens = sum(tf), hapax = tf=1 rows
+    "doc_lexdiv" ->
+      s"""WITH $tfidfCtes
+         |SELECT doc_id, count(*) AS n_types, sum(tf)::BIGINT AS n_tokens,
+         |       count(CASE WHEN tf = 1 THEN 1 END) AS n_hapax,
+         |       round(count(*) / sum(tf), 5) AS ttr,
+         |       round(count(*) / sqrt(sum(tf)), 5) AS root_ttr,
+         |       round(count(CASE WHEN tf = 1 THEN 1 END) / count(*), 5) AS hapax_ratio
+         |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin,
     "lang_id" -> {
       val scores = TextAnalysis.markers.map { case (l, ms) =>
         val lst = ms.map(m => s"'$m'").mkString(", ")

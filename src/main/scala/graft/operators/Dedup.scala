@@ -852,6 +852,36 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("score"))
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Cross-source near-duplicate affinity matrix — WHO copies from
+    * WHOM: the shared banded-LSH verified pairs at the
+    * [[embeddingNearDupLsh]] threshold, each endpoint mapped to its
+    * document's source (the 1:1 vec_id = doc_id key), folded to an
+    * unordered (source_a ≤ source_b) × (pair count, mean similarity)
+    * matrix. [[dedupReport]] says how MUCH each source duplicates;
+    * this says WITH WHOM — the provenance table that separates a
+    * mirror pair (one hot off-diagonal cell) from internal
+    * boilerplate (a hot diagonal) before anyone assigns dedup blame.
+    *
+    * Scale shape: pair volume is the blocked linear candidate stage's
+    * (never n²); the two source lookups are id-keyed equi-joins; the
+    * matrix is ≤ |sources|² rows from one map-side-combined aggregate.
+    */
+  def dedupSourceMatrix(spark: SparkSession, dir: String, nBands: Int = 32,
+                        bitsPerBand: Int = 6, threshold: Double = 0.4,
+                        bucketCap: Long = 1000L): DataFrame = {
+    val pairs = lshVerifiedPairs(spark, dir, nBands, bitsPerBand, bucketCap)
+      .where(col("score") >= threshold)
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("score"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("score")), 5).as("avg_score"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** The surfaced `dedup_embedding` path: the SAME banded-LSH blocking
     * as [[embeddingNearDupLsh]] with the cluster-label restriction
     * applied POST-block — candidate volume is bounded by bucket

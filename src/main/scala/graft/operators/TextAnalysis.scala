@@ -859,6 +859,31 @@ object TextAnalysis {
     * Both projections are built from the same SQL fragments the
     * DuckDB oracle uses, so cross-engine parity is by construction.
     */
+  /** Per-document lexical diversity — the vocabulary-richness quality
+    * gate ([[charEntropy]] catches character-level gibberish, this
+    * catches WORD-level degeneracy: keyword stuffing, tag clouds,
+    * log spam — docs whose tokens barely repeat or repeat far too
+    * much): type count, token count, hapax count, type-token ratio,
+    * Guiraud's root TTR (types/√tokens — the length-robust form; raw
+    * TTR falls with length for healthy text), and the hapax share.
+    * Served from the persisted tf triples — types = rows per doc,
+    * tokens = Σtf, hapax = rows with tf = 1 — so the gate costs one
+    * map-side-combined aggregate over an artifact that already
+    * exists; docs with no ≥2-char token carry no triples and are
+    * absent, the model family's documented convention.
+    */
+  def docLexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val m = TextRetrieval.ensureModel(spark, dir)
+    m.tf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_types"), sum(col("tf")).as("n_tokens"),
+        count(when(col("tf") === 1, 1)).as("n_hapax"))
+      .select(col("doc_id"), col("n_types"), col("n_tokens"), col("n_hapax"),
+        round(col("n_types") / col("n_tokens"), 5).as("ttr"),
+        round(col("n_types") / sqrt(col("n_tokens")), 5).as("root_ttr"),
+        round(col("n_hapax") / col("n_types"), 5).as("hapax_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   def charEntropy(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), lower(col("text")).as("t"))

@@ -530,4 +530,29 @@ class DedupSpec extends AnyFunSuite {
     assert(at2.getLong(3) == eval2.length.toLong, "truth count")
     assert(at2.getLong(4) == eval2.count(_.getBoolean(3)).toLong, "found count")
   }
+
+  test("source affinity matrix folds exactly the thresholded LSH pair frame") {
+    import org.apache.spark.sql.functions.col
+    val mat = graft.operators.Dedup.dedupSourceMatrix(spark, TestSpark.sf).collect()
+    val pairs = graft.operators.Dedup.embeddingNearDupLsh(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val srcOf = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.map { case (k, g) => k -> (g.length.toLong, r5(g.map(_._3).sum / g.length)) }
+    assert(mat.length == want.size)
+    mat.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      val (n, avg) = want(k)
+      assert(r.getString(0) <= r.getString(1), s"unordered key $k")
+      assert(r.getLong(2) == n, s"$k n_pairs")
+      assert(math.abs(r.getDouble(3) - avg) < 2e-5, s"$k avg_score")
+    }
+    // conservation: matrix cells partition the pair frame
+    assert(mat.map(_.getLong(2)).sum == pairs.length.toLong)
+  }
 }

@@ -685,4 +685,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(r.getDouble(7) == r5(idf0s.max))
     }
   }
+
+  test("lexical diversity replays a driver tokenize per doc") {
+    val rows = graft.operators.TextAnalysis.docLexicalDiversity(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tokRe = "[a-z0-9_]+".r
+    rows.foreach { r =>
+      val toks = tokRe.findAllIn(docs(r.getLong(0)).toLowerCase)
+        .filter(_.length >= 2).toSeq
+      val byType = toks.groupBy(identity).map { case (t, g) => t -> g.length }
+      assert(r.getLong(1) == byType.size.toLong, s"doc ${r.getLong(0)} types")
+      assert(r.getLong(2) == toks.length.toLong, s"doc ${r.getLong(0)} tokens")
+      assert(r.getLong(3) == byType.count(_._2 == 1).toLong, s"doc ${r.getLong(0)} hapax")
+      assert(r.getDouble(4) == r5(byType.size.toDouble / toks.length))
+      assert(r.getDouble(5) == r5(byType.size / math.sqrt(toks.length.toDouble)))
+      assert(r.getDouble(6) == r5(byType.count(_._2 == 1).toDouble / byType.size))
+    }
+    // every doc with at least one >=2-char token is present
+    val featured = docs.count { case (_, t) =>
+      tokRe.findAllIn(t.toLowerCase).exists(_.length >= 2) }
+    assert(rows.length == featured)
+  }
 }

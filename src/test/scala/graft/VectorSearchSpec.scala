@@ -796,6 +796,14 @@ class VectorSearchSpec extends AnyFunSuite {
       val res2 = GraphAnn.graphTopK(spark, TestSpark.sf, queryId = 3).collect()
       assert(res2.map(_.getLong(0)).distinct.length == res2.length)
       assert(res2.head.getLong(0) == 9003L)
+      // hierarchical search shares the maintenance story: the STALE
+      // level-1 layer only picks the base entry (rebuild cadence is
+      // policy), while the base layer's backlinks must still make the
+      // appended twin reachable through the 2-level walk
+      val resH = GraphAnn.hnswTopK(spark, TestSpark.sf, queryId = 3).collect()
+      assert(resH.head.getLong(0) == 9003L && resH.head.getDouble(1) == 1.0,
+        s"hnsw must reach the appended twin: ${resH.map(_.toSeq).mkString(";")}")
+      assert(resH.map(_.getLong(0)).distinct.length == resH.length)
     } finally spark.conf.unset("spark.graft.index.root")
   }
 
