@@ -577,6 +577,9 @@ object SparkEntry {
     // word-level degeneracy gate: TTR / root-TTR / hapax share off
     // the persisted tf triples
     "doc_lexdiv" -> ((s, d) => TextAnalysis.docLexicalDiversity(s, d)),
+    // per-label pre- vs post-filter decision table: integer-exact
+    // selectivity rule + the real fit's worst-case probe volume
+    "ann_filter_planner" -> ((s, d) => Ivf.filterPlanner(s, d)),
     // write-side shard sizing (64 KiB target at test scale; the
     // production default is 128 MiB)
     "output_shard_plan" -> ((s, d) => Curation.outputShardPlan(s, d, targetBytes = 64L * 1024)),
@@ -2780,6 +2783,26 @@ object SparkEntry {
          |SELECT source_a, source_b, count(*) AS n_pairs,
          |       round(avg(score), 5) AS avg_score
          |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the replayed fit's occupancies give the worst-case probe
+    // volume; the decision comparisons are pure integers
+    "ann_filter_planner" ->
+      s"""WITH RECURSIVE
+         |$ivfFitCtes,
+         |occ AS (SELECT cell, count(*) AS c FROM asg GROUP BY 1),
+         |wrst AS (SELECT sum(c)::BIGINT AS worst FROM
+         |           (SELECT c FROM occ ORDER BY c DESC, cell LIMIT 4)),
+         |lab AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1),
+         |tot AS (SELECT sum(n_label)::BIGINT AS n FROM lab)
+         |SELECT lab.label::BIGINT AS label, lab.n_label,
+         |       round(lab.n_label / tot.n, 5) AS selectivity,
+         |       lab.n_label AS scan_prefilter,
+         |       (tot.n * 4) // 16 AS scan_postfilter_uniform,
+         |       wrst.worst AS scan_postfilter_worst,
+         |       round(lab.n_label * 4 / 16.0, 5) AS exp_probe_matches,
+         |       CASE WHEN lab.n_label * 4 < 10 * 16 THEN 'prefilter'
+         |            WHEN lab.n_label <= (tot.n * 4) // 16 THEN 'prefilter'
+         |            ELSE 'postfilter' END AS strategy
+         |FROM lab, tot, wrst ORDER BY label""".stripMargin,
     // types = triple rows per doc, tokens = sum(tf), hapax = tf=1 rows
     "doc_lexdiv" ->
       s"""WITH $tfidfCtes

@@ -496,6 +496,48 @@ object Ivf {
       .orderBy(col("family"))
   }
 
+  /** Filtered-ANN strategy planner — the cost-based pre- vs
+    * post-filter decision every filtered vector query faces (the
+    * classic selectivity rule: a HIGHLY selective metadata filter
+    * should scan its few matching rows exactly — pre-filter — while
+    * a loose filter should probe the index and discard — post-filter;
+    * post-filtering a rare label risks an under-filled top-k because
+    * the probe set holds too few matches). Per label: exact
+    * occupancy, selectivity, the rows each strategy would score
+    * (pre-filter = the label's rows; post-filter = expected probe
+    * volume under the uniform estimate PLUS the worst case from the
+    * REAL fit's top-nprobe cell occupancies), the expected label
+    * matches inside a probe, and the chosen strategy. The decision is
+    * INTEGER-exact on both engines: expected-matches < k compares
+    * nprobe·n_label < k·nCells, cost compares n_label ≤
+    * (n·nprobe) div nCells.
+    *
+    * Scale shape: one cell-count aggregate over the persisted index
+    * (column-pruned), one label aggregate over the corpus, |labels|
+    * output rows with a broadcast total — the planner table costs two
+    * scans regardless of corpus size.
+    */
+  def filterPlanner(spark: SparkSession, dir: String, nCells: Int = 16,
+                    nprobe: Int = 4, k: Int = 10): DataFrame = {
+    val (assigned, _) = ensureIndex(spark, dir, nCells)
+    val worst = assigned.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("cell")).limit(nprobe)
+      .agg(sum(col("c"))).head.getLong(0)
+    val labels = assigned.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val tot = labels.agg(sum(col("n_label")).as("n"))
+    labels.crossJoin(broadcast(tot))
+      .select(col("label").cast("long").as("label"), col("n_label"),
+        round(col("n_label") / col("n"), 5).as("selectivity"),
+        col("n_label").as("scan_prefilter"),
+        expr(s"(n * $nprobe) div $nCells").as("scan_postfilter_uniform"),
+        lit(worst).as("scan_postfilter_worst"),
+        round(col("n_label") * nprobe / nCells.toDouble, 5).as("exp_probe_matches"),
+        when(col("n_label") * nprobe < k * nCells, lit("prefilter"))
+          .when(col("n_label") <= expr(s"(n * $nprobe) div $nCells"), lit("prefilter"))
+          .otherwise(lit("postfilter")).as("strategy"))
+      .orderBy(col("label"))
+  }
+
   def recallEval(spark: SparkSession, dir: String, nCells: Int, queryMod: Int,
                  k: Int, nprobes: Seq[Int]): DataFrame = {
     val (assigned, centroids) = ensureIndex(spark, dir, nCells)

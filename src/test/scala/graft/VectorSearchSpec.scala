@@ -1094,6 +1094,35 @@ class VectorSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("filter planner replays the integer decision rule from a driver recount") {
+    val rows = Ivf.filterPlanner(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val labels = Tables.embeddings(spark, TestSpark.sf)
+      .select("label").collect().map(_.getInt(0).toLong)
+    val n = labels.length.toLong
+    val byLab = labels.groupBy(identity).map { case (l, g) => l -> g.length.toLong }
+    // conservation + per-label arithmetic + the integer decision rule
+    assert(rows.map(_.getLong(1)).sum == n)
+    rows.foreach { r =>
+      val nl = byLab(r.getLong(0))
+      assert(r.getLong(1) == nl && r.getLong(3) == nl)
+      assert(r.getDouble(2) == r5(nl.toDouble / n))
+      assert(r.getLong(4) == n * 4 / 16)
+      assert(r.getDouble(6) == r5(nl * 4 / 16.0))
+      val want = if (nl * 4 < 10 * 16) "prefilter"
+        else if (nl <= n * 4 / 16) "prefilter" else "postfilter"
+      assert(r.getString(7) == want, s"label ${r.getLong(0)} strategy")
+      // the worst-case probe volume can never undercut the uniform
+      // estimate (top-nprobe cells are at least average-sized)
+      assert(r.getLong(5) >= r.getLong(4), "worst < uniform estimate")
+    }
+    // worst-case recount from the real assignment
+    val occ = Ivf.buildIndex(spark, TestSpark.sf, 16)._1
+      .groupBy(col("cell")).count().collect().map(_.getLong(1)).sorted.reverse
+    assert(rows.head.getLong(5) == occ.take(4).sum)
+  }
+
   test("hnsw: 2-level search is deterministic, ranked, and holds the flat walk's recall") {
     import graft.operators.GraphAnn
     def cos5(a: Array[Float], b: Array[Float]): Double = {
