@@ -34,6 +34,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("popularity baseline broadcasts the bounded top list (no catalog rank window)") {
+    val df = graft.operators.Rec.recPopularityBaseline(spark, TestSpark.sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), "glist must join as a broadcast")
+    // the only window is the split's user-partitioned leave-last-out
+    // rank; the global item ranking never plans as a window at all
+    // (it is a TakeOrdered into a driver literal)
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.forall(_.contains("user_id")),
+      s"only the user-partitioned split window is allowed:\n${windows.mkString("\n")}")
+  }
+
+  test("filter planner plans no window and no sort-merge join (aggregates + broadcast)") {
+    val p = plan(Ivf.filterPlanner(spark, TestSpark.sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("windowspecdefinition"),
+      "the planner table is two aggregates and a broadcast total")
+  }
+
   test("q4 existence test plans a LEFT SEMI join (no lineitem fan-out)") {
     val p = plan(Analytics.q4Priority(spark, TestSpark.sf))
     assert(p.contains("LeftSemi"), p.take(800))
