@@ -580,6 +580,9 @@ object SparkEntry {
     // per-label pre- vs post-filter decision table: integer-exact
     // selectivity rule + the real fit's worst-case probe volume
     "ann_filter_planner" -> ((s, d) => Ivf.filterPlanner(s, d)),
+    // cost-of-recall curve for the simhash family: nested candidates
+    // per hamming radius vs the exact-Jaccard truth
+    "simhash_radius_sweep" -> ((s, d) => Dedup.simhashRadiusSweep(s, d)),
     // write-side shard sizing (64 KiB target at test scale; the
     // production default is 128 MiB)
     "output_shard_plan" -> ((s, d) => Curation.outputShardPlan(s, d, targetBytes = 64L * 1024)),
@@ -768,6 +771,31 @@ object SparkEntry {
       |                  ORDER BY last_ts DESC, item_id DESC) AS rk FROM capped),
       |hold AS (SELECT user_id, item_id AS h FROM rkd WHERE rk = 1),
       |train AS (SELECT user_id, item_id FROM rkd WHERE rk > 1)""".stripMargin
+
+  /** Shared CTEs replaying the SimHash signature build + capped chunk
+    * blocking ([[graft.operators.Dedup.simhash]]: md5-number token
+    * hashes, tf-weighted bit votes, 4×16-bit chunk buckets under the
+    * occupancy cap, distinct any-chunk collisions as `scand` with
+    * both signatures). ONE definition for the near-dup query and the
+    * radius sweep. CTE names are s-prefixed so the sweep can compose
+    * with [[cappedShingleCtes]] (whose `hot` would otherwise clash).
+    */
+  private val simhashCandCtes: String =
+    """stoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |hv AS (SELECT doc_id, CAST(CASE WHEN md5_number_upper(tok) >= 9223372036854775808::HUGEINT
+      |         THEN md5_number_upper(tok)::HUGEINT - 18446744073709551616::HUGEINT
+      |         ELSE md5_number_upper(tok)::HUGEINT END AS BIGINT) AS h FROM stoks),
+      |votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |          FROM hv, range(64) r(b) GROUP BY 1, 2),
+      |ssig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN
+      |            CASE WHEN b = 63 THEN -9223372036854775808::HUGEINT ELSE (1::BIGINT << b)::HUGEINT END
+      |          ELSE 0::HUGEINT END) AS BIGINT) AS sig FROM votes GROUP BY 1),
+      |schunks AS (SELECT doc_id, sig, c * 65536 + ((sig >> (c * 16)) & 65535) AS bucket
+      |           FROM ssig, range(4) r(c)),
+      |shot AS (SELECT bucket FROM schunks GROUP BY 1 HAVING count(*) > 1000),
+      |scapped AS (SELECT * FROM schunks ANTI JOIN shot USING (bucket)),
+      |scand AS (SELECT DISTINCT a.doc_id AS a_id, a.sig AS a_sig, b.doc_id AS b_id, b.sig AS b_sig
+      |         FROM scapped a JOIN scapped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
 
   private val shingleCtes: String =
     """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -3709,24 +3737,37 @@ object SparkEntry {
     // reproduce bit-for-bit (defaults: 4×16-bit chunks, cap 1000,
     // hamming ≤ 6)
     "dedup_simhash" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |hv AS (SELECT doc_id, CAST(CASE WHEN md5_number_upper(tok) >= 9223372036854775808::HUGEINT
-        |         THEN md5_number_upper(tok)::HUGEINT - 18446744073709551616::HUGEINT
-        |         ELSE md5_number_upper(tok)::HUGEINT END AS BIGINT) AS h FROM toks),
-        |votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |          FROM hv, range(64) r(b) GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN
-        |            CASE WHEN b = 63 THEN -9223372036854775808::HUGEINT ELSE (1::BIGINT << b)::HUGEINT END
-        |          ELSE 0::HUGEINT END) AS BIGINT) AS sig FROM votes GROUP BY 1),
-        |chunks AS (SELECT doc_id, sig, c * 65536 + ((sig >> (c * 16)) & 65535) AS bucket
-        |           FROM sig, range(4) r(c)),
-        |hot AS (SELECT bucket FROM chunks GROUP BY 1 HAVING count(*) > 1000),
-        |capped AS (SELECT * FROM chunks ANTI JOIN hot USING (bucket)),
-        |cand AS (SELECT DISTINCT a.doc_id AS a_id, a.sig AS a_sig, b.doc_id AS b_id, b.sig AS b_sig
-        |         FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
-        |SELECT a_id, b_id, bit_count(xor(a_sig, b_sig))::BIGINT AS hamming
-        |FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= 6
-        |ORDER BY a_id, b_id""".stripMargin,
+      s"""WITH $simhashCandCtes
+         |SELECT a_id, b_id, bit_count(xor(a_sig, b_sig))::BIGINT AS hamming
+         |FROM scand WHERE bit_count(xor(a_sig, b_sig)) <= 6
+         |ORDER BY a_id, b_id""".stripMargin,
+    // the shared blocked pair frame filtered per radius; recall vs
+    // the exact capped-shingle Jaccard >= 0.8 truth
+    "simhash_radius_sweep" ->
+      s"""WITH $simhashCandCtes,
+         |ham AS MATERIALIZED (SELECT a_id, b_id,
+         |         bit_count(xor(a_sig, b_sig))::BIGINT AS hamming
+         |       FROM scand WHERE bit_count(xor(a_sig, b_sig)) <= 3),
+         |$cappedShingleCtes,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |truth AS MATERIALIZED (SELECT a_id, b_id
+         |       FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |       WHERE round(inter / (sa.sz + sb.sz - inter), 5) >= 0.8),
+         |nt AS (SELECT count(*) AS n_truth FROM truth),
+         |rr AS (SELECT unnest([0, 1, 2, 3])::BIGINT AS radius),
+         |cc AS (SELECT rr.radius, count(h.a_id) AS n_candidates
+         |       FROM rr LEFT JOIN ham h ON h.hamming <= rr.radius GROUP BY 1),
+         |fx AS (SELECT DISTINCT h.a_id, h.b_id, h.hamming FROM ham h
+         |       SEMI JOIN truth t ON t.a_id = h.a_id AND t.b_id = h.b_id),
+         |ff AS (SELECT rr.radius, count(x.a_id) AS n_found
+         |       FROM rr LEFT JOIN fx x ON x.hamming <= rr.radius GROUP BY 1)
+         |SELECT cc.radius, cc.n_candidates, nt.n_truth, ff.n_found,
+         |       CASE WHEN nt.n_truth = 0 THEN 0.0
+         |            ELSE round(ff.n_found / nt.n_truth, 5) END AS recall
+         |FROM cc JOIN ff USING (radius), nt ORDER BY radius""".stripMargin,
     // the corpus-lexical encoder end-to-end: per-term centroids of
     // containing-doc embeddings (FLOAT casts quantize away
     // aggregation-order noise, so the induced lexicon is bit-stable

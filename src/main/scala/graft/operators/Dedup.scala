@@ -1193,6 +1193,42 @@ object Dedup {
       .orderBy(col("rows_per_band"))
   }
 
+  /** SimHash hamming-radius sweep — [[minhashBandSweep]]'s twin for
+    * the sign-fingerprint family: per acceptance radius r ∈ 0..3 (the
+    * range the 4×16-bit chunk blocking covers COMPLETELY by
+    * pigeonhole — a pair at hamming ≤ 3 must agree on some chunk),
+    * the candidate-pair volume the verifier must score and the recall
+    * against the exact n-gram-Jaccard ≥ threshold truth
+    * ([[minhashRecallEval]]'s ground-truth convention). Candidates
+    * provably NEST across radii — each row filters one shared
+    * ≤ maxRadius pair frame — so the table reads as the
+    * cost-of-recall curve that picks the production radius.
+    *
+    * One signature build + one blocked pair frame + one truth frame,
+    * all ScratchCache-shared; per radius only a filter + two counts.
+    */
+  def simhashRadiusSweep(spark: SparkSession, dir: String,
+                         radii: Seq[Int] = Seq(0, 1, 2, 3),
+                         threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    require(radii.nonEmpty && radii.max <= 3,
+      s"chunk blocking is only complete to hamming 3: $radii")
+    val truth = graft.sources.ScratchCache.materialize(
+      ngramJaccard(spark, dir, 5, threshold, 1000L).select(col("a_id"), col("b_id")))
+    val nTruth = truth.count()
+    val cand = graft.sources.ScratchCache.materialize(
+      simhash(spark, dir, maxHamming = radii.max))
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    radii.sorted.map { r =>
+      val cr = cand.where(col("hamming") <= r)
+      val nc = cr.count()
+      val nf = truth.join(cr, Seq("a_id", "b_id"), "left_semi").count()
+      (r.toLong, nc, nTruth, nf,
+        if (nTruth == 0) 0.0 else r5(nf.toDouble / nTruth))
+    }.toDF("radius", "n_candidates", "n_truth", "n_found", "recall")
+      .orderBy(col("radius"))
+  }
+
   /** Semantic train/eval decontamination — the embedding-space twin of
     * [[decontaminate]] (GPT-3/Dolma shingle overlap catches verbatim
     * leakage; this catches PARAPHRASED leakage the way modern corpus

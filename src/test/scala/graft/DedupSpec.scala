@@ -555,4 +555,36 @@ class DedupSpec extends AnyFunSuite {
     // conservation: matrix cells partition the pair frame
     assert(mat.map(_.getLong(2)).sum == pairs.length.toLong)
   }
+
+  test("simhash radius sweep nests candidates and reconciles with the pair frames") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Dedup.simhashRadiusSweep(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    // monotone nesting: a wider radius can only add candidates/finds
+    Seq(1, 3).foreach { c =>
+      rows.map(_.getLong(c)).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, s"column $c not nested")
+        case _ => ()
+      }
+    }
+    // the radius-3 row reconciles with the surfaced pair frame and
+    // the shared exact-Jaccard truth
+    val at3 = rows.last
+    val cand3 = graft.operators.Dedup.simhash(spark, TestSpark.sf, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(at3.getLong(1) == cand3.length.toLong, "radius-3 candidate count")
+    val truth = graft.operators.Dedup.ngramJaccard(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at3.getLong(2) == truth.size.toLong, "truth count")
+    assert(at3.getLong(3) ==
+      cand3.count { case (a, b, _) => truth((a, b)) }.toLong, "radius-3 found count")
+    // per-radius recounts from the same frames
+    rows.foreach { r =>
+      val rad = r.getLong(0)
+      val cr = cand3.filter(_._3 <= rad)
+      assert(r.getLong(1) == cr.length.toLong, s"radius $rad candidates")
+      assert(r.getLong(3) == cr.count { case (a, b, _) => truth((a, b)) }.toLong,
+        s"radius $rad found")
+    }
+  }
 }
