@@ -642,10 +642,14 @@ object SparkEntry {
     demoQueryVec.map(v => v.toDouble.toString).mkString("[", ", ", "]")
 
   /** DuckDB cosine identical to VectorFunctions.cosine5: double-promoted
-    * dot products, rounded to 5 decimals.
+    * dot products, rounded to 5 decimals. The trailing `+ 0.0` is the
+    * SURVEY §4 signed-zero rule: DuckDB's C-style round keeps −0.0 on
+    * a tiny-negative cosine while Spark's BigDecimal round (and the
+    * Verify writer's normalization) always emits +0.0 — IEEE
+    * −0.0 + 0.0 = +0.0 reconciles the two, identity everywhere else.
     */
   private def cos5(a: String, b: String): String =
-    s"round(${cosRaw(a, b)}, 5)"
+    s"(round(${cosRaw(a, b)}, 5) + 0.0)"
   private def cosRaw(a: String, b: String): String =
     s"list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
 
@@ -725,7 +729,7 @@ object SparkEntry {
       |             / sum(CASE WHEN is_train THEN tf12 END), 5) AS train_nll,
       |       round(-sum(CASE WHEN NOT is_train THEN lp END)
       |             / sum(CASE WHEN NOT is_train THEN tf12 END), 5) AS eval_nll,
-      |       round(eval_nll - train_nll, 5) AS gap
+      |       round(eval_nll - train_nll, 5) + 0.0 AS gap
       |FROM lsc GROUP BY 1)""".stripMargin
 
   /** CTEs replaying [[graft.operators.Curation.coresetKCenter]]'s 8
@@ -1661,7 +1665,7 @@ object SparkEntry {
          |      FROM s WHERE n_label <> a_label QUALIFY rk = 1)
          |SELECT p.a_id, p.a_label::BIGINT AS a_label, p.pos_id, p.pos_score,
          |       n.neg_id, n.neg_score,
-         |       round(p.pos_score - n.neg_score, 5) AS margin,
+         |       round(p.pos_score - n.neg_score, 5) + 0.0 AS margin,
          |       (n.neg_score < p.pos_score AND
          |        round(p.pos_score - n.neg_score, 5) < 0.2) AS semi_hard
          |FROM p JOIN n USING (a_id) ORDER BY a_id""".stripMargin,
@@ -2135,13 +2139,15 @@ object SparkEntry {
         |pts AS (SELECT ln(sum(toks) OVER cw) AS x, ln(sum(coalesce(new_terms, 0)) OVER cw) AS y,
         |               sum(toks) OVER cw AS n, sum(coalesce(new_terms, 0)) OVER cw AS v
         |        FROM pst LEFT JOIN fs USING (shard)
-        |        WINDOW cw AS (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |        WINDOW cw AS (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT avg(x) AS xb, avg(y) AS yb FROM pts)
         |SELECT count(*) AS n_points,
         |       CAST(max(n) AS BIGINT) AS total_tokens,
         |       CAST(max(v) AS BIGINT) AS vocab_size,
-        |       round((count(*) * sum(x * y) - sum(x) * sum(y))
-        |             / (count(*) * sum(x * x) - sum(x) * sum(x)), 5) AS heaps_beta
-        |FROM pts""".stripMargin,
+        |       CASE WHEN sum((x - xb) * (x - xb)) = 0 THEN NULL
+        |            ELSE round(sum((x - xb) * (y - yb))
+        |                       / sum((x - xb) * (x - xb)), 5) + 0.0 END AS heaps_beta
+        |FROM pts, m""".stripMargin,
     "value_robust_stats" ->
       """WITH cuts AS (SELECT event_type,
         |                     round(quantile_cont(value, 0.05), 5) AS lo,
@@ -2189,7 +2195,7 @@ object SparkEntry {
          |scored AS (SELECT st.source, st.term, st.y,
          |                  round(ln((st.y + 0.5) / (srct.ns - st.y + 0.5))
          |                        - ln((termt.yw - st.y + 0.5)
-         |                             / (tot.nn - srct.ns - (termt.yw - st.y) + 0.5)), 5)
+         |                             / (tot.nn - srct.ns - (termt.yw - st.y) + 0.5)), 5) + 0.0
          |                    AS log_odds
          |           FROM st JOIN srct USING (source) JOIN termt USING (term), tot),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY source
@@ -2211,9 +2217,9 @@ object SparkEntry {
         |               max(CASE WHEN cl <> label THEN cos END) AS other
         |        FROM scored GROUP BY 1, 2)
         |SELECT label, count(*) AS n_vecs,
-        |       round(avg(own), 4) AS mean_own_cos,
-        |       round(avg(other), 4) AS mean_other_cos,
-        |       round(avg(own - other), 4) AS margin
+        |       round(avg(own), 4) + 0.0 AS mean_own_cos,
+        |       round(avg(other), 4) + 0.0 AS mean_other_cos,
+        |       round(avg(own - other), 4) + 0.0 AS margin
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "chunk_passage_topk" ->
       """WITH ch AS (SELECT doc_id, i::BIGINT AS chunk_id, substr(text, i * 150 + 1, 200) AS chunk_text
@@ -2385,7 +2391,7 @@ object SparkEntry {
         |       round(sqrt(sg2 / n - (sg / n) * (sg / n)) / 1000, 3) AS std_gap_s,
         |       CASE WHEN sqrt(sg2 / n - (sg / n) * (sg / n)) + sg / n = 0 THEN 0.0
         |            ELSE round((sqrt(sg2 / n - (sg / n) * (sg / n)) - sg / n)
-        |                       / (sqrt(sg2 / n - (sg / n) * (sg / n)) + sg / n), 5) END
+        |                       / (sqrt(sg2 / n - (sg / n) * (sg / n)) + sg / n), 5) + 0.0 END
         |         AS burstiness
         |FROM s ORDER BY event_type""".stripMargin,
     // dense (type x day) grid zero-fills silent days; both forecasts
@@ -2641,7 +2647,7 @@ object SparkEntry {
         |             (sumsq_prev - sum_prev * sum_prev / 24.0) / 23.0 AS varp
         |      FROM s WHERE n_prev = 24)
         |SELECT event_type, hour_ms, n_events, round(mean, 5) AS mean_prev,
-        |       round((n_events - mean) / sqrt(varp), 5) AS z
+        |       round((n_events - mean) / sqrt(varp), 5) + 0.0 AS z
         |FROM x WHERE varp > 0
         |ORDER BY abs(round((n_events - mean) / sqrt(varp), 5)) DESC, event_type, hour_ms
         |LIMIT 10""".stripMargin,
@@ -2857,11 +2863,15 @@ object SparkEntry {
         |tf AS (SELECT term, count(*) AS tf FROM terms GROUP BY 1),
         |top AS (SELECT term, tf FROM tf ORDER BY tf DESC, term LIMIT 100),
         |r AS (SELECT ln(row_number() OVER (ORDER BY tf DESC, term)) AS x, ln(tf) AS y FROM top),
-        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-        |             sum(x * x) AS sxx, sum(x * y) AS sxy FROM r)
+        |m AS (SELECT avg(x) AS xb, avg(y) AS yb FROM r),
+        |s AS (SELECT count(*) AS n, max(xb) AS xb, max(yb) AS yb,
+        |             sum((x - xb) * (y - yb)) AS sxy_c,
+        |             sum((x - xb) * (x - xb)) AS sxx_c FROM r, m)
         |SELECT n AS n_terms,
-        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
-        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept
+        |       CASE WHEN sxx_c = 0 THEN NULL
+        |            ELSE round(sxy_c / sxx_c, 4) + 0.0 END AS slope,
+        |       CASE WHEN sxx_c = 0 THEN NULL
+        |            ELSE round(yb - sxy_c / sxx_c * xb, 4) + 0.0 END AS intercept
         |FROM s""".stripMargin,
     "source_kl" ->
       """WITH terms AS (SELECT source, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
@@ -2870,7 +2880,7 @@ object SparkEntry {
         |ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM stf GROUP BY 1),
         |ctot AS (SELECT sum(ctf)::BIGINT AS t_corp FROM ctf)
         |SELECT s.source, st.t_src AS n_tokens, st.n_terms,
-        |       round(sum((s.tf / st.t_src) * ln((s.tf / st.t_src) / (c.ctf / ct.t_corp))), 4) AS kl
+        |       round(sum((s.tf / st.t_src) * ln((s.tf / st.t_src) / (c.ctf / ct.t_corp))), 4) + 0.0 AS kl
         |FROM stf s JOIN ctf c USING (term) JOIN stot st USING (source), ctot ct
         |GROUP BY 1, 2, 3 ORDER BY source""".stripMargin,
     "lang_mismatch" -> {
@@ -3647,7 +3657,11 @@ object SparkEntry {
          |           FROM scored s
          |           SEMI JOIN prom pa ON pa.vec_id = s.src
          |           SEMI JOIN prom pb ON pb.vec_id = s.dst) WHERE rk <= 8),
-         |hf0 AS (SELECT min(vec_id) AS v FROM prom WHERE vec_id <> 0),
+         |-- engine-fallback mirror (GraphAnn.hnswTopK): when NO vec_id
+         |-- hashes into the promoted layer, the coarse descent starts
+         |-- from the global lowest-id base entry instead of vanishing
+         |hf0 AS (SELECT coalesce((SELECT min(vec_id) FROM prom WHERE vec_id <> 0),
+         |                        (SELECT min(vec_id) FROM embeddings WHERE vec_id <> 0)) AS v),
          |${graphWalkSteps("h", "nbr1", 4, 2)},
          |hvis AS (SELECT v FROM hf0
          |${(0 until 4).map(i => s"         UNION SELECT v FROM hu$i").mkString("\n")}),
@@ -3908,9 +3922,9 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, n_words, n_sentences, n_syllables,
         |       round(206.835 - 1.015 * (n_words / n_sentences)
-        |             - 84.6 * (n_syllables / n_words), 4) AS flesch,
+        |             - 84.6 * (n_syllables / n_words), 4) + 0.0 AS flesch,
         |       round(0.39 * (n_words / n_sentences)
-        |             + 11.8 * (n_syllables / n_words) - 15.59, 4) AS fk_grade
+        |             + 11.8 * (n_syllables / n_words) - 15.59, 4) + 0.0 AS fk_grade
         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
     // whitening replayed whole: per-dim rounded μ/σ lists, the
     // indexed-lambda standardize (zero-variance dims → 0), then the
@@ -3938,10 +3952,10 @@ object SparkEntry {
       """WITH x AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
         |                  unnest(embedding)::DOUBLE AS v FROM embeddings)
         |SELECT pos::BIGINT AS pos, count(*) AS n,
-        |       round(sum(v) / count(*), 5) AS mean_v,
+        |       round(sum(v) / count(*), 5) + 0.0 AS mean_v,
         |       round(sqrt(greatest((sum(v * v) - sum(v) * sum(v) / count(*))
         |             / (count(*) - 1), 0.0)), 5) AS std_v,
-        |       round(min(v), 5) AS min_v, round(max(v), 5) AS max_v
+        |       round(min(v), 5) + 0.0 AS min_v, round(max(v), 5) + 0.0 AS max_v
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "q6_forecast" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
@@ -4461,7 +4475,7 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n_days, sum(y)::BIGINT AS total,
         |       CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) = 0 THEN NULL
         |            ELSE round((count(*) * sum(x * y) - sum(x) * sum(y)) /
-        |                       (count(*) * sum(x * x) - sum(x) * sum(x)), 5) END AS slope_per_day
+        |                       (count(*) * sum(x * x) - sum(x) * sum(x)), 5) + 0.0 END AS slope_per_day
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // lagged pairs via integer-keyed self-equi-join of the hourly
     // rollup (gaps make no pair); Pearson r from exact BIGINT moments
@@ -4476,7 +4490,7 @@ object SparkEntry {
         |              OR count(*) * sum(y * y) - sum(y) * sum(y) = 0 THEN NULL
         |            ELSE round((count(*) * sum(x * y) - sum(x) * sum(y)) /
         |                       sqrt((count(*) * sum(x * x) - sum(x) * sum(x)) *
-        |                            (count(*) * sum(y * y) - sum(y) * sum(y))), 5) END AS acf
+        |                            (count(*) * sum(y * y) - sum(y) * sum(y))), 5) + 0.0 END AS acf
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // same capped baskets as item_cooc; jaccard = co/(sa+sb−co) from
     // exact counts, rounded once; per-item rank cut
@@ -4539,7 +4553,7 @@ object SparkEntry {
         |          WHERE a.item_id <> b.item_id GROUP BY 1, 2
         |          HAVING count(*) >= 2),
         |sc AS (SELECT p.item_id, p.rec_item_id, p.co,
-        |              round(ln(p.co * nu.n_users / (sa.supp * sb.supp)::DOUBLE), 5) AS pmi
+        |              round(ln(p.co * nu.n_users / (sa.supp * sb.supp)::DOUBLE), 5) + 0.0 AS pmi
         |       FROM pairs p JOIN supp sa ON sa.item_id = p.item_id
         |                    JOIN supp sb ON sb.item_id = p.rec_item_id, nu)
         |SELECT item_id, rec_item_id, co, pmi,
@@ -4704,7 +4718,7 @@ object SparkEntry {
         |             (sxx_b::DOUBLE - sx_b::DOUBLE * sx_b::DOUBLE / n_b) / (n_b - 1) / 10000.0 / n_b AS se2_b
         |      FROM m)
         |SELECT n_a, n_b, round(mu_a, 5) AS mean_a, round(mu_b, 5) AS mean_b,
-        |       round((mu_a - mu_b) / sqrt(se2_a + se2_b), 5) AS t_stat,
+        |       round((mu_a - mu_b) / sqrt(se2_a + se2_b), 5) + 0.0 AS t_stat,
         |       round((se2_a + se2_b) * (se2_a + se2_b) /
         |             (se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1)), 3) AS df
         |FROM s""".stripMargin,
@@ -4914,10 +4928,10 @@ object SparkEntry {
         |                ln((rawc.cr + 1.0) / (tots.tr + 256)) AS lr
         |       FROM rawc LEFT JOIN tgtc USING (b), tots),
         |w AS (SELECT doc_id, sum(cb)::BIGINT AS n_tokens,
-        |             round(sum(cb * lr.lr), 5) AS logw
+        |             round(sum(cb * lr.lr), 5) + 0.0 AS logw
         |      FROM docb JOIN lr USING (b) GROUP BY 1)
         |SELECT w.doc_id, d.source, w.n_tokens, w.logw,
-        |       round(w.logw + -ln(-ln((('0x' || substr(md5('dsir:' || w.doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT + 0.5) / 4294967296.0)), 5) AS score
+        |       round(w.logw + -ln(-ln((('0x' || substr(md5('dsir:' || w.doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT + 0.5) / 4294967296.0)), 5) + 0.0 AS score
         |FROM w JOIN documents d USING (doc_id)
         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
     // full NB replay: hashed buckets, 80% hash split, add-1 class
@@ -4958,7 +4972,7 @@ object SparkEntry {
          |        FROM fold GROUP BY 1)
          |SELECT bin, n_docs, n_correct, mean_conf,
          |       round(n_correct / n_docs, 5) AS accuracy,
-         |       round(mean_conf - round(n_correct / n_docs, 5), 5) AS gap
+         |       round(mean_conf - round(n_correct / n_docs, 5), 5) + 0.0 AS gap
          |FROM agg ORDER BY bin""".stripMargin,
     // the IVF fit replayed, clusters named by top-3 summed-tf-idf
     // terms; weight rounded BEFORE the rank window, ties term asc
@@ -5090,7 +5104,7 @@ object SparkEntry {
         |sp AS (SELECT bigram, c12, string_split(bigram, ' ')[1] AS w1,
         |              string_split(bigram, ' ')[2] AS w2 FROM bg)
         |SELECT sp.bigram, sp.c12, u1.c AS c1, u2.c AS c2,
-        |       round(ln(sp.c12::DOUBLE * uu.u / tt.t * uu.u / u1.c / u2.c), 5) AS pmi
+        |       round(ln(sp.c12::DOUBLE * uu.u / tt.t * uu.u / u1.c / u2.c), 5) + 0.0 AS pmi
         |FROM sp JOIN uni u1 ON u1.w = sp.w1 JOIN uni u2 ON u2.w = sp.w2, uu, tt
         |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
     // deterministic vocab: top-V terms by corpus tf, ties
@@ -5501,8 +5515,8 @@ object SparkEntry {
         |              round(avg(round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 5)), 5) AS mean_norm
         |       FROM embeddings)
         |SELECT n, mean_norm,
-        |       round((sum_sq - sum_self) / (n * (n - 1)), 5) AS mean_pairwise_dot,
-        |       round((sum_sq - sum_self) / (n * (n - 1)) / (mean_norm * mean_norm), 5)
+        |       round((sum_sq - sum_self) / (n * (n - 1)), 5) + 0.0 AS mean_pairwise_dot,
+        |       round((sum_sq - sum_self) / (n * (n - 1)) / (mean_norm * mean_norm), 5) + 0.0
         |         AS anisotropy
         |FROM rw, sq""".stripMargin,
   )

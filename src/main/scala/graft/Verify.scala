@@ -30,9 +30,24 @@ object Verify {
     SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1))).foreach { case (name, fn) =>
       spark.catalog.clearCache()
       System.err.println(s"[verify] running $name")
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // signed-zero normalization (the r11 vocab_heaps class): IEEE
+        // −0.0 + 0.0 = +0.0, identity on every other value — so a
+        // tiny-negative value rounded to −0.0 anywhere in the engine
+        // hashes identically to the oracle's normalized +0.0. Narrow
+        // projection: row order and partitioning are untouched.
+        import org.apache.spark.sql.functions.{col, lit}
+        import org.apache.spark.sql.types.{DoubleType, FloatType}
+        val normed = df.select(df.schema.fields.map { f =>
+          f.dataType match {
+            case DoubleType => (col(f.name) + lit(0.0)).as(f.name)
+            case FloatType  => (col(f.name) + lit(0.0f)).as(f.name)
+            case _          => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+        normed.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -851,9 +851,14 @@ object Curation {
     * cluster-balanced sampling): within each IVF cell, rank docs by
     * the md5('cbal:'||vec_id) hash and keep the first `perCell`. The
     * kept set is a pure function of (corpus, nCells, perCell) — no RNG
-    * state — and adding documents never flips an existing member's
-    * rank order hash, the same stability contract as
-    * [[hashSample]]. Output carries the cell occupancy so the table
+    * state. Hash KEYS are growth-stable (a document's hk never
+    * changes), but MEMBERSHIP under the rank-based perCell cap is
+    * not: a newly ingested document with a smaller hash can push an
+    * existing member past the cap — unlike [[hashSample]]'s
+    * threshold rule, where membership is per-document and
+    * insert-only. Pin the corpus snapshot (or switch to a threshold
+    * rule) when downstream needs append-stable membership.
+    * Output carries the cell occupancy so the table
     * doubles as the coverage report: a cell with n_cell ≤ perCell is
     * kept whole, a 10⁶-doc head cell contributes exactly perCell.
     *
@@ -908,18 +913,30 @@ object Curation {
       zip_with(col("embedding"), typedlit(sel),
         (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, v) => acc + v)
+    // fail loudly on an empty corpus (headOption, not .head's opaque
+    // NoSuchElementException)
     val seed = emb.orderBy(col("vec_id")).limit(1)
-      .select(col("vec_id"), col("embedding")).head
+      .select(col("vec_id"), col("embedding")).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"coresetKCenter: $dir/embeddings.parquet is empty"))
     var selected = Vector(seed.getSeq[Float](1).map(_.toDouble))
     val picks = scala.collection.mutable.ArrayBuffer(
       (1L, seed.getLong(0), Option.empty[Double]))
     def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
-    for (j <- 2 to k) {
+    var exhausted = false
+    for (j <- 2 to k if !exhausted) {
       val mind = array_min(array(selected.map(d2): _*))
       val next = emb.select(col("vec_id"), col("embedding"), mind.as("md"))
         .orderBy(col("md").desc, col("vec_id")).limit(1).head
-      picks += ((j.toLong, next.getLong(0), Some(r5(next.getDouble(2)))))
-      selected :+= next.getSeq[Float](1).map(_.toDouble)
+      // fewer than k distinct vectors (or an all-duplicate corpus):
+      // every remaining point has md = 0 and the argmax would re-pick
+      // an already-selected vec_id forever — stop, the coreset is
+      // complete (coverage radius 0 means everything is covered)
+      if (next.getDouble(2) == 0.0) exhausted = true
+      else {
+        picks += ((j.toLong, next.getLong(0), Some(r5(next.getDouble(2)))))
+        selected :+= next.getSeq[Float](1).map(_.toDouble)
+      }
     }
     picks.toSeq.toDF("rk", "vec_id", "dist").orderBy(col("rk"))
   }

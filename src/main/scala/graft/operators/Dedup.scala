@@ -1211,15 +1211,16 @@ object Dedup {
                          radii: Seq[Int] = Seq(0, 1, 2, 3),
                          threshold: Double = 0.8): DataFrame = {
     import spark.implicits._
-    require(radii.nonEmpty && radii.max <= 3,
-      s"chunk blocking is only complete to hamming 3: $radii")
+    require(radii.nonEmpty && radii.forall(r => r >= 0 && r <= 3),
+      s"chunk blocking is only complete to hamming 0..3: $radii")
+    val radiiU = radii.distinct.sorted
     val truth = graft.sources.ScratchCache.materialize(
       ngramJaccard(spark, dir, 5, threshold, 1000L).select(col("a_id"), col("b_id")))
     val nTruth = truth.count()
     val cand = graft.sources.ScratchCache.materialize(
-      simhash(spark, dir, maxHamming = radii.max))
+      simhash(spark, dir, maxHamming = radiiU.max))
     def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
-    radii.sorted.map { r =>
+    radiiU.map { r =>
       val cr = cand.where(col("hamming") <= r)
       val nc = cr.count()
       val nf = truth.join(cr, Seq("a_id", "b_id"), "left_semi").count()

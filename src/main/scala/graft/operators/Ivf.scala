@@ -411,7 +411,8 @@ object Ivf {
     * family — the reference compares Flat vs IVF (ann_tradeoff_table
     * .csv); a user choosing an index needs the same three columns for
     * every option: exact flat (the 1.0/1.0 anchor), IVF at nprobe,
-    * multi-probe LSH, SQ8, PQ/ADC and the IVF+PQ composite, all
+    * multi-probe LSH, SQ8, PQ/ADC, the IVF+PQ composites, binary,
+    * Matryoshka, and the NSW/HNSW graph walks — all
     * against the same query sample and the same exact ground truth,
     * each timed. Queries run
     * through the single-query entry points (the persisted build-once
@@ -476,7 +477,16 @@ object Ivf {
         ids(Quantized.binaryTopK(spark, dir, q, c = 50, k = k))),
       // truncated-dim prefix shortlist + exact rerank (MRL serving)
       ("matryoshka16_c50", (q: Long) =>
-        ids(VectorSearch.matryoshkaTopK(spark, dir, q, prefixDims = 16, c = 50, k = k))))
+        ids(VectorSearch.matryoshkaTopK(spark, dir, q, prefixDims = 16, c = 50, k = k))),
+      // graph family (the industry-default ANN index, the r11
+      // verdict's one named bake-off gap): NSW beam walk over the
+      // build-once top-g neighbor graph, and its hierarchical (HNSW)
+      // variant whose coarse promoted-layer descent hands the base
+      // walk its entry — same single-query entry points the hard
+      // oracles `ann_graph_topk` / `ann_hnsw_topk` replay in SQL
+      ("graph_beam", (q: Long) =>
+        ids(GraphAnn.graphTopK(spark, dir, q, g = 8, hops = 6, beam = 4, k = k))),
+      ("hnsw", (q: Long) => ids(GraphAnn.hnswTopK(spark, dir, q, g = 8, k = k))))
     // warm every family CONCURRENTLY first: the one-time artifact
     // builds (PQ fit/encode, IVF/LSH publication) dominate a cold
     // sweep and overlap safely — IndexStore's staged-rename publish

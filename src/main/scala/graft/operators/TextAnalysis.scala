@@ -75,6 +75,12 @@ object TextAnalysis {
     * bounded-width window, then one tiny aggregate). Same sklearn
     * tokenizer as the TF-IDF surface so vocab numbers line up across
     * queries.
+    *
+    * Determinism: recentered least squares (Σ(x−x̄)(y−ȳ)/Σ(x−x̄)²) +
+    * signed-zero normalization (`+ 0.0`), the [[vocabHeaps]] rule — a
+    * constant-tf vocabulary (template corpus) makes y constant and the
+    * n·Σxy−ΣxΣy numerator a ±1e-14 cancellation residual whose
+    * rounded sign (−0.0 vs +0.0) is an engine coin flip.
     */
   def vocabZipf(spark: SparkSession, dir: String, topN: Int = 100): DataFrame = {
     val top = Tables.documents(spark, dir)
@@ -84,13 +90,16 @@ object TextAnalysis {
     val w = Window.orderBy(col("tf").desc, col("term"))
     val xy = top.withColumn("rank", row_number().over(w))
       .select(log(col("rank")).as("x"), log(col("tf")).as("y"))
-    xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val m = xy.agg(avg(col("x")).as("xb"), avg(col("y")).as("yb"))
+    xy.crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n"), first(col("xb")).as("xb"), first(col("yb")).as("yb"),
+        sum((col("x") - col("xb")) * (col("y") - col("yb"))).as("sxy_c"),
+        sum((col("x") - col("xb")) * (col("x") - col("xb"))).as("sxx_c"))
       .select(col("n").as("n_terms"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
-        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 4)
+        when(col("sxx_c") === 0, lit(null).cast("double"))
+          .otherwise(round(col("sxy_c") / col("sxx_c"), 4) + lit(0.0)).as("slope"),
+        when(col("sxx_c") === 0, lit(null).cast("double"))
+          .otherwise(round(col("yb") - col("sxy_c") / col("sxx_c") * col("xb"), 4) + lit(0.0))
           .as("intercept"))
   }
 
@@ -1002,6 +1011,18 @@ object TextAnalysis {
     * 16-row cumulative folds, and the ln-ln least squares is closed
     * form over those 16 points. Everything before the fit is exact
     * integers.
+    *
+    * Determinism (the r11 red row): the slope is the RECENTERED form
+    * Σ(x−x̄)(y−ȳ)/Σ(x−x̄)² — on a degenerate corpus whose whole
+    * vocabulary lands in the first shard, y is constant and the old
+    * n·Σxy−ΣxΣy numerator was a pure catastrophic-cancellation
+    * residual (~±1e-14) whose SIGN was an engine coin flip, and
+    * round(−1e-14, 5) = −0.0 hashes differently from +0.0. Recentering
+    * makes the numerator ~ε·Σ(x−x̄) ≈ 1e-30 regardless of engine, and
+    * the final `+ 0.0` collapses −0.0 to +0.0 (IEEE: −0.0 + 0.0 =
+    * +0.0) on both engines. A single-point series (whole corpus in one
+    * shard) has zero x-variance → NULL slope on both engines
+    * (explicit guard; DuckDB would otherwise emit NaN).
     */
   def vocabHeaps(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
@@ -1020,13 +1041,16 @@ object TextAnalysis {
       .withColumn("v", sum(col("new_terms")).over(w))
       .select(log(col("n").cast("double")).as("x"), log(col("v").cast("double")).as("y"),
         col("n"), col("v"))
-    pts.agg(count(lit(1)).as("n_points"),
+    val m = pts.agg(avg(col("x")).as("xb"), avg(col("y")).as("yb"))
+    pts.crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_points"),
         max(col("n")).as("total_tokens"), max(col("v")).as("vocab_size"),
-        ((count(lit(1)) * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))) /
-          (count(lit(1)) * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))))
-          .as("beta_raw"))
+        sum((col("x") - col("xb")) * (col("y") - col("yb"))).as("sxy_c"),
+        sum((col("x") - col("xb")) * (col("x") - col("xb"))).as("sxx_c"))
       .select(col("n_points"), col("total_tokens"), col("vocab_size"),
-        round(col("beta_raw"), 5).as("heaps_beta"))
+        when(col("sxx_c") === 0, lit(null).cast("double"))
+          .otherwise(round(col("sxy_c") / col("sxx_c"), 5) + lit(0.0))
+          .as("heaps_beta"))
   }
 
   /** Language × source independence test (Pearson chi-square over the

@@ -711,4 +711,47 @@ class TextAnalysisSpec extends AnyFunSuite {
       tokRe.findAllIn(t.toLowerCase).exists(_.length >= 2) }
     assert(rows.length == featured)
   }
+
+  test("heaps/zipf fits survive the degenerate constant-vocabulary corpus " +
+    "(r11 red row: signed-zero + cancellation)") {
+    import spark.implicits._
+    // 64 identical docs: ids spread over all 16 md5 shards, but the
+    // WHOLE vocabulary first appears in the minimal occupied shard, so
+    // cumulative V is constant across every prefix point → the true
+    // Heaps slope is exactly 0. Pre-r12 this produced a ±1e-14
+    // cancellation residual whose round(·,5) was −0.0 or +0.0
+    // depending on engine summation order (the r11 hash mismatch).
+    val docs = (0 until 64).map(i => (i.toLong, "alpha beta gamma delta"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-heaps").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val h = TextAnalysis.vocabHeaps(spark, dir).head()
+    assert(h.getLong(0) >= 10L, s"expected >=10 prefix points, got ${h.getLong(0)}")
+    assert(h.getLong(2) == 4L, s"vocab_size ${h.getLong(2)}")
+    val beta = h.getDouble(3)
+    assert(beta == 0.0, s"degenerate Heaps slope must be exactly 0.0, got $beta")
+    assert(java.lang.Math.copySign(1.0, beta) == 1.0,
+      s"slope must be POSITIVE zero (−0.0 hashes differently), raw bits " +
+        java.lang.Long.toHexString(java.lang.Double.doubleToRawLongBits(beta)))
+    // zipf on the same corpus: every term has tf = 64 → constant y →
+    // slope exactly +0.0 under the same recentered + signed-zero rule
+    val z = TextAnalysis.vocabZipf(spark, dir).head()
+    val slope = z.getDouble(1)
+    assert(slope == 0.0 && java.lang.Math.copySign(1.0, slope) == 1.0,
+      s"degenerate Zipf slope must be +0.0, got $slope")
+    // intercept is the constant ln(tf) = ln(64)
+    assert(math.abs(z.getDouble(2) - math.log(64.0)) < 1e-3)
+  }
+
+  test("single-shard corpus yields NULL heaps slope on both engines (zero x-variance)") {
+    import spark.implicits._
+    // one document → one occupied shard → a single prefix point; the
+    // slope is undefined and both the engine and the oracle must emit
+    // NULL (DuckDB would otherwise produce NaN from 0/0)
+    val docs = Seq((7L, "solo text here"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-heaps1").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val h = TextAnalysis.vocabHeaps(spark, dir).head()
+    assert(h.getLong(0) == 1L)
+    assert(h.isNullAt(3), "single-point fit must be NULL")
+  }
 }

@@ -372,7 +372,7 @@ class VectorSearchSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(byF.keySet == Set("flat", "ivf_nprobe4", "lsh_multiprobe", "sq8", "pq_adc",
       "ivfpq_nprobe4", "ivfpq_rerank_c50", "ivfpq_res_nprobe4",
-      "binary_c50", "matryoshka16_c50"))
+      "binary_c50", "matryoshka16_c50", "graph_beam", "hnsw"))
     assert(byF("flat") == ((1.0, 1.0)), "exact search must match its own ground truth")
     byF.values.foreach { case (p, mrr) =>
       assert(p >= 0.0 && p <= 1.0 && mrr >= 0.0 && mrr <= 1.0)
@@ -1083,7 +1083,12 @@ class VectorSearchSpec extends AnyFunSuite {
         ids(Quantized.ivfPqResidualTopK(spark, dir, q, 16, 4, k))),
       "binary_c50" -> ((q: Long) => ids(Quantized.binaryTopK(spark, dir, q, 50, k))),
       "matryoshka16_c50" -> ((q: Long) =>
-        ids(VectorSearch.matryoshkaTopK(spark, dir, q, 16, 50, k))))
+        ids(VectorSearch.matryoshkaTopK(spark, dir, q, 16, 50, k))),
+      // the r12 additions: same entry points the ann_graph_topk /
+      // ann_hnsw_topk hard oracles replay in SQL
+      "graph_beam" -> ((q: Long) =>
+        ids(graft.operators.GraphAnn.graphTopK(spark, dir, q, 8, 6, 4, k))),
+      "hnsw" -> ((q: Long) => ids(graft.operators.GraphAnn.hnswTopK(spark, dir, q, 8, k))))
     assert(checks.map(_._1).toSet == fe.keySet, "family row set")
     checks.foreach { case (fam, run) =>
       val (p, rr) = recount(run)
