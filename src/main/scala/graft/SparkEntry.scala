@@ -91,6 +91,14 @@ object SparkEntry {
     "vs_topk_qvec" -> ((s, d) => VectorSearch.topKVec(s, d, demoQueryVec, k = 10)),
     "vs_item_similar" -> ((s, d) => VectorSearch.topK(s, d, queryId = 7, k = 10)),
     "vs_filtered_topk" -> ((s, d) => VectorSearch.filteredTopK(s, d, queryId = 0, k = 10, labels = Seq(1, 2, 3))),
+    // the filter PLANNER routed into execution: one rare label → the
+    // integer rule picks the exact prefilter scan; an 8-label loose
+    // filter → the rule picks probe-then-discard over the IVF index.
+    // The output carries `strategy`, so the ROUTE itself is hashed.
+    "vs_planned_filtered_rare" -> ((s, d) =>
+      Ivf.plannedFilteredTopK(s, d, queryId = 0, labels = Seq(3), k = 10)),
+    "vs_planned_filtered_loose" -> ((s, d) =>
+      Ivf.plannedFilteredTopK(s, d, queryId = 0, labels = Seq(0, 1, 2, 3, 4, 5, 6, 7), k = 10)),
     "vs_sim_matrix" -> ((s, d) => VectorSearch.simMatrix(s, d, ids = Seq(0L, 1L, 2L, 3L))),
     "ann_knn_join" -> ((s, d) => VectorSearch.knnJoin(s, d, queryMod = 100, k = 5)),
     "vs_topk_l2" -> ((s, d) => VectorSearch.topKL2(s, d, queryId = 0, k = 10)),
@@ -652,6 +660,44 @@ object SparkEntry {
     s"(round(${cosRaw(a, b)}, 5) + 0.0)"
   private def cosRaw(a: String, b: String): String =
     s"list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
+
+  /** Oracle for [[graft.operators.Ivf.plannedFilteredTopK]]: replay
+    * the integer routing rule (n_cand·4 < 10·16 OR n_cand ≤ (n·4)
+    * div 16 → prefilter), then execute the branch it picks — the
+    * exact label-filtered scan, or the replayed IVF probe with the
+    * label discard applied after blocking.
+    */
+  private def plannedFilteredSql(labels: Seq[Int]): String = {
+    val inList = labels.mkString(", ")
+    s"""WITH RECURSIVE
+       |$ivfFitCtes,
+       |lb AS (SELECT count(*) AS n,
+       |              count(CASE WHEN label IN ($inList) THEN 1 END) AS n_cand
+       |       FROM embeddings),
+       |dec AS (SELECT CASE WHEN n_cand * 4 < 10 * 16 OR n_cand <= (n * 4) // 16
+       |               THEN 'prefilter' ELSE 'postfilter' END AS strategy FROM lb),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |pre AS (SELECT 'prefilter' AS strategy, e.vec_id AS n_id,
+       |               ${cos5("e.embedding", "q.qv")} AS score,
+       |               CAST(row_number() OVER (ORDER BY ${cos5("e.embedding", "q.qv")} DESC, e.vec_id) AS BIGINT) AS rk
+       |        FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label IN ($inList)
+       |        QUALIFY rk <= 10),
+       |probe AS (SELECT c.cell FROM cent c, q
+       |          ORDER BY list_dot_product(q.qv::DOUBLE[], c.centroid) /
+       |                   (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) * sqrt(list_dot_product(c.centroid, c.centroid))) DESC, c.cell
+       |          LIMIT 4),
+       |post AS (SELECT 'postfilter' AS strategy, a.vec_id AS n_id,
+       |                ${cos5("a.embedding", "q.qv")} AS score,
+       |                CAST(row_number() OVER (ORDER BY ${cos5("a.embedding", "q.qv")} DESC, a.vec_id) AS BIGINT) AS rk
+       |         FROM asg a JOIN embeddings el ON el.vec_id = a.vec_id
+       |         JOIN probe USING (cell), q
+       |         WHERE a.vec_id <> 0 AND el.label IN ($inList)
+       |         QUALIFY rk <= 10)
+       |SELECT * FROM pre WHERE (SELECT strategy FROM dec) = 'prefilter'
+       |UNION ALL
+       |SELECT * FROM post WHERE (SELECT strategy FROM dec) = 'postfilter'
+       |ORDER BY rk""".stripMargin
+  }
 
   /** Shared CTE fragments for the TF-IDF oracle (sklearn smooth-idf +
     * sklearn default tokenizer: lowercase, maximal word-char runs of
@@ -1406,6 +1452,12 @@ object SparkEntry {
          |SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS score
          |FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label IN (1, 2, 3)
          |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    // the routed planner queries: the oracle replays the SAME integer
+    // decision rule (Ivf.plannedFilteredTopK), then executes whichever
+    // branch the rule picks — a route flip on either engine fails the
+    // strategy-column hash
+    "vs_planned_filtered_rare" -> plannedFilteredSql(Seq(3)),
+    "vs_planned_filtered_loose" -> plannedFilteredSql(Seq(0, 1, 2, 3, 4, 5, 6, 7)),
     "vs_sim_matrix" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cos5("a.embedding", "b.embedding")} AS score
          |FROM embeddings a, embeddings b

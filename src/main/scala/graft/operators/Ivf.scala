@@ -548,6 +548,77 @@ object Ivf {
       .orderBy(col("label"))
   }
 
+  /** Planner-ROUTED filtered vector search — [[filterPlanner]]'s
+    * integer decision rule wired into execution (the r11 verdict's
+    * "the planner emits the table but the filtered queries hardcode
+    * one strategy"). The label-set filter is costed on the driver
+    * from two bounded aggregates over the persisted index, then the
+    * query executes the strategy the rule picks:
+    *
+    *  - PREFILTER (rare label set): exact cosine over only the
+    *    matching rows — the label predicate pushes into the parquet
+    *    scan (PushedFilters, plan-asserted), cost ∝ n_cand, recall 1.
+    *  - POSTFILTER (loose label set): the IVF probe runs UNFILTERED
+    *    with literal cell ids (partition pruning, plan-asserted) and
+    *    non-matching labels are discarded after scoring — cost ∝
+    *    probe volume regardless of how loose the filter is.
+    *
+    * The rule is the planner's, generalized from one label to the
+    * set's candidate count: expected probe matches under uniformity
+    * (n_cand·nprobe < k·nCells → a post-filtered top-k risks running
+    * under-filled → prefilter) and the integer cost compare
+    * (n_cand ≤ (n·nprobe) div nCells → the exact scan is no bigger
+    * than the probe → prefilter). Both engines replay the identical
+    * integer rule, so the route itself is oracle-checked — the output
+    * carries `strategy` so a silent route flip fails the hash.
+    *
+    * Scale shape: costing is two map-side-combined counts (no new
+    * scan shape); each branch is an already-plan-audited shape
+    * (TakeOrdered exact scan / literal-cell pruned probe + window
+    * group limit).
+    */
+  def plannedFilteredTopK(spark: SparkSession, dir: String, queryId: Long,
+                          labels: Seq[Int], k: Int = 10, nCells: Int = 16,
+                          nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(labels.nonEmpty, "label filter must name at least one label")
+    val (cells, centroids) = ensureIndex(spark, dir, nCells)
+    val cnt = cells.agg(count(lit(1)).as("n"),
+      count(when(col("label").isin(labels: _*), 1)).as("n_cand")).head
+    val n = cnt.getLong(0)
+    val nCand = cnt.getLong(1)
+    val prefilter = nCand * nprobe < k.toLong * nCells ||
+      nCand <= (n * nprobe) / nCells
+    if (prefilter) {
+      val wk = Window.orderBy(col("score").desc, col("n_id"))
+      VectorSearch.topK(spark, dir, queryId, k, col("label").isin(labels: _*))
+        .select(lit("prefilter").as("strategy"), col("vec_id").as("n_id"), col("score"))
+        .withColumn("rk", row_number().over(wk).cast("long"))
+        .orderBy(col("rk"))
+    } else {
+      val qv = Tables.embeddings(spark, dir).where(col("vec_id") === queryId)
+        .select(col("embedding")).collect().headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"query vector $queryId not found in $dir/embeddings.parquet"))
+        .getSeq[Float](0).toArray
+      val probedCells = rankCells(centroids, qv).take(nprobe)
+      val q = typedlit(qv)
+      // q_id as a 1-row broadcast keeps the window partitioned →
+      // WindowGroupLimit (the ivfTopK convention)
+      val qid = broadcast(Seq(queryId).toDF("q_id"))
+      val wk = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+      cells.where(col("cell").isin(probedCells: _*))
+        .where(col("vec_id") =!= queryId && col("label").isin(labels: _*))
+        .crossJoin(qid)
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(dotd(col("embedding"), q) / (col("nrm") * l2norm(q)), 5).as("score"))
+        .withColumn("rk", row_number().over(wk).cast("long"))
+        .where(col("rk") <= k)
+        .select(lit("postfilter").as("strategy"), col("n_id"), col("score"), col("rk"))
+        .orderBy(col("rk"))
+    }
+  }
+
   def recallEval(spark: SparkSession, dir: String, nCells: Int, queryMod: Int,
                  k: Int, nprobes: Seq[Int]): DataFrame = {
     val (assigned, centroids) = ensureIndex(spark, dir, nCells)

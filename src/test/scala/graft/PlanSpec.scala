@@ -201,6 +201,32 @@ class PlanSpec extends AnyFunSuite {
       "probe scan must carry literal cell-id partition filters:\n" + p.take(1500))
   }
 
+  test("planner-routed filtered search picks prefilter for a rare label and " +
+    "postfilter for a loose set, with the matching plan shape") {
+    // rare single label (~10% < nprobe/nCells = 25%): the integer rule
+    // routes PREFILTER — an exact scan whose label predicate reaches
+    // the parquet reader, and NO index-cell pruning anywhere
+    val rare = Ivf.plannedFilteredTopK(spark, TestSpark.sf, queryId = 0,
+      labels = Seq(3), k = 10)
+    assert(rare.head().getString(0) == "prefilter", "rare label must route prefilter")
+    val pRare = plan(rare)
+    assert("PushedFilters: \\[[^\\]]*(In|EqualTo)\\(label".r.findFirstIn(pRare).isDefined,
+      "prefilter route must push the label predicate into the scan:\n" + pRare.take(1500))
+    assert(!pRare.contains("PartitionFilters: [isnotnull(cell"),
+      "prefilter route must not touch the IVF index:\n" + pRare.take(1500))
+    // loose 8-label set (~80% > 25%): the rule routes POSTFILTER — the
+    // probe carries literal cell ids (partition pruning) and the label
+    // discard happens on the probed rows
+    val loose = Ivf.plannedFilteredTopK(spark, TestSpark.sf, queryId = 0,
+      labels = Seq(0, 1, 2, 3, 4, 5, 6, 7), k = 10)
+    assert(loose.head().getString(0) == "postfilter", "loose set must route postfilter")
+    val pLoose = plan(loose)
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]* IN \\(".r.findFirstIn(pLoose).isDefined,
+      "postfilter route must partition-prune to the probed cells:\n" + pLoose.take(1500))
+    assert(pLoose.contains("WindowGroupLimit"),
+      "postfilter rank must stay a map-side WindowGroupLimit:\n" + pLoose.take(800))
+  }
+
   test("ivf single-query ranking keeps a PARTITIONED window (WindowGroupLimit, no fold-away)") {
     // regression: partitioning the rank window by lit(queryId) let
     // FoldablePropagation erase the partition spec → a partition-less
