@@ -193,6 +193,148 @@ object Multimodal {
         col("width"), col("height"), col("features"))
       .orderBy(col("media_id"))
 
+  /** 64-bit dHash perceptual image fingerprint — the standard
+    * difference hash (Krawetz's dHash): decode, bilinear-downsample to
+    * a 9×8 Rec.601 luminance grid, bit b set iff the pixel right of
+    * grid cell b is brighter. Robust to re-encoding, resizing, and
+    * small edits (the transforms that defeat exact byte dedup), which
+    * is exactly what a crawl-scale image-dedup gate needs. None for
+    * payloads the JDK cannot decode — callers route those to the
+    * byte-level exact dedup instead.
+    */
+  def dhash64(payload: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val s = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = s.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 9, 8, null)
+        g.dispose()
+        def lum(px: Int): Int =
+          (((px >> 16) & 0xff) * 299 + ((px >> 8) & 0xff) * 587 + (px & 0xff) * 114) / 1000
+        var bits = 0L
+        var b = 0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (lum(s.getRGB(x + 1, y)) > lum(s.getRGB(x, y))) bits |= (1L << b)
+            b += 1; x += 1
+          }
+          y += 1
+        }
+        Some(bits)
+      }
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** Per-image fingerprints: (media_id, phash) for every JDK-decodable
+    * image payload. Per-partition batch decode (one codec warm-up per
+    * partition), narrow transform; non-decodable rows drop out here
+    * and stay the exact-dedup path's problem.
+    */
+  def imageFingerprints(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(m => dhash64(m.payload).map(h => (m.media_id, h)))
+    }.toDF("media_id", "phash")
+  }
+
+  /** Perceptual image near-dup — [[graft.operators.Dedup.simhash]]'s
+    * blocked-hamming join applied to the dHash fingerprint space: a
+    * pair at hamming ≤ 3 must agree on one of the four 16-bit chunks
+    * (pigeonhole), so candidates come from a (position, chunk-value)
+    * bucket equi-join — never an all-pairs hamming scan — with the
+    * same occupancy cap guarding degenerate corpora (solid-color
+    * images all hash to 0L and would otherwise go quadratic in one
+    * bucket). Output: verified (a_id, b_id, hamming) pairs.
+    *
+    * Scale shape: fingerprints are 8 bytes/image, the bucket join's
+    * keys carry 16 bits of entropy × 4 positions, and the verify is
+    * one XOR+popcount per candidate — the same ≤O(n·occupancy) shape
+    * every text near-dup path rides.
+    */
+  def imageNearDup(media: Dataset[Media], maxHamming: Int = 3,
+                   bucketCap: Long = 1000L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"16-bit chunk blocking is only complete to hamming 3: $maxHamming")
+    val sigs = imageFingerprints(media)
+    val chunks = sigs.select(col("media_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("bucket", expr("c * 65536L + ((phash >> (c * 16)) & 65535L)"))
+    val occ = chunks.groupBy(col("bucket")).agg(count(lit(1)).as("occ"))
+    val capped = chunks.join(
+      occ.where(col("occ") <= bucketCap).select(col("bucket")), Seq("bucket"))
+    capped.as("a").join(capped.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("a.phash").as("a_ph"),
+        col("b.media_id").as("b_id"), col("b.phash").as("b_ph"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("a_ph").bitwiseXOR(col("b_ph"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Image quality gate — the Gopher-rules twin for pixels, the
+    * admission filter a multimodal training pipeline runs before
+    * captioning/embedding spends compute on junk: per decodable image
+    * its real dimensions, aspect ratio, byte size, and the Shannon
+    * entropy of the 16-bin luminance histogram (a solid-color or
+    * near-blank image scores ~0 nats and carries no training signal).
+    * Flags: `pass_res` (both sides ≥ minSide), `pass_aspect`
+    * (long/short ≤ maxAspect — banner/scrollbar scrap fails),
+    * `pass_entropy` (≥ minEntropy nats), and the composed `pass`.
+    * Per-partition batch decode, narrow transform, no shuffle.
+    */
+  def imageQualityGate(media: Dataset[Media], minSide: Int = 4,
+                       maxAspect: Double = 4.0,
+                       minEntropy: Double = 0.5): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        decodeImage(m.payload).map { case (w, h, hist) =>
+          val ent = -hist.foldLeft(0.0)((s, p) =>
+            if (p > 0f) s + p * math.log(p.toDouble) else s)
+          val aspect = math.max(w, h).toDouble / math.max(math.min(w, h), 1)
+          (m.media_id, w, h, m.payload.length.toLong,
+            BigDecimal(aspect).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            BigDecimal(ent).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            w >= minSide && h >= minSide, aspect <= maxAspect, ent >= minEntropy)
+        }
+      }
+    }.toDF("media_id", "width", "height", "n_bytes", "aspect", "lum_entropy",
+        "pass_res", "pass_aspect", "pass_entropy")
+      .withColumn("pass", col("pass_res") && col("pass_aspect") && col("pass_entropy"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Image-text pair prep — the LAION/CLIP-style contrastive-training
+    * assembly line: media joined to its caption document by id, the
+    * caption run through the same quality filters the text surface
+    * uses (token count bounds), the image through [[imageQualityGate]],
+    * and the output one (media_id, caption, n_tokens, width, height)
+    * row per admitted pair. One equi-join on ids; both gates are
+    * narrow; at 100 TB the join is the only shuffle and both sides are
+    * pre-filtered before it.
+    */
+  def imageTextPairs(media: Dataset[Media], docs: DataFrame,
+                     minTokens: Int = 3, maxTokens: Int = 512): DataFrame = {
+    val gate = imageQualityGate(media).where(col("pass"))
+      .select(col("media_id"), col("width"), col("height"))
+    val caps = docs
+      .select(col("doc_id").as("media_id"), col("text").as("caption"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .where(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+    gate.join(caps, Seq("media_id"))
+      .select(col("media_id"), col("caption"), col("n_tokens"),
+        col("width"), col("height"))
+      .orderBy(col("media_id"))
+  }
+
   /** Distributed corpus embedding — the OFFLINE half of the encoder
     * seam (the reference embeds its whole corpus offline with the same
     * model that serves queries; [[graft.functions.QueryEncoder]]

@@ -110,4 +110,120 @@ class MultimodalSpec extends AnyFunSuite {
     val expected = SparkEntry.demoQueryVec.toSeq
     assert(rows.forall(_.getSeq[Float](1) == expected))
   }
+
+  /** Deterministic 64×64 test image: an id-seeded 8×8 BLOCK pattern
+    * (each block one flat luminance), PNG-encoded through the REAL
+    * JDK codec — so the dHash/quality specs exercise genuine decode →
+    * downsample → hash paths, not the stub. Blocks (not gradients):
+    * a monotone gradient makes every right-neighbor brighter and
+    * hashes to all-ones for EVERY seed; block structure survives the
+    * 9×8 bilinear downsample and varies per id.
+    */
+  private def png(id: Long, tweak: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        // the id must MULTIPLY position, not offset it: dHash is a
+        // difference hash, so a constant per-seed luminance shift
+        // cancels and every seed would collide
+        val v = ((((x / 8) + 9 * (y / 8) + 1) * (2 * id + 1)) % 16).toInt * 16
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    if (tweak != 0) img.setRGB(32, 32, 0xffffff) // one-pixel edit
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def solidPng(rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash is deterministic, edit-robust, and separates distinct images") {
+    val a = Multimodal.dhash64(png(1)).get
+    assert(Multimodal.dhash64(png(1)).get == a, "same bytes, same hash")
+    // a one-pixel edit survives the 9x8 downsample nearly unchanged
+    val edited = Multimodal.dhash64(png(1, tweak = 1)).get
+    assert(java.lang.Long.bitCount(a ^ edited) <= 3,
+      s"one-pixel edit moved ${java.lang.Long.bitCount(a ^ edited)} bits")
+    // a different gradient seed lands far away in hamming space
+    val other = Multimodal.dhash64(png(2)).get
+    assert(a != other)
+    // non-decodable bytes are None, never a garbage hash
+    assert(Multimodal.dhash64("not an image".getBytes).isEmpty)
+  }
+
+  test("perceptual near-dup pairs the edited twin, not the stranger, " +
+    "and the occupancy cap drops the solid-color bucket flood") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.Media(0L, "image", png(1)),
+      Multimodal.Media(1L, "image", png(1, tweak = 1)), // near-dup of 0
+      Multimodal.Media(2L, "image", png(2)),        // unrelated
+      Multimodal.Media(3L, "audio", "PCM???".getBytes)  // not decodable
+    ).toDS()
+    val pairs = Multimodal.imageNearDup(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((0L, 1L)), s"expected the edited twin pair, got ${pairs.keySet}")
+    assert(pairs((0L, 1L)) <= 3)
+    assert(!pairs.keySet.exists { case (x, y) => x == 2L || y == 2L },
+      "the unrelated image must not pair")
+    // 40 solid-white images all hash to one fingerprint: bucketCap
+    // drops the flooded buckets instead of emitting 40*39/2 pairs
+    val flood = (10L until 50L).map(i => Multimodal.Media(i, "image", solidPng(0xffffff)))
+    val flooded = (flood :+ Multimodal.Media(0L, "image", png(1))).toDS()
+    assert(Multimodal.imageNearDup(flooded, bucketCap = 10L).count() == 0L)
+  }
+
+  test("image quality gate fails solids on entropy and sizes on resolution") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.Media(0L, "image", png(1)),            // good
+      Multimodal.Media(1L, "image", solidPng(0x808080)),// zero-entropy solid
+      Multimodal.Media(2L, "audio", "noise".getBytes)   // not decodable → absent
+    ).toDS()
+    val rows = Multimodal.imageQualityGate(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(0L, 1L), "non-decodable rows drop out")
+    assert(rows(0L).getAs[Boolean]("pass"), "the gradient image passes")
+    assert(rows(1L).getAs[Boolean]("pass_res") && !rows(1L).getAs[Boolean]("pass_entropy"),
+      "the solid image fails on entropy, not resolution")
+    assert(rows(1L).getAs[Double]("lum_entropy") == 0.0)
+    // driver recount of the entropy on the good image
+    val (w, h, hist) = Multimodal.decodeImage(png(1)).get
+    val ent = -hist.foldLeft(0.0)((s, p) => if (p > 0f) s + p * math.log(p.toDouble) else s)
+    val r5 = BigDecimal(ent).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(0L).getAs[Double]("lum_entropy") == r5)
+    assert(rows(0L).getInt(1) == w && rows(0L).getInt(2) == h)
+  }
+
+  test("image-text pair prep admits only gate-passing images with bounded captions") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.Media(0L, "image", png(1)),             // good image
+      Multimodal.Media(1L, "image", solidPng(0x102030)), // fails gate
+      Multimodal.Media(2L, "image", png(3))              // good image
+    ).toDS()
+    val docs = Seq(
+      (0L, "a clean caption with several words"),
+      (1L, "caption for the rejected image"),
+      (2L, "hi")                                          // under minTokens
+    ).toDF("doc_id", "text")
+    val out = Multimodal.imageTextPairs(media, docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L),
+      "only the good image with an admissible caption survives")
+    assert(out.head.getAs[String]("caption").startsWith("a clean caption"))
+    assert(out.head.getAs[Long]("n_tokens") == 6L)
+  }
 }
