@@ -312,6 +312,92 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  case class AudioFrame(media_id: Long, frame_idx: Long, n_samples: Int,
+                        rms: Double, silent: Boolean)
+
+  /** PCM frame energy — the audio-side decode step that IS computable
+    * without codec libraries (PCM is bytes, not a codec): interpret
+    * the payload as little-endian signed 16-bit mono PCM, window into
+    * `frameSamples`-sample frames (trailing partial frame kept), and
+    * emit per-frame RMS (of the [−1, 1)-normalized samples, rounded
+    * to 6) plus the silence flag the VAD/trim stages key on. This is
+    * the energy track a speech-data pipeline computes before
+    * transcription spends GPU time on silence.
+    *
+    * Per-partition batch iteration, flatMap fan-out ∝ payload bytes —
+    * the frame explode happens in place, no shuffle; at 100 TB
+    * downstream per-frame work parallelizes over frames × partitions.
+    * Compressed formats (MP3/FLAC) sit behind the same seam as the
+    * image codecs: decode to PCM first, then this operator unchanged.
+    */
+  def pcmFrameEnergy(media: Dataset[Media], frameSamples: Int = 256,
+                     silenceRms: Double = 0.001): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    require(frameSamples >= 1, s"frameSamples must be >= 1: $frameSamples")
+    media.flatMap { m =>
+      val bytes = m.payload
+      val nSamples = bytes.length / 2
+      (0 until (nSamples + frameSamples - 1) / frameSamples).map { f =>
+        val start = f * frameSamples
+        val end = math.min(start + frameSamples, nSamples)
+        var sumSq = 0.0
+        var i = start
+        while (i < end) {
+          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort / 32768.0
+          sumSq += s * s
+          i += 1
+        }
+        val rms = math.sqrt(sumSq / math.max(end - start, 1))
+        AudioFrame(m.media_id, f.toLong, end - start,
+          BigDecimal(rms).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          rms < silenceRms)
+      }
+    }
+  }
+
+  /** Per-clip activity summary — the trim/VAD verdict over
+    * [[pcmFrameEnergy]]'s track: frame counts, activity ratio, and
+    * the leading/trailing silent-frame runs (the trim offsets a
+    * speech pipeline cuts before training). Computed in the SAME
+    * per-partition pass as the framing (one payload read, no
+    * shuffle); an all-silent clip reports trim_lead = n_frames and
+    * zero activity — the drop-row signal.
+    */
+  def audioActivitySummary(media: Dataset[Media], frameSamples: Int = 256,
+                           silenceRms: Double = 0.001): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val bytes = m.payload
+      val nSamples = bytes.length / 2
+      val nFrames = (nSamples + frameSamples - 1) / frameSamples
+      val silent = new Array[Boolean](math.max(nFrames, 0))
+      var f = 0
+      while (f < nFrames) {
+        val start = f * frameSamples
+        val end = math.min(start + frameSamples, nSamples)
+        var sumSq = 0.0
+        var i = start
+        while (i < end) {
+          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort / 32768.0
+          sumSq += s * s
+          i += 1
+        }
+        silent(f) = math.sqrt(sumSq / math.max(end - start, 1)) < silenceRms
+        f += 1
+      }
+      val lead = silent.takeWhile(identity).length
+      val trail = if (lead == nFrames) 0 else silent.reverse.takeWhile(identity).length
+      val active = silent.count(!_)
+      (m.media_id, nFrames.toLong, active.toLong,
+        if (nFrames == 0) 0.0
+        else BigDecimal(active.toDouble / nFrames)
+          .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        lead.toLong, trail.toLong)
+    }.toDF("media_id", "n_frames", "n_active", "activity_ratio",
+        "trim_lead_frames", "trim_trail_frames")
+      .orderBy(col("media_id"))
+  }
+
   /** Image-text pair prep — the LAION/CLIP-style contrastive-training
     * assembly line: media joined to its caption document by id, the
     * caption run through the same quality filters the text surface

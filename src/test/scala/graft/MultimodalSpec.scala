@@ -226,4 +226,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("caption").startsWith("a clean caption"))
     assert(out.head.getAs[Long]("n_tokens") == 6L)
   }
+
+  /** Little-endian 16-bit PCM bytes for a known sample sequence. */
+  private def pcm(samples: Seq[Short]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      out(2 * i) = (s & 0xff).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    out
+  }
+
+  test("PCM frame energy recounts a known waveform exactly") {
+    import spark.implicits._
+    // 512 silent samples, 512 of a +/-8192 square wave, 256 silent:
+    // frames of 256 -> frames 0,1 silent; 2,3 rms = 8192/32768 = 0.25;
+    // 4 silent (trailing partial would need 1280+ samples; here exact)
+    val wave = Seq.fill(512)(0.toShort) ++
+      Seq.tabulate(512)(i => if (i % 2 == 0) 8192.toShort else (-8192).toShort) ++
+      Seq.fill(256)(0.toShort)
+    val media = Seq(Multimodal.Media(5L, "audio", pcm(wave))).toDS()
+    val frames = Multimodal.pcmFrameEnergy(media, frameSamples = 256).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.length == 5)
+    assert(frames.map(_.n_samples).forall(_ == 256))
+    assert(frames(0).silent && frames(1).silent && frames(4).silent)
+    assert(!frames(2).silent && !frames(3).silent)
+    assert(frames(2).rms == 0.25 && frames(3).rms == 0.25)
+    // trailing PARTIAL frame: 300 samples -> frames of 256 + 44
+    val partial = Seq(Multimodal.Media(6L, "audio",
+      pcm(Seq.fill(300)(8192.toShort)))).toDS()
+    val pf = Multimodal.pcmFrameEnergy(partial, frameSamples = 256).collect()
+      .sortBy(_.frame_idx)
+    assert(pf.map(_.n_samples).toSeq == Seq(256, 44))
+    assert(pf.forall(f => f.rms == 0.25 && !f.silent))
+  }
+
+  test("audio activity summary reports trim offsets and drops-signal for all-silent clips") {
+    import spark.implicits._
+    val wave = Seq.fill(512)(0.toShort) ++
+      Seq.tabulate(512)(i => if (i % 2 == 0) 8192.toShort else (-8192).toShort) ++
+      Seq.fill(256)(0.toShort)
+    val media = Seq(
+      Multimodal.Media(5L, "audio", pcm(wave)),
+      Multimodal.Media(7L, "audio", pcm(Seq.fill(600)(0.toShort))), // all silent
+      Multimodal.Media(8L, "audio", Array.emptyByteArray)           // empty
+    ).toDS()
+    val rows = Multimodal.audioActivitySummary(media, frameSamples = 256).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r5 = rows(5L)
+    assert(r5.getLong(1) == 5L && r5.getLong(2) == 2L)
+    assert(r5.getDouble(3) == 0.4)
+    assert(r5.getLong(4) == 2L && r5.getLong(5) == 1L, "trim = 2 leading, 1 trailing")
+    val r7 = rows(7L)
+    assert(r7.getLong(2) == 0L && r7.getDouble(3) == 0.0)
+    assert(r7.getLong(4) == r7.getLong(1), "all-silent: trim_lead = n_frames")
+    assert(r7.getLong(5) == 0L, "all-silent counts the run once, not twice")
+    assert(rows(8L).getLong(1) == 0L && rows(8L).getDouble(3) == 0.0)
+  }
 }
