@@ -144,6 +144,12 @@ object SparkEntry {
     // true-HNSW topology: promoted-layer descent hands the base walk
     // its entry; one rerank over both visited sets
     "ann_hnsw_topk" -> ((s, d) => GraphAnn.hnswTopK(s, d, queryId = 0, g = 8, k = 10)),
+    // BATCH graph walk: every mod-sampled query descends the persisted
+    // NSW graph set-at-a-time (per-hop keyed join + per-q beam window)
+    // — the graph-family nightly kNN job next to the brute-force
+    // ann_knn_join (73.8x at sf10) it replaces at scale
+    "ann_graph_knn_join" -> ((s, d) =>
+      GraphAnn.graphKnnJoin(s, d, queryMod = 100, k = 10, g = 8, hops = 6, beam = 4)),
     "ann_recall_eval" -> ((s, d) => Ivf.recallEval(s, d, nCells = 16, queryMod = 100, k = 10, nprobes = Seq(1, 2, 4))),
     // queryMod 500: the per-family loop times interactive single-query
     // latency, so the sample stays small (4 queries at sf0.1)
@@ -3698,6 +3704,29 @@ object SparkEntry {
          |QUALIFY rk <= 10 ORDER BY rk""".stripMargin,
     // the 2-level walk: promoted subgraph descent picks the base
     // entry, base walk from there, ONE rerank over both visited sets
+    // the batch walk replayed per query: per-(q, node) rounded score
+    // frame, the lowest-id (or second-lowest for q = lowest) entry,
+    // 6 unrolled per-q beam steps, final per-q rerank over each
+    // query's own visited union — row-identical to running the
+    // single-query walk oracle once per sampled q
+    "ann_graph_knn_join" ->
+      s"""WITH $lshBlockCtes,
+         |$nswGraphCtes,
+         |qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |bes AS MATERIALIZED (SELECT q.q_id, e.vec_id, ${cos5("e.embedding", "q.qv")} AS s
+         |       FROM embeddings e, qs q),
+         |mn AS (SELECT min(vec_id) AS m1 FROM embeddings),
+         |mn2 AS (SELECT min(vec_id) AS m2 FROM embeddings, mn WHERE vec_id <> mn.m1),
+         |bf0 AS (SELECT q_id, CASE WHEN q_id = mn.m1 THEN mn2.m2 ELSE mn.m1 END AS v
+         |        FROM qs, mn, mn2),
+         |${batchWalkSteps(6, 4)},
+         |vis AS (SELECT q_id, v FROM bf0
+         |${(0 until 6).map(i => s"        UNION SELECT q_id, v FROM bu$i").mkString("\n")}),
+         |fin AS (SELECT q_id, v FROM vis WHERE v <> q_id)
+         |SELECT fin.q_id, fin.v AS n_id, b.s AS score,
+         |       CAST(row_number() OVER (PARTITION BY fin.q_id ORDER BY b.s DESC, fin.v) AS BIGINT) AS rk
+         |FROM fin JOIN bes b ON b.q_id = fin.q_id AND b.vec_id = fin.v
+         |QUALIFY rk <= 10 ORDER BY fin.q_id, rk""".stripMargin,
     "ann_hnsw_topk" ->
       s"""WITH $lshBlockCtes,
          |$nswBaseCtes,
@@ -5704,11 +5733,14 @@ object SparkEntry {
     * the SQL mirror of [[graft.operators.GraphAnn.buildGraph]].
     * Callers prepend `$lshBlockCtes`.
     */
-  private lazy val nswBaseCtes: String =
-    s"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-       |es AS MATERIALIZED (SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS s
-       |       FROM embeddings e, q),
-       |spairs AS (SELECT a_id AS src, b_id AS dst FROM cand
+  /** The query-INDEPENDENT half of the NSW oracles: symmetrized
+    * LSH-blocked candidate pairs scored exactly (`scored`) and the
+    * base-layer top-8 neighbor lists (`nbr`) — the SQL mirror of
+    * [[graft.operators.GraphAnn.buildGraph]]. Callers prepend
+    * `$lshBlockCtes`.
+    */
+  private lazy val nswGraphCtes: String =
+    s"""spairs AS (SELECT a_id AS src, b_id AS dst FROM cand
        |           UNION ALL SELECT b_id, a_id FROM cand),
        |scored AS MATERIALIZED (SELECT s.src, s.dst, ${cos5("a.embedding", "b.embedding")} AS s
        |           FROM spairs s JOIN embeddings a ON a.vec_id = s.src
@@ -5717,6 +5749,29 @@ object SparkEntry {
        |          SELECT src, dst,
        |                 row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rk
        |          FROM scored) WHERE rk <= 8)""".stripMargin
+
+  /** [[nswGraphCtes]] plus the single-query (vec 0) score frame. */
+  private lazy val nswBaseCtes: String =
+    s"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |es AS MATERIALIZED (SELECT e.vec_id, ${cos5("e.embedding", "q.qv")} AS s
+       |       FROM embeddings e, q),
+       |$nswGraphCtes""".stripMargin
+
+  /** Unrolled BATCH beam-walk steps for the `ann_graph_knn_join`
+    * oracle — [[graphWalkSteps]] partitioned by q_id: bu{i} = each
+    * query's frontier ∪ its neighbors, bf{i+1} = per-query
+    * top-`beam` by rounded query-cosine (ties → lower id) against
+    * the per-(q, node) score frame `bes`.
+    */
+  private def batchWalkSteps(hops: Int, beam: Int): String =
+    (0 until hops).map { i =>
+      s"""bu$i AS (SELECT q_id, v FROM bf$i
+         |  UNION SELECT f.q_id, n.dst AS v FROM bf$i f JOIN nbr n ON n.src = f.v),
+         |bf${i + 1} AS (SELECT q_id, v FROM (
+         |    SELECT u.q_id, u.v,
+         |           row_number() OVER (PARTITION BY u.q_id ORDER BY b.s DESC, u.v) AS rk
+         |    FROM bu$i u JOIN bes b ON b.q_id = u.q_id AND b.vec_id = u.v) WHERE rk <= $beam)""".stripMargin
+    }.mkString(",\n")
 
   /** The full replayed walk corpus (see `graph_walks`) as a CTE
     * block ending in `walks`(seed_item, walk_no, pos, item_id) —

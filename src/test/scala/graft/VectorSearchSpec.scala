@@ -1043,6 +1043,26 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(r.getLong(6) == qq.size.toLong && r.getLong(7) == mutual.toLong)
   }
 
+  test("batch graph kNN join is row-identical to the single-query walk per query") {
+    // the set-at-a-time walk must reproduce graphTopK exactly: same
+    // entry rule, same per-hop beam, same rerank — for EVERY sampled
+    // query, not just vec 0
+    import graft.operators.GraphAnn
+    val dir = TestSpark.sf
+    val batch = GraphAnn.graphKnnJoin(spark, dir, queryMod = 100, k = 10).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    assert(batch.keySet == Tables.embeddings(spark, dir)
+      .where(col("vec_id") % 100 === 0).collect().map(_.getLong(0)).toSet)
+    batch.keys.toSeq.sorted.foreach { q =>
+      val single = GraphAnn.graphTopK(spark, dir, queryId = q, g = 8, hops = 6,
+          beam = 4, k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q) == single, s"query $q: batch=${batch(q)} single=$single")
+    }
+  }
+
   test("familyEval rows reconcile with the individually-oracled family entry points") {
     // the harness's Precision@K / MRR become DERIVED facts: recount
     // every family's metrics from the same single-query entry points
