@@ -144,6 +144,9 @@ object SparkEntry {
     // true-HNSW topology: promoted-layer descent hands the base walk
     // its entry; one rerank over both visited sets
     "ann_hnsw_topk" -> ((s, d) => GraphAnn.hnswTopK(s, d, queryId = 0, g = 8, k = 10)),
+    // Annoy-style RP-tree forest: two-anchor hyperplane splits, union
+    // of the query's leaves across trees, exact rerank
+    "ann_rptree_topk" -> ((s, d) => RpTree.rpTreeTopK(s, d, queryId = 0, nTrees = 4, depth = 3, k = 10)),
     // BATCH graph walk: every mod-sampled query descends the persisted
     // NSW graph set-at-a-time (per-hop keyed join + per-q beam window)
     // — the graph-family nightly kNN job next to the brute-force
@@ -533,6 +536,10 @@ object SparkEntry {
     "rec_markov_next" -> ((s, d) => Rec.recMarkovNext(s, d)),
     // user-user CF: integer-scaled cosine neighborhoods, top-k recs
     "rec_usercf_topk" -> ((s, d) => Rec.recUserCfTopK(s, d)),
+    // rank-2 ALS matrix factorization: top-k recs for sampled users
+    "rec_als_topk" -> ((s, d) => Rec.recAlsTopK(s, d)),
+    // ALS training-fit report: model RMSE vs global-mean baseline
+    "als_fit_report" -> ((s, d) => Rec.alsFitReport(s, d)),
     // sequential-recommender (context, target) training windows
     "seq_prep" -> ((s, d) => Rec.seqPrep(s, d)),
     // Welch t-test A/B readout over exact-cents revenue moments
@@ -827,6 +834,95 @@ object SparkEntry {
       |                  ORDER BY last_ts DESC, item_id DESC) AS rk FROM capped),
       |hold AS (SELECT user_id, item_id AS h FROM rkd WHERE rk = 1),
       |train AS (SELECT user_id, item_id FROM rkd WHERE rk > 1)""".stripMargin
+
+  /** One ALS half-step CTE: solve `ka`'s rank-2 ridge factors from the
+    * other side's factor CTE `g` keyed by `kb` — the EXACT expression
+    * tree [[graft.operators.Rec.alsSolve]] evaluates: exact integer
+    * Gram/moment sums (DuckDB's HUGEINT sum and Spark's BIGINT sum
+    * agree on these magnitudes), one branch-free double Cramer solve,
+    * floor(x·10⁵ + 0.5) re-quantization, ±5·10⁶ clamp.
+    */
+  private def alsSolveCte(name: String, ka: String, kb: String, g: String): String =
+    s"""$name AS (SELECT $ka,
+       |  least(greatest(CAST(floor(((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12)) * 100000.0 + 0.5) AS BIGINT), -5000000), 5000000) AS f1,
+       |  least(greatest(CAST(floor(((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12)) * 100000.0 + 0.5) AS BIGINT), -5000000), 5000000) AS f2
+       |  FROM (SELECT r.$ka,
+       |               CAST(sum(g.f1 * g.f1) + 1000000000 AS DOUBLE) AS a11,
+       |               CAST(sum(g.f1 * g.f2) AS DOUBLE) AS a12,
+       |               CAST(sum(g.f2 * g.f2) + 1000000000 AS DOUBLE) AS a22,
+       |               CAST(sum(r.r * g.f1) * 100000 AS DOUBLE) AS b1,
+       |               CAST(sum(r.r * g.f2) * 100000 AS DOUBLE) AS b2
+       |        FROM ar r JOIN $g g USING ($kb) GROUP BY 1))""".stripMargin
+
+  /** Shared CTEs replaying the rank-2 ALS pipeline
+    * ([[graft.operators.Rec.alsFactors]]): capped implicit interaction
+    * counts, md5-hash item-factor init at 10⁻⁵ granularity, and two
+    * alternating half-step sweeps ending at user factors `ap2` / item
+    * factors `aq2`.
+    */
+  private val alsCtes: String = {
+    val base =
+      """aev AS (SELECT user_id,
+        |               json_extract_string(props, '$.k')::BIGINT AS item_id
+        |        FROM events
+        |        WHERE event_type IN ('view', 'click', 'purchase')
+        |          AND json_extract_string(props, '$.k') IS NOT NULL),
+        |ar AS (SELECT user_id, item_id, least(count(*), 20) AS r FROM aev GROUP BY 1, 2),
+        |aq0 AS (SELECT item_id,
+        |          ('0x' || substr(md5('alsq1:' || item_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100000 AS f1,
+        |          ('0x' || substr(md5('alsq2:' || item_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100000 AS f2
+        |        FROM (SELECT DISTINCT item_id FROM ar))""".stripMargin
+    val steps = (1 to 2).map { i =>
+      alsSolveCte(s"ap$i", "user_id", "item_id", if (i == 1) "aq0" else s"aq${i - 1}") +
+        ",\n" + alsSolveCte(s"aq$i", "item_id", "user_id", s"ap$i")
+    }.mkString(",\n")
+    base + ",\n" + steps
+  }
+
+  /** CTEs replaying the [[graft.operators.RpTree]] forest build and
+    * query routing: per level, the two lowest-md5 anchors per (tree,
+    * node), the a−b double plane with its midpoint threshold (every
+    * dot a list_dot_product — the dotd parity contract), and the
+    * exact-double >= routing; then the query's own descent through
+    * the same planes. Ends at leaf CTEs `rt$depth` (members) and
+    * `rq$depth` (query leaves).
+    */
+  private def rpTreeCtes(nTrees: Int, depth: Int): String = {
+    val ts = (0 until nTrees).mkString(", ")
+    val plane = "list_transform(ea.embedding, (x, i) -> x::DOUBLE - eb.embedding[i]::DOUBLE)"
+    val base =
+      s"""rt0 AS (SELECT t, vec_id, CAST(0 AS BIGINT) AS node
+         |        FROM embeddings CROSS JOIN (SELECT unnest([$ts]) AS t)),
+         |rq0 AS (SELECT unnest([$ts]) AS t, CAST(0 AS BIGINT) AS node)""".stripMargin
+    val steps = (0 until depth).map { l =>
+      s"""rab$l AS (SELECT t, node,
+         |           max(CASE WHEN rk = 1 THEN vec_id END) AS aid,
+         |           coalesce(max(CASE WHEN rk = 2 THEN vec_id END),
+         |                    max(CASE WHEN rk = 1 THEN vec_id END)) AS bid
+         |         FROM (SELECT t, node, vec_id,
+         |                      row_number() OVER (PARTITION BY t, node
+         |                        ORDER BY md5('annoy:' || t::VARCHAR || ':' || node::VARCHAR || ':' || vec_id::VARCHAR),
+         |                                 vec_id) AS rk
+         |               FROM rt$l) z WHERE rk <= 2 GROUP BY 1, 2),
+         |rpl$l AS (SELECT ab.t, ab.node, $plane AS plane,
+         |           (list_dot_product($plane, ea.embedding::DOUBLE[])
+         |            + list_dot_product($plane, eb.embedding::DOUBLE[])) / 2.0 AS thr
+         |         FROM rab$l ab
+         |         JOIN embeddings ea ON ea.vec_id = ab.aid
+         |         JOIN embeddings eb ON eb.vec_id = ab.bid),
+         |rt${l + 1} AS (SELECT m.t, m.vec_id,
+         |               m.node * 2 + (CASE WHEN list_dot_product(p.plane, e.embedding::DOUBLE[]) >= p.thr
+         |                             THEN 1 ELSE 0 END) AS node
+         |        FROM rt$l m JOIN embeddings e USING (vec_id)
+         |        JOIN rpl$l p ON p.t = m.t AND p.node = m.node),
+         |rq${l + 1} AS (SELECT q.t,
+         |               q.node * 2 + (CASE WHEN list_dot_product(p.plane,
+         |                               (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) >= p.thr
+         |                             THEN 1 ELSE 0 END) AS node
+         |        FROM rq$l q JOIN rpl$l p ON p.t = q.t AND p.node = q.node)""".stripMargin
+    }.mkString(",\n")
+    base + ",\n" + steps
+  }
 
   /** Shared CTEs replaying the SimHash signature build + capped chunk
     * blocking ([[graft.operators.Dedup.simhash]]: md5-number token
@@ -3757,6 +3853,20 @@ object SparkEntry {
          |       row_number() OVER (ORDER BY es.s DESC, v) AS rk
          |FROM fin JOIN es ON es.vec_id = fin.v
          |QUALIFY rk <= 10 ORDER BY rk""".stripMargin,
+    // Annoy-style RP-tree forest replayed level by level: hash-sampled
+    // anchors, a-b midpoint hyperplanes, exact-double routing, union
+    // of the query's leaves, exact cosine rerank
+    "ann_rptree_topk" ->
+      s"""WITH ${rpTreeCtes(4, 3)},
+         |rcand AS (SELECT DISTINCT m.vec_id FROM rt3 m
+         |          JOIN rq3 q ON q.t = m.t AND q.node = m.node
+         |          WHERE m.vec_id <> 0),
+         |rsc AS (SELECT c.vec_id AS n_id, ${cos5("e.embedding", "qq.qv")} AS score
+         |        FROM rcand c JOIN embeddings e ON e.vec_id = c.vec_id,
+         |             (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) qq)
+         |SELECT n_id, score,
+         |       row_number() OVER (ORDER BY score DESC, n_id)::BIGINT AS rk
+         |FROM rsc QUALIFY rk <= 10 ORDER BY rk""".stripMargin,
     // SemDeDup replayed over the same deterministic IVF assignment:
     // within-cell exact-cosine pairs at threshold 0.4, transitive
     // closure, keep the component-minimum id
@@ -4704,6 +4814,40 @@ object SparkEntry {
         |       row_number() OVER (PARTITION BY u ORDER BY score_scaled DESC, rec_item)::BIGINT AS rank,
         |       rec_item, score_scaled, n_nbrs
         |FROM sc QUALIFY rank <= 10 ORDER BY user_id, rank""".stripMargin,
+    // rank-2 ALS replayed end-to-end: hash init, two alternating
+    // integer-exact ridge sweeps, exact BIGINT dot scoring, seen items
+    // anti-joined out; +0.0 normalizes a tiny-negative score's -0.0
+    "rec_als_topk" ->
+      s"""WITH $alsCtes,
+         |tgt AS (SELECT user_id, f1 AS p1, f2 AS p2 FROM ap2 WHERE user_id % 50 = 0),
+         |sc AS (SELECT t.user_id, i.item_id, t.p1 * i.f1 + t.p2 * i.f2 AS score_scaled
+         |       FROM tgt t CROSS JOIN aq2 i
+         |       WHERE NOT EXISTS (SELECT 1 FROM ar r
+         |                         WHERE r.user_id = t.user_id AND r.item_id = i.item_id))
+         |SELECT user_id,
+         |       row_number() OVER (PARTITION BY user_id
+         |                          ORDER BY score_scaled DESC, item_id)::BIGINT AS rank,
+         |       item_id, score_scaled,
+         |       round(score_scaled / 1e10, 5) + 0.0 AS score
+         |FROM sc QUALIFY rank <= 5 ORDER BY user_id, rank""".stripMargin,
+    // ALS fit vs the global-mean floor: residuals are exact scaled
+    // BIGINTs, the squared sum accumulates in HUGEINT (order-free),
+    // both RMSEs are single fixed expression trees over exact sums
+    "als_fit_report" ->
+      s"""WITH $alsCtes,
+         |ae AS (SELECT r.user_id, r.item_id, r.r,
+         |              r.r * 10000000000 - (p.f1 * q.f1 + p.f2 * q.f2) AS e
+         |       FROM ar r JOIN ap2 p USING (user_id) JOIN aq2 q USING (item_id))
+         |SELECT count(DISTINCT user_id) AS n_users,
+         |       count(DISTINCT item_id) AS n_items,
+         |       count(*) AS nnz,
+         |       round(sqrt((CAST(sum(r * r) AS DOUBLE)
+         |                   - CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE)
+         |                     / CAST(count(*) AS DOUBLE))
+         |                  / CAST(count(*) AS DOUBLE)), 5) AS rmse_mean,
+         |       round(sqrt(CAST(sum(e::HUGEINT * e::HUGEINT) AS DOUBLE)
+         |                  / CAST(count(*) AS DOUBLE)) / 1e10, 5) AS rmse_model
+         |FROM ae""".stripMargin,
     // fit on train only, the holdout's rank among candidates counted
     // directly (strictly-better + tie-smaller-id), hit@K = rank<=K
     // sequence pairs from one lead()/row_number() pass; the final hop

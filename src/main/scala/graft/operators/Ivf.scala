@@ -486,7 +486,13 @@ object Ivf {
       // oracles `ann_graph_topk` / `ann_hnsw_topk` replay in SQL
       ("graph_beam", (q: Long) =>
         ids(GraphAnn.graphTopK(spark, dir, q, g = 8, hops = 6, beam = 4, k = k))),
-      ("hnsw", (q: Long) => ids(GraphAnn.hnswTopK(spark, dir, q, g = 8, k = k))))
+      ("hnsw", (q: Long) => ids(GraphAnn.hnswTopK(spark, dir, q, g = 8, k = k))),
+      // Annoy-style RP-tree forest (leaf-union candidates + exact
+      // rerank) — the tree family completing the industry index set;
+      // per-query cost is the shared cached build plus nTrees
+      // leaf probes, the same entry point `ann_rptree_topk` oracles
+      ("rptree_t4d3", (q: Long) =>
+        ids(RpTree.rpTreeTopK(spark, dir, q, nTrees = 4, depth = 3, k = k))))
     // warm every family CONCURRENTLY first: the one-time artifact
     // builds (PQ fit/encode, IVF/LSH publication) dominate a cold
     // sweep and overlap safely — IndexStore's staged-rename publish

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -552,6 +552,184 @@ object Rec {
         when(col("n_scored") === 0, lit(0.0))
           .otherwise(round(col("n_hits") / col("n_scored"), 5)).as("hit_rate"),
         round(col("n_scored") / col("n_users"), 5).as("coverage"))
+  }
+
+  /** Integer scale shared by the ALS factor pipeline: factors live as
+    * BIGINT `round(f · 10⁵)` so every Gram/moment sum below is exact
+    * integer arithmetic — the [[recUserCfTopK]] discipline extended to
+    * a trained model.
+    */
+  private val AlsScale = 100000L
+
+  /** λ = 0.1 at factor-scale² (the ridge term added to both Gram
+    * diagonal entries, already in the a11/a22 units of scaled sums).
+    */
+  private val AlsLamS2 = 1000000000L
+
+  /** Factor clamp at ±50.0 real units (±5·10⁶ scaled): the projection
+    * step practical ALS runs for numeric stability, and here ALSO the
+    * overflow guard — with |f| ≤ 5·10⁶ and r ≤ 20, every per-group
+    * Gram/moment sum stays < 2.5·10¹³·n, safely inside BIGINT for any
+    * realistic per-key interaction count.
+    */
+  private val AlsClamp = 5000000L
+
+  /** Implicit-feedback interaction counts (user, item, r): event count
+    * per pair capped at 20 — the confidence cap implicit-ALS papers
+    * apply so a scraper replaying one item 10⁴ times doesn't dominate
+    * its user's normal-equation row.
+    */
+  private def alsRatings(spark: SparkSession, dir: String): DataFrame =
+    ScratchCache.materialize(Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .groupBy(col("user_id"), col("item_id"))
+      .agg(least(count(lit(1)), lit(20L)).as("r")))
+
+  /** One ALS half-step: solve the 2×2 ridge normal equations for every
+    * `keyA` given the other side's factors `g` on `keyB`. All Gram and
+    * moment sums are exact BIGINT folds over scaled factors; the
+    * Cramer solve is ONE fixed double expression tree over those exact
+    * integers (deterministic on any IEEE engine — no row-order-
+    * dependent float summation anywhere), and the result re-quantizes
+    * via `floor(x·10⁵ + 0.5)` then clamps. The oracle replays the
+    * identical tree.
+    */
+  private def alsSolve(ratings: DataFrame, keyA: String, keyB: String,
+                       g: DataFrame): DataFrame = {
+    val agg = ratings.join(g, keyB)
+      .groupBy(col(keyA))
+      .agg(sum(col("f1") * col("f1")).as("a11i"),
+        sum(col("f1") * col("f2")).as("a12i"),
+        sum(col("f2") * col("f2")).as("a22i"),
+        (sum(col("r") * col("f1")) * AlsScale).as("b1i"),
+        (sum(col("r") * col("f2")) * AlsScale).as("b2i"))
+    val a11 = (col("a11i") + AlsLamS2).cast("double")
+    val a12 = col("a12i").cast("double")
+    val a22 = (col("a22i") + AlsLamS2).cast("double")
+    val b1 = col("b1i").cast("double")
+    val b2 = col("b2i").cast("double")
+    val det = a11 * a22 - a12 * a12
+    def quant(x: Column): Column = least(greatest(
+      floor(x * AlsScale.toDouble + 0.5).cast("long"), lit(-AlsClamp)), lit(AlsClamp))
+    agg.select(col(keyA),
+      quant((b1 * a22 - b2 * a12) / det).as("f1"),
+      quant((a11 * b2 - a12 * b1) / det).as("f2"))
+  }
+
+  /** Rank-2 ALS over the implicit interaction counts — the matrix-
+    * factorization recommender itself (Koren/Bell/Volinsky 2009; the
+    * model-based counterpart of [[recUserCfTopK]]'s memory-based
+    * neighbors, the one classical recommender family the co-visitation
+    * / content / Markov trio doesn't cover). Item factors initialize
+    * from the md5 hash of the item id (uniform in [0,1) at 10⁻⁵
+    * granularity — deterministic, replayed exactly by the oracle), and
+    * `iters` full sweeps alternate closed-form ridge solves: users
+    * from item factors, items from user factors.
+    *
+    * Rank 2 is the determinism contract, not a library limit: a 2×2
+    * Cramer solve is ONE branch-free expression tree both engines
+    * evaluate bit-identically over the exact integer Gram sums, which
+    * is what makes a trained model hard-oracle-able at all. The same
+    * alternating-solve plan generalizes to rank k with a per-group
+    * k×k solve (MLlib's ALS block layout); everything around it —
+    * caps, scaling, join shapes — is rank-independent.
+    *
+    * Scale shape: each half-step is one equi-join of the interaction
+    * table with the (bounded, key-addressed) factor table followed by
+    * a keyed integer aggregate — shuffle on user_id/item_id exactly
+    * like every production ALS; factors are never broadcast or
+    * collected; iteration count is a small constant so the unrolled
+    * plan stays linear (each step ScratchCache-materialized).
+    * Returns (userFactors(user_id, f1, f2), itemFactors(item_id, f1,
+    * f2)) at scale 10⁵.
+    */
+  private[graft] def alsFactors(spark: SparkSession, dir: String,
+                                iters: Int = 2): (DataFrame, DataFrame) = {
+    require(iters >= 1 && iters <= 4, s"iters must be in [1, 4]: $iters")
+    val r = alsRatings(spark, dir)
+    val q0 = r.select(col("item_id")).distinct()
+      .select(col("item_id"),
+        (conv(substring(md5(concat(lit("alsq1:"), col("item_id").cast("string"))),
+          1, 8), 16, 10).cast("long") % AlsScale).as("f1"),
+        (conv(substring(md5(concat(lit("alsq2:"), col("item_id").cast("string"))),
+          1, 8), 16, 10).cast("long") % AlsScale).as("f2"))
+    var q = ScratchCache.materialize(q0)
+    var p: DataFrame = null
+    for (_ <- 1 to iters) {
+      p = ScratchCache.materialize(alsSolve(r, "user_id", "item_id", q))
+      q = ScratchCache.materialize(alsSolve(r, "item_id", "user_id", p))
+    }
+    (p, q)
+  }
+
+  /** ALS top-k recommendations for the mod-sampled target users:
+    * score = p·q as an exact BIGINT dot of scaled factors (ties toward
+    * the smaller item id), the user's own interacted items excluded.
+    * The catalog-factor side is a |items|-row bounded frame (items are
+    * a catalog, not a corpus — broadcast-joinable at any corpus scale;
+    * a 10⁹-item catalog swaps this exact-scoring join for the
+    * [[shortlistScores]] LSH blocking over factor space, same contract).
+    * The mod-sampled batch stands in for the nightly full sweep, which
+    * shards the identical plan over all users.
+    */
+  def recAlsTopK(spark: SparkSession, dir: String, queryMod: Int = 50,
+                 k: Int = 5, iters: Int = 2): DataFrame = {
+    val (p, q) = alsFactors(spark, dir, iters)
+    val r = alsRatings(spark, dir)
+    val targets = p.where(col("user_id") % queryMod === 0)
+      .select(col("user_id"), col("f1").as("p1"), col("f2").as("p2"))
+    val items = q.select(col("item_id"), col("f1").as("q1"), col("f2").as("q2"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("score_scaled").desc, col("item_id"))
+    targets
+      .crossJoin(broadcast(items))
+      .join(r.select(col("user_id"), col("item_id")),
+        Seq("user_id", "item_id"), "left_anti")
+      .select(col("user_id"), col("item_id"),
+        (col("p1") * col("q1") + col("p2") * col("q2")).as("score_scaled"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("user_id"), col("rank"), col("item_id"), col("score_scaled"),
+        round(col("score_scaled") / lit(1.0e10), 5).as("score"))
+      .orderBy(col("user_id"), col("rank"))
+  }
+
+  /** ALS fit report — did the factorization learn anything: training
+    * RMSE of the rank-2 model vs the global-mean baseline on the same
+    * observed pairs (a model that can't beat predicting r̄ everywhere
+    * learned nothing; with two factors against capped implicit counts
+    * it should roughly halve it). The residual e = r·10¹⁰ − p·q is an
+    * exact scaled BIGINT per pair; Σe² accumulates in DECIMAL(38,0)
+    * (order-free exact integer sum — the one way a sum of 10²⁷-sized
+    * squares is engine-portable), and both RMSEs evaluate as single
+    * fixed expression trees over exact integer aggregates.
+    */
+  def alsFitReport(spark: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (p, q) = alsFactors(spark, dir, iters)
+    val r = alsRatings(spark, dir)
+    val s2 = AlsScale * AlsScale
+    val e = r
+      .join(p.select(col("user_id"), col("f1").as("p1"), col("f2").as("p2")), Seq("user_id"))
+      .join(q.select(col("item_id"), col("f1").as("q1"), col("f2").as("q2")), Seq("item_id"))
+      .select(col("user_id"), col("item_id"), col("r"),
+        (col("r") * s2 - (col("p1") * col("q1") + col("p2") * col("q2"))).as("e"))
+    e.agg(
+      Scale.distinctCount(spark, col("user_id")).as("n_users"),
+      Scale.distinctCount(spark, col("item_id")).as("n_items"),
+      count(lit(1)).as("nnz"),
+      sum(col("r")).as("sr"), sum(col("r") * col("r")).as("sr2"),
+      sum((col("e").cast(DecimalType(38, 0)) * col("e").cast(DecimalType(38, 0)))
+        .cast(DecimalType(38, 0))).as("sse"))
+      .select(col("n_users"), col("n_items"), col("nnz"),
+        round(sqrt((col("sr2").cast("double") -
+          col("sr").cast("double") * col("sr").cast("double") / col("nnz").cast("double"))
+          / col("nnz").cast("double")), 5).as("rmse_mean"),
+        round(sqrt(col("sse").cast("double") / col("nnz").cast("double"))
+          / lit(1.0e10), 5).as("rmse_model"))
   }
 
   /** Popularity-baseline hit-rate@K — the sanity FLOOR every

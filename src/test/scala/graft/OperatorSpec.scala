@@ -950,6 +950,81 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("rank-2 ALS: driver replay matches factors, recs exclude seen items, fit report recounts") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val S = 100000L; val lam = 1000000000L; val cl = 5000000L
+    // interactions with the r <= 20 confidence cap
+    val r = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(identity).map { case ((u, i), g) => (u, i, math.min(g.size, 20).toLong) }.toSeq
+    assert(r.nonEmpty)
+    // replay: hash init + two alternating sweeps with the engine's
+    // exact integer sums and fixed double Cramer tree
+    def init(i: Long, t: String) = java.lang.Long.parseLong(md5hex(s"als$t:$i").take(8), 16) % S
+    def solve(side: Seq[(Long, Long, Long)], g: Map[Long, (Long, Long)]): Map[Long, (Long, Long)] =
+      side.groupBy(_._1).map { case (a, rows) =>
+        var a11 = 0L; var a12 = 0L; var a22 = 0L; var b1 = 0L; var b2 = 0L
+        rows.foreach { case (_, b, rr) =>
+          val (f1, f2) = g(b)
+          a11 += f1 * f1; a12 += f1 * f2; a22 += f2 * f2; b1 += rr * f1; b2 += rr * f2
+        }
+        val (va11, va12, va22) = ((a11 + lam).toDouble, a12.toDouble, (a22 + lam).toDouble)
+        val (vb1, vb2) = ((b1 * S).toDouble, (b2 * S).toDouble)
+        val det = va11 * va22 - va12 * va12
+        def quant(x: Double) =
+          math.min(math.max(math.floor(x * 100000.0 + 0.5).toLong, -cl), cl)
+        a -> ((quant((vb1 * va22 - vb2 * va12) / det), quant((va11 * vb2 - va12 * vb1) / det)))
+      }
+    var qf = r.map(_._2).distinct.map(i => i -> ((init(i, "q1"), init(i, "q2")))).toMap
+    var pf = Map.empty[Long, (Long, Long)]
+    val ri = r.map(t => (t._2, t._1, t._3))
+    for (_ <- 1 to 2) { pf = solve(r, qf); qf = solve(ri, pf) }
+    val (pDf, qDf) = graft.operators.Rec.alsFactors(spark, TestSpark.sf)
+    val pGot = pDf.collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    val qGot = qDf.collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(pGot == pf, "user factors diverge from the driver replay")
+    assert(qGot == qf, "item factors diverge from the driver replay")
+    // recommendations: sampled users only, own items excluded, exact
+    // replayed dot scores, contiguous ranks with non-increasing scores
+    val seen = r.map(t => (t._1, t._2)).toSet
+    val recs = graft.operators.Rec.recAlsTopK(spark, TestSpark.sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(recs.nonEmpty)
+    recs.foreach { case (u, _, i, s) =>
+      assert(u % 50 == 0)
+      assert(!seen((u, i)), s"recommended an already-seen item: $u -> $i")
+      val (p1, p2) = pf(u); val (q1, q2) = qf(i)
+      assert(s == p1 * q1 + p2 * q2, "score is not the exact factor dot")
+    }
+    recs.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq && sorted.length <= 5)
+      val ss = sorted.map(_._4)
+      assert(ss.zip(ss.tail).forall { case (a, b) => a >= b })
+    }
+    // fit report: exact replayed RMSEs (BigInt squared-residual sum —
+    // the DECIMAL(38,0) twin), distincts and nnz recounted
+    val fit = graft.operators.Rec.alsFitReport(spark, TestSpark.sf).collect().head
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nnz = r.size.toLong
+    val sse = r.map { case (u, i, rr) =>
+      val (p1, p2) = pf(u); val (q1, q2) = qf(i)
+      val e = BigInt(rr * S * S - (p1 * q1 + p2 * q2)); e * e
+    }.sum
+    val (sr, sr2) = (r.map(_._3).sum, r.map(t => t._3 * t._3).sum)
+    assert(fit.getLong(0) == r.map(_._1).distinct.size.toLong)
+    assert(fit.getLong(1) == r.map(_._2).distinct.size.toLong)
+    assert(fit.getLong(2) == nnz)
+    assert(fit.getDouble(3) == r5(math.sqrt(
+      (sr2.toDouble - sr.toDouble * sr.toDouble / nnz.toDouble) / nnz.toDouble)))
+    assert(fit.getDouble(4) == r5(math.sqrt(sse.toDouble / nnz.toDouble) / 1.0e10))
+  }
+
   test("interaction-matrix stats recount from the distinct pair frame") {
     import org.apache.spark.sql.functions.{col, get_json_object}
     val ui = Tables.events(spark, TestSpark.sf)

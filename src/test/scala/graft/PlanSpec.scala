@@ -697,7 +697,12 @@ class PlanSpec extends AnyFunSuite {
       "vocab_zipf",           // rank over the top-100 TakeOrdered cut
       "vocab_coverage_curve", // rank over the top-8k TakeOrdered cut
       "vocab_heaps",          // two 16-row shard folds
-      "hybrid_rrf")           // rank over each leg's top-100 list
+      "hybrid_rrf",           // rank over each leg's top-100 list
+      // rank over the k-row TakeOrdered cut when the planner routes
+      // prefilter (the candidate scan itself is a bounded heap; only
+      // its ≤k-row result is windowed — the vocab_zipf argument)
+      "vs_planned_filtered_rare",
+      "vs_planned_filtered_loose")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val bad = fn(spark, TestSpark.sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window

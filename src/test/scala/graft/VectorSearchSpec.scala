@@ -1063,6 +1063,39 @@ class VectorSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("rptree: partition-per-tree leaves, exact-rerank scores, deterministic rebuild") {
+    import graft.operators.RpTree
+    val dir = TestSpark.sf
+    val (leaves, planes) = RpTree.build(spark, dir, nTrees = 4, depth = 3)
+    val lv = leaves.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.embeddings(spark, dir).count()
+    // every vector lands in exactly one leaf per tree; leaf ids < 2^3
+    assert(lv.length == 4 * n)
+    assert(lv.forall { case (_, _, node) => node >= 0 && node < 8 })
+    assert(lv.groupBy(t => (t._1, t._2)).forall(_._2.length == 1))
+    // plane tables are bounded by the node fan-out per level
+    planes.zipWithIndex.foreach { case (pl, l) =>
+      assert(pl.count() <= 4L * (1L << l), s"level $l plane count")
+    }
+    // top-k is an EXACT rerank: each returned score equals the flat
+    // cosine for that id, and ranks are contiguous by (score, id)
+    val got = RpTree.rpTreeTopK(spark, dir, queryId = 0).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.nonEmpty && got.length <= 10)
+    assert(got.map(_._3).toSeq == (1L to got.length).toSeq)
+    val flat = VectorSearch.topK(spark, dir, 0, n.toInt).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, s, _) => assert(flat(id) == s, s"score of $id") }
+    val ss = got.map(_._2)
+    assert(ss.zip(ss.tail).forall { case (a, b) => a >= b })
+    // hash-anchored build is deterministic: a rebuild reproduces the
+    // identical forest
+    graft.sources.ScratchCache.clear()
+    val (leaves2, _) = RpTree.build(spark, dir, nTrees = 4, depth = 3)
+    assert(leaves2.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet == lv.toSet)
+  }
+
   test("familyEval rows reconcile with the individually-oracled family entry points") {
     // the harness's Precision@K / MRR become DERIVED facts: recount
     // every family's metrics from the same single-query entry points
@@ -1108,7 +1141,10 @@ class VectorSearchSpec extends AnyFunSuite {
       // ann_hnsw_topk hard oracles replay in SQL
       "graph_beam" -> ((q: Long) =>
         ids(graft.operators.GraphAnn.graphTopK(spark, dir, q, 8, 6, 4, k))),
-      "hnsw" -> ((q: Long) => ids(graft.operators.GraphAnn.hnswTopK(spark, dir, q, 8, k))))
+      "hnsw" -> ((q: Long) => ids(graft.operators.GraphAnn.hnswTopK(spark, dir, q, 8, k))),
+      // the Annoy-family row: same entry point ann_rptree_topk oracles
+      "rptree_t4d3" -> ((q: Long) =>
+        ids(graft.operators.RpTree.rpTreeTopK(spark, dir, q, 4, 3, k))))
     assert(checks.map(_._1).toSet == fe.keySet, "family row set")
     checks.foreach { case (fam, run) =>
       val (p, rr) = recount(run)
