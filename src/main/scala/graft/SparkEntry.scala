@@ -305,6 +305,10 @@ object SparkEntry {
     "events_props_parse" -> ((s, d) => Analytics.propsParse(s, d)),
     // behavioral item-item recommender (co-engagement counts)
     "item_cooc" -> ((s, d) => Analytics.itemCooccurrence(s, d)),
+    // recency-decayed co-visitation: exact 2^(maxK-age/halflife) weights
+    "item_cooc_decayed" -> ((s, d) => Analytics.itemCoocDecayed(s, d)),
+    // right-to-be-forgotten manifest: per-artifact deletion actions
+    "user_erasure_plan" -> ((s, d) => Curation.userErasurePlan(s, d)),
     // support/confidence/lift rules over the same engagement baskets
     "assoc_rules" -> ((s, d) => Analytics.assocRules(s, d)),
     // RFM quartile segmentation (broadcast cutoffs, no global sort)
@@ -2708,6 +2712,64 @@ object SparkEntry {
         |       row_number() OVER (PARTITION BY item_id
         |                          ORDER BY n_users DESC, rec_item_id) AS rk
         |FROM pairs QUALIFY rk <= 5 ORDER BY item_id, rk""".stripMargin,
+    // recency-decayed co-visitation: pair age = the STALER leg's last
+    // engagement vs the corpus-max epoch; weight = exact bit-shift
+    // 2^(20 - age/halflife) so sums are exact BIGINTs on both engines
+    "item_cooc_decayed" ->
+      """WITH ev AS (SELECT user_id,
+        |                   json_extract_string(props, '$.k')::BIGINT AS item_id,
+        |                   epoch_ms(ts) AS ts_ms
+        |            FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')
+        |              AND json_extract_string(props, '$.k') IS NOT NULL),
+        |ref AS (SELECT max(ts_ms) AS ref_ms FROM ev),
+        |ui AS (SELECT user_id, item_id, max(ts_ms) AS last_ts FROM ev GROUP BY 1, 2),
+        |deg AS (SELECT user_id, count(*) AS basket FROM ui GROUP BY 1),
+        |capped AS (SELECT ui.user_id, ui.item_id, ui.last_ts FROM ui
+        |           JOIN deg USING (user_id) WHERE deg.basket <= 500),
+        |pairs AS (SELECT a.item_id, b.item_id AS rec_item_id,
+        |                 CAST(sum(1::BIGINT << CAST(20 - least(
+        |                        (ref_ms - least(a.last_ts, b.last_ts)) // 604800000, 20)
+        |                      AS INT)) AS BIGINT) AS weight,
+        |                 count(*) AS n_users
+        |          FROM capped a JOIN capped b USING (user_id), ref
+        |          WHERE a.item_id <> b.item_id GROUP BY 1, 2)
+        |SELECT item_id, rec_item_id, weight, n_users,
+        |       row_number() OVER (PARTITION BY item_id
+        |                          ORDER BY weight DESC, rec_item_id) AS rk
+        |FROM pairs QUALIFY rk <= 5 ORDER BY item_id, rk""".stripMargin,
+    // right-to-be-forgotten manifest: every count an exact integer
+    // over one cohort-filtered scan; seq windows/cooc contributions by
+    // the operators' eligibility closed forms
+    "user_erasure_plan" ->
+      """WITH ev AS (SELECT user_id, event_type, props, epoch_ms(ts) AS ts_ms
+        |            FROM events WHERE user_id % 97 = 0),
+        |base AS (SELECT count(DISTINCT user_id) AS cohort_users,
+        |                count(*) AS event_rows,
+        |                count(DISTINCT ts_ms // 86400000) AS event_days FROM ev),
+        |inter AS (SELECT user_id, json_extract_string(props, '$.k')::BIGINT AS item_id
+        |          FROM ev WHERE event_type IN ('view', 'click', 'purchase')
+        |            AND json_extract_string(props, '$.k') IS NOT NULL),
+        |pu AS (SELECT user_id, count(*) AS n, count(DISTINCT item_id) AS b
+        |       FROM inter GROUP BY 1),
+        |der AS (SELECT count(*) AS factor_users,
+        |               CAST(coalesce(sum(CASE WHEN n BETWEEN 2 AND 200
+        |                                      THEN n - 1 ELSE 0 END), 0) AS BIGINT) AS seq_windows,
+        |               CAST(coalesce(sum(CASE WHEN b <= 500
+        |                                      THEN b * (b - 1) ELSE 0 END), 0) AS BIGINT) AS cooc_contribs
+        |        FROM pu),
+        |pr AS (SELECT count(DISTINCT (user_id, item_id)) AS inter_pairs,
+        |              count(DISTINCT item_id) AS touched_items FROM inter)
+        |SELECT artifact, action, n FROM (
+        |  SELECT 'cohort' AS artifact, 'request_queue' AS action, cohort_users AS n FROM base
+        |  UNION ALL SELECT 'events.rows', 'delete_rows', event_rows FROM base
+        |  UNION ALL SELECT 'events.day_partitions', 'rewrite_partition', event_days FROM base
+        |  UNION ALL SELECT 'interactions.pairs', 'delete_rows', inter_pairs FROM pr
+        |  UNION ALL SELECT 'interactions.touched_items', 'touched_keys', touched_items FROM pr
+        |  UNION ALL SELECT 'als.user_factors', 'delete_rows', factor_users FROM der
+        |  UNION ALL SELECT 'seq_prep.windows', 'rebuild_artifact', seq_windows FROM der
+        |  UNION ALL SELECT 'cooc.pair_contributions', 'rebuild_artifact', cooc_contribs FROM der)
+        |ORDER BY artifact""".stripMargin,
     "assoc_rules" ->
       """WITH ui AS (SELECT DISTINCT user_id,
         |                   json_extract_string(props, '$.k')::BIGINT AS item_id

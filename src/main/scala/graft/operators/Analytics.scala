@@ -655,6 +655,57 @@ object Analytics {
       .orderBy(col("item_id"), col("rk"))
   }
 
+  /** Time-decayed item co-occurrence — [[itemCooccurrence]] with a
+    * recency weight (every production co-visitation recommender decays
+    * stale signal; a pair last co-engaged two quarters ago should not
+    * outrank one from yesterday just because it is popular). A pair's
+    * age is the STALER member's last engagement (a pair is only as
+    * fresh as its older leg), and the weight is the exact integer
+    * 2^(maxK − min(age div halfLife, maxK)) — halving per `halfLifeDays`
+    * as a pure bit shift, so the decayed weights and their sums stay
+    * exact BIGINTs end to end (the engine's no-float-summation rule;
+    * an exp(−λ·age) formulation would drift by engine summation
+    * order). The reference epoch is the corpus max event time — a
+    * corpus fact, not wall-clock, so the result is reproducible.
+    *
+    * Scale shape: identical to [[itemCooccurrence]] — per-user baskets
+    * capped at `maxBasket` before the pair join, a 1-row epoch
+    * broadcast, per-item WindowGroupLimit top-N.
+    */
+  def itemCoocDecayed(spark: SparkSession, dir: String, topN: Int = 5,
+                      maxBasket: Int = 500, halfLifeDays: Int = 7,
+                      maxK: Int = 20): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"),
+        col("ts_ms"))
+      .where(col("item_id").isNotNull)
+    val ref = ev.agg(max(col("ts_ms")).as("ref_ms"))
+    val ui = ev.groupBy(col("user_id"), col("item_id"))
+      .agg(max(col("ts_ms")).as("last_ts"))
+    val deg = ui.groupBy(col("user_id")).agg(count(lit(1)).as("basket"))
+    val capped = ui.join(deg.where(col("basket") <= maxBasket), Seq("user_id"))
+      .select(col("user_id"), col("item_id"), col("last_ts"))
+    val halfMs = halfLifeDays * 86400000L
+    val pairs = capped
+      .join(capped.select(col("user_id"), col("item_id").as("rec_item_id"),
+        col("last_ts").as("rec_ts")), Seq("user_id"))
+      .where(col("item_id") =!= col("rec_item_id"))
+      .crossJoin(broadcast(ref))
+      .withColumn("k", expr(
+        s"cast(least((ref_ms - least(last_ts, rec_ts)) div ${halfMs}L, ${maxK}L) as int)"))
+      .select(col("item_id"), col("rec_item_id"),
+        expr(s"shiftleft(cast(1 as bigint), $maxK - k)").as("w"))
+      .groupBy(col("item_id"), col("rec_item_id"))
+      .agg(sum(col("w")).as("weight"), count(lit(1)).as("n_users"))
+    val w = Window.partitionBy(col("item_id"))
+      .orderBy(col("weight").desc, col("rec_item_id"))
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= topN)
+      .orderBy(col("item_id"), col("rk"))
+  }
+
   /** Association rules over the user-item engagement baskets — the
     * classic support/confidence/lift mining ([[itemCooccurrence]]
     * counts the co-occurrences; this turns them into scored rules

@@ -989,4 +989,66 @@ object Curation {
         round(col("weight") * budgetTokens).cast("long"))
       .orderBy(col("source"))
   }
+
+  /** User-erasure plan — the right-to-be-forgotten manifest a
+    * large-scale pipeline runs BEFORE deleting anything: for a
+    * deletion cohort (here the mod-sampled stand-in for the request
+    * queue; production passes the actual id list), every artifact the
+    * pipeline derives from user data is inventoried with the action
+    * erasure requires there. Row-level stores (`delete_rows`): raw
+    * event rows and the day partitions they touch (the rewrite units),
+    * the distinct interaction pairs, and the cohort's ALS user-factor
+    * rows. Derived training corpora (`rebuild_artifact`): sequential
+    * training windows ([[Rec.seqPrep]]'s eligibility closed form —
+    * n−1 windows per cohort user with 2 ≤ n ≤ maxSeq item events) and
+    * the co-occurrence pair contributions (b·(b−1) per capped basket)
+    * — counts a per-user delete CANNOT remove from the aggregate, so
+    * the artifact itself must rebuild; the counts size that job.
+    * `touched_keys` rows (distinct items the cohort engaged) scope
+    * which index entries need re-verification after the rebuild.
+    *
+    * Everything is an exact integer over one cohort semi-join per
+    * source frame — the cohort ships as a broadcast, no all-user scan
+    * is re-keyed; output is a fixed 8-row manifest.
+    */
+  def userErasurePlan(spark: SparkSession, dir: String, cohortMod: Int = 97,
+                      maxSeq: Int = 200, maxBasket: Int = 500): DataFrame = {
+    val ev = Tables.events(spark, dir).where(col("user_id") % cohortMod === 0)
+    val inter = ev
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+    val base = ev.agg(
+      countDistinct(col("user_id")).as("cohort_users"),
+      count(lit(1)).as("event_rows"),
+      countDistinct(expr("ts_ms div 86400000")).as("event_days"))
+    val perUser = inter.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("item_id")).as("b"))
+    val derived = perUser.agg(
+      count(lit(1)).as("factor_users"),
+      sum(when(col("n") >= 2 && col("n") <= maxSeq, col("n") - 1)
+        .otherwise(lit(0L))).as("seq_windows"),
+      sum(when(col("b") <= maxBasket, col("b") * (col("b") - 1))
+        .otherwise(lit(0L))).as("cooc_contribs"))
+    val pairs = inter.agg(
+      countDistinct(col("user_id"), col("item_id")).as("inter_pairs"),
+      countDistinct(col("item_id")).as("touched_items"))
+    def row(artifact: String, action: String, c: org.apache.spark.sql.Column) =
+      struct(lit(artifact).as("artifact"), lit(action).as("action"),
+        coalesce(c, lit(0L)).as("n"))
+    base.crossJoin(broadcast(derived)).crossJoin(broadcast(pairs))
+      .select(explode(array(
+        row("cohort", "request_queue", col("cohort_users")),
+        row("events.rows", "delete_rows", col("event_rows")),
+        row("events.day_partitions", "rewrite_partition", col("event_days")),
+        row("interactions.pairs", "delete_rows", col("inter_pairs")),
+        row("interactions.touched_items", "touched_keys", col("touched_items")),
+        row("als.user_factors", "delete_rows", col("factor_users")),
+        row("seq_prep.windows", "rebuild_artifact", col("seq_windows")),
+        row("cooc.pair_contributions", "rebuild_artifact", col("cooc_contribs"))))
+        .as("m"))
+      .select(col("m.artifact"), col("m.action"), col("m.n"))
+      .orderBy(col("artifact"))
+  }
 }

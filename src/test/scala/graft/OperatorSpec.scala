@@ -768,6 +768,71 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("decayed co-occurrence: full driver recount of bit-shift weights and top lists") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val ev = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("ts_ms"))
+      .where(col("item").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ref = ev.map(_._3).max
+    val ui = ev.groupBy(t => (t._1, t._2))
+      .map { case ((u, i), g) => (u, i, g.map(_._3).max) }.toSeq
+    val baskets = ui.groupBy(_._1).filter(_._2.size <= 500)
+    val exp = baskets.values.flatMap { items =>
+      for (a <- items; b <- items if a._2 != b._2) yield {
+        val k = math.min((ref - math.min(a._3, b._3)) / 604800000L, 20L)
+        ((a._2, b._2), 1L << (20 - k).toInt)
+      }
+    }.groupBy(_._1).map { case (p, ws) => (p, ws.map(_._2).sum, ws.size.toLong) }
+    val expTop = exp.groupBy(_._1._1).flatMap { case (item, ps) =>
+      ps.toSeq.sortBy { case ((_, d), w, _) => (-w, d) }.take(5).zipWithIndex
+        .map { case (((s, d), w, n), i) => (s, d, w, n, i + 1L) }
+    }.toSet
+    val got = graft.operators.Analytics.itemCoocDecayed(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expTop, "decayed top lists diverge from the driver recount")
+    // fresher pairs can only outrank staler ones of equal user count:
+    // weight per contributing user is in [1, 2^20]
+    got.foreach { case (_, _, w, n, _) =>
+      assert(w >= n && w <= n * (1L << 20), "weight bounds per contributor")
+    }
+  }
+
+  test("user erasure plan recounts every artifact row from the cohort events") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val ev = Tables.events(spark, TestSpark.sf)
+      .where(col("user_id") % 97 === 0)
+      .select(col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"), col("ts_ms"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    val inter = ev.collect { case (u, t, Some(i), _)
+      if Set("view", "click", "purchase")(t) => (u, i) }
+    val perUser = inter.groupBy(_._1)
+    val exp = Map(
+      "cohort" -> ev.map(_._1).distinct.length.toLong,
+      "events.rows" -> ev.length.toLong,
+      "events.day_partitions" -> ev.map(_._4 / 86400000L).distinct.length.toLong,
+      "interactions.pairs" -> inter.distinct.length.toLong,
+      "interactions.touched_items" -> inter.map(_._2).distinct.length.toLong,
+      "als.user_factors" -> perUser.size.toLong,
+      "seq_prep.windows" -> perUser.values.map { g =>
+        val n = g.length; if (n >= 2 && n <= 200) (n - 1).toLong else 0L }.sum,
+      "cooc.pair_contributions" -> perUser.values.map { g =>
+        val b = g.map(_._2).distinct.length.toLong
+        if (b <= 500) b * (b - 1) else 0L }.sum)
+    val got = graft.operators.Curation.userErasurePlan(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == exp, s"erasure manifest diverges: got=$got exp=$exp")
+    val actions = graft.operators.Curation.userErasurePlan(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(actions("cooc.pair_contributions") == "rebuild_artifact" &&
+      actions("events.rows") == "delete_rows")
+  }
+
   test("rec coverage recounts from the co-occurrence top lists") {
     val recs = graft.operators.Analytics.itemCooccurrence(spark, TestSpark.sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
