@@ -381,6 +381,13 @@ object SparkEntry {
     // Okapi BM25 — the standard keyword ranker alongside the
     // reference's TF-IDF cosine; same persisted sparse model
     "bm25_topk" -> ((s, d) => TextRetrieval.bm25TopK(s, d, Seq("spark", "join", "vector"), k = 10)),
+    // +must -mustNot boolean grammar: conjunctive containment decides
+    // eligibility, BM25 over the must terms decides order
+    "bool_search" -> ((s, d) =>
+      TextRetrieval.boolSearch(s, d, must = Seq("spark", "vector"), mustNot = Seq("stream"))),
+    // SERP sidebar: facet counts over the query's top-100 result set
+    "search_facets" -> ((s, d) =>
+      TextRetrieval.searchFacets(s, d, Seq("spark", "join", "vector"))),
     // raw-text BM25 front door (engine-side tokenization; the oracle
     // re-tokenizes independently, catching tokenizer drift)
     "bm25_topk_text" -> ((s, d) => TextRetrieval.bm25TopK(s, d, "Spark JOIN, vector-search! spark", k = 10)),
@@ -3217,6 +3224,49 @@ object SparkEntry {
     // the Scala expression exactly so both engines round the same
     // doubles (SURVEY §4)
     "bm25_topk" -> bm25Oracle("SELECT unnest(['spark', 'join', 'vector']) AS term"),
+    // conjunctive containment (distinct-count equality over the must
+    // postings) + mustNot anti-join, then the standard BM25 ranking
+    "bool_search" ->
+      """WITH terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        |cand AS (SELECT doc_id FROM tf WHERE term IN ('spark', 'vector')
+        |         GROUP BY 1 HAVING count(*) = 2),
+        |blocked AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'stream'),
+        |elig AS (SELECT doc_id FROM cand ANTI JOIN blocked USING (doc_id)),
+        |q AS (SELECT unnest(['spark', 'vector']) AS term),
+        |qi AS (SELECT term, ln((nn.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1) AS qidf
+        |       FROM q JOIN dfv USING (term), nn)
+        |SELECT tf.doc_id,
+        |       round(sum(qi.qidf * tf.tf * (1.2 + 1.0) /
+        |                 (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))), 5) AS score
+        |FROM tf JOIN qi USING (term) JOIN dl USING (doc_id) JOIN elig USING (doc_id), ad
+        |GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // facet counts over the rounded, id-tie-broken top-100 result cut
+    "search_facets" ->
+      """WITH terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['spark', 'join', 'vector']) AS term),
+        |qi AS (SELECT term, ln((nn.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1) AS qidf
+        |       FROM q JOIN dfv USING (term), nn),
+        |top AS (SELECT tf.doc_id,
+        |               round(sum(qi.qidf * tf.tf * (1.2 + 1.0) /
+        |                         (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))), 5) AS score
+        |        FROM tf JOIN qi USING (term) JOIN dl USING (doc_id), ad
+        |        GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 100)
+        |SELECT facet, value, count(*) AS n_docs FROM (
+        |  SELECT 'lang' AS facet, d.lang AS value
+        |  FROM documents d JOIN top USING (doc_id)
+        |  UNION ALL
+        |  SELECT 'source', d.source FROM documents d JOIN top USING (doc_id))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "bm25_topk_text" -> bm25Oracle(
       "SELECT DISTINCT unnest(list_filter(regexp_extract_all(lower('Spark JOIN, vector-search! spark'), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term"),
     "bm25_hybrid_topk" -> bm25HybridOracle(""),

@@ -93,12 +93,26 @@ object RpTree {
     (m, planes)
   }
 
-  /** Annoy-style top-k for a corpus query vector: route the query
-    * down every tree through the SAME cached plane tables (in-plan —
-    * a `nTrees`-row frame per level, never a driver loop), take the
-    * union of its leaves' members as candidates, exact-rerank by
-    * cosine. The query id rides as a 1-row broadcast so the rank
-    * window stays partitioned (WindowGroupLimit, the [[Ivf.ivfTopK]]
+  /** The VecDot fold replicated on the driver — the identical
+    * left-to-right `s += x·y` double sequence, so a plane projection
+    * computed here is bit-equal to the in-plan
+    * [[graft.functions.VectorFunctions.dotd]] the build used.
+    */
+  private def dotLocal(a: Array[Double], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Annoy-style top-k for a corpus query vector: the query routes
+    * down every tree on the DRIVER over the collected plane tables
+    * (≤ nTrees·(2^depth − 1) rows — bounded driver state, the
+    * [[Ivf]] centroid precedent; [[dotLocal]] reproduces the in-plan
+    * fold bit-for-bit), so the probe is a LITERAL (tree, leaf) list
+    * the leaf scan filters on — partition-prunable at scale, and no
+    * per-query routing joins on the cluster. Candidates are the
+    * union of the probed leaves' members; the exact rerank runs
+    * under a q_id-broadcast WindowGroupLimit (the [[Ivf.ivfTopK]]
     * convention).
     */
   def rpTreeTopK(spark: SparkSession, dir: String, queryId: Long,
@@ -112,14 +126,23 @@ object RpTree {
         s"query vector $queryId not found in $dir/embeddings.parquet"))
       .getSeq[Float](0).toArray
     val q = typedlit(qv)
-    var ql = (0 until nTrees).map(t => (t.toLong, 0L)).toDF("t", "node")
-    planes.foreach { pl =>
-      ql = ql.join(broadcast(pl), Seq("t", "node"))
-        .select(col("t"),
-          (col("node") * 2 + when(dotd(col("plane"), q) >= col("thr"),
-            lit(1L)).otherwise(lit(0L))).as("node"))
+    // (t, node) -> (plane, thr) per level; ≤ nTrees·2^l rows at level l
+    val planeMaps: Seq[Map[(Long, Long), (Array[Double], Double)]] =
+      planes.map(_.collect().map { r =>
+        (r.getLong(0), r.getLong(1)) ->
+          ((r.getSeq[Double](2).toArray, r.getDouble(3)))
+      }.toMap)
+    val qLeaves: Seq[(Long, Long)] = (0 until nTrees).map { t =>
+      var node = 0L
+      planeMaps.foreach { pm =>
+        val (plane, thr) = pm((t.toLong, node))
+        node = node * 2 + (if (dotLocal(plane, qv) >= thr) 1L else 0L)
+      }
+      (t.toLong, node)
     }
-    val cand = leaves.join(broadcast(ql), Seq("t", "node"))
+    val probe = qLeaves.map { case (t, n) =>
+      col("t") === t && col("node") === n }.reduce(_ || _)
+    val cand = leaves.where(probe)
       .where(col("vec_id") =!= queryId)
       .select(col("vec_id")).distinct()
     val qid = broadcast(Seq(queryId).toDF("q_id"))

@@ -277,6 +277,73 @@ object TextRetrieval {
   def bm25TopK(spark: SparkSession, dir: String, query: String, k: Int): DataFrame =
     bm25TopK(spark, dir, sklearnTokenize(query), k)
 
+  /** Boolean retrieval with BM25 ranking — the `+must −mustNot`
+    * query grammar every search box ends up needing (conjunctive
+    * containment decides WHICH docs are eligible; BM25 over the must
+    * terms decides their ORDER): a candidate must contain every
+    * `must` term and none of the `mustNot` terms, both tested against
+    * the persisted tf triples (no re-tokenization). Containment is a
+    * distinct-count equality over the must-term postings —
+    * conjunction as one aggregate, never an N-way self-join — and the
+    * exclusion one anti-join on the mustNot postings.
+    *
+    * Scale shape: both postings scans are term-pruned (`term IN (…)`
+    * pushes into the artifact scan); candidate volume is bounded by
+    * the rarest must term's df; scoring joins ride the same bounded
+    * frames as [[bm25TopK]]; TakeOrdered top-k.
+    */
+  def boolSearch(spark: SparkSession, dir: String, must: Seq[String],
+                 mustNot: Seq[String], k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(must.nonEmpty, "boolean search needs at least one must term")
+    val m = ensureModel(spark, dir)
+    val mu = must.distinct
+    val cand = m.tf.where(col("term").isin(mu: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nm"))
+      .where(col("nm") === mu.size)
+      .select(col("doc_id"))
+    val eligible =
+      if (mustNot.isEmpty) cand
+      else cand.join(
+        m.tf.where(col("term").isin(mustNot.distinct: _*)).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    bm25Scores(spark, dir, mu, k1, b)
+      .join(eligible, Seq("doc_id"))
+      .select(col("doc_id"), round(col("ts"), 5).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Result-set facets — the SERP sidebar (the reference's UI facets
+    * products by brand over the CURRENT result list, app.py's filter
+    * panel): facet counts computed over the query's top-`topDocs`
+    * BM25 results, not the whole corpus, so the counts answer "within
+    * THESE results, what languages/sources are there to narrow by".
+    * The cut rounds scores first and breaks ties by doc id (SURVEY §4
+    * — the cut set itself is oracle-exact), then one join against the
+    * documents table and a (facet, value) rollup.
+    *
+    * Scale shape: the result list is a TakeOrdered `topDocs`-row
+    * frame — the facet join's build side — so facet counting is one
+    * broadcast semi-join + map-side-combined aggregate regardless of
+    * corpus size.
+    */
+  def searchFacets(spark: SparkSession, dir: String, queryTerms: Seq[String],
+                   topDocs: Int = 100, k1: Double = 1.2,
+                   b: Double = 0.75): DataFrame = {
+    val top = bm25Scores(spark, dir, queryTerms.distinct, k1, b)
+      .select(col("doc_id"), round(col("ts"), 5).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topDocs)
+    val docs = Tables.documents(spark, dir)
+      .join(broadcast(top.select(col("doc_id"))), Seq("doc_id"))
+    docs.select(lit("lang").as("facet"), col("lang").as("value"))
+      .unionAll(docs.select(lit("source").as("facet"), col("source").as("value")))
+      .groupBy(col("facet"), col("value"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("facet"), col("value"))
+  }
+
   /** BM25 with pseudo-relevance feedback (the RM3-shaped lexical twin
     * of [[VectorSearch.prfTopK]]): pass one retrieves the top `fbK`
     * docs for the raw terms, the top `expandK` NEW terms by summed

@@ -199,6 +199,52 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scores == scores.sortBy(-_))
   }
 
+  test("boolean search: containment honored exactly, ranks agree with plain bm25") {
+    val must = Seq("spark", "vector")
+    val got = TextRetrieval.boolSearch(spark, TestSpark.sf, must, Seq("stream"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty)
+    // recount eligibility from the raw text with the same tokenizer
+    val toks = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        "[a-z0-9_]+".r.findAllIn(r.getString(1).toLowerCase).filter(_.length >= 2).toSet)
+      .toMap
+    got.foreach { case (id, _) =>
+      assert(must.forall(toks(id)), s"doc $id missing a must term")
+      assert(!toks(id)("stream"), s"doc $id contains the mustNot term")
+    }
+    // within the eligible set, order and scores are exactly plain
+    // bm25 over the must terms (the eligibility filter cannot change
+    // a survivor's score)
+    val all = TextRetrieval.bm25TopK(spark, TestSpark.sf, must,
+      k = toks.size).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val bm = all.toMap
+    got.foreach { case (id, s) => assert(bm(id) == s, s"score of $id") }
+    val eligibleRanked = all.filter { case (id, _) =>
+      must.forall(toks(id)) && !toks(id)("stream") }.take(got.length)
+    assert(got.toSeq == eligibleRanked.toSeq, "boolean ranking diverges")
+  }
+
+  test("search facets recount over the exact top-100 cut and sum to facet totals") {
+    val facets = TextRetrieval.searchFacets(spark, TestSpark.sf,
+      Seq("spark", "join", "vector")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    assert(facets.nonEmpty)
+    val top = TextRetrieval.bm25TopK(spark, TestSpark.sf,
+      Seq("spark", "join", "vector"), k = 100).collect().map(_.getLong(0)).toSet
+    val meta = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("lang"), col("source")).collect()
+      .filter(r => top(r.getLong(0)))
+    val exp = (meta.map(r => ("lang", r.getString(1))) ++
+      meta.map(r => ("source", r.getString(2))))
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    assert(facets.toMap == exp, "facet counts diverge from the cut recount")
+    // every facet dimension partitions the same result set
+    val byFacet = facets.groupBy(_._1._1).view.mapValues(_.map(_._2).sum)
+    assert(byFacet("lang") == top.size.toLong && byFacet("source") == top.size.toLong)
+  }
+
   test("vocab coverage curve recounts and is monotone in vocab size") {
     val words = Tables.documents(spark, TestSpark.sf)
       .select(col("text")).collect().flatMap(_.getString(0).split(" ", -1))
