@@ -388,6 +388,15 @@ object SparkEntry {
     // SERP sidebar: facet counts over the query's top-100 result set
     "search_facets" -> ((s, d) =>
       TextRetrieval.searchFacets(s, d, Seq("spark", "join", "vector"))),
+    // host-crowding suppression: <= 2 results per source in the page
+    "serp_diversified" -> ((s, d) =>
+      TextRetrieval.serpDiversified(s, d, Seq("spark", "join", "vector"))),
+    // typeahead: top vocabulary terms under a prefix by corpus tf
+    "autocomplete_prefix" -> ((s, d) =>
+      TextRetrieval.autocompletePrefix(s, d, prefix = "s")),
+    // reverse search: per-source stored queries fired on the held-out
+    // 20% incoming batch; own-source share = routing precision
+    "percolate_alerts" -> ((s, d) => TextAnalysis.percolate(s, d)),
     // raw-text BM25 front door (engine-side tokenization; the oracle
     // re-tokenizes independently, catching tokenizer drift)
     "bm25_topk_text" -> ((s, d) => TextRetrieval.bm25TopK(s, d, "Spark JOIN, vector-search! spark", k = 10)),
@@ -3224,6 +3233,74 @@ object SparkEntry {
     // the Scala expression exactly so both engines round the same
     // doubles (SURVEY §4)
     "bm25_topk" -> bm25Oracle("SELECT unnest(['spark', 'join', 'vector']) AS term"),
+    // host-crowding: per-source rank cap then the global rounded cut
+    "serp_diversified" ->
+      """WITH terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['spark', 'join', 'vector']) AS term),
+        |qi AS (SELECT term, ln((nn.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1) AS qidf
+        |       FROM q JOIN dfv USING (term), nn),
+        |sc AS (SELECT tf.doc_id, d.source,
+        |              round(sum(qi.qidf * tf.tf * (1.2 + 1.0) /
+        |                        (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))), 5) AS score
+        |       FROM tf JOIN qi USING (term) JOIN dl USING (doc_id)
+        |            JOIN documents d USING (doc_id), ad
+        |       GROUP BY tf.doc_id, d.source),
+        |capped AS (SELECT *, row_number() OVER (PARTITION BY source
+        |                      ORDER BY score DESC, doc_id)::BIGINT AS src_rank
+        |           FROM sc QUALIFY src_rank <= 2)
+        |SELECT doc_id, source, score, src_rank FROM capped
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // typeahead: prefix-pruned postings, exact tf/df, TakeOrdered cut
+    "autocomplete_prefix" ->
+      """WITH terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2)
+        |SELECT term, CAST(sum(tf) AS BIGINT) AS total_tf, count(*) AS df
+        |FROM tf WHERE term LIKE 's%'
+        |GROUP BY 1 ORDER BY total_tf DESC, term LIMIT 10""".stripMargin,
+    // percolation: log-odds subscription cut, held-out incoming batch,
+    // >= 2-term firing rule, per-subscription rollup
+    "percolate_alerts" ->
+      s"""WITH $tfidfCtes,
+         |st AS (SELECT d.source, tf.term, sum(tf.tf) AS y
+         |       FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |srct AS (SELECT source, sum(y) AS ns FROM st GROUP BY 1),
+         |termt AS (SELECT term, sum(y) AS yw FROM st GROUP BY 1),
+         |tot AS (SELECT sum(y) AS nn FROM st),
+         |scored AS (SELECT st.source, st.term,
+         |                  round(ln((st.y + 0.5) / (srct.ns - st.y + 0.5))
+         |                        - ln((termt.yw - st.y + 0.5)
+         |                             / (tot.nn - srct.ns - (termt.yw - st.y) + 0.5)), 5) + 0.0
+         |                    AS log_odds
+         |           FROM st JOIN srct USING (source) JOIN termt USING (term), tot),
+         |subs AS (SELECT source AS sub_source, term FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY source
+         |                       ORDER BY log_odds DESC, term) AS rk FROM scored)
+         |         WHERE rk <= 3),
+         |incoming AS (SELECT doc_id, source FROM documents
+         |             WHERE substr(md5(doc_id::VARCHAR), 1, 4) >= 'cccc'),
+         |nin AS (SELECT count(*) AS n_incoming FROM incoming),
+         |fired AS (SELECT tf.doc_id, s.sub_source, count(*) AS hits
+         |          FROM tf JOIN subs s USING (term)
+         |          SEMI JOIN incoming i ON i.doc_id = tf.doc_id
+         |          GROUP BY 1, 2 HAVING count(*) >= 2),
+         |per AS (SELECT f.sub_source, count(*) AS n_matched,
+         |               count(CASE WHEN i.source = f.sub_source THEN 1 END) AS n_own
+         |        FROM fired f JOIN incoming i USING (doc_id) GROUP BY 1)
+         |SELECT s.sub_source, nin.n_incoming,
+         |       coalesce(per.n_matched, 0) AS n_matched,
+         |       round(coalesce(per.n_matched, 0) / CAST(nin.n_incoming AS DOUBLE), 5)
+         |         AS match_rate,
+         |       CASE WHEN coalesce(per.n_matched, 0) = 0 THEN 0.0
+         |            ELSE round(coalesce(per.n_own, 0)
+         |                       / CAST(per.n_matched AS DOUBLE), 5) END AS own_share
+         |FROM (SELECT DISTINCT sub_source FROM subs) s
+         |LEFT JOIN per USING (sub_source), nin
+         |ORDER BY sub_source""".stripMargin,
     // conjunctive containment (distinct-count equality over the must
     // postings) + mustNot anti-join, then the standard BM25 ranking
     "bool_search" ->

@@ -1119,6 +1119,59 @@ object TextAnalysis {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Percolation / reverse search — stored queries matched against an
+    * incoming document stream (the Elasticsearch-percolator /
+    * alerting shape: subscriptions are registered once, every NEW doc
+    * is tested against all of them). Subscriptions here are each
+    * source's top-`termsPerQuery` discriminative terms from
+    * [[sourceLogOdds]] (the per-source alert profile an analyst would
+    * register); the "incoming stream" stand-in is the held-out 20% of
+    * the md5 hash split (the same split every holdout eval uses —
+    * docs the profiles were NOT tuned to). A doc fires a subscription
+    * when it contains ≥ `minMatch` of its terms. Per subscription:
+    * docs matched, match rate over the incoming batch, and the
+    * own-source share of its matches — the routing-precision number
+    * (a healthy alert profile mostly fires on its own source's docs).
+    *
+    * Scale shape: subscriptions are a bounded (sources ×
+    * termsPerQuery) broadcast; matching is one term-keyed join
+    * against the persisted tf triples semi-joined to the incoming
+    * batch — per-doc work ∝ matching terms, never |subscriptions|;
+    * counts exact, two rounded ratios.
+    */
+  def percolate(spark: SparkSession, dir: String, termsPerQuery: Int = 3,
+                minMatch: Int = 2): DataFrame = {
+    val subs = graft.sources.ScratchCache.materialize(
+      sourceLogOdds(spark, dir, topN = termsPerQuery)
+        .select(col("source").as("sub_source"), col("term")))
+    val incoming = graft.sources.ScratchCache.materialize(
+      Tables.documents(spark, dir)
+        .where(substring(md5(col("doc_id").cast("string")), 1, 4) >= "cccc")
+        .select(col("doc_id"), col("source")))
+    val m = TextRetrieval.ensureModel(spark, dir)
+    val fired = m.tf.select(col("doc_id"), col("term"))
+      .join(incoming.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(broadcast(subs), Seq("term"))
+      .groupBy(col("doc_id"), col("sub_source"))
+      .agg(count(lit(1)).as("hits"))
+      .where(col("hits") >= minMatch)
+    val nin = incoming.agg(count(lit(1)).as("n_incoming"))
+    val per = fired.join(incoming, Seq("doc_id"))
+      .groupBy(col("sub_source"))
+      .agg(count(lit(1)).as("n_matched"),
+        count(when(col("source") === col("sub_source"), 1)).as("n_own"))
+    subs.select(col("sub_source")).distinct()
+      .join(per, Seq("sub_source"), "left_outer")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("n_own", coalesce(col("n_own"), lit(0L)))
+      .crossJoin(broadcast(nin))
+      .select(col("sub_source"), col("n_incoming"), col("n_matched"),
+        round(col("n_matched") / col("n_incoming"), 5).as("match_rate"),
+        when(col("n_matched") === 0, lit(0.0))
+          .otherwise(round(col("n_own") / col("n_matched"), 5)).as("own_share"))
+      .orderBy(col("sub_source"))
+  }
+
   /** Bigram collocations ranked by pointwise mutual information — the
     * classic "strongly associated word pair" extractor (Church & Hanks
     * 1990): PMI = ln(P(w1w2) / (P(w1)P(w2))) with bigram probability

@@ -344,6 +344,54 @@ object TextRetrieval {
       .orderBy(col("facet"), col("value"))
   }
 
+  /** Source-diversified SERP — host-crowding suppression (the classic
+    * web-search rule: at most `perSource` results per source in a
+    * page, so one chatty host can't fill the top-10): BM25-rank,
+    * cap each source at its `perSource` best via a source-partitioned
+    * window, then the global top-k over the survivors. Scores round
+    * before every cut and ties break by doc id (SURVEY §4), so the
+    * page is oracle-exact.
+    *
+    * Scale shape: the only window is partitioned by source
+    * (WindowGroupLimit prunes to perSource per source before the
+    * shuffle); the global cut is TakeOrdered. The documents join for
+    * the source column is doc-keyed, no fan-out.
+    */
+  def serpDiversified(spark: SparkSession, dir: String, queryTerms: Seq[String],
+                      k: Int = 10, perSource: Int = 2,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = bm25Scores(spark, dir, queryTerms.distinct, k1, b)
+      .select(col("doc_id"), round(col("ts"), 5).as("score"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    val ws = Window.partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("src_rank", row_number().over(ws).cast("long"))
+      .where(col("src_rank") <= perSource)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("score"), col("src_rank"))
+  }
+
+  /** Prefix autocomplete over the fitted vocabulary — the typeahead
+    * ranking every search box serves (suggest the corpus's most-used
+    * terms under the typed prefix): candidates come from the
+    * persisted tf triples with the prefix predicate PUSHED into the
+    * artifact scan (StartsWith → parquet min/max pruning on the
+    * sorted term column), ranked by total corpus tf with df
+    * alongside (a UI can re-weight), ties toward the
+    * lexicographically smaller term. Exact integers; TakeOrdered cut.
+    */
+  def autocompletePrefix(spark: SparkSession, dir: String, prefix: String,
+                         k: Int = 10): DataFrame = {
+    require(prefix.nonEmpty, "autocomplete needs a non-empty prefix")
+    val m = ensureModel(spark, dir)
+    m.tf.where(col("term").startsWith(prefix))
+      .groupBy(col("term"))
+      .agg(sum(col("tf")).as("total_tf"), count(lit(1)).as("df"))
+      .orderBy(col("total_tf").desc, col("term"))
+      .limit(k)
+  }
+
   /** BM25 with pseudo-relevance feedback (the RM3-shaped lexical twin
     * of [[VectorSearch.prfTopK]]): pass one retrieves the top `fbK`
     * docs for the raw terms, the top `expandK` NEW terms by summed

@@ -245,6 +245,69 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(byFacet("lang") == top.size.toLong && byFacet("source") == top.size.toLong)
   }
 
+  test("diversified SERP: per-source cap honored, page equals the driver recount") {
+    val terms = Seq("spark", "join", "vector")
+    val got = TextRetrieval.serpDiversified(spark, TestSpark.sf, terms).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty && got.length <= 10)
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.length <= 2, s"source $src over the crowding cap") }
+    // recount: full bm25 ranking -> per-source cap -> global top-10
+    val all = TextRetrieval.bm25TopK(spark, TestSpark.sf, terms, k = 100000).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val srcOf = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val capped = all.sortBy { case (id, s) => (-s, id) }
+      .groupBy(p => srcOf(p._1)).toSeq.flatMap { case (src, rows) =>
+        rows.sortBy { case (id, s) => (-s, id) }.take(2).zipWithIndex
+          .map { case ((id, s), i) => (id, src, s, i + 1L) }
+      }
+    val exp = capped.sortBy { case (id, _, s, _) => (-s, id) }.take(10)
+    assert(got.toSeq == exp, "diversified page diverges from the recount")
+  }
+
+  test("autocomplete recounts prefix-term usage from raw text") {
+    val got = TextRetrieval.autocompletePrefix(spark, TestSpark.sf, "s").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val toks = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => "[a-z0-9_]+".r.findAllIn(r.getString(1).toLowerCase)
+        .filter(_.length >= 2).map(t => (r.getLong(0), t)))
+    val byTerm = toks.filter(_._2.startsWith("s")).groupBy(_._2)
+      .map { case (t, g) => (t, g.length.toLong, g.map(_._1).distinct.length.toLong) }
+    val exp = byTerm.toSeq.sortBy { case (t, tf, _) => (-tf, t) }.take(10)
+    assert(got.toSeq == exp, "autocomplete diverges from the raw-text recount")
+  }
+
+  test("percolation: firing rule and routing precision recount from the subscriptions") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val subs = TextAnalysis.sourceLogOdds(spark, TestSpark.sf, topN = 3).collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    val subTerms = subs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        "[a-z0-9_]+".r.findAllIn(r.getString(2).toLowerCase)
+          .filter(_.length >= 2).toSet))
+    val incoming = docs.filter { case (id, _, _) => md5hex(id.toString).take(4) >= "cccc" }
+    assert(incoming.nonEmpty)
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = subTerms.map { case (sub, ts) =>
+      val fired = incoming.filter { case (_, _, tok) => ts.count(tok) >= 2 }
+      val own = fired.count(_._2 == sub)
+      (sub, incoming.length.toLong, fired.length.toLong,
+        r5(fired.length.toDouble / incoming.length),
+        if (fired.isEmpty) 0.0 else r5(own.toDouble / fired.length))
+    }.toSet
+    val got = TextAnalysis.percolate(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    assert(got == exp, s"percolation diverges: got=$got exp=$exp")
+  }
+
   test("vocab coverage curve recounts and is monotone in vocab size") {
     val words = Tables.documents(spark, TestSpark.sf)
       .select(col("text")).collect().flatMap(_.getString(0).split(" ", -1))
