@@ -307,6 +307,9 @@ object SparkEntry {
     "item_cooc" -> ((s, d) => Analytics.itemCooccurrence(s, d)),
     // recency-decayed co-visitation: exact 2^(maxK-age/halflife) weights
     "item_cooc_decayed" -> ((s, d) => Analytics.itemCoocDecayed(s, d)),
+    // leakage-free training rows: strictly-past features (range
+    // window), strictly-future purchase label, exact-cents money
+    "pit_training_set" -> ((s, d) => Analytics.pitTrainingSet(s, d)),
     // right-to-be-forgotten manifest: per-artifact deletion actions
     "user_erasure_plan" -> ((s, d) => Curation.userErasurePlan(s, d)),
     // support/confidence/lift rules over the same engagement baskets
@@ -2754,6 +2757,24 @@ object SparkEntry {
         |       row_number() OVER (PARTITION BY item_id
         |                          ORDER BY weight DESC, rec_item_id) AS rk
         |FROM pairs QUALIFY rk <= 5 ORDER BY item_id, rk""".stripMargin,
+    // strictly-past / strictly-future range frames exclude the current
+    // instant on both engines; money in exact cents, counts exact
+    "pit_training_set" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+        |                   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |f AS (SELECT user_id, event_id, event_type, ts_ms,
+        |             count(*) OVER wp AS past_events,
+        |             CAST(coalesce(sum(cents) OVER wp, 0) AS BIGINT) AS past_cents,
+        |             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |                      OVER wf, 0) AS fut
+        |      FROM ev
+        |      WINDOW wp AS (PARTITION BY user_id ORDER BY ts_ms
+        |                    RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING),
+        |             wf AS (PARTITION BY user_id ORDER BY ts_ms
+        |                    RANGE BETWEEN 1 FOLLOWING AND 604800000 FOLLOWING))
+        |SELECT user_id, event_id, ts_ms, past_events, past_cents,
+        |       CAST(CASE WHEN fut > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+        |FROM f WHERE event_type = 'click' ORDER BY user_id, ts_ms, event_id""".stripMargin,
     // right-to-be-forgotten manifest: every count an exact integer
     // over one cohort-filtered scan; seq windows/cooc contributions by
     // the operators' eligibility closed forms

@@ -655,6 +655,46 @@ object Analytics {
       .orderBy(col("item_id"), col("rk"))
   }
 
+  /** Point-in-time-correct training-set assembly — the feature-store
+    * staple (leakage-free by CONSTRUCTION, not by review): for every
+    * click event (the spine), features come from the user's
+    * STRICTLY-PAST `pastDays` window and the label from the
+    * STRICTLY-FUTURE `futureDays` window, both as ts-range frames that
+    * exclude the current instant — a simultaneous event can neither
+    * leak into its own features nor label itself. Features: past
+    * event count and past spend in exact integer cents (the
+    * [[experimentTtest]] money convention — no float summation);
+    * label: any purchase within the future window.
+    *
+    * Scale shape: ONE events scan; both frames are user-partitioned
+    * RANGE windows (computed streaming per partition, never a
+    * self-join per spine row — the naive point-in-time join is
+    * spine×history); output ∝ spine rows with a unique
+    * (user, ts, event_id) order key.
+    */
+  def pitTrainingSet(spark: SparkSession, dir: String, pastDays: Int = 7,
+                     futureDays: Int = 7): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val past = pastDays * 86400000L
+    val fut = futureDays * 86400000L
+    val wP = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-past, -1)
+    val wF = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(1, fut)
+    ev
+      .withColumn("past_events", count(lit(1)).over(wP))
+      .withColumn("past_cents", coalesce(sum(col("cents")).over(wP), lit(0L)))
+      .withColumn("fut_purch", coalesce(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(wF), lit(0L)))
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("past_events"), col("past_cents"),
+        when(col("fut_purch") > 0, 1L).otherwise(0L).as("label"))
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
   /** Time-decayed item co-occurrence — [[itemCooccurrence]] with a
     * recency weight (every production co-visitation recommender decays
     * stale signal; a pair last co-engaged two quarters ago should not

@@ -1172,6 +1172,27 @@ object TextAnalysis {
       .orderBy(col("sub_source"))
   }
 
+  /** The per-doc percolation core over an ARBITRARY (doc_id, text)
+    * frame — the piece [[percolate]] and the streaming gate
+    * ([[graft.streaming.PercolateStreams]]) share: tokenize with the
+    * corpus tokenizer contract, fire each subscription at ≥ `minMatch`
+    * distinct term hits. Subscriptions ride as a bounded broadcast, so
+    * per-doc work ∝ matching terms. Returns (doc_id, sub_source,
+    * hits).
+    */
+  def percolateDocs(spark: SparkSession, dir: String, docs: DataFrame,
+                    termsPerQuery: Int = 3, minMatch: Int = 2): DataFrame = {
+    val subs = graft.sources.ScratchCache.materialize(
+      sourceLogOdds(spark, dir, topN = termsPerQuery)
+        .select(col("source").as("sub_source"), col("term")))
+    docs.select(col("doc_id"),
+      explode(array_distinct(TextRetrieval.sklearnTokens(col("text")))).as("term"))
+      .join(broadcast(subs), Seq("term"))
+      .groupBy(col("doc_id"), col("sub_source"))
+      .agg(count(lit(1)).as("hits"))
+      .where(col("hits") >= minMatch)
+  }
+
   /** Bigram collocations ranked by pointwise mutual information — the
     * classic "strongly associated word pair" extractor (Church & Hanks
     * 1990): PMI = ln(P(w1w2) / (P(w1)P(w2))) with bigram probability

@@ -833,6 +833,36 @@ class OperatorSpec extends AnyFunSuite {
       actions("events.rows") == "delete_rows")
   }
 
+  test("point-in-time training set: leakage-free windows recount exactly") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"),
+        org.apache.spark.sql.functions.round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val byUser = ev.groupBy(_._1)
+    val d7 = 7L * 86400000L
+    val exp = ev.filter(_._3 == "click").map { case (u, id, _, t, _) =>
+      val mine = byUser(u)
+      val past = mine.filter(e => e._4 >= t - d7 && e._4 <= t - 1)
+      val fut = mine.filter(e => e._4 >= t + 1 && e._4 <= t + d7 && e._3 == "purchase")
+      (u, id, t, past.length.toLong, past.map(_._5).sum,
+        if (fut.nonEmpty) 1L else 0L)
+    }.toSet
+    val got = graft.operators.Analytics.pitTrainingSet(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == exp, "point-in-time rows diverge from the driver recount")
+    assert(got.nonEmpty)
+    // leakage canary: no row's own event can contribute to its
+    // features or its label (an event exactly at t is excluded from
+    // both frames by construction — recount already enforces it; here
+    // assert the spine rows carry only strictly-past/future evidence)
+    got.foreach { case (_, _, _, pe, pc, _) =>
+      assert(pe >= 0 && pc >= 0)
+    }
+  }
+
   test("rec coverage recounts from the co-occurrence top lists") {
     val recs = graft.operators.Analytics.itemCooccurrence(spark, TestSpark.sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

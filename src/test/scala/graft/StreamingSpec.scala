@@ -393,6 +393,41 @@ class StreamingSpec extends AnyFunSuite {
       dupOf.getString(1).split(" ", -1).sliding(5).map(_.mkString(" ")).toSet)
   }
 
+  test("streaming percolation fires exactly like the batch core on each micro-batch") {
+    import spark.implicits._
+    import graft.streaming.PercolateStreams
+    implicit val ctx = spark.sqlContext
+    // craft one doc that fires a known subscription (two of its terms)
+    // and one that cannot (no subscription vocabulary at all)
+    val subs = graft.operators.TextAnalysis.sourceLogOdds(spark, TestSpark.sf, topN = 3)
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    val (src, terms) = subs.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+      .sortBy(_._1).head
+    val docs = Seq(
+      DocRow(910001L, s"alert me about ${terms(0)} and also ${terms(1)} today"),
+      DocRow(910002L, "zz9xq qq8zx totally unrelated nonwords"))
+    val stream = MemoryStream[DocRow]
+    val fired = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = PercolateStreams.start(spark, TestSpark.sf, stream.toDF()) { (out, _) =>
+      fired ++= out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    }
+    try {
+      stream.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // stream ≡ batch core on the same frame
+    val batch = graft.operators.TextAnalysis
+      .percolateDocs(spark, TestSpark.sf, docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(fired.sortBy(r => (r._1, r._2)).toSeq == batch.sortBy(r => (r._1, r._2)),
+      "stream ≡ batch")
+    // the crafted doc fires its subscription with exactly the two
+    // planted terms; the nonword doc fires nothing
+    val hit = fired.find(f => f._1 == 910001L && f._2 == src)
+    assert(hit.isDefined && hit.get._3 == 2L, s"expected a 2-term firing for $src")
+    assert(!fired.exists(_._1 == 910002L))
+  }
+
   test("stateful flatMapGroupsWithState sessionizer closes on gap and timeout") {
     import spark.implicits._
     import graft.streaming.{SessionOut, UserEvent}
