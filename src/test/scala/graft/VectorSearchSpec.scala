@@ -372,7 +372,7 @@ class VectorSearchSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(byF.keySet == Set("flat", "ivf_nprobe4", "lsh_multiprobe", "sq8", "pq_adc",
       "ivfpq_nprobe4", "ivfpq_rerank_c50", "ivfpq_res_nprobe4",
-      "binary_c50", "matryoshka16_c50", "graph_beam", "hnsw"))
+      "binary_c50", "matryoshka16_c50", "graph_beam", "hnsw", "rptree_t4d3"))
     assert(byF("flat") == ((1.0, 1.0)), "exact search must match its own ground truth")
     byF.values.foreach { case (p, mrr) =>
       assert(p >= 0.0 && p <= 1.0 && mrr >= 0.0 && mrr <= 1.0)
