@@ -310,6 +310,9 @@ object SparkEntry {
     // leakage-free training rows: strictly-past features (range
     // window), strictly-future purchase label, exact-cents money
     "pit_training_set" -> ((s, d) => Analytics.pitTrainingSet(s, d)),
+    // PSI drift between time halves: ref-decile bins for value,
+    // categorical bins for event_type, Laplace-smoothed shares
+    "feature_psi" -> ((s, d) => Analytics.featurePsi(s, d)),
     // right-to-be-forgotten manifest: per-artifact deletion actions
     "user_erasure_plan" -> ((s, d) => Curation.userErasurePlan(s, d)),
     // support/confidence/lift rules over the same engagement baskets
@@ -2757,6 +2760,36 @@ object SparkEntry {
         |       row_number() OVER (PARTITION BY item_id
         |                          ORDER BY weight DESC, rec_item_id) AS rk
         |FROM pairs QUALIFY rk <= 5 ORDER BY item_id, rk""".stripMargin,
+    // PSI replay: midpoint split, 5-decimal-rounded reference deciles
+    // (quantile_cont ↔ Spark exact percentile), >= edge binning,
+    // Laplace-smoothed shares, <= nBins-term sum rounded once
+    "feature_psi" ->
+      """WITH ev AS (SELECT event_type, value, epoch_ms(ts) AS ts_ms FROM events),
+        |sp AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS tsplit FROM ev),
+        |mk AS (SELECT e.*, CASE WHEN e.ts_ms < sp.tsplit THEN 'ref' ELSE 'cur' END AS win
+        |       FROM ev e, sp),
+        |ed AS (SELECT list_transform(
+        |                quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |                e -> round(e, 5)) AS edges
+        |       FROM mk WHERE win = 'ref'),
+        |binned AS (SELECT win, 'value' AS feature,
+        |                  CAST(len(list_filter(ed.edges, e -> mk.value >= e)) AS VARCHAR) AS bin
+        |           FROM mk, ed
+        |           UNION ALL SELECT win, 'event_type', event_type FROM mk),
+        |counts AS (SELECT feature, bin,
+        |                  count(CASE WHEN win = 'ref' THEN 1 END) AS c_ref,
+        |                  count(CASE WHEN win = 'cur' THEN 1 END) AS c_cur
+        |           FROM binned GROUP BY 1, 2),
+        |tot AS (SELECT feature, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+        |               CAST(sum(c_cur) AS BIGINT) AS n_cur, count(*) AS n_bins
+        |        FROM counts GROUP BY 1),
+        |sh AS (SELECT c.feature, t.n_bins, t.n_ref, t.n_cur,
+        |              (c.c_ref + 0.5) / (t.n_ref + 0.5 * t.n_bins) AS p,
+        |              (c.c_cur + 0.5) / (t.n_cur + 0.5 * t.n_bins) AS q
+        |       FROM counts c JOIN tot t USING (feature))
+        |SELECT feature, n_bins, n_ref, n_cur,
+        |       round(sum((p - q) * ln(p / q)), 5) AS psi
+        |FROM sh GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
     // strictly-past / strictly-future range frames exclude the current
     // instant on both engines; money in exact cents, counts exact
     "pit_training_set" ->

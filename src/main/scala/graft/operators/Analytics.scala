@@ -655,6 +655,58 @@ object Analytics {
       .orderBy(col("item_id"), col("rk"))
   }
 
+  /** Population-stability-index drift report — the standard production
+    * drift metric (PSI = Σ (p−q)·ln(p/q) over binned feature shares;
+    * credit-scoring lineage, now the default "did the input
+    * distribution move" gate before a model retrain is trusted):
+    * the corpus splits at the midpoint of its event-time range
+    * (a corpus fact — reproducible), the REFERENCE window's exact
+    * interpolated deciles bin the numeric `value` feature (edges
+    * rounded to 5 decimals on both engines so bin membership is
+    * oracle-exact), `event_type` bins itself categorically, and both
+    * windows' bin shares are Laplace-smoothed (+0.5 per bin) so an
+    * empty bin can't blow up the log. One row per feature with the
+    * usual reading: <0.1 stable, 0.1–0.25 drifting, >0.25 shifted.
+    *
+    * Scale shape: one events scan; the decile fit is one aggregate
+    * over the reference window (exact percentile — the
+    * events_quantiles contract; scale mode would swap t-digest);
+    * binning is a map-side expression against the 9-edge broadcast;
+    * the PSI fold runs over ≤ bins rows per feature.
+    */
+  def featurePsi(spark: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 20, s"nBins must be in [2,20]: $nBins")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("ts_ms"))
+    val split = ev.agg(expr("(min(ts_ms) + max(ts_ms)) div 2").as("tsplit"))
+    val marked = ev.crossJoin(broadcast(split))
+      .withColumn("win", when(col("ts_ms") < col("tsplit"), lit("ref"))
+        .otherwise(lit("cur")))
+    val ps = (1 until nBins).map(i => i.toDouble / nBins)
+    val edges = marked.where(col("win") === "ref")
+      .agg(expr(s"transform(percentile(value, array(${ps.mkString(",")})), e -> round(e, 5))")
+        .as("edges"))
+    val binned = marked.crossJoin(broadcast(edges))
+      .select(col("win"),
+        lit("value").as("feature"),
+        expr("cast(size(filter(edges, e -> value >= e)) as string)").as("bin"))
+      .unionAll(marked.select(col("win"), lit("event_type").as("feature"),
+        col("event_type").as("bin")))
+    val counts = binned.groupBy(col("feature"), col("bin"))
+      .agg(count(when(col("win") === "ref", 1)).as("c_ref"),
+        count(when(col("win") === "cur", 1)).as("c_cur"))
+    val tot = counts.groupBy(col("feature"))
+      .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"),
+        count(lit(1)).as("n_bins"))
+    counts.join(tot, Seq("feature"))
+      .select(col("feature"), col("n_bins"), col("n_ref"), col("n_cur"),
+        ((col("c_ref") + 0.5) / (col("n_ref") + col("n_bins") * 0.5)).as("p"),
+        ((col("c_cur") + 0.5) / (col("n_cur") + col("n_bins") * 0.5)).as("q"))
+      .groupBy(col("feature"), col("n_bins"), col("n_ref"), col("n_cur"))
+      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 5).as("psi"))
+      .orderBy(col("feature"))
+  }
+
   /** Point-in-time-correct training-set assembly — the feature-store
     * staple (leakage-free by CONSTRUCTION, not by review): for every
     * click event (the spine), features come from the user's

@@ -833,6 +833,49 @@ class OperatorSpec extends AnyFunSuite {
       actions("events.rows") == "delete_rows")
   }
 
+  test("feature PSI: categorical drift recounts exactly, numeric bins from engine edges") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("event_type"), col("value"), col("ts_ms")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val tsplit = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    val (ref, cur) = ev.partition(_._3 < tsplit)
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def psiOf(refBins: Seq[String], curBins: Seq[String]): (Long, Long, Long, Double) = {
+      val bins = (refBins ++ curBins).distinct
+      val (nr, nc, b) = (refBins.size.toLong, curBins.size.toLong, bins.size.toLong)
+      val terms = bins.map { bin =>
+        val p = (refBins.count(_ == bin) + 0.5) / (nr + b * 0.5)
+        val q = (curBins.count(_ == bin) + 0.5) / (nc + b * 0.5)
+        (p - q) * math.log(p / q)
+      }
+      (b, nr, nc, terms.sum)
+    }
+    val got = graft.operators.Analytics.featurePsi(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got.keySet == Set("event_type", "value"))
+    // categorical feature: full independent recount
+    val (b1, nr1, nc1, psi1) = psiOf(ref.map(_._1), cur.map(_._1))
+    assert(got("event_type")._1 == b1 && got("event_type")._2 == nr1 &&
+      got("event_type")._3 == nc1)
+    assert(math.abs(got("event_type")._4 - r5(psi1)) <= 1e-5)
+    // numeric feature: bins recounted from the ENGINE's own rounded
+    // decile edges (the edge fit is the events_quantiles contract)
+    val edges = Tables.events(spark, TestSpark.sf)
+      .crossJoin(graft.Tables.events(spark, TestSpark.sf)
+        .agg(expr("(min(ts_ms) + max(ts_ms)) div 2").as("tsplit")))
+      .where(col("ts_ms") < col("tsplit"))
+      .agg(expr("transform(percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), e -> round(e, 5))"))
+      .head.getSeq[Double](0)
+    def bin(v: Double) = edges.count(v >= _).toString
+    val (b2, nr2, nc2, psi2) = psiOf(ref.map(t => bin(t._2)), cur.map(t => bin(t._2)))
+    assert(got("value")._1 == b2 && got("value")._2 == nr2 && got("value")._3 == nc2)
+    assert(math.abs(got("value")._4 - r5(psi2)) <= 1e-5)
+    // PSI terms share signs: the index is non-negative by construction
+    got.values.foreach { case (_, _, _, psi) => assert(psi >= 0.0) }
+  }
+
   test("point-in-time training set: leakage-free windows recount exactly") {
     import org.apache.spark.sql.functions.col
     val ev = Tables.events(spark, TestSpark.sf)
