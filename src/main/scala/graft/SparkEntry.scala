@@ -307,6 +307,8 @@ object SparkEntry {
     "item_cooc" -> ((s, d) => Analytics.itemCooccurrence(s, d)),
     // recency-decayed co-visitation: exact 2^(maxK-age/halflife) weights
     "item_cooc_decayed" -> ((s, d) => Analytics.itemCoocDecayed(s, d)),
+    // session-scoped co-visitation: pairs within one 30-min mission
+    "item_cooc_session" -> ((s, d) => Analytics.itemCoocSession(s, d)),
     // leakage-free training rows: strictly-past features (range
     // window), strictly-future purchase label, exact-cents money
     "pit_training_set" -> ((s, d) => Analytics.pitTrainingSet(s, d)),
@@ -566,6 +568,8 @@ object SparkEntry {
     "rec_als_topk" -> ((s, d) => Rec.recAlsTopK(s, d)),
     // ALS training-fit report: model RMSE vs global-mean baseline
     "als_fit_report" -> ((s, d) => Rec.alsFitReport(s, d)),
+    // ALS incremental fold-in: affected users re-solved vs frozen items
+    "als_foldin" -> ((s, d) => Rec.alsFoldIn(s, d)),
     // sequential-recommender (context, target) training windows
     "seq_prep" -> ((s, d) => Rec.seqPrep(s, d)),
     // Welch t-test A/B readout over exact-cents revenue moments
@@ -868,7 +872,8 @@ object SparkEntry {
     * agree on these magnitudes), one branch-free double Cramer solve,
     * floor(x·10⁵ + 0.5) re-quantization, ±5·10⁶ clamp.
     */
-  private def alsSolveCte(name: String, ka: String, kb: String, g: String): String =
+  private def alsSolveCte(name: String, ka: String, kb: String, g: String,
+                          r: String = "ar"): String =
     s"""$name AS (SELECT $ka,
        |  least(greatest(CAST(floor(((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12)) * 100000.0 + 0.5) AS BIGINT), -5000000), 5000000) AS f1,
        |  least(greatest(CAST(floor(((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12)) * 100000.0 + 0.5) AS BIGINT), -5000000), 5000000) AS f2
@@ -878,32 +883,38 @@ object SparkEntry {
        |               CAST(sum(g.f2 * g.f2) + 1000000000 AS DOUBLE) AS a22,
        |               CAST(sum(r.r * g.f1) * 100000 AS DOUBLE) AS b1,
        |               CAST(sum(r.r * g.f2) * 100000 AS DOUBLE) AS b2
-       |        FROM ar r JOIN $g g USING ($kb) GROUP BY 1))""".stripMargin
+       |        FROM $r r JOIN $g g USING ($kb) GROUP BY 1))""".stripMargin
 
-  /** Shared CTEs replaying the rank-2 ALS pipeline
-    * ([[graft.operators.Rec.alsFactors]]): capped implicit interaction
+  /** CTEs replaying the rank-2 ALS pipeline
+    * ([[graft.operators.Rec.alsFactorsOf]]) with a name prefix and an
+    * optional interaction-time predicate: capped implicit interaction
     * counts, md5-hash item-factor init at 10⁻⁵ granularity, and two
-    * alternating half-step sweeps ending at user factors `ap2` / item
-    * factors `aq2`.
+    * alternating half-step sweeps ending at user factors `${p}p2` /
+    * item factors `${p}q2`. The fold-in oracle builds the BASE model
+    * with a `< split` predicate through the same generator.
     */
-  private val alsCtes: String = {
+  private def alsCtesFor(p: String, tsWhere: String): String = {
     val base =
-      """aev AS (SELECT user_id,
-        |               json_extract_string(props, '$.k')::BIGINT AS item_id
-        |        FROM events
-        |        WHERE event_type IN ('view', 'click', 'purchase')
-        |          AND json_extract_string(props, '$.k') IS NOT NULL),
-        |ar AS (SELECT user_id, item_id, least(count(*), 20) AS r FROM aev GROUP BY 1, 2),
-        |aq0 AS (SELECT item_id,
-        |          ('0x' || substr(md5('alsq1:' || item_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100000 AS f1,
-        |          ('0x' || substr(md5('alsq2:' || item_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100000 AS f2
-        |        FROM (SELECT DISTINCT item_id FROM ar))""".stripMargin
+      s"""${p}ev AS (SELECT user_id,
+         |               json_extract_string(props, '$$.k')::BIGINT AS item_id,
+         |               epoch_ms(ts) AS ts_ms
+         |        FROM events
+         |        WHERE event_type IN ('view', 'click', 'purchase')
+         |          AND json_extract_string(props, '$$.k') IS NOT NULL$tsWhere),
+         |${p}r AS (SELECT user_id, item_id, least(count(*), 20) AS r FROM ${p}ev GROUP BY 1, 2),
+         |${p}q0 AS (SELECT item_id,
+         |          ('0x' || substr(md5('alsq1:' || item_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100000 AS f1,
+         |          ('0x' || substr(md5('alsq2:' || item_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100000 AS f2
+         |        FROM (SELECT DISTINCT item_id FROM ${p}r))""".stripMargin
     val steps = (1 to 2).map { i =>
-      alsSolveCte(s"ap$i", "user_id", "item_id", if (i == 1) "aq0" else s"aq${i - 1}") +
-        ",\n" + alsSolveCte(s"aq$i", "item_id", "user_id", s"ap$i")
+      alsSolveCte(s"${p}p$i", "user_id", "item_id",
+        if (i == 1) s"${p}q0" else s"${p}q${i - 1}", s"${p}r") +
+        ",\n" + alsSolveCte(s"${p}q$i", "item_id", "user_id", s"${p}p$i", s"${p}r")
     }.mkString(",\n")
     base + ",\n" + steps
   }
+
+  private val alsCtes: String = alsCtesFor("a", "")
 
   /** CTEs replaying the [[graft.operators.RpTree]] forest build and
     * query routing: per level, the two lowest-md5 anchors per (tree,
@@ -2759,6 +2770,32 @@ object SparkEntry {
         |SELECT item_id, rec_item_id, weight, n_users,
         |       row_number() OVER (PARTITION BY item_id
         |                          ORDER BY weight DESC, rec_item_id) AS rk
+        |FROM pairs QUALIFY rk <= 5 ORDER BY item_id, rk""".stripMargin,
+    // session gap rule over (ts_ms, event_id), distinct in-session
+    // items, bot-capped sessions, exact pair counts, per-item window
+    "item_cooc_session" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |                   json_extract_string(props, '$.k')::BIGINT AS item_id
+        |            FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')
+        |              AND json_extract_string(props, '$.k') IS NOT NULL),
+        |sx AS (SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+        |                       OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+        |       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |sid AS (SELECT user_id, item_id,
+        |               sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |        FROM sx),
+        |si AS (SELECT DISTINCT user_id, sess_id, item_id FROM sid),
+        |sz AS (SELECT user_id, sess_id, count(*) AS n_items FROM si GROUP BY 1, 2),
+        |capped AS (SELECT si.* FROM si JOIN sz USING (user_id, sess_id)
+        |           WHERE sz.n_items <= 100),
+        |pairs AS (SELECT a.item_id, b.item_id AS rec_item_id, count(*) AS n_sessions
+        |          FROM capped a JOIN capped b USING (user_id, sess_id)
+        |          WHERE a.item_id <> b.item_id GROUP BY 1, 2)
+        |SELECT item_id, rec_item_id, n_sessions,
+        |       row_number() OVER (PARTITION BY item_id
+        |                          ORDER BY n_sessions DESC, rec_item_id)::BIGINT AS rk
         |FROM pairs QUALIFY rk <= 5 ORDER BY item_id, rk""".stripMargin,
     // PSI replay: midpoint split, 5-decimal-rounded reference deciles
     // (quantile_cont ↔ Spark exact percentile), >= edge binning,
@@ -5073,6 +5110,23 @@ object SparkEntry {
          |       item_id, score_scaled,
          |       round(score_scaled / 1e10, 5) + 0.0 AS score
          |FROM sc QUALIFY rank <= 5 ORDER BY user_id, rank""".stripMargin,
+    // fold-in replay: base model on strictly-pre-split interactions
+    // (same generator, b-prefix), affected users re-solved from their
+    // FULL rating rows against the frozen base item factors
+    "als_foldin" ->
+      s"""WITH asp AS (SELECT max(epoch_ms(ts)) - 86400000 AS split FROM events
+         |             WHERE event_type IN ('view', 'click', 'purchase')
+         |               AND json_extract_string(props, '$$.k') IS NOT NULL),
+         |${alsCtesFor("b", " AND epoch_ms(ts) < (SELECT split FROM asp)")},
+         |${alsCtesFor("f", "")},
+         |aff AS (SELECT DISTINCT user_id FROM fev
+         |        WHERE ts_ms >= (SELECT split FROM asp)),
+         |fra AS (SELECT fr.* FROM fr SEMI JOIN aff USING (user_id)),
+         |${alsSolveCte("np", "user_id", "item_id", "bq2", "fra")}
+         |SELECT n.user_id, p.f1 AS old_f1, p.f2 AS old_f2,
+         |       n.f1 AS new_f1, n.f2 AS new_f2,
+         |       abs(n.f1 - p.f1) + abs(n.f2 - p.f2) AS l1_delta
+         |FROM np n LEFT JOIN bp2 p USING (user_id) ORDER BY n.user_id""".stripMargin,
     // ALS fit vs the global-mean floor: residuals are exact scaled
     // BIGINTs, the squared sum accumulates in HUGEINT (order-free),
     // both RMSEs are single fixed expression trees over exact sums

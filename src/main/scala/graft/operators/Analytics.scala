@@ -655,6 +655,50 @@ object Analytics {
       .orderBy(col("item_id"), col("rk"))
   }
 
+  /** SESSION-scoped item co-occurrence — the standard intent-sharpened
+    * upgrade over [[itemCooccurrence]]'s whole-user baskets (two items
+    * a user touched months apart share an account, not an intent;
+    * items co-engaged within one 30-minute session share a shopping
+    * mission — the signal "bought together" carousels actually want).
+    * Sessions are the [[sessionize]] gap rule over the SAME
+    * (ts_ms, event_id) order key; pairs form within (user, session)
+    * distinct item sets, sessions longer than `maxSession` items are
+    * dropped whole (the bot cap — a crawler session would emit
+    * maxSession² pairs), counts are exact, top-N per item by
+    * WindowGroupLimit.
+    */
+  def itemCoocSession(spark: SparkSession, dir: String, topN: Int = 5,
+                      gapMs: Long = 1800000L, maxSession: Int = 100): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val si = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull)
+      .withColumn("new_sess",
+        when(lag(col("ts_ms"), 1).over(w).isNull ||
+          col("ts_ms") - lag(col("ts_ms"), 1).over(w) > gapMs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(cum))
+      .select(col("user_id"), col("sess_id"), col("item_id"))
+      .distinct()
+    val sz = si.groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_items"))
+    val capped = si.join(sz.where(col("n_items") <= maxSession),
+      Seq("user_id", "sess_id"))
+    val pairs = capped
+      .join(capped.select(col("user_id"), col("sess_id"),
+        col("item_id").as("rec_item_id")), Seq("user_id", "sess_id"))
+      .where(col("item_id") =!= col("rec_item_id"))
+      .groupBy(col("item_id"), col("rec_item_id"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val wr = Window.partitionBy(col("item_id"))
+      .orderBy(col("n_sessions").desc, col("rec_item_id"))
+    pairs.withColumn("rk", row_number().over(wr).cast("long"))
+      .where(col("rk") <= topN)
+      .orderBy(col("item_id"), col("rk"))
+  }
+
   /** Population-stability-index drift report — the standard production
     * drift metric (PSI = Σ (p−q)·ln(p/q) over binned feature shares;
     * credit-scoring lineage, now the default "did the input

@@ -579,14 +579,21 @@ object Rec {
     * apply so a scraper replaying one item 10⁴ times doesn't dominate
     * its user's normal-equation row.
     */
-  private def alsRatings(spark: SparkSession, dir: String): DataFrame =
-    ScratchCache.materialize(Tables.events(spark, dir)
+  private[graft] def alsInteractions(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .where(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"),
+        col("ts_ms"))
       .where(col("item_id").isNotNull)
+
+  private def ratingsOf(inter: DataFrame): DataFrame =
+    ScratchCache.materialize(inter
       .groupBy(col("user_id"), col("item_id"))
       .agg(least(count(lit(1)), lit(20L)).as("r")))
+
+  private def alsRatings(spark: SparkSession, dir: String): DataFrame =
+    ratingsOf(alsInteractions(spark, dir))
 
   /** One ALS half-step: solve the 2×2 ridge normal equations for every
     * `keyA` given the other side's factors `g` on `keyB`. All Gram and
@@ -647,9 +654,15 @@ object Rec {
     * f2)) at scale 10⁵.
     */
   private[graft] def alsFactors(spark: SparkSession, dir: String,
-                                iters: Int = 2): (DataFrame, DataFrame) = {
+                                iters: Int = 2): (DataFrame, DataFrame) =
+    alsFactorsOf(alsRatings(spark, dir), iters)
+
+  /** [[alsFactors]] over an arbitrary (user_id, item_id, r) ratings
+    * frame — the piece the fold-in shares with the full build.
+    */
+  private[graft] def alsFactorsOf(r: DataFrame,
+                                  iters: Int = 2): (DataFrame, DataFrame) = {
     require(iters >= 1 && iters <= 4, s"iters must be in [1, 4]: $iters")
-    val r = alsRatings(spark, dir)
     val q0 = r.select(col("item_id")).distinct()
       .select(col("item_id"),
         (conv(substring(md5(concat(lit("alsq1:"), col("item_id").cast("string"))),
@@ -695,6 +708,50 @@ object Rec {
       .select(col("user_id"), col("rank"), col("item_id"), col("score_scaled"),
         round(col("score_scaled") / lit(1.0e10), 5).as("score"))
       .orderBy(col("user_id"), col("rank"))
+  }
+
+  /** ALS incremental fold-in — model maintenance without a refit (the
+    * standard serving move: item factors are stable day to day, so a
+    * nightly batch of new interactions only needs the AFFECTED users'
+    * 2×2 ridge solves re-run against the FROZEN item factors — new
+    * users get their first factors the same way, which is exactly how
+    * cold-start fold-in works in production ALS). The batch is the
+    * corpus's last `batchDays` of events (a corpus fact); the base
+    * model trains on everything strictly before it. Output per
+    * affected user: the base factors (NULL for a brand-new user), the
+    * folded-in factors from the user's FULL rating row against the
+    * base item factors, and the exact integer L1 factor delta — the
+    * drift table a serving layer uses to decide which cached user
+    * vectors to invalidate.
+    *
+    * Scale shape: the base build is [[alsFactorsOf]]; the fold-in
+    * itself is ONE [[alsSolve]] restricted (semi-join) to the affected
+    * users — cost ∝ the batch's users' ratings, never the corpus; the
+    * model never collects.
+    */
+  def alsFoldIn(spark: SparkSession, dir: String, iters: Int = 2,
+                batchDays: Int = 1): DataFrame = {
+    val inter = alsInteractions(spark, dir)
+    val sp = inter.agg((max(col("ts_ms")) - batchDays * 86400000L).as("split"))
+    val withSplit = inter.crossJoin(broadcast(sp))
+    val baseR = ratingsOf(withSplit.where(col("ts_ms") < col("split"))
+      .select(col("user_id"), col("item_id")))
+    val fullR = ratingsOf(inter.select(col("user_id"), col("item_id")))
+    val affected = ScratchCache.materialize(
+      withSplit.where(col("ts_ms") >= col("split"))
+        .select(col("user_id")).distinct())
+    val (pBase, qBase) = alsFactorsOf(baseR, iters)
+    val newP = alsSolve(fullR.join(affected, Seq("user_id"), "left_semi"),
+      "user_id", "item_id", qBase)
+    newP
+      .select(col("user_id"), col("f1").as("new_f1"), col("f2").as("new_f2"))
+      .join(pBase.select(col("user_id"), col("f1").as("old_f1"),
+        col("f2").as("old_f2")), Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("old_f1"), col("old_f2"),
+        col("new_f1"), col("new_f2"),
+        (abs(col("new_f1") - col("old_f1")) +
+          abs(col("new_f2") - col("old_f2"))).as("l1_delta"))
+      .orderBy(col("user_id"))
   }
 
   /** ALS fit report — did the factorization learn anything: training

@@ -833,6 +833,70 @@ class OperatorSpec extends AnyFunSuite {
       actions("events.rows") == "delete_rows")
   }
 
+  test("session co-occurrence recounts from a driver sessionization") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val ev = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // replay the 30-min gap rule over the (ts, event_id) order key
+    val si = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      var sess = 0L; var prev = Long.MinValue
+      sorted.map { r =>
+        if (prev == Long.MinValue || r._3 - prev > 1800000L) sess += 1
+        prev = r._3
+        (u, sess, r._4)
+      }
+    }.distinct
+    val capped = si.groupBy(t => (t._1, t._2)).filter(_._2.map(_._3).distinct.size <= 100)
+      .values.flatten.toSeq
+    val pairs = capped.groupBy(t => (t._1, t._2)).values.flatMap { items =>
+      val is = items.map(_._3).toSeq.distinct
+      for (a <- is; b <- is if a != b) yield (a, b)
+    }.groupBy(identity).map { case (p, g) => (p, g.size.toLong) }
+    val expTop = pairs.groupBy(_._1._1).flatMap { case (item, ps) =>
+      ps.toSeq.sortBy { case ((_, d), n) => (-n, d) }.take(5).zipWithIndex
+        .map { case (((s, d), n), i) => (s, d, n, i + 1L) }
+    }.toSet
+    val got = graft.operators.Analytics.itemCoocSession(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expTop, "session co-occurrence diverges from the driver recount")
+    assert(got.nonEmpty)
+  }
+
+  test("ALS fold-in: affected users only, new users get NULL base factors") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val ev = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"), col("ts_ms"))
+      .where(col("item").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val split = ev.map(_._3).max - 86400000L
+    val affected = ev.filter(_._3 >= split).map(_._1).distinct.toSet
+    val baseUsers = ev.filter(_._3 < split).map(_._1).distinct.toSet
+    val rows = graft.operators.Rec.alsFoldIn(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    // every output user really has a batch interaction, and every
+    // affected user with a surviving base-item rating appears
+    val outUsers = rows.map(_.getLong(0)).toSet
+    assert(outUsers.subsetOf(affected), "fold-in touched an unaffected user")
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      if (!baseUsers(u)) {
+        assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(5),
+          s"new user $u must have NULL base factors and delta")
+      } else {
+        assert(!r.isNullAt(1) && !r.isNullAt(5), s"returning user $u lost base factors")
+        val l1 = math.abs(r.getLong(3) - r.getLong(1)) + math.abs(r.getLong(4) - r.getLong(2))
+        assert(r.getLong(5) == l1, "l1_delta is not the exact factor L1")
+      }
+    }
+  }
+
   test("feature PSI: categorical drift recounts exactly, numeric bins from engine edges") {
     import org.apache.spark.sql.functions.{col, expr}
     val ev = Tables.events(spark, TestSpark.sf)
