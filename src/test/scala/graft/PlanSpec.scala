@@ -681,6 +681,58 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"centroids must not join:\n${p.take(800)}")
   }
 
+  test("boolean search pushes the must/mustNot term sets into the postings scans") {
+    val p = plan(graft.operators.TextRetrieval.boolSearch(
+      spark, TestSpark.sf, Seq("spark", "vector"), Seq("stream")))
+    assert(p.contains("In(term, [spark,vector])") || p.contains("In(term, [vector,spark])"),
+      s"must-term set must prune the postings scan:\n${p.take(1200)}")
+    assert(p.contains("EqualTo(term,stream)") || p.contains("In(term, [stream])"),
+      "mustNot term must prune its postings scan")
+    assert(p.contains("TakeOrderedAndProject"), "final cut must be a bounded heap")
+  }
+
+  test("autocomplete pushes the prefix predicate into the artifact scan") {
+    val p = plan(graft.operators.TextRetrieval.autocompletePrefix(spark, TestSpark.sf, "s"))
+    assert(p.contains("StringStartsWith(term,s)"),
+      s"prefix must reach the postings scan:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("diversified SERP caps per source via WindowGroupLimit then TakeOrders the page") {
+    val p = plan(graft.operators.TextRetrieval.serpDiversified(
+      spark, TestSpark.sf, Seq("spark", "join", "vector")))
+    assert(p.contains("WindowGroupLimit"), "per-source cap must prune before the shuffle")
+    assert(p.contains("TakeOrderedAndProject"), "global page cut must be a bounded heap")
+  }
+
+  test("ALS recs broadcast the catalog factors and rank under WindowGroupLimit") {
+    val p = plan(graft.operators.Rec.recAlsTopK(spark, TestSpark.sf))
+    assert(p.contains("WindowGroupLimit"), "per-user top-k must prune before the shuffle")
+    assert(!p.contains("SortMergeJoin"),
+      "the catalog-factor and anti joins must stay broadcast at this scale")
+  }
+
+  test("percolation broadcasts the subscription table (never shuffles the postings by sub)") {
+    val p = plan(graft.operators.TextAnalysis.percolate(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin"), "subscriptions must ride as a broadcast")
+  }
+
+  test("point-in-time training set plans ONE events scan with user-partitioned frames") {
+    val df = Analytics.pitTrainingSet(spark, TestSpark.sf)
+    val p = plan(df)
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events"))
+    assert(scans == 1, s"the spine and both frames must share one scan, saw $scans")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("user_id")),
+      "both RANGE frames must partition by user_id")
+  }
+
+  test("session co-occurrence ranks per item via WindowGroupLimit") {
+    val p = plan(Analytics.itemCoocSession(spark, TestSpark.sf))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
   test("no query plans an unpartitioned window outside the documented bounded-frame folds") {
     // An unpartitioned window funnels its whole input into ONE task,
     // so it is allowed only where the windowed frame is provably
