@@ -154,6 +154,9 @@ object SparkEntry {
     "ann_graph_knn_join" -> ((s, d) =>
       GraphAnn.graphKnnJoin(s, d, queryMod = 100, k = 10, g = 8, hops = 6, beam = 4)),
     "ann_recall_eval" -> ((s, d) => Ivf.recallEval(s, d, nCells = 16, queryMod = 100, k = 10, nprobes = Seq(1, 2, 4))),
+    // nprobe auto-tuner: cheapest measured probe depth meeting the
+    // recall target, picked over the hard-oracled recall curve
+    "ann_nprobe_planner" -> ((s, d) => Ivf.nprobePlanner(s, d)),
     // queryMod 500: the per-family loop times interactive single-query
     // latency, so the sample stays small (4 queries at sf0.1)
     "ann_family_eval" -> ((s, d) => Ivf.familyEval(s, d, queryMod = 500, k = 10)),
@@ -915,6 +918,42 @@ object SparkEntry {
   }
 
   private val alsCtes: String = alsCtesFor("a", "")
+
+  /** CTEs replaying [[graft.operators.Ivf.recallEval]]'s measured
+    * recall/MRR-per-nprobe curve over the replayed IVF fit (shared by
+    * the eval query and the nprobe planner; expects `$ivfFitCtes`
+    * already in scope).
+    */
+  private def recallEvalCtes: String =
+    s"""qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |nps AS (SELECT * FROM (VALUES (1), (2), (4)) t(np)),
+       |probes AS (SELECT q.q_id, c.cell,
+       |             row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |               list_dot_product(q.qv::DOUBLE[], c.centroid) /
+       |               (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+       |               c.cell) AS crk
+       |           FROM qs q, cent c),
+       |cand AS (SELECT np.np, p.q_id, a.vec_id AS n_id, ${cos5("a.embedding", "q.qv")} AS score
+       |         FROM nps np, probes p JOIN asg a ON a.cell = p.cell JOIN qs q ON q.q_id = p.q_id
+       |         WHERE p.crk <= np.np AND a.vec_id <> p.q_id),
+       |res AS (SELECT np, q_id, n_id,
+       |          row_number() OVER (PARTITION BY np, q_id ORDER BY score DESC, n_id) AS rk
+       |        FROM cand QUALIFY rk <= 10),
+       |gt AS (SELECT q.q_id, e.vec_id AS n_id,
+       |         row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos5("e.embedding", "q.qv")} DESC, e.vec_id) AS rk
+       |       FROM embeddings e, qs q WHERE e.vec_id <> q.q_id QUALIFY rk <= 10),
+       |nqv AS (SELECT count(*)::DOUBLE AS nq FROM qs),
+       |hits AS (SELECT res.np AS hnp, count(*) AS h FROM res JOIN gt USING (q_id, n_id) GROUP BY 1),
+       |rr AS (SELECT res.np AS rnp, sum(1.0::DOUBLE / res.rk) AS s
+       |       FROM gt g JOIN res ON res.q_id = g.q_id AND res.n_id = g.n_id
+       |       WHERE g.rk = 1 GROUP BY 1)""".stripMargin
+
+  private def recallEvalSelect: String =
+    s"""SELECT np.np AS nprobe,
+       |       round(coalesce((SELECT h FROM hits WHERE hnp = np.np), 0) / ((SELECT nq FROM nqv) * 10), 5) AS "Precision@K",
+       |       round(coalesce((SELECT s FROM rr WHERE rnp = np.np), 0.0) / (SELECT nq FROM nqv), 5) AS "MRR",
+       |       CAST((SELECT nq FROM nqv) AS BIGINT) AS "QueriesUsed"
+       |FROM nps np""".stripMargin
 
   /** CTEs replaying the [[graft.operators.RpTree]] forest build and
     * query routing: per level, the two lowest-md5 anchors per (tree,
@@ -4188,33 +4227,24 @@ object SparkEntry {
     "ann_recall_eval" ->
       s"""WITH RECURSIVE
          |$ivfFitCtes,
-         |qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
-         |nps AS (SELECT * FROM (VALUES (1), (2), (4)) t(np)),
-         |probes AS (SELECT q.q_id, c.cell,
-         |             row_number() OVER (PARTITION BY q.q_id ORDER BY
-         |               list_dot_product(q.qv::DOUBLE[], c.centroid) /
-         |               (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
-         |               c.cell) AS crk
-         |           FROM qs q, cent c),
-         |cand AS (SELECT np.np, p.q_id, a.vec_id AS n_id, ${cos5("a.embedding", "q.qv")} AS score
-         |         FROM nps np, probes p JOIN asg a ON a.cell = p.cell JOIN qs q ON q.q_id = p.q_id
-         |         WHERE p.crk <= np.np AND a.vec_id <> p.q_id),
-         |res AS (SELECT np, q_id, n_id,
-         |          row_number() OVER (PARTITION BY np, q_id ORDER BY score DESC, n_id) AS rk
-         |        FROM cand QUALIFY rk <= 10),
-         |gt AS (SELECT q.q_id, e.vec_id AS n_id,
-         |         row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos5("e.embedding", "q.qv")} DESC, e.vec_id) AS rk
-         |       FROM embeddings e, qs q WHERE e.vec_id <> q.q_id QUALIFY rk <= 10),
-         |nqv AS (SELECT count(*)::DOUBLE AS nq FROM qs),
-         |hits AS (SELECT res.np AS hnp, count(*) AS h FROM res JOIN gt USING (q_id, n_id) GROUP BY 1),
-         |rr AS (SELECT res.np AS rnp, sum(1.0::DOUBLE / res.rk) AS s
-         |       FROM gt g JOIN res ON res.q_id = g.q_id AND res.n_id = g.n_id
-         |       WHERE g.rk = 1 GROUP BY 1)
-         |SELECT np.np AS nprobe,
-         |       round(coalesce((SELECT h FROM hits WHERE hnp = np.np), 0) / ((SELECT nq FROM nqv) * 10), 5) AS "Precision@K",
-         |       round(coalesce((SELECT s FROM rr WHERE rnp = np.np), 0.0) / (SELECT nq FROM nqv), 5) AS "MRR",
-         |       CAST((SELECT nq FROM nqv) AS BIGINT) AS "QueriesUsed"
-         |FROM nps np ORDER BY np.np""".stripMargin,
+         |$recallEvalCtes
+         |$recallEvalSelect
+         |ORDER BY np.np""".stripMargin,
+    // the nprobe auto-tuner replayed on the SAME measured curve: the
+    // smallest nprobe meeting the target, else the deepest measured
+    "ann_nprobe_planner" ->
+      s"""WITH RECURSIVE
+         |$ivfFitCtes,
+         |$recallEvalCtes,
+         |ev AS ($recallEvalSelect),
+         |met AS (SELECT * FROM ev WHERE "Precision@K" >= 0.9),
+         |pick AS (SELECT coalesce((SELECT min(nprobe) FROM met),
+         |                         (SELECT max(nprobe) FROM ev)) AS np)
+         |SELECT 0.9 AS target_precision, CAST(ev.nprobe AS BIGINT) AS nprobe,
+         |       ev."Precision@K" AS precision_at_k, ev."MRR" AS mrr,
+         |       ev."QueriesUsed" AS queries_used,
+         |       EXISTS (SELECT 1 FROM met) AS target_met
+         |FROM ev JOIN pick ON ev.nprobe = pick.np""".stripMargin,
     // SimHash replayed end-to-end in SQL: the per-token hash is the
     // engine-portable md5-derived long (Dedup.md5Long64 == DuckDB's
     // md5_number_upper reinterpreted signed), so signatures, chunk

@@ -512,6 +512,29 @@ object Ivf {
       .orderBy(col("family"))
   }
 
+  /** nprobe auto-tuner — the third planner (next to the filtered-ANN
+    * strategy planner and the LSH-bits / MinHash-band sweeps): pick
+    * the SMALLEST measured nprobe whose Precision@K meets the recall
+    * target (the canonical IVF tuning rule — probe depth buys recall
+    * linearly in scan cost, so the cheapest setting that clears the
+    * SLO wins), falling back to the deepest measured probe when the
+    * target is out of reach. Decisions come from [[recallEval]]'s
+    * hard-oracled measured curve — the planner is a cut over a
+    * replayed table, so the CHOICE itself is oracle-checked.
+    */
+  def nprobePlanner(spark: SparkSession, dir: String, target: Double = 0.9,
+                    nCells: Int = 16, queryMod: Int = 100, k: Int = 10,
+                    nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    import spark.implicits._
+    val rows = recallEval(spark, dir, nCells, queryMod, k, nprobes).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    val met = rows.filter(_._2 >= target)
+    val pick = if (met.nonEmpty) met.minBy(_._1) else rows.maxBy(_._1)
+    Seq((target, pick._1.toLong, pick._2, pick._3, pick._4, met.nonEmpty))
+      .toDF("target_precision", "nprobe", "precision_at_k", "mrr",
+        "queries_used", "target_met")
+  }
+
   /** Filtered-ANN strategy planner — the cost-based pre- vs
     * post-filter decision every filtered vector query faces (the
     * classic selectivity rule: a HIGHLY selective metadata filter

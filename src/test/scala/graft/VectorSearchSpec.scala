@@ -1063,6 +1063,23 @@ class VectorSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("nprobe planner picks the cheapest measured probe depth meeting the target") {
+    val curve = Ivf.recallEval(spark, TestSpark.sf, nCells = 16, queryMod = 100,
+      k = 10, nprobes = Seq(1, 2, 4)).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    val got = Ivf.nprobePlanner(spark, TestSpark.sf).collect().head
+    val met = curve.filter(_._2 >= 0.9)
+    val exp = if (met.nonEmpty) met.minBy(_._1) else curve.maxBy(_._1)
+    assert(got.getLong(1) == exp._1.toLong, "picked nprobe diverges from the rule")
+    assert(got.getDouble(2) == exp._2 && got.getDouble(3) == exp._3,
+      "planner row must carry the curve row's own metrics")
+    assert(got.getBoolean(5) == met.nonEmpty)
+    // the rule's economy: every cheaper measured depth misses the target
+    curve.filter(_._1 < exp._1).foreach { c =>
+      if (met.nonEmpty) assert(c._2 < 0.9, s"nprobe ${c._1} met the target but wasn't picked")
+    }
+  }
+
   test("rptree: partition-per-tree leaves, exact-rerank scores, deterministic rebuild") {
     import graft.operators.RpTree
     val dir = TestSpark.sf
