@@ -399,6 +399,9 @@ object SparkEntry {
     // SERP sidebar: facet counts over the query's top-100 result set
     "search_facets" -> ((s, d) =>
       TextRetrieval.searchFacets(s, d, Seq("spark", "join", "vector"))),
+    // team-draft interleave of the bm25 and tfidf rankers (online eval)
+    "interleave_teamdraft" -> ((s, d) =>
+      TextRetrieval.teamDraftInterleave(s, d, Seq("spark", "join", "vector"))),
     // host-crowding suppression: <= 2 results per source in the page
     "serp_diversified" -> ((s, d) =>
       TextRetrieval.serpDiversified(s, d, Seq("spark", "join", "vector"))),
@@ -924,6 +927,54 @@ object SparkEntry {
     * the eval query and the nprobe planner; expects `$ivfFitCtes`
     * already in scope).
     */
+  /** Oracle for [[graft.operators.TextRetrieval.teamDraftInterleave]]:
+    * both rankers' rounded k-row cuts, then the draft unrolled pick by
+    * pick with the SAME literal coin sequence (the coin is a pure
+    * function of the round index, so the generator computes it once
+    * in Scala via the shared [[graft.operators.TeamDraft.coin]] and
+    * burns the per-position team into the SQL).
+    */
+  private def teamDraftSql(k: Int): String = {
+    val teams = (1 to k).map { pos =>
+      val aFirst = graft.operators.TeamDraft.coin((pos - 1) / 2)
+      val teamA = if ((pos - 1) % 2 == 0) aFirst else !aFirst
+      if (teamA) "bm25" else "tfidf"
+    }
+    val picks = (1 to k).map { pos =>
+      val src = if (teams(pos - 1) == "bm25") "ra" else "rb"
+      val notIn = if (pos == 1) ""
+        else "WHERE doc_id NOT IN (" +
+          (1 until pos).map(p => s"SELECT doc_id FROM pk$p").mkString(" UNION ALL ") + ") "
+      // MATERIALIZED: pk$p is referenced by every later pick's NOT IN —
+      // inlining would re-expand the whole prior chain per reference
+      // (the nswBaseCtes lesson: unrolled sequential CTEs must pin)
+      s"""pk$pos AS MATERIALIZED (SELECT $pos AS pos, doc_id, '${teams(pos - 1)}' AS team, rk AS team_rank
+         |       FROM $src ${notIn}ORDER BY rk LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tfidfCtes,
+       |dlx AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+       |adx AS (SELECT avg(dl) AS avgdl FROM dlx),
+       |q AS (SELECT unnest(['spark', 'join', 'vector']) AS term),
+       |qib AS (SELECT term, ln((nn.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1) AS qidf
+       |        FROM q JOIN dfv USING (term), nn),
+       |ra AS MATERIALIZED (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+       |       FROM (SELECT tf.doc_id,
+       |                    round(sum(qib.qidf * tf.tf * (1.2 + 1.0) /
+       |                              (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlx.dl / adx.avgdl))), 5) AS score
+       |             FROM tf JOIN qib USING (term) JOIN dlx USING (doc_id), adx
+       |             GROUP BY tf.doc_id) QUALIFY rk <= $k),
+       |qwx AS (SELECT q.term, ln((nn.n + 1) / (dfv.df + 1)) + 1 AS qw FROM q JOIN dfv USING (term), nn),
+       |qnx AS (SELECT sqrt(sum(qw * qw)) AS qn FROM qwx),
+       |rb AS MATERIALIZED (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+       |       FROM (SELECT w.doc_id, round(sum(w.w / nrm.nrm * qwx.qw / qnx.qn), 5) AS score
+       |             FROM w JOIN qwx USING (term) JOIN nrm USING (doc_id), qnx
+       |             GROUP BY 1) QUALIFY rk <= $k),
+       |$picks
+       |SELECT pos::BIGINT AS pos, doc_id, team, team_rank::BIGINT AS team_rank
+       |FROM (${(1 to k).map(p => s"SELECT * FROM pk$p").mkString(" UNION ALL ")})
+       |ORDER BY pos""".stripMargin
+  }
+
   private def recallEvalCtes: String =
     s"""qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
        |nps AS (SELECT * FROM (VALUES (1), (2), (4)) t(np)),
@@ -3363,6 +3414,8 @@ object SparkEntry {
     // the Scala expression exactly so both engines round the same
     // doubles (SURVEY §4)
     "bm25_topk" -> bm25Oracle("SELECT unnest(['spark', 'join', 'vector']) AS term"),
+    // both rankers' rounded cuts + the unrolled draft, literal coins
+    "interleave_teamdraft" -> teamDraftSql(10),
     // host-crowding: per-source rank cap then the global rounded cut
     "serp_diversified" ->
       """WITH terms AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> length(t) >= 2)) AS term FROM documents),

@@ -28,6 +28,19 @@ import graft.sources.IndexStore
   * [[graft.sources.IndexStore]], so queries never refit and no
   * `.cache()` leaks into the caller's session.
   */
+/** The team-draft coin, shared by the engine and the oracle GENERATOR
+  * (SparkEntry computes the same literal sequence into the replay SQL
+  * — the coin is a pure function of the round index, not of data).
+  */
+object TeamDraft {
+  def coin(round: Int): Boolean = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"td:$round".getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) % 2 == 0
+  }
+}
+
 object TextRetrieval {
 
   /** Sparse TF-IDF model over persisted parquet: weights (doc_id,
@@ -342,6 +355,49 @@ object TextRetrieval {
       .groupBy(col("facet"), col("value"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("facet"), col("value"))
+  }
+
+  /** Team-draft interleaving — the industry-standard ONLINE ranker
+    * comparison (Radlinski et al. CIKM'08: to A/B two rankers without
+    * splitting traffic, interleave their lists; whichever team's
+    * results get the clicks wins). Teams here are the engine's two
+    * lexical rankers over the same query — BM25 (team `bm25`) and
+    * TF-IDF cosine (team `tfidf`). Per round the coin
+    * u32(md5('td:'||round)) % 2 decides who picks first (the
+    * deterministic hash-IS-the-sample rule every sampler in the
+    * engine uses); each pick takes the team's highest-ranked document
+    * not yet drafted; a team with nothing left skips its slot (the
+    * position stays empty — stable slot numbering on both engines).
+    * Output: (pos, doc_id, team, team_rank) — the served page plus
+    * the attribution column a click log joins against.
+    *
+    * Scale shape: both inputs are k-row TakeOrdered cuts (bounded
+    * driver artifacts — the recPopularityBaseline precedent); the
+    * draft is O(k) driver work; the oracle replays both rankings and
+    * the unrolled draft with the same literal coin sequence.
+    */
+  def teamDraftInterleave(spark: SparkSession, dir: String,
+                          queryTerms: Seq[String], k: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(k >= 1 && k <= 20, s"k must be in [1,20]: $k")
+    val a = bm25TopK(spark, dir, queryTerms, k).collect()
+      .map(_.getLong(0)).toSeq
+    val b = tfidfTopK(spark, dir, queryTerms, k).collect()
+      .map(_.getLong(0)).toSeq
+    val picked = scala.collection.mutable.LinkedHashSet.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+    for (pos <- 1 to k) {
+      val round = (pos - 1) / 2
+      val aFirst = TeamDraft.coin(round)
+      val teamA = if ((pos - 1) % 2 == 0) aFirst else !aFirst
+      val (list, name) = if (teamA) (a, "bm25") else (b, "tfidf")
+      list.zipWithIndex.find { case (d, _) => !picked(d) }.foreach {
+        case (d, i) =>
+          picked += d
+          out += ((pos.toLong, d, name, i + 1L))
+      }
+    }
+    out.toSeq.toDF("pos", "doc_id", "team", "team_rank").orderBy(col("pos"))
   }
 
   /** Source-diversified SERP — host-crowding suppression (the classic

@@ -281,6 +281,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.toSeq == exp, "autocomplete diverges from the raw-text recount")
   }
 
+  test("team-draft interleave: no duplicates, fair alternation, greedy picks recount") {
+    val terms = Seq("spark", "join", "vector")
+    val got = TextRetrieval.teamDraftInterleave(spark, TestSpark.sf, terms).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.nonEmpty && got.length <= 10)
+    // a drafted document appears exactly once
+    assert(got.map(_._2).distinct.length == got.length, "duplicate doc drafted")
+    // team totals differ by at most one (skips aside, both lists are
+    // 10-deep here so no team can starve)
+    val byTeam = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(byTeam.keySet == Set("bm25", "tfidf"))
+    assert(math.abs(byTeam("bm25") - byTeam("tfidf")) <= 1, s"unfair draft: $byTeam")
+    // full replay: the same coin walk over the two engine rankings
+    val a = TextRetrieval.bm25TopK(spark, TestSpark.sf, terms, 10).collect()
+      .map(_.getLong(0)).toSeq
+    val b = TextRetrieval.tfidfTopK(spark, TestSpark.sf, terms, 10).collect()
+      .map(_.getLong(0)).toSeq
+    val picked = scala.collection.mutable.Set.empty[Long]
+    val exp = (1 to 10).flatMap { pos =>
+      val aFirst = graft.operators.TeamDraft.coin((pos - 1) / 2)
+      val teamA = if ((pos - 1) % 2 == 0) aFirst else !aFirst
+      val (list, name) = if (teamA) (a, "bm25") else (b, "tfidf")
+      list.zipWithIndex.find(p => !picked(p._1)).map { case (d, i) =>
+        picked += d; (pos.toLong, d, name, i + 1L)
+      }
+    }
+    assert(got.toSeq == exp, "draft diverges from the replay")
+  }
+
   test("percolation: firing rule and routing precision recount from the subscriptions") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
