@@ -733,6 +733,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("ALS fold-in restricts the re-solve to affected users via a LEFT SEMI join") {
+    val p = plan(graft.operators.Rec.alsFoldIn(spark, TestSpark.sf))
+    assert(p.contains("LeftSemi"),
+      "the fold-in must semi-join the batch's users, never re-solve the corpus")
+  }
+
   test("no query plans an unpartitioned window outside the documented bounded-frame folds") {
     // An unpartitioned window funnels its whole input into ONE task,
     // so it is allowed only where the windowed frame is provably
