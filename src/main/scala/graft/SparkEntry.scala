@@ -576,6 +576,8 @@ object SparkEntry {
     "als_fit_report" -> ((s, d) => Rec.alsFitReport(s, d)),
     // ALS incremental fold-in: affected users re-solved vs frozen items
     "als_foldin" -> ((s, d) => Rec.alsFoldIn(s, d)),
+    // similar items from the trained factor space (exact BIGINT dots)
+    "als_item_similar" -> ((s, d) => Rec.alsItemSimilar(s, d)),
     // sequential-recommender (context, target) training windows
     "seq_prep" -> ((s, d) => Rec.seqPrep(s, d)),
     // Welch t-test A/B readout over exact-cents revenue moments
@@ -5193,6 +5195,17 @@ object SparkEntry {
          |       item_id, score_scaled,
          |       round(score_scaled / 1e10, 5) + 0.0 AS score
          |FROM sc QUALIFY rank <= 5 ORDER BY user_id, rank""".stripMargin,
+    // factor-space neighbors over the replayed trained item factors
+    "als_item_similar" ->
+      s"""WITH $alsCtes,
+         |tgt AS (SELECT item_id, f1 AS t1, f2 AS t2 FROM aq2 WHERE item_id % 10 = 0)
+         |SELECT t.item_id,
+         |       row_number() OVER (PARTITION BY t.item_id
+         |                          ORDER BY t.t1 * i.f1 + t.t2 * i.f2 DESC, i.item_id)::BIGINT AS rank,
+         |       i.item_id AS sim_item, t.t1 * i.f1 + t.t2 * i.f2 AS score_scaled
+         |FROM tgt t CROSS JOIN aq2 i
+         |WHERE i.item_id <> t.item_id
+         |QUALIFY rank <= 5 ORDER BY t.item_id, rank""".stripMargin,
     // fold-in replay: base model on strictly-pre-split interactions
     // (same generator, b-prefix), affected users re-solved from their
     // FULL rating rows against the frozen base item factors

@@ -710,6 +710,41 @@ object Rec {
       .orderBy(col("user_id"), col("rank"))
   }
 
+  /** ALS item-item similarity — "similar items" served from the
+    * TRAINED factor space (the model-based twin of the embedding
+    * [[VectorSearch]] item-similar and the behavioral
+    * [[Analytics.itemCooccurrence]]: two items are similar when the
+    * factorization maps them near each other, which captures
+    * co-preference even for item pairs no single user co-engaged).
+    * Score = exact BIGINT dot of scaled item factors (ties toward the
+    * smaller neighbor id), mod-sampled query items, self excluded,
+    * top-k per item under a WindowGroupLimit.
+    *
+    * Scale shape: the factor table is catalog-sized — the sampled
+    * query side joins against it broadcast; at a 10⁹-item catalog
+    * this becomes the [[shortlistScores]] LSH blocking over factor
+    * space, same contract.
+    */
+  def alsItemSimilar(spark: SparkSession, dir: String, queryMod: Int = 10,
+                     k: Int = 5, iters: Int = 2): DataFrame = {
+    val (_, q) = alsFactors(spark, dir, iters)
+    val items = q.select(col("item_id"), col("f1"), col("f2"))
+    val targets = items.where(col("item_id") % queryMod === 0)
+      .select(col("item_id"), col("f1").as("t1"), col("f2").as("t2"))
+    val w = Window.partitionBy(col("item_id"))
+      .orderBy(col("score_scaled").desc, col("sim_item"))
+    targets
+      .crossJoin(broadcast(items.select(col("item_id").as("sim_item"),
+        col("f1").as("s1"), col("f2").as("s2"))))
+      .where(col("item_id") =!= col("sim_item"))
+      .select(col("item_id"), col("sim_item"),
+        (col("t1") * col("s1") + col("t2") * col("s2")).as("score_scaled"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("item_id"), col("rank"), col("sim_item"), col("score_scaled"))
+      .orderBy(col("item_id"), col("rank"))
+  }
+
   /** ALS incremental fold-in — model maintenance without a refit (the
     * standard serving move: item factors are stable day to day, so a
     * nightly batch of new interactions only needs the AFFECTED users'

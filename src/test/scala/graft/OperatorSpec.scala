@@ -897,6 +897,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ALS item-similar: exact factor dots recount against the trained factors") {
+    val (_, qDf) = graft.operators.Rec.alsFactors(spark, TestSpark.sf)
+    val qf = qDf.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = graft.operators.Rec.alsItemSimilar(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val expTop = qf.keys.filter(_ % 10 == 0).flatMap { t =>
+      val (t1, t2) = qf(t)
+      qf.toSeq.collect { case (i, (s1, s2)) if i != t => (i, t1 * s1 + t2 * s2) }
+        .sortBy { case (i, s) => (-s, i) }.take(5).zipWithIndex
+        .map { case ((i, s), r) => (t, r + 1L, i, s) }
+    }.toSet
+    assert(got.toSet == expTop, "factor-space neighbors diverge from the recount")
+  }
+
   test("feature PSI: categorical drift recounts exactly, numeric bins from engine edges") {
     import org.apache.spark.sql.functions.{col, expr}
     val ev = Tables.events(spark, TestSpark.sf)
