@@ -112,8 +112,11 @@ object Bench {
     outFile.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(json) finally w.close()
+    // the full named map goes to the FILE and stderr only — printing it
+    // on stdout ahead of the headline cost ~300 chars of the driver's
+    // 2000-char tail window in r12 (the window caught the big line's
+    // tail plus a truncated headline); stdout carries exactly one line
     System.err.println(s"BENCH JSON written to ${outFile.getAbsolutePath}")
-    println(json)
     spark.stop()
     // The driver keeps only the LAST 2000 chars of stdout and parses a
     // JSON line out of that tail. An OBJECT map of ~282 named queries
@@ -125,7 +128,6 @@ object Bench {
     // CORRECTNESS/BASELINE. The named object map stays in
     // target/bench.json for tooling that wants keys inline.
     val fmt3 = (d: Double) => BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def fmtN(d: Double, n: Int) = BigDecimal(d).setScale(n, BigDecimal.RoundingMode.HALF_UP).toString
     // still-over-budget entries first (the actionable ones), and cap
     // the serialized block so a noisy host can't blow the tail window
     val rtParts = retimed.toSeq
@@ -151,17 +153,31 @@ object Bench {
       }
     }
     val nErr = results.count(_._3.isDefined)
-    val byName = results.toSeq.sortBy(_._1)
-    def headline(dp: Int, withRetimed: Boolean): String = {
-      val vals = byName.map(r => fmtN(r._2, dp)).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":$nErr,"retimed":${if (withRetimed) rtC else "{}"},"errors":{$errKept},"full":"target/bench.json","qorder":"name-asc","queries":$vals}"""
-    }
-    // degrade decimals (then the retimed block) until the line is
-    // inside the 2000-char tail window (line + newline ≤ 2000; the
-    // 284-query map at 2 decimals measures ~1904 chars)
-    val line = Seq(headline(2, true), headline(1, true), headline(1, false))
-      .find(_.length <= 1950).getOrElse(headline(0, false))
+    val line = compactHeadline(total, sfDir, results.toSeq.map(r => (r._1, r._2)),
+                               nErr, rtC, errKept.toString)
     println(line)
     System.out.flush()
+  }
+
+  /** The single stdout line the driver's 2000-char tail capture parses.
+    * Complete per-query timings ride as a VALUES ARRAY in sorted-name
+    * order (the judge aligns against the sorted name list from
+    * CORRECTNESS/BASELINE); precision degrades (then the retimed block
+    * drops) until the line fits the window. Pure so BenchSpec can
+    * assert the fit at the CURRENT query count under worst-case
+    * timings — stdout carries only this line (the named map lives in
+    * target/bench.json + stderr), so the full window is the budget. */
+  def compactHeadline(total: Double, sfDir: String,
+                      timings: Seq[(String, Double)], nErr: Int,
+                      rtC: String, errKept: String,
+                      limit: Int = 1950): String = {
+    def fmtN(d: Double, n: Int) = BigDecimal(d).setScale(n, BigDecimal.RoundingMode.HALF_UP).toString
+    val byName = timings.sortBy(_._1)
+    def headline(dp: Int, withRetimed: Boolean): String = {
+      val vals = byName.map(r => fmtN(r._2, dp)).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmtN(total, 3)},"unit":"sec","sf":"$sfDir","n_queries":${timings.size},"n_errors":$nErr,"retimed":${if (withRetimed) rtC else "{}"},"errors":{$errKept},"full":"target/bench.json","qorder":"name-asc","queries":$vals}"""
+    }
+    Seq(headline(2, true), headline(1, true), headline(1, false))
+      .find(_.length <= limit).getOrElse(headline(0, false))
   }
 }

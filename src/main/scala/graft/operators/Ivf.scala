@@ -648,33 +648,87 @@ object Ivf {
     }
   }
 
+  /** Recall/MRR curve over the persisted IVF — ONE probe plan and ONE
+    * index scan at the DEEPEST measured nprobe; every shallower
+    * setting's result set derives from the same cached candidates.
+    * Correctness of the derivation: a candidate's `tier` is its cell's
+    * probe rank, so the nprobe=p result is the top-k (score DESC,
+    * n_id) among candidates with tier ≤ p — and that top-k is always
+    * contained in the union of PER-TIER top-ks (if x wins against all
+    * but < k of the union, it wins against all but < k of its own
+    * tier), so cutting each tier to k rows first (WindowGroupLimit,
+    * nq·npMax·k bound) loses nothing and keeps every later pass over
+    * a bounded frame. The per-(q,p) ranks of surviving rows also
+    * match the full ranking: anything that beat x is itself in the
+    * union top-k and therefore retained. Replaces the r12 shape that
+    * re-ran [[search]] per nprobe — |nprobes| corpus scans and probe
+    * plans collapsed into one (the `ann_recall_eval` 2.17×-budget
+    * burn-down), and the ScratchCache'd candidate/ground-truth frames
+    * are keyed by canonicalized plan, so [[nprobePlanner]] — which
+    * replays the same curve to cut it — reuses the eval's computation
+    * instead of recomputing the whole sweep.
+    *
+    * No wall-clock column: timing evidence belongs to the bench
+    * harness, and a timing-free frame is fully deterministic — with
+    * the portable k-means fit this eval carries a hard DuckDB oracle.
+    * HALF_UP rounding = SQL round() convention (oracle parity).
+    */
   def recallEval(spark: SparkSession, dir: String, nCells: Int, queryMod: Int,
                  k: Int, nprobes: Seq[Int]): DataFrame = {
     val (assigned, centroids) = ensureIndex(spark, dir, nCells)
     val queries = assigned.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val gt = VectorSearch.knnJoin(spark, dir, queryMod, k)
-      .select(col("q_id"), col("n_id"), col("rk")).cache()
-    val gt1 = gt.where(col("rk") === 1).select(col("q_id"), col("n_id"))
+    val npMax = nprobes.max
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cell"))
+    val probed0 = queries
+      .withColumn("qn", l2norm(col("qv")))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        dotd(col("qv"), col("centroid")) / (col("qn") * l2norm(col("centroid"))))
+      .withColumn("tier", row_number().over(wc))
+      .where(col("tier") <= npMax)
+      .select(col("q_id"), col("qv"), col("qn"), col("cell"), col("tier"))
+    val probed = graft.sources.ScratchCache.materialize(probed0)
+    // bounded driver read: ≤ nCells distinct ids, never rows — the
+    // literal ids partition-prune the index scan (the search() shape)
+    val probedCells = probed.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    import spark.implicits._
+    val wt = Window.partitionBy(col("q_id"), col("tier"))
+      .orderBy(col("score").desc, col("n_id"))
+    val wk = Window.partitionBy(col("q_id"), col("nprobe"))
+      .orderBy(col("score").desc, col("n_id"))
+    val npDf = nprobes.toDF("nprobe")
+    val ranked0 = assigned.where(col("cell").isin(probedCells: _*))
+      .join(probed, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("tier"),
+        round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
+      .withColumn("trk", row_number().over(wt))
+      .where(col("trk") <= k)
+      .join(broadcast(npDf), col("tier") <= col("nprobe"))
+      .withColumn("rk", row_number().over(wk).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("nprobe"), col("rk"))
+    val ranked = graft.sources.ScratchCache.materialize(ranked0)
+    val gt = graft.sources.ScratchCache.materialize(
+      VectorSearch.knnJoin(spark, dir, queryMod, k)
+        .select(col("q_id"), col("n_id"), col("rk").as("grk")))
     val nq = queries.count().toDouble
-    // no wall-clock column: timing evidence belongs to the bench
-    // harness, and a timing-free frame is fully deterministic — with
-    // the portable k-means fit this eval carries a hard DuckDB oracle.
-    // HALF_UP rounding = SQL round() convention (oracle parity).
+    val hitsByNp = ranked
+      .join(gt.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rrByNp = gt.where(col("grk") === 1).select(col("q_id"), col("n_id"))
+      .join(ranked, Seq("q_id", "n_id"))
+      .groupBy(col("nprobe")).agg(sum(lit(1.0) / col("rk")).as("rr"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     def r5(x: Double): Double =
       BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
     val rows = nprobes.map { np =>
-      val res = search(assigned, centroids, queries, np, k)
-        .select(col("q_id"), col("n_id"), col("rk")).cache()
-      val nHits = res.join(gt, Seq("q_id", "n_id"), "left_semi").count()
-      val rrRow = gt1.join(res, Seq("q_id", "n_id"))
-        .agg(sum(lit(1.0) / col("rk"))).head
-      val rrSum = if (rrRow.isNullAt(0)) 0.0 else rrRow.getDouble(0)
-      res.unpersist()
-      (np, r5(nHits / (nq * k)), r5(rrSum / nq), nq.toLong)
+      (np, r5(hitsByNp.getOrElse(np, 0L) / (nq * k)),
+        r5(rrByNp.getOrElse(np, 0.0) / nq), nq.toLong)
     }
-    gt.unpersist()
-    import spark.implicits._
     rows.toDF("nprobe", "Precision@K", "MRR", "QueriesUsed")
       .orderBy(col("nprobe"))
   }
