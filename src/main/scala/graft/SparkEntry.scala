@@ -539,6 +539,7 @@ object SparkEntry {
     // candidate volume vs recall across band layouts of the k=16
     // signature — the S-curve knob measured
     "minhash_band_sweep" -> ((s, d) => Dedup.minhashBandSweep(s, d)),
+    "minhash_cap_sweep" -> ((s, d) => Dedup.minhashCapSweep(s, d)),
     // embedding-space train/eval contamination with witness
     "decontaminate_semantic" -> ((s, d) => Dedup.decontaminateSemantic(s, d)),
     // binary sign-quantized search (hamming shortlist + exact rerank)
@@ -2903,7 +2904,7 @@ object SparkEntry {
         |       FROM mk WHERE win = 'ref'),
         |binned AS (SELECT win, 'value' AS feature,
         |                  CAST(len(list_filter(ed.edges, e -> mk.value >= e)) AS VARCHAR) AS bin
-        |           FROM mk, ed
+        |           FROM mk, ed WHERE mk.value IS NOT NULL
         |           UNION ALL SELECT win, 'event_type', event_type FROM mk),
         |counts AS (SELECT feature, bin,
         |                  count(CASE WHEN win = 'ref' THEN 1 END) AS c_ref,
@@ -3162,8 +3163,10 @@ object SparkEntry {
          |hs AS (SELECT doc_id, i,
          |              min(substr(md5((i // 4)::VARCHAR || '|' || shingle), (i % 4) * 8 + 1, 8)) AS mh
          |       FROM shd CROSS JOIN range(16) r(i) GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, i // 2 AS band, string_agg(mh, '' ORDER BY i) AS bv
-         |          FROM hs GROUP BY 1, 2),
+         |bands0 AS (SELECT doc_id, i // 2 AS band, string_agg(mh, '' ORDER BY i) AS bv
+         |           FROM hs GROUP BY 1, 2),
+         |bhot AS (SELECT band, bv FROM bands0 GROUP BY 1, 2 HAVING count(*) > 1000),
+         |bands AS (SELECT * FROM bands0 ANTI JOIN bhot USING (band, bv)),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
          |est AS (SELECT c.a_id, c.b_id,
@@ -3447,12 +3450,15 @@ object SparkEntry {
         |SELECT term, CAST(sum(tf) AS BIGINT) AS total_tf, count(*) AS df
         |FROM tf WHERE term LIKE 's%'
         |GROUP BY 1 ORDER BY total_tf DESC, term LIMIT 10""".stripMargin,
-    // percolation: log-odds subscription cut, held-out incoming batch,
-    // >= 2-term firing rule, per-subscription rollup
+    // percolation: log-odds subscriptions fit on the md5-split
+    // training 80% (the holdout really is unseen), held-out incoming
+    // batch, >= 2-term firing rule, per-subscription rollup
     "percolate_alerts" ->
       s"""WITH $tfidfCtes,
          |st AS (SELECT d.source, tf.term, sum(tf.tf) AS y
-         |       FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |       FROM tf JOIN documents d USING (doc_id)
+         |       WHERE substr(md5(d.doc_id::VARCHAR), 1, 4) < 'cccc'
+         |       GROUP BY 1, 2),
          |srct AS (SELECT source, sum(y) AS ns FROM st GROUP BY 1),
          |termt AS (SELECT term, sum(y) AS yw FROM st GROUP BY 1),
          |tot AS (SELECT sum(y) AS nn FROM st),
@@ -4872,8 +4878,10 @@ object SparkEntry {
     "minhash_band_sweep" -> {
       val widths = Seq(1, 2, 4, 8)
       val legs = widths.map { r =>
-        s"""bands$r AS (SELECT doc_id, i // $r AS band, string_agg(mh, '' ORDER BY i) AS bv
+        s"""bands0$r AS (SELECT doc_id, i // $r AS band, string_agg(mh, '' ORDER BY i) AS bv
            |            FROM hs GROUP BY 1, 2),
+           |bhot$r AS (SELECT band, bv FROM bands0$r GROUP BY 1, 2 HAVING count(*) > 1000),
+           |bands$r AS (SELECT * FROM bands0$r ANTI JOIN bhot$r USING (band, bv)),
            |cand$r AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
            |         FROM bands$r a JOIN bands$r b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
       }.mkString(",\n")
@@ -4901,6 +4909,45 @@ object SparkEntry {
          |$legs
          |SELECT * FROM ($rows) ORDER BY rows_per_band""".stripMargin
     },
+    // the flood gate priced: one min-occupancy-tagged pair frame
+    // (buckets over the largest cap can never contribute), per cap a
+    // filter + recall against the exact-Jaccard truth
+    "minhash_cap_sweep" -> {
+      val caps = Seq(2L, 8L, 64L, 1000L)
+      val rows = caps.map { c =>
+        s"""SELECT ${c}::BIGINT AS bucket_cap,
+           |  (SELECT count(*) FROM mpairs WHERE min_occ <= $c)::BIGINT AS n_candidates,
+           |  (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+           |  (SELECT count(*) FROM truth t JOIN mpairs p ON p.a_id = t.a_id AND p.b_id = t.b_id
+           |   WHERE p.min_occ <= $c)::BIGINT AS n_found,
+           |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0
+           |       ELSE round((SELECT count(*) FROM truth t JOIN mpairs p ON p.a_id = t.a_id AND p.b_id = t.b_id
+           |                   WHERE p.min_occ <= $c)
+           |                  / (SELECT count(*) FROM truth), 5) END AS recall""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH $cappedShingleCtes,
+         |szc AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
+         |interc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |           FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |truth AS MATERIALIZED (SELECT a_id, b_id
+         |          FROM interc JOIN szc sa ON sa.doc_id = a_id
+         |                      JOIN szc sb ON sb.doc_id = b_id
+         |          WHERE round(inter / (sa.sz + sb.sz - inter), 5) >= 0.8),
+         |hs AS MATERIALIZED (SELECT doc_id, i,
+         |              min(substr(md5((i // 4)::VARCHAR || '|' || shingle), (i % 4) * 8 + 1, 8)) AS mh
+         |       FROM shd CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+         |bands0 AS (SELECT doc_id, i // 2 AS band, string_agg(mh, '' ORDER BY i) AS bv
+         |           FROM hs GROUP BY 1, 2),
+         |occ AS (SELECT band, bv, count(*) AS df FROM bands0 GROUP BY 1, 2
+         |        HAVING count(*) <= 1000),
+         |bd AS (SELECT b.doc_id, b.band, b.bv, o.df
+         |       FROM bands0 b JOIN occ o ON o.band = b.band AND o.bv = b.bv),
+         |mpairs AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id, min(a.df) AS min_occ
+         |          FROM bd a JOIN bd b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT * FROM ($rows) ORDER BY bucket_cap""".stripMargin
+    },
     "minhash_recall_eval" ->
       s"""WITH $cappedShingleCtes,
          |szc AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
@@ -4915,8 +4962,10 @@ object SparkEntry {
          |hs AS (SELECT doc_id, i,
          |              min(substr(md5((i // 4)::VARCHAR || '|' || shingle), (i % 4) * 8 + 1, 8)) AS mh
          |       FROM shd CROSS JOIN range(16) r(i) GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, i // 2 AS band, string_agg(mh, '' ORDER BY i) AS bv
-         |          FROM hs GROUP BY 1, 2),
+         |bands0 AS (SELECT doc_id, i // 2 AS band, string_agg(mh, '' ORDER BY i) AS bv
+         |           FROM hs GROUP BY 1, 2),
+         |bhot AS (SELECT band, bv FROM bands0 GROUP BY 1, 2 HAVING count(*) > 1000),
+         |bands AS (SELECT * FROM bands0 ANTI JOIN bhot USING (band, bv)),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
          |est AS (SELECT c.a_id, c.b_id,
@@ -5219,10 +5268,11 @@ object SparkEntry {
          |        WHERE ts_ms >= (SELECT split FROM asp)),
          |fra AS (SELECT fr.* FROM fr SEMI JOIN aff USING (user_id)),
          |${alsSolveCte("np", "user_id", "item_id", "bq2", "fra")}
-         |SELECT n.user_id, p.f1 AS old_f1, p.f2 AS old_f2,
+         |SELECT a.user_id, p.f1 AS old_f1, p.f2 AS old_f2,
          |       n.f1 AS new_f1, n.f2 AS new_f2,
          |       abs(n.f1 - p.f1) + abs(n.f2 - p.f2) AS l1_delta
-         |FROM np n LEFT JOIN bp2 p USING (user_id) ORDER BY n.user_id""".stripMargin,
+         |FROM aff a LEFT JOIN np n USING (user_id)
+         |LEFT JOIN bp2 p USING (user_id) ORDER BY a.user_id""".stripMargin,
     // ALS fit vs the global-mean floor: residuals are exact scaled
     // BIGINTs, the squared sum accumulates in HUGEINT (order-free),
     // both RMSEs are single fixed expression trees over exact sums

@@ -730,7 +730,12 @@ object Analytics {
     val edges = marked.where(col("win") === "ref")
       .agg(expr(s"transform(percentile(value, array(${ps.mkString(",")})), e -> round(e, 5))")
         .as("edges"))
-    val binned = marked.crossJoin(broadcast(edges))
+    // NULL `value` rows carry no numeric observation — without the
+    // filter the bin lambda's null comparison drops every edge and
+    // the row lands in bin "0", silently inflating the lowest decile
+    // on both windows (they still count in the categorical feature)
+    val binned = marked.where(col("value").isNotNull)
+      .crossJoin(broadcast(edges))
       .select(col("win"),
         lit("value").as("feature"),
         expr("cast(size(filter(edges, e -> value >= e)) as string)").as("bin"))

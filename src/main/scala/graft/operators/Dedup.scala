@@ -499,9 +499,10 @@ object Dedup {
     * shingles (candidate-first join), never the full shingle self-join.
     */
   def minhashLsh(spark: SparkSession, dir: String, n: Int = 5, k: Int = 16,
-                 rowsPerBand: Int = 2, threshold: Double = 0.8): DataFrame = {
+                 rowsPerBand: Int = 2, threshold: Double = 0.8,
+                 bucketCap: Long = 1000L): DataFrame = {
     val sh = cachedShingles(spark, dir, n)
-    val est = minhashCandEst(spark, dir, n, k, rowsPerBand)
+    val est = minhashCandEst(spark, dir, n, k, rowsPerBand, bucketCap)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val shA = sh.toDF("a_id", "shingle")
     val shB = sh.toDF("b_id", "shingle")
@@ -522,9 +523,20 @@ object Dedup {
     * any-band-collision candidate pairs with their signature-agreement
     * Jaccard estimate, UNverified — what [[minhashRecallEval]] audits
     * and [[minhashLsh]] then verifies exactly.
+    *
+    * Flood control: a (band, bucket) key holding more than `bucketCap`
+    * docs is dropped whole before the self-join — the [[simhash]] /
+    * [[dfCapped]] occupancy gate extended to the band family. A
+    * flooded band bucket is boilerplate (hundreds of docs sharing a
+    * 2-row signature slice emit occupancy² pairs; exactly the
+    * sf10-zipf 88× growth measured in r12), and the pairs it would
+    * contribute are better found by [[exact]] hash dedup. The recall
+    * this trades is MEASURED, not assumed — [[minhashCapSweep]]
+    * prices each cap against the exact-Jaccard truth.
     */
-  private[operators] def minhashCandEst(spark: SparkSession, dir: String, n: Int,
-                                        k: Int, rowsPerBand: Int): DataFrame = {
+  private[graft] def minhashCandEst(spark: SparkSession, dir: String, n: Int,
+                                    k: Int, rowsPerBand: Int,
+                                    bucketCap: Long = 1000L): DataFrame = {
     val sigs = cachedSignatures(spark, dir, n, k)
     val nBands = k / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
@@ -536,10 +548,15 @@ object Dedup {
     // no re-join of the k-wide signature frame per side (two shuffles
     // of n×k cells saved for ~k× wider band-join rows, a win because
     // candidates ≪ band rows and the join itself is the skew risk)
-    val bands = sigs.select(col("doc_id"),
+    val bands0 = sigs.select(col("doc_id"),
         array((0 until k).map(i => col(s"mh$i")): _*).as("sig"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    // hot set (occupancy > cap) is tiny by construction → broadcast
+    val hot = bands0.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("df")).where(col("df") > bucketCap)
+      .select(col("band"), col("bv"))
+    val bands = bands0.join(broadcast(hot), Seq("band", "bv"), "left_anti")
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1191,6 +1208,60 @@ object Dedup {
         if (nTruth == 0) 0.0 else r5(nf.toDouble / nTruth))
     }.toDF("rows_per_band", "n_bands", "n_candidates", "n_truth", "n_found", "recall")
       .orderBy(col("rows_per_band"))
+  }
+
+  /** Band-bucket occupancy-cap sweep — the PRICE TAG for
+    * [[minhashCandEst]]'s flood gate (the [[minhashBandSweep]]
+    * discipline applied to the cap knob instead of the band width):
+    * per cap, the candidate-pair volume the verifier must score and
+    * the recall against the exact-Jaccard ≥ threshold truth. Candidate
+    * sets provably NEST across caps — a pair survives cap c iff the
+    * least-occupied bucket it collides in holds ≤ c docs — so ONE
+    * band self-join (restricted to buckets at or under the LARGEST
+    * measured cap) tags every pair with that minimum occupancy, and
+    * each row is a filter + two counts over the shared frame. The
+    * small caps are where the gate starts eating real clusters: an
+    * exact-duplicate group of m docs collides in ALL its band buckets
+    * at occupancy ≥ m, so caps below the corpus's designed dup-group
+    * sizes show the recall loss directly.
+    */
+  def minhashCapSweep(spark: SparkSession, dir: String, n: Int = 5, k: Int = 16,
+                      rowsPerBand: Int = 2, caps: Seq[Long] = Seq(2, 8, 64, 1000),
+                      threshold: Double = 0.8, maxDf: Long = 1000L): DataFrame = {
+    import spark.implicits._
+    require(caps.nonEmpty && caps.forall(_ >= 1), s"caps must be >= 1: $caps")
+    val capsU = caps.distinct.sorted
+    val maxCap = capsU.max
+    val truth = graft.sources.ScratchCache.materialize(
+      ngramJaccard(spark, dir, n, threshold, maxDf).select(col("a_id"), col("b_id")))
+    val nTruth = truth.count()
+    val sigs = cachedSignatures(spark, dir, n, k)
+    val nBands = k / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("bv"))
+    }
+    val bands0 = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    // buckets hotter than every measured cap never contribute a pair —
+    // the join itself stays occupancy-bounded even on a zipf corpus
+    val occ = bands0.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("df")).where(col("df") <= maxCap)
+    val bd = bands0.join(occ, Seq("band", "bv"))
+    val pairs = graft.sources.ScratchCache.materialize(
+      bd.as("a").join(bd.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(min(col("a.df")).as("min_occ")))
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    capsU.map { c =>
+      val cr = pairs.where(col("min_occ") <= c)
+      val nc = cr.count()
+      val nf = truth.join(cr, Seq("a_id", "b_id"), "left_semi").count()
+      (c, nc, nTruth, nf, if (nTruth == 0) 0.0 else r5(nf.toDouble / nTruth))
+    }.toDF("bucket_cap", "n_candidates", "n_truth", "n_found", "recall")
+      .orderBy(col("bucket_cap"))
   }
 
   /** SimHash hamming-radius sweep — [[minhashBandSweep]]'s twin for

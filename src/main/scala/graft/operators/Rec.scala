@@ -567,10 +567,11 @@ object Rec {
   private val AlsLamS2 = 1000000000L
 
   /** Factor clamp at ±50.0 real units (±5·10⁶ scaled): the projection
-    * step practical ALS runs for numeric stability, and here ALSO the
-    * overflow guard — with |f| ≤ 5·10⁶ and r ≤ 20, every per-group
-    * Gram/moment sum stays < 2.5·10¹³·n, safely inside BIGINT for any
-    * realistic per-key interaction count.
+    * step practical ALS runs for numeric stability. It bounds each
+    * Gram TERM at 2.5·10¹³, so the per-key sums — accumulated in
+    * DECIMAL(38,0) ↔ the oracle's HUGEINT — stay exact at any per-key
+    * interaction count (a BIGINT accumulator would wrap silently above
+    * ~3.7·10⁵ rating rows on one key, i.e. one very popular item).
     */
   private val AlsClamp = 5000000L
 
@@ -606,13 +607,19 @@ object Rec {
     */
   private def alsSolve(ratings: DataFrame, keyA: String, keyB: String,
                        g: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // Gram/moment sums accumulate in DECIMAL(38,0) — the oracle's
+    // HUGEINT — because a single hot key's BIGINT sum of 2.5·10¹³-
+    // sized squares would wrap above ~3.7·10⁵ rows (alsFitReport's
+    // sse discipline)
+    def dsum(c: Column) = sum(c.cast(DecimalType(38, 0)))
     val agg = ratings.join(g, keyB)
       .groupBy(col(keyA))
-      .agg(sum(col("f1") * col("f1")).as("a11i"),
-        sum(col("f1") * col("f2")).as("a12i"),
-        sum(col("f2") * col("f2")).as("a22i"),
-        (sum(col("r") * col("f1")) * AlsScale).as("b1i"),
-        (sum(col("r") * col("f2")) * AlsScale).as("b2i"))
+      .agg(dsum(col("f1") * col("f1")).as("a11i"),
+        dsum(col("f1") * col("f2")).as("a12i"),
+        dsum(col("f2") * col("f2")).as("a22i"),
+        (dsum(col("r") * col("f1")) * AlsScale).as("b1i"),
+        (dsum(col("r") * col("f2")) * AlsScale).as("b2i"))
     val a11 = (col("a11i") + AlsLamS2).cast("double")
     val a12 = col("a12i").cast("double")
     val a22 = (col("a22i") + AlsLamS2).cast("double")
@@ -755,7 +762,9 @@ object Rec {
     * model trains on everything strictly before it. Output per
     * affected user: the base factors (NULL for a brand-new user), the
     * folded-in factors from the user's FULL rating row against the
-    * base item factors, and the exact integer L1 factor delta — the
+    * base item factors (NULL when EVERY item the user rated is itself
+    * absent from the base model — nothing to solve against until the
+    * next refit), and the exact integer L1 factor delta — the
     * drift table a serving layer uses to decide which cached user
     * vectors to invalidate.
     *
@@ -778,8 +787,14 @@ object Rec {
     val (pBase, qBase) = alsFactorsOf(baseR, iters)
     val newP = alsSolve(fullR.join(affected, Seq("user_id"), "left_semi"),
       "user_id", "item_id", qBase)
-    newP
-      .select(col("user_id"), col("f1").as("new_f1"), col("f2").as("new_f2"))
+    // spine = the affected users, not the solve output: a user whose
+    // ratings touch ONLY items absent from the frozen base model (all
+    // brand-new items) yields no solvable rows — the fold-in can't
+    // place them until the next full refit, and the drift table must
+    // SAY so (NULL new factors) rather than silently drop the row
+    affected
+      .join(newP.select(col("user_id"), col("f1").as("new_f1"),
+        col("f2").as("new_f2")), Seq("user_id"), "left_outer")
       .join(pBase.select(col("user_id"), col("f1").as("old_f1"),
         col("f2").as("old_f2")), Seq("user_id"), "left_outer")
       .select(col("user_id"), col("old_f1"), col("old_f2"),

@@ -1093,10 +1093,12 @@ object TextAnalysis {
     * map (one doc-keyed shuffle); corpus totals derive by re-agg;
     * ranking is WindowGroupLimit-bounded per source.
     */
-  def sourceLogOdds(spark: SparkSession, dir: String, topN: Int = 5): DataFrame = {
+  def sourceLogOdds(spark: SparkSession, dir: String, topN: Int = 5,
+                    docFilter: Column = lit(true)): DataFrame = {
     val m = TextRetrieval.ensureModel(spark, dir)
     val st = graft.sources.ScratchCache.materialize(
-      m.tf.join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      m.tf.join(Tables.documents(spark, dir).where(docFilter)
+            .select(col("doc_id"), col("source")),
           Seq("doc_id"))
         .groupBy(col("source"), col("term")).agg(sum(col("tf")).as("y")))
     val srcTot = st.groupBy(col("source")).agg(sum(col("y")).as("ns"))
@@ -1125,9 +1127,11 @@ object TextAnalysis {
     * is tested against all of them). Subscriptions here are each
     * source's top-`termsPerQuery` discriminative terms from
     * [[sourceLogOdds]] (the per-source alert profile an analyst would
-    * register); the "incoming stream" stand-in is the held-out 20% of
-    * the md5 hash split (the same split every holdout eval uses —
-    * docs the profiles were NOT tuned to). A doc fires a subscription
+    * register) — fit ONLY on the md5-split training 80%, so the
+    * held-out 20% "incoming stream" really is docs the profiles were
+    * NOT tuned to and the routing-precision readout is an honest
+    * holdout number (r12 fit on the full corpus, which optimistically
+    * biased it). A doc fires a subscription
     * when it contains ≥ `minMatch` of its terms. Per subscription:
     * docs matched, match rate over the incoming batch, and the
     * own-source share of its matches — the routing-precision number
@@ -1139,14 +1143,21 @@ object TextAnalysis {
     * batch — per-doc work ∝ matching terms, never |subscriptions|;
     * counts exact, two rounded ratios.
     */
+  /** The repo-wide deterministic 80/20 doc split (md5 4-hex prefix,
+    * 'cccc'/'ffff' = 0.8): `trainSplit` is the fit side, its complement
+    * the holdout every eval scores on.
+    */
+  private[graft] def trainSplit: Column =
+    substring(md5(col("doc_id").cast("string")), 1, 4) < "cccc"
+
   def percolate(spark: SparkSession, dir: String, termsPerQuery: Int = 3,
                 minMatch: Int = 2): DataFrame = {
     val subs = graft.sources.ScratchCache.materialize(
-      sourceLogOdds(spark, dir, topN = termsPerQuery)
+      sourceLogOdds(spark, dir, topN = termsPerQuery, docFilter = trainSplit)
         .select(col("source").as("sub_source"), col("term")))
     val incoming = graft.sources.ScratchCache.materialize(
       Tables.documents(spark, dir)
-        .where(substring(md5(col("doc_id").cast("string")), 1, 4) >= "cccc")
+        .where(!trainSplit)
         .select(col("doc_id"), col("source")))
     val m = TextRetrieval.ensureModel(spark, dir)
     val fired = m.tf.select(col("doc_id"), col("term"))
@@ -1182,8 +1193,10 @@ object TextAnalysis {
     */
   def percolateDocs(spark: SparkSession, dir: String, docs: DataFrame,
                     termsPerQuery: Int = 3, minMatch: Int = 2): DataFrame = {
+    // same train-split-fit profiles as [[percolate]] — the stream gate
+    // and the batch readout must register identical subscriptions
     val subs = graft.sources.ScratchCache.materialize(
-      sourceLogOdds(spark, dir, topN = termsPerQuery)
+      sourceLogOdds(spark, dir, topN = termsPerQuery, docFilter = trainSplit)
         .select(col("source").as("sub_source"), col("term")))
     docs.select(col("doc_id"),
       explode(array_distinct(TextRetrieval.sklearnTokens(col("text")))).as("term"))

@@ -32,6 +32,25 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed pairs: ${exact -- lsh}")
   }
 
+  test("minhash cap sweep: nested candidates, priced recall, top row = the production gate") {
+    val rows = Dedup.minhashCapSweep(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(2L, 8L, 64L, 1000L))
+    // candidates and recall are monotone in the cap (sets nest)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 <= hi._2, s"candidates shrank cap ${lo._1}->${hi._1}")
+      assert(lo._4 <= hi._4 && lo._5 <= hi._5, s"recall shrank cap ${lo._1}->${hi._1}")
+    }
+    // n_truth is the shared exact-Jaccard truth on every row
+    val nTruth = Dedup.ngramJaccard(spark, TestSpark.sf).count()
+    assert(rows.forall(_._3 == nTruth))
+    // the sweep's largest cap replays the production gate exactly
+    val gate = Dedup.minhashCandEst(spark, TestSpark.sf, 5, 16, 2).count()
+    assert(rows.last._2 == gate,
+      s"cap-1000 row ${rows.last._2} != minhashCandEst pair count $gate")
+  }
+
   test("simhash matches a brute-force recount of its contract") {
     // contract: all pairs with hamming ≤ 6 that share ≥1 of the four
     // 16-bit chunks (pigeonhole ⇒ complete for hamming ≤ 3)

@@ -880,17 +880,21 @@ class OperatorSpec extends AnyFunSuite {
     val baseUsers = ev.filter(_._3 < split).map(_._1).distinct.toSet
     val rows = graft.operators.Rec.alsFoldIn(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
-    // every output user really has a batch interaction, and every
-    // affected user with a surviving base-item rating appears
+    // the drift table is COMPLETE: exactly the affected users, no
+    // drops (a user whose ratings touch only brand-new items stays
+    // present with NULL new factors)
     val outUsers = rows.map(_.getLong(0)).toSet
-    assert(outUsers.subsetOf(affected), "fold-in touched an unaffected user")
+    assert(outUsers == affected, "fold-in output must be exactly the affected users")
     rows.foreach { r =>
       val u = r.getLong(0)
       if (!baseUsers(u)) {
         assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(5),
           s"new user $u must have NULL base factors and delta")
       } else {
-        assert(!r.isNullAt(1) && !r.isNullAt(5), s"returning user $u lost base factors")
+        assert(!r.isNullAt(1), s"returning user $u lost base factors")
+        // a base user's rated base items are in the frozen model by
+        // construction, so their solve always lands
+        assert(!r.isNullAt(3) && !r.isNullAt(5), s"returning user $u lost new factors")
         val l1 = math.abs(r.getLong(3) - r.getLong(1)) + math.abs(r.getLong(4) - r.getLong(2))
         assert(r.getLong(5) == l1, "l1_delta is not the exact factor L1")
       }

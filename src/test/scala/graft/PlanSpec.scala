@@ -90,6 +90,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "denylist must broadcast")
   }
 
+  test("minhash band blocking broadcasts the hot-bucket denylist (flood gate, no extra shuffle)") {
+    val p = plan(graft.operators.Dedup.minhashCandEst(spark, TestSpark.sf, 5, 16, 2))
+    // the occupancy gate must ride a broadcast LEFT ANTI on (band, bv):
+    // the hot set is tiny by construction, and a shuffled anti-join
+    // would re-partition the full band frame just to subtract it
+    assert(p.contains("LeftAnti"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), "hot-bucket set must broadcast")
+  }
+
   test("q19 disjunctive predicates evaluate in one lineitem pass (no union of scans)") {
     val p = plan(Analytics.q19Disjunctive(spark, TestSpark.sf))
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 2, p.take(1200))

@@ -399,7 +399,8 @@ class StreamingSpec extends AnyFunSuite {
     implicit val ctx = spark.sqlContext
     // craft one doc that fires a known subscription (two of its terms)
     // and one that cannot (no subscription vocabulary at all)
-    val subs = graft.operators.TextAnalysis.sourceLogOdds(spark, TestSpark.sf, topN = 3)
+    val subs = graft.operators.TextAnalysis.sourceLogOdds(spark, TestSpark.sf, topN = 3,
+        docFilter = graft.operators.TextAnalysis.trainSplit)
       .collect().map(r => (r.getString(0), r.getString(2)))
     val (src, terms) = subs.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
       .sortBy(_._1).head

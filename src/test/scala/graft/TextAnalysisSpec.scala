@@ -313,7 +313,8 @@ class TextAnalysisSpec extends AnyFunSuite {
   test("percolation: firing rule and routing precision recount from the subscriptions") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val subs = TextAnalysis.sourceLogOdds(spark, TestSpark.sf, topN = 3).collect()
+    val subs = TextAnalysis.sourceLogOdds(spark, TestSpark.sf, topN = 3,
+        docFilter = TextAnalysis.trainSplit).collect()
       .map(r => (r.getString(0), r.getString(2)))
     val subTerms = subs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val docs = Tables.documents(spark, TestSpark.sf)
