@@ -787,11 +787,19 @@ object Rec {
     val (pBase, qBase) = alsFactorsOf(baseR, iters)
     val newP = alsSolve(fullR.join(affected, Seq("user_id"), "left_semi"),
       "user_id", "item_id", qBase)
-    // spine = the affected users, not the solve output: a user whose
-    // ratings touch ONLY items absent from the frozen base model (all
-    // brand-new items) yields no solvable rows — the fold-in can't
-    // place them until the next full refit, and the drift table must
-    // SAY so (NULL new factors) rather than silently drop the row
+    driftTable(affected, newP, pBase)
+  }
+
+  /** The fold-in drift-table assembly [[alsFoldIn]] and
+    * [[alsFoldInDelta]] share. Spine = the affected users, not the
+    * solve output: a user whose ratings touch ONLY items absent from
+    * the frozen base model (all brand-new items) yields no solvable
+    * rows — the fold-in can't place them until the next full refit,
+    * and the drift table must SAY so (NULL new factors) rather than
+    * silently drop the row.
+    */
+  private def driftTable(affected: DataFrame, newP: DataFrame,
+                         pBase: DataFrame): DataFrame =
     affected
       .join(newP.select(col("user_id"), col("f1").as("new_f1"),
         col("f2").as("new_f2")), Seq("user_id"), "left_outer")
@@ -802,6 +810,32 @@ object Rec {
         (abs(col("new_f1") - col("old_f1")) +
           abs(col("new_f2") - col("old_f2"))).as("l1_delta"))
       .orderBy(col("user_id"))
+
+  /** ALS fold-in for an ARBITRARY batch of new interactions — the
+    * core [[alsFoldIn]]'s corpus-split readout and the STREAMING twin
+    * ([[graft.streaming.AlsStreams]]) share: the base model is the
+    * frozen full-corpus factorization, `newInter` (user_id, item_id)
+    * is the incoming batch, and each affected user's factors re-solve
+    * from their corpus ratings MERGED with the batch rows (same
+    * count-capped rating rule) against the frozen item factors. Same
+    * drift-table schema as [[alsFoldIn]].
+    *
+    * Scale shape: base build is the memoized [[alsFactors]]; the merge
+    * is one semi-join of corpus interactions to the batch's users
+    * (cost ∝ those users' history, never the corpus) plus the batch
+    * itself; one bounded 2×2 solve per affected user.
+    */
+  def alsFoldInDelta(spark: SparkSession, dir: String, newInter: DataFrame,
+                     iters: Int = 2): DataFrame = {
+    val (pBase, qBase) = alsFactors(spark, dir, iters)
+    val affected = ScratchCache.materialize(
+      newInter.select(col("user_id")).distinct())
+    val merged = alsInteractions(spark, dir)
+      .select(col("user_id"), col("item_id"))
+      .join(affected, Seq("user_id"), "left_semi")
+      .unionByName(newInter.select(col("user_id"), col("item_id")))
+    val newP = alsSolve(ratingsOf(merged), "user_id", "item_id", qBase)
+    driftTable(affected, newP, pBase)
   }
 
   /** ALS fit report — did the factorization learn anything: training

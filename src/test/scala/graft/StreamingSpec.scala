@@ -18,6 +18,8 @@ case class DocRow(doc_id: Long, text: String)
 case class PropsEvent(event_id: Long, ts: Timestamp, user_id: Long,
                       event_type: String, props: String)
 
+case class InterRow(user_id: Long, item_id: Long)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -283,6 +285,60 @@ class StreamingSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.index.root")
       IndexStore.invalidate(spark, graft.operators.Lsh.indexPath(spark, TestSpark.sf, 4))
     }
+  }
+
+  test("streaming ALS fold-in publishes idempotent drift epochs equal to the batch core") {
+    import spark.implicits._
+    import graft.streaming.AlsStreams
+    implicit val ctx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft-als-epochs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-als-ckpt").toString
+    // two real (user, item) interaction pairs from the corpus, plus a
+    // brand-new user rating ONLY a brand-new item — the all-new-items
+    // edge the drift table must keep with NULL new factors
+    val pairs = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .where(col("item_id").isNotNull).distinct().orderBy("user_id", "item_id")
+      .limit(2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val Array((u1, i1), (u2, i2)) = pairs
+    val b0 = Seq(InterRow(u1, i1), InterRow(999999L, 888888L))
+    val b1 = Seq(InterRow(u1, i1), InterRow(u2, i2))
+    val stream = MemoryStream[InterRow]
+    val q = AlsStreams.start(spark, TestSpark.sf, stream.toDF(), path, ckpt)
+    try {
+      stream.addData(b0: _*); q.processAllAvailable()
+      stream.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "old_f1", "old_f2", "new_f1", "new_f2", "l1_delta")
+      .collect().map(r => (0 until 6).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))
+      .sortBy(_.head)
+    // stream ≡ batch core, epoch by epoch
+    val e0 = rows(spark.read.parquet(s"$path/epoch=ingest-b0"))
+    val exp0 = rows(graft.operators.Rec.alsFoldInDelta(spark, TestSpark.sf,
+      b0.toDF()))
+    assert(e0.toSeq == exp0.toSeq, "epoch b0 diverges from the batch core")
+    val e1 = rows(spark.read.parquet(s"$path/epoch=ingest-b1"))
+    val exp1 = rows(graft.operators.Rec.alsFoldInDelta(spark, TestSpark.sf,
+      b1.toDF()))
+    assert(e1.toSeq == exp1.toSeq, "epoch b1 diverges from the batch core")
+    // the all-new-items user is PRESENT with NULL factors end-to-end
+    val nu = e0.find(_.head.contains(999999L)).get
+    assert(nu(3).isEmpty && nu(4).isEmpty && nu(5).isEmpty,
+      s"all-new-items user must carry NULL new factors: $nu")
+    // serving view: u1 was folded in by both batches — the later wins
+    val latest = AlsStreams.latestUserFactors(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(latest(u1) == 1L && latest(u2) == 1L && latest(999999L) == 0L)
+    // replayed batch is a no-op (epoch dir + hwm idempotence)
+    val dirsBefore = new java.io.File(path).listFiles.map(_.getName)
+      .filter(_.startsWith("epoch=")).toSet
+    AlsStreams.foldInBatch(spark, TestSpark.sf, path)(b0.toDF(), 0L)
+    val dirsAfter = new java.io.File(path).listFiles.map(_.getName)
+      .filter(_.startsWith("epoch=")).toSet
+    assert(dirsBefore == dirsAfter && dirsBefore == Set("epoch=ingest-b0", "epoch=ingest-b1"))
   }
 
   test("ingest hwm survives torn files and compaction (crash-recovery ledger)") {
