@@ -1,0 +1,76 @@
+package graft.functions
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.sources.OnnxModel
+
+/** [[QueryEncoder]] backed by a LOCAL ONNX model file — the real
+  * `model.encode(query)` replacement for the reference's
+  * sentence-transformer call (app.py:169-171), resolved like every
+  * encoder through `spark.graft.encoder.class` plus two paths:
+  *
+  *  - `spark.graft.encoder.onnx.path`  — serialized ONNX ModelProto
+  *  - `spark.graft.encoder.onnx.vocab` — token vocabulary, one token
+  *    per line; the line number IS the token id (the embedding-table
+  *    row the graph's Gather looks up)
+  *
+  * Tokenization is the corpus contract (lowercase `[a-z0-9_]+`,
+  * length ≥ 2 — TextRetrieval's sklearn-style tokenizer), so the
+  * query-side tokens line up with any vocabulary fitted from the
+  * corpus. Out-of-vocabulary tokens are dropped (the sklearn
+  * convention); a query with NO in-vocabulary tokens is a hard error
+  * — an all-OOV silent zero-vector would rank the corpus arbitrarily.
+  *
+  * The parsed graph and vocabulary memoize per (path, vocab) process-
+  * wide: encode() runs per query STRING on the driver, and re-parsing
+  * a multi-MB weight file per keystroke would dominate serving. No
+  * egress anywhere — both artifacts are local files, matching the
+  * zero-egress build (real MiniLM weights drop in the day they exist
+  * on disk, IF the exported graph stays inside [[OnnxModel]]'s
+  * feed-forward op subset; an attention-block export fails fast with
+  * the unsupported op's name).
+  */
+class OnnxQueryEncoder extends QueryEncoder {
+
+  private val conf = SparkSession.active.conf
+  private val modelPath = conf.getOption(OnnxQueryEncoder.PathKey).getOrElse(
+    throw new IllegalStateException(s"${OnnxQueryEncoder.PathKey} not set"))
+  private val vocabPath = conf.getOption(OnnxQueryEncoder.VocabKey).getOrElse(
+    throw new IllegalStateException(s"${OnnxQueryEncoder.VocabKey} not set"))
+
+  override def encode(text: String): Array[Float] = {
+    val (graph, inputName, vocab) = OnnxQueryEncoder.cached(modelPath, vocabPath)
+    val ids = OnnxQueryEncoder.tokenRe.findAllIn(text.toLowerCase)
+      .filter(_.length >= 2).flatMap(vocab.get).map(_.toFloat).toArray
+    require(ids.nonEmpty,
+      s"query has no in-vocabulary tokens for the ONNX encoder: '$text'")
+    OnnxModel.run(graph,
+      Map(inputName -> OnnxModel.Tensor(Array(ids.length), ids))).data
+  }
+}
+
+object OnnxQueryEncoder {
+  val PathKey = "spark.graft.encoder.onnx.path"
+  val VocabKey = "spark.graft.encoder.onnx.vocab"
+
+  private[functions] val tokenRe = "[a-z0-9_]+".r
+
+  // process-wide memo — encode() is a per-query driver call
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (OnnxModel.Graph, String, Map[String, Int])]()
+
+  private def cached(modelPath: String, vocabPath: String)
+      : (OnnxModel.Graph, String, Map[String, Int]) =
+    memo.computeIfAbsent((modelPath, vocabPath), { case (mp, vp) =>
+      val g = OnnxModel.load(mp)
+      // the graph's data input = the declared input that is NOT an
+      // initializer (exporters list weights under both on old opsets)
+      val inputName = g.inputNames.filterNot(g.initializers.contains)
+        .headOption.getOrElse(throw new IllegalArgumentException(
+          s"$mp: graph declares no data input"))
+      val vocab = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        Files.lines(Paths.get(vp)).iterator()).asScala
+        .zipWithIndex.map { case (tok, i) => tok.trim -> i }.toMap
+      (g, inputName, vocab)
+    })
+}

@@ -204,6 +204,78 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.encoder.class")
   }
 
+  test("ONNX encoder: a generated ModelProto file drives raw-text search through the seam") {
+    import graft.functions.{OnnxQueryEncoder, QueryEncoder}
+    import graft.operators.VectorSearch
+    import graft.sources.OnnxModel
+    val dim = 64
+    val vocab = Seq("kindle", "tablet", "battery", "paperwhite", "charger", "case")
+    // deterministic pseudo-random weights (hash-derived, no RNG state)
+    def w(tag: String, i: Int): Float = (((tag + ":" + i).hashCode % 1000) / 1000.0f)
+    val embTable = Array.tabulate(vocab.length * dim)(i => w("emb", i))
+    val dense = Array.tabulate(dim * dim)(i => if (i % (dim + 1) == 0) 1.0f else w("w", i) * 0.01f)
+    val bias = Array.tabulate(dim)(i => w("b", i) * 0.1f)
+    val tmp = Files.createTempDirectory("graft-onnx").toString
+    val modelPath = s"$tmp/encoder.onnx"
+    val vocabPath = s"$tmp/vocab.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(vocabPath),
+      vocab.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(modelPath),
+      OnnxProtoWriter.encoderModel(vocab.length, dim, embTable, dense, bias))
+
+    // 1. the interpreter reproduces a hand-computed forward pass
+    val g = OnnxModel.load(modelPath)
+    val ids = Array(0f, 2f) // kindle, battery
+    val got = OnnxModel.run(g, Map("ids" -> OnnxModel.Tensor(Array(2), ids))).data
+    val pooled = Array.tabulate(dim) { j =>
+      var s = 0.0f; ids.foreach(t => s += embTable(t.toInt * dim + j)); s / ids.length
+    }
+    val act = Array.tabulate(dim) { j =>
+      var s = 0.0f
+      for (p <- 0 until dim) s += pooled(p) * dense(p * dim + j)
+      math.tanh(s + bias(j)).toFloat
+    }
+    var ss = 0.0f; act.foreach(x => ss += x * x)
+    val exp = act.map(x => x / math.sqrt(ss).toFloat)
+    assert(got.length == dim && got.sameElements(exp),
+      "interpreter must replay the hand-computed pass bit-for-bit")
+
+    // 2. the seam: config-resolved ONNX encoder drives topKText
+    spark.conf.set("spark.graft.encoder.class", classOf[OnnxQueryEncoder].getName)
+    spark.conf.set(OnnxQueryEncoder.PathKey, modelPath)
+    spark.conf.set(OnnxQueryEncoder.VocabKey, vocabPath)
+    try {
+      val query = "kindle tablet battery"
+      val viaSeam = VectorSearch.topKText(spark, TestSpark.sf, query, k = 5)
+        .collect().map(_.toSeq).toSeq
+      val qv = QueryEncoder.required(spark).encode(query)
+      assert(qv.length == dim)
+      val direct = VectorSearch.topKVec(spark, TestSpark.sf, qv, k = 5)
+        .collect().map(_.toSeq).toSeq
+      assert(viaSeam == direct && viaSeam.nonEmpty,
+        "ONNX-encoded raw text must flow through topKText unchanged")
+      // OOV-only queries are a hard error, never a silent zero vector
+      val err = intercept[IllegalArgumentException] {
+        QueryEncoder.required(spark).encode("zz9xq qq8zx")
+      }
+      assert(err.getMessage.contains("no in-vocabulary tokens"))
+    } finally {
+      spark.conf.unset("spark.graft.encoder.class")
+      spark.conf.unset(OnnxQueryEncoder.PathKey)
+      spark.conf.unset(OnnxQueryEncoder.VocabKey)
+    }
+
+    // 3. ops outside the feed-forward subset fail fast, named
+    val badPath = s"$tmp/attention.onnx"
+    java.nio.file.Files.write(java.nio.file.Paths.get(badPath),
+      OnnxProtoWriter.unsupportedOpModel("LayerNormalization"))
+    val bad = OnnxModel.load(badPath)
+    val e2 = intercept[IllegalArgumentException] {
+      OnnxModel.run(bad, Map("ids" -> OnnxModel.Tensor(Array(1), Array(0f))))
+    }
+    assert(e2.getMessage.contains("LayerNormalization"))
+  }
+
   test("corpus-lexical encoder: learned lexicon drives raw-text search end-to-end") {
     import graft.functions.{CorpusLexicalEncoder, CorpusLexicalQueryEncoder}
     import graft.operators.VectorSearch
@@ -493,4 +565,119 @@ class SourcesSpec extends AnyFunSuite {
       assert(g.getSeq[Float](1) == o.getSeq[Float](1))
     }
   }
+}
+
+/** Test-side ONNX ModelProto writer — just enough protobuf wire format
+  * (public onnx.proto field numbers) to generate the tiny encoder
+  * graph the OnnxModel spec drives end-to-end: Gather(embedding) →
+  * ReduceMean pool → MatMul+Add+Tanh dense → L2 normalize.
+  */
+object OnnxProtoWriter {
+  import java.io.ByteArrayOutputStream
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  private def varint(out: ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    do {
+      val b = (v & 0x7f).toInt; v >>>= 7
+      out.write(if (v != 0) b | 0x80 else b)
+    } while (v != 0)
+  }
+  private def key(out: ByteArrayOutputStream, field: Int, wt: Int): Unit =
+    varint(out, (field.toLong << 3) | wt)
+  private def bytesField(out: ByteArrayOutputStream, field: Int, b: Array[Byte]): Unit = {
+    key(out, field, 2); varint(out, b.length); out.write(b)
+  }
+  private def strField(out: ByteArrayOutputStream, field: Int, s: String): Unit =
+    bytesField(out, field, s.getBytes("UTF-8"))
+  private def intField(out: ByteArrayOutputStream, field: Int, v: Long): Unit = {
+    key(out, field, 0); varint(out, v)
+  }
+  private def floatsLE(vs: Array[Float]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(bb.putFloat); bb.array()
+  }
+
+  /** TensorProto: dims as repeated varints, FLOAT dtype, payload via
+    * raw_data or packed float_data (both reader paths exercised).
+    */
+  private def tensor(name: String, dims: Seq[Long], data: Array[Float],
+                     useRaw: Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    dims.foreach(d => intField(out, 1, d))
+    intField(out, 2, 1L) // data_type FLOAT
+    if (useRaw) bytesField(out, 9, floatsLE(data))
+    else bytesField(out, 4, floatsLE(data)) // packed float_data
+    strField(out, 8, name)
+    out.toByteArray
+  }
+
+  private def attrInts(name: String, ints: Seq[Long]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    strField(out, 1, name)
+    ints.foreach(v => intField(out, 8, v))
+    intField(out, 20, 7L) // AttributeProto.Type INTS
+    out.toByteArray
+  }
+  private def attrInt(name: String, v: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    strField(out, 1, name); intField(out, 3, v); intField(out, 20, 2L)
+    out.toByteArray
+  }
+
+  private def node(op: String, ins: Seq[String], outs: Seq[String],
+                   attrs: Seq[Array[Byte]] = Seq.empty): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ins.foreach(strField(out, 1, _))
+    outs.foreach(strField(out, 2, _))
+    strField(out, 4, op)
+    attrs.foreach(bytesField(out, 5, _))
+    out.toByteArray
+  }
+
+  private def valueInfo(name: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    strField(out, 1, name)
+    out.toByteArray
+  }
+
+  private def model(nodes: Seq[Array[Byte]], inits: Seq[Array[Byte]],
+                    input: String, output: String): Array[Byte] = {
+    val g = new ByteArrayOutputStream()
+    nodes.foreach(bytesField(g, 1, _))
+    inits.foreach(bytesField(g, 5, _))
+    bytesField(g, 11, valueInfo(input))
+    bytesField(g, 12, valueInfo(output))
+    val m = new ByteArrayOutputStream()
+    intField(m, 1, 8L) // ir_version
+    bytesField(m, 7, g.toByteArray)
+    m.toByteArray
+  }
+
+  /** The spec's encoder: ids → Gather → mean-pool → dense+tanh → L2. */
+  def encoderModel(vocabSize: Int, dim: Int, embTable: Array[Float],
+                   dense: Array[Float], bias: Array[Float]): Array[Byte] =
+    model(
+      nodes = Seq(
+        node("Gather", Seq("emb_table", "ids"), Seq("tok_emb"), Seq(attrInt("axis", 0))),
+        node("ReduceMean", Seq("tok_emb"), Seq("pooled"),
+          Seq(attrInts("axes", Seq(0L)), attrInt("keepdims", 0))),
+        node("MatMul", Seq("pooled", "w"), Seq("h0")),
+        node("Add", Seq("h0", "b"), Seq("h1")),
+        node("Tanh", Seq("h1"), Seq("act")),
+        node("Mul", Seq("act", "act"), Seq("sq")),
+        node("ReduceSum", Seq("sq"), Seq("ss"),
+          Seq(attrInts("axes", Seq(0L)), attrInt("keepdims", 0))),
+        node("Sqrt", Seq("ss"), Seq("nrm")),
+        node("Div", Seq("act", "nrm"), Seq("vec"))),
+      inits = Seq(
+        tensor("emb_table", Seq(vocabSize, dim), embTable, useRaw = true),
+        tensor("w", Seq(dim, dim), dense, useRaw = true),
+        tensor("b", Seq(dim), bias, useRaw = false)),
+      input = "ids", output = "vec")
+
+  /** A graph whose single node carries an op outside the subset. */
+  def unsupportedOpModel(op: String): Array[Byte] =
+    model(nodes = Seq(node(op, Seq("ids"), Seq("vec"))),
+      inits = Seq.empty, input = "ids", output = "vec")
 }
