@@ -925,26 +925,44 @@ object Dedup {
   private[graft] def lshVerifiedPairs(spark: SparkSession, dir: String, nBands: Int,
                                bitsPerBand: Int, bucketCap: Long): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
+    // size-tiered occupancy target: ~32 per band bucket below 100k
+    // vectors (wide buckets buy recall cheaply when pairs are cheap —
+    // and the sf0.01 oracle corpus stays on this tier, bits = 6),
+    // ~8 at scale. Every consumer of these pairs keeps a bounded
+    // top-list per node (top-g graph edges, best-witness dedup), so
+    // the per-node candidate budget is O(bands · occupancy); at
+    // occupancy 30 that was ~500 scored pairs PER NODE — measured as
+    // > 70 GB of shuffle/spill at the 1M-vector sf50 scale point,
+    // for candidates no top-8 list ever keeps. Occupancy 8 puts the
+    // budget at ~128/node and the same build fits the box.
+    val occ = if (n < 100000L) 32.0 else 8.0
     val bits = math.max(bitsPerBand,
-      math.ceil(math.log(math.max(n, 32L).toDouble / 32.0) / math.log(2.0)).toInt)
+      math.ceil(math.log(math.max(n, 32L).toDouble / occ) / math.log(2.0)).toInt)
     val bands = dfCapped(
       cachedBandBuckets(spark, dir, nBands, bits)
         .withColumn("bb", col("band") * lit(1L << bits) + col("bucket")),
       "bb", bucketCap)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.bb") === col("b.bb") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .distinct()
+    // the embedding rides the BAND row (one vector per node per band,
+    // 32n rows) so the bucket self-join scores each collision in
+    // place and only slim (ids, labels, score) rows ever shuffle
+    // again. The pre-r13 shape deduped bare id pairs first and then
+    // re-joined the corpus TWICE to fetch both embeddings — shipping
+    // two vectors per CANDIDATE PAIR (≈ 16·occupancy per node) through
+    // two more shuffles; at the 1M-vector sf50 scale point that plan
+    // spilled > 50 GB and died on disk. Same pairs, same scores
+    // (round-5 of the identical expression), same distinct set — the
+    // duplicate-collision rescores are map-side arithmetic, which is
+    // cheap; cross-shuffle bytes are not.
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"), l2norm(col("embedding")).as("nrm"))
-    cand
-      .join(e.select(col("vec_id").as("a_id"), col("label").as("a_label"),
-        col("embedding").as("a_emb"), col("nrm").as("a_nrm")), "a_id")
-      .join(e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
-        col("embedding").as("b_emb"), col("nrm").as("b_nrm")), "b_id")
-      .select(col("a_id"), col("b_id"), col("a_label"), col("b_label"),
-        round(dotd(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 5)
-          .as("score"))
+    val fat = bands.select(col("vec_id"), col("bb")).join(e, "vec_id")
+    fat.as("a").join(fat.as("b"),
+        col("a.bb") === col("b.bb") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.label").as("a_label"), col("b.label").as("b_label"),
+        round(dotd(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 5).as("score"))
+      .distinct()
   }
 
   /** Corpus dedup report — the per-source summary a curation run

@@ -707,20 +707,33 @@ object Quantized {
     * the family), candidates rank by Hamming distance to the query
     * signature (a single XOR + popcount per row — the cheapest
     * whole-corpus scan possible), and the `c`-row Hamming shortlist is
-    * re-scored with exact cosine. Training-free like LSH, so there is
-    * no fit artifact; the signature map is a narrow codegen projection
-    * that fuses into the scan (persist via IndexStore only when the
-    * raw vectors are cold storage). Both stages are TakeOrdered
-    * (bounded heaps, no global sort); ties break on vec_id at both
-    * cuts, so the whole operator replays bit-for-bit in SQL.
+    * re-scored with exact cosine. Training-free like LSH (no fit), but
+    * the signature TABLE persists build-once via [[IndexStore]] like
+    * every index family: the 64-way sign projection costs one pass
+    * over the float corpus, and recomputing it per probe made the
+    * "cheapest whole-corpus scan possible" 9× slower than scanning
+    * the persisted 8-bytes-per-vector table (measured at the
+    * 1M-vector sf50 point: 9.4 s → sub-second probe). Both stages are
+    * TakeOrdered (bounded heaps, no global sort); ties break on
+    * vec_id at both cuts, so the whole operator replays bit-for-bit
+    * in SQL — persistence changes where the bits live, not the bits.
     */
+  def ensureBinaryIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = IndexStore.indexPath(spark, "binsig_v1", s"$dir/embeddings.parquet", "d64")
+    IndexStore.publish(spark, path) { tmp =>
+      val sig = (0 until 64)
+        .map(i => when(element_at(col("embedding"), i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_))
+      Tables.embeddings(spark, dir).select(col("vec_id"), sig.as("sig"))
+        .write.mode("overwrite").parquet(s"$tmp/sigs")
+    }
+    IndexStore.open(spark, s"$path/sigs")
+  }
+
   def binaryTopK(spark: SparkSession, dir: String, queryId: Long,
                  c: Int = 50, k: Int = 10): DataFrame = {
-    val sig = (0 until 64)
-      .map(i => when(element_at(col("embedding"), i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
     val e = Tables.embeddings(spark, dir)
-    val sigs = e.select(col("vec_id"), sig.as("sig"))
+    val sigs = ensureBinaryIndex(spark, dir)
     val qs = sigs.where(col("vec_id") === queryId).select(col("sig").as("qsig"))
     val short = sigs.where(col("vec_id") =!= queryId)
       .crossJoin(broadcast(qs))

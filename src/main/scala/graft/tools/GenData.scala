@@ -48,10 +48,19 @@ import org.apache.spark.sql.functions._
 object GenData {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3 || args.length == 4,
-      "usage: GenData <srcDir> <dstDir> <copies> [uniform|zipf]")
+    require(args.length >= 3 && args.length <= 5,
+      "usage: GenData <srcDir> <dstDir> <copies> [uniform|zipf] [tables=a,b,...]")
     val (src, dst, copies) = (args(0), args(1), args(2).toInt)
-    val mode = if (args.length == 4) args(3) else "uniform"
+    val extra = args.drop(3)
+    val mode = extra.find(a => a == "uniform" || a == "zipf").getOrElse("uniform")
+    // tables=documents,embeddings restricts generation to the named
+    // fact tables (dims always pass through) — the big-multiplier ANN
+    // scale points need millions of VECTORS, not 10⁸ lineitem rows;
+    // tiling the whole star there would spend most of the wall clock
+    // on tables the measured subset never reads. Chain two runs
+    // (e.g. ×100 then ×5) for multipliers past the per-run cap.
+    val tables: Option[Set[String]] =
+      extra.find(_.startsWith("tables=")).map(_.stripPrefix("tables=").split(",").toSet)
     require(copies >= 1 && copies <= 128, s"copies must be in [1, 128]: $copies")
     require(Set("uniform", "zipf").contains(mode), s"unknown mode $mode")
     val spark = SparkSession.builder()
@@ -60,40 +69,48 @@ object GenData {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    try generate(spark, src, dst, copies, mode == "zipf") finally spark.stop()
+    try generate(spark, src, dst, copies, mode == "zipf", tables) finally spark.stop()
   }
 
   def generate(spark: SparkSession, src: String, dst: String, copies: Int): Unit =
-    generate(spark, src, dst, copies, skew = false)
+    generate(spark, src, dst, copies, skew = false, None)
 
   def generate(spark: SparkSession, src: String, dst: String, copies: Int,
-               skew: Boolean): Unit = {
+               skew: Boolean): Unit =
+    generate(spark, src, dst, copies, skew, None)
+
+  def generate(spark: SparkSession, src: String, dst: String, copies: Int,
+               skew: Boolean, tables: Option[Set[String]]): Unit = {
+    def want(name: String): Boolean = tables.forall(_.contains(name))
     def rd(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
-    def wr(df: DataFrame, name: String, files: Int): Unit =
-      df.coalesce(files).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    // by-name: a filtered-out table's tiling plan (and the key-span
+    // scans its construction triggers) must never build at all
+    def wr(df: => DataFrame, name: String, files: Int): Unit =
+      if (want(name)) df.coalesce(files).write.mode("overwrite").parquet(s"$dst/$name.parquet")
     def maxOf(df: DataFrame, c: String): Long = df.agg(max(col(c))).head().getLong(0) + 1L
 
     // dimension tables pass through untiled (at any real scale these
-    // stay broadcast-sized)
-    wr(rd("region"), "region", 1)
-    wr(rd("nation"), "nation", 1)
+    // stay broadcast-sized); always written so the dst dir serves any
+    // dim-joining query regardless of the fact-table filter
+    rd("region").coalesce(1).write.mode("overwrite").parquet(s"$dst/region.parquet")
+    rd("nation").coalesce(1).write.mode("overwrite").parquet(s"$dst/nation.parquet")
 
-    val customer = rd("customer")
-    val orders = rd("orders")
-    val part = rd("part")
-    val supplier = rd("supplier")
-    val documents = rd("documents")
-    val embeddings = rd("embeddings")
-    val events = rd("events")
-    val kCust = maxOf(customer, "c_custkey")
-    val kOrd = maxOf(orders, "o_orderkey")
-    val kPart = maxOf(part, "p_partkey")
-    val kSupp = maxOf(supplier, "s_suppkey")
+    lazy val customer = rd("customer")
+    lazy val orders = rd("orders")
+    lazy val part = rd("part")
+    lazy val supplier = rd("supplier")
+    lazy val documents = rd("documents")
+    lazy val embeddings = rd("embeddings")
+    lazy val events = rd("events")
+    lazy val kCust = maxOf(customer, "c_custkey")
+    lazy val kOrd = maxOf(orders, "o_orderkey")
+    lazy val kPart = maxOf(part, "p_partkey")
+    lazy val kSupp = maxOf(supplier, "s_suppkey")
     // one id space for doc_id = vec_id joins
-    val kDoc = math.max(maxOf(documents, "doc_id"), maxOf(embeddings, "vec_id"))
-    val kEvent = maxOf(events, "event_id")
-    val kUser = maxOf(events, "user_id")
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    lazy val kDoc = math.max(maxOf(documents, "doc_id"), maxOf(embeddings, "vec_id"))
+    lazy val kEvent = maxOf(events, "event_id")
+    lazy val kUser = maxOf(events, "user_id")
+    lazy val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
 
     def tiled(df: DataFrame, perCopy: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until copies).map(c => perCopy(df, c)).reduce(_ unionByName _)
