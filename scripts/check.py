@@ -16,6 +16,11 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 # empty and only a judge re-run reconstructed the signal.
 report_path = sys.argv[3] if len(sys.argv) > 3 else None
 report = {}
+# Streamed per-verdict evidence: every rec() appends one JSONL line
+# immediately (flushed), so a checker run cut off mid-way still leaves
+# per-query verdicts — the r12/r13 empty-driver-artifact lesson.
+stream_path = (report_path + ".jsonl") if report_path else f"{outdir}/check_verdicts.jsonl"
+stream = open(stream_path, "w")
 con = duckdb.connect()
 for t in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(t).replace(".parquet", "")
@@ -27,6 +32,8 @@ def rec(name, rows_match, schema_match, hash_match, spark_rows, oracle_rows, err
     report[name] = {"rows_match": rows_match, "schema_match": schema_match,
                     "hash_match": hash_match, "spark_rows": spark_rows,
                     "oracle_rows": oracle_rows, "err": err}
+    stream.write(json.dumps({"query": name, **report[name]}) + "\n")
+    stream.flush()
 
 for name in sorted(oracle):
     sql = oracle[name]

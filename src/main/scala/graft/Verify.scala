@@ -1,8 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Partial-run durability: oracle_sql.json is written BEFORE the query
+  * loop, and each query appends one status line to verify_status.jsonl
+  * as it completes — a run cut off mid-way (OOM, wall-clock, host
+  * kill) still leaves per-query evidence the checker can replay over
+  * the parquet dumps that DID land, instead of an empty artifact.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -27,9 +34,35 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // oracle SQL FIRST: a partial run's dumps are checkable without it
+    val json = SparkEntry.oracleSql
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val statusPath = Paths.get(s"$outDir/verify_status.jsonl")
+    Files.deleteIfExists(statusPath)
+    def status(name: String, okFlag: Boolean, ms: Long, err: String): Unit = {
+      val line = s"""{"query": ${q(name)}, "ok": $okFlag, "ms": $ms""" +
+        (if (err == null) "}" else s""", "err": ${q(err)}}""") + "\n"
+      Files.writeString(statusPath, line,
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
     SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1))).foreach { case (name, fn) =>
       spark.catalog.clearCache()
       System.err.println(s"[verify] running $name")
+      val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
         // signed-zero normalization (the r11 vocab_heaps class): IEEE
@@ -47,26 +80,13 @@ object Verify {
           }
         }.toIndexedSeq: _*)
         normed.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        status(name, okFlag = true, (System.nanoTime() - t0) / 1000000L, null)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        status(name, okFlag = false, (System.nanoTime() - t0) / 1000000L,
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .filter(kv => only.forall(_.contains(kv._1)))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

@@ -40,7 +40,8 @@ class OnnxQueryEncoder extends QueryEncoder {
 
   override def encode(text: String): Array[Float] = {
     val (graph, inputName, vocab) = OnnxQueryEncoder.cached(modelPath, vocabPath)
-    val ids = OnnxQueryEncoder.tokenRe.findAllIn(text.toLowerCase)
+    val ids = OnnxQueryEncoder.tokenRe
+      .findAllIn(text.toLowerCase(java.util.Locale.ROOT))
       .filter(_.length >= 2).flatMap(vocab.get).map(_.toFloat).toArray
     require(ids.nonEmpty,
       s"query has no in-vocabulary tokens for the ONNX encoder: '$text'")
@@ -68,8 +69,8 @@ object OnnxQueryEncoder {
       val inputName = g.inputNames.filterNot(g.initializers.contains)
         .headOption.getOrElse(throw new IllegalArgumentException(
           s"$mp: graph declares no data input"))
-      val vocab = scala.jdk.CollectionConverters.IteratorHasAsScala(
-        Files.lines(Paths.get(vp)).iterator()).asScala
+      val vocab = scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(Paths.get(vp))).asScala
         .zipWithIndex.map { case (tok, i) => tok.trim -> i }.toMap
       (g, inputName, vocab)
     })

@@ -497,6 +497,17 @@ object Dedup {
     * with exact Jaccard; reports both the minhash estimate and the
     * exact value. The exact-jaccard pass only touches candidate pairs'
     * shingles (candidate-first join), never the full shingle self-join.
+    *
+    * RECALL BOUND (`bucketCap`): a (band, bucket) key holding more
+    * than `bucketCap` docs is dropped whole before the pair join (see
+    * [[minhashCandEst]]). A NEAR-duplicate cluster larger than the cap
+    * that floods EVERY one of its band buckets therefore contributes
+    * no pairs at all — only exact duplicates in it are recoverable by
+    * [[exact]] hash dedup. The recall each cap trades is measured, not
+    * assumed ([[minhashCapSweep]] prices caps against exact-Jaccard
+    * truth); dropped hot buckets are logged per run so flood-heavy
+    * corpora are visible at run time, and `bucketCap = Long.MaxValue`
+    * disables the gate entirely.
     */
   def minhashLsh(spark: SparkSession, dir: String, n: Int = 5, k: Int = 16,
                  rowsPerBand: Int = 2, threshold: Double = 0.8,
@@ -552,10 +563,22 @@ object Dedup {
         array((0 until k).map(i => col(s"mh$i")): _*).as("sig"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    // hot set (occupancy > cap) is tiny by construction → broadcast
-    val hot = bands0.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("df")).where(col("df") > bucketCap)
-      .select(col("band"), col("bv"))
+    // hot set (occupancy > cap) is tiny by construction → broadcast.
+    // ScratchCache it so the eager count below and the left_anti join
+    // share ONE aggregation pass; the count is the caller's runtime
+    // signal that the bucketCap recall bound is live on THIS corpus
+    // (see minhashLsh's scaladoc).
+    val hot = graft.sources.ScratchCache.materialize(
+      bands0.groupBy(col("band"), col("bv"))
+        .agg(count(lit(1)).as("df")).where(col("df") > bucketCap)
+        .select(col("band"), col("bv")))
+    if (bucketCap != Long.MaxValue) {
+      val nHot = hot.count()
+      if (nHot > 0) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"minhashLsh: dropped $nHot band buckets over occupancy cap $bucketCap " +
+          s"(near-dup clusters flooding all their buckets lose recall; " +
+          s"see minhashCapSweep to price the cap)")
+    }
     val bands = bands0.join(broadcast(hot), Seq("band", "bv"), "left_anti")
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

@@ -109,6 +109,8 @@ object OnnxModel {
         case (2, 0) => dataType = r.varint()
         case (4, 2) => floats = packedFloats(r).toArray            // float_data
         case (4, 5) => floats :+= java.lang.Float.intBitsToFloat(r.fixed32())
+        case (5, 2) => floats = packedLongs(r).map(v => v.toInt.toFloat).toArray // int32_data
+        case (5, 0) => floats :+= r.varint().toInt.toFloat
         case (7, 2) => floats = packedLongs(r).map(_.toFloat).toArray // int64_data
         case (7, 0) => floats :+= r.varint().toFloat
         case (8, 2) => name = readString(r)

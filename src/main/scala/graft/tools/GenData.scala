@@ -82,6 +82,19 @@ object GenData {
   def generate(spark: SparkSession, src: String, dst: String, copies: Int,
                skew: Boolean, tables: Option[Set[String]]): Unit = {
     def want(name: String): Boolean = tables.forall(_.contains(name))
+    // a tables= filter must not leave stale fact tables from a PRIOR
+    // run sitting in dst — a later reader would silently mix scales.
+    // Refuse rather than delete: the caller decides what dies.
+    val factTables = Seq("customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings", "events")
+    if (tables.isDefined) {
+      val stale = factTables.filterNot(want).filter(n =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/$n.parquet")))
+      require(stale.isEmpty,
+        s"dst $dst already holds fact tables outside the tables= filter " +
+          s"(${stale.mkString(", ")}) — a mixed-scale dir would silently " +
+          s"corrupt benchmarks; delete them or widen the filter")
+    }
     def rd(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     // by-name: a filtered-out table's tiling plan (and the key-span
     // scans its construction triggers) must never build at all
@@ -106,8 +119,18 @@ object GenData {
     lazy val kOrd = maxOf(orders, "o_orderkey")
     lazy val kPart = maxOf(part, "p_partkey")
     lazy val kSupp = maxOf(supplier, "s_suppkey")
-    // one id space for doc_id = vec_id joins
-    lazy val kDoc = math.max(maxOf(documents, "doc_id"), maxOf(embeddings, "vec_id"))
+    // one id space for doc_id = vec_id joins. Only scan the tables the
+    // run actually tiles: a CHAINED run (tables=embeddings over a dst
+    // dir from a prior tables=embeddings run) has no documents.parquet
+    // to read, and forcing one would break exactly the big-multiplier
+    // chains the tables= filter exists for. When both are tiled they
+    // share the max; when one is filtered out its absent twin cannot
+    // create id collisions in this dst anyway.
+    lazy val kDoc = (want("documents"), want("embeddings")) match {
+      case (true, true)  => math.max(maxOf(documents, "doc_id"), maxOf(embeddings, "vec_id"))
+      case (true, false) => maxOf(documents, "doc_id")
+      case _             => maxOf(embeddings, "vec_id")
+    }
     lazy val kEvent = maxOf(events, "event_id")
     lazy val kUser = maxOf(events, "user_id")
     lazy val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
