@@ -39,14 +39,23 @@ class OnnxQueryEncoder extends QueryEncoder {
     throw new IllegalStateException(s"${OnnxQueryEncoder.VocabKey} not set"))
 
   override def encode(text: String): Array[Float] = {
-    val (graph, inputName, vocab) = OnnxQueryEncoder.cached(modelPath, vocabPath)
+    val (graph, inputName, auxInputs, vocab) =
+      OnnxQueryEncoder.cached(modelPath, vocabPath)
     val ids = OnnxQueryEncoder.tokenRe
       .findAllIn(text.toLowerCase(java.util.Locale.ROOT))
       .filter(_.length >= 2).flatMap(vocab.get).map(_.toFloat).toArray
     require(ids.nonEmpty,
       s"query has no in-vocabulary tokens for the ONNX encoder: '$text'")
+    // transformer exports declare companion inputs beside the token
+    // ids: attention_mask (all-ones for a single unpadded query) and
+    // token_type_ids (all-zeros, single segment). Feed them by the
+    // exporters' conventional names, same length as the ids.
+    val aux = auxInputs.map { n =>
+      val fill = if (n.toLowerCase(java.util.Locale.ROOT).contains("mask")) 1.0f else 0.0f
+      n -> OnnxModel.Tensor(Array(ids.length), Array.fill(ids.length)(fill))
+    }.toMap
     OnnxModel.run(graph,
-      Map(inputName -> OnnxModel.Tensor(Array(ids.length), ids))).data
+      aux + (inputName -> OnnxModel.Tensor(Array(ids.length), ids))).data
   }
 }
 
@@ -58,20 +67,28 @@ object OnnxQueryEncoder {
 
   // process-wide memo — encode() is a per-query driver call
   private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), (OnnxModel.Graph, String, Map[String, Int])]()
+    (String, String), (OnnxModel.Graph, String, Seq[String], Map[String, Int])]()
 
   private def cached(modelPath: String, vocabPath: String)
-      : (OnnxModel.Graph, String, Map[String, Int]) =
+      : (OnnxModel.Graph, String, Seq[String], Map[String, Int]) =
     memo.computeIfAbsent((modelPath, vocabPath), { case (mp, vp) =>
       val g = OnnxModel.load(mp)
-      // the graph's data input = the declared input that is NOT an
-      // initializer (exporters list weights under both on old opsets)
-      val inputName = g.inputNames.filterNot(g.initializers.contains)
+      // data inputs = declared inputs that are NOT initializers
+      // (exporters list weights under both on old opsets). The token
+      // ids input is the one that is not a conventional companion
+      // (attention_mask / token_type_ids); companions are auto-fed.
+      val dataInputs = g.inputNames.filterNot(g.initializers.contains)
+      def isAux(n: String): Boolean = {
+        val l = n.toLowerCase(java.util.Locale.ROOT)
+        l.contains("mask") || l.contains("token_type") || l.contains("segment")
+      }
+      val inputName = dataInputs.filterNot(isAux)
         .headOption.getOrElse(throw new IllegalArgumentException(
-          s"$mp: graph declares no data input"))
+          s"$mp: graph declares no token-ids data input (inputs: ${dataInputs.mkString(", ")})"))
+      val auxInputs = dataInputs.filter(isAux)
       val vocab = scala.jdk.CollectionConverters.ListHasAsScala(
         Files.readAllLines(Paths.get(vp))).asScala
         .zipWithIndex.map { case (tok, i) => tok.trim -> i }.toMap
-      (g, inputName, vocab)
+      (g, inputName, auxInputs, vocab)
     })
 }

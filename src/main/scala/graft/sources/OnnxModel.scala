@@ -15,14 +15,22 @@ import java.nio.file.{Files, Paths}
   *    exported encoder graph uses (field numbers follow the public
   *    onnx.proto; unknown fields are skipped by wire type, so models
   *    carrying metadata/opset/docstrings parse fine);
-  *  - a float-tensor INTERPRETER for the feed-forward op subset
-  *    (Gather, MatMul incl. batched, Add/Sub/Mul/Div with numpy
-  *    broadcasting, Sqrt/Tanh/Relu/Sigmoid/Erf, ReduceMean/ReduceSum,
-  *    Softmax, Transpose, Reshape, Constant, Identity) — enough for
-  *    embedding-lookup → pooling → dense/activation → normalization
-  *    encoders. Attention-block exports needing ops outside the
-  *    subset fail FAST with the op name (the honest boundary; wiring
-  *    a full runtime stays a one-class swap behind the seam).
+  *  - a float-tensor INTERPRETER covering feed-forward AND
+  *    attention-block encoder exports: Gather, MatMul (N-D batched
+  *    with broadcast batch dims — the [heads, seq, dk] and
+  *    [batch, heads, seq, dk] shapes a transformer export emits),
+  *    Add/Sub/Mul/Div/Pow/Equal/Greater/Less/Where with numpy
+  *    broadcasting, Sqrt/Tanh/Relu/Sigmoid/Erf/Neg/Gelu,
+  *    ReduceMean/ReduceSum/ReduceMax, fused LayerNormalization,
+  *    Softmax, Transpose, Reshape, Shape, Slice (attr- and
+  *    input-style), Concat, Split (multi-output), Unsqueeze/Squeeze,
+  *    Cast, Expand, ConstantOfShape, Constant, Identity — the op set
+  *    a MiniLM-class 1-block self-attention export needs
+  *    (embedding + position lookup → LayerNorm → multi-head
+  *    QK^T/√dk softmax V → residual/FFN → pooling → L2). Ops outside
+  *    the subset still fail FAST with the op name (the honest
+  *    boundary; wiring a full runtime stays a one-class swap behind
+  *    the seam).
   *
   * Everything is Array[Float] — int64 inputs (token ids) and shape
   * tensors ride the same representation, exact for |v| < 2^24, far
@@ -298,26 +306,55 @@ object OnnxModel {
         i += 1
       }
       Tensor(Array(n, m), out)
-    case (3, 3) =>
-      val Array(bn, n, k) = a.shape; val Array(bn2, k2, m) = b.shape
-      require(bn == bn2 && k == k2, s"batched matmul shape mismatch")
-      val out = new Array[Float](bn * n * m)
-      for (bb <- 0 until bn; i <- 0 until n; j <- 0 until m) {
-        var s = 0.0f; var p = 0
-        while (p < k) { s += a.data((bb * n + i) * k + p) * b.data((bb * k + p) * m + j); p += 1 }
-        out((bb * n + i) * m + j) = s
+    case (x, y) if x >= 2 && y >= 2 =>
+      // generic N-D batched matmul with numpy broadcast over the
+      // leading (batch) dims — the [heads, seq, dk] / [batch, heads,
+      // seq, dk] shapes attention exports emit
+      val (n, k) = (a.shape(x - 2), a.shape(x - 1))
+      val (k2, m) = (b.shape(y - 2), b.shape(y - 1))
+      require(k == k2, s"matmul ${a.shape.mkString("x")} vs ${b.shape.mkString("x")}")
+      val batch = broadcastShape(a.shape.dropRight(2), b.shape.dropRight(2))
+      val nb = batch.length
+      val ba = Array.fill(nb - (x - 2))(1) ++ a.shape.dropRight(2)
+      val bbS = Array.fill(nb - (y - 2))(1) ++ b.shape.dropRight(2)
+      val (stBatch, stA, stB) = (strides(batch), strides(ba), strides(bbS))
+      val nBatch = batch.product
+      val out = new Array[Float](nBatch * n * m)
+      var bi = 0
+      while (bi < nBatch) {
+        // map the flat batch index to each side's (broadcast) offset
+        var rem = bi; var offA = 0; var offB = 0; var d = 0
+        while (d < nb) {
+          val idx = rem / stBatch(d); rem %= stBatch(d)
+          offA += (if (ba(d) == 1) 0 else idx) * stA(d)
+          offB += (if (bbS(d) == 1) 0 else idx) * stB(d)
+          d += 1
+        }
+        val aBase = offA * n * k; val bBase = offB * k * m; val oBase = bi * n * m
+        var i = 0
+        while (i < n) {
+          var j = 0
+          while (j < m) {
+            var s = 0.0f; var p = 0
+            while (p < k) { s += a.data(aBase + i * k + p) * b.data(bBase + p * m + j); p += 1 }
+            out(oBase + i * m + j) = s; j += 1
+          }
+          i += 1
+        }
+        bi += 1
       }
-      Tensor(Array(bn, n, m), out)
+      Tensor(batch ++ Array(n, m), out)
     case (x, y) => throw new IllegalArgumentException(s"matmul rank $x × rank $y unsupported")
   }
 
   private def reduce(a: Tensor, axes0: Seq[Int], keepdims: Boolean,
-                     mean: Boolean): Tensor = {
+                     kind: String): Tensor = {
     val n = a.shape.length
     val axes = (if (axes0.isEmpty) a.shape.indices else axes0.map(x => if (x < 0) x + n else x)).toSet
     val outShape0 = a.shape.zipWithIndex.map { case (s, i) => if (axes(i)) 1 else s }
     val st = strides(a.shape); val sto = strides(outShape0)
-    val out = new Array[Float](outShape0.product)
+    val isMax = kind == "max"
+    val out = Array.fill(outShape0.product)(if (isMax) Float.NegativeInfinity else 0.0f)
     var i = 0
     while (i < a.data.length) {
       var rem = i; var oi = 0; var d = 0
@@ -326,10 +363,10 @@ object OnnxModel {
         oi += (if (axes(d)) 0 else idx) * sto(d)
         d += 1
       }
-      out(oi) += a.data(i)
+      if (isMax) out(oi) = math.max(out(oi), a.data(i)) else out(oi) += a.data(i)
       i += 1
     }
-    if (mean) {
+    if (kind == "mean") {
       val cnt = axes.toSeq.map(a.shape(_)).product
       var j = 0; while (j < out.length) { out(j) /= cnt; j += 1 }
     }
@@ -347,6 +384,120 @@ object OnnxModel {
     (if (x >= 0) y else -y).toFloat
   }
 
+  /** ONNX Slice: per-axis [start, end) windows with clamping and
+    * negative-index wrap; starts/ends/axes read from inputs (opset 10+)
+    * or attrs (opset 1). Steps other than 1 are outside the subset.
+    */
+  private def slice(a: Tensor, starts: Seq[Long], ends: Seq[Long],
+                    axes0: Seq[Long], steps: Seq[Long]): Tensor = {
+    require(steps.forall(_ == 1L), s"Slice steps ${steps.mkString(",")} unsupported (1 only)")
+    val n = a.shape.length
+    val axes = if (axes0.isEmpty) starts.indices.map(_.toLong) else axes0
+    val lo = a.shape.clone().map(_ => 0)
+    val hi = a.shape.clone()
+    axes.zipWithIndex.foreach { case (ax0, i) =>
+      val ax = (if (ax0 < 0) ax0 + n else ax0).toInt
+      val dim = a.shape(ax)
+      def norm(v: Long): Int =
+        math.max(0L, math.min(dim.toLong, if (v < 0) v + dim else v)).toInt
+      lo(ax) = norm(starts(i)); hi(ax) = norm(ends(i))
+      require(hi(ax) >= lo(ax), s"Slice empty-negative window on axis $ax")
+    }
+    val outShape = a.shape.indices.map(d => hi(d) - lo(d)).toArray
+    val st = strides(a.shape); val sto = strides(outShape)
+    val out = new Array[Float](outShape.product)
+    var i = 0
+    while (i < out.length) {
+      var rem = i; var src = 0; var d = 0
+      while (d < n) {
+        val idx = rem / sto(d); rem %= sto(d)
+        src += (idx + lo(d)) * st(d); d += 1
+      }
+      out(i) = a.data(src); i += 1
+    }
+    Tensor(outShape, out)
+  }
+
+  private def concat(ts: Seq[Tensor], axis0: Int): Tensor = {
+    val n = ts.head.shape.length
+    val axis = if (axis0 < 0) axis0 + n else axis0
+    ts.foreach(t => require(t.shape.length == n &&
+      t.shape.indices.forall(d => d == axis || t.shape(d) == ts.head.shape(d)),
+      s"Concat shape mismatch ${ts.map(_.shape.mkString("x")).mkString(" | ")}"))
+    val outShape = ts.head.shape.clone()
+    outShape(axis) = ts.map(_.shape(axis)).sum
+    val outer = ts.head.shape.take(axis).product
+    val inner = ts.head.shape.drop(axis + 1).product
+    val out = new Array[Float](outShape.product)
+    var pos = 0
+    var o = 0
+    while (o < outer) {
+      ts.foreach { t =>
+        val len = t.shape(axis) * inner
+        System.arraycopy(t.data, o * len, out, pos, len)
+        pos += len
+      }
+      o += 1
+    }
+    Tensor(outShape, out)
+  }
+
+  /** numpy-broadcast ternary select (the Where op). */
+  private def where3(c: Tensor, x: Tensor, y: Tensor): Tensor = {
+    val outShape = broadcastShape(broadcastShape(c.shape, x.shape), y.shape)
+    val n = outShape.length
+    def pad(s: Array[Int]) = Array.fill(n - s.length)(1) ++ s
+    val (sc, sx, sy) = (pad(c.shape), pad(x.shape), pad(y.shape))
+    val (stc, stx, sty, sto) = (strides(sc), strides(sx), strides(sy), strides(outShape))
+    val out = new Array[Float](outShape.product)
+    var i = 0
+    while (i < out.length) {
+      var rem = i; var ic = 0; var ix = 0; var iy = 0; var d = 0
+      while (d < n) {
+        val idx = rem / sto(d); rem %= sto(d)
+        ic += (if (sc(d) == 1) 0 else idx) * stc(d)
+        ix += (if (sx(d) == 1) 0 else idx) * stx(d)
+        iy += (if (sy(d) == 1) 0 else idx) * sty(d)
+        d += 1
+      }
+      out(i) = if (c.data(ic) != 0.0f) x.data(ix) else y.data(iy)
+      i += 1
+    }
+    Tensor(outShape, out)
+  }
+
+  /** Fused LayerNormalization (opset 17): normalize over the trailing
+    * axes from `axis`, then scale (+ optional bias). Biased variance,
+    * f32 accumulation in index order.
+    */
+  private def layerNorm(x: Tensor, scale: Tensor, bias: Option[Tensor],
+                        axis0: Int, eps: Float): Tensor = {
+    val n = x.shape.length
+    val axis = if (axis0 < 0) axis0 + n else axis0
+    val inner = x.shape.drop(axis).product
+    val outer = x.size / inner
+    val out = new Array[Float](x.size)
+    var o = 0
+    while (o < outer) {
+      val base = o * inner
+      var mean = 0.0f; var j = 0
+      while (j < inner) { mean += x.data(base + j); j += 1 }
+      mean /= inner
+      var varAcc = 0.0f; j = 0
+      while (j < inner) { val d = x.data(base + j) - mean; varAcc += d * d; j += 1 }
+      varAcc /= inner
+      val inv = (1.0 / math.sqrt((varAcc + eps).toDouble)).toFloat
+      j = 0
+      while (j < inner) {
+        val v = (x.data(base + j) - mean) * inv * scale.data(j % scale.size)
+        out(base + j) = bias.map(b => v + b.data(j % b.size)).getOrElse(v)
+        j += 1
+      }
+      o += 1
+    }
+    Tensor(x.shape, out)
+  }
+
   /** Execute the graph on named input tensors; returns the first graph
     * output. Nodes evaluate in file order (valid for exporter
     * topological order); unsupported ops fail with their name.
@@ -358,11 +509,16 @@ object OnnxModel {
     def in(node: Node, i: Int): Tensor =
       env.getOrElse(node.inputs(i), throw new IllegalArgumentException(
         s"${node.opType}: missing input '${node.inputs(i)}'"))
+    // axes for the Squeeze/Unsqueeze/Reduce families: second input
+    // (opset 13+) or the `axes` ints attr (older exports)
+    def axesOf(node: Node): Seq[Int] =
+      if (node.inputs.length > 1) in(node, 1).data.map(_.toInt).toSeq
+      else node.attrs.get("axes").map(_.ints.map(_.toInt)).getOrElse(Seq.empty)
     g.nodes.foreach { node =>
-      val out: Tensor = node.opType match {
-        case "Identity" => in(node, 0)
-        case "Constant" => node.attrs.get("value").flatMap(_.t).getOrElse(
-          throw new IllegalArgumentException("Constant without tensor value"))
+      val outs: Seq[Tensor] = node.opType match {
+        case "Identity" => Seq(in(node, 0))
+        case "Constant" => Seq(node.attrs.get("value").flatMap(_.t).getOrElse(
+          throw new IllegalArgumentException("Constant without tensor value")))
         case "Gather" =>
           val data = in(node, 0); val idx = in(node, 1)
           val axis = node.attrs.get("axis").flatMap(_.i).getOrElse(0L).toInt
@@ -374,22 +530,122 @@ object OnnxModel {
             require(r >= 0 && r < data.shape(0), s"Gather index $r out of ${data.shape(0)}")
             System.arraycopy(data.data, r * rowLen, outData, j * rowLen, rowLen)
           }
-          Tensor(idx.shape ++ data.shape.drop(1), outData)
-        case "MatMul"  => matmul(in(node, 0), in(node, 1))
-        case "Add"     => elementwise(in(node, 0), in(node, 1), _ + _)
-        case "Sub"     => elementwise(in(node, 0), in(node, 1), _ - _)
-        case "Mul"     => elementwise(in(node, 0), in(node, 1), _ * _)
-        case "Div"     => elementwise(in(node, 0), in(node, 1), _ / _)
-        case "Sqrt"    => mapT(in(node, 0), x => math.sqrt(x).toFloat)
-        case "Tanh"    => mapT(in(node, 0), x => math.tanh(x).toFloat)
-        case "Relu"    => mapT(in(node, 0), x => math.max(x, 0.0f))
-        case "Sigmoid" => mapT(in(node, 0), x => (1.0 / (1.0 + math.exp(-x))).toFloat)
-        case "Erf"     => mapT(in(node, 0), erf)
-        case "ReduceMean" | "ReduceSum" =>
-          val axes = if (node.inputs.length > 1) in(node, 1).data.map(_.toInt).toSeq
-                     else node.attrs.get("axes").map(_.ints.map(_.toInt)).getOrElse(Seq.empty)
+          // a scalar (rank-0 in ONNX, shape [1] here) index selects a
+          // row, not a 1×row — but our Tensor floor is rank 1, so a
+          // 1-element idx keeps [1, row] which downstream broadcasting
+          // treats identically
+          Seq(Tensor(idx.shape ++ data.shape.drop(1), outData))
+        case "MatMul"  => Seq(matmul(in(node, 0), in(node, 1)))
+        case "Add"     => Seq(elementwise(in(node, 0), in(node, 1), _ + _))
+        case "Sub"     => Seq(elementwise(in(node, 0), in(node, 1), _ - _))
+        case "Mul"     => Seq(elementwise(in(node, 0), in(node, 1), _ * _))
+        case "Div"     => Seq(elementwise(in(node, 0), in(node, 1), _ / _))
+        case "Pow"     => Seq(elementwise(in(node, 0), in(node, 1),
+          (x, y) => math.pow(x, y).toFloat))
+        case "Equal"   => Seq(elementwise(in(node, 0), in(node, 1),
+          (x, y) => if (x == y) 1.0f else 0.0f))
+        case "Greater" => Seq(elementwise(in(node, 0), in(node, 1),
+          (x, y) => if (x > y) 1.0f else 0.0f))
+        case "Less"    => Seq(elementwise(in(node, 0), in(node, 1),
+          (x, y) => if (x < y) 1.0f else 0.0f))
+        case "Where"   => Seq(where3(in(node, 0), in(node, 1), in(node, 2)))
+        case "Sqrt"    => Seq(mapT(in(node, 0), x => math.sqrt(x).toFloat))
+        case "Neg"     => Seq(mapT(in(node, 0), x => -x))
+        case "Tanh"    => Seq(mapT(in(node, 0), x => math.tanh(x).toFloat))
+        case "Relu"    => Seq(mapT(in(node, 0), x => math.max(x, 0.0f)))
+        case "Sigmoid" => Seq(mapT(in(node, 0), x => (1.0 / (1.0 + math.exp(-x))).toFloat))
+        case "Erf"     => Seq(mapT(in(node, 0), erf))
+        case "Gelu"    =>
+          // exact-erf formulation (onnx Gelu default / BERT GELUActivation):
+          // 0.5 · x · (1 + erf(x/√2))
+          Seq(mapT(in(node, 0), x =>
+            (0.5f * x) * (1.0f + erf((x / math.sqrt(2.0)).toFloat))))
+        case "Cast" =>
+          val to = node.attrs.get("to").flatMap(_.i).getOrElse(1L)
+          Seq(to match {
+            case 1 | 11 | 10 => in(node, 0)                       // float/double/fp16: identity here
+            case 6 | 7 | 12 | 13 => mapT(in(node, 0), x =>        // int32/int64/uint: trunc toward 0
+              (if (x < 0) math.ceil(x) else math.floor(x)).toFloat)
+            case 9 => mapT(in(node, 0), x => if (x != 0.0f) 1.0f else 0.0f) // bool
+            case t => throw new IllegalArgumentException(s"Cast to dtype $t unsupported")
+          })
+        case "Shape" =>
+          val a = in(node, 0)
+          Seq(Tensor(Array(a.shape.length), a.shape.map(_.toFloat)))
+        case "ConstantOfShape" =>
+          val shp = in(node, 0).data.map(_.toInt)
+          val fill = node.attrs.get("value").flatMap(_.t).map(_.data(0)).getOrElse(0.0f)
+          Seq(Tensor(if (shp.isEmpty) Array(1) else shp,
+            Array.fill(math.max(1, shp.product))(fill)))
+        case "Expand" =>
+          val a = in(node, 0)
+          val target = in(node, 1).data.map(_.toInt)
+          // numpy-broadcast a to max(shape, target) — ONNX Expand
+          // semantics; riding elementwise's broadcast machinery keeps
+          // one code path
+          Seq(elementwise(a, Tensor(target, new Array[Float](target.product)), (x, _) => x))
+        case "Unsqueeze" =>
+          val a = in(node, 0)
+          val rank = a.shape.length + axesOf(node).length
+          val axes = axesOf(node).map(x => if (x < 0) x + rank else x).sorted
+          val shape = scala.collection.mutable.ArrayBuffer(a.shape: _*)
+          axes.foreach(ax => shape.insert(ax, 1))
+          Seq(Tensor(shape.toArray, a.data))
+        case "Squeeze" =>
+          val a = in(node, 0)
+          val axes = axesOf(node).map(x => if (x < 0) x + a.shape.length else x).toSet
+          val shape = a.shape.zipWithIndex.collect {
+            case (s, i) if !(if (axes.isEmpty) s == 1 else axes(i)) => s }
+          Seq(Tensor(if (shape.isEmpty) Array(1) else shape, a.data))
+        case "Slice" =>
+          val a = in(node, 0)
+          if (node.inputs.length > 1) {
+            val starts = in(node, 1).data.map(_.toLong).toSeq
+            val ends = in(node, 2).data.map(doubleToClampedLong).toSeq
+            val axes = if (node.inputs.length > 3) in(node, 3).data.map(_.toLong).toSeq else Seq.empty
+            val steps = if (node.inputs.length > 4) in(node, 4).data.map(_.toLong).toSeq else Seq.empty
+            Seq(slice(a, starts, ends, axes, steps))
+          } else {
+            val starts = node.attrs.get("starts").map(_.ints).getOrElse(Seq.empty)
+            val ends = node.attrs.get("ends").map(_.ints).getOrElse(Seq.empty)
+            val axes = node.attrs.get("axes").map(_.ints).getOrElse(Seq.empty)
+            Seq(slice(a, starts, ends, axes, Seq.empty))
+          }
+        case "Concat" =>
+          val axis = node.attrs.get("axis").flatMap(_.i).getOrElse(0L).toInt
+          Seq(concat(node.inputs.indices.map(i => in(node, i)), axis))
+        case "Split" =>
+          val a = in(node, 0)
+          val n = a.shape.length
+          val axis0 = node.attrs.get("axis").flatMap(_.i).getOrElse(0L).toInt
+          val axis = if (axis0 < 0) axis0 + n else axis0
+          val sizes: Seq[Int] =
+            if (node.inputs.length > 1) in(node, 1).data.map(_.toInt).toSeq
+            else node.attrs.get("split").map(_.ints.map(_.toInt)).filter(_.nonEmpty)
+              .getOrElse {
+                val parts = node.outputs.length
+                require(a.shape(axis) % parts == 0,
+                  s"Split: dim ${a.shape(axis)} not divisible into $parts equal parts")
+                Seq.fill(parts)(a.shape(axis) / parts)
+              }
+          require(sizes.sum == a.shape(axis),
+            s"Split sizes ${sizes.mkString(",")} != dim ${a.shape(axis)}")
+          var off = 0L
+          sizes.map { sz =>
+            val piece = slice(a, Seq(off), Seq(off + sz), Seq(axis.toLong), Seq.empty)
+            off += sz; piece
+          }
+        case "LayerNormalization" =>
+          val axis = node.attrs.get("axis").flatMap(_.i).getOrElse(-1L).toInt
+          val eps = node.attrs.get("epsilon").flatMap(_.f).getOrElse(1e-5f)
+          Seq(layerNorm(in(node, 0), in(node, 1),
+            if (node.inputs.length > 2) Some(in(node, 2)) else None, axis, eps))
+        case "ReduceMean" | "ReduceSum" | "ReduceMax" =>
+          val axes = axesOf(node)
           val keep = node.attrs.get("keepdims").flatMap(_.i).getOrElse(1L) == 1L
-          reduce(in(node, 0), axes, keep, mean = node.opType == "ReduceMean")
+          val kind = node.opType match {
+            case "ReduceMean" => "mean"; case "ReduceMax" => "max"; case _ => "sum" }
+          Seq(reduce(in(node, 0), axes, keep, kind))
         case "Softmax" =>
           val a = in(node, 0)
           val axis0 = node.attrs.get("axis").flatMap(_.i).getOrElse(-1L).toInt
@@ -405,7 +661,7 @@ object OnnxModel {
             for (j <- 0 until inner) { out(base + j) = math.exp(a.data(base + j) - mx).toFloat; s += out(base + j) }
             for (j <- 0 until inner) out(base + j) = (out(base + j) / s).toFloat
           }
-          Tensor(a.shape, out)
+          Seq(Tensor(a.shape, out))
         case "Transpose" =>
           val a = in(node, 0)
           val perm = node.attrs.get("perm").map(_.ints.map(_.toInt).toArray)
@@ -422,7 +678,7 @@ object OnnxModel {
             }
             out(i) = a.data(src); i += 1
           }
-          Tensor(outShape, out)
+          Seq(Tensor(outShape, out))
         case "Reshape" =>
           val a = in(node, 0); val spec = in(node, 1).data.map(_.toInt)
           val resolved = spec.zipWithIndex.map { case (v, i) =>
@@ -433,14 +689,28 @@ object OnnxModel {
                       resolved.map(v => if (v == -1) a.size / known else v)
             case _ => throw new IllegalArgumentException("Reshape: multiple -1")
           }
-          Tensor(inferred, a.data)
+          Seq(Tensor(inferred, a.data))
         case op => throw new IllegalArgumentException(
-          s"ONNX op '$op' outside the supported feed-forward subset")
+          s"ONNX op '$op' outside the supported encoder subset")
       }
-      env(node.outputs.head) = out
+      require(outs.length >= node.outputs.count(_.nonEmpty),
+        s"${node.opType}: ${outs.length} results for ${node.outputs.length} declared outputs")
+      node.outputs.zip(outs).foreach { case (name, t) =>
+        if (name.nonEmpty) env(name) = t // empty name = optional output slot
+      }
     }
     env.getOrElse(g.outputNames.headOption.getOrElse(
         g.nodes.last.outputs.head),
       throw new IllegalStateException("graph produced no output"))
   }
+
+  /** Float → clamped long for shape-arithmetic values riding the float
+    * representation: exporters emit INT64_MAX as a Slice end, which is
+    * ~9.22e18 as a float — `.toLong` alone would be fine (it clamps),
+    * but route every int-ish read through one place.
+    */
+  private def doubleToClampedLong(f: Float): Long =
+    if (f >= Long.MaxValue.toFloat) Long.MaxValue
+    else if (f <= Long.MinValue.toFloat) Long.MinValue
+    else f.toLong
 }

@@ -265,15 +265,197 @@ class SourcesSpec extends AnyFunSuite {
       spark.conf.unset(OnnxQueryEncoder.VocabKey)
     }
 
-    // 3. ops outside the feed-forward subset fail fast, named
-    val badPath = s"$tmp/attention.onnx"
+    // 3. ops outside the subset fail fast, named (LSTM: a real ONNX op
+    // no encoder in scope uses — LayerNormalization graduated INTO the
+    // subset with the attention extension)
+    val badPath = s"$tmp/recurrent.onnx"
     java.nio.file.Files.write(java.nio.file.Paths.get(badPath),
-      OnnxProtoWriter.unsupportedOpModel("LayerNormalization"))
+      OnnxProtoWriter.unsupportedOpModel("LSTM"))
     val bad = OnnxModel.load(badPath)
     val e2 = intercept[IllegalArgumentException] {
       OnnxModel.run(bad, Map("ids" -> OnnxModel.Tensor(Array(1), Array(0f))))
     }
-    assert(e2.getMessage.contains("LayerNormalization"))
+    assert(e2.getMessage.contains("LSTM"))
+  }
+
+  test("ONNX attention: a generated 1-block self-attention export replays a hand pass bit-for-bit and drives the seam") {
+    import graft.functions.{OnnxQueryEncoder, QueryEncoder}
+    import graft.operators.VectorSearch
+    import graft.sources.OnnxModel
+    val (dim, heads, ff, smax) = (64, 4, 32, 16)
+    val dk = dim / heads
+    val vocab = Seq("kindle", "tablet", "battery", "paperwhite", "charger", "case")
+    def w(tag: String, i: Int): Float = (((tag + ":" + i).hashCode % 1000) / 2000.0f)
+    def arr(tag: String, n: Int): Array[Float] = Array.tabulate(n)(i => w(tag, i))
+    def eye(tag: String, n: Int): Array[Float] =
+      Array.tabulate(n * n)(i => if (i % (n + 1) == 0) 1.0f else w(tag, i) * 0.05f)
+    val inits: Map[String, (Seq[Long], Array[Float])] = Map(
+      "emb" -> (Seq(vocab.length.toLong, dim.toLong), arr("emb", vocab.length * dim)),
+      "pos" -> (Seq(smax.toLong, dim.toLong), arr("pos", smax * dim)),
+      "ln1_g" -> (Seq(dim.toLong), Array.tabulate(dim)(i => 1.0f + w("g1", i) * 0.1f)),
+      "ln1_b" -> (Seq(dim.toLong), arr("b1n", dim)),
+      "wq" -> (Seq(dim.toLong, dim.toLong), eye("wq", dim)),
+      "bq" -> (Seq(dim.toLong), arr("bq", dim)),
+      "wk" -> (Seq(dim.toLong, dim.toLong), eye("wk", dim)),
+      "bk" -> (Seq(dim.toLong), arr("bk", dim)),
+      "wv" -> (Seq(dim.toLong, dim.toLong), eye("wv", dim)),
+      "bv" -> (Seq(dim.toLong), arr("bv", dim)),
+      "wo" -> (Seq(dim.toLong, dim.toLong), eye("wo", dim)),
+      "bo" -> (Seq(dim.toLong), arr("bo", dim)),
+      "ln2_g" -> (Seq(dim.toLong), Array.tabulate(dim)(i => 1.0f + w("g2", i) * 0.1f)),
+      "ln2_b" -> (Seq(dim.toLong), arr("b2n", dim)),
+      "w1" -> (Seq(dim.toLong, ff.toLong), arr("w1", dim * ff).map(_ * 0.2f)),
+      "b1" -> (Seq(ff.toLong), arr("b1", ff)),
+      "w2" -> (Seq(ff.toLong, dim.toLong), arr("w2", ff * dim).map(_ * 0.2f)),
+      "b2" -> (Seq(dim.toLong), arr("b2", dim)))
+    val tmp = Files.createTempDirectory("graft-onnx-attn").toString
+    val modelPath = s"$tmp/attn_encoder.onnx"
+    val vocabPath = s"$tmp/vocab.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(vocabPath),
+      vocab.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(modelPath),
+      OnnxProtoWriter.attentionEncoderModel(dim, heads, inits))
+
+    // ---- hand-computed forward pass (plain loops, no interpreter code)
+    val ids = Array(0, 2, 3) // kindle battery paperwhite
+    val s = ids.length
+    def get(n: String): Array[Float] = inits(n)._2
+    def mm(a: Array[Float], n: Int, k: Int, b: Array[Float], m: Int): Array[Float] = {
+      val out = new Array[Float](n * m)
+      for (i <- 0 until n; j <- 0 until m) {
+        var acc = 0.0f; var p = 0
+        while (p < k) { acc += a(i * k + p) * b(p * m + j); p += 1 }
+        out(i * m + j) = acc
+      }
+      out
+    }
+    def addRow(a: Array[Float], rows: Int, cols: Int, b: Array[Float]): Array[Float] =
+      Array.tabulate(rows * cols)(i => a(i) + b(i % cols))
+    def erfAS(x: Float): Float = { // Abramowitz & Stegun 7.1.26
+      val t = 1.0 / (1.0 + 0.3275911 * math.abs(x))
+      val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+        - 0.284496736) * t + 0.254829592) * t * math.exp(-x * x)
+      (if (x >= 0) y else -y).toFloat
+    }
+    // embedding + position
+    val x0 = Array.tabulate(s * dim)(i =>
+      get("emb")(ids(i / dim) * dim + i % dim) + get("pos")(i))
+    // fused LayerNorm (f32 mean/var, double rsqrt)
+    def layerNorm(x: Array[Float], g: Array[Float], b: Array[Float]): Array[Float] = {
+      val out = new Array[Float](x.length)
+      for (r <- 0 until x.length / dim) {
+        var mean = 0.0f
+        for (j <- 0 until dim) mean += x(r * dim + j)
+        mean /= dim
+        var va = 0.0f
+        for (j <- 0 until dim) { val d = x(r * dim + j) - mean; va += d * d }
+        va /= dim
+        val inv = (1.0 / math.sqrt((va + 1e-5f).toDouble)).toFloat
+        for (j <- 0 until dim)
+          out(r * dim + j) = (x(r * dim + j) - mean) * inv * g(j) + b(j)
+      }
+      out
+    }
+    val xn = layerNorm(x0, get("ln1_g"), get("ln1_b"))
+    val q1 = addRow(mm(xn, s, dim, get("wq"), dim), s, dim, get("bq"))
+    val k1 = addRow(mm(xn, s, dim, get("wk"), dim), s, dim, get("bk"))
+    val v1 = addRow(mm(xn, s, dim, get("wv"), dim), s, dim, get("bv"))
+    val denom = math.pow(dk.toFloat, 0.5f).toFloat
+    val ctx2 = new Array[Float](s * dim)
+    for (h <- 0 until heads) {
+      def head(m: Array[Float])(i: Int, c: Int): Float = m(i * dim + h * dk + c)
+      val scores = Array.tabulate(s * s) { ix =>
+        val (i, j) = (ix / s, ix % s)
+        var acc = 0.0f; var p = 0
+        while (p < dk) { acc += head(q1)(i, p) * head(k1)(j, p); p += 1 }
+        acc / denom
+      }
+      val probs = new Array[Float](s * s)
+      for (i <- 0 until s) {
+        var mx = Float.NegativeInfinity
+        for (j <- 0 until s) mx = math.max(mx, scores(i * s + j))
+        var sum = 0.0
+        for (j <- 0 until s) {
+          probs(i * s + j) = math.exp(scores(i * s + j) - mx).toFloat
+          sum += probs(i * s + j)
+        }
+        for (j <- 0 until s) probs(i * s + j) = (probs(i * s + j) / sum).toFloat
+      }
+      for (i <- 0 until s; c <- 0 until dk) {
+        var acc = 0.0f; var p = 0
+        while (p < s) { acc += probs(i * s + p) * head(v1)(p, c); p += 1 }
+        ctx2(i * dim + h * dk + c) = acc
+      }
+    }
+    val ao2 = addRow(mm(ctx2, s, dim, get("wo"), dim), s, dim, get("bo"))
+    val x1 = Array.tabulate(s * dim)(i => x0(i) + ao2(i))
+    // primitive-op LayerNorm (mean → sub → var → sqrt(var+eps) → div → scale/shift)
+    val n4 = new Array[Float](s * dim)
+    for (r <- 0 until s) {
+      var mu = 0.0f
+      for (j <- 0 until dim) mu += x1(r * dim + j)
+      mu /= dim
+      var va = 0.0f
+      for (j <- 0 until dim) { val d = x1(r * dim + j) - mu; va += d * d }
+      va /= dim
+      val sd = math.sqrt(va + 1e-5f).toFloat
+      for (j <- 0 until dim)
+        n4(r * dim + j) = (x1(r * dim + j) - mu) / sd * get("ln2_g")(j) + get("ln2_b")(j)
+    }
+    val f2 = addRow(mm(n4, s, dim, get("w1"), ff), s, ff, get("b1"))
+    val f3 = f2.map(x => (0.5f * x) * (1.0f + erfAS((x / math.sqrt(2.0)).toFloat)))
+    val f5 = addRow(mm(f3, s, ff, get("w2"), dim), s, dim, get("b2"))
+    val hOut = Array.tabulate(s * dim)(i => n4(i) + f5(i))
+    // mean/max pooling mix over tokens, then L2
+    val pooled = Array.tabulate(dim) { j =>
+      var mean = 0.0f; var mx = Float.NegativeInfinity
+      for (i <- 0 until s) {
+        mean += hOut(i * dim + j)
+        mx = math.max(mx, hOut(i * dim + j))
+      }
+      mean /= s
+      (mean * 0.5f) + (mx * 0.5f)
+    }
+    var ss = 0.0f
+    for (j <- 0 until dim) ss += pooled(j) * pooled(j)
+    val nr = math.sqrt(ss).toFloat
+    val expected = pooled.map(_ / nr)
+
+    // ---- 1. the interpreter replays the hand pass bit-for-bit
+    val g = OnnxModel.load(modelPath)
+    val got = OnnxModel.run(g,
+      Map("ids" -> OnnxModel.Tensor(Array(s), ids.map(_.toFloat)),
+          "attention_mask" -> OnnxModel.Tensor(Array(s), Array.fill(s)(1.0f)))).data
+    assert(got.length == dim)
+    val diffs = got.zip(expected).zipWithIndex.filter { case ((a, b), _) => a != b }
+    assert(diffs.isEmpty,
+      s"attention interpreter diverged from the hand pass at ${diffs.take(3).map(_._2).mkString(",")}: " +
+        diffs.take(3).map { case ((a, b), i) => s"[$i] got=$a exp=$b" }.mkString("; "))
+
+    // sanity: the attention block actually attends (prob mass off-diagonal
+    // moved the vector away from a no-attention encode of the same ids)
+    assert(math.abs(got.map(x => x * x).sum - 1.0f) < 1e-4f, "L2-normalized output")
+
+    // ---- 2. the seam: the attention export drives topKText e2e
+    spark.conf.set("spark.graft.encoder.class", classOf[OnnxQueryEncoder].getName)
+    spark.conf.set(OnnxQueryEncoder.PathKey, modelPath)
+    spark.conf.set(OnnxQueryEncoder.VocabKey, vocabPath)
+    try {
+      val query = "kindle battery paperwhite"
+      val viaSeam = VectorSearch.topKText(spark, TestSpark.sf, query, k = 5)
+        .collect().map(_.toSeq).toSeq
+      val qv = QueryEncoder.required(spark).encode(query)
+      assert(qv.toSeq == got.toSeq,
+        "seam-resolved encoder must produce the verified attention forward pass")
+      val direct = VectorSearch.topKVec(spark, TestSpark.sf, qv, k = 5)
+        .collect().map(_.toSeq).toSeq
+      assert(viaSeam == direct && viaSeam.nonEmpty,
+        "attention-ONNX-encoded raw text must flow through topKText unchanged")
+    } finally {
+      spark.conf.unset("spark.graft.encoder.class")
+      spark.conf.unset(OnnxQueryEncoder.PathKey)
+      spark.conf.unset(OnnxQueryEncoder.VocabKey)
+    }
   }
 
   test("corpus-lexical encoder: learned lexicon drives raw-text search end-to-end") {
@@ -624,6 +806,32 @@ object OnnxProtoWriter {
     strField(out, 1, name); intField(out, 3, v); intField(out, 20, 2L)
     out.toByteArray
   }
+  private def attrFloat(name: String, v: Float): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    strField(out, 1, name)
+    key(out, 2, 5)
+    val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putFloat(v)
+    out.write(bb.array())
+    intField(out, 20, 1L) // AttributeProto.Type FLOAT
+    out.toByteArray
+  }
+  private def attrTensor(name: String, t: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    strField(out, 1, name); bytesField(out, 5, t); intField(out, 20, 4L)
+    out.toByteArray
+  }
+  /** INT64 TensorProto via raw_data — the dtype exporters use for
+    * shape specs / slice bounds / axes inputs. */
+  private def tensorI64(name: String, dims: Seq[Long], data: Seq[Long]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    dims.foreach(d => intField(out, 1, d))
+    intField(out, 2, 7L) // data_type INT64
+    val bb = ByteBuffer.allocate(data.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    data.foreach(bb.putLong)
+    bytesField(out, 9, bb.array())
+    strField(out, 8, name)
+    out.toByteArray
+  }
 
   private def node(op: String, ins: Seq[String], outs: Seq[String],
                    attrs: Seq[Array[Byte]] = Seq.empty): Array[Byte] = {
@@ -642,11 +850,12 @@ object OnnxProtoWriter {
   }
 
   private def model(nodes: Seq[Array[Byte]], inits: Seq[Array[Byte]],
-                    input: String, output: String): Array[Byte] = {
+                    input: String, output: String,
+                    extraInputs: Seq[String] = Seq.empty): Array[Byte] = {
     val g = new ByteArrayOutputStream()
     nodes.foreach(bytesField(g, 1, _))
     inits.foreach(bytesField(g, 5, _))
-    bytesField(g, 11, valueInfo(input))
+    (input +: extraInputs).foreach(n => bytesField(g, 11, valueInfo(n)))
     bytesField(g, 12, valueInfo(output))
     val m = new ByteArrayOutputStream()
     intField(m, 1, 8L) // ir_version
@@ -680,4 +889,112 @@ object OnnxProtoWriter {
   def unsupportedOpModel(op: String): Array[Byte] =
     model(nodes = Seq(node(op, Seq("ids"), Seq("vec"))),
       inits = Seq.empty, input = "ids", output = "vec")
+
+  /** A COMPLETE 1-block self-attention encoder export (MiniLM shape at
+    * toy dims): embedding + dynamic position slice → fused LayerNorm →
+    * multi-head QK^T/√dk softmax V (mask built from Shape/
+    * ConstantOfShape/Where) → residual → primitive-op LayerNorm →
+    * Gelu FFN → residual → mean/max pooling mix → Split/Concat/Squeeze
+    * round-trip → L2 normalize. Exercises every attention-era op the
+    * interpreter claims: Cast, Shape, Slice (input-style with a
+    * RUNTIME end), ConstantOfShape, Unsqueeze (attr axes), Greater,
+    * Where, Pow, batched MatMul, Softmax, LayerNormalization (fused),
+    * Gelu, ReduceMax, Split (multi-output), Concat, Squeeze.
+    *
+    * `inits`: name → (dims, data) float weights. Required names:
+    * emb [V,D], pos [Smax,D], ln1_g/ln1_b [D], wq/wk/wv/wo [D,D],
+    * bq/bk/bv/bo [D], ln2_g/ln2_b [D], w1 [D,F], b1 [F], w2 [F,D],
+    * b2 [D].
+    */
+  def attentionEncoderModel(dim: Int, heads: Int,
+                            inits: Map[String, (Seq[Long], Array[Float])]): Array[Byte] = {
+    val dk = dim / heads
+    val weightTensors = inits.toSeq.sortBy(_._1).map { case (n, (dims, data)) =>
+      tensor(n, dims, data, useRaw = true) }
+    val constTensors = Seq(
+      tensorI64("i0", Seq(1), Seq(0L)),
+      tensorI64("i1", Seq(1), Seq(1L)),
+      tensorI64("axes0", Seq(1), Seq(0L)),
+      tensorI64("shape_hsd", Seq(3), Seq(-1L, heads.toLong, dk.toLong)),
+      tensorI64("shape_sd", Seq(2), Seq(-1L, dim.toLong)),
+      tensor("c_half", Seq(1), Array(0.5f), useRaw = false),
+      tensor("c_dk", Seq(1), Array(dk.toFloat), useRaw = false),
+      tensor("c_eps", Seq(1), Array(1e-5f), useRaw = false))
+    val negBig = tensor("", Seq(1), Array(-10000.0f), useRaw = true)
+    model(
+      nodes = Seq(
+        node("Cast", Seq("ids"), Seq("idsf"), Seq(attrInt("to", 7))),
+        node("Gather", Seq("emb", "idsf"), Seq("tok"), Seq(attrInt("axis", 0))),
+        node("Shape", Seq("tok"), Seq("shp")),
+        node("Slice", Seq("shp", "i0", "i1", "axes0"), Seq("slen")),
+        node("Slice", Seq("pos", "i0", "slen", "axes0"), Seq("pos_s")),
+        node("Add", Seq("tok", "pos_s"), Seq("x0")),
+        node("LayerNormalization", Seq("x0", "ln1_g", "ln1_b"), Seq("xn"),
+          Seq(attrInt("axis", -1), attrFloat("epsilon", 1e-5f))),
+        node("MatMul", Seq("xn", "wq"), Seq("q0")),
+        node("Add", Seq("q0", "bq"), Seq("q1")),
+        node("MatMul", Seq("xn", "wk"), Seq("k0")),
+        node("Add", Seq("k0", "bk"), Seq("k1")),
+        node("MatMul", Seq("xn", "wv"), Seq("v0")),
+        node("Add", Seq("v0", "bv"), Seq("v1")),
+        node("Reshape", Seq("q1", "shape_hsd"), Seq("qr")),
+        node("Transpose", Seq("qr"), Seq("qt"), Seq(attrInts("perm", Seq(1L, 0L, 2L)))),
+        node("Reshape", Seq("k1", "shape_hsd"), Seq("kr")),
+        node("Transpose", Seq("kr"), Seq("kt"), Seq(attrInts("perm", Seq(1L, 0L, 2L)))),
+        node("Reshape", Seq("v1", "shape_hsd"), Seq("vr")),
+        node("Transpose", Seq("vr"), Seq("vt"), Seq(attrInts("perm", Seq(1L, 0L, 2L)))),
+        node("Transpose", Seq("kt"), Seq("ktt"), Seq(attrInts("perm", Seq(0L, 2L, 1L)))),
+        node("MatMul", Seq("qt", "ktt"), Seq("scores")),
+        node("Pow", Seq("c_dk", "c_half"), Seq("denom")),
+        node("Div", Seq("scores", "denom"), Seq("scaled")),
+        // the mask is a REAL second graph input (as transformer
+        // exports declare it), not a constant — Where keys off it
+        node("Unsqueeze", Seq("attention_mask"), Seq("maskU"), Seq(attrInts("axes", Seq(0L)))),
+        node("Greater", Seq("maskU", "c_half"), Seq("cond")),
+        node("ConstantOfShape", Seq("slen"), Seq("negbig"), Seq(attrTensor("value", negBig))),
+        node("Unsqueeze", Seq("negbig"), Seq("negU"), Seq(attrInts("axes", Seq(0L)))),
+        node("Where", Seq("cond", "scaled", "negU"), Seq("masked")),
+        node("Softmax", Seq("masked"), Seq("probs"), Seq(attrInt("axis", -1))),
+        node("MatMul", Seq("probs", "vt"), Seq("ctx")),
+        node("Transpose", Seq("ctx"), Seq("ctxt"), Seq(attrInts("perm", Seq(1L, 0L, 2L)))),
+        node("Reshape", Seq("ctxt", "shape_sd"), Seq("ctx2")),
+        node("MatMul", Seq("ctx2", "wo"), Seq("ao")),
+        node("Add", Seq("ao", "bo"), Seq("ao2")),
+        node("Add", Seq("x0", "ao2"), Seq("x1")),
+        node("ReduceMean", Seq("x1"), Seq("mu"),
+          Seq(attrInts("axes", Seq(-1L)), attrInt("keepdims", 1))),
+        node("Sub", Seq("x1", "mu"), Seq("dev")),
+        node("Mul", Seq("dev", "dev"), Seq("dev2")),
+        node("ReduceMean", Seq("dev2"), Seq("varr"),
+          Seq(attrInts("axes", Seq(-1L)), attrInt("keepdims", 1))),
+        node("Add", Seq("varr", "c_eps"), Seq("vare")),
+        node("Sqrt", Seq("vare"), Seq("sd")),
+        node("Div", Seq("dev", "sd"), Seq("n2")),
+        node("Mul", Seq("n2", "ln2_g"), Seq("n3")),
+        node("Add", Seq("n3", "ln2_b"), Seq("n4")),
+        node("MatMul", Seq("n4", "w1"), Seq("f1")),
+        node("Add", Seq("f1", "b1"), Seq("f2")),
+        node("Gelu", Seq("f2"), Seq("f3")),
+        node("MatMul", Seq("f3", "w2"), Seq("f4")),
+        node("Add", Seq("f4", "b2"), Seq("f5")),
+        node("Add", Seq("n4", "f5"), Seq("h")),
+        node("ReduceMean", Seq("h"), Seq("pmean"),
+          Seq(attrInts("axes", Seq(0L)), attrInt("keepdims", 0))),
+        node("ReduceMax", Seq("h"), Seq("pmax"),
+          Seq(attrInts("axes", Seq(0L)), attrInt("keepdims", 0))),
+        node("Mul", Seq("pmean", "c_half"), Seq("pm1")),
+        node("Mul", Seq("pmax", "c_half"), Seq("pm2")),
+        node("Add", Seq("pm1", "pm2"), Seq("pooled")),
+        node("Unsqueeze", Seq("pooled"), Seq("pu"), Seq(attrInts("axes", Seq(0L)))),
+        node("Split", Seq("pu"), Seq("pa", "pb"), Seq(attrInt("axis", -1))),
+        node("Concat", Seq("pa", "pb"), Seq("pc"), Seq(attrInt("axis", -1))),
+        node("Squeeze", Seq("pc"), Seq("ps"), Seq(attrInts("axes", Seq(0L)))),
+        node("Mul", Seq("ps", "ps"), Seq("sq")),
+        node("ReduceSum", Seq("sq"), Seq("ss2"),
+          Seq(attrInts("axes", Seq(0L)), attrInt("keepdims", 0))),
+        node("Sqrt", Seq("ss2"), Seq("nr")),
+        node("Div", Seq("ps", "nr"), Seq("vec"))),
+      inits = weightTensors ++ constTensors,
+      input = "ids", output = "vec", extraInputs = Seq("attention_mask"))
+  }
 }
