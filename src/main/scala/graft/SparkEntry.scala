@@ -547,6 +547,10 @@ object SparkEntry {
     // bytes/vector vs mean/max squared reconstruction error across
     // the quantization families, float32 anchoring at zero
     "quant_error_report" -> ((s, d) => Quantized.quantErrorReport(s, d)),
+    // deterministic BMP fixtures decoded through the REAL JDK ImageIO
+    // path; dims/size/luminance stats hard-oracled against the
+    // generative formula (the npy precedent applied to images)
+    "media_quality_report" -> ((s, d) => Multimodal.mediaQualityReport(s, d)),
     // Gopher long-n repetition battery (top-3gram share, dup-5/10gram)
     "doc_ngram_coverage" -> ((s, d) => TextAnalysis.ngramCoverage(s, d)),
     // per-type daily-count OLS slope (exact integer moments)
@@ -5009,6 +5013,41 @@ object SparkEntry {
          |SELECT sh.vec_id, sh.hamming, ${cos5("e.embedding", "qe.qv")} AS score
          |FROM sh JOIN embeddings e ON e.vec_id = sh.vec_id, qe
          |ORDER BY score DESC, sh.vec_id LIMIT 10""".stripMargin,
+    // the oracle recomputes every statistic from the BMP fixture's
+    // GENERATIVE formula (dims, closed-form file size, per-pixel
+    // Rec.601 luminance) — Spark got them by DECODING the real bytes
+    // through ImageIO, so any writer/decoder layout disagreement
+    // (row stride, padding, BGR order, header offsets) fails the hash
+    "media_quality_report" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id,
+        |         (4 + (doc_id % 13))::INT AS w,
+        |         (4 + (doc_id % 9))::INT AS h
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |px AS (
+        |  SELECT i.media_id, i.w, i.h,
+        |         ((((i.media_id*13 + 41*xs.x + 17*ys.y) % 256) * 299
+        |         + ((i.media_id*11 + 29*xs.x + 47*ys.y) % 256) * 587
+        |         + ((i.media_id*7 + 53*xs.x + 31*ys.y) % 256) * 114) // 1000) AS lum
+        |  FROM ids i,
+        |       LATERAL (SELECT unnest(range(i.w)) AS x) xs,
+        |       LATERAL (SELECT unnest(range(i.h)) AS y) ys),
+        |bins AS (
+        |  SELECT media_id, w, h, lum // 16 AS bin,
+        |         count(*)::BIGINT AS c, sum(lum)::BIGINT AS lsum
+        |  FROM px GROUP BY 1, 2, 3, 4),
+        |agg AS (
+        |  SELECT media_id, w, h, (w::BIGINT * h) AS n_pixels,
+        |         sum(lsum)::BIGINT AS lum_sum,
+        |         sum(-(c / (w::BIGINT*h)) * log2(c / (w::BIGINT*h))) AS ent
+        |  FROM bins GROUP BY 1, 2, 3)
+        |SELECT media_id, w AS width, h AS height,
+        |       (54 + h * ((3*w + 3) // 4 * 4))::BIGINT AS n_bytes,
+        |       n_pixels, lum_sum,
+        |       floor(lum_sum / n_pixels * 100000 + 0.5) / 100000 + 0.0 AS lum_mean,
+        |       floor(ent * 100000 + 0.5) / 100000 + 0.0 AS lum_entropy,
+        |       (w >= 8 AND h >= 6 AND floor(ent * 100000 + 0.5) / 100000 >= 3.0) AS quality_ok
+        |FROM agg ORDER BY media_id""".stripMargin,
     // per-row reconstruction errors as term-for-term mirrored
     // algebraic expansions (sq8 decode, pq assignment min-distance
     // via the refit codebooks, alpha*sign binary), rounded per row

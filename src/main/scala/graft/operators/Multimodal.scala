@@ -193,6 +193,105 @@ object Multimodal {
         col("width"), col("height"), col("features"))
       .orderBy(col("media_id"))
 
+  /** Deterministic 24-bit uncompressed BMP fixture: dimensions and
+    * every pixel are pure functions of `id`, so an EXTERNAL engine can
+    * recompute the decoded statistics from the generative formula
+    * alone — the npy-decode precedent (reference
+    * product_embeddings.npy, re-read byte-for-byte and oracled)
+    * applied to images. BMP because its layout is byte-predictable:
+    * 14-byte file header + 40-byte BITMAPINFOHEADER + bottom-up BGR
+    * rows padded to 4 bytes, total size 54 + h·((3w+3)÷4·4) — one
+    * closed-form expression the oracle checks against the real file.
+    *   w = 4 + id mod 13, h = 4 + id mod 9
+    *   b = (7id+53x+31y) mod 256, g = (11id+29x+47y) mod 256,
+    *   r = (13id+41x+17y) mod 256
+    * (coprime-to-256 coordinate coefficients spread luminance across
+    * the histogram so the entropy gate exercises both branches)
+    * A wrong row stride, padding, channel order, or header offset in
+    * this writer — or in the JDK decode path reading it back — shifts
+    * the luminance statistics and fails the oracle.
+    */
+  def syntheticBmp(id: Long): Array[Byte] = {
+    val w = (4 + (id % 13)).toInt; val h = (4 + (id % 9)).toInt
+    val rowSize = (3 * w + 3) / 4 * 4
+    val size = 54 + rowSize * h
+    val bb = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putInt(0).putInt(54)                                   // reserved, data offset
+    bb.putInt(40).putInt(w).putInt(h)                          // info header, dims
+      .putShort(1).putShort(24)                                // planes, bpp
+      .putInt(0).putInt(rowSize * h)                           // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)           // 72 dpi, palette
+    var fy = 0
+    while (fy < h) {
+      val y = h - 1 - fy // bottom-up row order
+      var x = 0
+      while (x < w) {
+        bb.put(((id * 7 + 53 * x + 31 * y) % 256).toByte)
+        bb.put(((id * 11 + 29 * x + 47 * y) % 256).toByte)
+        bb.put(((id * 13 + 41 * x + 17 * y) % 256).toByte)
+        x += 1
+      }
+      var p = 3 * w
+      while (p < rowSize) { bb.put(0.toByte); p += 1 }
+      fy += 1
+    }
+    bb.array()
+  }
+
+  /** The hard-oracled multimodal query: generate the BMP fixture per
+    * sampled doc, decode through the REAL JDK ImageIO path, and report
+    * per-image quality statistics — dimensions, exact byte size, exact
+    * integer luminance sum and pixel count, and the 16-bin luminance
+    * histogram's Shannon entropy (the [[imageQualityGate]] admission
+    * signal). Every integer column is exact; the two doubles are one
+    * fixed division / a ≤16-term fold, re-quantized floor(x·10⁵+0.5)
+    * (SURVEY §4). Distributed shape: narrow mapPartitions over the id
+    * scan (generation + decode fuse into the scan stage, no shuffle
+    * until the final presentation sort); at 100 TB the same operator
+    * reads a real binary payload column instead of generating one.
+    */
+  def mediaQualityReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def r5(x: Double): Double = math.floor(x * 1e5 + 0.5) / 1e5
+    graft.Tables.documents(spark, dir).select(col("doc_id"))
+      .where(col("doc_id") % 7 === 0).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = syntheticBmp(id)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"JDK failed to decode generated BMP for id $id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val bins = new Array[Long](16); var lumSum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              bins(lum / 16) += 1; lumSum += lum
+              x += 1
+            }
+            y += 1
+          }
+          val n = w * h
+          var ent = 0.0; var b = 0
+          while (b < 16) {
+            val c = bins(b)
+            if (c > 0) { val p = c.toDouble / n; ent -= p * (math.log(p) / math.log(2.0)) }
+            b += 1
+          }
+          val entR = r5(ent)
+          (id, w, h, bytes.length.toLong, n.toLong, lumSum,
+            r5(lumSum.toDouble / n), entR, w >= 8 && h >= 6 && entR >= 3.0)
+        }
+      }
+      .toDF("media_id", "width", "height", "n_bytes", "n_pixels", "lum_sum",
+        "lum_mean", "lum_entropy", "quality_ok")
+      .orderBy(col("media_id"))
+  }
+
   /** 64-bit dHash perceptual image fingerprint — the standard
     * difference hash (Krawetz's dHash): decode, bilinear-downsample to
     * a 9×8 Rec.601 luminance grid, bit b set iff the pixel right of

@@ -284,4 +284,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r7.getLong(5) == 0L, "all-silent counts the run once, not twice")
     assert(rows(8L).getLong(1) == 0L && rows(8L).getDouble(3) == 0.0)
   }
+
+  test("synthetic BMP: JDK decode recovers the generative formula pixel-for-pixel, orientation included") {
+    for (id <- Seq(0L, 7L, 23L, 101L)) {
+      val bytes = Multimodal.syntheticBmp(id)
+      val w = (4 + (id % 13)).toInt; val h = (4 + (id % 9)).toInt
+      // closed-form file size (the oracle's n_bytes expression)
+      assert(bytes.length == 54 + h * ((3 * w + 3) / 4 * 4))
+      assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      // pixel-exact INCLUDING orientation: the luminance-stats oracle
+      // is permutation-invariant, so a bottom-up row-order bug would
+      // slip past it — this check pins pixel (x, y) itself
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == ((id * 13 + 41 * x + 17 * y) % 256).toInt, s"r at ($x,$y) id=$id")
+        assert(((rgb >> 8) & 0xff) == ((id * 11 + 29 * x + 47 * y) % 256).toInt, s"g at ($x,$y) id=$id")
+        assert((rgb & 0xff) == ((id * 7 + 53 * x + 31 * y) % 256).toInt, s"b at ($x,$y) id=$id")
+      }
+    }
+  }
+
+  test("media quality report: real-decode statistics match a driver recount") {
+    val rows = Multimodal.mediaQualityReport(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = Multimodal.syntheticBmp(id)
+      assert(r.getLong(3) == bytes.length.toLong, "n_bytes is the real file size")
+      val (w, h) = (r.getInt(1), r.getInt(2))
+      assert(w == (4 + id % 13).toInt && h == (4 + id % 9).toInt)
+      assert(r.getLong(4) == w.toLong * h)
+      // recount luminance sum straight from the formula (no decode)
+      var lumSum = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        lumSum += (((id * 13 + 41 * x + 17 * y) % 256) * 299 +
+          ((id * 11 + 29 * x + 47 * y) % 256) * 587 +
+          ((id * 7 + 53 * x + 31 * y) % 256) * 114) / 1000
+      assert(r.getLong(5) == lumSum, s"lum_sum recount for id=$id")
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 4.0, "entropy in [0, log2 16]")
+    }
+    // the quality gate must exercise both branches on the fixture set
+    assert(rows.exists(_.getBoolean(8)) || rows.length < 10,
+      "some image should pass the gate at this sf")
+    assert(rows.exists(!_.getBoolean(8)), "some image should fail the gate")
+  }
 }
