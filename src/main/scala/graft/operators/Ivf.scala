@@ -712,7 +712,7 @@ object Ivf {
       .select(col("q_id"), col("n_id"), col("nprobe"), col("rk"))
     val ranked = graft.sources.ScratchCache.materialize(ranked0)
     val gt = graft.sources.ScratchCache.materialize(
-      VectorSearch.knnJoin(spark, dir, queryMod, k)
+      VectorSearch.recallGroundTruth(spark, dir, queryMod, k)
         .select(col("q_id"), col("n_id"), col("rk").as("grk")))
     val nq = queries.count().toDouble
     val hitsByNp = ranked

@@ -282,14 +282,27 @@ object Lsh {
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
       .orderBy(col("q_id")).limit(maxQueries))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    // GT seam: the default exact pass stays INLINE (bounded to the
+    // maxQueries batch — cheaper than the full mod-sampled knnJoin);
+    // spark.graft.recall.gt=graph swaps in the NSW batch descent
+    // semi-joined down to the same batch (the sf50 path — see
+    // VectorSearch.recallGroundTruth)
     val gt = ScratchCache.materialize(
-      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5)
-            .as("score"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .where(col("rk") <= k)
-        .select(col("q_id"), col("n_id"), col("rk")))
+      spark.conf.getOption("spark.graft.recall.gt").getOrElse("exact") match {
+        case "graph" =>
+          // GT-grade walk params (see VectorSearch.recallGroundTruth)
+          GraphAnn.graphKnnJoin(spark, dir, queryMod, k, g = 8, hops = 8, beam = 24)
+            .join(broadcast(q.select(col("q_id"))), Seq("q_id"), "left_semi")
+            .select(col("q_id"), col("n_id"), col("rk"))
+        case _ =>
+          e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id").as("n_id"),
+              round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5)
+                .as("score"))
+            .withColumn("rk", row_number().over(w).cast("long"))
+            .where(col("rk") <= k)
+            .select(col("q_id"), col("n_id"), col("rk"))
+      })
     val gt1 = gt.where(col("rk") === 1).select(col("q_id"), col("n_id"))
     val nq = q.count().toDouble
     def r5(x: Double): Double =

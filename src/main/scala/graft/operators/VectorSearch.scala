@@ -472,6 +472,34 @@ object VectorSearch {
     * ranking shuffles only (q_id, n_id, score) triples — 16 bytes a
     * row, not embeddings.
     */
+  /** Ground-truth source seam for the recall sweeps ([[Ivf.recallEval]]
+    * / [[Ivf.nprobePlanner]] / [[Lsh.lshBitsEval]]): exact brute force
+    * ([[knnJoin]], queries × corpus) by default, or — opt-in via
+    * `spark.graft.recall.gt=graph` — the NSW batch descent
+    * ([[GraphAnn.graphKnnJoin]], hop-bounded probe scans), which makes
+    * the sweeps runnable at corpus sizes where the n² exact pass is
+    * unpayable (the reason they were excluded from the sf50 scale
+    * point). The swap is MEASURED, not assumed: a spec asserts the two
+    * sources agree pair-for-pair at oracle scale, and BASELINE.md
+    * records the sweep-metric delta at sf0.1.
+    *
+    * GT-grade walk parameters: the serving defaults (hops=6, beam=4)
+    * trade recall for latency; ground truth wants the opposite, so the
+    * graph source walks hops=8, beam=24 — measured pair-EXACT against
+    * brute force at sf0.001 AND sf0.01 (beam=16 still missed one
+    * rank-1 neighbor at sf0.01). Cost stays |Q|·beam·(g+1) rows per
+    * hop — linear, nothing scales with the corpus but the probe scans.
+    */
+  def recallGroundTruth(spark: SparkSession, dir: String,
+                        queryMod: Int, k: Int): DataFrame =
+    spark.conf.getOption("spark.graft.recall.gt").getOrElse("exact") match {
+      case "exact" => knnJoin(spark, dir, queryMod, k)
+      case "graph" =>
+        GraphAnn.graphKnnJoin(spark, dir, queryMod, k, g = 8, hops = 8, beam = 24)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.recall.gt must be exact|graph, got '$other'")
+    }
+
   def knnJoin(spark: SparkSession, dir: String, queryMod: Int, k: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
     val q = e.where(col("vec_id") % queryMod === 0)

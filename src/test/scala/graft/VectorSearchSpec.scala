@@ -1063,6 +1063,40 @@ class VectorSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("graph ground truth equals exact ground truth at oracle scale (the sf50 GT swap)") {
+    // the opt-in spark.graft.recall.gt=graph source must be a faithful
+    // stand-in for brute force where brute force IS payable — pair
+    // identity here is what licenses the swap at 1 M vectors, where
+    // queries × corpus is not
+    val exact = VectorSearch.knnJoin(spark, TestSpark.sf, queryMod = 100, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // the seam routes by config, walks at GT-grade params, and
+    // rejects unknown sources
+    try {
+      spark.conf.set("spark.graft.recall.gt", "graph")
+      val viaSeam = VectorSearch.recallGroundTruth(spark, TestSpark.sf, 100, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(viaSeam == exact,
+        "graph-GT must reproduce exact-GT (id, rank) pairs at oracle scale")
+      spark.conf.set("spark.graft.recall.gt", "bogus")
+      intercept[IllegalArgumentException] {
+        VectorSearch.recallGroundTruth(spark, TestSpark.sf, 100, 10)
+      }
+    } finally spark.conf.unset("spark.graft.recall.gt")
+  }
+
+  test("recall sweep under graph ground truth reproduces the exact-GT curve at oracle scale") {
+    val exactCurve = Ivf.recallEval(spark, TestSpark.sf, nCells = 8, queryMod = 100,
+      k = 10, nprobes = Seq(1, 2)).collect().map(_.toSeq).toSeq
+    val graphCurve = try {
+      spark.conf.set("spark.graft.recall.gt", "graph")
+      Ivf.recallEval(spark, TestSpark.sf, nCells = 8, queryMod = 100,
+        k = 10, nprobes = Seq(1, 2)).collect().map(_.toSeq).toSeq
+    } finally spark.conf.unset("spark.graft.recall.gt")
+    assert(graphCurve == exactCurve,
+      "the GT swap must not move the sweep's metrics where both sources are payable")
+  }
+
   test("nprobe planner picks the cheapest measured probe depth meeting the target") {
     val curve = Ivf.recallEval(spark, TestSpark.sf, nCells = 16, queryMod = 100,
       k = 10, nprobes = Seq(1, 2, 4)).collect()
