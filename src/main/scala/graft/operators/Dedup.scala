@@ -946,6 +946,19 @@ object Dedup {
     * threshold/label policy.
     */
   private[graft] def lshVerifiedPairs(spark: SparkSession, dir: String, nBands: Int,
+                               bitsPerBand: Int, bucketCap: Long): DataFrame =
+    lshScoredPairs(spark, dir, nBands, bitsPerBand, bucketCap).distinct()
+
+  /** [[lshVerifiedPairs]] WITHOUT the cross-band `.distinct()` — the
+    * raw scored collision stream, where a pair appears once per band
+    * it collides in, every occurrence carrying the identical rounded
+    * score. Consumers that fold the stream through a dedup-aware
+    * bounded aggregator ([[GraphAnn.buildGraph]]'s per-node top-g via
+    * [[TopK.TopKDistinctAgg]]) skip the distinct's full-stream shuffle
+    * — at the 1 M-vector scale point that pass shuffled ~10⁸ slim
+    * pair rows twice (distinct + window) for lists that keep 8.
+    */
+  private[graft] def lshScoredPairs(spark: SparkSession, dir: String, nBands: Int,
                                bitsPerBand: Int, bucketCap: Long): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     // size-tiered occupancy target: ~32 per band bucket below 100k
@@ -985,7 +998,6 @@ object Dedup {
         col("a.label").as("a_label"), col("b.label").as("b_label"),
         round(dotd(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm")), 5).as("score"))
-      .distinct()
   }
 
   /** Corpus dedup report — the per-source summary a curation run

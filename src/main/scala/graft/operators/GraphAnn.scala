@@ -53,15 +53,35 @@ object GraphAnn {
     * (src, dst, score, rk) with score = round(cos, 5) and rk 1..g by
     * (score DESC, dst), candidates symmetrized from the banded-LSH
     * verified pairs (linear candidate volume — the 100 TB shape).
+    *
+    * Ranking shape (the r13 sf50 point's one heavy build, 727.9 s at
+    * 1 M vectors): the raw scored collision stream folds through a
+    * dedup-aware bounded heap ([[TopK.TopKDistinctAgg]] — duplicate
+    * (src, dst) collisions carry identical rounded scores, so deduping
+    * inside the buffer is exact) instead of the old
+    * `.distinct()` + global ranking window. Map-side partials emit at
+    * most g distinct ids per node per partition, so the shuffle
+    * carries ~n·g slim rows where the old plan shuffled the ENTIRE
+    * multi-band candidate stream twice (distinct, then window sort).
+    * Same edges bit-for-bit — the per-node top-g by (score DESC, dst)
+    * over the distinct pair set is unchanged, and the graph consumers'
+    * oracles replay exactly that definition.
     */
   def buildGraph(spark: SparkSession, dir: String, g: Int): DataFrame = {
-    val vp = Dedup.lshVerifiedPairs(spark, dir, nBands = 32,
+    import spark.implicits._
+    val vp = Dedup.lshScoredPairs(spark, dir, nBands = 32,
       bitsPerBand = 6, bucketCap = 1000L)
     val sym = vp.select(col("a_id").as("src"), col("b_id").as("dst"), col("score"))
       .unionByName(vp.select(col("b_id").as("src"), col("a_id").as("dst"), col("score")))
-    val wk = Window.partitionBy(col("src")).orderBy(col("score").desc, col("dst"))
-    sym.withColumn("rk", row_number().over(wk).cast("long"))
-      .where(col("rk") <= g)
+      .select(col("src").as("q_id"), col("dst").as("n_id"), col("score"))
+      .as[TopK.ScoredPair]
+    sym.groupByKey(_.q_id)
+      .agg(new TopK.TopKDistinctAgg(g).toColumn.name("top"))
+      .flatMap { case (src, top) =>
+        top.iterator.zipWithIndex.map { case ((s, dst), i) =>
+          (src, dst, s, (i + 1).toLong) }
+      }
+      .toDF("src", "dst", "score", "rk")
   }
 
   /** The persisted graph, building it first if absent. Edges live
@@ -308,14 +328,23 @@ object GraphAnn {
     val path = IndexStore.indexPath(
       spark, "nsw_l1_v1", s"$dir/embeddings.parquet", g.toString)
     IndexStore.publish(spark, path) { tmp =>
-      val vp = Dedup.lshVerifiedPairs(spark, dir, nBands = 32,
+      import spark.implicits._
+      // same dedup-aware heap ranking as buildGraph (see there), over
+      // the promoted×promoted restriction of the raw collision stream
+      val vp = Dedup.lshScoredPairs(spark, dir, nBands = 32,
         bitsPerBand = 6, bucketCap = 1000L)
         .where(isPromoted(col("a_id")) && isPromoted(col("b_id")))
-      val sym = vp.select(col("a_id").as("src"), col("b_id").as("dst"), col("score"))
+      vp.select(col("a_id").as("src"), col("b_id").as("dst"), col("score"))
         .unionByName(vp.select(col("b_id").as("src"), col("a_id").as("dst"), col("score")))
-      val wk = Window.partitionBy(col("src")).orderBy(col("score").desc, col("dst"))
-      sym.withColumn("rk", row_number().over(wk).cast("long"))
-        .where(col("rk") <= g)
+        .select(col("src").as("q_id"), col("dst").as("n_id"), col("score"))
+        .as[TopK.ScoredPair]
+        .groupByKey(_.q_id)
+        .agg(new TopK.TopKDistinctAgg(g).toColumn.name("top"))
+        .flatMap { case (src, top) =>
+          top.iterator.zipWithIndex.map { case ((s, dst), i) =>
+            (src, dst, s, (i + 1).toLong) }
+        }
+        .toDF("src", "dst", "score", "rk")
         .repartition(1).write.mode("overwrite").parquet(s"$tmp/edges/epoch=base")
     }
     IndexStore.open(spark, s"$path/edges")

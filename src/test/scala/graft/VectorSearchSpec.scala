@@ -1043,6 +1043,28 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(r.getLong(6) == qq.size.toLong && r.getLong(7) == mutual.toLong)
   }
 
+  test("heap-built graph edges equal the distinct+window construction row-for-row") {
+    // buildGraph's dedup-aware bounded heap replaced the
+    // .distinct() + global ranking window (two full shuffles of the
+    // multi-band candidate stream at 1 M vectors) — the edge SET must
+    // be bit-identical, because every graph consumer's oracle replays
+    // the top-g-by-(score DESC, dst)-over-distinct-pairs definition
+    import graft.operators.{Dedup, GraphAnn}
+    import org.apache.spark.sql.expressions.Window
+    val g = 8
+    val heap = GraphAnn.buildGraph(spark, TestSpark.sf, g).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val vp = Dedup.lshVerifiedPairs(spark, TestSpark.sf, nBands = 32,
+      bitsPerBand = 6, bucketCap = 1000L)
+    val sym = vp.select(col("a_id").as("src"), col("b_id").as("dst"), col("score"))
+      .unionByName(vp.select(col("b_id").as("src"), col("a_id").as("dst"), col("score")))
+    val wk = Window.partitionBy(col("src")).orderBy(col("score").desc, col("dst"))
+    val window = sym.withColumn("rk", row_number().over(wk).cast("long"))
+      .where(col("rk") <= g).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(heap == window, "heap ranking must reproduce the window construction exactly")
+  }
+
   test("batch graph kNN join is row-identical to the single-query walk per query") {
     // the set-at-a-time walk must reproduce graphTopK exactly: same
     // entry rule, same per-hop beam, same rerank — for EVERY sampled
