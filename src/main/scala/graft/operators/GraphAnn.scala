@@ -264,9 +264,24 @@ object GraphAnn {
     * Each round's state materializes behind a LogicalRDD cut (the
     * iterative-loop convention) so the plan stays O(1) per hop.
     */
+  /** `entrySelf`: seed each query's walk at its OWN node IN ADDITION
+    * to the global-lowest entry. Batch queries are corpus members by
+    * construction, and their true neighbors live in their own graph
+    * COMPONENT — on a corpus with disconnected components (measured at
+    * the tiled sf50 point: decorrelated copies share no LSH collisions
+    * → no cross-copy edges, and the single-entry walk scored 0.0
+    * recall for every query outside the entry's component) the
+    * fixed-entry walk cannot cross, while the self seed explores
+    * exactly the right component. The fixed seed is kept alongside
+    * (a weakly-connected self node would otherwise strand the walk —
+    * measured: node 0's own neighborhood missed its rank-3 exact
+    * neighbor at sf0.001). GT mode
+    * ([[VectorSearch.recallGroundTruth]]) sets it; the oracled serving
+    * query keeps the single fixed-entry semantics its SQL replays.
+    */
   def graphKnnJoin(spark: SparkSession, dir: String, queryMod: Int = 100,
                    k: Int = 10, g: Int = 8, hops: Int = 6,
-                   beam: Int = 4): DataFrame = {
+                   beam: Int = 4, entrySelf: Boolean = false): DataFrame = {
     val graph = graft.sources.ScratchCache.materialize(
       ensureGraph(spark, dir, g).select(col("src"), col("dst")))
     val e = graft.sources.ScratchCache.materialize(
@@ -283,22 +298,38 @@ object GraphAnn {
     val low2 = e.select(col("vec_id")).orderBy(col("vec_id")).limit(2)
       .collect().map(_.getLong(0))
     require(low2.length == 2, s"graph kNN join needs >= 2 vectors in $dir")
-    var frontier = graft.sources.ScratchCache.materializeCut(scored(
-      qs.select(col("q_id"),
-        when(col("q_id") === low2(0), low2(1)).otherwise(low2(0)).as("v"))))
-    var visited = frontier
+    val fixedSeed = qs.select(col("q_id"),
+      when(col("q_id") === low2(0), low2(1)).otherwise(low2(0)).as("v"))
     val wb = Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("v"))
-    for (_ <- 0 until hops) {
-      val u = frontier.select(col("q_id"), col("v"))
-        .unionByName(frontier.select(col("q_id"), col("v"))
-          .join(graph.withColumnRenamed("src", "v"), "v")
-          .select(col("q_id"), col("dst").as("v")))
-        .distinct()
-      val us = graft.sources.ScratchCache.materializeCut(scored(u))
-      visited = visited.unionByName(us)
-      frontier = us.withColumn("rk", row_number().over(wb))
-        .where(col("rk") <= beam).select(col("q_id"), col("v"), col("s"))
+    // one beam walk from one seed set → its visited set. entrySelf
+    // runs TWO INDEPENDENT walks and unions the visited sets (below):
+    // folding both seeds into one beam is NOT monotone — the self
+    // cluster's high scores evict the fixed-entry path from the
+    // shared beam (measured: one-beam dual seeding LOST query 0's
+    // rank-3 exact neighbor that the fixed-entry walk alone found),
+    // while a union of independent walks is ⊇ each walk by
+    // construction.
+    def walkFrom(seed: DataFrame): DataFrame = {
+      var frontier = graft.sources.ScratchCache.materializeCut(scored(seed))
+      var visited = frontier
+      for (_ <- 0 until hops) {
+        val u = frontier.select(col("q_id"), col("v"))
+          .unionByName(frontier.select(col("q_id"), col("v"))
+            .join(graph.withColumnRenamed("src", "v"), "v")
+            .select(col("q_id"), col("dst").as("v")))
+          .distinct()
+        val us = graft.sources.ScratchCache.materializeCut(scored(u))
+        visited = visited.unionByName(us)
+        frontier = us.withColumn("rk", row_number().over(wb))
+          .where(col("rk") <= beam).select(col("q_id"), col("v"), col("s"))
+      }
+      visited
     }
+    val visited =
+      if (entrySelf)
+        walkFrom(fixedSeed)
+          .unionByName(walkFrom(qs.select(col("q_id"), col("q_id").as("v"))))
+      else walkFrom(fixedSeed)
     val wf = Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("v"))
     visited.where(col("v") =!= col("q_id"))
       .dropDuplicates("q_id", "v")

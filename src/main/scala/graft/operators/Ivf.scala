@@ -430,7 +430,12 @@ object Ivf {
     // scale point — BASELINE.md)
     val qIds = Tables.embeddings(spark, dir).where(col("vec_id") % queryMod === 0)
       .select(col("vec_id")).collect().map(_.getLong(0)).sorted.take(maxQueries).toSeq
-    val gt = VectorSearch.knnJoin(spark, dir, queryMod, k)
+    // GT through the recall seam (exact by default; the graph source
+    // is what lets this table be measured at the 1 M-vector scale
+    // point — BASELINE.md records the swap's fidelity); bounded to the
+    // sampled qIds before the driver collect
+    val gt = VectorSearch.recallGroundTruth(spark, dir, queryMod, k)
+      .where(col("q_id").isin(qIds: _*))
       .select(col("q_id"), col("n_id"), col("rk")).collect()
       .groupBy(_.getLong(0))
       .map { case (q, rs) => q -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }

@@ -291,7 +291,8 @@ object Lsh {
       spark.conf.getOption("spark.graft.recall.gt").getOrElse("exact") match {
         case "graph" =>
           // GT-grade walk params (see VectorSearch.recallGroundTruth)
-          GraphAnn.graphKnnJoin(spark, dir, queryMod, k, g = 8, hops = 8, beam = 24)
+          GraphAnn.graphKnnJoin(spark, dir, queryMod, k, g = 8, hops = 8,
+              beam = 24, entrySelf = true)
             .join(broadcast(q.select(col("q_id"))), Seq("q_id"), "left_semi")
             .select(col("q_id"), col("n_id"), col("rk"))
         case _ =>

@@ -495,7 +495,11 @@ object VectorSearch {
     spark.conf.getOption("spark.graft.recall.gt").getOrElse("exact") match {
       case "exact" => knnJoin(spark, dir, queryMod, k)
       case "graph" =>
-        GraphAnn.graphKnnJoin(spark, dir, queryMod, k, g = 8, hops = 8, beam = 24)
+        // entrySelf: GT queries are corpus members — walking from the
+        // query's own node explores its own component, which is what
+        // survives disconnected-component corpora (see graphKnnJoin)
+        GraphAnn.graphKnnJoin(spark, dir, queryMod, k, g = 8, hops = 8,
+          beam = 24, entrySelf = true)
       case other => throw new IllegalArgumentException(
         s"spark.graft.recall.gt must be exact|graph, got '$other'")
     }
