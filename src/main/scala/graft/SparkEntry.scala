@@ -4173,7 +4173,10 @@ object SparkEntry {
     "ann_graph_topk" ->
       s"""WITH $lshBlockCtes,
          |$nswBaseCtes,
-         |f0 AS (SELECT min(vec_id) AS v FROM embeddings WHERE vec_id <> 0),
+         |-- walk seeds: the global-lowest fixed entry AND the query's
+         |-- own node (member-query self seed — GraphAnn.graphTopK)
+         |f0 AS (SELECT min(vec_id) AS v FROM embeddings WHERE vec_id <> 0
+         |       UNION SELECT 0),
          |${graphAnnSteps(6, 4)},
          |visited AS (SELECT v FROM f0
          |${(0 until 6).map(i => s"            UNION SELECT v FROM u$i").mkString("\n")}),
@@ -4185,7 +4188,8 @@ object SparkEntry {
     // the 2-level walk: promoted subgraph descent picks the base
     // entry, base walk from there, ONE rerank over both visited sets
     // the batch walk replayed per query: per-(q, node) rounded score
-    // frame, the lowest-id (or second-lowest for q = lowest) entry,
+    // frame, seeds = the lowest-id (or second-lowest for q = lowest)
+    // fixed entry PLUS the query's own node (member-query self seed),
     // 6 unrolled per-q beam steps, final per-q rerank over each
     // query's own visited union — row-identical to running the
     // single-query walk oracle once per sampled q
@@ -4198,7 +4202,8 @@ object SparkEntry {
          |mn AS (SELECT min(vec_id) AS m1 FROM embeddings),
          |mn2 AS (SELECT min(vec_id) AS m2 FROM embeddings, mn WHERE vec_id <> mn.m1),
          |bf0 AS (SELECT q_id, CASE WHEN q_id = mn.m1 THEN mn2.m2 ELSE mn.m1 END AS v
-         |        FROM qs, mn, mn2),
+         |        FROM qs, mn, mn2
+         |        UNION SELECT q_id, q_id AS v FROM qs),
          |${batchWalkSteps(6, 4)},
          |vis AS (SELECT q_id, v FROM bf0
          |${(0 until 6).map(i => s"        UNION SELECT q_id, v FROM bu$i").mkString("\n")}),
@@ -4226,8 +4231,11 @@ object SparkEntry {
          |${graphWalkSteps("h", "nbr1", 4, 2)},
          |hvis AS (SELECT v FROM hf0
          |${(0 until 4).map(i => s"         UNION SELECT v FROM hu$i").mkString("\n")}),
-         |f0 AS (SELECT u.v FROM hvis u JOIN es ON es.vec_id = u.v
-         |       ORDER BY es.s DESC, u.v LIMIT 1),
+         |-- base seeds: the coarse hand-off pick AND the member
+         |-- query's own node (GraphAnn.hnswTopK)
+         |f0 AS (SELECT v FROM (SELECT u.v FROM hvis u JOIN es ON es.vec_id = u.v
+         |                      ORDER BY es.s DESC, u.v LIMIT 1)
+         |       UNION SELECT 0),
          |${graphAnnSteps(6, 4)},
          |visited AS (SELECT v FROM hvis
          |            UNION SELECT v FROM f0

@@ -175,10 +175,10 @@ object GraphAnn {
     */
   private def beamWalk(graph: DataFrame, emb: DataFrame,
                        qcos: Array[Float] => Double,
-                       entry: (Long, Double), hops: Int,
+                       entries: Seq[(Long, Double)], hops: Int,
                        beam: Int): Seq[(Long, Double)] = {
-    var frontier = Vector(entry)
-    val visited = scala.collection.mutable.LinkedHashMap(entry)
+    var frontier = entries.distinctBy(_._1).toVector
+    val visited = scala.collection.mutable.LinkedHashMap(frontier: _*)
     var hop = 0
     var converged = false
     while (hop < hops && !converged) {
@@ -235,7 +235,15 @@ object GraphAnn {
       .agg(min(col("vec_id"))).head.getLong(0)
     val entryScore = qcos(emb.where(col("vec_id") === entry)
       .select(col("embedding")).head.getSeq[Float](0).toArray)
-    val visited = beamWalk(graph, emb, qcos, (entry, entryScore), hops, beam)
+    // the query is a corpus MEMBER (by-id search, the reference's
+    // search_by_product_id semantics), so its own node seeds the walk
+    // beside the fixed entry: on a corpus whose neighbor graph has
+    // disconnected components (measured at the tiled 1 M-vector scale
+    // point: recall 0.0 for every query outside the entry's
+    // component) the self seed explores the query's own component —
+    // the walk stays one beam, and the rerank still excludes self
+    val visited = beamWalk(graph, emb, qcos,
+      Seq((entry, entryScore), (queryId, qcos(qv))), hops, beam)
     rerank(spark, emb, queryId, qv, qn, visited.map(_._1), k)
   }
 
@@ -325,11 +333,15 @@ object GraphAnn {
       }
       visited
     }
+    val selfSeed = qs.select(col("q_id"), col("q_id").as("v"))
     val visited =
       if (entrySelf)
-        walkFrom(fixedSeed)
-          .unionByName(walkFrom(qs.select(col("q_id"), col("q_id").as("v"))))
-      else walkFrom(fixedSeed)
+        walkFrom(fixedSeed).unionByName(walkFrom(selfSeed))
+      else
+        // serving: ONE beam seeded {fixed entry, self} — batch queries
+        // are corpus members, and the single-query walk (graphTopK)
+        // seeds the same pair, keeping batch ≡ single row-identical
+        walkFrom(fixedSeed.unionByName(selfSeed))
     val wf = Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("v"))
     visited.where(col("v") =!= col("q_id"))
       .dropDuplicates("q_id", "v")
@@ -419,7 +431,7 @@ object GraphAnn {
       if (entry1.isNullAt(0)) Seq.empty[(Long, Double)]
       else {
         val e1 = entry1.getLong(0)
-        beamWalk(graph1, emb, qcos, (e1, scoreOf(e1)), hops = 4, beam = 2)
+        beamWalk(graph1, emb, qcos, Seq((e1, scoreOf(e1))), hops = 4, beam = 2)
       }
     // base-layer entry: the best node the coarse layer found (the
     // HNSW layer hand-off), falling back to the global lowest id
@@ -430,7 +442,10 @@ object GraphAnn {
           .agg(min(col("vec_id"))).head.getLong(0)
         (e0, scoreOf(e0))
       }
-    val visited0 = beamWalk(graph0, emb, qcos, entry0, hops = 6, beam = 4)
+    // base walk seeds: the coarse hand-off AND the query's own node
+    // (member-query self seed — see graphTopK)
+    val visited0 = beamWalk(graph0, emb, qcos,
+      Seq(entry0, (queryId, qcos(qv))), hops = 6, beam = 4)
     rerank(spark, emb, queryId, qv, qn,
       (visited1 ++ visited0).map(_._1).distinct, k)
   }
