@@ -551,6 +551,10 @@ object SparkEntry {
     // path; dims/size/luminance stats hard-oracled against the
     // generative formula (the npy precedent applied to images)
     "media_quality_report" -> ((s, d) => Multimodal.mediaQualityReport(s, d)),
+    // rerank-shortlist-depth pricing (the sf50 finding that c must
+    // scale with corpus density): Recall@10 per depth off ONE nested
+    // ADC ranking + one exact-scoring pass
+    "ann_rerank_depth_sweep" -> ((s, d) => Quantized.rerankDepthSweep(s, d)),
     // Gopher long-n repetition battery (top-3gram share, dup-5/10gram)
     "doc_ngram_coverage" -> ((s, d) => TextAnalysis.ngramCoverage(s, d)),
     // per-type daily-count OLS slope (exact integer moments)
@@ -4086,6 +4090,40 @@ object SparkEntry {
          |SELECT e.vec_id, ${cos5("e.embedding", "q2.qv")} AS score
          |FROM embeddings e JOIN short USING (vec_id), q2
          |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    // the rerank sweep replayed: same fit/LUT/probe CTEs, ONE deepest
+    // ADC ranking with explicit ranks, per-depth prefix cuts re-ranked
+    // by exact cosine, hits counted against the exact top-10
+    "ann_rerank_depth_sweep" ->
+      s"""WITH RECURSIVE
+         |$ivfFitCtes,
+         |$pqFitCtes,
+         |$pqLutCte,
+         |q2 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT c.cell FROM cent c, q2
+         |          ORDER BY list_dot_product(q2.qv::DOUBLE[], c.centroid) /
+         |            (sqrt(list_dot_product(q2.qv::DOUBLE[], q2.qv::DOUBLE[])) * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+         |            c.cell LIMIT 4),
+         |short AS (SELECT vec_id, adc_rk FROM (
+         |          SELECT cd.vec_id,
+         |                 row_number() OVER (ORDER BY round(${adcChain("cd.codes")}, 5), cd.vec_id) AS adc_rk
+         |          FROM codes cd JOIN asg a ON a.vec_id = cd.vec_id JOIN probe ON probe.cell = a.cell
+         |          WHERE cd.vec_id <> 0) WHERE adc_rk <= 100),
+         |sc AS (SELECT s.vec_id, s.adc_rk, ${cos5("e.embedding", "q2.qv")} AS score
+         |       FROM embeddings e JOIN short s ON s.vec_id = e.vec_id, q2),
+         |gt AS (SELECT e.vec_id FROM embeddings e, q2 WHERE e.vec_id <> 0
+         |       ORDER BY ${cos5("e.embedding", "q2.qv")} DESC, e.vec_id LIMIT 10),
+         |cvals(c) AS (SELECT unnest([10, 25, 50, 100])),
+         |cut AS (SELECT cvals.c, sc.vec_id,
+         |               row_number() OVER (PARTITION BY cvals.c ORDER BY sc.score DESC, sc.vec_id) AS rk
+         |        FROM cvals JOIN sc ON sc.adc_rk <= cvals.c),
+         |hits AS (SELECT c, count(*) AS n FROM cut JOIN gt USING (vec_id)
+         |         WHERE rk <= 10 GROUP BY c),
+         |shc AS (SELECT cvals.c, count(sc.vec_id) AS sl
+         |        FROM cvals LEFT JOIN sc ON sc.adc_rk <= cvals.c GROUP BY cvals.c)
+         |SELECT shc.c::BIGINT AS c, shc.sl::BIGINT AS shortlist,
+         |       coalesce(hits.n, 0)::BIGINT AS n_hits,
+         |       floor(coalesce(hits.n, 0) / 10.0 * 100000 + 0.5) / 100000 + 0.0 AS recall_at_k
+         |FROM shc LEFT JOIN hits USING (c) ORDER BY c""".stripMargin,
     // residual IVFPQ (FAISS by_residual=true): codebooks fit and codes
     // computed on x − c(cell) residuals, per-probed-cell query LUTs —
     // all from the same deterministic recipes

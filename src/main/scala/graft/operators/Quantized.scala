@@ -486,6 +486,51 @@ object Quantized {
       .limit(k)
   }
 
+  /** Rerank-depth sweep — prices the [[ivfPqRerankTopK]] shortlist
+    * depth `c` against exact recall, the knob the sf50 scale point
+    * showed MUST grow with corpus density (c=50 recovered nothing over
+    * raw ADC at 1 M vectors while sufficing at 2 k — BASELINE.md's
+    * 13-family table). For each depth: Recall@k of
+    * "ADC-rank the probed cells, keep the top-c, exact-rerank those c"
+    * against the true exact top-k.
+    *
+    * One-pass shape (the sweep costs ONE search, not |cs|): depths'
+    * shortlists provably NEST — every depth's shortlist is a prefix of
+    * the single deepest ADC ranking — so one probe + one exact-scoring
+    * pass over ≤ max(cs) rows serves every cut; per-depth top-k and
+    * the ≤ k-row ground-truth intersection are bounded driver math
+    * (the probe-plan convention).
+    */
+  def rerankDepthSweep(spark: SparkSession, dir: String, queryId: Long = 0L,
+                       nCells: Int = 16, nprobe: Int = 4, k: Int = 10,
+                       cs: Seq[Int] = Seq(10, 25, 50, 100)): DataFrame = {
+    import spark.implicits._
+    val cMax = cs.max
+    // ranked prefix source: ivfPqTopK at the deepest depth
+    val short = ivfPqTopK(spark, dir, queryId, nCells, nprobe, cMax)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", l2norm(col("embedding")))
+    val q = e.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    // one exact-scoring pass over the deepest shortlist (≤ cMax rows)
+    val scored = e.where(col("vec_id").isin(short: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gt = VectorSearch.topK(spark, dir, queryId, k)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val rows = cs.sorted.map { c =>
+      val prefix = short.take(c)
+      val topk = prefix.map(id => (id, scored(id)))
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+      val hits = topk.count(gt.contains).toLong
+      (c.toLong, prefix.length.toLong, hits,
+        math.floor(hits.toDouble / k * 1e5 + 0.5) / 1e5)
+    }
+    rows.toDF("c", "shortlist", "n_hits", "recall_at_k").orderBy(col("c"))
+  }
+
   /** Johnson-Lindenstrauss random projection — the DIMENSION-reduction
     * sibling of SQ8's per-component compression: project each
     * embedding onto `outDim` fixed seed-42 gaussian directions (scaled

@@ -1043,6 +1043,31 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(r.getLong(6) == qq.size.toLong && r.getLong(7) == mutual.toLong)
   }
 
+  test("rerank-depth sweep rows recount against per-depth reranked searches") {
+    import graft.operators.Quantized
+    val cs = Seq(10, 25, 50)
+    val rows = Quantized.rerankDepthSweep(spark, TestSpark.sf, cs = cs).collect()
+      .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == cs.toSet)
+    val gt = VectorSearch.topK(spark, TestSpark.sf, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    cs.foreach { c =>
+      // the sweep's per-depth cut must equal running the full
+      // retrieve-then-rerank search at that depth (prefix nesting is
+      // an optimization, never a semantic change)
+      val direct = Quantized.ivfPqRerankTopK(spark, TestSpark.sf, queryId = 0,
+        nCells = 16, nprobe = 4, c = c, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      val (sl, hits, recall) = rows(c)
+      assert(sl <= c)
+      assert(hits == direct.count(gt.contains).toLong, s"hits mismatch at c=$c")
+      assert(recall == math.floor(hits.toDouble / 10 * 1e5 + 0.5) / 1e5)
+    }
+    // monotone: a deeper shortlist can only add candidates
+    val sorted = cs.sorted.map(rows(_)._2)
+    assert(sorted == sorted.sorted, "recall must be non-decreasing in c")
+  }
+
   test("heap-built graph edges equal the distinct+window construction row-for-row") {
     // buildGraph's dedup-aware bounded heap replaced the
     // .distinct() + global ranking window (two full shuffles of the
