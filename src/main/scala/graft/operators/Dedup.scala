@@ -544,6 +544,15 @@ object Dedup {
     * contribute are better found by [[exact]] hash dedup. The recall
     * this trades is MEASURED, not assumed — [[minhashCapSweep]]
     * prices each cap against the exact-Jaccard truth.
+    *
+    * Construction-time audit job: when the cap is live (bucketCap !=
+    * Long.MaxValue) this builder EAGERLY counts the over-cap buckets —
+    * one aggregation over slim (band, bv) keys, shared with the
+    * anti-join via the ScratchCache persist — so the recall-bound
+    * warning fires at build time even for callers that stage the
+    * frame without evaluating it (a curation pipeline assembling its
+    * manifest lazily would otherwise silently drop clusters). Callers
+    * that need a fully lazy plan pass bucketCap = Long.MaxValue.
     */
   private[graft] def minhashCandEst(spark: SparkSession, dir: String, n: Int,
                                     k: Int, rowsPerBand: Int,

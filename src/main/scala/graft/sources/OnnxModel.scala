@@ -506,9 +506,16 @@ object OnnxModel {
     val env = scala.collection.mutable.Map[String, Tensor]()
     env ++= g.initializers
     env ++= inputs
+    // declared-but-uncomputed optional outputs (name -> producing op),
+    // so a later reader fails naming the producer instead of a bare
+    // 'missing input'
+    val unbound = scala.collection.mutable.Map[String, String]()
     def in(node: Node, i: Int): Tensor =
       env.getOrElse(node.inputs(i), throw new IllegalArgumentException(
-        s"${node.opType}: missing input '${node.inputs(i)}'"))
+        unbound.get(node.inputs(i))
+          .map(op => s"${node.opType}: input '${node.inputs(i)}' is an " +
+            s"optional output of $op this interpreter does not compute")
+          .getOrElse(s"${node.opType}: missing input '${node.inputs(i)}'")))
     // axes for the Squeeze/Unsqueeze/Reduce families: second input
     // (opset 13+) or the `axes` ints attr (older exports)
     def axesOf(node: Node): Seq[Int] =
@@ -693,11 +700,18 @@ object OnnxModel {
         case op => throw new IllegalArgumentException(
           s"ONNX op '$op' outside the supported encoder subset")
       }
-      require(outs.length >= node.outputs.count(_.nonEmpty),
-        s"${node.opType}: ${outs.length} results for ${node.outputs.length} declared outputs")
-      node.outputs.zip(outs).foreach { case (name, t) =>
-        if (name.nonEmpty) env(name) = t // empty name = optional output slot
-      }
+      // align computed results to the NON-empty declared outputs: an
+      // empty name is a skipped optional slot (outputs ["", "y"] with
+      // one result binds "y", not the empty slot), and declared
+      // optional outputs beyond the computed results (e.g.
+      // LayerNormalization's mean/inv-std) stay unbound but RECORDED,
+      // so a later reader fails naming the output's producer
+      val declared = node.outputs.filter(_.nonEmpty)
+      require(declared.nonEmpty && outs.nonEmpty,
+        s"${node.opType}: no computed result bindable to declared " +
+          s"outputs [${node.outputs.mkString(", ")}]")
+      declared.zip(outs).foreach { case (name, t) => env(name) = t }
+      declared.drop(outs.length).foreach(name => unbound(name) = node.opType)
     }
     env.getOrElse(g.outputNames.headOption.getOrElse(
         g.nodes.last.outputs.head),

@@ -84,7 +84,13 @@ object GenData {
     def want(name: String): Boolean = tables.forall(_.contains(name))
     // a tables= filter must not leave stale fact tables from a PRIOR
     // run sitting in dst — a later reader would silently mix scales.
-    // Refuse rather than delete: the caller decides what dies.
+    // Refuse rather than delete: the caller decides what dies. This
+    // deliberately also refuses same-scale INCREMENTAL population of
+    // one dst across runs with different filters (generate documents,
+    // then tables=embeddings into the same dir): the tool cannot read
+    // a scale marker off parquet to tell same-scale from mixed-scale,
+    // so a dst is single-shot per filter — widen the filter to emit
+    // the full set in one run instead.
     val factTables = Seq("customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings", "events")
     if (tables.isDefined) {

@@ -278,6 +278,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("LSTM"))
   }
 
+  test("ONNX output binding: results align to non-empty declared names; unbound optional outputs fail naming their producer") {
+    import graft.sources.OnnxModel
+    import graft.sources.OnnxModel.{Graph, Node, Tensor}
+    val x = Tensor(Array(2), Array(1f, 2f))
+    // a leading EMPTY optional slot: the single computed result must
+    // bind to 'y', not silently to the empty slot
+    val g1 = Graph(Seq(Node("Identity", Seq("x"), Seq("", "y"), Map.empty)),
+      Map.empty, Seq("x"), Seq("y"))
+    assert(OnnxModel.run(g1, Map("x" -> x)).data.sameElements(x.data))
+    // declared optional TRAILING outputs beyond the computed results
+    // (the LayerNormalization mean/inv-std shape) must not fail the op
+    // itself; a later read of the unbound name fails naming its producer
+    val g2 = Graph(Seq(
+        Node("Identity", Seq("x"), Seq("y", "extra_stat"), Map.empty),
+        Node("Identity", Seq("extra_stat"), Seq("z"), Map.empty)),
+      Map.empty, Seq("x"), Seq("z"))
+    val e = intercept[IllegalArgumentException] { OnnxModel.run(g2, Map("x" -> x)) }
+    assert(e.getMessage.contains("extra_stat") &&
+      e.getMessage.contains("optional output"), e.getMessage)
+    // a graph that never reads the unbound slot runs fine
+    val g3 = Graph(Seq(Node("Identity", Seq("x"), Seq("y", "stat"), Map.empty)),
+      Map.empty, Seq("x"), Seq("y"))
+    assert(OnnxModel.run(g3, Map("x" -> x)).data.sameElements(x.data))
+  }
+
   test("ONNX attention: a generated 1-block self-attention export replays a hand pass bit-for-bit and drives the seam") {
     import graft.functions.{OnnxQueryEncoder, QueryEncoder}
     import graft.operators.VectorSearch
