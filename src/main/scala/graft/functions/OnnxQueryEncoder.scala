@@ -14,12 +14,22 @@ import graft.sources.OnnxModel
   *    per line; the line number IS the token id (the embedding-table
   *    row the graph's Gather looks up)
   *
-  * Tokenization is the corpus contract (lowercase `[a-z0-9_]+`,
-  * length ≥ 2 — TextRetrieval's sklearn-style tokenizer), so the
-  * query-side tokens line up with any vocabulary fitted from the
-  * corpus. Out-of-vocabulary tokens are dropped (the sklearn
-  * convention); a query with NO in-vocabulary tokens is a hard error
-  * — an all-OOV silent zero-vector would rank the corpus arbitrarily.
+  * Tokenization is selected by `spark.graft.encoder.onnx.tokenizer`:
+  *
+  *  - `regex` (default): the corpus contract (lowercase `[a-z0-9_]+`,
+  *    length ≥ 2 — TextRetrieval's sklearn-style tokenizer), so the
+  *    query-side tokens line up with any vocabulary fitted from the
+  *    corpus. Out-of-vocabulary tokens are dropped (the sklearn
+  *    convention).
+  *  - `wordpiece`: greedy longest-match-first subword tokenization
+  *    ([[WordPiece]]) over the same line-per-token vocab, with `##`
+  *    continuations — what a REAL sentence-transformers/MiniLM export
+  *    ships beside its weights; the query is wrapped in `[CLS]` /
+  *    `[SEP]` when the vocab carries them (the BERT input convention)
+  *    and unmatchable words feed `[UNK]`'s id when present, else drop.
+  *
+  * Either way a query with NO in-vocabulary tokens is a hard error —
+  * an all-OOV silent zero-vector would rank the corpus arbitrarily.
   *
   * The parsed graph and vocabulary memoize per (path, vocab) process-
   * wide: encode() runs per query STRING on the driver, and re-parsing
@@ -41,9 +51,26 @@ class OnnxQueryEncoder extends QueryEncoder {
   override def encode(text: String): Array[Float] = {
     val (graph, inputName, auxInputs, vocab) =
       OnnxQueryEncoder.cached(modelPath, vocabPath)
-    val ids = OnnxQueryEncoder.tokenRe
-      .findAllIn(text.toLowerCase(java.util.Locale.ROOT))
-      .filter(_.length >= 2).flatMap(vocab.get).map(_.toFloat).toArray
+    val ids = conf.get(OnnxQueryEncoder.TokenizerKey, "regex") match {
+      case "regex" =>
+        OnnxQueryEncoder.tokenRe
+          .findAllIn(text.toLowerCase(java.util.Locale.ROOT))
+          .filter(_.length >= 2).flatMap(vocab.get).map(_.toFloat).toArray
+      case "wordpiece" =>
+        val pieces = WordPiece.tokenize(text, vocab)
+        // all-[UNK] is the subword spelling of all-OOV — same hard
+        // error as the regex path's empty token set
+        require(pieces.exists(_ != WordPiece.Unk),
+          s"query has no in-vocabulary tokens for the ONNX encoder: '$text'")
+        // [UNK] feeds its id when the vocab carries one (BERT keeps
+        // unknowns in-band); content pieces are in-vocab by
+        // construction of the WordPiece loop
+        val body = pieces.flatMap(vocab.get)
+        val wrapped = vocab.get("[CLS]").toSeq ++ body ++ vocab.get("[SEP]").toSeq
+        wrapped.map(_.toFloat).toArray
+      case other => throw new IllegalArgumentException(
+        s"${OnnxQueryEncoder.TokenizerKey} must be regex|wordpiece, got '$other'")
+    }
     require(ids.nonEmpty,
       s"query has no in-vocabulary tokens for the ONNX encoder: '$text'")
     // transformer exports declare companion inputs beside the token
@@ -62,6 +89,7 @@ class OnnxQueryEncoder extends QueryEncoder {
 object OnnxQueryEncoder {
   val PathKey = "spark.graft.encoder.onnx.path"
   val VocabKey = "spark.graft.encoder.onnx.vocab"
+  val TokenizerKey = "spark.graft.encoder.onnx.tokenizer"
 
   private[functions] val tokenRe = "[a-z0-9_]+".r
 

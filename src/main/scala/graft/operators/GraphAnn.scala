@@ -35,9 +35,12 @@ import graft.sources.IndexStore
   * is linear in the corpus, never n²), verifies them with one exact
   * cosine pass, and keeps top-g per node via a per-src
   * WindowGroupLimit — the NSW insert loop re-expressed as one
-  * deterministic bulk job. Isolated nodes (no bucket collision under
-  * the occupancy cap) get no out-edges — the same documented-miss
-  * contract as the LSH searcher. The walk itself is driver-side probe
+  * deterministic bulk job. The persisted graph then adds reverse
+  * links and connectivity bridges ([[ensureGraph]]) so every node —
+  * including isolated ones the LSH blocking never collided — is
+  * reachable from the global-min hub in a bounded hop count, the
+  * construction-time reachability real HNSW gets from its insert
+  * loop (Malkov & Yashunin §4). The walk itself is driver-side probe
   * PLANNING over O(beam·g)-row lookups (the [[Ivf.rankCells]]
   * precedent — FAISS also walks its graph in the coordinator); the
   * final rerank is a distributed scan of the ≤ 1+hops·beam·g visited
@@ -45,9 +48,19 @@ import graft.sources.IndexStore
   */
 object GraphAnn {
 
-  /** The corpus's fingerprint-addressed graph path for (dir, g). */
+  /** The corpus's fingerprint-addressed graph path for (dir, g).
+    * v4: the persisted edge set became symmetrized top-g plus
+    * connectivity bridges (epochs `sym` and `bridge`, see
+    * [[ensureGraph]]) — older artifacts must not be reused.
+    */
   def indexPath(spark: SparkSession, dir: String, g: Int): String =
-    IndexStore.indexPath(spark, "nsw_v3", s"$dir/embeddings.parquet", g.toString)
+    IndexStore.indexPath(spark, "nsw_v4", s"$dir/embeddings.parquet", g.toString)
+
+  /** Fixed min-label propagation depth for [[bridgeEdges]] — the
+    * oracle unrolls exactly this many rounds, so it is a contract
+    * constant, not a tuning knob.
+    */
+  val BridgeRounds = 4
 
   /** Build the top-g neighbor graph from LSH-blocked candidates:
     * (src, dst, score, rk) with score = round(cos, 5) and rk 1..g by
@@ -88,14 +101,100 @@ object GraphAnn {
     * under `edges/epoch=base` so maintenance batches
     * ([[appendToGraph]]) commit as sibling epoch dirs with one atomic
     * rename — the [[Ivf.appendToIndex]] layout.
+    *
+    * Construction-time CONNECTIVITY (the r14 sf50 finding: a
+    * component-disconnected corpus scored 0.0 recall for every query
+    * outside the fixed entry's component — real HNSW guarantees
+    * reachability at insertion, Malkov & Yashunin §4). Two extra
+    * epochs close it:
+    *
+    *   - `epoch=sym`: the reverse of every top-g edge not already
+    *     present forward, rk = 0 — bidirectional links, the same
+    *     backlink convention [[appendToGraph]] already commits, so the
+    *     walkable graph is undirected;
+    *   - `epoch=bridge`: [[bridgeEdges]] — every node's
+    *     [[BridgeRounds]]-hop-min label group has its representative
+    *     (the label itself, a node ≤ BridgeRounds undirected hops from
+    *     every member) linked BIDIRECTIONALLY to the global-min hub
+    *     node. By construction every node is then reachable from the
+    *     hub in ≤ BridgeRounds + 1 hops, so a fixed-entry walk can
+    *     reach every component — including isolated nodes the LSH
+    *     blocking never collided (they keep their own label and bridge
+    *     directly).
+    *
+    * Each epoch derives from the PREVIOUS epoch's written parquet, so
+    * the expensive LSH+heap build executes once, never re-runs per
+    * derived epoch. Bridge count = #distinct labels: #components for
+    * well-connected top-g graphs, degrading toward corpus size only
+    * for pathological high-diameter graphs (a path graph), where the
+    * hub degenerates into a high-degree node — the honest trade for a
+    * reachability guarantee without an unbounded CC loop in the
+    * replayable build.
     */
   def ensureGraph(spark: SparkSession, dir: String, g: Int): DataFrame = {
     val path = indexPath(spark, dir, g)
     IndexStore.publish(spark, path) { tmp =>
       buildGraph(spark, dir, g).repartition(1)
         .write.mode("overwrite").parquet(s"$tmp/edges/epoch=base")
+      val base = spark.read.parquet(s"$tmp/edges/epoch=base")
+        .select(col("src"), col("dst"), col("score"), col("rk"))
+      base.select(col("dst").as("src"), col("src").as("dst"), col("score"))
+        .join(base.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti")
+        .withColumn("rk", lit(0L))
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/edges/epoch=sym")
+      val sym = base.unionByName(spark.read.parquet(s"$tmp/edges/epoch=sym")
+        .select(col("src"), col("dst"), col("score"), col("rk")))
+      bridgeEdges(spark, dir, sym)
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/edges/epoch=bridge")
     }
     IndexStore.open(spark, s"$path/edges")
+  }
+
+  /** Connectivity bridge edges over the symmetrized edge set (see
+    * [[ensureGraph]]): [[BridgeRounds]] fixed rounds of min-label
+    * propagation (lab(n) ← min(lab(n), min over neighbors) — each
+    * node's label converges to the minimum id within BridgeRounds
+    * undirected hops), then every distinct label except the hub's own
+    * becomes a representative linked to the global-min hub in both
+    * directions, scored with the real rounded cosine so the artifact
+    * stays score-complete. Fixed rounds — NOT loop-to-convergence —
+    * because the oracle unrolls exactly BridgeRounds CTE steps; the
+    * reachability guarantee (rep ≤ BridgeRounds hops from every group
+    * member) holds for any round count. Already-present (src, dst)
+    * pairs are anti-joined away so the artifact carries no duplicate
+    * edges.
+    *
+    * Scale shape: each round is one keyed join + map-side min over
+    * the slim (src, dst) edge list — the [[Dedup.connectedComponents]]
+    * per-round cost with a FIXED round count instead of a
+    * diameter-bounded loop; the hub embedding is a 1-row broadcast
+    * and bridge scoring touches only representative rows.
+    */
+  private[operators] def bridgeEdges(spark: SparkSession, dir: String,
+                                     symEdges: DataFrame): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val se = symEdges.select(col("src"), col("dst"))
+    var lab = emb.select(col("vec_id").as("node"), col("vec_id").as("lab"))
+    for (_ <- 0 until BridgeRounds) {
+      val nbrMin = se.join(lab.select(col("node").as("dst"), col("lab").as("nl")), "dst")
+        .groupBy(col("src")).agg(min(col("nl")).as("nl"))
+      lab = lab.join(nbrMin.select(col("src").as("node"), col("nl")), Seq("node"), "left")
+        .select(col("node"), least(col("lab"), coalesce(col("nl"), col("lab"))).as("lab"))
+    }
+    val hub = emb.agg(min(col("vec_id"))).head.getLong(0)
+    val reps = lab.select(col("lab")).distinct().where(col("lab") =!= hub)
+    val h = broadcast(emb.where(col("vec_id") === hub)
+      .select(col("embedding").as("hv"), l2norm(col("embedding")).as("hn")))
+    val scored = emb.join(reps, col("vec_id") === col("lab"))
+      .crossJoin(h)
+      .select(col("vec_id").as("rep"),
+        round(dotd(col("embedding"), col("hv")) /
+          (l2norm(col("embedding")) * col("hn")), 5).as("score"))
+    scored.select(lit(hub).as("src"), col("rep").as("dst"), col("score"), lit(0L).as("rk"))
+      .unionByName(scored.select(col("rep").as("src"), lit(hub).as("dst"),
+        col("score"), lit(0L).as("rk")))
+      .join(symEdges.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti")
+      .select(col("src"), col("dst"), col("score"), col("rk"))
   }
 
   /** The searchable vector set: the base corpus plus every appended
@@ -198,15 +297,19 @@ object GraphAnn {
     visited.toSeq
   }
 
-  /** Exact distributed rerank of a visited set against the query. */
-  private def rerank(spark: SparkSession, emb: DataFrame, queryId: Long,
+  /** Exact distributed rerank of a visited set against the query.
+    * `exclude` is the member query's own id (a non-member caller
+    * vector excludes nothing); the q_id broadcast row only keeps the
+    * rank window partitioned (WindowGroupLimit — see [[Ivf.ivfTopK]]).
+    */
+  private def rerank(spark: SparkSession, emb: DataFrame, exclude: Option[Long],
                      qv: Array[Float], qn: Double, visited: Seq[Long],
                      k: Int): DataFrame = {
     import spark.implicits._
-    val qid = broadcast(Seq(queryId).toDF("q_id"))
+    val qid = broadcast(Seq(exclude.getOrElse(-1L)).toDF("q_id"))
     val wk = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
     emb.where(col("vec_id").isin(visited: _*))
-      .where(col("vec_id") =!= queryId)
+      .where(exclude.map(col("vec_id") =!= _).getOrElse(lit(true)))
       .crossJoin(qid)
       .select(col("q_id"), col("vec_id").as("n_id"),
         round(dotd(col("embedding"), typedlit(qv)) /
@@ -244,7 +347,31 @@ object GraphAnn {
     // the walk stays one beam, and the rerank still excludes self
     val visited = beamWalk(graph, emb, qcos,
       Seq((entry, entryScore), (queryId, qcos(qv))), hops, beam)
-    rerank(spark, emb, queryId, qv, qn, visited.map(_._1), k)
+    rerank(spark, emb, Some(queryId), qv, qn, visited.map(_._1), k)
+  }
+
+  /** NON-member graph search — the reference's free-text serving shape
+    * (app.py:169-188: `model.encode(query)` then search; the typed
+    * query is NOT a corpus row, so no self seed exists): the walk
+    * enters at the global-min hub, whose connectivity bridges
+    * ([[ensureGraph]]) put every component within one hop, and the
+    * rerank excludes nothing. This is the case the r14 sf50 point
+    * measured collapsing to 0.0 recall before the bridge construction
+    * — the member-query self seed never covered it.
+    */
+  def graphTopKVec(spark: SparkSession, dir: String, qv: Array[Float],
+                   g: Int = 8, hops: Int = 6, beam: Int = 4,
+                   k: Int = 10): DataFrame = {
+    val graph = ensureGraph(spark, dir, g)
+    val emb = vectors(spark, dir, g)
+    val qn = math.sqrt(dot(qv, qv))
+    def qcos(v: Array[Float]): Double =
+      r5(dot(qv, v) / (math.sqrt(dot(v, v)) * qn))
+    val entry = emb.agg(min(col("vec_id"))).head.getLong(0)
+    val entryScore = qcos(emb.where(col("vec_id") === entry)
+      .select(col("embedding")).head.getSeq[Float](0).toArray)
+    val visited = beamWalk(graph, emb, qcos, Seq((entry, entryScore)), hops, beam)
+    rerank(spark, emb, None, qv, qn, visited.map(_._1), k)
   }
 
   /** BATCH graph-ANN kNN join — the graph-family answer to the
@@ -284,8 +411,16 @@ object GraphAnn {
     * (a weakly-connected self node would otherwise strand the walk —
     * measured: node 0's own neighborhood missed its rank-3 exact
     * neighbor at sf0.001). GT mode
-    * ([[VectorSearch.recallGroundTruth]]) sets it; the oracled serving
-    * query keeps the single fixed-entry semantics its SQL replays.
+    * ([[VectorSearch.recallGroundTruth]]) sets it and walks the two
+    * seeds as INDEPENDENT beams whose visited sets union (monotone ⊇
+    * each walk); serving (entrySelf=false) folds both seeds into ONE
+    * beam — matching [[graphTopK]] so batch ≡ single stays
+    * row-identical, and exactly what the `ann_graph_knn_join` /
+    * `ann_graph_topk` oracles replay (dual-seeded `f0`/`bf0` CTEs).
+    * The one-beam fold is non-monotone (the self cluster can evict
+    * the fixed-entry path — see the walkFrom comment); the serving
+    * recall it trades vs GT's two-walk union is recorded in
+    * BASELINE.md, not assumed away.
     */
   def graphKnnJoin(spark: SparkSession, dir: String, queryMod: Int = 100,
                    k: Int = 10, g: Int = 8, hops: Int = 6,
@@ -446,7 +581,43 @@ object GraphAnn {
     // (member-query self seed — see graphTopK)
     val visited0 = beamWalk(graph0, emb, qcos,
       Seq(entry0, (queryId, qcos(qv))), hops = 6, beam = 4)
-    rerank(spark, emb, queryId, qv, qn,
+    rerank(spark, emb, Some(queryId), qv, qn,
+      (visited1 ++ visited0).map(_._1).distinct, k)
+  }
+
+  /** NON-member hierarchical search ([[graphTopKVec]]'s 2-level twin):
+    * the coarse promoted-layer descent picks the base hand-off as in
+    * [[hnswTopK]], and the base walk seeds {hand-off, global-min hub}
+    * — the hub seed replaces the member query's self seed, because the
+    * connectivity bridges hang off the hub and a caller-supplied
+    * vector has no node of its own to explore from.
+    */
+  def hnswTopKVec(spark: SparkSession, dir: String, qv: Array[Float],
+                  g: Int = 8, k: Int = 10): DataFrame = {
+    val graph0 = ensureGraph(spark, dir, g)
+    val graph1 = ensureLevel1(spark, dir, g)
+    val emb = vectors(spark, dir, g)
+    val qn = math.sqrt(dot(qv, qv))
+    def qcos(v: Array[Float]): Double =
+      r5(dot(qv, v) / (math.sqrt(dot(v, v)) * qn))
+    def scoreOf(id: Long): Double =
+      qcos(emb.where(col("vec_id") === id)
+        .select(col("embedding")).head.getSeq[Float](0).toArray)
+    val hub = emb.agg(min(col("vec_id"))).head.getLong(0)
+    val entry1 = emb.where(isPromoted(col("vec_id")))
+      .agg(min(col("vec_id"))).head
+    val visited1 =
+      if (entry1.isNullAt(0)) Seq.empty[(Long, Double)]
+      else {
+        val e1 = entry1.getLong(0)
+        beamWalk(graph1, emb, qcos, Seq((e1, scoreOf(e1))), hops = 4, beam = 2)
+      }
+    val entry0 =
+      if (visited1.nonEmpty) visited1.minBy { case (id, s) => (-s, id) }
+      else (hub, scoreOf(hub))
+    val visited0 = beamWalk(graph0, emb, qcos,
+      Seq(entry0, (hub, scoreOf(hub))), hops = 6, beam = 4)
+    rerank(spark, emb, None, qv, qn,
       (visited1 ++ visited0).map(_._1).distinct, k)
   }
 }

@@ -381,6 +381,31 @@ object Ivf {
       .orderBy(col("rk"))
   }
 
+  /** [[ivfTopK]] for a CALLER-SUPPLIED query vector (non-member
+    * serving — what the free-text front door routes here after
+    * encoding): identical driver probe planning and literal-pruned
+    * index scan, no self-exclusion since the query is not a corpus
+    * row.
+    */
+  def ivfTopKVec(spark: SparkSession, dir: String, qv: Array[Float], nCells: Int,
+                 nprobe: Int, k: Int): DataFrame = {
+    val (cells, centroids) = ensureIndex(spark, dir, nCells)
+    val probedCells = rankCells(centroids, qv).take(nprobe)
+    val q = typedlit(qv)
+    import spark.implicits._
+    val qid = broadcast(Seq(-1L).toDF("q_id"))
+    val wk = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    cells.where(col("cell").isin(probedCells: _*))
+      .crossJoin(qid)
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        col("cell").cast("long").as("cell"),
+        round(dotd(col("embedding"), q) / (col("nrm") * l2norm(q)), 5).as("score"))
+      .withColumn("rk", row_number().over(wk).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("n_id"), col("cell"), col("score"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
   /** Cells ranked by centroid cosine against one query vector —
     * driver-side probe planning (ties broken on cell id, matching
     * [[search]]'s (cdist DESC, cell) order).
@@ -418,9 +443,20 @@ object Ivf {
     * through the single-query entry points (the persisted build-once
     * artifacts), so the sweep measures probing, not fitting.
     */
+  /** `memberQueries = false` prices the HONEST serving case: the
+    * sampled query VECTORS are held OUT of every index build (each
+    * family builds on a corpus-minus-queries carve-out, published
+    * once per (corpus, sample) fingerprint) and every family searches
+    * through its caller-vector entry point — no self hit can inflate
+    * recall, matching how the reference's free-text path actually
+    * queries (app.py:169-188 encodes text the corpus never saw).
+    * Ground truth is the exact flat scan of each held-out vector
+    * against the carved corpus, so the `flat` row stays the 1.0/1.0
+    * anchor by construction.
+    */
   def familyEval(spark: SparkSession, dir: String, queryMod: Int, k: Int,
                  nCells: Int = 16, nprobe: Int = 4, lshBits: Int = 8,
-                 maxQueries: Int = 8): DataFrame = {
+                 maxQueries: Int = 8, memberQueries: Boolean = true): DataFrame = {
     import spark.implicits._
     // the sample is BOUNDED (lowest maxQueries mod-selected ids): the
     // eval is a driver loop of single-query searches, so an unbounded
@@ -430,15 +466,30 @@ object Ivf {
     // scale point — BASELINE.md)
     val qIds = Tables.embeddings(spark, dir).where(col("vec_id") % queryMod === 0)
       .select(col("vec_id")).collect().map(_.getLong(0)).sorted.take(maxQueries).toSeq
+    // non-member mode: query vectors collected once (bounded:
+    // maxQueries × dim floats), searches run against the carve-out
+    val qVecs: Map[Long, Array[Float]] =
+      if (memberQueries) Map.empty
+      else Tables.embeddings(spark, dir).where(col("vec_id").isin(qIds: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val searchDir = if (memberQueries) dir else heldOutDir(spark, dir, qIds)
     // GT through the recall seam (exact by default; the graph source
     // is what lets this table be measured at the 1 M-vector scale
     // point — BASELINE.md records the swap's fidelity); bounded to the
-    // sampled qIds before the driver collect
-    val gt = VectorSearch.recallGroundTruth(spark, dir, queryMod, k)
-      .where(col("q_id").isin(qIds: _*))
-      .select(col("q_id"), col("n_id"), col("rk")).collect()
-      .groupBy(_.getLong(0))
-      .map { case (q, rs) => q -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    // sampled qIds before the driver collect. Non-member GT is the
+    // exact flat scan of each held-out vector against the carve-out.
+    val gt: Map[Long, Map[Long, Long]] =
+      if (memberQueries)
+        VectorSearch.recallGroundTruth(spark, dir, queryMod, k)
+          .where(col("q_id").isin(qIds: _*))
+          .select(col("q_id"), col("n_id"), col("rk")).collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+      else qIds.map { q =>
+        q -> VectorSearch.topKVec(spark, searchDir, qVecs(q), k).collect()
+          .zipWithIndex.map { case (r, i) => r.getLong(0) -> (i + 1).toLong }.toMap
+      }.toMap
     val nq = qIds.length.toDouble
     def eval(name: String, run: Long => Seq[Long]) = {
       // no per-family warm-up here: the concurrent warm block below
@@ -461,7 +512,7 @@ object Ivf {
         math.rint(avgMs * 1e3) / 1e3, nq.toLong)
     }
     def ids(df: DataFrame): Seq[Long] = df.collect().map(_.getLong(0)).toSeq
-    val families: Seq[(String, Long => Seq[Long])] = Seq(
+    val families: Seq[(String, Long => Seq[Long])] = if (memberQueries) Seq(
       ("flat", (q: Long) => ids(VectorSearch.topK(spark, dir, q, k))),
       (s"ivf_nprobe$nprobe", (q: Long) => ids(ivfTopK(spark, dir, q, nCells, nprobe, k))),
       ("lsh_multiprobe", (q: Long) => ids(Lsh.lshTopK(spark, dir, q, lshBits, k))),
@@ -498,6 +549,35 @@ object Ivf {
       // leaf probes, the same entry point `ann_rptree_topk` oracles
       ("rptree_t4d3", (q: Long) =>
         ids(RpTree.rpTreeTopK(spark, dir, q, nTrees = 4, depth = 3, k = k))))
+    else Seq(
+      // the SAME thirteen families through their caller-vector entry
+      // points against the held-out carve-out — row names match the
+      // member table so the two read side-by-side
+      ("flat", (q: Long) => ids(VectorSearch.topKVec(spark, searchDir, qVecs(q), k))),
+      (s"ivf_nprobe$nprobe", (q: Long) =>
+        ids(ivfTopKVec(spark, searchDir, qVecs(q), nCells, nprobe, k))),
+      ("lsh_multiprobe", (q: Long) =>
+        ids(Lsh.lshTopKVec(spark, searchDir, qVecs(q), lshBits, k))),
+      ("sq8", (q: Long) => ids(Quantized.sq8TopKVec(spark, searchDir, qVecs(q), k))),
+      ("pq_adc", (q: Long) => ids(Quantized.pqTopKVec(spark, searchDir, qVecs(q), k))),
+      (s"ivfpq_nprobe$nprobe", (q: Long) =>
+        ids(Quantized.ivfPqTopKVec(spark, searchDir, qVecs(q), nCells, nprobe, k))),
+      (s"ivfpq_rerank_c50", (q: Long) =>
+        ids(Quantized.ivfPqRerankTopKVec(spark, searchDir, qVecs(q), nCells, nprobe,
+          c = 50, k))),
+      (s"ivfpq_res_nprobe$nprobe", (q: Long) =>
+        ids(Quantized.ivfPqResidualTopKVec(spark, searchDir, qVecs(q), nCells, nprobe, k))),
+      ("binary_c50", (q: Long) =>
+        ids(Quantized.binaryTopKVec(spark, searchDir, qVecs(q), c = 50, k = k))),
+      ("matryoshka16_c50", (q: Long) =>
+        ids(VectorSearch.matryoshkaTopKVec(spark, searchDir, qVecs(q),
+          prefixDims = 16, c = 50, k = k))),
+      ("graph_beam", (q: Long) =>
+        ids(GraphAnn.graphTopKVec(spark, searchDir, qVecs(q), g = 8, hops = 6,
+          beam = 4, k = k))),
+      ("hnsw", (q: Long) => ids(GraphAnn.hnswTopKVec(spark, searchDir, qVecs(q), g = 8, k = k))),
+      ("rptree_t4d3", (q: Long) =>
+        ids(RpTree.rpTreeTopKVec(spark, searchDir, qVecs(q), nTrees = 4, depth = 3, k = k))))
     // warm every family CONCURRENTLY first: the one-time artifact
     // builds (PQ fit/encode, IVF/LSH publication) dominate a cold
     // sweep and overlap safely — IndexStore's staged-rename publish
@@ -515,6 +595,23 @@ object Ivf {
     families.map { case (name, run) => eval(name, run) }
       .toDF("family", "Precision@K", "MRR", "AvgQueryTime_ms", "QueriesUsed")
       .orderBy(col("family"))
+  }
+
+  /** The corpus-minus-queries carve-out for non-member
+    * [[familyEval]]: `embeddings.parquet` without the sampled query
+    * ids, published once per (corpus, sample) under [[IndexStore]]
+    * like any artifact — every family's `ensure*` build then
+    * fingerprints THIS table, so no index ever saw a query vector.
+    */
+  private def heldOutDir(spark: SparkSession, dir: String, qIds: Seq[Long]): String = {
+    val path = graft.sources.IndexStore.indexPath(spark, "heldout_v1",
+      s"$dir/embeddings.parquet", qIds.mkString("_"))
+    graft.sources.IndexStore.publish(spark, path) { tmp =>
+      Tables.embeddings(spark, dir)
+        .where(!col("vec_id").isin(qIds: _*))
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    }
+    path
   }
 
   /** nprobe auto-tuner — the third planner (next to the filtered-ANN

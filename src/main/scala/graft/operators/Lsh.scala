@@ -223,13 +223,26 @@ object Lsh {
     * probed partitions. No corpus-wide work happens per query.
     */
   def lshTopK(spark: SparkSession, dir: String, queryId: Long, nBits: Int, k: Int): DataFrame = {
-    requireBucketBits(nBits)
-    val idx = ensureIndex(spark, dir, nBits)
     val qv = Tables.embeddings(spark, dir).where(col("vec_id") === queryId)
       .select(col("embedding")).collect().headOption
       .getOrElse(throw new IllegalArgumentException(
         s"query vector $queryId not found in $dir/embeddings.parquet"))
       .getSeq[Float](0).toArray
+    lshTopKCore(spark, dir, qv, Some(queryId), nBits, k)
+  }
+
+  /** [[lshTopK]] for a CALLER-SUPPLIED query vector (non-member
+    * serving): same driver bucket planning against the seed-fixed
+    * hyperplanes, same hamming≤1 probe set, no self-exclusion.
+    */
+  def lshTopKVec(spark: SparkSession, dir: String, qv: Array[Float],
+                 nBits: Int, k: Int): DataFrame =
+    lshTopKCore(spark, dir, qv, None, nBits, k)
+
+  private def lshTopKCore(spark: SparkSession, dir: String, qv: Array[Float],
+                          exclude: Option[Long], nBits: Int, k: Int): DataFrame = {
+    requireBucketBits(nBits)
+    val idx = ensureIndex(spark, dir, nBits)
     val planes = hyperplaneArrays(nBits, qv.length)
     // left-to-right double accumulation — bit-identical to VecDot, so
     // the driver-computed bucket matches the persisted assignment
@@ -244,7 +257,7 @@ object Lsh {
     }
     val probeBuckets = qb +: (0 until nBits).map(j => qb ^ (1L << j))
     idx.where(col("bucket").isin(probeBuckets: _*))
-      .where(col("vec_id") =!= queryId)
+      .where(exclude.map(col("vec_id") =!= _).getOrElse(lit(true)))
       .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
         round(dotd(col("embedding"), typedlit(qv)) / (col("nrm") * lit(qn)), 5).as("score"))
       .orderBy(col("score").desc, col("vec_id"))

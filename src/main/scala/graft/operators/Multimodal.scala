@@ -414,6 +414,40 @@ object Multimodal {
   case class AudioFrame(media_id: Long, frame_idx: Long, n_samples: Int,
                         rms: Double, silent: Boolean)
 
+  /** Per-frame PCM statistics with EXACT integer energy: for each
+    * `frameSamples` window of the little-endian signed 16-bit mono
+    * payload (trailing partial kept), (sample count, Σ s16² as a
+    * long, max |s16|). Σ s16² of ≤ frameSamples ≤ 2^16 samples at
+    * ≤ 32768² each fits a long exactly AND a double exactly (< 2^53),
+    * so downstream RMS = sqrt(ssq / (n·32768²)) is ONE fixed double
+    * expression over exact integers — bit-identical cross-engine
+    * (SURVEY §4), unlike a per-sample normalized double fold. Shared
+    * by every audio operator so the hard-oracled report exercises the
+    * same code path the spec-only energy/VAD operators run.
+    */
+  private[operators] def pcmFrameStats(bytes: Array[Byte],
+                                       frameSamples: Int): Array[(Int, Long, Int)] = {
+    val nSamples = bytes.length / 2
+    val nFrames = (nSamples + frameSamples - 1) / frameSamples
+    Array.tabulate(nFrames) { f =>
+      val start = f * frameSamples
+      val end = math.min(start + frameSamples, nSamples)
+      var ssq = 0L; var peak = 0; var i = start
+      while (i < end) {
+        val s: Int = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+        ssq += s.toLong * s; if (math.abs(s) > peak) peak = math.abs(s)
+        i += 1
+      }
+      (end - start, ssq, peak)
+    }
+  }
+
+  /** RMS of a frame from its exact integer stats — the one fixed
+    * double expression both engines evaluate identically.
+    */
+  private[operators] def frameRms(n: Int, ssq: Long): Double =
+    math.sqrt(ssq.toDouble / (math.max(n, 1) * 32768.0 * 32768.0))
+
   /** PCM frame energy — the audio-side decode step that IS computable
     * without codec libraries (PCM is bytes, not a codec): interpret
     * the payload as little-endian signed 16-bit mono PCM, window into
@@ -434,22 +468,12 @@ object Multimodal {
     import media.sparkSession.implicits._
     require(frameSamples >= 1, s"frameSamples must be >= 1: $frameSamples")
     media.flatMap { m =>
-      val bytes = m.payload
-      val nSamples = bytes.length / 2
-      (0 until (nSamples + frameSamples - 1) / frameSamples).map { f =>
-        val start = f * frameSamples
-        val end = math.min(start + frameSamples, nSamples)
-        var sumSq = 0.0
-        var i = start
-        while (i < end) {
-          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort / 32768.0
-          sumSq += s * s
-          i += 1
-        }
-        val rms = math.sqrt(sumSq / math.max(end - start, 1))
-        AudioFrame(m.media_id, f.toLong, end - start,
-          BigDecimal(rms).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          rms < silenceRms)
+      pcmFrameStats(m.payload, frameSamples).zipWithIndex.map {
+        case ((n, ssq, _), f) =>
+          val rms = frameRms(n, ssq)
+          AudioFrame(m.media_id, f.toLong, n,
+            BigDecimal(rms).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            rms < silenceRms)
       }
     }
   }
@@ -466,24 +490,9 @@ object Multimodal {
                            silenceRms: Double = 0.001): DataFrame = {
     import media.sparkSession.implicits._
     media.map { m =>
-      val bytes = m.payload
-      val nSamples = bytes.length / 2
-      val nFrames = (nSamples + frameSamples - 1) / frameSamples
-      val silent = new Array[Boolean](math.max(nFrames, 0))
-      var f = 0
-      while (f < nFrames) {
-        val start = f * frameSamples
-        val end = math.min(start + frameSamples, nSamples)
-        var sumSq = 0.0
-        var i = start
-        while (i < end) {
-          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort / 32768.0
-          sumSq += s * s
-          i += 1
-        }
-        silent(f) = math.sqrt(sumSq / math.max(end - start, 1)) < silenceRms
-        f += 1
-      }
+      val silent = pcmFrameStats(m.payload, frameSamples)
+        .map { case (n, ssq, _) => frameRms(n, ssq) < silenceRms }
+      val nFrames = silent.length
       val lead = silent.takeWhile(identity).length
       val trail = if (lead == nFrames) 0 else silent.reverse.takeWhile(identity).length
       val active = silent.count(!_)
@@ -494,6 +503,81 @@ object Multimodal {
         lead.toLong, trail.toLong)
     }.toDF("media_id", "n_frames", "n_active", "activity_ratio",
         "trim_lead_frames", "trim_trail_frames")
+      .orderBy(col("media_id"))
+  }
+
+  /** Deterministic little-endian signed-16-bit mono PCM fixture — the
+    * 28j BMP recipe applied to audio: every sample is a pure integer
+    * function of (id, sample index), so an external engine recomputes
+    * the whole clip from the formula alone. The clip has the
+    * three-zone speech shape the VAD/trim stages exist for:
+    *
+    *   leadS  = (id mod 4)·256 zero samples  (whole silent frames)
+    *   activeS = 300 + id mod 213 samples of
+    *             s16 = ((37·id + 73·i) mod 20001) − 10000
+    *   trailS = (id mod 3)·256 zero samples
+    *
+    * Active amplitudes span [−10000, 10000] (always int16-safe, loud
+    * enough that any active frame clears the 0.001 RMS gate), the
+    * active span is NOT frame-aligned (partial boundary frames and a
+    * trailing partial frame exercise the windowing edge cases), and a
+    * wrong byte order / sign / stride in the writer or the reader
+    * shifts the exact energy sums and fails the oracle.
+    */
+  def syntheticPcm(id: Long): Array[Byte] = {
+    val leadS = ((id % 4) * 256).toInt
+    val activeS = (300 + id % 213).toInt
+    val trailS = ((id % 3) * 256).toInt
+    val n = leadS + activeS + trailS
+    val bb = java.nio.ByteBuffer.allocate(2 * n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      val s: Int =
+        if (i < leadS || i >= leadS + activeS) 0
+        else ((37 * id + 73 * i) % 20001).toInt - 10000
+      bb.putShort(s.toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** The hard-oracled audio query (the 28j precedent closing the last
+    * spec-only multimodal family): generate the PCM fixture per
+    * sampled doc, run it through the REAL shared framing code
+    * ([[pcmFrameStats]] — the exact path [[pcmFrameEnergy]] and
+    * [[audioActivitySummary]] execute), and report per-clip exact
+    * integers (sample/frame/active counts, total Σ s16² energy, peak
+    * |s16|), the VAD trim offsets, and the 5-decimal activity ratio.
+    * Every silence decision is sqrt over exact integers vs the
+    * literal threshold — replayable bit-for-bit in SQL. Narrow
+    * mapPartitions over the id scan, no shuffle before the
+    * presentation sort; at 100 TB the generator swaps for a real
+    * binary payload column and the operator is unchanged.
+    */
+  def audioActivityReport(spark: SparkSession, dir: String,
+                          frameSamples: Int = 256,
+                          silenceRms: Double = 0.001): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir).select(col("doc_id"))
+      .where(col("doc_id") % 11 === 0).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = syntheticPcm(id)
+          val stats = pcmFrameStats(bytes, frameSamples)
+          val silent = stats.map { case (n, ssq, _) => frameRms(n, ssq) < silenceRms }
+          val nFrames = silent.length
+          val lead = silent.takeWhile(identity).length
+          val trail = if (lead == nFrames) 0 else silent.reverse.takeWhile(identity).length
+          val active = silent.count(!_)
+          (id, (bytes.length / 2).toLong, nFrames.toLong, active.toLong,
+            stats.map(_._2).sum, stats.map(_._3.toLong).max,
+            if (nFrames == 0) 0.0
+            else math.floor(active.toDouble / nFrames * 1e5 + 0.5) / 1e5,
+            lead.toLong, trail.toLong)
+        }
+      }
+      .toDF("media_id", "n_samples", "n_frames", "n_active", "energy_ssq",
+        "peak_abs", "activity_ratio", "trim_lead_frames", "trim_trail_frames")
       .orderBy(col("media_id"))
   }
 

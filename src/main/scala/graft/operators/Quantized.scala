@@ -92,16 +92,39 @@ object Quantized {
     */
   def sq8TopK(spark: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
     val (codes, stats) = ensureSq8Index(spark, dir)
+    val q = codes.where(col("vec_id") === queryId)
+      .select(col("codes").cast("array<double>"), col("csum")).head
+    sq8TopKCore(codes, stats, q.getSeq[Double](0).toArray, q.getDouble(1),
+      Some(queryId), k)
+  }
+
+  /** [[sq8TopK]] for a CALLER-SUPPLIED query vector (non-member
+    * serving): the caller vector is ENCODED on the driver with the
+    * build formula ([[sq8Codes]]: floor((x − mn)/(mx − mn)·256) capped
+    * at 255), additionally clamped at 0 — a non-member component can
+    * sit outside the corpus range, and FAISS's SQ encode saturates the
+    * same way. Symmetric coded scoring, no self-exclusion.
+    */
+  def sq8TopKVec(spark: SparkSession, dir: String, qv: Array[Float], k: Int): DataFrame = {
+    val (codes, stats) = ensureSq8Index(spark, dir)
+    val st = stats.head
+    val (mn, mx) = (st.getDouble(0), st.getDouble(1))
+    val qd = qv.map { x =>
+      if (mx > mn)
+        math.max(0.0, math.min(math.floor((x.toDouble - mn) / (mx - mn) * 256), 255.0))
+      else 0.0
+    }
+    sq8TopKCore(codes, stats, qd, qd.sum, None, k)
+  }
+
+  private def sq8TopKCore(codes: DataFrame, stats: DataFrame, qd: Array[Double],
+                          qsum: Double, exclude: Option[Long], k: Int): DataFrame = {
     val st = stats.head
     val (mn, mx) = (st.getDouble(0), st.getDouble(1))
     val s = (mx - mn) / 256
-    val q = codes.where(col("vec_id") === queryId)
-      .select(col("codes").cast("array<double>"), col("csum")).head
-    val qd = q.getSeq[Double](0).toArray
-    val qsum = q.getDouble(1)
     val dim = qd.length
     val p = dotd(col("codes").cast("array<double>"), typedlit(qd))
-    codes.where(col("vec_id") =!= queryId)
+    codes.where(exclude.map(col("vec_id") =!= _).getOrElse(lit(true)))
       .select(col("vec_id"),
         round(lit(dim) * lit(mn) * lit(mn)
           + lit(mn) * lit(s) * (col("csum") + lit(qsum) + lit(dim))
@@ -248,11 +271,25 @@ object Quantized {
     * exists for (SQ8 cuts 4×, PQ cuts dim·4/m).
     */
   def pqTopK(spark: SparkSession, dir: String, queryId: Long, k: Int,
-             m: Int = 8, kCents: Int = 16): DataFrame = {
+             m: Int = 8, kCents: Int = 16): DataFrame =
+    pqTopKCore(spark, dir, queryVec(spark, dir, queryId), Some(queryId), k, m, kCents)
+
+  /** [[pqTopK]] for a CALLER-SUPPLIED query vector (non-member
+    * serving): ADC is already asymmetric — the query stays an exact
+    * float vector and only folds into the driver LUT — so the vector
+    * variant is the id variant minus the corpus lookup and the
+    * self-exclusion.
+    */
+  def pqTopKVec(spark: SparkSession, dir: String, qv: Array[Float], k: Int,
+                m: Int = 8, kCents: Int = 16): DataFrame =
+    pqTopKCore(spark, dir, qv.map(_.toDouble), None, k, m, kCents)
+
+  private def pqTopKCore(spark: SparkSession, dir: String, qd: Array[Double],
+                         exclude: Option[Long], k: Int, m: Int, kCents: Int): DataFrame = {
     val (codes, codebooks) = ensurePqIndex(spark, dir, m, kCents)
-    val adc = adcColumn(codebooks, queryVec(spark, dir, queryId))
+    val adc = adcColumn(codebooks, qd)
     codes
-      .where(col("vec_id") =!= queryId)
+      .where(exclude.map(col("vec_id") =!= _).getOrElse(lit(true)))
       .select(col("vec_id"), round(adc, 5).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(k)
@@ -332,15 +369,27 @@ object Quantized {
     * corpus dot products.
     */
   def ivfPqTopK(spark: SparkSession, dir: String, queryId: Long, nCells: Int,
-                nprobe: Int, k: Int, m: Int = 8, kCents: Int = 16): DataFrame = {
+                nprobe: Int, k: Int, m: Int = 8, kCents: Int = 16): DataFrame =
+    ivfPqTopKCore(spark, dir, queryVec(spark, dir, queryId), Some(queryId),
+      nCells, nprobe, k, m, kCents)
+
+  /** [[ivfPqTopK]] for a CALLER-SUPPLIED query vector (non-member
+    * serving): same probe planning and ADC LUT, no self-exclusion.
+    */
+  def ivfPqTopKVec(spark: SparkSession, dir: String, qv: Array[Float], nCells: Int,
+                   nprobe: Int, k: Int, m: Int = 8, kCents: Int = 16): DataFrame =
+    ivfPqTopKCore(spark, dir, qv.map(_.toDouble), None, nCells, nprobe, k, m, kCents)
+
+  private def ivfPqTopKCore(spark: SparkSession, dir: String, qv: Array[Double],
+                            exclude: Option[Long], nCells: Int, nprobe: Int,
+                            k: Int, m: Int, kCents: Int): DataFrame = {
     val (_, centroids) = Ivf.ensureIndex(spark, dir, nCells)
     val (_, codebooks) = ensurePqIndex(spark, dir, m, kCents)
     val idx = ensureIvfPqIndex(spark, dir, nCells, m, kCents)
-    val qv = queryVec(spark, dir, queryId)
     val probed = Ivf.rankCells(centroids, qv.map(_.toFloat)).take(nprobe)
     val adc = adcColumn(codebooks, qv)
     idx.where(col("cell").isin(probed: _*))
-      .where(col("vec_id") =!= queryId)
+      .where(exclude.map(col("vec_id") =!= _).getOrElse(lit(true)))
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         round(adc, 5).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
@@ -438,11 +487,27 @@ object Quantized {
     * lookups + adds per row, zero corpus dot products.
     */
   def ivfPqResidualTopK(spark: SparkSession, dir: String, queryId: Long, nCells: Int,
-                        nprobe: Int, k: Int, m: Int = 8, kCents: Int = 16): DataFrame = {
+                        nprobe: Int, k: Int, m: Int = 8, kCents: Int = 16): DataFrame =
+    ivfPqResidualTopKCore(spark, dir, queryVec(spark, dir, queryId), Some(queryId),
+      nCells, nprobe, k, m, kCents)
+
+  /** [[ivfPqResidualTopK]] for a CALLER-SUPPLIED query vector
+    * (non-member serving): per-probed-cell residual LUTs, no
+    * self-exclusion.
+    */
+  def ivfPqResidualTopKVec(spark: SparkSession, dir: String, qv: Array[Float],
+                           nCells: Int, nprobe: Int, k: Int,
+                           m: Int = 8, kCents: Int = 16): DataFrame =
+    ivfPqResidualTopKCore(spark, dir, qv.map(_.toDouble), None,
+      nCells, nprobe, k, m, kCents)
+
+  private def ivfPqResidualTopKCore(spark: SparkSession, dir: String,
+                                    qv: Array[Double], exclude: Option[Long],
+                                    nCells: Int, nprobe: Int, k: Int,
+                                    m: Int, kCents: Int): DataFrame = {
     val (_, centroids) = Ivf.ensureIndex(spark, dir, nCells)
     val (idx, books) = ensureIvfPqResIndex(spark, dir, nCells, m, kCents)
     val cents = centroidArrays(centroids)
-    val qv = queryVec(spark, dir, queryId)
     val probed = Ivf.rankCells(centroids, qv.map(_.toFloat)).take(nprobe)
     def qResidual(c: Int): Array[Double] =
       Array.tabulate(qv.length)(i => qv(i) - cents(c)(i))
@@ -451,7 +516,7 @@ object Quantized {
       (acc, c) => acc.when(col("cell") === c, adcColumn(books, qResidual(c)))
     }
     idx.where(col("cell").isin(probed: _*))
-      .where(col("vec_id") =!= queryId)
+      .where(exclude.map(col("vec_id") =!= _).getOrElse(lit(true)))
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         round(dist, 5).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
@@ -482,6 +547,26 @@ object Quantized {
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(dotd(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 5).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** [[ivfPqRerankTopK]] for a CALLER-SUPPLIED query vector
+    * (non-member serving): the ADC shortlist comes from
+    * [[ivfPqTopKVec]] and the exact rescore scores the literal vector
+    * — no corpus lookup, no self-exclusion.
+    */
+  def ivfPqRerankTopKVec(spark: SparkSession, dir: String, qv: Array[Float],
+                         nCells: Int, nprobe: Int, c: Int, k: Int,
+                         m: Int = 8, kCents: Int = 16): DataFrame = {
+    val shortlist = ivfPqTopKVec(spark, dir, qv, nCells, nprobe, c, m, kCents)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val q = typedlit(qv)
+    Tables.embeddings(spark, dir)
+      .where(col("vec_id").isin(shortlist: _*))
+      .select(col("vec_id"),
+        round(dotd(col("embedding"), q) / (l2norm(col("embedding")) * l2norm(q)), 5)
+          .as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
@@ -529,6 +614,50 @@ object Quantized {
         math.floor(hits.toDouble / k * 1e5 + 0.5) / 1e5)
     }
     rows.toDF("c", "shortlist", "n_hits", "recall_at_k").orderBy(col("c"))
+  }
+
+  /** Rerank-depth planner — CONSUMES [[rerankDepthSweep]]'s measured
+    * curve the way [[Ivf.nprobePlanner]] consumes [[Ivf.recallEval]]'s:
+    * pick the SMALLEST shortlist depth c whose measured Recall@k
+    * clears the target. When a probe depth's whole curve sits below
+    * target (the r14 1 M-vector finding: at 500× density the m=8 ADC
+    * ranking buries true neighbors deeper than any payable c — recall
+    * FLAT at 0.4 from c=10 to c=100), deepening c buys nothing;
+    * the planner ESCALATES nprobe instead (more probed cells admit
+    * more true neighbors into the ADC ranking at all) and takes the
+    * first (nprobe ASC, c ASC) pair that clears. Falls back to the
+    * deepest measured (nprobe, c) when nothing clears.
+    *
+    * The driver loop stops at the first clearing probe depth; the
+    * oracle computes every curve and applies the same total-order cut
+    * — identical pick. Decisions come from the hard-oracled measured
+    * curve (floor-rounded 5-decimal recall), so the CHOICE itself
+    * replays cross-engine.
+    */
+  def rerankPlanner(spark: SparkSession, dir: String, queryId: Long = 0L,
+                    target: Double = 0.9, nCells: Int = 16, k: Int = 10,
+                    nprobes: Seq[Int] = Seq(4, 8),
+                    cs: Seq[Int] = Seq(10, 25, 50, 100)): DataFrame = {
+    import spark.implicits._
+    var picked: Option[(Int, Long, Double)] = None
+    var deepest: (Int, Long, Double) = null
+    val it = nprobes.sorted.iterator
+    while (picked.isEmpty && it.hasNext) {
+      val np = it.next()
+      val curve = rerankDepthSweep(spark, dir, queryId, nCells, np, k, cs).collect()
+        .map(r => (r.getLong(0), r.getDouble(3)))
+      val met = curve.filter(_._2 >= target)
+      if (met.nonEmpty) {
+        val (c, rec) = met.minBy(_._1)
+        picked = Some((np, c, rec))
+      }
+      val (cMax, recMax) = curve.maxBy(_._1)
+      deepest = (np, cMax, recMax)
+    }
+    val met = picked.isDefined
+    val (np, c, rec) = picked.getOrElse(deepest)
+    Seq((target, np.toLong, c, rec, met))
+      .toDF("target_recall", "nprobe", "c", "recall_at_k", "target_met")
   }
 
   /** Johnson-Lindenstrauss random projection — the DIMENSION-reduction
@@ -792,6 +921,31 @@ object Quantized {
       .crossJoin(broadcast(qe))
       .select(col("vec_id"), col("hamming"),
         round(dotd(col("embedding"), col("qv")) / (l2norm(col("embedding")) * col("qn")), 5)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** [[binaryTopK]] for a CALLER-SUPPLIED query vector (non-member
+    * serving): the 64-bit sign signature folds on the driver with the
+    * build rule (bit i set iff component i > 0) and ships as a plan
+    * literal; Hamming shortlist, exact rescore, no self-exclusion.
+    */
+  def binaryTopKVec(spark: SparkSession, dir: String, qv: Array[Float],
+                    c: Int = 50, k: Int = 10): DataFrame = {
+    val sigs = ensureBinaryIndex(spark, dir)
+    val qsig = qv.take(64).zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+      if (x > 0f) acc | (1L << i) else acc
+    }
+    val short = sigs
+      .select(col("vec_id"),
+        bit_count(col("sig").bitwiseXOR(lit(qsig))).cast("long").as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(c)
+    val q = typedlit(qv)
+    Tables.embeddings(spark, dir).join(broadcast(short), Seq("vec_id"))
+      .select(col("vec_id"), col("hamming"),
+        round(dotd(col("embedding"), q) / (l2norm(col("embedding")) * l2norm(q)), 5)
           .as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)

@@ -117,14 +117,27 @@ object RpTree {
     */
   def rpTreeTopK(spark: SparkSession, dir: String, queryId: Long,
                  nTrees: Int = 4, depth: Int = 3, k: Int = 10): DataFrame = {
-    import spark.implicits._
-    val (leaves, planes) = build(spark, dir, nTrees, depth)
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val qv = emb.where(col("vec_id") === queryId)
+    val qv = Tables.embeddings(spark, dir).where(col("vec_id") === queryId)
       .select(col("embedding")).collect().headOption
       .getOrElse(throw new IllegalArgumentException(
         s"query vector $queryId not found in $dir/embeddings.parquet"))
       .getSeq[Float](0).toArray
+    rpTreeTopKCore(spark, dir, qv, Some(queryId), nTrees, depth, k)
+  }
+
+  /** [[rpTreeTopK]] for a CALLER-SUPPLIED query vector (non-member
+    * serving): same driver routing down every tree, no self-exclusion.
+    */
+  def rpTreeTopKVec(spark: SparkSession, dir: String, qv: Array[Float],
+                    nTrees: Int = 4, depth: Int = 3, k: Int = 10): DataFrame =
+    rpTreeTopKCore(spark, dir, qv, None, nTrees, depth, k)
+
+  private def rpTreeTopKCore(spark: SparkSession, dir: String, qv: Array[Float],
+                             exclude: Option[Long], nTrees: Int, depth: Int,
+                             k: Int): DataFrame = {
+    import spark.implicits._
+    val (leaves, planes) = build(spark, dir, nTrees, depth)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val q = typedlit(qv)
     // (t, node) -> (plane, thr) per level; ≤ nTrees·2^l rows at level l
     val planeMaps: Seq[Map[(Long, Long), (Array[Double], Double)]] =
@@ -143,9 +156,9 @@ object RpTree {
     val probe = qLeaves.map { case (t, n) =>
       col("t") === t && col("node") === n }.reduce(_ || _)
     val cand = leaves.where(probe)
-      .where(col("vec_id") =!= queryId)
+      .where(exclude.map(col("vec_id") =!= _).getOrElse(lit(true)))
       .select(col("vec_id")).distinct()
-    val qid = broadcast(Seq(queryId).toDF("q_id"))
+    val qid = broadcast(Seq(exclude.getOrElse(-1L)).toDF("q_id"))
     val wk = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
     cand.join(emb, Seq("vec_id"))
       .crossJoin(qid)

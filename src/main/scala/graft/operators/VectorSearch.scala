@@ -1026,6 +1026,29 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** [[matryoshkaTopK]] for a CALLER-SUPPLIED query vector (non-member
+    * serving): the prefix slice and both norms fold on the driver and
+    * ship as plan literals; no self-exclusion.
+    */
+  def matryoshkaTopKVec(spark: SparkSession, dir: String, qv: Array[Float],
+                        prefixDims: Int = 16, c: Int = 50, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val pre = slice(col("embedding"), 1, prefixDims)
+    val qp = typedlit(qv.take(prefixDims))
+    val q = typedlit(qv)
+    val short = e
+      .select(col("vec_id"),
+        round(dotd(pre, qp) / (l2norm(pre) * l2norm(qp)), 5).as("pre_score"))
+      .orderBy(col("pre_score").desc, col("vec_id"))
+      .limit(c)
+    e.join(broadcast(short), Seq("vec_id"))
+      .select(col("vec_id"), col("pre_score"),
+        round(dotd(col("embedding"), q) / (l2norm(col("embedding")) * l2norm(q)), 5)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Matryoshka truncation curve — the sizing read behind
     * [[matryoshkaTopK]]'s single prefix choice (Kusupati et al. 2022
     * §4's accuracy-vs-dims table, over this corpus): for each prefix

@@ -285,6 +285,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(8L).getLong(1) == 0L && rows(8L).getDouble(3) == 0.0)
   }
 
+  test("synthetic PCM: writer round-trips the generative formula and the report reconciles with the VAD summary") {
+    import spark.implicits._
+    // byte-level round trip: the reader's short decode must recover
+    // the formula's exact sample values (a byte-order/sign bug here is
+    // precisely what the hard oracle exists to catch)
+    for (id <- Seq(0L, 7L, 11L, 253L)) {
+      val bytes = Multimodal.syntheticPcm(id)
+      val leadS = ((id % 4) * 256).toInt
+      val activeS = (300 + id % 213).toInt
+      val trailS = ((id % 3) * 256).toInt
+      val n = leadS + activeS + trailS
+      assert(bytes.length == 2 * n)
+      for (i <- Seq(0, leadS, leadS + 1, leadS + activeS - 1, n - 1)) {
+        val got = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+        val want = if (i < leadS || i >= leadS + activeS) 0
+          else ((37 * id + 73 * i) % 20001).toInt - 10000
+        assert(got == want, s"id $id sample $i: $got vs $want")
+      }
+    }
+    // the hard-oracled report's summary columns must reconcile with
+    // the REAL audioActivitySummary operator on the same fixtures —
+    // the report and the spec-only VAD path are one code path
+    val ids = Tables.documents(spark, TestSpark.sf).select(col("doc_id"))
+      .where(col("doc_id") % 11 === 0).collect().map(_.getLong(0))
+    val media = ids.toSeq.map(id =>
+      Multimodal.Media(id, "audio", Multimodal.syntheticPcm(id))).toDS()
+    val summary = Multimodal.audioActivitySummary(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    val report = Multimodal.audioActivityReport(spark, TestSpark.sf).collect()
+    assert(report.nonEmpty && report.map(_.getLong(0)).toSet == ids.toSet)
+    report.foreach { r =>
+      val (nf, na, lead, trail) = summary(r.getLong(0))
+      assert((r.getLong(2), r.getLong(3), r.getLong(7), r.getLong(8)) ==
+        ((nf, na, lead, trail)), s"report row ${r.toSeq} vs summary")
+      assert(r.getLong(1) * 2 == Multimodal.syntheticPcm(r.getLong(0)).length.toLong)
+      assert(r.getLong(3) > 0, "every fixture has an active zone")
+    }
+  }
+
   test("synthetic BMP: JDK decode recovers the generative formula pixel-for-pixel, orientation included") {
     for (id <- Seq(0L, 7L, 23L, 101L)) {
       val bytes = Multimodal.syntheticBmp(id)

@@ -303,6 +303,99 @@ class SourcesSpec extends AnyFunSuite {
     assert(OnnxModel.run(g3, Map("x" -> x)).data.sameElements(x.data))
   }
 
+  test("WordPiece: greedy longest-match tokenization drives the attention seam end-to-end") {
+    import graft.functions.{OnnxQueryEncoder, QueryEncoder, WordPiece}
+    import graft.operators.VectorSearch
+    import graft.sources.OnnxModel
+    val (dim, heads, ff, smax) = (64, 4, 32, 16)
+    val vocab = Seq("[CLS]", "[SEP]", "[UNK]", "kindle", "paper", "##white",
+      "battery", "charg", "##er", "case", "tablet")
+    val vmap = vocab.zipWithIndex.toMap
+    // hand-tokenized parity: longest-match-first with ## continuations,
+    // punctuation split out, an unmatchable word collapses to [UNK]
+    assert(WordPiece.tokenize("Kindle paperwhite charger", vmap) ==
+      Seq("kindle", "paper", "##white", "charg", "##er"))
+    assert(WordPiece.tokenize("paperwhite, zzz", vmap) ==
+      Seq("paper", "##white", "[UNK]", "[UNK]"))
+    // a real MiniLM-class vocab ships [CLS]/[SEP]/[UNK] and ## pieces —
+    // the regex tokenizer can never produce these ids; the seam must
+    val inits: Map[String, (Seq[Long], Array[Float])] = {
+      def w(tag: String, i: Int): Float = (((tag + ":" + i).hashCode % 1000) / 2000.0f)
+      def arr(tag: String, n: Int): Array[Float] = Array.tabulate(n)(i => w(tag, i))
+      def eye(tag: String, n: Int): Array[Float] =
+        Array.tabulate(n * n)(i => if (i % (n + 1) == 0) 1.0f else w(tag, i) * 0.05f)
+      Map(
+        "emb" -> (Seq(vocab.length.toLong, dim.toLong), arr("emb", vocab.length * dim)),
+        "pos" -> (Seq(smax.toLong, dim.toLong), arr("pos", smax * dim)),
+        "ln1_g" -> (Seq(dim.toLong), Array.tabulate(dim)(i => 1.0f + w("g1", i) * 0.1f)),
+        "ln1_b" -> (Seq(dim.toLong), arr("b1n", dim)),
+        "wq" -> (Seq(dim.toLong, dim.toLong), eye("wq", dim)),
+        "bq" -> (Seq(dim.toLong), arr("bq", dim)),
+        "wk" -> (Seq(dim.toLong, dim.toLong), eye("wk", dim)),
+        "bk" -> (Seq(dim.toLong), arr("bk", dim)),
+        "wv" -> (Seq(dim.toLong, dim.toLong), eye("wv", dim)),
+        "bv" -> (Seq(dim.toLong), arr("bv", dim)),
+        "wo" -> (Seq(dim.toLong, dim.toLong), eye("wo", dim)),
+        "bo" -> (Seq(dim.toLong), arr("bo", dim)),
+        "ln2_g" -> (Seq(dim.toLong), Array.tabulate(dim)(i => 1.0f + w("g2", i) * 0.1f)),
+        "ln2_b" -> (Seq(dim.toLong), arr("b2n", dim)),
+        "w1" -> (Seq(dim.toLong, ff.toLong), arr("w1", dim * ff).map(_ * 0.2f)),
+        "b1" -> (Seq(ff.toLong), arr("b1", ff)),
+        "w2" -> (Seq(ff.toLong, dim.toLong), arr("w2", ff * dim).map(_ * 0.2f)),
+        "b2" -> (Seq(dim.toLong), arr("b2", dim)))
+    }
+    val tmp = Files.createTempDirectory("graft-wordpiece").toString
+    val modelPath = s"$tmp/wp_encoder.onnx"
+    val vocabPath = s"$tmp/vocab.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(vocabPath),
+      vocab.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(modelPath),
+      OnnxProtoWriter.attentionEncoderModel(dim, heads, inits))
+    spark.conf.set("spark.graft.encoder.class", classOf[OnnxQueryEncoder].getName)
+    spark.conf.set(OnnxQueryEncoder.PathKey, modelPath)
+    spark.conf.set(OnnxQueryEncoder.VocabKey, vocabPath)
+    spark.conf.set(OnnxQueryEncoder.TokenizerKey, "wordpiece")
+    try {
+      val query = "Kindle paperwhite charger"
+      val qv = QueryEncoder.required(spark).encode(query)
+      // the seam's input ids must be the hand tokenization wrapped in
+      // [CLS]/[SEP] — verified by running the interpreter directly on
+      // those ids (the interpreter itself is bit-verified by the
+      // attention spec below)
+      val ids = Array("[CLS]", "kindle", "paper", "##white", "charg", "##er", "[SEP]")
+        .map(vmap(_).toFloat)
+      val g = OnnxModel.load(modelPath)
+      val direct = OnnxModel.run(g,
+        Map("ids" -> OnnxModel.Tensor(Array(ids.length), ids),
+            "attention_mask" -> OnnxModel.Tensor(Array(ids.length),
+              Array.fill(ids.length)(1.0f)))).data
+      assert(qv.toSeq == direct.toSeq,
+        "wordpiece seam must feed exactly the hand tokenization, CLS/SEP-wrapped")
+      // e2e: raw text through topKText ≡ the encoded vector through topKVec
+      val viaSeam = VectorSearch.topKText(spark, TestSpark.sf, query, k = 5)
+        .collect().map(_.toSeq).toSeq
+      val dvec = VectorSearch.topKVec(spark, TestSpark.sf, qv, k = 5)
+        .collect().map(_.toSeq).toSeq
+      assert(viaSeam == dvec && viaSeam.nonEmpty)
+      // all-[UNK] is the subword spelling of all-OOV: hard error
+      val err = intercept[IllegalArgumentException] {
+        QueryEncoder.required(spark).encode("zz9xq !!")
+      }
+      assert(err.getMessage.contains("no in-vocabulary tokens"))
+      // unknown tokenizer mode fails fast, named
+      spark.conf.set(OnnxQueryEncoder.TokenizerKey, "bpe")
+      val err2 = intercept[IllegalArgumentException] {
+        QueryEncoder.required(spark).encode(query)
+      }
+      assert(err2.getMessage.contains("regex|wordpiece"))
+    } finally {
+      spark.conf.unset("spark.graft.encoder.class")
+      spark.conf.unset(OnnxQueryEncoder.PathKey)
+      spark.conf.unset(OnnxQueryEncoder.VocabKey)
+      spark.conf.unset(OnnxQueryEncoder.TokenizerKey)
+    }
+  }
+
   test("ONNX attention: a generated 1-block self-attention export replays a hand pass bit-for-bit and drives the seam") {
     import graft.functions.{OnnxQueryEncoder, QueryEncoder}
     import graft.operators.VectorSearch

@@ -385,6 +385,75 @@ class VectorSearchSpec extends AnyFunSuite {
       s"rerank ${byF("ivfpq_rerank_c50")} vs ivfpq ${byF("ivfpq_nprobe4")}")
   }
 
+  test("non-member family eval: held-out builds, flat anchors 1.0/1.0, vec entry points deterministic") {
+    val rows = Ivf.familyEval(spark, TestSpark.sf, queryMod = 100, k = 10,
+      memberQueries = false).collect()
+    val byF = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(byF.keySet == Set("flat", "ivf_nprobe4", "lsh_multiprobe", "sq8", "pq_adc",
+      "ivfpq_nprobe4", "ivfpq_rerank_c50", "ivfpq_res_nprobe4",
+      "binary_c50", "matryoshka16_c50", "graph_beam", "hnsw", "rptree_t4d3"))
+    // ground truth IS the exact flat scan of each held-out vector
+    // against the carve-out, so flat must anchor at 1.0/1.0
+    assert(byF("flat") == ((1.0, 1.0)), s"flat anchor: ${byF("flat")}")
+    byF.values.foreach { case (p, mrr) =>
+      assert(p >= 0.0 && p <= 1.0 && mrr >= 0.0 && mrr <= 1.0)
+    }
+    // the graph walk must find SOMETHING for held-out queries — the
+    // r14 sf50 point measured 0.0 here before the bridge construction
+    assert(byF("graph_beam")._1 > 0.0,
+      s"non-member graph recall collapsed: ${byF("graph_beam")}")
+    assert(byF("hnsw")._1 > 0.0, s"non-member hnsw recall collapsed: ${byF("hnsw")}")
+  }
+
+  test("caller-vector entry points: every family finds a planted corpus vector without self machinery") {
+    // feed each family's Vec variant an EXISTING corpus vector: with
+    // no self-exclusion the planted row must come back — rank 1 with
+    // score 1.0 for the exact-rescoring families, top-k membership for
+    // the quantized rankings (their scores quantize but the planted
+    // row's quantization error is 0-ish). Determinism: two runs agree.
+    import graft.operators.{GraphAnn, Quantized, RpTree}
+    val planted = 7L
+    val qv = Tables.embeddings(spark, TestSpark.sf)
+      .where(col("vec_id") === planted)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    def idsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).toSeq
+    val runs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("flat", () => VectorSearch.topKVec(spark, TestSpark.sf, qv, 10)),
+      ("ivf", () => Ivf.ivfTopKVec(spark, TestSpark.sf, qv, 16, 4, 10)),
+      ("lsh", () => graft.operators.Lsh.lshTopKVec(spark, TestSpark.sf, qv, 8, 10)),
+      ("sq8", () => Quantized.sq8TopKVec(spark, TestSpark.sf, qv, 10)),
+      ("pq", () => Quantized.pqTopKVec(spark, TestSpark.sf, qv, 10)),
+      ("ivfpq", () => Quantized.ivfPqTopKVec(spark, TestSpark.sf, qv, 16, 4, 10)),
+      ("ivfpq_rerank", () => Quantized.ivfPqRerankTopKVec(spark, TestSpark.sf, qv, 16, 4, 50, 10)),
+      ("ivfpq_res", () => Quantized.ivfPqResidualTopKVec(spark, TestSpark.sf, qv, 16, 4, 10)),
+      ("binary", () => Quantized.binaryTopKVec(spark, TestSpark.sf, qv)),
+      ("matryoshka", () => VectorSearch.matryoshkaTopKVec(spark, TestSpark.sf, qv)),
+      ("graph", () => GraphAnn.graphTopKVec(spark, TestSpark.sf, qv)),
+      ("hnsw", () => GraphAnn.hnswTopKVec(spark, TestSpark.sf, qv)),
+      ("rptree", () => RpTree.rpTreeTopKVec(spark, TestSpark.sf, qv)))
+    runs.foreach { case (name, run) =>
+      val a = run().collect()
+      assert(a.nonEmpty, s"$name returned nothing")
+      assert(a.map(_.toSeq).toSeq == run().collect().map(_.toSeq).toSeq,
+        s"$name not deterministic")
+      assert(idsOf(run()).contains(planted),
+        s"$name missed the planted vector: ${idsOf(run())}")
+    }
+    // exact-rescoring families: the planted row is rank 1, score 1.0
+    Seq("flat", "ivf", "lsh", "ivfpq_rerank", "binary", "matryoshka",
+      "graph", "hnsw", "rptree").foreach { name =>
+      val top = runs.toMap.apply(name)().collect().head
+      val (id, score) = name match {
+        // (vec_id, bucket|hamming|pre_score|cell, score) shapes
+        case "lsh" | "binary" | "matryoshka" | "ivf" =>
+          (top.getLong(0), top.getDouble(2))
+        case _ => (top.getLong(0), top.getDouble(1))
+      }
+      assert(id == planted && score == 1.0, s"$name top hit: $top")
+    }
+  }
+
   test("IVF search recall grows with nprobe and hits exact at full probe") {
     val ev = Ivf.recallEval(spark, TestSpark.sf, nCells = 8, queryMod = 100,
       k = 10, nprobes = Seq(1, 8)).collect()
@@ -903,18 +972,20 @@ class VectorSearchSpec extends AnyFunSuite {
     }
     val vecs = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    // every node's persisted list must be the top-8 of its LSH-blocked
-    // verified candidate set by (rounded cosine DESC, id) — the
-    // artifact IS the NSW insert loop run as one bulk job
+    // every node's persisted FORWARD list (rk >= 1) must be the top-8
+    // of its LSH-blocked verified candidate set by (rounded cosine
+    // DESC, id) — the artifact IS the NSW insert loop run as one bulk
+    // job; rk = 0 rows are the derived epochs (reverse links +
+    // connectivity bridges), checked structurally below
     val cands = graft.operators.Dedup
       .lshVerifiedPairs(spark, TestSpark.sf, 32, 6, 1000L)
       .select("a_id", "b_id").collect()
       .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
       .groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).toSet }
-    val g = GraphAnn.ensureGraph(spark, TestSpark.sf, 8)
+    val all = GraphAnn.ensureGraph(spark, TestSpark.sf, 8)
       .select("src", "dst", "score", "rk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
-      .groupBy(_._1)
+    val g = all.filter(_._4 >= 1L).groupBy(_._1)
     assert(g.keySet == cands.keySet.filter(cands(_).nonEmpty))
     g.foreach { case (src, rows) =>
       val want = cands(src).toSeq
@@ -923,6 +994,31 @@ class VectorSearchSpec extends AnyFunSuite {
       val got = rows.sortBy(_._4).map(r => (r._2, r._3)).toSeq
       assert(got == want, s"graph list for src $src:\n$got\nvs\n$want")
     }
+    // no duplicate (src, dst) pairs across epochs, every edge scored
+    // with the real rounded cosine, and the edge set contains the
+    // reverse of every forward edge (bidirectional links)
+    val pairs = all.map(e => (e._1, e._2))
+    assert(pairs.distinct.length == pairs.length, "duplicate edges across epochs")
+    all.foreach(e => assert(e._3 == cos5(vecs(e._1), vecs(e._2)), e.toString))
+    val pairSet = pairs.toSet
+    g.values.flatten.foreach(e =>
+      assert(pairSet((e._2, e._1)), s"missing reverse of (${e._1}, ${e._2})"))
+    // CONNECTIVITY (the r14 sf50 0.0-recall fix): every corpus node
+    // must be reachable from the global-min hub, in at most
+    // BridgeRounds + 1 hops — the bridge construction's guarantee
+    val adj = pairs.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val hub = vecs.keys.min
+    var frontier = Set(hub); val seen = scala.collection.mutable.Set(hub)
+    var depth = 0
+    while (frontier.nonEmpty && seen.size < vecs.size) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[Long])).filterNot(seen)
+      seen ++= frontier
+      depth += 1
+    }
+    assert(seen.size == vecs.size,
+      s"${vecs.size - seen.size} nodes unreachable from hub $hub")
+    assert(depth <= GraphAnn.BridgeRounds + 1,
+      s"hub eccentricity $depth exceeds the BridgeRounds + 1 guarantee")
     // search: deterministic, ranked, query-free, scores recomputable
     val a = GraphAnn.graphTopK(spark, TestSpark.sf, queryId = 0).collect()
     val b = GraphAnn.graphTopK(spark, TestSpark.sf, queryId = 0).collect()
