@@ -8,9 +8,15 @@ import org.apache.spark.sql.SparkSession
   * the sf0.1 exact-vs-graph delta and the sf50 graph-GT rows
   * BASELINE.md records.
   *
-  * Usage: GtSwapProbe <sfDir> [gt=exact,graph] [mod=100] [what=sweeps|family|both]
+  * Usage: GtSwapProbe <sfDir> [gt=exact,graph] [mod=100]
+  *                    [what=sweeps|family|both] [member=true|false]
   * (at the 1 M-vector point run gt=graph only: the exact GT pass is
   * the n²/mod brute force the seam exists to avoid)
+  *
+  * `member=false` runs the familyEval rows in the NON-member mode
+  * (query vectors held out of every build, caller-vector doors) —
+  * its GT is the bounded per-query exact flat scan, so it is payable
+  * at any corpus size regardless of the gt= seam setting.
   */
 object GtSwapProbe {
   def main(args: Array[String]): Unit = {
@@ -41,10 +47,11 @@ object GtSwapProbe {
         lb.foreach(r => println(s"  $r"))
       }
       if (what == "family" || what == "both") {
+        val member = opt("member", "true").toBoolean
         val t0 = System.nanoTime()
         val fe = graft.operators.Ivf.familyEval(spark, dir, queryMod = mod,
-          k = 10).collect()
-        println(f"== gt=$src familyEval (${(System.nanoTime() - t0) / 1e9}%.1f s):")
+          k = 10, memberQueries = member).collect()
+        println(f"== gt=$src familyEval member=$member (${(System.nanoTime() - t0) / 1e9}%.1f s):")
         fe.foreach(r => println(s"  $r"))
       }
     }
