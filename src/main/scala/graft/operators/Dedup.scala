@@ -1263,9 +1263,17 @@ object Dedup {
     val nTruth = truth.count()
     def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
     widths.map { r =>
+      // ONE action per layout: n_candidates and n_found fold into a
+      // single aggregate over a left join against the (unique-pair)
+      // truth frame — the previous two counts each re-executed the
+      // un-cached band self-join, doubling every layout's blocking
+      // cost (guide §1.2: don't compute things twice). Equivalence:
+      // candidate pairs are unique (minhashCandEst ends in distinct()),
+      // so count(t) = |cand ∩ truth| = the old left_semi count.
       val cand = minhashCandEst(spark, dir, n, k, r).select(col("a_id"), col("b_id"))
-      val nc = cand.count()
-      val nf = truth.join(cand, Seq("a_id", "b_id"), "left_semi").count()
+      val cnt = cand.join(truth.withColumn("t", lit(1)), Seq("a_id", "b_id"), "left_outer")
+        .agg(count(lit(1)).as("nc"), count(col("t")).as("nf")).head
+      val (nc, nf) = (cnt.getLong(0), cnt.getLong(1))
       (r.toLong, (k / r).toLong, nc, nTruth, nf,
         if (nTruth == 0) 0.0 else r5(nf.toDouble / nTruth))
     }.toDF("rows_per_band", "n_bands", "n_candidates", "n_truth", "n_found", "recall")
@@ -1317,10 +1325,21 @@ object Dedup {
         .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .agg(min(col("a.df")).as("min_occ")))
     def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
-    capsU.map { c =>
-      val cr = pairs.where(col("min_occ") <= c)
-      val nc = cr.count()
-      val nf = truth.join(cr, Seq("a_id", "b_id"), "left_semi").count()
+    // ONE action for EVERY cap: candidates nest by min_occ, so each
+    // cap's (n_candidates, n_found) is a conditional count over the
+    // shared tagged-pair frame joined once against the unique-pair
+    // truth — previously 2 jobs per cap (2×|caps| passes over the
+    // cached frame). count(t when min_occ<=c) = the old left_semi
+    // count because pairs are unique by groupBy construction.
+    val joined = pairs.join(truth.withColumn("t", lit(1)),
+      Seq("a_id", "b_id"), "left_outer")
+    val aggs = capsU.flatMap { c =>
+      Seq(count(when(col("min_occ") <= c, 1)).as(s"nc_$c"),
+        count(when(col("min_occ") <= c, col("t"))).as(s"nf_$c"))
+    }
+    val row = joined.agg(aggs.head, aggs.tail: _*).head
+    capsU.zipWithIndex.map { case (c, i) =>
+      val (nc, nf) = (row.getLong(2 * i), row.getLong(2 * i + 1))
       (c, nc, nTruth, nf, if (nTruth == 0) 0.0 else r5(nf.toDouble / nTruth))
     }.toDF("bucket_cap", "n_candidates", "n_truth", "n_found", "recall")
       .orderBy(col("bucket_cap"))
@@ -1353,10 +1372,19 @@ object Dedup {
     val cand = graft.sources.ScratchCache.materialize(
       simhash(spark, dir, maxHamming = radiiU.max))
     def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
-    radiiU.map { r =>
-      val cr = cand.where(col("hamming") <= r)
-      val nc = cr.count()
-      val nf = truth.join(cr, Seq("a_id", "b_id"), "left_semi").count()
+    // ONE action for EVERY radius (the minhashCapSweep single-pass
+    // shape): candidates nest by hamming, counts are conditional aggs
+    // over one left join against the unique-pair truth — previously 2
+    // jobs per radius over the cached frames.
+    val joined = cand.join(truth.withColumn("t", lit(1)),
+      Seq("a_id", "b_id"), "left_outer")
+    val aggs = radiiU.flatMap { r =>
+      Seq(count(when(col("hamming") <= r, 1)).as(s"nc_$r"),
+        count(when(col("hamming") <= r, col("t"))).as(s"nf_$r"))
+    }
+    val row = joined.agg(aggs.head, aggs.tail: _*).head
+    radiiU.zipWithIndex.map { case (r, i) =>
+      val (nc, nf) = (row.getLong(2 * i), row.getLong(2 * i + 1))
       (r.toLong, nc, nTruth, nf,
         if (nTruth == 0) 0.0 else r5(nf.toDouble / nTruth))
     }.toDF("radius", "n_candidates", "n_truth", "n_found", "recall")

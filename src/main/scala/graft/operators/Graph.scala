@@ -488,7 +488,18 @@ object Graph {
     * not padded), the standard DeepWalk convention for sinks.
     */
   def graphWalks(spark: SparkSession, dir: String, steps: Int = 4,
-                 walksPerNode: Int = 2, maxBasket: Int = 500): DataFrame = {
+                 walksPerNode: Int = 2, maxBasket: Int = 500): DataFrame =
+    graphWalksRaw(spark, dir, steps, walksPerNode, maxBasket)
+      .orderBy(col("seed_item"), col("walk_no"), col("pos"))
+
+  /** [[graphWalks]] WITHOUT the presentation sort — the frame
+    * [[walkSkipgrams]] consumes (its self-join and aggregate are
+    * order-independent, and materializing a globally sorted frame
+    * would pay a needless full sort — guide §2.4 "an orderBy used only
+    * to make output deterministic").
+    */
+  private def graphWalksRaw(spark: SparkSession, dir: String, steps: Int,
+                            walksPerNode: Int, maxBasket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ui = Tables.events(spark, dir)
       .where(col("event_type").isin("view", "click", "purchase"))
@@ -520,13 +531,18 @@ object Graph {
       val h = conv(substring(md5(concat_ws(":",
         col("seed_item"), col("walk_no"), lit(t), col("cur"))), 1, 8), 16, 10)
         .cast("long")
-      state = state
+      // cut per step (the iterative-loop convention, ScratchCache
+      // scaladoc): without it each union leg re-embeds every earlier
+      // step's join subtree, so the walk executed O(steps²/2) joins —
+      // step t's state is referenced by BOTH the output leg and step
+      // t+1, and only a materialization barrier makes it compute once
+      state = ScratchCache.materializeCut(state
         .join(nbr, col("cur") === col("src") && col("idx") === h % col("deg"))
-        .select(col("seed_item"), col("walk_no"), col("dst").as("cur"))
+        .select(col("seed_item"), col("walk_no"), col("dst").as("cur")))
       out = out.unionByName(state.select(col("seed_item"), col("walk_no"),
         lit(t + 1L).as("pos"), col("cur").as("item_id")))
     }
-    out.orderBy(col("seed_item"), col("walk_no"), col("pos"))
+    out
   }
 
   /** node2vec biased walks — the second-order upgrade of
@@ -590,13 +606,16 @@ object Graph {
       val h = conv(substring(md5(concat_ws(":",
         col("seed_item"), col("walk_no"), lit(t), col("cur"))), 1, 8), 16, 10)
         .cast("long")
-      state = cands
+      // cut per step — same O(steps²) union-leg re-execution control
+      // as graphWalks (doubly important here: each step runs two
+      // joins and two windows)
+      state = ScratchCache.materializeCut(cands
         .withColumn("cum", sum(col("w")).over(wp.orderBy(col("dst"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("r", h % sum(col("w")).over(wp))
         .where(col("cum") - col("w") <= col("r") && col("r") < col("cum"))
         .select(col("seed_item"), col("walk_no"),
-          col("cur").as("prev"), col("dst").as("cur"))
+          col("cur").as("prev"), col("dst").as("cur")))
       out = out.unionByName(state.select(col("seed_item"), col("walk_no"),
         lit(t + 1L).as("pos"), col("cur").as("item_id")))
     }
@@ -699,7 +718,12 @@ object Graph {
   def walkSkipgrams(spark: SparkSession, dir: String, window: Int = 2,
                     steps: Int = 4, walksPerNode: Int = 2,
                     maxBasket: Int = 500): DataFrame = {
-    val walks = graphWalks(spark, dir, steps, walksPerNode, maxBasket)
+    // UNSORTED walk corpus, materialized once: the self-join below
+    // reads it twice, and [[sgnsNegatives]] composes on top — without
+    // the barrier the whole multi-step walk recomputed per reference
+    // (and the presentation orderBy would add a full sort per pass)
+    val walks = ScratchCache.materialize(
+      graphWalksRaw(spark, dir, steps, walksPerNode, maxBasket))
     val a = walks.select(col("seed_item"), col("walk_no"),
       col("pos"), col("item_id").as("center"))
     val b = walks.select(col("seed_item"), col("walk_no"),

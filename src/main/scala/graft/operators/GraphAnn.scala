@@ -276,6 +276,18 @@ object GraphAnn {
                        qcos: Array[Float] => Double,
                        entries: Seq[(Long, Double)], hops: Int,
                        beam: Int): Seq[(Long, Double)] = {
+    // serving-path warm state (guide §1.2 — remove repeated work):
+    // the walk runs one bounded lookup job per hop, and each lookup
+    // used to re-scan the edges and vectors parquet; materializing the
+    // two narrow frames once turns every hop after the first into a
+    // cached-scan job. The ScratchCache key is the canonicalized plan,
+    // so all walks over the same (dir, g) artifact — single-query,
+    // HNSW's two layers, repeated calls in an eval loop — share one
+    // entry per frame.
+    val adj = graft.sources.ScratchCache.materialize(
+      graph.select(col("src"), col("dst")))
+    val embN = graft.sources.ScratchCache.materialize(
+      emb.select(col("vec_id"), col("embedding")))
     var frontier = entries.distinctBy(_._1).toVector
     val visited = scala.collection.mutable.LinkedHashMap(frontier: _*)
     var hop = 0
@@ -283,8 +295,8 @@ object GraphAnn {
     while (hop < hops && !converged) {
       // one O(beam·g)-row lookup: the frontier's neighbor lists with
       // their embeddings
-      val nbrs = graph.where(col("src").isin(frontier.map(_._1): _*))
-        .join(emb.select(col("vec_id").as("dst"), col("embedding")), "dst")
+      val nbrs = adj.where(col("src").isin(frontier.map(_._1): _*))
+        .join(embN.select(col("vec_id").as("dst"), col("embedding")), "dst")
         .select(col("dst"), col("embedding")).distinct().collect()
         .map(r => (r.getLong(0), qcos(r.getSeq[Float](1).toArray)))
       visited ++= nbrs
@@ -295,6 +307,39 @@ object GraphAnn {
       hop += 1
     }
     visited.toSeq
+  }
+
+  /** ONE bounded driver read for a walk's seed metadata — the query
+    * row (when `queryId` is set), the `nLow` lowest corpus ids with
+    * `exclude` applied, and the lowest promoted id (when `promoted`) —
+    * where the previous shape ran one job per lookup (qv collect +
+    * min() agg + embedding head = 3-5 jobs per single-query call,
+    * measured 30-80 ms each at sf0.1). Tags tell the legs apart; each
+    * leg is limit-bounded so the collect stays O(1).
+    */
+  private def seedLookup(emb: DataFrame, queryId: Option[Long],
+                         exclude: Option[Long], nLow: Int,
+                         promoted: Boolean):
+      (Option[Array[Float]], Seq[(Long, Array[Float])], Option[(Long, Array[Float])]) = {
+    def excl(df: DataFrame) =
+      exclude.map(x => df.where(col("vec_id") =!= x)).getOrElse(df)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    var legs = excl(base).orderBy(col("vec_id")).limit(nLow)
+      .select(lit("low").as("leg"), col("vec_id"), col("embedding"))
+    queryId.foreach { q =>
+      legs = legs.unionByName(base.where(col("vec_id") === q)
+        .select(lit("q").as("leg"), col("vec_id"), col("embedding")))
+    }
+    if (promoted)
+      legs = legs.unionByName(
+        excl(base).where(isPromoted(col("vec_id"))).orderBy(col("vec_id")).limit(1)
+          .select(lit("promo").as("leg"), col("vec_id"), col("embedding")))
+    val rows = legs.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    val qv = rows.collectFirst { case ("q", _, e) => e }
+    val low = rows.collect { case ("low", id, e) => (id, e) }.sortBy(_._1).toSeq
+    val promo = rows.collectFirst { case ("promo", id, e) => (id, e) }
+    (qv, low, promo)
   }
 
   /** Exact distributed rerank of a visited set against the query.
@@ -326,18 +371,17 @@ object GraphAnn {
                 k: Int = 10): DataFrame = {
     val graph = ensureGraph(spark, dir, g)
     val emb = vectors(spark, dir, g)
-    val qv = emb.where(col("vec_id") === queryId)
-      .select(col("embedding")).collect().headOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"query vector $queryId not found in $dir/embeddings.parquet"))
-      .getSeq[Float](0).toArray
+    // one bounded seed lookup (query row + lowest non-query id) where
+    // this path previously ran three driver jobs — see [[seedLookup]]
+    val (qvOpt, low, _) = seedLookup(emb, Some(queryId), Some(queryId),
+      nLow = 1, promoted = false)
+    val qv = qvOpt.getOrElse(throw new IllegalArgumentException(
+      s"query vector $queryId not found in $dir/embeddings.parquet"))
     val qn = math.sqrt(dot(qv, qv))
     def qcos(v: Array[Float]): Double =
       r5(dot(qv, v) / (math.sqrt(dot(v, v)) * qn))
-    val entry = emb.where(col("vec_id") =!= queryId)
-      .agg(min(col("vec_id"))).head.getLong(0)
-    val entryScore = qcos(emb.where(col("vec_id") === entry)
-      .select(col("embedding")).head.getSeq[Float](0).toArray)
+    val (entry, entryEmb) = low.head
+    val entryScore = qcos(entryEmb)
     // the query is a corpus MEMBER (by-id search, the reference's
     // search_by_product_id semantics), so its own node seeds the walk
     // beside the fixed entry: on a corpus whose neighbor graph has
@@ -367,9 +411,11 @@ object GraphAnn {
     val qn = math.sqrt(dot(qv, qv))
     def qcos(v: Array[Float]): Double =
       r5(dot(qv, v) / (math.sqrt(dot(v, v)) * qn))
-    val entry = emb.agg(min(col("vec_id"))).head.getLong(0)
-    val entryScore = qcos(emb.where(col("vec_id") === entry)
-      .select(col("embedding")).head.getSeq[Float](0).toArray)
+    // one bounded seed lookup (lowest corpus id + its embedding) —
+    // previously two driver jobs
+    val (_, low, _) = seedLookup(emb, None, None, nLow = 1, promoted = false)
+    val (entry, entryEmb) = low.head
+    val entryScore = qcos(entryEmb)
     val visited = beamWalk(graph, emb, qcos, Seq((entry, entryScore)), hops, beam)
     rerank(spark, emb, None, qv, qn, visited.map(_._1), k)
   }
@@ -549,34 +595,26 @@ object GraphAnn {
     val graph0 = ensureGraph(spark, dir, g)
     val graph1 = ensureLevel1(spark, dir, g)
     val emb = vectors(spark, dir, g)
-    val qv = emb.where(col("vec_id") === queryId)
-      .select(col("embedding")).collect().headOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"query vector $queryId not found in $dir/embeddings.parquet"))
-      .getSeq[Float](0).toArray
+    // one bounded seed lookup (query row + lowest non-query id +
+    // lowest promoted non-query id) — previously up to five driver
+    // jobs per call (qv collect, two min() aggs, two embedding heads)
+    val (qvOpt, low, promo) = seedLookup(emb, Some(queryId), Some(queryId),
+      nLow = 1, promoted = true)
+    val qv = qvOpt.getOrElse(throw new IllegalArgumentException(
+      s"query vector $queryId not found in $dir/embeddings.parquet"))
     val qn = math.sqrt(dot(qv, qv))
     def qcos(v: Array[Float]): Double =
       r5(dot(qv, v) / (math.sqrt(dot(v, v)) * qn))
-    def scoreOf(id: Long): Double =
-      qcos(emb.where(col("vec_id") === id)
-        .select(col("embedding")).head.getSeq[Float](0).toArray)
-    val entry1 = emb.where(col("vec_id") =!= queryId && isPromoted(col("vec_id")))
-      .agg(min(col("vec_id"))).head
-    val visited1 =
-      if (entry1.isNullAt(0)) Seq.empty[(Long, Double)]
-      else {
-        val e1 = entry1.getLong(0)
-        beamWalk(graph1, emb, qcos, Seq((e1, scoreOf(e1))), hops = 4, beam = 2)
-      }
+    val visited1 = promo match {
+      case None => Seq.empty[(Long, Double)]
+      case Some((e1, e1Emb)) =>
+        beamWalk(graph1, emb, qcos, Seq((e1, qcos(e1Emb))), hops = 4, beam = 2)
+    }
     // base-layer entry: the best node the coarse layer found (the
     // HNSW layer hand-off), falling back to the global lowest id
     val entry0 =
       if (visited1.nonEmpty) visited1.minBy { case (id, s) => (-s, id) }
-      else {
-        val e0 = emb.where(col("vec_id") =!= queryId)
-          .agg(min(col("vec_id"))).head.getLong(0)
-        (e0, scoreOf(e0))
-      }
+      else { val (e0, e0Emb) = low.head; (e0, qcos(e0Emb)) }
     // base walk seeds: the coarse hand-off AND the query's own node
     // (member-query self seed — see graphTopK)
     val visited0 = beamWalk(graph0, emb, qcos,
@@ -600,23 +638,21 @@ object GraphAnn {
     val qn = math.sqrt(dot(qv, qv))
     def qcos(v: Array[Float]): Double =
       r5(dot(qv, v) / (math.sqrt(dot(v, v)) * qn))
-    def scoreOf(id: Long): Double =
-      qcos(emb.where(col("vec_id") === id)
-        .select(col("embedding")).head.getSeq[Float](0).toArray)
-    val hub = emb.agg(min(col("vec_id"))).head.getLong(0)
-    val entry1 = emb.where(isPromoted(col("vec_id")))
-      .agg(min(col("vec_id"))).head
-    val visited1 =
-      if (entry1.isNullAt(0)) Seq.empty[(Long, Double)]
-      else {
-        val e1 = entry1.getLong(0)
-        beamWalk(graph1, emb, qcos, Seq((e1, scoreOf(e1))), hops = 4, beam = 2)
-      }
+    // one bounded seed lookup (hub + lowest promoted id) — previously
+    // up to four driver jobs per call
+    val (_, low, promo) = seedLookup(emb, None, None, nLow = 1, promoted = true)
+    val (hub, hubEmb) = low.head
+    val hubScore = qcos(hubEmb)
+    val visited1 = promo match {
+      case None => Seq.empty[(Long, Double)]
+      case Some((e1, e1Emb)) =>
+        beamWalk(graph1, emb, qcos, Seq((e1, qcos(e1Emb))), hops = 4, beam = 2)
+    }
     val entry0 =
       if (visited1.nonEmpty) visited1.minBy { case (id, s) => (-s, id) }
-      else (hub, scoreOf(hub))
+      else (hub, hubScore)
     val visited0 = beamWalk(graph0, emb, qcos,
-      Seq(entry0, (hub, scoreOf(hub))), hops = 6, beam = 4)
+      Seq(entry0, (hub, hubScore)), hops = 6, beam = 4)
     rerank(spark, emb, None, qv, qn,
       (visited1 ++ visited0).map(_._1).distinct, k)
   }

@@ -298,6 +298,7 @@ object Ivf {
       s"rebalance centroid swap failed under $path")
     IndexStore.invalidate(spark, s"$path/cells")
     IndexStore.invalidate(spark, s"$path/centroids")
+    graft.sources.DriverMemo.invalidatePrefix(spark, path)
     true
   }
 
@@ -352,13 +353,13 @@ object Ivf {
     */
   def ivfTopK(spark: SparkSession, dir: String, queryId: Long, nCells: Int,
               nprobe: Int, k: Int): DataFrame = {
-    val (cells, centroids) = ensureIndex(spark, dir, nCells)
+    val (cells, _) = ensureIndex(spark, dir, nCells)
     val qv = Tables.embeddings(spark, dir).where(col("vec_id") === queryId)
       .select(col("embedding")).collect().headOption
       .getOrElse(throw new IllegalArgumentException(
         s"query vector $queryId not found in $dir/embeddings.parquet"))
       .getSeq[Float](0).toArray
-    val probedCells = rankCells(centroids, qv).take(nprobe)
+    val probedCells = rankCellsArr(centroidRows(spark, dir, nCells), qv).take(nprobe)
     val q = typedlit(qv)
     // q_id rides a real 1-row broadcast, NOT lit(queryId): a literal
     // partition key gets constant-folded out of the window spec,
@@ -389,8 +390,8 @@ object Ivf {
     */
   def ivfTopKVec(spark: SparkSession, dir: String, qv: Array[Float], nCells: Int,
                  nprobe: Int, k: Int): DataFrame = {
-    val (cells, centroids) = ensureIndex(spark, dir, nCells)
-    val probedCells = rankCells(centroids, qv).take(nprobe)
+    val (cells, _) = ensureIndex(spark, dir, nCells)
+    val probedCells = rankCellsArr(centroidRows(spark, dir, nCells), qv).take(nprobe)
     val q = typedlit(qv)
     import spark.implicits._
     val qid = broadcast(Seq(-1L).toDF("q_id"))
@@ -410,16 +411,41 @@ object Ivf {
     * driver-side probe planning (ties broken on cell id, matching
     * [[search]]'s (cdist DESC, cell) order).
     */
-  private[operators] def rankCells(centroids: DataFrame, qv: Array[Float]): Seq[Int] = {
+  private[operators] def rankCells(centroids: DataFrame, qv: Array[Float]): Seq[Int] =
+    rankCellsArr(centroids.collect().map(r =>
+      (r.getInt(0), r.getSeq[Double](1).toArray)), qv)
+
+  /** [[rankCells]] over a driver-resident centroid table — the same
+    * left-to-right double fold and (cdist DESC, cell) order, no job.
+    */
+  private[operators] def rankCellsArr(cents: Array[(Int, Array[Double])],
+                                      qv: Array[Float]): Seq[Int] = {
     val qn = math.sqrt(qv.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
-    centroids.collect().map { r =>
-      val c = r.getSeq[Double](1)
+    cents.map { case (cell, c) =>
       var dot = 0.0; var cn = 0.0; var i = 0
       while (i < c.length) {
         dot += qv(i) * c(i); cn += c(i) * c(i); i += 1
       }
-      (r.getInt(0), dot / (math.sqrt(cn) * qn))
+      (cell, dot / (math.sqrt(cn) * qn))
     }.sortBy { case (cell, s) => (-s, cell) }.map(_._1).toSeq
+  }
+
+  /** The collected centroid table for (dir, nCells), memoized per
+    * fingerprinted index path ([[graft.sources.DriverMemo]] — bounded:
+    * nCells rows × dim doubles). Single-query probe planning ran one
+    * centroid-collect JOB per call (measured 30-80 ms at sf0.1, one
+    * per family call in the 13-family eval); the table is immutable
+    * per artifact path, so the second call should not re-run it.
+    * [[rebalanceIndex]] rewrites centroids in place and invalidates
+    * this entry alongside [[IndexStore.invalidate]].
+    */
+  private[operators] def centroidRows(spark: SparkSession, dir: String,
+                                      nCells: Int): Array[(Int, Array[Double])] = {
+    val path = indexPath(spark, dir, nCells)
+    graft.sources.DriverMemo.memo(spark, s"$path/centroids#rows") {
+      val (_, centroids) = ensureIndex(spark, dir, nCells)
+      centroids.collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    }
   }
 
   /** ANN trade-off evaluation — the reference's headline table
@@ -713,7 +739,7 @@ object Ivf {
                           nprobe: Int = 4): DataFrame = {
     import spark.implicits._
     require(labels.nonEmpty, "label filter must name at least one label")
-    val (cells, centroids) = ensureIndex(spark, dir, nCells)
+    val (cells, _) = ensureIndex(spark, dir, nCells)
     val cnt = cells.agg(count(lit(1)).as("n"),
       count(when(col("label").isin(labels: _*), 1)).as("n_cand")).head
     val n = cnt.getLong(0)
@@ -732,7 +758,7 @@ object Ivf {
         .getOrElse(throw new IllegalArgumentException(
           s"query vector $queryId not found in $dir/embeddings.parquet"))
         .getSeq[Float](0).toArray
-      val probedCells = rankCells(centroids, qv).take(nprobe)
+      val probedCells = rankCellsArr(centroidRows(spark, dir, nCells), qv).take(nprobe)
       val q = typedlit(qv)
       // q_id as a 1-row broadcast keeps the window partitioned →
       // WindowGroupLimit (the ivfTopK convention)

@@ -254,10 +254,14 @@ object Quantized {
       pqEncode(spark, dir, books)
         .write.mode("overwrite").parquet(s"$tmp/codes")
     }
-    val books = IndexStore.open(spark, s"$path/books").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      .groupBy(_._1).toArray.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3))
+    // the collected codebooks are immutable per artifact path — memoize
+    // so repeat queries skip the collect job (DriverMemo scaladoc)
+    val books = graft.sources.DriverMemo.memo(spark, s"$path/books#rows") {
+      IndexStore.open(spark, s"$path/books").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .groupBy(_._1).toArray.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3))
+    }
     (IndexStore.open(spark, s"$path/codes"), books)
   }
 
@@ -383,10 +387,12 @@ object Quantized {
   private def ivfPqTopKCore(spark: SparkSession, dir: String, qv: Array[Double],
                             exclude: Option[Long], nCells: Int, nprobe: Int,
                             k: Int, m: Int, kCents: Int): DataFrame = {
-    val (_, centroids) = Ivf.ensureIndex(spark, dir, nCells)
     val (_, codebooks) = ensurePqIndex(spark, dir, m, kCents)
     val idx = ensureIvfPqIndex(spark, dir, nCells, m, kCents)
-    val probed = Ivf.rankCells(centroids, qv.map(_.toFloat)).take(nprobe)
+    // memoized centroid table (Ivf.centroidRows) — probe planning
+    // without the per-call centroid collect job
+    val probed = Ivf.rankCellsArr(Ivf.centroidRows(spark, dir, nCells),
+      qv.map(_.toFloat)).take(nprobe)
     val adc = adcColumn(codebooks, qv)
     idx.where(col("cell").isin(probed: _*))
       .where(exclude.map(col("vec_id") =!= _).getOrElse(lit(true)))
@@ -464,10 +470,13 @@ object Quantized {
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes/epoch=base")
     }
-    val books = IndexStore.open(spark, s"$path/books").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      .groupBy(_._1).toArray.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3))
+    // memoized like ensurePqIndex's books — immutable per path
+    val books = graft.sources.DriverMemo.memo(spark, s"$path/books#rows") {
+      IndexStore.open(spark, s"$path/books").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .groupBy(_._1).toArray.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3))
+    }
     (IndexStore.minusTombstones(spark, path, IndexStore.open(spark, s"$path/codes"))
       .drop("epoch"),
       books)
@@ -505,10 +514,12 @@ object Quantized {
                                     qv: Array[Double], exclude: Option[Long],
                                     nCells: Int, nprobe: Int, k: Int,
                                     m: Int, kCents: Int): DataFrame = {
-    val (_, centroids) = Ivf.ensureIndex(spark, dir, nCells)
     val (idx, books) = ensureIvfPqResIndex(spark, dir, nCells, m, kCents)
-    val cents = centroidArrays(centroids)
-    val probed = Ivf.rankCells(centroids, qv.map(_.toFloat)).take(nprobe)
+    // memoized centroid table — same rows centroidArrays() collected,
+    // sorted by cell id, without the per-call collect job
+    val centRows = Ivf.centroidRows(spark, dir, nCells)
+    val cents = centRows.sortBy(_._1).map(_._2)
+    val probed = Ivf.rankCellsArr(centRows, qv.map(_.toFloat)).take(nprobe)
     def qResidual(c: Int): Array[Double] =
       Array.tabulate(qv.length)(i => qv(i) - cents(c)(i))
     val dist = probed.tail.foldLeft(

@@ -139,12 +139,29 @@ object RpTree {
     val (leaves, planes) = build(spark, dir, nTrees, depth)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val q = typedlit(qv)
-    // (t, node) -> (plane, thr) per level; ≤ nTrees·2^l rows at level l
+    // (t, node) -> (plane, thr) per level; ≤ nTrees·2^l rows at level l.
+    // Collected ONCE per (corpus fingerprint, nTrees, depth) via
+    // DriverMemo — the tables are a deterministic pure function of the
+    // corpus (hash-sampled anchors), bounded driver state (≤
+    // nTrees·(2^depth − 1) rows), and the per-call driver routing
+    // re-reads them on every query; previously each call ran one
+    // collect JOB per level (depth jobs, 30-80 ms each at sf0.1).
+    // The single miss runs ONE unioned collect instead of depth
+    // level-collects.
     val planeMaps: Seq[Map[(Long, Long), (Array[Double], Double)]] =
-      planes.map(_.collect().map { r =>
-        (r.getLong(0), r.getLong(1)) ->
-          ((r.getSeq[Double](2).toArray, r.getDouble(3)))
-      }.toMap)
+      graft.sources.DriverMemo.memo(spark,
+        "rptree_" + graft.sources.IndexStore.fingerprint(spark,
+          s"$dir/embeddings.parquet") + s"_${nTrees}_$depth#planes") {
+        val all = planes.zipWithIndex.map { case (pl, l) =>
+          pl.select(lit(l).as("lvl"), col("t"), col("node"), col("plane"), col("thr"))
+        }.reduce(_ unionByName _).collect()
+        (0 until depth).map { l =>
+          all.filter(_.getInt(0) == l).map { r =>
+            (r.getLong(1), r.getLong(2)) ->
+              ((r.getSeq[Double](3).toArray, r.getDouble(4)))
+          }.toMap
+        }
+      }
     val qLeaves: Seq[(Long, Long)] = (0 until nTrees).map { t =>
       var node = 0L
       planeMaps.foreach { pm =>

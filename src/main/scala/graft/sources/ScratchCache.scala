@@ -78,7 +78,30 @@ object ScratchCache {
       hit
     }
     else {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      // Cap the CACHED partition fan-out by Catalyst's size estimate
+      // (guide §2.2 "fewer, larger reduce partitions"): a plan that is
+      // persisted is excluded from AQE's post-shuffle coalescing
+      // (`spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`
+      // is false by default — flipping it globally re-plans every
+      // cached-scan reuse and measurably regressed the driver-loop
+      // harnesses), so without this every small cached state frame
+      // keeps the full spark.sql.shuffle.partitions fan-out and every
+      // downstream pass schedules that many near-empty tasks (measured
+      // at sf0.1: 32-task jobs over ~10⁴-row iterative state; the
+      // graph trio spent ~40% of wall in task scheduling). `coalesce`
+      // only ever SHRINKS (n ≥ current partitions is a no-op), folds
+      // into the final shuffle read (no extra exchange), and the
+      // target derives from estimated bytes — big frames keep their
+      // parallelism at scale, so this is scale-adaptive, not a
+      // local-mode constant. Catalyst over-estimates (join products)
+      // err toward MORE partitions — the safe direction.
+      val target = {
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val perPart = BigInt(32L << 20) // 32 MiB per cached partition
+        val cores = df.sparkSession.sparkContext.defaultParallelism
+        ((bytes + perPart - 1) / perPart).min(BigInt(cores * 4)).max(BigInt(1)).toInt
+      }
+      val p = df.coalesce(target).persist(StorageLevel.MEMORY_AND_DISK)
       lru.put(key, p)
       val cap = capacity(df.sparkSession)
       val it = lru.entrySet().iterator()
